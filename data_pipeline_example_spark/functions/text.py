@@ -1,0 +1,111 @@
+"""Text-analysis column expressions (LLM-data-pipeline extensions).
+
+All pure built-in Column expressions — JVM-side, codegen-friendly, no
+UDFs — so they run unchanged from sf0.001 up to 100 TB. Each builder is
+written to have an exact ANSI-SQL twin runnable by DuckDB (see
+plans/oracles.py), which is what makes the operators oracle-checkable.
+
+The reference has no text operators; these extend its surface per
+BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"[A-Za-z0-9]+"
+PUNCT_PATTERN = r"[.,!?;:]"
+
+# tiny deterministic stopword lists per language for the n-gram/stopword
+# language-ID heuristic. Order matters: the CASE ladder breaks ties by
+# this order (en > de > fr > es > zh).
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "que"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Alphanumeric token list. DuckDB twin: regexp_extract_all(x, pat)."""
+    return F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(f"({TOKEN_PATTERN})"), 1)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(F.coalesce(col, F.lit("")))
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(f"({PUNCT_PATTERN})"), 1)
+    )
+
+
+def stopword_count(col: Column, words: tuple[str, ...]) -> Column:
+    """Count occurrences of any word in ``words`` (word-bounded, on
+    lowercased text). Same regex dialect restriction applies to DuckDB's
+    RE2, so the pattern is shared verbatim."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(F.coalesce(col, F.lit(""))), F.lit(pat), 1))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic doc-quality score in [0,1]: favors texts with a healthy
+    token count, low punctuation density, and some English stopwords.
+    Deterministic arithmetic only — identical formula in the SQL oracle."""
+    n_tok = token_count(col).cast("double")
+    n_char = F.greatest(char_count(col).cast("double"), F.lit(1.0))
+    punct_ratio = punct_count(col).cast("double") / n_char
+    stop_ratio = stopword_count(col, STOPWORDS["en"]).cast("double") / F.greatest(
+        n_tok, F.lit(1.0)
+    )
+    length_factor = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return F.round(length_factor * (1.0 - punct_ratio) * (0.5 + 0.5 * stop_ratio), 4)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language ID. Ties resolved by the fixed ladder
+    en > de > fr > es; zero votes everywhere → 'und' (undetermined)."""
+    counts = {lang: stopword_count(col, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    # build the CASE ladder in reverse so earlier languages win ties
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text. md5 is bit-identical between
+    Spark and DuckDB, so this is oracle-checkable (unlike xxhash/murmur,
+    whose implementations differ)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def token_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles ('w1 w2 w3' strings) for Jaccard/MinHash.
+
+    Token shingles (not char shingles) keep the shingle→doc inverted index
+    sparse on natural text, which bounds the candidate-pair blowup of the
+    LSH bucket join at scale."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )

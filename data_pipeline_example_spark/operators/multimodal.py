@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Extension surface (BASELINE.json north star): treat image/audio/video as
+``binary`` columns and run decode / feature-extraction as Arrow-batched
+pandas iterators via ``mapInPandas`` — the idiomatic Spark shape for
+Python-only media libraries at scale (each task pulls batches through
+Arrow once, the Python worker is reused, and output schema is declared
+up front so Catalyst can plan around the black box).
+
+The actual media decoding libraries (PIL/opencv/librosa) are NOT in this
+container, so ``decode_image`` is a clearly-marked stub behind an
+import-try (NotImplementedError), and ``extract_features`` uses a
+deterministic byte-level fake (length, md5, fake dimensions derived from
+the payload) — the Spark-side plumbing (schema, batching, partitioning,
+UDF signature) is real and tested, and because the fake is a pure
+function of the bytes it is even oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+    ]
+)
+
+
+def attach_binary(documents: DataFrame) -> DataFrame:
+    """Wrap a text corpus as a media table: content = utf-8 bytes of the
+    text. Stands in for reading real image/audio payloads; preserves the
+    (id, media_type, binary) contract end-to-end."""
+    return documents.select(
+        F.col("doc_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content"),
+    )
+
+
+def decode_image(content: bytes) -> object:
+    """STUB — real image decode requires PIL/opencv (not installed).
+
+    Kept as the single seam where a real decoder plugs in; everything
+    around it (batching, schema, partitioning) works today.
+    """
+    try:
+        from PIL import Image  # noqa: F401  (absent in this container)
+    except ImportError as exc:  # pragma: no cover - exercised via tests
+        raise NotImplementedError(
+            "image decoding requires PIL; install it on the cluster image"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here once available")
+
+
+def extract_features(media: DataFrame, batch_limit: int | None = None) -> DataFrame:
+    """Deterministic per-payload features via Arrow-batched mapInPandas.
+
+    The fake 'decode' derives width/height from the byte length — stands
+    in for a real decoder while keeping outputs reproducible (and
+    SQL-checkable: md5(bytes) == md5(text) for utf-8 payloads).
+    """
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if batch_limit is not None:
+                pdf = pdf.head(batch_limit)
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "content_md5": content.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "fake_width": (content.map(len) % 640 + 1).astype("int32"),
+                    "fake_height": (content.map(len) * 7 % 480 + 1).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def media_features(documents: DataFrame) -> DataFrame:
+    """End-to-end multimodal pipeline: text → binary column → Arrow
+    batches → per-payload features."""
+    return extract_features(attach_binary(documents))

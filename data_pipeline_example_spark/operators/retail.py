@@ -1,0 +1,80 @@
+"""Core batch aggregations + serving queries of the reference pipeline.
+
+Implements SURVEY.md §2.6/§2.7 rows A1/A2/A4/A5, O1/O2/O3 as pure
+``df -> df`` functions. The input contract is the conformed shape
+(product:string, order_date:date, amount:double) produced by
+``conform.conform`` — or any mapping onto it (plans/queries.py maps the
+driver's ``events`` table via ts→order_date, event_type→product,
+value→amount per FIXTURES.md F-D).
+
+Scale notes: every function is a single hash-aggregate + (for top-k) a
+TakeOrderedAndProject — one shuffle each, partial aggregation map-side,
+no driver-side collection. A2 folds the reference's separate ``count()``
+action (`pipeline_batch.py:213`) into the same single-pass aggregate
+(SURVEY.md §4 fix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_revenue(df: DataFrame) -> DataFrame:
+    """A1 + O1 — daily revenue per product (`pipeline_batch.py:205-207`).
+
+    The flagship aggregate: GROUP BY order_date, product → sum(amount).
+    Output: order_date, product, total_amount (2-dp rounded).
+    """
+    return (
+        df.groupBy("order_date", "product")
+        .agg(F.round(F.sum("amount"), 2).alias("total_amount"))
+        .orderBy("order_date", "product")
+    )
+
+
+def kpis(df: DataFrame) -> DataFrame:
+    """A2 — global KPI snapshot (`pipeline_batch.py:210-213`), single pass.
+
+    The reference computes ``rows`` via a separate ``clean.count()``
+    action and splices it in with ``lit``; here it is one aggregate —
+    one job, one scan.
+    """
+    return df.agg(
+        F.round(F.sum("amount"), 2).alias("grand_total"),
+        F.countDistinct("product").alias("distinct_products"),
+        F.count(F.lit(1)).alias("rows"),
+    )
+
+
+def per_day_totals(daily: DataFrame) -> DataFrame:
+    """A4 — per-day totals over the curated aggregate
+    (`dashboard/app.py:33-36`), rebuilt as a Spark query."""
+    return (
+        daily.groupBy("order_date")
+        .agg(F.round(F.sum("total_amount"), 2).alias("total_amount"))
+        .orderBy("order_date")
+    )
+
+
+def top_products(daily: DataFrame, n: int = 10) -> DataFrame:
+    """A5 + O2 — all-time top-N products (`dashboard/app.py:38-41`).
+
+    Deterministic tie-break on product name (the reference's pandas sort
+    is tie-unstable, SURVEY.md §2.7 O2). Ordering on the 2-dp-rounded
+    total keeps ranking comparable across engines' float-sum orders.
+    """
+    return (
+        daily.groupBy("product")
+        .agg(F.round(F.sum("total_amount"), 2).alias("total_amount"))
+        .orderBy(F.desc("total_amount"), F.asc("product"))
+        .limit(n)
+    )
+
+
+def sample_rows(df: DataFrame, n: int = 50, id_col: str = "event_id") -> DataFrame:
+    """O3 — newest-first sample (`dashboard/app.py:43`) with a unique
+    tie-break key so the selected row set is deterministic."""
+    return df.orderBy(
+        F.desc("order_date"), F.asc("product"), F.asc(id_col)
+    ).limit(n)

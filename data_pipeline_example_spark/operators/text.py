@@ -1,0 +1,65 @@
+"""Text-analysis operators over the ``documents`` table.
+
+LLM-data-pipeline extensions (BASELINE.json north star): language ID,
+quality scoring, token counting, fingerprinting. All built on the
+UDF-free expressions in ``functions/text.py`` — whole-stage codegen
+end-to-end, so per-document cost is a few regex evaluations and the
+operators scale linearly to 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_example_spark.functions import text as T
+
+
+def doc_stats(documents: DataFrame) -> DataFrame:
+    """Per-document statistics: chars, tokens, punctuation ratio,
+    quality score, md5 fingerprint."""
+    return documents.select(
+        "doc_id",
+        T.char_count(F.col("text")).cast("long").alias("n_chars"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(
+            T.punct_count(F.col("text")).cast("double")
+            / F.greatest(T.char_count(F.col("text")).cast("double"), F.lit(1.0)),
+            4,
+        ).alias("punct_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """Corpus rollup by (lang, source): doc count, token totals/averages."""
+    n_tok = T.token_count(F.col("text"))
+    return (
+        documents.select("lang", "source", n_tok.alias("n_tokens"), "n_chars")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def lang_predict(documents: DataFrame) -> DataFrame:
+    """Stopword-vote language ID next to the labeled ``lang`` column.
+
+    Output: doc_id, lang, lang_pred, is_match (0/1). The heuristic is the
+    deterministic n-gram/stopword method from functions/text.py — on the
+    driver's synthetic word-salad corpus accuracy is meaningless, but the
+    operator (and its oracle) pin the exact voting/tie-break semantics.
+    """
+    pred = T.lang_id(F.col("text"))
+    return documents.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).cast("int").alias("is_match"),
+    )

@@ -1,0 +1,389 @@
+"""DuckDB oracle SQL — one ANSI-SQL twin per entry in plans/queries.py.
+
+The driver runs these against the same parquet tables (pre-registered
+views) and hash-compares row counts, schemas, and order-insensitive
+value hashes with the Spark results. Rules applied throughout:
+
+* every computed column aliased identically to the Spark side;
+* aggregates rounded (2 dp money, 4 dp ratios, 6 dp cosines) in BOTH
+  engines so IEEE-754 sum-order differences can't flip a hash;
+* counts cast to BIGINT where DuckDB would widen to HUGEINT;
+* top-k orderings always on the *rounded* measure + a unique tie-break
+  key, so both engines select the same rows.
+
+Sliding-window math: Spark's ``window(ts, '1 hour', '15 minutes')``
+assigns each row to the 4 slide-aligned windows covering it; the oracle
+reproduces this by cross-joining offsets 0..3 against the row's
+15-minute bucket (epoch arithmetic, UTC).
+"""
+
+from __future__ import annotations
+
+# events → conformed retail mapping (FIXTURES.md F-D)
+_RETAIL = """
+retail AS (
+  SELECT event_id, ts AS order_ts, CAST(ts AS DATE) AS order_date,
+         event_type AS product, value AS amount
+  FROM events
+)
+"""
+
+# Spark F.window(ts, '1 hour', '15 minutes') equivalent
+_WINDOWS = """
+win AS (
+  SELECT make_timestamp(((CAST(floor(epoch(ts)/900) AS BIGINT) - s.i) * 900) * 1000000) AS window_start,
+         make_timestamp((((CAST(floor(epoch(ts)/900) AS BIGINT) - s.i) * 900) + 3600) * 1000000) AS window_end,
+         event_type AS product, value
+  FROM events, (SELECT unnest([0,1,2,3]) AS i) s
+),
+wagg AS (
+  SELECT window_start, window_end, product, sum(value) AS revenue
+  FROM win GROUP BY 1, 2, 3
+)
+"""
+
+# documents → token lists / distinct 3-token shingles (lowercased)
+_SHINGLES = """
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+"""
+
+# embeddings as double vectors + the vec_id=0 query vector
+_VECS = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+"""
+
+_STOP = {
+    "en": r"\b(the|a|and|of|to|is|in|it)\b",
+    "de": r"\b(der|die|das|und|ist|ein|nicht)\b",
+    "fr": r"\b(le|la|les|et|est|une|pas)\b",
+    "es": r"\b(el|la|los|y|es|una|que)\b",
+}
+
+_DOC_EXPRS = """
+docx AS (
+  SELECT doc_id, lang, source,
+         coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS n_chars_raw,
+         len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+')) AS n_tokens_raw,
+         len(regexp_extract_all(coalesce(text, ''), '[.,!?;:]')) AS n_punct_raw,
+         len(regexp_extract_all(lower(coalesce(text, '')), '{en}')) AS c_en,
+         len(regexp_extract_all(lower(coalesce(text, '')), '{de}')) AS c_de,
+         len(regexp_extract_all(lower(coalesce(text, '')), '{fr}')) AS c_fr,
+         len(regexp_extract_all(lower(coalesce(text, '')), '{es}')) AS c_es
+  FROM documents
+)
+""".format(en=_STOP["en"], de=_STOP["de"], fr=_STOP["fr"], es=_STOP["es"])
+
+
+ORACLES: dict[str, str] = {
+    # --- retail pipeline -------------------------------------------------
+    "daily_revenue": f"""
+WITH {_RETAIL}
+SELECT order_date, product, round(sum(amount), 2) AS total_amount
+FROM retail GROUP BY 1, 2
+""",
+    "kpis": f"""
+WITH {_RETAIL}
+SELECT round(sum(amount), 2) AS grand_total,
+       count(DISTINCT product) AS distinct_products,
+       count(*) AS "rows"
+FROM retail
+""",
+    "per_day_totals": f"""
+WITH {_RETAIL},
+daily AS (
+  SELECT order_date, product, round(sum(amount), 2) AS total_amount
+  FROM retail GROUP BY 1, 2
+)
+SELECT order_date, round(sum(total_amount), 2) AS total_amount
+FROM daily GROUP BY 1
+""",
+    "top_products": f"""
+WITH {_RETAIL},
+daily AS (
+  SELECT order_date, product, round(sum(amount), 2) AS total_amount
+  FROM retail GROUP BY 1, 2
+)
+SELECT product, round(sum(total_amount), 2) AS total_amount
+FROM daily GROUP BY 1
+ORDER BY total_amount DESC, product ASC LIMIT 10
+""",
+    "sample_rows": f"""
+WITH {_RETAIL}
+SELECT event_id, order_date, product, amount
+FROM retail ORDER BY order_date DESC, product ASC, event_id ASC LIMIT 50
+""",
+    "events_json_conform": """
+SELECT event_id,
+       event_type AS product,
+       coalesce(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k_value,
+       CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS value_band
+FROM events
+""",
+    # --- sliding-window analytics ---------------------------------------
+    "sliding_window_revenue": f"""
+WITH {_WINDOWS}
+SELECT window_start, window_end, product, round(revenue, 2) AS revenue
+FROM wagg
+""",
+    "latest_window_leaderboard": f"""
+WITH {_WINDOWS}
+SELECT product, round(sum(revenue), 2) AS revenue
+FROM wagg
+WHERE window_end = (SELECT max(window_end) FROM wagg)
+GROUP BY 1
+ORDER BY revenue DESC, product ASC LIMIT 12
+""",
+    "window_health": f"""
+WITH {_WINDOWS}
+SELECT window_start, window_end,
+       round(sum(revenue), 2) AS total_revenue,
+       count(DISTINCT product) AS product_count
+FROM wagg GROUP BY 1, 2
+ORDER BY window_start DESC, window_end DESC LIMIT 96
+""",
+    "timeline_points": f"""
+WITH {_WINDOWS},
+totals AS (
+  SELECT product, round(sum(revenue), 2) AS total_revenue
+  FROM wagg GROUP BY 1
+  ORDER BY total_revenue DESC, product ASC LIMIT 8
+)
+SELECT w.product, w.window_start, w.window_end, round(w.revenue, 2) AS revenue
+FROM wagg w JOIN totals t ON w.product = t.product
+""",
+    "window_summary_stats": f"""
+WITH {_WINDOWS}
+SELECT (SELECT count(DISTINCT product) FROM wagg) AS distinct_products,
+       (SELECT count(*) FROM (SELECT DISTINCT window_start, window_end FROM wagg)) AS window_pairs,
+       (SELECT max(window_end) FROM wagg) AS latest_window_end
+""",
+    # --- joins / star-schema aggregations -------------------------------
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+    "top_revenue_orders": """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10
+""",
+    "supplier_nation_revenue": """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, supplier, nation, region
+WHERE l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY 1
+""",
+    "customer_nation_revenue": """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS order_count
+FROM orders, customer, nation, region
+WHERE o_custkey = c_custkey
+  AND c_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+GROUP BY 1
+""",
+    "order_priority_count": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity >= 45.0
+)
+GROUP BY 1
+""",
+    "brand_volume": """
+SELECT p_brand,
+       round(sum(l_quantity), 2) AS total_qty,
+       round(sum(l_extendedprice), 2) AS total_price,
+       count(*) AS line_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+    "segment_stats": """
+SELECT c_mktsegment,
+       count(*) AS customers,
+       round(avg(c_acctbal), 2) AS avg_acctbal,
+       round(min(c_acctbal), 2) AS min_acctbal,
+       round(max(c_acctbal), 2) AS max_acctbal
+FROM customer GROUP BY 1
+""",
+    # --- text analysis ----------------------------------------------------
+    "doc_stats": f"""
+WITH {_DOC_EXPRS}
+SELECT doc_id,
+       CAST(n_chars_raw AS BIGINT) AS n_chars,
+       CAST(n_tokens_raw AS BIGINT) AS n_tokens,
+       round(n_punct_raw * 1.0 / greatest(n_chars_raw, 1), 4) AS punct_ratio,
+       round(least(n_tokens_raw / 100.0, 1.0)
+             * (1.0 - n_punct_raw * 1.0 / greatest(n_chars_raw, 1))
+             * (0.5 + 0.5 * (c_en * 1.0 / greatest(n_tokens_raw, 1))), 4) AS quality,
+       md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')) AS fingerprint
+FROM docx
+""",
+    "corpus_stats": f"""
+WITH {_DOC_EXPRS}
+SELECT lang, source,
+       count(*) AS docs,
+       CAST(sum(n_tokens_raw) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens_raw), 2) AS avg_tokens,
+       CAST(sum(n_chars_raw) AS BIGINT) AS total_chars
+FROM docx GROUP BY 1, 2
+""",
+    "lang_predict": f"""
+WITH {_DOC_EXPRS}
+SELECT doc_id, lang,
+       CASE
+         WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+         WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+         WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+         WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+         ELSE 'und'
+       END AS lang_pred,
+       CAST(CASE
+         WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+         WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+         WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+         WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+         ELSE 'und'
+       END = lang AS INTEGER) AS is_match
+FROM docx
+""",
+    # --- dedup ------------------------------------------------------------
+    "exact_dedup": """
+SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+    "jaccard_pairs": f"""
+WITH {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
+""",
+    "minhash_lsh_pairs": f"""
+WITH {_SHINGLES},
+hashes AS (
+  SELECT doc_id, r.i AS i, min(md5(CAST(r.i AS VARCHAR) || ':' || sh)) AS h
+  FROM sh, range(0, 16) r(i)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bucket
+  FROM hashes GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
+""",
+    # --- similarity search ------------------------------------------------
+    "knn_bruteforce": f"""
+WITH {_VECS}
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+FROM e, q
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+""",
+    "nearest_neighbor": f"""
+WITH {_VECS},
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT vec_id, nn_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, nn_id, cos_sim FROM ranked WHERE rn = 1
+""",
+    "ivf_knn": f"""
+WITH {_VECS},
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id, round(list_cosine_similarity(c.cv, q.qv), 6) AS c_sim
+    FROM cents c, q
+    ORDER BY c_sim DESC, centroid_id ASC LIMIT 4
+  )
+)
+SELECT e.vec_id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+FROM e
+JOIN assigned a ON a.vec_id = e.vec_id
+JOIN probed p ON p.centroid_id = a.centroid_id, q
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+""",
+    # --- multimodal plumbing ----------------------------------------------
+    "media_features": """
+SELECT doc_id,
+       CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+       md5(coalesce(text, '')) AS content_md5,
+       CAST(strlen(coalesce(text, '')) % 640 + 1 AS INTEGER) AS fake_width,
+       CAST(strlen(coalesce(text, '')) * 7 % 480 + 1 AS INTEGER) AS fake_height
+FROM documents
+""",
+}

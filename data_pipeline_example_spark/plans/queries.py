@@ -1,0 +1,247 @@
+"""Query registry — the driver contract surface.
+
+One named entry per implemented operator from SURVEY.md §2 plus the
+LLM-data-pipeline extensions. Each callable takes (spark, sf_dir) and
+returns a DataFrame whose column names/types match the DuckDB oracle in
+plans/oracles.py exactly (the driver hash-compares them at sf0.01).
+
+The reference's retail fact table is mapped onto the driver's ``events``
+table per FIXTURES.md F-D: ts → order_ts/order_date, event_type →
+product, value → amount.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_example_spark.operators import (
+    dedup,
+    multimodal,
+    retail,
+    similarity,
+    text,
+    tpch,
+    windows,
+)
+from data_pipeline_example_spark.sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _events_retail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXTURES.md F-D mapping of events → conformed retail shape."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("order_ts"),
+        F.to_date("ts").alias("order_date"),
+        F.col("event_type").alias("product"),
+        F.col("value").alias("amount"),
+    )
+
+
+def _windowed(spark: SparkSession, sf_dir: str, rounded: bool = False) -> DataFrame:
+    return windows.sliding_window_agg(_events_retail(spark, sf_dir), rounded=rounded)
+
+
+# --- retail pipeline (SURVEY.md A1/A2/A4/A5, O1-O3) ---------------------
+
+
+def q_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retail.daily_revenue(_events_retail(spark, sf_dir))
+
+
+def q_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retail.kpis(_events_retail(spark, sf_dir))
+
+
+def q_per_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retail.per_day_totals(retail.daily_revenue(_events_retail(spark, sf_dir)))
+
+
+def q_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retail.top_products(retail.daily_revenue(_events_retail(spark, sf_dir)))
+
+
+def q_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retail.sample_rows(
+        _events_retail(spark, sf_dir).select("event_id", "order_date", "product", "amount")
+    )
+
+
+def q_events_json_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/try_cast + coalesce + when over a JSON props column
+    (the conform cleanse idioms, exercised on driver data)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
+    return ev.select(
+        "event_id",
+        F.col("event_type").alias("product"),
+        F.coalesce(k, F.lit(0)).alias("k_value"),
+        F.when(F.col("value") > 100.0, F.lit("high")).otherwise(F.lit("low")).alias(
+            "value_band"
+        ),
+    )
+
+
+# --- sliding-window analytics (A3, A5-A9, F5, O4-O8) --------------------
+
+
+def q_sliding_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _windowed(spark, sf_dir, rounded=True)
+
+
+def q_latest_window_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.latest_window_leaderboard(_windowed(spark, sf_dir))
+
+
+def q_window_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.window_health(_windowed(spark, sf_dir))
+
+
+def q_timeline_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.timeline_points(_windowed(spark, sf_dir))
+
+
+def q_window_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.summary_stats(_windowed(spark, sf_dir))
+
+
+# --- joins / star-schema aggregations (SURVEY.md §2.5 rebuild surface) --
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.top_revenue_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.supplier_nation_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_customer_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.customer_nation_revenue(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.order_priority_count(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.brand_volume(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.segment_stats(load_table(spark, sf_dir, "customer"))
+
+
+# --- text analysis extensions -------------------------------------------
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_predict(load_table(spark, sf_dir, "documents"))
+
+
+# --- dedup extensions ----------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+
+
+# --- similarity-search extensions ----------------------------------------
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.nearest_neighbor_per_vector(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_knn(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- multimodal plumbing --------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_features(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES: dict[str, QueryFn] = {
+    "daily_revenue": q_daily_revenue,
+    "kpis": q_kpis,
+    "per_day_totals": q_per_day_totals,
+    "top_products": q_top_products,
+    "sample_rows": q_sample_rows,
+    "events_json_conform": q_events_json_conform,
+    "sliding_window_revenue": q_sliding_window_revenue,
+    "latest_window_leaderboard": q_latest_window_leaderboard,
+    "window_health": q_window_health,
+    "timeline_points": q_timeline_points,
+    "window_summary_stats": q_window_summary_stats,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "supplier_nation_revenue": q_supplier_nation_revenue,
+    "customer_nation_revenue": q_customer_nation_revenue,
+    "order_priority_count": q_order_priority_count,
+    "brand_volume": q_brand_volume,
+    "segment_stats": q_segment_stats,
+    "doc_stats": q_doc_stats,
+    "corpus_stats": q_corpus_stats,
+    "lang_predict": q_lang_predict,
+    "exact_dedup": q_exact_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "knn_bruteforce": q_knn_bruteforce,
+    "nearest_neighbor": q_nearest_neighbor,
+    "ivf_knn": q_ivf_knn,
+    "media_features": q_media_features,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The flagship query (SURVEY.md §7.1): daily revenue per product."""
+    return q_daily_revenue(spark, sf_dir)

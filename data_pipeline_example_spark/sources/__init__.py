@@ -1,0 +1,15 @@
+from data_pipeline_example_spark.sources.tables import (
+    TABLE_NAMES,
+    load_table,
+    load_tables,
+    read_csv_dir,
+    wait_for_input_files,
+)
+
+__all__ = [
+    "TABLE_NAMES",
+    "load_table",
+    "load_tables",
+    "read_csv_dir",
+    "wait_for_input_files",
+]

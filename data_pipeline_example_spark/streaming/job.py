@@ -1,0 +1,158 @@
+"""Structured Streaming job: JSON order events → watermarked sliding-window
+revenue → append-only Parquet.
+
+Rebuild of `services/streaming/streaming_sales_aggregator.py` (SURVEY.md
+§2.10, §3.2) with the cleanse stage unified onto ``conform.STREAMING_SPEC``
+(the reference duplicates ~60 lines between batch and streaming with subtly
+different synonym orders — SURVEY.md §7.4).
+
+Semantics preserved:
+* fixed 12-nullable-string event schema (S4): unknown JSON keys dropped,
+  missing keys null (`streaming_sales_aggregator.py:187-200`)
+* multi-format timestamp parse chain (P4), epoch default when no
+  timestamp column exists (T7), row-nullity amount preference (P9)
+* 15-min watermark, 1-hour window sliding every 15 min (T1/T2),
+  ``append`` output mode → only finalized windows are emitted (T3)
+* parquet sink + checkpoint for exactly-once (T5/K4), processing-time
+  trigger default 30 s (T4); tests use ``availableNow``.
+
+Source abstraction: ``kafka`` in production, ``json`` (file) source for
+hermetic tests — same downstream plan either way (S3, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StringType, StructField, StructType
+
+from data_pipeline_example_spark.conform import STREAMING_SPEC, conform
+
+# streaming_sales_aggregator.py:187-200 — every field a nullable string
+EVENT_FIELDS = (
+    "order_id",
+    "order_date",
+    "order_time",
+    "event_time",
+    "timestamp",
+    "product",
+    "item",
+    "quantity",
+    "unit_price",
+    "total_price",
+    "customer_id",
+    "store",
+)
+EVENT_SCHEMA = StructType([StructField(f, StringType(), True) for f in EVENT_FIELDS])
+
+
+def read_stream(
+    spark: SparkSession,
+    source: str = "kafka",
+    *,
+    kafka_bootstrap: str = "localhost:9092",
+    topic: str = "sales",
+    starting_offsets: str = "latest",
+    path: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S3 — build the raw stream. ``kafka`` yields the classic
+    (key, value, …) frame; ``json`` reads event files from ``path`` with
+    the fixed schema already applied (hermetic test path)."""
+    if source == "kafka":
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .option("failOnDataLoss", "false")  # T5 parity
+        )
+        return reader.load()
+    if source == "json":
+        reader = spark.readStream.schema(EVENT_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.json(path)
+    raise ValueError(f"unknown stream source {source!r}")
+
+
+def decode_json(raw: DataFrame) -> DataFrame:
+    """S4 — Kafka value bytes → fixed-schema struct → flat columns
+    (`streaming_sales_aggregator.py:322-326`)."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("event")
+    ).select("event.*")
+
+
+def transform_orders(df: DataFrame) -> DataFrame:
+    """Cleanse stage = the shared conform operator with the streaming
+    spec (synonym order, multi-format parse, epoch default, row-nullity
+    amount, null→0.0, round 2) — `streaming_sales_aggregator.py:203-263`."""
+    return conform(df, STREAMING_SPEC)
+
+
+def build_aggregations(
+    df: DataFrame,
+    watermark: str = "15 minutes",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """T1+T2+A3 — watermarked sliding-window revenue per product
+    (`streaming_sales_aggregator.py:266-286`). Output: product, revenue,
+    window_start, window_end."""
+    return (
+        df.withWatermark("order_ts", watermark)
+        .groupBy(F.window("order_ts", window, slide).alias("w"), F.col("product"))
+        .agg(F.round(F.sum("line_amount"), 2).alias("revenue"))
+        .select(
+            "product",
+            "revenue",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+        )
+    )
+
+
+def write_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    trigger_interval: str | None = "30 seconds",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """K4 — append-mode parquet sink with checkpoint
+    (`streaming_sales_aggregator.py:333-349`). ``available_now=True``
+    drains all pending input then stops (test/backfill mode)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def run_pipeline(
+    spark: SparkSession,
+    *,
+    source: str,
+    out_path: str,
+    checkpoint: str,
+    **source_kwargs,
+) -> StreamingQuery:
+    """Wire the full stream: source → (decode) → conform → window → sink."""
+    raw = read_stream(spark, source, **source_kwargs)
+    events = decode_json(raw) if source == "kafka" else raw
+    agg = build_aggregations(transform_orders(events))
+    return write_stream(
+        agg,
+        out_path,
+        checkpoint,
+        available_now=(source != "kafka"),
+    )

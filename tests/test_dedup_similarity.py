@@ -1,0 +1,106 @@
+"""Semantics tests for dedup + similarity operators on crafted data
+(planted duplicates / known vectors), independent of the oracle harness."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_example_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    near = base.replace("runs far", "walks far")  # one-token change
+    return spark.createDataFrame(
+        [
+            (0, base, "en", "s", len(base)),
+            (1, base.upper(), "en", "s", len(base)),  # exact dup after normalize
+            (2, near, "en", "s", len(near)),  # near dup
+            (3, "completely different words entirely unrelated content here", "en", "s", 57),
+            (4, "xy", "en", "s", 2),  # < k tokens → no shingles
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def test_exact_dedup_finds_case_insensitive_dup(docs):
+    out = {r["fingerprint"]: r for r in dedup.exact_dedup(docs).collect()}
+    dups = [r for r in out.values() if r["dup_count"] > 1]
+    assert len(dups) == 1
+    assert dups[0]["keep_doc_id"] == 0
+    assert dups[0]["dup_count"] == 2
+
+
+def test_jaccard_pairs_ranks_near_dup_highest(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert 0.5 < pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs or pairs[(0, 3)] < pairs[(0, 2)]
+    assert all(4 not in p for p in pairs)  # too short to shingle
+
+
+def test_minhash_lsh_recovers_exact_and_near_dups(docs):
+    # default bands=4/rows=4 targets j≈0.7 — recall at j≈0.75 is ~80%,
+    # so for asserting recovery of the near-dup pair use bands=8/rows=2
+    # (threshold ≈ (1/8)^(1/2) ≈ 0.35 → recall >99% at j≈0.75)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, bands=8, threshold=0.3).collect()
+    }
+    assert got[(0, 1)] == 1.0  # identical signatures always collide
+    # near-dup pair shares most shingles → an LSH candidate at this config
+    assert (0, 2) in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.01, 0.0], 0),  # nearly parallel to 0
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0], 1),  # antiparallel
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_knn_orders_by_cosine(vectors):
+    out = similarity.knn(vectors, query_id=0, k=4).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2, 3]
+    assert out[0]["cos_sim"] == 1.0
+    assert math.isclose(out[1]["cos_sim"], 1 / math.sqrt(1 + 0.01**2), rel_tol=1e-4)
+    assert out[3]["cos_sim"] == -1.0
+
+
+def test_nearest_neighbor_symmetric_pair(vectors):
+    nn = {r["vec_id"]: r["nn_id"] for r in similarity.nearest_neighbor_per_vector(vectors).collect()}
+    assert nn[0] == 1
+    assert nn[1] == 0
+
+
+def test_ivf_assigns_and_probes(vectors):
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.assign_centroids(vectors, n_centroids=2).collect()
+    }
+    # centroid set = vec_ids {0,1}; vec 3 is antiparallel to 0 → closer to 1? no:
+    # cos(3,0) = -1, cos(3,1) ≈ -0.9999 → centroid 1 wins
+    assert assigned[0] == 0
+    assert assigned[3] == 1
+    out = similarity.ivf_knn(vectors, query_id=0, k=2, n_centroids=2, n_probe=1)
+    got = [r["vec_id"] for r in out.collect()]
+    assert got[0] == 0
+
+
+def test_embedding_neardup_via_label(spark, sf_dir):
+    # smoke on real data: top-1 neighbors exist for every vector
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nn = similarity.nearest_neighbor_per_vector(emb)
+    assert nn.count() == emb.count()

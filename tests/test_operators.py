@@ -1,0 +1,131 @@
+"""Golden-value tests for retail/window/text/multimodal operators on
+small crafted inputs (SURVEY.md §5 items 1 and 3)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_example_spark.operators import multimodal, retail, text, windows
+
+
+@pytest.fixture(scope="module")
+def clean(spark):
+    d = datetime.date
+    rows = [
+        (1, d(2025, 1, 1), "dosa", 10.0),
+        (2, d(2025, 1, 1), "dosa", 5.5),
+        (3, d(2025, 1, 1), "idli", 2.0),
+        (4, d(2025, 1, 2), "dosa", 1.0),
+    ]
+    return spark.createDataFrame(rows, ["event_id", "order_date", "product", "amount"])
+
+
+def test_daily_revenue_golden(clean):
+    got = {(str(r["order_date"]), r["product"]): r["total_amount"]
+           for r in retail.daily_revenue(clean).collect()}
+    assert got == {
+        ("2025-01-01", "dosa"): 15.5,
+        ("2025-01-01", "idli"): 2.0,
+        ("2025-01-02", "dosa"): 1.0,
+    }
+
+
+def test_kpis_single_pass(clean):
+    row = retail.kpis(clean).collect()[0]
+    assert row["grand_total"] == 18.5
+    assert row["distinct_products"] == 2
+    assert row["rows"] == 4
+
+
+def test_top_products_deterministic_ties(spark):
+    d = datetime.date
+    daily = spark.createDataFrame(
+        [(d(2025, 1, 1), "b", 5.0), (d(2025, 1, 1), "a", 5.0), (d(2025, 1, 1), "c", 9.0)],
+        ["order_date", "product", "total_amount"],
+    )
+    got = [r["product"] for r in retail.top_products(daily, n=2).collect()]
+    assert got == ["c", "a"]  # tie at 5.0 broken alphabetically
+
+
+def test_sliding_window_expansion(spark):
+    ts = datetime.datetime
+    df = spark.createDataFrame(
+        [(ts(2025, 1, 1, 10, 0, 0), "p", 4.0)], ["order_ts", "product", "amount"]
+    )
+    out = windows.sliding_window_agg(df).collect()
+    starts = sorted(r["window_start"] for r in out)
+    assert starts == [
+        ts(2025, 1, 1, 9, 15),
+        ts(2025, 1, 1, 9, 30),
+        ts(2025, 1, 1, 9, 45),
+        ts(2025, 1, 1, 10, 0),
+    ]
+    assert all(r["window_end"] - r["window_start"] == datetime.timedelta(hours=1) for r in out)
+    assert all(r["revenue"] == 4.0 for r in out)
+
+
+def test_latest_window_leaderboard(spark):
+    ts = datetime.datetime
+    w = spark.createDataFrame(
+        [
+            (ts(2025, 1, 1, 9, 0), ts(2025, 1, 1, 10, 0), "a", 1.0),
+            (ts(2025, 1, 1, 9, 15), ts(2025, 1, 1, 10, 15), "a", 2.0),
+            (ts(2025, 1, 1, 9, 15), ts(2025, 1, 1, 10, 15), "b", 7.0),
+        ],
+        ["window_start", "window_end", "product", "revenue"],
+    )
+    got = [(r["product"], r["revenue"]) for r in windows.latest_window_leaderboard(w).collect()]
+    assert got == [("b", 7.0), ("a", 2.0)]  # only the 10:15 window
+
+
+def test_text_stats_and_lang(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog, in it!", "en", "s", 27),
+            (1, "der hund und die katze ist nicht da", "de", "s", 35),
+            (2, "", "en", "s", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    stats = {r["doc_id"]: r for r in text.doc_stats(docs).collect()}
+    assert stats[0]["n_tokens"] == 7
+    assert stats[0]["punct_ratio"] == round(2 / 27, 4)
+    assert stats[2]["n_tokens"] == 0 and stats[2]["quality"] == 0.0
+    preds = {r["doc_id"]: r["lang_pred"] for r in text.lang_predict(docs).collect()}
+    assert preds[0] == "en"
+    assert preds[1] == "de"
+    assert preds[2] == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    docs = spark.createDataFrame(
+        [(0, "Hello   World", "en", "s", 13), (1, "  hello world ", "en", "s", 14)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    fps = [r["fingerprint"] for r in text.doc_stats(docs).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_features_roundtrip(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(0, "abc", "en", "s", 3), (1, "", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r["doc_id"]: r for r in multimodal.media_features(docs).collect()}
+    assert got[0]["n_bytes"] == 3
+    assert got[0]["content_md5"] == hashlib.md5(b"abc").hexdigest()
+    assert got[0]["fake_width"] == 3 % 640 + 1
+    assert got[1]["n_bytes"] == 0
+
+
+def test_decode_image_is_marked_stub():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")

@@ -1,0 +1,128 @@
+"""Streaming semantics tests (SURVEY.md §5 item 4): file-source stream,
+availableNow trigger, watermark/append finalization (T3), late-event drop.
+
+Event-time design: windows are 1h sliding every 15m with a 15m watermark.
+* batch 1: two product-A events at 10:00/10:10 (same 15-min bucket → the
+  same four windows), plus a flush event (B) at 13:00 → watermark 12:45,
+  so all four A-windows (ends 10:15..11:00) finalize.
+* batch 2 (separate file, later mtime, maxFilesPerTrigger=1): a flush
+  event (D) at 14:00 → watermark 13:45 → B's windows ending ≤13:45
+  (3 of 4) finalize; D itself never finalizes.
+* batch 3: a LATE product-C event at 09:00, far behind the committed
+  watermark → dropped (numRowsDroppedByWatermark); C never appears.
+
+Note Spark's watermark contract is one-sided: rows within the delay are
+guaranteed kept; dropping is *guaranteed only for rows arriving in a
+batch after the watermark passed them* — which is why the late event
+gets its own batch here (same contract as the reference's Spark 3.5).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+
+import pytest
+
+from data_pipeline_example_spark.streaming import job
+
+
+def _write_events(path: str, events: list[dict], mtime: float) -> None:
+    with open(path, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+@pytest.fixture(scope="module")
+def stream_output(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    in_dir, out_dir, ckpt = base / "in", base / "out", base / "ckpt"
+    in_dir.mkdir()
+    now = time.time()
+    _write_events(
+        str(in_dir / "batch1.json"),
+        [
+            {"product": "A", "event_time": "2025-01-01 10:00:00", "total_price": "10.0"},
+            {"product": "A", "event_time": "2025-01-01 10:10:00", "total_price": "10.0"},
+            {"product": "B", "event_time": "2025-01-01 13:00:00", "total_price": "5.0"},
+        ],
+        now - 60,
+    )
+    _write_events(
+        str(in_dir / "batch2.json"),
+        [{"product": "D", "event_time": "2025-01-01 14:00:00", "total_price": "2.0"}],
+        now - 30,
+    )
+    _write_events(
+        str(in_dir / "batch3.json"),
+        [{"product": "C", "event_time": "2025-01-01 09:00:00", "total_price": "1.0"}],
+        now,
+    )
+    raw = job.read_stream(
+        spark, "json", path=str(in_dir), max_files_per_trigger=1
+    )
+    agg = job.build_aggregations(job.transform_orders(raw))
+    q = job.write_stream(agg, str(out_dir), str(ckpt), available_now=True)
+    q.awaitTermination(120)
+    return spark.read.parquet(str(out_dir))
+
+
+def test_append_mode_emits_only_finalized_windows(stream_output):
+    products = {r["product"] for r in stream_output.select("product").collect()}
+    # A finalized; B partially; C dropped (late); D unfinalized
+    assert "A" in products
+    assert "C" not in products
+    assert "D" not in products
+
+
+def test_window_contents_and_revenue(stream_output):
+    rows = {
+        (r["product"], r["window_start"], r["window_end"]): r["revenue"]
+        for r in stream_output.collect()
+    }
+    d = datetime.datetime
+    # both A events fall in all four windows covering 10:00-10:15
+    for start_min in (15, 30, 45, 0):
+        hour = 9 if start_min else 10
+        ws = d(2025, 1, 1, hour, start_min)
+        we = ws + datetime.timedelta(hours=1)
+        assert rows[("A", ws, we)] == 20.0, (ws, rows)
+
+
+def test_late_flush_partial_emission(stream_output):
+    # B's windows end 13:15/13:30/13:45/14:00; watermark reached 13:45 →
+    # exactly the first three emitted
+    b_rows = sorted(
+        r["window_end"] for r in stream_output.collect() if r["product"] == "B"
+    )
+    d = datetime.datetime
+    assert b_rows == [d(2025, 1, 1, 13, 15), d(2025, 1, 1, 13, 30), d(2025, 1, 1, 13, 45)]
+
+
+def test_event_schema_tolerates_unknown_and_missing_keys(spark, tmp_path):
+    # S4: unknown JSON keys dropped, missing keys null → quantity×unit_price path
+    in_dir = tmp_path / "in2"
+    in_dir.mkdir()
+    _write_events(
+        str(in_dir / "e.json"),
+        [
+            {
+                "item": "X",
+                "order_time": "2025-01-01T08:00:00",
+                "quantity": "3",
+                "unit_price": "2.5",
+                "amount": "999",  # NOT in EVENT_SCHEMA → dropped
+                "store_city": "nowhere",  # NOT in schema → dropped
+            }
+        ],
+        time.time(),
+    )
+    raw = spark.read.schema(job.EVENT_SCHEMA).json(str(in_dir))
+    out = job.transform_orders(raw)
+    row = out.collect()[0]
+    assert row["product"] == "X"  # item synonym
+    assert row["line_amount"] == 7.5  # 3 × 2.5, amount key ignored
+    assert "store_city" not in out.columns

@@ -1,0 +1,119 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every entry in ``queries()`` on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same sf dir, then compares row count, column names,
+and an order-insensitive value hash (values stringified with float
+normalization). Usage:
+
+    python tools/validate_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm_cell(v) -> str:
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main() -> int:
+    import duckdb
+
+    from data_pipeline_example_spark.plans.oracles import ORACLES
+    from data_pipeline_example_spark.plans.queries import QUERIES
+    from data_pipeline_example_spark.session import get_spark
+    from data_pipeline_example_spark.sources import TABLE_NAMES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        try:
+            res = con.execute(ORACLES[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        if not problems and table_hash(scols, srows) != table_hash(ocols, orows):
+            problems.append("value hash mismatch")
+            sset = {
+                "|".join(
+                    norm_cell(r[i])
+                    for i in sorted(range(len(scols)), key=lambda i: scols[i])
+                )
+                for r in srows
+            }
+            oset = {
+                "|".join(
+                    norm_cell(r[i])
+                    for i in sorted(range(len(ocols)), key=lambda i: ocols[i])
+                )
+                for r in orows
+            }
+            for d in list(sset - oset)[:3]:
+                print(f"  spark-only: {d}")
+            for d in list(oset - sset)[:3]:
+                print(f"  duck-only:  {d}")
+        status = "ok" if not problems else "FAIL " + "; ".join(problems)
+        print(f"{status:40s} {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+        if problems:
+            failures.append(name)
+    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} queries match")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
