@@ -97,21 +97,24 @@ def jaccard_pairs(
 def minhash_signatures(
     documents: DataFrame, k: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """doc_id + shingle array + minhash signature array (length
-    ``num_hashes``). Hash family i = md5(i || ':' || shingle) — portable
-    across engines, uniform, and cheap (md5 is JVM-intrinsic)."""
-    sh = shingled(documents, k)
-    sig = F.array(
+    """doc_id + minhash signature columns h0..h{n-1}.
+
+    Hash family i = md5(i || ':' || shingle) — portable across engines,
+    uniform, and cheap (md5 is JVM-intrinsic).
+
+    Plan shape (matters at scale): one explode of distinct shingles →
+    one projection computing all ``num_hashes`` md5s → one hash
+    aggregate taking ``num_hashes`` mins. Map-side partial aggregation
+    reduces the shuffle to |docs| × num_hashes hex strings; the shingle
+    arrays themselves never shuffle.
+    """
+    ex = shingled(documents, k).select("doc_id", F.explode("shingles").alias("sh"))
+    return ex.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-                )
-            )
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
-    return sh.select("doc_id", "shingles", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -131,9 +134,10 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, k, num_hashes)
+    # slim band/bucket rows: (doc_id, band, bucket) only — the shingle
+    # arrays stay out of the LSH join entirely
     buckets = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -143,7 +147,7 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 "|",
                                 *[
-                                    F.element_at(F.col("sig"), b * rows_per_band + j + 1)
+                                    F.col(f"h{b * rows_per_band + j}")
                                     for j in range(rows_per_band)
                                 ],
                             )
@@ -153,7 +157,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
@@ -165,11 +169,124 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return candidates.select(
-        "doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    # verification: fetch shingle sets only for candidate docs
+    sh = shingled(documents, k)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+_POPCOUNT4 = "0112122312232334"  # popcount lookup for a 4-bit value
+
+
+def _digit_val(col: Column) -> Column:
+    """Hex char → 0..15 via position lookup (portable to ANSI SQL)."""
+    return F.instr(F.lit(_HEX), col) - 1
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document as a 16-hex-char string.
+
+    Classic Charikar construction, UDF-free: distinct lowercased tokens
+    → md5 → first 16 hex digits = 64 bits → per-bit ±1 vote summed per
+    doc → sign vector reassembled into hex. md5-derived bits keep the
+    operator bit-identical across engines (oracle-checkable), unlike
+    murmur/xxhash whose implementations differ.
+
+    One explode + one 64-column hash aggregate: shuffle volume is
+    |docs| × 64 ints regardless of document length — scales to 100 TB.
+    Docs with zero tokens produce no signature (consistent with the
+    shingle-based operators).
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(T.tokens(F.lower(F.col("text"))))).alias("tok")
+    ).dropDuplicates(["doc_id", "tok"])
+    h = toks.select("doc_id", F.md5(F.col("tok")).alias("hx"))
+    vote_cols = []
+    for p in range(16):
+        v = _digit_val(F.substring(F.col("hx"), p + 1, 1))
+        for b in range(4):
+            bit = F.shiftright(v, 3 - b).bitwiseAND(F.lit(1))
+            vote_cols.append(F.sum(bit * 2 - 1).alias(f"s_{p}_{b}"))
+    votes = h.groupBy("doc_id").agg(*vote_cols)
+    digits = [
+        F.substring(
+            F.lit(_HEX),
+            (
+                (F.col(f"s_{p}_0") > 0).cast("int") * 8
+                + (F.col(f"s_{p}_1") > 0).cast("int") * 4
+                + (F.col(f"s_{p}_2") > 0).cast("int") * 2
+                + (F.col(f"s_{p}_3") > 0).cast("int")
+            )
+            + 1,
+            1,
+        )
+        for p in range(16)
+    ]
+    return votes.select("doc_id", F.concat(*digits).alias("simhash"))
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup candidate pairs with exact Hamming distance.
+
+    LSH-style banding on the four 16-bit chunks of the signature (a pair
+    within Hamming ≤ 8 of 64 usually agrees on ≥1 chunk): candidates
+    join only on chunk equality — never O(n²) — then exact Hamming is
+    computed digit-wise with a popcount lookup. Output: doc_a, doc_b,
+    hamming (int), ascending-unique pairs.
+    """
+    sigs = simhash_signatures(documents)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.substring("simhash", 4 * c + 1, 4).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = None
+    for p in range(16):
+        x = _digit_val(F.substring(F.col("sig_a"), p + 1, 1)).bitwiseXOR(
+            _digit_val(F.substring(F.col("sig_b"), p + 1, 1))
+        )
+        # popcount via direct indexing into the 4-bit lookup string
+        pc = F.substring(F.lit(_POPCOUNT4), x + 1, 1).cast("int")
+        ham = pc if ham is None else ham + pc
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

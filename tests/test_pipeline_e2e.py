@@ -1,0 +1,101 @@
+"""End-to-end golden pipeline test (SURVEY.md §5 item 3): seeded retail
+CSV fixture → full batch flow → verify curated Parquet + KPI outputs."""
+
+from __future__ import annotations
+
+import csv
+import random
+
+import pytest
+
+from data_pipeline_example_spark.pipeline import run_batch_pipeline
+
+PRODUCTS = ["Masala Dosa", "Idli", "Vada", "Filter Coffee", "Upma"]
+
+
+def _make_fixture(path, days=3, rows_per_day=12, seed=2024):
+    """Seeded generator in the spirit of the reference's
+    generate_synthetic_data.py (one CSV per day, decimal strings)."""
+    rng = random.Random(seed)
+    expected = {}
+    for d in range(1, days + 1):
+        date = f"2025-01-{d:02d}"
+        fp = path / f"sales_{date}.csv"
+        with open(fp, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["order_id", "order_date", "product", "quantity", "unit_price", "amount"])
+            for i in range(rows_per_day):
+                product = rng.choice(PRODUCTS)
+                qty = rng.randint(1, 5)
+                price = round(rng.uniform(10, 200), 2)
+                amount = round(qty * price, 2)
+                w.writerow([f"{date}-{i:04d}", date, product, qty, f"{price:.2f}", f"{amount:.2f}"])
+                key = (date, product)
+                expected[key] = round(expected.get(key, 0.0) + amount, 2)
+    return expected
+
+
+def test_batch_pipeline_golden(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    expected = _make_fixture(in_dir)
+
+    out_parquet = str(tmp_path / "daily")
+    out_csv = str(tmp_path / "dash")
+    result = run_batch_pipeline(spark, str(in_dir), out_parquet, out_csv)
+    assert result is not None
+
+    # curated parquet round-trips with date partitioning
+    curated = spark.read.parquet(out_parquet)
+    got = {
+        (str(r["order_date"]), r["product"]): round(r["total_amount"], 2)
+        for r in curated.collect()
+    }
+    assert got == expected
+
+    # KPI grand total == sum of all amounts
+    kpi = result.kpis.collect()[0]
+    assert kpi["grand_total"] == round(sum(expected.values()), 2)
+    assert kpi["rows"] == 36
+    assert kpi["distinct_products"] <= len(PRODUCTS)
+
+    # dashboard CSV exists with a header, single part file
+    import glob
+
+    parts = glob.glob(f"{out_csv}/part-*.csv")
+    assert len(parts) == 1
+    with open(parts[0]) as f:
+        header = f.readline().strip().split(",")
+    assert header == ["order_date", "product", "total_amount"]
+    kpi_parts = glob.glob(f"{out_csv}_kpis/part-*.csv")
+    assert len(kpi_parts) == 1
+
+
+def test_batch_pipeline_empty_input_returns_none(spark, tmp_path):
+    in_dir = tmp_path / "empty"
+    in_dir.mkdir()
+    (in_dir / "nothing.csv").write_text("")
+    assert run_batch_pipeline(spark, str(in_dir), str(tmp_path / "out")) is None
+
+
+def test_dynamic_partition_overwrite_only_touches_written_dates(spark, tmp_path):
+    in_dir = tmp_path / "in1"
+    in_dir.mkdir()
+    _make_fixture(in_dir, days=2)
+    out = str(tmp_path / "daily")
+    run_batch_pipeline(spark, str(in_dir), out)
+    first = {str(r["order_date"]) for r in spark.read.parquet(out).collect()}
+    assert first == {"2025-01-01", "2025-01-02"}
+
+    # rerun with only day 3 → days 1-2 partitions must survive
+    in_dir2 = tmp_path / "in2"
+    in_dir2.mkdir()
+    rows = [
+        ["order_id", "order_date", "product", "quantity", "unit_price", "amount"],
+        ["x-1", "2025-01-03", "Idli", "1", "10.00", "10.00"],
+    ]
+    with open(in_dir2 / "d3.csv", "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    run_batch_pipeline(spark, str(in_dir2), out)
+    after = {str(r["order_date"]) for r in spark.read.parquet(out).collect()}
+    assert after == {"2025-01-01", "2025-01-02", "2025-01-03"}
