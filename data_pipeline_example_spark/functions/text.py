@@ -90,6 +90,25 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized)
 
 
+def rolling_fingerprint(col: Column) -> Column:
+    """Polynomial rolling hash over the token stream (order-sensitive,
+    unlike the md5 ``fingerprint`` of normalized text):
+
+        h = fold(tokens, 0, (acc, t) -> (acc*31 + h32(t)) mod 2147483647)
+
+    with h32(t) = first 8 hex digits of md5(t) as an integer. Values stay
+    < 2^37 so the fold never overflows a 64-bit long in either engine.
+    DuckDB twin: ``list_reduce(list_prepend(0, list_transform(...)))``.
+    """
+    toks = tokens(F.lower(col))
+    h32 = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + h32(t)) % 2147483647,
+    )
+
+
 def token_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-token shingles ('w1 w2 w3' strings) for Jaccard/MinHash.
 

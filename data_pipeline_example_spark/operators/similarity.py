@@ -96,6 +96,55 @@ def assign_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
+def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b).
+
+    All-pairs baseline: every pair scored with the UDF-free cosine,
+    kept when >= threshold. Output: vec_a, vec_b, cos_sim (6 dp). This
+    is the exact-recall reference; at corpus scale use
+    ``cosine_dup_pairs_blocked`` (same output contract, candidate set
+    restricted to same-centroid buckets).
+    """
+    e = _as_double(embeddings)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_dup_pairs_blocked(
+    embeddings: DataFrame, threshold: float = 0.35, n_centroids: int = 16
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidates limited to pairs
+    assigned to the same centroid bucket, so the join is an equi-join on
+    centroid_id instead of an all-pairs cross product — per-bucket cost
+    is (n/k)² and buckets shuffle independently. Recall is approximate
+    (a pair straddling two buckets is missed); precision exact.
+    """
+    e = _as_double(embeddings)
+    assigned = assign_centroids(embeddings, n_centroids)
+    ea = e.join(assigned, "vec_id")
+    a = ea.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "centroid_id")
+    b = ea.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "centroid_id")
+    return (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_knn(
     embeddings: DataFrame,
     query_id: int = 0,

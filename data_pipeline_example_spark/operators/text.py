@@ -48,6 +48,19 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
+    """Two deterministic fingerprints per document: content-addressed
+    md5 of normalized text, and an order-sensitive polynomial rolling
+    hash over the token stream (functions/text.py). Both are pure
+    column expressions — the rolling hash folds per row with
+    ``F.aggregate``, no shuffle at all."""
+    return documents.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+        T.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
 def lang_predict(documents: DataFrame) -> DataFrame:
     """Stopword-vote language ID next to the labeled ``lang`` column.
 

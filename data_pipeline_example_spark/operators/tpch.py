@@ -180,6 +180,95 @@ def brand_volume(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of orders-per-customer.
+
+    LEFT OUTER join keeps order-less customers (c_count = 0). The outer
+    join shuffles on custkey (uniform key, no skew); the second group-by
+    is tiny. Output: c_count, custdist.
+    """
+    counts = (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14-shaped: monthly share of revenue from PROMO parts.
+
+    Conditional aggregation over fact⋈broadcast(dim); one shuffle on the
+    ship-month key. Output: ship_month, promo_share (2 dp percent),
+    total_revenue (2 dp).
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.round(
+                100
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                2,
+            ).alias("promo_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def lapsed_customers(
+    customer: DataFrame, orders: DataFrame, cutoff: str = "2001-06-01"
+) -> DataFrame:
+    """Customers with no orders on/after the cutoff — a LEFT ANTI join
+    (the build side is pre-filtered to recent orders, so the anti-join
+    probe carries only recent custkeys). Output per segment: customers,
+    avg_acctbal.
+    """
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit(cutoff))
+    ).select("o_custkey")
+    return (
+        customer.join(recent, customer["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def fulfilled_customers_by_nation(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Customers with ≥1 fulfilled ('F') order, counted per nation —
+    LEFT SEMI join against the filtered orders plus a broadcast dim join.
+    Output: n_name, customers."""
+    fulfilled = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        customer.join(
+            fulfilled, customer["c_custkey"] == fulfilled["o_custkey"], "left_semi"
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            customer["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("customers"))
+        .orderBy("n_name")
+    )
+
+
 def segment_stats(customer: DataFrame) -> DataFrame:
     """Per-segment customer stats — simple single-table aggregate."""
     return (

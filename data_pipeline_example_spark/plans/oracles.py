@@ -86,6 +86,47 @@ docx AS (
 """.format(en=_STOP["en"], de=_STOP["de"], fr=_STOP["fr"], es=_STOP["es"])
 
 
+# SimHash twin (operators/dedup.py): 64 per-bit ±1 vote sums from the
+# first 16 hex digits of md5(token), reassembled into a 16-hex signature.
+_HEX = "0123456789abcdef"
+_SIMHASH_VOTES = ",\n         ".join(
+    f"sum((((strpos('{_HEX}', substring(hx, {p + 1}, 1)) - 1) >> {3 - b}) & 1) * 2 - 1)"
+    f" AS s_{p}_{b}"
+    for p in range(16)
+    for b in range(4)
+)
+_SIMHASH_DIGITS = ",\n         ".join(
+    f"substring('{_HEX}', (s_{p}_0 > 0)::INT * 8 + (s_{p}_1 > 0)::INT * 4"
+    f" + (s_{p}_2 > 0)::INT * 2 + (s_{p}_3 > 0)::INT + 1, 1)"
+    for p in range(16)
+)
+_SIMHASH = f"""
+stoks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+sh_h AS (SELECT doc_id, md5(tok) AS hx FROM stoks),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM sh_h GROUP BY 1
+),
+sigs AS (
+  SELECT doc_id,
+         concat({_SIMHASH_DIGITS}) AS simhash
+  FROM votes
+)
+"""
+# digit-wise popcount of sig_a XOR sig_b via a 4-bit lookup string
+_SIMHASH_HAMMING = "\n       + ".join(
+    f"CAST(substring('0112122312232334', xor("
+    f"strpos('{_HEX}', substring(sig_a, {p + 1}, 1)) - 1, "
+    f"strpos('{_HEX}', substring(sig_b, {p + 1}, 1)) - 1) + 1, 1) AS INTEGER)"
+    for p in range(16)
+)
+
+
 ORACLES: dict[str, str] = {
     # --- retail pipeline -------------------------------------------------
     "daily_revenue": f"""
@@ -239,6 +280,41 @@ SELECT c_mktsegment,
        round(max(c_acctbal), 2) AS max_acctbal
 FROM customer GROUP BY 1
 """,
+    "customer_order_distribution": """
+WITH counts AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist FROM counts GROUP BY 1
+""",
+    "promo_revenue_share": """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+       round(100 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""",
+    "lapsed_customers": """
+SELECT c_mktsegment, count(*) AS customers, round(avg(c_acctbal), 2) AS avg_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-06-01'
+)
+GROUP BY 1
+""",
+    "fulfilled_customers_by_nation": """
+SELECT n.n_name, count(*) AS customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+GROUP BY 1
+""",
     # --- text analysis ----------------------------------------------------
     "doc_stats": f"""
 WITH {_DOC_EXPRS}
@@ -279,6 +355,16 @@ SELECT doc_id, lang,
          ELSE 'und'
        END = lang AS INTEGER) AS is_match
 FROM docx
+""",
+    "doc_fingerprints": """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint,
+       list_reduce(
+         list_prepend(0::BIGINT, list_transform(
+           regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'),
+           t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)),
+         (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp
+FROM documents
 """,
     # --- dedup ------------------------------------------------------------
     "exact_dedup": """
@@ -329,6 +415,36 @@ JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
+""",
+    "simhash_signatures": f"""
+WITH {_SIMHASH}
+SELECT doc_id, simhash FROM sigs
+""",
+    "simhash_pairs": f"""
+WITH {_SIMHASH},
+chunks AS (
+  SELECT doc_id, simhash, c.i AS chunk, substring(simhash, c.i * 4 + 1, 4) AS val
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS i) c
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM chunks a
+  JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT doc_a, doc_b,
+         {_SIMHASH_HAMMING} AS hamming
+  FROM cand
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 8
+""",
+    "cosine_dup_pairs": f"""
+WITH {_VECS}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 """,
     # --- similarity search ------------------------------------------------
     "knn_bruteforce": f"""

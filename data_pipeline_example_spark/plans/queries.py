@@ -158,6 +158,32 @@ def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.segment_stats(load_table(spark, sf_dir, "customer"))
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.customer_order_distribution(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.lapsed_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_fulfilled_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.fulfilled_customers_by_nation(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 # --- text analysis extensions -------------------------------------------
 
 
@@ -173,6 +199,10 @@ def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_predict(load_table(spark, sf_dir, "documents"))
 
 
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 # --- dedup extensions ----------------------------------------------------
 
 
@@ -186,6 +216,18 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_dup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
 # --- similarity-search extensions ----------------------------------------
@@ -229,12 +271,20 @@ QUERIES: dict[str, QueryFn] = {
     "order_priority_count": q_order_priority_count,
     "brand_volume": q_brand_volume,
     "segment_stats": q_segment_stats,
+    "customer_order_distribution": q_customer_order_distribution,
+    "promo_revenue_share": q_promo_revenue_share,
+    "lapsed_customers": q_lapsed_customers,
+    "fulfilled_customers_by_nation": q_fulfilled_customers_by_nation,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
     "lang_predict": q_lang_predict,
+    "doc_fingerprints": q_doc_fingerprints,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_signatures": q_simhash_signatures,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_dup_pairs": q_cosine_dup_pairs,
     "knn_bruteforce": q_knn_bruteforce,
     "nearest_neighbor": q_nearest_neighbor,
     "ivf_knn": q_ivf_knn,

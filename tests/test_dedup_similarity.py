@@ -104,3 +104,38 @@ def test_embedding_neardup_via_label(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     nn = similarity.nearest_neighbor_per_vector(emb)
     assert nn.count() == emb.count()
+
+
+def test_simhash_exact_dup_identical_signature(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # same token set after lowercasing
+    assert len(sigs[0]) == 16 and all(c in "0123456789abcdef" for c in sigs[0])
+    assert 4 not in sigs or sigs[4]  # short doc still has tokens → signature
+
+def test_simhash_pairs_hamming_ordering(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=64).collect()
+    }
+    assert pairs[(0, 1)] == 0  # exact dup
+    if (0, 2) in pairs and (0, 3) in pairs:
+        assert pairs[(0, 2)] < pairs[(0, 3)]  # near dup closer than unrelated
+
+def test_cosine_dup_pairs_brute_force(vectors):
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in similarity.cosine_dup_pairs(vectors, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 3) not in pairs  # antiparallel
+
+def test_cosine_dup_blocked_subset_of_brute(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {
+        (r["vec_a"], r["vec_b"]) for r in similarity.cosine_dup_pairs(emb, 0.3).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_dup_pairs_blocked(emb, 0.3).collect()
+    }
+    assert blocked <= brute  # precision exact, recall approximate

@@ -129,3 +129,46 @@ def test_decode_image_is_marked_stub():
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from data_pipeline_example_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha"), (2, "Alpha  BETA"), (3, None), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["rolling_fp"] for r in text_ops.doc_fingerprints(df).collect()}
+    assert out[0] != out[1]  # order matters (unlike the md5 fingerprint)
+    assert out[0] == out[2]  # case/extra-whitespace insensitive
+    assert out[3] == out[4] == 0  # null/empty → init value
+
+
+def test_tpch_outer_semi_anti_shapes(spark):
+    from data_pipeline_example_spark.operators import tpch
+
+    customer = spark.createDataFrame(
+        [(1, "a", 0, 10.0, "S1"), (2, "b", 0, 20.0, "S1"), (3, "c", 1, 30.0, "S2")],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    orders = spark.createDataFrame(
+        [(100, 1, "F", 5.0, "2001-07-01", "1-URGENT"),
+         (101, 1, "O", 6.0, "2001-07-02", "1-URGENT"),
+         (102, 2, "O", 7.0, "2000-01-01", "1-URGENT")],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    nation = spark.createDataFrame(
+        [(0, "ALPHA", 0), (1, "BETA", 0)], ["n_nationkey", "n_name", "n_regionkey"]
+    )
+
+    dist = {r["c_count"]: r["custdist"] for r in
+            tpch.customer_order_distribution(customer, orders).collect()}
+    assert dist == {2: 1, 1: 1, 0: 1}  # cust 3 kept by the outer join
+
+    lapsed = {r["c_mktsegment"]: r["customers"] for r in
+              tpch.lapsed_customers(customer, orders, cutoff="2001-06-01").collect()}
+    assert lapsed == {"S1": 1, "S2": 1}  # cust 2 (old order) + cust 3 (none)
+
+    fulfilled = {r["n_name"]: r["customers"] for r in
+                 tpch.fulfilled_customers_by_nation(customer, orders, nation).collect()}
+    assert fulfilled == {"ALPHA": 1}  # only cust 1 has an 'F' order
