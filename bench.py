@@ -56,6 +56,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # absorb one-time JVM/codegen/scheduler warmup so the first timed
+    # query isn't charged for session startup
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -99,19 +99,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc_id + minhash signature columns h0..h{n-1}.
 
-    Hash family i = md5(i || ':' || shingle) — portable across engines,
-    uniform, and cheap (md5 is JVM-intrinsic).
+    Hash family i = 8-hex-char slice (i mod 4) of md5((i div 4) || ':' ||
+    shingle): each md5 call yields four independent 32-bit hash values,
+    so ``num_hashes`` functions cost num_hashes/4 md5 evaluations per
+    shingle — md5 dominates this operator's CPU at corpus scale. A
+    32-bit minimum stays collision-resistant for any realistic shingle
+    count per document; portable across engines (md5 + substring only).
 
     Plan shape (matters at scale): one explode of distinct shingles →
-    one projection computing all ``num_hashes`` md5s → one hash
-    aggregate taking ``num_hashes`` mins. Map-side partial aggregation
-    reduces the shuffle to |docs| × num_hashes hex strings; the shingle
+    one projection computing num_hashes/4 md5s → one hash aggregate
+    taking ``num_hashes`` mins. Map-side partial aggregation reduces
+    the shuffle to |docs| × num_hashes 8-char strings; the shingle
     arrays themselves never shuffle.
     """
+    assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
     ex = shingled(documents, k).select("doc_id", F.explode("shingles").alias("sh"))
-    return ex.groupBy("doc_id").agg(
+    md5s = ex.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("sh"))).alias(f"m{g}")
+            for g in range(num_hashes // 4)
+        ],
+    )
+    return md5s.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col(f"m{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )

@@ -35,6 +35,14 @@ def _as_double(df: DataFrame) -> DataFrame:
     return df.select("vec_id", V.to_double_array(F.col("embedding")).alias("v"))
 
 
+def _with_norm(df: DataFrame) -> DataFrame:
+    """vec_id, v, nrm — the L2 norm computed ONCE per vector, below any
+    join, so an n²-pair scoring stage pays one dot product per pair
+    instead of dot + two norms (3× fewer higher-order-function passes;
+    the norms ride through the join as plain scalars)."""
+    return _as_double(df).select("vec_id", "v", V.norm(F.col("v")).alias("nrm"))
+
+
 def knn(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
     """Brute-force cosine top-k neighbors of ``query_id`` (self included).
 
@@ -53,25 +61,107 @@ def knn(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
     )
 
 
-def nearest_neighbor_per_vector(embeddings: DataFrame) -> DataFrame:
+def nearest_neighbor_per_vector(
+    embeddings: DataFrame, method: str = "blocked", n_blocks: int = 16
+) -> DataFrame:
     """For every vector: its top-1 neighbor (excluding itself).
 
-    Output: vec_id, nn_id, cos_sim (6 dp). All-pairs O(n²) — the exact
+    Output: vec_id, nn_id, cos_sim (6 dp). All-pairs O(n²·d) — the exact
     baseline the approximate paths are checked against.
+
+    ``method="blocked"`` (default): block nested-loop with vectorized
+    NumPy scoring. The corpus is hashed into ``n_blocks`` buckets; every
+    vector is replicated to each bucket as a query, and one
+    ``applyInPandas`` call per bucket computes a (queries × bucket)
+    cosine matrix with a single BLAS matmul, emitting per-bucket top-1
+    partials that a ``max_by`` aggregate reduces to the global top-1.
+    Arrow transfer is (n_blocks+1)·n·d doubles; each bucket's matmul is
+    embarrassingly parallel. The O(n²·d) arithmetic runs at BLAS speed
+    instead of one interpreted lambda per element — two orders of
+    magnitude on wide corpora. (For n where n_blocks·n replication is
+    too much, cap the candidate set first — ``ivf_knn``'s assignment —
+    then run this within buckets.)
+
+    ``method="fold"``: pure built-in expressions (zip_with + aggregate
+    fold per pair) — no Python boundary at all; same results.
+
+    Both shapes: norms computed once per vector, top-1 as a ``max_by``
+    hash aggregate with map-side partials — no global sort, no window
+    shuffle of n² scored rows. Tie-break (desc cos_sim, asc nn_id) is
+    encoded as max over (cos_sim, -nn_id); the rounded cosine is what's
+    ranked, keeping the winner cross-engine deterministic.
     """
-    e = _as_double(embeddings)
-    a = e.select(F.col("vec_id"), F.col("v"))
-    b = e.select(F.col("vec_id").alias("nn_id"), F.col("v").alias("nv"))
+    best = F.max_by(
+        F.struct("nn_id", "cos_sim"), F.struct(F.col("cos_sim"), -F.col("nn_id"))
+    ).alias("best")
+
+    if method == "blocked":
+        import pandas as pd  # driver/executor-side only
+
+        e = _as_double(embeddings)
+        queries = e.select(
+            F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("blk"),
+            F.lit(True).alias("is_query"),
+            "vec_id",
+            "v",
+        )
+        corpus = e.select(
+            F.pmod("vec_id", F.lit(n_blocks)).cast("int").alias("blk"),
+            F.lit(False).alias("is_query"),
+            "vec_id",
+            "v",
+        )
+
+        def partial_nn(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            qs = pdf[pdf["is_query"]]
+            rs = pdf[~pdf["is_query"]].sort_values("vec_id")  # asc → argmax = lowest id
+            if qs.empty or rs.empty:
+                return pd.DataFrame({"vec_id": [], "nn_id": [], "cos_sim": []})
+            Q = np.vstack(qs["v"].to_numpy())
+            R = np.vstack(rs["v"].to_numpy())
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+            S = np.round(Qn @ Rn.T, 6)
+            q_ids = qs["vec_id"].to_numpy()
+            r_ids = rs["vec_id"].to_numpy()
+            # exclude self-matches
+            self_mask = q_ids[:, None] == r_ids[None, :]
+            S[self_mask] = -np.inf
+            j = np.argmax(S, axis=1)  # first max → lowest nn_id on ties
+            keep = ~np.isinf(S[np.arange(len(q_ids)), j])
+            return pd.DataFrame(
+                {
+                    "vec_id": q_ids[keep],
+                    "nn_id": r_ids[j[keep]],
+                    "cos_sim": S[np.arange(len(q_ids)), j][keep],
+                }
+            )
+
+        partials = queries.unionByName(corpus).groupBy("blk").applyInPandas(
+            partial_nn, "vec_id long, nn_id long, cos_sim double"
+        )
+        return partials.groupBy("vec_id").agg(best).select(
+            "vec_id",
+            F.col("best.nn_id").alias("nn_id"),
+            F.col("best.cos_sim").alias("cos_sim"),
+        )
+
+    e = _with_norm(embeddings)
+    a = e.select(F.col("vec_id"), F.col("v"), F.col("nrm"))
+    b = e.select(
+        F.col("vec_id").alias("nn_id"), F.col("v").alias("nv"), F.col("nrm").alias("nnrm")
+    )
     scored = a.join(b, F.col("vec_id") != F.col("nn_id")).select(
         "vec_id",
         "nn_id",
-        F.round(V.cosine(F.col("v"), F.col("nv")), 6).alias("cos_sim"),
+        F.round(
+            V.dot(F.col("v"), F.col("nv")) / (F.col("nrm") * F.col("nnrm")), 6
+        ).alias("cos_sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    return scored.groupBy("vec_id").agg(best).select(
+        "vec_id", F.col("best.nn_id").alias("nn_id"), F.col("best.cos_sim").alias("cos_sim")
     )
 
 
@@ -105,15 +195,17 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFram
     ``cosine_dup_pairs_blocked`` (same output contract, candidate set
     restricted to same-centroid buckets).
     """
-    e = _as_double(embeddings)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    e = _with_norm(embeddings)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -128,18 +220,26 @@ def cosine_dup_pairs_blocked(
     is (n/k)² and buckets shuffle independently. Recall is approximate
     (a pair straddling two buckets is missed); precision exact.
     """
-    e = _as_double(embeddings)
+    e = _with_norm(embeddings)
     assigned = assign_centroids(embeddings, n_centroids)
     ea = e.join(assigned, "vec_id")
-    a = ea.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "centroid_id")
-    b = ea.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "centroid_id")
+    a = ea.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "centroid_id",
+    )
+    b = ea.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "centroid_id",
+    )
     return (
         a.join(b, ["centroid_id"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -118,3 +118,31 @@ def summary_stats(windowed: DataFrame) -> DataFrame:
         F.countDistinct("window_start", "window_end").alias("window_pairs"),
         F.max("window_end").alias("latest_window_end"),
     )
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Sessionize the raw event stream per user: events closer than
+    ``gap`` merge into one session (``F.session_window`` — T2 extension;
+    the reference has fixed sliding windows only).
+
+    Works identically in batch and streaming mode. The group-by shuffles
+    on user_id (uniform key); session merging is per-group, no second
+    shuffle. Output: user_id, session_start, session_end (last event +
+    gap), n_events, total_value (2 dp).
+    """
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

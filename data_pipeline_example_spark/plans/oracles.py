@@ -210,6 +210,30 @@ SELECT (SELECT count(DISTINCT product) FROM wagg) AS distinct_products,
        (SELECT count(*) FROM (SELECT DISTINCT window_start, window_end FROM wagg)) AS window_pairs,
        (SELECT max(window_end) FROM wagg) AS latest_window_end
 """,
+    "user_sessions": """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, sid
+""",
     # --- joins / star-schema aggregations -------------------------------
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -390,7 +414,9 @@ WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
     "minhash_lsh_pairs": f"""
 WITH {_SHINGLES},
 hashes AS (
-  SELECT doc_id, r.i AS i, min(md5(CAST(r.i AS VARCHAR) || ':' || sh)) AS h
+  SELECT doc_id, r.i AS i,
+         min(substring(md5(CAST(r.i // 4 AS VARCHAR) || ':' || sh),
+                       (r.i % 4) * 8 + 1, 8)) AS h
   FROM sh, range(0, 16) r(i)
   GROUP BY 1, 2
 ),

@@ -109,6 +109,10 @@ def q_window_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.summary_stats(_windowed(spark, sf_dir))
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.user_sessions(load_table(spark, sf_dir, "events"))
+
+
 # --- joins / star-schema aggregations (SURVEY.md §2.5 rebuild surface) --
 
 
@@ -264,6 +268,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_health": q_window_health,
     "timeline_points": q_timeline_points,
     "window_summary_stats": q_window_summary_stats,
+    "user_sessions": q_user_sessions,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "supplier_nation_revenue": q_supplier_nation_revenue,

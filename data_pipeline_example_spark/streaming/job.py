@@ -156,3 +156,82 @@ def run_pipeline(
         checkpoint,
         available_now=(source != "kafka"),
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """T8 extension — streaming deduplication with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts
+    state once the watermark passes, so state size is O(keys per
+    watermark horizon) instead of O(all keys ever) — the only safe shape
+    for an unbounded stream. Default key: (product, order_ts).
+    """
+    keys = keys or ["product", "order_ts"]
+    return df.withWatermark("order_ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def session_aggregations(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """T2 extension — per-product session windows over the order stream
+    (dynamic-length windows the reference's fixed sliding spec can't
+    express). Append mode emits a session once the watermark passes its
+    end. Output: product, revenue, session_start, session_end."""
+    return (
+        df.withWatermark("order_ts", watermark)
+        .groupBy(F.session_window("order_ts", gap).alias("w"), F.col("product"))
+        .agg(F.round(F.sum("line_amount"), 2).alias("revenue"))
+        .select(
+            "product",
+            "revenue",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+        )
+    )
+
+
+def running_product_totals(df: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for semantics windowed aggregation can't express
+    (cumulative, never-closing totals emitted every micro-batch).
+
+    State: one double per product. Each micro-batch updates the running
+    total and emits (product, total, batch_rows). Arrow-batched; state
+    store checkpointed exactly like built-in aggregations. NoTimeout:
+    totals are cumulative forever (state is O(#products), which is small
+    by definition here — for unbounded key spaces add a TTL timeout).
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType
+
+    out_schema = StructType(
+        [
+            StructField("product", StringType()),
+            StructField("total", DoubleType()),
+            StructField("batch_rows", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("total", DoubleType())])
+
+    def update(key: tuple, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0.0
+        n = 0
+        for pdf in pdfs:
+            total += float(pdf["line_amount"].fillna(0.0).sum())
+            n += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame(
+            {"product": [key[0]], "total": [round(total, 2)], "batch_rows": [n]}
+        )
+
+    return df.groupBy("product").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

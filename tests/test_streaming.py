@@ -26,6 +26,8 @@ import time
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from data_pipeline_example_spark.streaming import job
 
 
@@ -126,3 +128,96 @@ def test_event_schema_tolerates_unknown_and_missing_keys(spark, tmp_path):
     assert row["product"] == "X"  # item synonym
     assert row["line_amount"] == 7.5  # 3 × 2.5, amount key ignored
     assert "store_city" not in out.columns
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_dir.mkdir()
+    _write_events(
+        str(in_dir / "b1.json"),
+        [
+            {"product": "A", "event_time": "2025-01-01 10:00:00", "total_price": "10.0"},
+            {"product": "A", "event_time": "2025-01-01 10:00:00", "total_price": "10.0"},
+            {"product": "B", "event_time": "2025-01-01 10:05:00", "total_price": "5.0"},
+        ],
+        time.time(),
+    )
+    raw = job.read_stream(spark, "json", path=str(in_dir))
+    deduped = job.dedup_stream(job.transform_orders(raw))
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(out_dir))
+    assert out.count() == 2  # duplicate (A, 10:00) removed
+    assert {r["product"] for r in out.collect()} == {"A", "B"}
+
+
+def test_session_aggregations_merge_and_split(spark, tmp_path):
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_dir.mkdir()
+    _write_events(
+        str(in_dir / "b1.json"),
+        [
+            # two events 10 min apart → one session; a third 40 min later → new session
+            {"product": "A", "event_time": "2025-01-01 10:00:00", "total_price": "1.0"},
+            {"product": "A", "event_time": "2025-01-01 10:10:00", "total_price": "2.0"},
+            {"product": "A", "event_time": "2025-01-01 10:50:00", "total_price": "4.0"},
+            # flush event far in the future to finalize everything above
+            {"product": "Z", "event_time": "2025-01-01 23:00:00", "total_price": "0.5"},
+        ],
+        time.time(),
+    )
+    raw = job.read_stream(spark, "json", path=str(in_dir))
+    agg = job.session_aggregations(job.transform_orders(raw))
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sessions = {
+        (r["session_start"].strftime("%H:%M"), r["session_end"].strftime("%H:%M")): r["revenue"]
+        for r in spark.read.parquet(str(out_dir)).filter(F.col("product") == "A").collect()
+    }
+    assert sessions == {("10:00", "10:40"): 3.0, ("10:50", "11:20"): 4.0}
+
+
+def test_running_product_totals_accumulate_across_batches(spark, tmp_path):
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+    now = time.time()
+    _write_events(
+        str(in_dir / "b1.json"),
+        [{"product": "A", "event_time": "2025-01-01 10:00:00", "total_price": "10.0"}],
+        now - 30,
+    )
+    _write_events(
+        str(in_dir / "b2.json"),
+        [{"product": "A", "event_time": "2025-01-01 11:00:00", "total_price": "5.0"}],
+        now,
+    )
+    raw = job.read_stream(spark, "json", path=str(in_dir), max_files_per_trigger=1)
+    totals = job.running_product_totals(job.transform_orders(raw))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM running_totals WHERE product = 'A' ORDER BY total"
+    ).collect()
+    # batch 1 emits total=10, batch 2 emits cumulative total=15
+    assert [(r["total"], r["batch_rows"]) for r in rows] == [(10.0, 1), (15.0, 1)]
