@@ -26,14 +26,19 @@ HEADLINE = [
     "kpis",
     "sliding_window_revenue",
     "latest_window_leaderboard",
+    "user_sessions",
     "pricing_summary",
     "top_revenue_orders",
     "supplier_nation_revenue",
     "order_priority_count",
     "brand_volume",
+    "customer_order_distribution",
+    "large_orders",
     "doc_stats",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_dup_pairs",
     "knn_bruteforce",
     "nearest_neighbor",
     "media_features",

@@ -78,3 +78,17 @@ def sample_rows(df: DataFrame, n: int = 50, id_col: str = "event_id") -> DataFra
     return df.orderBy(
         F.desc("order_date"), F.asc("product"), F.asc(id_col)
     ).limit(n)
+
+
+def revenue_rollup(df: DataFrame) -> DataFrame:
+    """Multi-level revenue totals in one pass: ``ROLLUP(order_date,
+    product)`` emits per-(date, product), per-date, and grand-total rows
+    (NULL group keys mark rolled-up levels). One shuffle; Catalyst
+    expands the grouping sets map-side, so it costs barely more than the
+    finest-grained aggregate alone. The reference computes these three
+    levels as three separate pandas passes (SURVEY.md A1/A4 + the KPI
+    grand total)."""
+    return (
+        df.rollup("order_date", "product")
+        .agg(F.round(F.sum("amount"), 2).alias("total_amount"))
+    )

@@ -281,3 +281,62 @@ def segment_stats(customer: DataFrame) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def large_orders(
+    orders: DataFrame, lineitem: DataFrame, min_qty: float = 250.0
+) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total line quantity exceeds
+    ``min_qty`` — aggregate-then-HAVING, joined back to the order header.
+    The heavy side (lineitem) aggregates BEFORE the join, so the join
+    probe is only the few qualifying orderkeys. Output: o_orderkey,
+    o_orderdate, o_totalprice, total_qty.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") >= min_qty)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+def top_supplier_per_nation(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q15-flavored: each nation's highest-revenue supplier via a
+    rank window over the per-supplier aggregate. The window partitions
+    by nation AFTER the heavy aggregation (supplier cardinality, not
+    lineitem), so the sort is tiny. Ranking uses the rounded revenue +
+    suppkey tie-break for cross-engine determinism. Output: n_name,
+    s_suppkey, s_name, revenue.
+    """
+    rev = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    joined = (
+        rev.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "s_nationkey")),
+            rev["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("n_name", "s_suppkey", "s_name", "revenue")
+        .orderBy("n_name")
+    )

@@ -339,6 +339,61 @@ WHERE EXISTS (
 )
 GROUP BY 1
 """,
+    "large_orders": """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING round(sum(l_quantity), 2) >= 250
+)
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, b.total_qty
+FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+""",
+    "top_supplier_per_nation": """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT n.n_name, s.s_suppkey, s.s_name, r.revenue,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY r.revenue DESC, s.s_suppkey ASC) AS rk
+  FROM rev r
+  JOIN supplier s ON r.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT n_name, s_suppkey, s_name, revenue FROM ranked WHERE rk = 1
+""",
+    "revenue_rollup": f"""
+WITH {_RETAIL}
+SELECT order_date, product, round(sum(amount), 2) AS total_amount
+FROM retail GROUP BY ROLLUP (order_date, product)
+""",
+    "high_value_churn": """
+WITH f AS (
+  SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
+  GROUP BY 1 HAVING round(sum(value), 2) > 1500
+),
+l AS (
+  SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+  GROUP BY 1 HAVING round(sum(value), 2) > 1500
+)
+SELECT * FROM f EXCEPT SELECT * FROM l
+""",
+    "high_value_retained": """
+WITH f AS (
+  SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
+  GROUP BY 1 HAVING round(sum(value), 2) > 1500
+),
+l AS (
+  SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+  GROUP BY 1 HAVING round(sum(value), 2) > 1500
+)
+SELECT * FROM f INTERSECT SELECT * FROM l
+""",
+    "user_cardinality_exact": """
+SELECT event_type, count(DISTINCT user_id) AS users_exact
+FROM events GROUP BY 1
+""",
     # --- text analysis ----------------------------------------------------
     "doc_stats": f"""
 WITH {_DOC_EXPRS}

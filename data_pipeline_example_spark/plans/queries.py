@@ -24,6 +24,7 @@ from data_pipeline_example_spark.operators import (
     similarity,
     text,
     tpch,
+    users,
     windows,
 )
 from data_pipeline_example_spark.sources import load_table
@@ -188,6 +189,40 @@ def q_fulfilled_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.large_orders(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.top_supplier_per_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retail.revenue_rollup(_events_retail(spark, sf_dir))
+
+
+def q_high_value_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return users.high_value_churn(load_table(spark, sf_dir, "events"))
+
+
+def q_high_value_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return users.high_value_retained(load_table(spark, sf_dir, "events"))
+
+
+def q_user_cardinality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the oracle-checked projection: exact distinct counts only (the
+    # HLL sketch column is engine-specific — see users.user_cardinality)
+    return users.user_cardinality(load_table(spark, sf_dir, "events")).select(
+        "event_type", "users_exact"
+    )
+
+
 # --- text analysis extensions -------------------------------------------
 
 
@@ -280,6 +315,12 @@ QUERIES: dict[str, QueryFn] = {
     "promo_revenue_share": q_promo_revenue_share,
     "lapsed_customers": q_lapsed_customers,
     "fulfilled_customers_by_nation": q_fulfilled_customers_by_nation,
+    "large_orders": q_large_orders,
+    "top_supplier_per_nation": q_top_supplier_per_nation,
+    "revenue_rollup": q_revenue_rollup,
+    "high_value_churn": q_high_value_churn,
+    "high_value_retained": q_high_value_retained,
+    "user_cardinality_exact": q_user_cardinality_exact,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
     "lang_predict": q_lang_predict,

@@ -172,3 +172,45 @@ def test_tpch_outer_semi_anti_shapes(spark):
     fulfilled = {r["n_name"]: r["customers"] for r in
                  tpch.fulfilled_customers_by_nation(customer, orders, nation).collect()}
     assert fulfilled == {"ALPHA": 1}  # only cust 1 has an 'F' order
+
+
+def test_user_cardinality_approx_within_rsd(spark, sf_dir):
+    from data_pipeline_example_spark.operators import users
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for r in users.user_cardinality(events).collect():
+        assert abs(r["users_approx"] - r["users_exact"]) <= max(3, 0.1 * r["users_exact"])
+
+
+def test_high_value_churn_set_semantics(spark):
+    from data_pipeline_example_spark.operators import users
+
+    events = spark.createDataFrame(
+        [
+            # user 1: high first half only → churned
+            (1, "2024-01-10 00:00:00", 1, "a", 2000.0),
+            (2, "2024-01-20 00:00:00", 1, "a", 10.0),
+            # user 2: high both halves → retained
+            (3, "2024-01-10 00:00:00", 2, "a", 2000.0),
+            (4, "2024-01-20 00:00:00", 2, "a", 2000.0),
+            # user 3: never high
+            (5, "2024-01-10 00:00:00", 3, "a", 10.0),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert [r["user_id"] for r in users.high_value_churn(events).collect()] == [1]
+    assert [r["user_id"] for r in users.high_value_retained(events).collect()] == [2]
+
+
+def test_revenue_rollup_levels(spark):
+    from data_pipeline_example_spark.operators import retail
+
+    df = spark.createDataFrame(
+        [("2024-01-01", "A", 1.0), ("2024-01-01", "B", 2.0), ("2024-01-02", "A", 4.0)],
+        ["order_date", "product", "amount"],
+    ).withColumn("order_date", F.to_date("order_date"))
+    rows = {(str(r["order_date"]), r["product"]): r["total_amount"]
+            for r in retail.revenue_rollup(df).collect()}
+    assert rows[("2024-01-01", "A")] == 1.0
+    assert rows[("2024-01-01", None)] == 3.0   # per-date subtotal
+    assert rows[("None", None)] == 7.0 or rows.get((None, None)) == 7.0  # grand total
