@@ -225,13 +225,19 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(T.tokens(F.lower(F.col("text"))))).alias("tok")
     ).dropDuplicates(["doc_id", "tok"])
     h = toks.select("doc_id", F.md5(F.col("tok")).alias("hx"))
+    # materialize the 16 digit values in a projection BELOW the aggregate:
+    # each instr/substring runs once per row here, instead of once per bit
+    # inside the 64 aggregate expressions (4× less string work per token)
+    digits = h.select(
+        "doc_id",
+        *[_digit_val(F.substring(F.col("hx"), p + 1, 1)).alias(f"d{p}") for p in range(16)],
+    )
     vote_cols = []
     for p in range(16):
-        v = _digit_val(F.substring(F.col("hx"), p + 1, 1))
         for b in range(4):
-            bit = F.shiftright(v, 3 - b).bitwiseAND(F.lit(1))
+            bit = F.shiftright(F.col(f"d{p}"), 3 - b).bitwiseAND(F.lit(1))
             vote_cols.append(F.sum(bit * 2 - 1).alias(f"s_{p}_{b}"))
-    votes = h.groupBy("doc_id").agg(*vote_cols)
+    votes = digits.groupBy("doc_id").agg(*vote_cols)
     digits = [
         F.substring(
             F.lit(_HEX),
@@ -261,7 +267,6 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     sigs = simhash_signatures(documents)
     chunks = sigs.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -273,8 +278,11 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
                 ]
             )
         ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    ).select("doc_id", "cc.chunk", "cc.val")
     a, b = chunks.alias("a"), chunks.alias("b")
+    # candidate dedup on bare id pairs (a near-dup pair collides in up to
+    # 4 chunks → up to 4 duplicates); signatures join back afterwards so
+    # the dedup shuffle carries ids only, not 16-char strings
     cand = (
         a.join(
             b,
@@ -285,19 +293,37 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    ham = None
-    for p in range(16):
-        x = _digit_val(F.substring(F.col("sig_a"), p + 1, 1)).bitwiseXOR(
-            _digit_val(F.substring(F.col("sig_b"), p + 1, 1))
-        )
-        # popcount via direct indexing into the 4-bit lookup string
-        pc = F.substring(F.lit(_POPCOUNT4), x + 1, 1).cast("int")
-        ham = pc if ham is None else ham + pc
+    # hamming distance as two 32-bit XOR + popcount ops: the hex signature
+    # is parsed into two longs ONCE PER DOC (tiny broadcast side), so the
+    # per-pair cost on millions of candidates is 2 xor + 2 bit_count —
+    # not 16 string lookups
+    halves = sigs.select(
+        "doc_id",
+        F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    cand = cand.join(
+        F.broadcast(
+            halves.select(
+                F.col("doc_id").alias("doc_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a")
+            )
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            halves.select(
+                F.col("doc_id").alias("doc_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b")
+            )
+        ),
+        "doc_b",
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
     return (
         cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

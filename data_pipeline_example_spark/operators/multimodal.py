@@ -111,3 +111,65 @@ def media_features(documents: DataFrame) -> DataFrame:
     """End-to-end multimodal pipeline: text → binary column → Arrow
     batches → per-payload features."""
     return extract_features(attach_binary(documents))
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def resize_image(content: bytes, width: int, height: int) -> bytes:
+    """STUB — real resize requires PIL/opencv (not installed). Same seam
+    contract as ``decode_image``: the Spark plumbing around it is real."""
+    try:
+        from PIL import Image  # noqa: F401  (absent in this container)
+    except ImportError as exc:  # pragma: no cover - exercised via tests
+        raise NotImplementedError(
+            "image resize requires PIL; install it on the cluster image"
+        ) from exc
+    raise NotImplementedError("wire PIL resize here once available")
+
+
+def sample_frames(media: DataFrame, every: int = 10, modulus: int = 100) -> DataFrame:
+    """Video-frame sampling plumbing: one payload row fans out to one row
+    per sampled frame through ``mapInPandas`` (the shape a real decoder
+    plugs into — per-task Arrow batches in, variable-cardinality batches
+    out, schema declared up front).
+
+    The deterministic fake treats the payload as ``len(bytes) % modulus
+    + 1`` frames and samples every ``every``-th; frame_md5 =
+    md5(bytes + ':' + idx) stands in for the frame content hash. Pure
+    function of the bytes → SQL-checkable.
+    """
+
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            md5s: list[str] = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                for i in range(0, len(b) % modulus + 1, every):
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    md5s.append(hashlib.md5(b + b":%d" % i).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(doc_ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_md5": pd.array(md5s, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def frame_samples(documents: DataFrame) -> DataFrame:
+    """End-to-end: text corpus as binary payloads → sampled frames."""
+    return sample_frames(attach_binary(documents))

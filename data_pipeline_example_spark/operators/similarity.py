@@ -186,15 +186,63 @@ def assign_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
-def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    method: str = "blocked",
+    n_blocks: int = 16,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b).
 
-    All-pairs baseline: every pair scored with the UDF-free cosine,
-    kept when >= threshold. Output: vec_a, vec_b, cos_sim (6 dp). This
-    is the exact-recall reference; at corpus scale use
-    ``cosine_dup_pairs_blocked`` (same output contract, candidate set
-    restricted to same-centroid buckets).
+    All-pairs exact scoring, kept when >= threshold. Output: vec_a,
+    vec_b, cos_sim (6 dp). ``method="blocked"`` (default) runs the n²·d
+    arithmetic as per-bucket NumPy matmuls (same block nested-loop shape
+    as ``nearest_neighbor_per_vector``): each unordered pair is scored
+    exactly once — in the corpus-block of its higher vec_id — so no
+    dedup pass is needed. ``method="fold"`` is the pure-expression twin.
+    Exact recall either way; for approximate-recall candidate pruning at
+    corpus scale see ``cosine_dup_pairs_blocked`` (centroid buckets).
     """
+    if method == "blocked":
+        import pandas as pd
+
+        e = _as_double(embeddings)
+        queries = e.select(
+            F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("blk"),
+            F.lit(True).alias("is_query"),
+            "vec_id",
+            "v",
+        )
+        corpus = e.select(
+            F.pmod("vec_id", F.lit(n_blocks)).cast("int").alias("blk"),
+            F.lit(False).alias("is_query"),
+            "vec_id",
+            "v",
+        )
+
+        def partial_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            qs = pdf[pdf["is_query"]]
+            rs = pdf[~pdf["is_query"]]
+            if qs.empty or rs.empty:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+            Q = np.vstack(qs["v"].to_numpy())
+            R = np.vstack(rs["v"].to_numpy())
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+            S = np.round(Qn @ Rn.T, 6)
+            q_ids = qs["vec_id"].to_numpy()
+            r_ids = rs["vec_id"].to_numpy()
+            qi, ri = np.where((S >= threshold) & (q_ids[:, None] < r_ids[None, :]))
+            return pd.DataFrame(
+                {"vec_a": q_ids[qi], "vec_b": r_ids[ri], "cos_sim": S[qi, ri]}
+            )
+
+        return queries.unionByName(corpus).groupBy("blk").applyInPandas(
+            partial_pairs, "vec_a long, vec_b long, cos_sim double"
+        )
+
     e = _with_norm(embeddings)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))

@@ -118,12 +118,13 @@ sigs AS (
   FROM votes
 )
 """
-# digit-wise popcount of sig_a XOR sig_b via a 4-bit lookup string
-_SIMHASH_HAMMING = "\n       + ".join(
-    f"CAST(substring('0112122312232334', xor("
-    f"strpos('{_HEX}', substring(sig_a, {p + 1}, 1)) - 1, "
-    f"strpos('{_HEX}', substring(sig_b, {p + 1}, 1)) - 1) + 1, 1) AS INTEGER)"
-    for p in range(16)
+# popcount of sig_a XOR sig_b via two 32-bit halves (matches the Spark
+# side's conv + bit_count shape)
+_SIMHASH_HAMMING = (
+    "CAST(bit_count(xor(('0x' || substring(sig_a, 1, 8))::BIGINT,"
+    " ('0x' || substring(sig_b, 1, 8))::BIGINT))"
+    " + bit_count(xor(('0x' || substring(sig_a, 9, 8))::BIGINT,"
+    " ('0x' || substring(sig_b, 9, 8))::BIGINT)) AS INTEGER)"
 )
 
 
@@ -582,5 +583,15 @@ SELECT doc_id,
        CAST(strlen(coalesce(text, '')) % 640 + 1 AS INTEGER) AS fake_width,
        CAST(strlen(coalesce(text, '')) * 7 % 480 + 1 AS INTEGER) AS fake_height
 FROM documents
+""",
+    "frame_samples": """
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       md5(t || ':' || CAST(i AS VARCHAR)) AS frame_md5
+FROM (
+  SELECT doc_id, coalesce(text, '') AS t,
+         unnest(range(0, strlen(coalesce(text, '')) % 100 + 1, 10)) AS i
+  FROM documents
+)
 """,
 }

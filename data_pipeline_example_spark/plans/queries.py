@@ -291,6 +291,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features(load_table(spark, sf_dir, "documents"))
 
 
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_samples(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "daily_revenue": q_daily_revenue,
     "kpis": q_kpis,
@@ -335,6 +339,7 @@ QUERIES: dict[str, QueryFn] = {
     "nearest_neighbor": q_nearest_neighbor,
     "ivf_knn": q_ivf_knn,
     "media_features": q_media_features,
+    "frame_samples": q_frame_samples,
 }
 
 
