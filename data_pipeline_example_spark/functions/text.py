@@ -116,14 +116,23 @@ def token_shingles(col: Column, k: int = 3) -> Column:
     sparse on natural text, which bounds the candidate-pair blowup of the
     LSH bucket join at scale.
 
-    Construction is ``slice`` + ``zip_with`` over k shifted copies of the
-    token array, NOT per-index ``element_at`` in a transform lambda: the
-    unevaluated ``tokens`` regex subtree is duplicated at every column
-    reference (no common-subexpression elimination inside higher-order
-    lambdas), so indexed access would re-run the tokenizer O(k·shingles)
-    times per document — measured 6× slower on the corpus. This shape
-    evaluates it O(k) times."""
-    toks = tokens(F.lower(col))
+    Prefer binding the token array to a real column in a lower projection
+    and calling ``shingles_from_tokens`` on it (see ``dedup.shingled``) —
+    this convenience form inlines the tokenizer subtree into every
+    reference."""
+    return shingles_from_tokens(tokens(F.lower(col)), k)
+
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-shingles from an (ideally already-materialized) token
+    array column.
+
+    Construction is ``slice`` + ``zip_with`` over k shifted copies, NOT
+    per-index ``element_at`` in a transform lambda: expression subtrees
+    are duplicated at every column reference (no common-subexpression
+    elimination inside higher-order lambdas), so indexed access re-runs
+    the source expression O(k·shingles) times per document — measured
+    6× slower on the corpus."""
     n = F.size(toks)
 
     def shifted(j: int) -> Column:

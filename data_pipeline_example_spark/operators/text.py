@@ -17,17 +17,34 @@ from data_pipeline_example_spark.functions import text as T
 
 def doc_stats(documents: DataFrame) -> DataFrame:
     """Per-document statistics: chars, tokens, punctuation ratio,
-    quality score, md5 fingerprint."""
-    return documents.select(
+    quality score, md5 fingerprint.
+
+    The regex-derived base counts are materialized in a lower projection
+    and the ratio/quality arithmetic reads those columns — the quality
+    formula alone references the counts five times, and bound columns
+    keep each regex to one evaluation per document (same structure, and
+    reason, as ``dedup.shingled``)."""
+    base = documents.select(
         "doc_id",
+        "text",
         T.char_count(F.col("text")).cast("long").alias("n_chars"),
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        F.round(
-            T.punct_count(F.col("text")).cast("double")
-            / F.greatest(T.char_count(F.col("text")).cast("double"), F.lit(1.0)),
-            4,
-        ).alias("punct_ratio"),
-        T.quality_score(F.col("text")).alias("quality"),
+        T.punct_count(F.col("text")).cast("long").alias("n_punct"),
+        T.stopword_count(F.col("text"), T.STOPWORDS["en"]).cast("long").alias("n_stop"),
+    )
+    n_tok = F.col("n_tokens").cast("double")
+    n_char = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    punct_ratio = F.col("n_punct").cast("double") / n_char
+    stop_ratio = F.col("n_stop").cast("double") / F.greatest(n_tok, F.lit(1.0))
+    length_factor = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(length_factor * (1.0 - punct_ratio) * (0.5 + 0.5 * stop_ratio), 4).alias(
+            "quality"
+        ),
         T.fingerprint(F.col("text")).alias("fingerprint"),
     )
 

@@ -1,0 +1,38 @@
+"""Plan-shape assertions over the whole query registry: the properties
+the engine's 100 TB design notes promise (README) should be visible in
+every optimized plan, not just in docstrings.
+
+* no unbroadcast cartesian products (BroadcastNestedLoopJoin over a
+  broadcast side is fine — that's the intended crossJoin(broadcast(q))
+  shape; CartesianProduct means an accidental n×m shuffle explosion)
+* no row-at-a-time Python UDFs (BatchEvalPython); the only Python
+  boundaries are Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas
+  / MapInPandas)
+* filtered parquet scans actually push their filters (spot-check)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_example_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_and_no_row_udf(spark, name):
+    plan = _executed_plan(QUERIES[name](spark, SF))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _executed_plan(QUERIES["top_revenue_orders"](spark, SF))
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan.split("PushedFilters", 1)[1][:400]
