@@ -60,3 +60,25 @@ def write_kpi_csv(kpis: DataFrame, out_path: str) -> None:
 def show_kpis(kpis: DataFrame) -> None:
     """K6 — console sink (`pipeline_batch.py:233`)."""
     kpis.show(truncate=False)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed parquet table for co-located joins (100 TB pattern the
+    reference never needed: two facts bucketed+sorted on the join key
+    sort-merge-join with NO shuffle exchange on either side — the
+    dominant cost of a fact-fact join at scale disappears on every
+    subsequent query).
+
+    Uses ``saveAsTable`` (bucketing metadata lives in the catalog; plain
+    ``.parquet(path)`` writes cannot record it).
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

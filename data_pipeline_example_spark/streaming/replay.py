@@ -1,0 +1,88 @@
+"""Event replay harness — capability parity with the reference's Kafka
+producer (`services/event-generator/kafka_event_producer.py`, SURVEY.md
+rows K5/P14/S7).
+
+The reference replays transaction CSVs onto a Kafka topic one JSON
+message at a time with wall-clock rate limiting. Here the same dataflow
+is expressed over DataFrames:
+
+* P14 event-time injection: ``event_time`` = first present of
+  (order_ts, order_time, order_date, timestamp) else a fixed injection
+  time (the reference uses the wall clock; a parameter keeps tests
+  deterministic — `kafka_event_producer.py:84-93`).
+* S7 row hygiene: keys/values trimmed, all-empty rows skipped
+  (`kafka_event_producer.py:72-82`).
+* Sink: JSON-lines batch files for the engine's hermetic file-source
+  streaming path (one file per micro-batch → `maxFilesPerTrigger=1`
+  reproduces replay ordering), or a Kafka writer when a broker exists.
+
+Rate limiting / infinite looping are driver-side concerns of a demo
+producer, not of the engine; batching replaces them here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENT_TIME_CANDIDATES = ("order_ts", "order_time", "order_date", "timestamp")
+
+
+def to_events(transactions: DataFrame, injection_time: str = "1970-01-01T00:00:00") -> DataFrame:
+    """Transaction rows → event rows with ``event_time`` injected (P14)
+    and string values trimmed (S7). All columns become nullable strings,
+    matching the producer's JSON payloads."""
+    cols = transactions.columns
+    out = transactions.select(
+        *[F.trim(F.col(c).cast("string")).alias(c.strip().lower()) for c in cols]
+    )
+    present = [c for c in EVENT_TIME_CANDIDATES if c in out.columns]
+    event_time = (
+        F.coalesce(*[F.col(c) for c in present], F.lit(injection_time))
+        if present
+        else F.lit(injection_time)
+    )
+    out = out.withColumn("event_time", event_time)
+    # skip rows where every original field is empty/null (S7)
+    any_value = F.greatest(
+        *[F.col(c).isNotNull() & (F.col(c) != "") for c in out.columns if c != "event_time"]
+    )
+    return out.filter(any_value)
+
+
+def write_event_batches(
+    events: DataFrame, path: str, num_batches: int = 1, order_col: str | None = None
+) -> None:
+    """JSON-lines files for the file-source streaming path: one file per
+    batch (``maxFilesPerTrigger=1`` then replays them in order). Batch
+    assignment is deterministic when ``order_col`` is given (ntile over
+    the ordered stream), round-robin otherwise."""
+    if order_col is not None:
+        from pyspark.sql.window import Window
+
+        batched = events.withColumn(
+            "_batch", F.ntile(num_batches).over(Window.orderBy(order_col)) - 1
+        )
+    else:
+        batched = events.withColumn(
+            "_batch", F.pmod(F.monotonically_increasing_id(), num_batches)
+        )
+    batched.repartition("_batch").write.mode("overwrite").partitionBy("_batch").json(path)
+
+
+def write_kafka(
+    events: DataFrame, bootstrap: str, topic: str, key_col: str | None = None
+) -> None:
+    """K5 — Kafka sink for environments with a broker: rows serialized as
+    JSON values (`df.write.format("kafka")`). Untestable in this
+    container (no broker); the file-batch path above is the CI twin."""
+    value = F.to_json(F.struct(*[F.col(c) for c in events.columns]))
+    out = events.select(value.alias("value"))
+    if key_col is not None:
+        out = events.select(F.col(key_col).cast("string").alias("key"), value.alias("value"))
+    (
+        out.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )

@@ -1,0 +1,95 @@
+"""Scale-pattern tests: event replay harness, salted aggregation,
+bucketed co-located joins — the 100 TB techniques README promises,
+asserted on real plans/results at test size."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_example_spark import sinks
+from data_pipeline_example_spark.functions.skew import salted_agg
+from data_pipeline_example_spark.sources import load_table
+from data_pipeline_example_spark.streaming import replay
+
+
+def test_to_events_injects_event_time_and_skips_empty(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", "2024-01-01T10:00:00", "3"),
+            ("B", None, "1"),          # no timestamp → injected
+            (" ", None, ""),            # whitespace-only → skipped (S7 strip)
+            (None, None, None),         # all null → skipped
+        ],
+        ["product", "order_time", "quantity"],
+    )
+    out = replay.to_events(df, injection_time="2099-01-01T00:00:00").collect()
+    by_product = {r["product"]: r for r in out}
+    assert by_product["A"]["event_time"] == "2024-01-01T10:00:00"
+    assert by_product["B"]["event_time"] == "2099-01-01T00:00:00"
+    assert len(out) == 2  # empty rows gone
+
+
+def test_write_event_batches_replay_order(spark, tmp_path):
+    tx = spark.createDataFrame(
+        [(i, f"2024-01-01T{10 + i}:00:00") for i in range(6)],
+        ["order_id", "order_time"],
+    )
+    replay.write_event_batches(
+        replay.to_events(tx), str(tmp_path / "ev"), num_batches=3, order_col="order_time"
+    )
+    import glob
+
+    batch_dirs = sorted(glob.glob(str(tmp_path / "ev" / "_batch=*")))
+    assert len(batch_dirs) == 3
+    first = spark.read.json(batch_dirs[0]).collect()
+    assert {r["order_id"] for r in first} == {"0", "1"}
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: (round(r["s"], 2), r["c"])
+        for r in ev.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count("value").alias("c"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (round(r["sum_value"], 2), r["count_value"])
+        for r in salted_agg(ev, ["event_type"], {"value": "sum"}, salt_buckets=8)
+        .join(
+            salted_agg(ev, ["event_type"], {"value": "count"}, salt_buckets=8),
+            "event_type",
+        )
+        .collect()
+    }
+    assert salted == direct
+
+
+def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        salted_agg(ev, ["event_type"], {"value": "avg"})
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sinks.write_bucketed_table(orders, "b_orders", 4, ["o_orderkey"], ["o_orderkey"])
+    sinks.write_bucketed_table(lineitem, "b_lineitem", 4, ["l_orderkey"], ["l_orderkey"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        jvm = spark._jvm
+        plan = jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
