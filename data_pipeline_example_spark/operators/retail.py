@@ -92,3 +92,20 @@ def revenue_rollup(df: DataFrame) -> DataFrame:
         df.rollup("order_date", "product")
         .agg(F.round(F.sum("amount"), 2).alias("total_amount"))
     )
+
+
+def day_over_day_revenue(daily: DataFrame) -> DataFrame:
+    """Per-day revenue with the previous day's value and delta — a lag
+    window over the (tiny) per-day aggregate, never over raw rows.
+    Output: order_date, total_amount, prev_amount, delta."""
+    from pyspark.sql.window import Window
+
+    per_day = per_day_totals(daily)
+    w = Window.orderBy("order_date")
+    prev = F.lag("total_amount").over(w)
+    return per_day.select(
+        "order_date",
+        "total_amount",
+        prev.alias("prev_amount"),
+        F.round(F.col("total_amount") - F.coalesce(prev, F.lit(0.0)), 2).alias("delta"),
+    )

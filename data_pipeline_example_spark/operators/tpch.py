@@ -340,3 +340,30 @@ def top_supplier_per_nation(
         .select("n_name", "s_suppkey", "s_name", "revenue")
         .orderBy("n_name")
     )
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17-shaped: revenue from line items whose quantity is below
+    half their part's average quantity — the correlated scalar subquery
+    decorrelated into a per-part aggregate joined back to the fact (the
+    shape Catalyst itself rewrites correlated subqueries into; stating
+    it directly keeps the plan obvious). Per-brand output keeps the
+    result set readable. Output: p_brand, small_qty_revenue, line_count.
+    """
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        lineitem.join(per_part, lineitem["l_partkey"] == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("p_brand")
+    )

@@ -63,3 +63,20 @@ def user_cardinality(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated value percentiles per event type (p50/p90/p99,
+    4 dp). ``percentile`` is the exact sort-based implementation — at
+    100 TB swap in ``approx_percentile`` (t-digest sketch, mergeable
+    map-side) the same way ``user_cardinality`` pairs countDistinct with
+    HLL. Output: event_type, p50, p90, p99."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

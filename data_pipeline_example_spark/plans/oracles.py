@@ -391,6 +391,42 @@ l AS (
 )
 SELECT * FROM f INTERSECT SELECT * FROM l
 """,
+    "small_quantity_revenue": """
+WITH per_part AS (
+  SELECT l_partkey AS avg_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand,
+       round(sum(l.l_extendedprice), 2) AS small_qty_revenue,
+       count(*) AS line_count
+FROM lineitem l
+JOIN per_part a ON l.l_partkey = a.avg_partkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity < 0.5 * a.avg_qty
+GROUP BY 1
+""",
+    "day_over_day_revenue": f"""
+WITH {_RETAIL},
+daily AS (
+  SELECT order_date, product, round(sum(amount), 2) AS total_amount
+  FROM retail GROUP BY 1, 2
+),
+per_day AS (
+  SELECT order_date, round(sum(total_amount), 2) AS total_amount
+  FROM daily GROUP BY 1
+)
+SELECT order_date, total_amount,
+       lag(total_amount) OVER (ORDER BY order_date) AS prev_amount,
+       round(total_amount - coalesce(lag(total_amount) OVER (ORDER BY order_date), 0.0), 2) AS delta
+FROM per_day
+""",
+    "value_percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY 1
+""",
     "user_cardinality_exact": """
 SELECT event_type, count(DISTINCT user_id) AS users_exact
 FROM events GROUP BY 1

@@ -215,6 +215,20 @@ def q_high_value_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return users.high_value_retained(load_table(spark, sf_dir, "events"))
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_day_over_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retail.day_over_day_revenue(retail.daily_revenue(_events_retail(spark, sf_dir)))
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return users.value_percentiles(load_table(spark, sf_dir, "events"))
+
+
 def q_user_cardinality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle-checked projection: exact distinct counts only (the
     # HLL sketch column is engine-specific — see users.user_cardinality)
@@ -325,6 +339,9 @@ QUERIES: dict[str, QueryFn] = {
     "high_value_churn": q_high_value_churn,
     "high_value_retained": q_high_value_retained,
     "user_cardinality_exact": q_user_cardinality_exact,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "day_over_day_revenue": q_day_over_day_revenue,
+    "value_percentiles": q_value_percentiles,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
     "lang_predict": q_lang_predict,
