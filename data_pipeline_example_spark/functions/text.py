@@ -144,3 +144,24 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     return F.array_distinct(
         F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
     )
+
+
+# BPE-ish pre-tokenizer pattern: contraction suffixes, space-prefixed
+# letter/digit runs, punctuation runs, whitespace — the GPT-2 pattern
+# minus its negative lookahead (RE2, which DuckDB embeds, has no
+# lookaround; this keeps the expression bit-identical across engines).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Tokens by whitespace split (the crudest count; 0 for empty)."""
+    t = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish pre-tokenization count — a cheap, deterministic proxy for
+    LLM token budgets (real BPE merges only ever reduce this count)."""
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(f"({BPE_PATTERN})"), 1)
+    )

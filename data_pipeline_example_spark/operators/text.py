@@ -93,3 +93,16 @@ def lang_predict(documents: DataFrame) -> DataFrame:
         pred.alias("lang_pred"),
         (pred == F.col("lang")).cast("int").alias("is_match"),
     )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Three token-count ladders per document: whitespace split, word
+    regex, BPE-ish pre-tokenizer — the budget columns an LLM-data
+    pipeline filters and packs by. Output: doc_id, n_ws, n_words, n_bpe.
+    """
+    return documents.select(
+        "doc_id",
+        T.whitespace_token_count(F.col("text")).cast("long").alias("n_ws"),
+        T.token_count(F.col("text")).cast("long").alias("n_words"),
+        T.bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+    )

@@ -472,6 +472,16 @@ SELECT doc_id, lang,
        END = lang AS INTEGER) AS is_match
 FROM docx
 """,
+    "token_counts": """
+SELECT doc_id,
+       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+            ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+       END::BIGINT AS n_ws,
+       len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))::BIGINT AS n_words,
+       len(regexp_extract_all(coalesce(text, ''),
+           e'\\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\\\sA-Za-z0-9]+|\\\\s+'))::BIGINT AS n_bpe
+FROM documents
+""",
     "doc_fingerprints": """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint,

@@ -256,6 +256,10 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
 # --- dedup extensions ----------------------------------------------------
 
 
@@ -346,6 +350,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_stats": q_corpus_stats,
     "lang_predict": q_lang_predict,
     "doc_fingerprints": q_doc_fingerprints,
+    "token_counts": q_token_counts,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
