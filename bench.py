@@ -62,8 +62,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # absorb one-time JVM/codegen/scheduler warmup so the first timed
-    # query isn't charged for session startup
+    # query isn't charged for session startup; touch the parquet read
+    # path too (vectorized reader + footer parsing JIT)
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
 

@@ -61,13 +61,13 @@ def write_event_batches(
         from pyspark.sql.window import Window
 
         batched = events.withColumn(
-            "_batch", F.ntile(num_batches).over(Window.orderBy(order_col)) - 1
+            "batch", F.ntile(num_batches).over(Window.orderBy(order_col)) - 1
         )
     else:
         batched = events.withColumn(
-            "_batch", F.pmod(F.monotonically_increasing_id(), num_batches)
+            "batch", F.pmod(F.monotonically_increasing_id(), num_batches)
         )
-    batched.repartition("_batch").write.mode("overwrite").partitionBy("_batch").json(path)
+    batched.repartition("batch").write.mode("overwrite").partitionBy("batch").json(path)
 
 
 def write_kafka(

@@ -41,7 +41,7 @@ def test_write_event_batches_replay_order(spark, tmp_path):
     )
     import glob
 
-    batch_dirs = sorted(glob.glob(str(tmp_path / "ev" / "_batch=*")))
+    batch_dirs = sorted(glob.glob(str(tmp_path / "ev" / "batch=*")))
     assert len(batch_dirs) == 3
     first = spark.read.json(batch_dirs[0]).collect()
     assert {r["order_id"] for r in first} == {"0", "1"}
@@ -93,3 +93,55 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    from data_pipeline_example_spark.conform import BATCH_SPEC  # noqa: F401 (shape doc)
+    from data_pipeline_example_spark.operators import retail
+    from data_pipeline_example_spark.plans.queries import _events_retail
+
+    daily = retail.daily_revenue(_events_retail(spark, sf_dir))
+    out = str(tmp_path / "daily")
+    sinks.write_partitioned_parquet(daily, out)
+
+    one_day = spark.read.parquet(out).filter(
+        F.col("order_date") == daily.select(F.min("order_date")).first()[0]
+    )
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(one_day._jdf.queryExecution(), "formatted")
+    # the date predicate must land on the partition column, not a data filter
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters", 1)[1][:200]
+    assert "order_date" in part_section
+    assert one_day.count() > 0
+
+
+def test_datagen_replay_streaming_full_loop(spark, tmp_path):
+    """The reference's complete dataflow, end-to-end and hermetic:
+    generator → producer replay → streaming job → windowed parquet →
+    serving payload."""
+    from data_pipeline_example_spark import datagen, serving
+    from data_pipeline_example_spark.streaming import job
+
+    tx = datagen.synthetic_transactions(spark, days=1, tx_per_day=30)
+    # give rows intra-day event times so windows are meaningful
+    tx = tx.withColumn(
+        "order_time",
+        F.concat(F.col("order_date"), F.lit("T10:"), F.lpad(F.pmod(F.xxhash64("order_id"), 50) + 10, 2, "0"), F.lit(":00")),
+    )
+    ev_dir = str(tmp_path / "events")
+    replay.write_event_batches(replay.to_events(tx), ev_dir, num_batches=2, order_col="order_time")
+
+    raw = job.read_stream(spark, "json", path=ev_dir + "/batch=*")
+    agg = job.build_aggregations(job.transform_orders(raw))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = job.write_stream(agg, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    windowed = spark.read.parquet(out)
+    # watermark finalization emits only closed windows; events span ~50
+    # minutes so at least the earliest windows closed
+    assert windowed.count() > 0
+    payload = serving.stream_payload(windowed)
+    assert payload["status"] == "ok"
+    assert payload["summary"]["unique_products"] >= 1
