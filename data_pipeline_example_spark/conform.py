@@ -188,9 +188,16 @@ def _derive_amount(df: DataFrame, spec: ConformSpec) -> Column:
     return F.when(total.isNotNull(), total).otherwise(qty * unit)
 
 
-def conform(df: DataFrame, spec: ConformSpec = BATCH_SPEC) -> DataFrame:
+def conform(df: DataFrame, spec: ConformSpec = BATCH_SPEC, observation=None) -> DataFrame:
     """Normalize a drifting raw schema to (product, order_date[, order_ts],
     amount) + passthrough columns. Pure ``df -> df``; lazy; no actions.
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to collect the
+    row-drop diagnostics (invalid_dates / null_amounts) from the first
+    action on the result — the zero-extra-job replacement for the
+    reference's diagnostic ``count()`` passes (SURVEY.md §4). A plain
+    ``spec.observe_name`` string registers listener-visible metrics
+    instead (streaming: surfaced per micro-batch in progress events).
     """
     df = normalize_headers(df)
 
@@ -224,9 +231,9 @@ def conform(df: DataFrame, spec: ConformSpec = BATCH_SPEC) -> DataFrame:
         amount = F.when(amount.isNull(), F.lit(0.0)).otherwise(amount)
     df = df.withColumn(spec.amount_out, F.round(amount, spec.round_scale))
 
-    if spec.observe_name:
+    if observation is not None or spec.observe_name:
         df = df.observe(
-            spec.observe_name,
+            observation if observation is not None else spec.observe_name,
             F.count(F.when(F.col("order_date").isNull(), 1)).alias("invalid_dates")
             if spec.derive_order_date
             else F.count(F.when(F.col("order_ts").isNull(), 1)).alias("invalid_ts"),

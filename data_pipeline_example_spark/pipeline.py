@@ -45,7 +45,7 @@ def run_batch_pipeline(
 ) -> BatchResult | None:
     """Run the full batch flow. Returns None on empty input (exit-0
     parity with `pipeline_batch.py:126-129`)."""
-    from dataclasses import replace
+    from pyspark.sql import Observation
 
     if wait_for_input:
         wait_for_input_files(spark, input_path.rstrip("/") + "/**/*.csv")
@@ -54,8 +54,8 @@ def run_batch_pipeline(
     if raw.isEmpty():
         return None
 
-    clean = conform(raw, replace(BATCH_SPEC, observe_name="conform_metrics"))
-    clean = clean.cache()
+    obs = Observation("conform_metrics")
+    clean = conform(raw, BATCH_SPEC, observation=obs).cache()
     try:
         daily = retail.daily_revenue(clean)
         kpis = retail.kpis(clean)
@@ -67,8 +67,7 @@ def run_batch_pipeline(
         if show_kpis:
             sinks.show_kpis(kpis)
 
-        # observation metrics materialize after the first action on clean
-        metrics: dict = {}
-        return BatchResult(daily=daily, kpis=kpis, observed_metrics=metrics)
+        # populated by the first action above — one job, no extra counts
+        return BatchResult(daily=daily, kpis=kpis, observed_metrics=obs.get)
     finally:
         clean.unpersist()

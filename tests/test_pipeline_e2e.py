@@ -99,3 +99,19 @@ def test_dynamic_partition_overwrite_only_touches_written_dates(spark, tmp_path)
     run_batch_pipeline(spark, str(in_dir2), out)
     after = {str(r["order_date"]) for r in spark.read.parquet(out).collect()}
     assert after == {"2025-01-01", "2025-01-02", "2025-01-03"}
+
+
+def test_observation_metrics_report_drops(spark, tmp_path):
+    in_dir = tmp_path / "obs"
+    in_dir.mkdir()
+    rows = [
+        ["order_id", "order_date", "product", "quantity", "unit_price", "amount"],
+        ["a", "2025-01-01", "Idli", "1", "10.00", "10.00"],
+        ["b", "garbage-date", "Vada", "1", "5.00", "5.00"],   # invalid date → dropped
+        ["c", "2025-01-02", "Dosa", "1", "2.00", "junk"],     # bad amount → null
+    ]
+    with open(in_dir / "x.csv", "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    result = run_batch_pipeline(spark, str(in_dir), str(tmp_path / "out"))
+    assert result.observed_metrics["invalid_dates"] == 1
+    assert result.observed_metrics["null_amounts"] == 1
