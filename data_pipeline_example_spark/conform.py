@@ -44,6 +44,7 @@ STREAMING_TS_FORMATS: tuple[str, ...] = (
     "yyyy-MM-dd HH:mm:ss.SSS",
     "yyyy-MM-dd'T'HH:mm:ss.SSS",
     "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
 )
 
 
@@ -64,14 +65,20 @@ class ConformSpec:
     price_candidates: tuple[str, ...] = ("unit_price", "price")
     # streaming multi-format parse chain; batch uses plain try_cast + yyyyMMdd
     ts_formats: tuple[str, ...] = ()
-    # streaming resolves the event time by coalescing *values* across all
-    # candidate columns per row (fixed schema → every column exists,
-    # streaming_sales_aggregator.py:215-221); batch picks the first
-    # *existing* column (drifting CSV headers, pipeline_batch.py:143-147)
+    # BOTH reference paths pick the first *existing* column
+    # (streaming_sales_aggregator.py:216-221 `choose_timestamp`;
+    # pipeline_batch.py:143-147) — under streaming's fixed 12-field
+    # schema that is always `event_time`, so a row with a null
+    # event_time is dropped even when order_time holds a value. The
+    # row-coalesce modes below are OPT-IN drift-tolerant extensions
+    # (coalesce *values* across candidates per row), not reference
+    # behavior; both historical specs keep them off.
     ts_row_coalesce: bool = False
-    # same row-vs-column distinction for the product/item synonym (P2):
-    # streaming coalesces values (streaming_sales_aggregator.py:208-212)
     product_row_coalesce: bool = False
+    # P11 null/blank→UNKNOWN backfill is batch-only
+    # (pipeline_batch.py:199-202); streaming only trims, a null product
+    # stays null (streaming_sales_aggregator.py:208-210)
+    product_backfill_unknown: bool = True
     # T7: no timestamp column at all → literal epoch (streaming only)
     epoch_default_when_no_ts: bool = False
     # output shaping
@@ -92,8 +99,7 @@ STREAMING_SPEC = ConformSpec(
     date_candidates=("event_time", "order_time", "order_date", "timestamp"),
     amount_mode="row_nullity",
     ts_formats=STREAMING_TS_FORMATS,
-    ts_row_coalesce=True,
-    product_row_coalesce=True,
+    product_backfill_unknown=False,
     epoch_default_when_no_ts=True,
     amount_out="line_amount",
     keep_order_ts=True,
@@ -122,7 +128,9 @@ def normalize_headers(df: DataFrame) -> DataFrame:
 
 
 def _resolve_product(df: DataFrame, spec: ConformSpec) -> Column:
-    """P2 + P11 (pipeline_batch.py:134-140,199-202)."""
+    """P2 (+ P11 backfill when the spec says so —
+    pipeline_batch.py:134-140,199-202; streaming trims only,
+    streaming_sales_aggregator.py:208-210)."""
     present = [c for c in spec.product_candidates if c in df.columns]
     if not present:
         return F.lit(UNKNOWN_PRODUCT)
@@ -131,6 +139,8 @@ def _resolve_product(df: DataFrame, spec: ConformSpec) -> Column:
     else:
         raw = F.col(present[0])
     trimmed = F.trim(raw.cast("string"))
+    if not spec.product_backfill_unknown:
+        return trimmed
     return F.when(trimmed.isNull() | (trimmed == ""), F.lit(UNKNOWN_PRODUCT)).otherwise(trimmed)
 
 

@@ -19,7 +19,7 @@ PUNCT_PATTERN = r"[.,!?;:]"
 
 # tiny deterministic stopword lists per language for the n-gram/stopword
 # language-ID heuristic. Order matters: the CASE ladder breaks ties by
-# this order (en > de > fr > es > zh).
+# this order (en > de > fr > es).
 STOPWORDS = {
     "en": ("the", "a", "and", "of", "to", "is", "in", "it"),
     "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),

@@ -5,7 +5,17 @@ from data_pipeline_example_spark.operators import (
     similarity,
     text,
     tpch,
+    users,
     windows,
 )
 
-__all__ = ["dedup", "multimodal", "retail", "similarity", "text", "tpch", "windows"]
+__all__ = [
+    "dedup",
+    "multimodal",
+    "retail",
+    "similarity",
+    "text",
+    "tpch",
+    "users",
+    "windows",
+]

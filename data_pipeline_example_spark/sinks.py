@@ -29,18 +29,28 @@ def write_partitioned_parquet(
     (`pipeline_batch.py:215-221`, config `:59`).
 
     ``partition_file_target=1`` reproduces the reference's one file per
-    date; larger values spread each partition over N tasks (use
-    ceil(partition_bytes / 128MB) at scale).
+    date; larger values salt the shuffle key so each date's rows spread
+    over ~N writer tasks → ~N files per date partition (use
+    ceil(partition_bytes / 128MB) at scale). Dynamic partition
+    overwrite is a per-writer option, not a session-conf mutation.
     """
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if partition_file_target == 1:
         out = df.repartition(partition_col)
     else:
-        out = df.repartition(
-            partition_file_target, F.col(partition_col), F.spark_partition_id()
+        # (date, salt) composite shuffle key: rows of one date land on
+        # ~partition_file_target distinct reducers; bucket count stays
+        # spark.sql.shuffle.partitions (NOT partition_file_target, which
+        # would cap the whole write at that many tasks)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(partition_file_target)
         )
-    out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        out = df.repartition(F.col(partition_col), salt)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
 
 
 def write_single_csv(df: DataFrame, path: str) -> None:

@@ -37,8 +37,11 @@ def to_events(transactions: DataFrame, injection_time: str = "1970-01-01T00:00:0
         *[F.trim(F.col(c).cast("string")).alias(c.strip().lower()) for c in cols]
     )
     present = [c for c in EVENT_TIME_CANDIDATES if c in out.columns]
+    # the producer skips falsy values, not just missing keys
+    # (`kafka_event_producer.py:86-91`) — nullify empty strings so the
+    # coalesce falls through them
     event_time = (
-        F.coalesce(*[F.col(c) for c in present], F.lit(injection_time))
+        F.coalesce(*[F.nullif(F.col(c), F.lit("")) for c in present], F.lit(injection_time))
         if present
         else F.lit(injection_time)
     )

@@ -113,21 +113,53 @@ def test_event_schema_tolerates_unknown_and_missing_keys(spark, tmp_path):
         [
             {
                 "item": "X",
-                "order_time": "2025-01-01T08:00:00",
+                "event_time": "2025-01-01T08:00:00",
                 "quantity": "3",
                 "unit_price": "2.5",
                 "amount": "999",  # NOT in EVENT_SCHEMA → dropped
                 "store_city": "nowhere",  # NOT in schema → dropped
-            }
+            },
+            {
+                # no event_time value: the fixed schema always HAS the
+                # event_time column, and the cleanse reads only the first
+                # present candidate — so order_time is ignored and the
+                # row is dropped (streaming_sales_aggregator.py:216-221,
+                # 263; the producer normally injects event_time, P14)
+                "item": "Y",
+                "order_time": "2025-01-01T09:00:00",
+                "quantity": "1",
+                "unit_price": "1.0",
+            },
         ],
         time.time(),
     )
     raw = spark.read.schema(job.EVENT_SCHEMA).json(str(in_dir))
     out = job.transform_orders(raw)
-    row = out.collect()[0]
-    assert row["product"] == "X"  # item synonym
-    assert row["line_amount"] == 7.5  # 3 × 2.5, amount key ignored
+    rows = out.collect()
+    assert len(rows) == 1  # Y dropped (no event_time)
+    # the fixed schema always HAS a `product` column, so the first-
+    # present rule never reaches `item` in streaming — product is null
+    # here, exactly as in the reference (the item synonym is live only
+    # for schemas that genuinely lack a product column, e.g. batch CSVs)
+    assert rows[0]["product"] is None
+    assert rows[0]["line_amount"] == 7.5  # 3 × 2.5, amount key ignored
     assert "store_city" not in out.columns
+
+
+def test_streaming_product_not_backfilled(spark, tmp_path):
+    # P11 UNKNOWN backfill is batch-only: a null product stays null in
+    # the stream (streaming_sales_aggregator.py:208-210)
+    in_dir = tmp_path / "in3"
+    in_dir.mkdir()
+    _write_events(
+        str(in_dir / "e.json"),
+        [{"event_time": "2025-01-01T08:00:00", "total_price": "4.0"}],
+        time.time(),
+    )
+    raw = spark.read.schema(job.EVENT_SCHEMA).json(str(in_dir))
+    row = job.transform_orders(raw).collect()[0]
+    assert row["product"] is None
+    assert row["line_amount"] == 4.0
 
 
 def test_dedup_stream_drops_duplicates(spark, tmp_path):
