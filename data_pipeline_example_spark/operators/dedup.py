@@ -338,3 +338,70 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_jaccard_estimates(
+    documents: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est: float = 0.5,
+) -> DataFrame:
+    """Signature-only near-dup pairs: Jaccard ESTIMATED as the fraction
+    of agreeing minhash values — no shingle-set verification join at
+    all. This is the cheapest tier of the dedup ladder: candidate
+    generation and scoring both run on the fixed-size signatures, so
+    corpus text is scanned exactly once (for signatures) regardless of
+    how many pairs collide. Standard estimator: E[matches/num_hashes] =
+    J(a,b). Output: doc_a, doc_b, jaccard_est (4 dp).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, k, num_hashes)
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"h{b * rows_per_band + j}")
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(num_hashes)), 4).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= min_est)
+    )

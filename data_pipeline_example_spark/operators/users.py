@@ -80,3 +80,22 @@ def value_percentiles(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def value_stats(events: DataFrame) -> DataFrame:
+    """Distribution statistics per event type: sample stddev/variance of
+    value and its correlation with time-of-day (seconds since midnight)
+    — the moment aggregates (all algebraic, map-side combinable).
+    Output: event_type, sd_value, var_value, corr_value_tod."""
+    tod = (
+        F.col("ts").cast("long") % 86400
+    ).cast("double")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+            F.round(F.var_samp("value"), 6).alias("var_value"),
+            F.round(F.corr(F.col("value"), tod), 6).alias("corr_value_tod"),
+        )
+        .orderBy("event_type")
+    )

@@ -544,6 +544,43 @@ JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
 """,
+    "minhash_jaccard_estimates": f"""
+WITH {_SHINGLES},
+hashes AS (
+  SELECT doc_id, r.i AS i,
+         min(substring(md5(CAST(r.i // 4 AS VARCHAR) || ':' || sh),
+                       (r.i % 4) * 8 + 1, 8)) AS h
+  FROM sh, range(0, 16) r(i)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bucket
+  FROM hashes GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT c.doc_a, c.doc_b,
+         count(*) FILTER (ha.h = hb.h) AS matches
+  FROM cand c
+  JOIN hashes ha ON ha.doc_id = c.doc_a
+  JOIN hashes hb ON hb.doc_id = c.doc_b AND hb.i = ha.i
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(matches / 16.0, 4) AS jaccard_est
+FROM m WHERE round(matches / 16.0, 4) >= 0.1
+""",
+    "value_stats": """
+SELECT event_type,
+       round(stddev_samp(value), 6) AS sd_value,
+       round(var_samp(value), 6) AS var_value,
+       round(corr(value, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) % 86400), 6)
+         AS corr_value_tod
+FROM events GROUP BY 1
+""",
     "simhash_signatures": f"""
 WITH {_SIMHASH}
 SELECT doc_id, simhash FROM sigs

@@ -275,6 +275,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
 
 
+def q_minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_jaccard_estimates(
+        load_table(spark, sf_dir, "documents"), min_est=0.1
+    )
+
+
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return users.value_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
 
@@ -354,6 +364,8 @@ QUERIES: dict[str, QueryFn] = {
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_jaccard_estimates": q_minhash_jaccard_estimates,
+    "value_stats": q_value_stats,
     "simhash_signatures": q_simhash_signatures,
     "simhash_pairs": q_simhash_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
