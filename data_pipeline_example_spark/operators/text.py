@@ -106,3 +106,69 @@ def token_counts(documents: DataFrame) -> DataFrame:
         T.token_count(F.col("text")).cast("long").alias("n_words"),
         T.bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
     )
+
+
+def curated_corpus(
+    documents: DataFrame,
+    min_quality: float = 0.05,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """The end-to-end training-data curation query: exact-dedup
+    survivors with enough tokens and acceptable quality, carrying the
+    signals downstream packing/training wants. Composition of the
+    engine's own operators — dedup keep-list via LEFT SEMI join (no row
+    multiplication), stats/quality as bound columns. Output: doc_id,
+    lang, lang_pred, n_tokens, quality.
+    """
+    from data_pipeline_example_spark.operators import dedup
+
+    keep = dedup.exact_dedup(documents).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    stats = doc_stats(documents).select("doc_id", "n_tokens", "quality")
+    langs = lang_predict(documents).select("doc_id", "lang", "lang_pred")
+    return (
+        documents.select("doc_id")
+        .join(keep, "doc_id", "left_semi")
+        .join(stats, "doc_id")
+        .join(langs, "doc_id")
+        .filter((F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens))
+        .select("doc_id", "lang", "lang_pred", "n_tokens", "quality")
+    )
+
+
+def pack_documents(
+    documents: DataFrame, budget: int = 2048, shards: int = 16
+) -> DataFrame:
+    """Deterministic token-budget packing: documents are assigned to
+    fixed-capacity bins by cumulative token offset within a shard —
+    bin = (running token count before this doc) div budget.
+
+    Sharding (doc_id mod ``shards``) keeps the running-sum window
+    parallel: each shard sorts independently, so there is no global
+    sort at any corpus size (shards = O(cluster cores) at 100 TB).
+    Offset-based binning is the streaming-concat approximation of
+    greedy packing: deterministic, single window pass, at most one
+    straddling document per bin boundary. Output: doc_id, shard,
+    bin_id, tok_offset, n_tokens.
+    """
+    from pyspark.sql.window import Window
+
+    toks = documents.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(shards)).cast("int").alias("shard"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "shard",
+        F.floor(offset / budget).cast("long").alias("bin_id"),
+        offset.alias("tok_offset"),
+        "n_tokens",
+    )

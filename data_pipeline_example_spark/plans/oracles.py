@@ -472,6 +472,51 @@ SELECT doc_id, lang,
        END = lang AS INTEGER) AS is_match
 FROM docx
 """,
+    "curated_corpus": f"""
+WITH {_DOC_EXPRS},
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+  ) GROUP BY fp
+)
+SELECT d.doc_id, d.lang,
+       CASE
+         WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+         WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+         WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+         WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+         ELSE 'und'
+       END AS lang_pred,
+       CAST(n_tokens_raw AS BIGINT) AS n_tokens,
+       round(least(n_tokens_raw / 100.0, 1.0)
+             * (1.0 - n_punct_raw * 1.0 / greatest(n_chars_raw, 1))
+             * (0.5 + 0.5 * (c_en * 1.0 / greatest(n_tokens_raw, 1))), 4) AS quality
+FROM docx d
+JOIN keep k ON d.doc_id = k.doc_id
+WHERE round(least(n_tokens_raw / 100.0, 1.0)
+            * (1.0 - n_punct_raw * 1.0 / greatest(n_chars_raw, 1))
+            * (0.5 + 0.5 * (c_en * 1.0 / greatest(n_tokens_raw, 1))), 4) >= 0.05
+  AND n_tokens_raw >= 10
+""",
+    "pack_documents": """
+WITH toks AS (
+  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS shard,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM toks
+)
+SELECT doc_id, shard, CAST(tok_offset // 2048 AS BIGINT) AS bin_id, tok_offset, n_tokens
+FROM off
+""",
     "token_counts": """
 SELECT doc_id,
        CASE WHEN trim(coalesce(text, '')) = '' THEN 0

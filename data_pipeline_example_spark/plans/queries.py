@@ -260,6 +260,14 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_counts(load_table(spark, sf_dir, "documents"))
 
 
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.curated_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pack_documents(load_table(spark, sf_dir, "documents"))
+
+
 # --- dedup extensions ----------------------------------------------------
 
 
@@ -361,6 +369,8 @@ QUERIES: dict[str, QueryFn] = {
     "lang_predict": q_lang_predict,
     "doc_fingerprints": q_doc_fingerprints,
     "token_counts": q_token_counts,
+    "curated_corpus": q_curated_corpus,
+    "pack_documents": q_pack_documents,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
