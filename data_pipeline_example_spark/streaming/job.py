@@ -235,3 +235,47 @@ def running_product_totals(df: DataFrame) -> DataFrame:
     return df.groupBy("product").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def enrich_stream(df: DataFrame, dim: DataFrame, on: str = "product") -> DataFrame:
+    """Stream-static broadcast join: every micro-batch joins against the
+    (re-read) static dimension — no state store, no watermark required;
+    at 100 TB the dim broadcast is per-batch and the stream never
+    shuffles. LEFT join keeps unmatched events (dim gaps must not drop
+    revenue rows)."""
+    return df.join(F.broadcast(dim), on, "left")
+
+
+def join_orders_refunds(
+    orders: DataFrame,
+    refunds: DataFrame,
+    watermark: str = "15 minutes",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join — an operator class the reference has
+    no analog for (T8: no stream-stream joins). A refund matches an
+    order of the same product when it lands within ``horizon`` after the
+    order. Both sides are watermarked and the join condition bounds the
+    event-time range, so each side's state is evicted once the watermark
+    passes order_ts + horizon — bounded state on unbounded streams.
+
+    ``orders``/``refunds`` are conformed frames (product, order_ts,
+    line_amount). Output: product, order_ts, refund_ts, line_amount,
+    refund_amount.
+    """
+    o = orders.select(
+        "product", "order_ts", "line_amount"
+    ).withWatermark("order_ts", watermark)
+    r = refunds.select(
+        F.col("product").alias("r_product"),
+        F.col("order_ts").alias("refund_ts"),
+        F.col("line_amount").alias("refund_amount"),
+    ).withWatermark("refund_ts", watermark)
+    return o.join(
+        r,
+        F.expr(
+            f"product = r_product AND refund_ts >= order_ts "
+            f"AND refund_ts <= order_ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select("product", "order_ts", "refund_ts", "line_amount", "refund_amount")

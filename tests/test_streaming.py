@@ -253,3 +253,70 @@ def test_running_product_totals_accumulate_across_batches(spark, tmp_path):
     ).collect()
     # batch 1 emits total=10, batch 2 emits cumulative total=15
     assert [(r["total"], r["batch_rows"]) for r in rows] == [(10.0, 1), (15.0, 1)]
+
+
+def test_enrich_stream_static_broadcast(spark, tmp_path):
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_dir.mkdir()
+    _write_events(
+        str(in_dir / "b1.json"),
+        [
+            {"product": "A", "event_time": "2025-01-01 10:00:00", "total_price": "10.0"},
+            {"product": "Z", "event_time": "2025-01-01 10:01:00", "total_price": "1.0"},
+        ],
+        time.time(),
+    )
+    dim = spark.createDataFrame([("A", "beverages")], ["product", "category"])
+    raw = job.read_stream(spark, "json", path=str(in_dir))
+    enriched = job.enrich_stream(job.transform_orders(raw), dim)
+    q = (
+        enriched.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["product"]: r["category"] for r in spark.read.parquet(str(out_dir)).collect()}
+    assert rows == {"A": "beverages", "Z": None}  # left join keeps unmatched
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    o_dir, r_dir = tmp_path / "orders", tmp_path / "refunds"
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    o_dir.mkdir(), r_dir.mkdir()
+    _write_events(
+        str(o_dir / "o.json"),
+        [
+            {"product": "A", "event_time": "2025-01-01 10:00:00", "total_price": "10.0"},
+            {"product": "B", "event_time": "2025-01-01 10:00:00", "total_price": "7.0"},
+        ],
+        time.time(),
+    )
+    _write_events(
+        str(r_dir / "r.json"),
+        [
+            # within 1h of A's order → joins
+            {"product": "A", "event_time": "2025-01-01 10:30:00", "total_price": "4.0"},
+            # 2h after B's order → outside the horizon, no match
+            {"product": "B", "event_time": "2025-01-01 12:00:00", "total_price": "1.0"},
+        ],
+        time.time(),
+    )
+    orders = job.transform_orders(job.read_stream(spark, "json", path=str(o_dir)))
+    refunds = job.transform_orders(job.read_stream(spark, "json", path=str(r_dir)))
+    joined = job.join_orders_refunds(orders, refunds)
+    q = (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out_dir)).collect()
+    assert len(rows) == 1
+    assert rows[0]["product"] == "A"
+    assert rows[0]["refund_amount"] == 4.0
