@@ -367,3 +367,369 @@ def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    disc_lo: float = 0.04,
+    disc_hi: float = 0.06,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped: revenue increase from dropping small discounts.
+
+    Single scan, no join, no group key — the canonical predicate-pushdown
+    showcase: all four range predicates reach the parquet scan as
+    PushedFilters, and the global sum is a partial-agg + 1-row exchange.
+    Output: promo_revenue, line_count.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("date"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("date"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "promo_revenue"
+            ),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-shaped: shipping volume between two nations by year.
+
+    The same ``nation`` dimension is joined twice under different roles
+    (supplier nation vs customer nation) — both sides broadcast; the
+    only shuffle is lineitem⋈orders plus the final 4-group aggregate.
+    The OR-of-nation-pairs predicate is applied post-join so Catalyst
+    can still push the date range into the lineitem scan.
+    Output: supp_nation, cust_nation, l_year, revenue.
+    """
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(nation_a, nation_b))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(nation_a, nation_b))
+    supp = supplier.join(
+        F.broadcast(n1), supplier["s_nationkey"] == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n2), customer["c_nationkey"] == F.col("cn_key")
+    ).select("c_custkey", "cust_nation")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("date"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("date"))
+        )
+        .join(F.broadcast(supp), lineitem["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "EUROPE",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8-shaped: a nation's market share inside a region by year.
+
+    share = conditional-sum / total-sum inside one aggregate — no second
+    pass over the data. Five dimension joins, all broadcast; the fact
+    table shuffles once (lineitem⋈orders) then aggregates on year.
+    Output: o_year, mkt_share.
+    """
+    target_parts = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    cust_region = (
+        customer.join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        supplier["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(target_parts), lineitem["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), lineitem["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust_region), orders["o_custkey"] == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, volume).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_fragment: str = "red",
+) -> DataFrame:
+    """TPC-H Q9-shaped: profit on a product line by nation and year.
+
+    (The driver schema has no partsupp, so profit omits the supplycost
+    term — documented deviation.) The LIKE filter prunes part before its
+    broadcast; lineitem shuffles only for lineitem⋈orders and the final
+    aggregate. Output: n_name, o_year, profit.
+    """
+    target_parts = part.filter(F.col("p_name").contains(name_fragment)).select(
+        "p_partkey"
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    return (
+        lineitem.join(
+            F.broadcast(target_parts), lineitem["l_partkey"] == F.col("p_partkey")
+        )
+        .join(F.broadcast(supp_nation), lineitem["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with the maximum quarterly revenue.
+
+    The CTE-with-global-max shape: per-supplier revenue is computed once,
+    its 1-row max is broadcast back, and the equality join keeps ties.
+    Comparing on the *rounded* revenue keeps the winner stable across
+    engines (float sum order). No window-over-unpartitioned-data — a
+    global max scalar stays a 1-row exchange at any scale.
+    Output: s_suppkey, s_name, total_revenue.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("date"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == F.col("mx"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            rev["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def discount_eligible_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-shaped: revenue from OR-of-ANDs brand/size/quantity terms.
+
+    The disjunction of conjunctive range predicates is left as one
+    boolean expression: Catalyst distributes what it can into the scans
+    (p_brand IN (...) and the overall l_quantity envelope are pushable)
+    and evaluates the rest post-join in codegen.
+    Output: disc_revenue, line_count.
+    """
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        lineitem["l_partkey"] == part["p_partkey"],
+    )
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    eligible = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(eligible).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("disc_revenue"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+def shipment_delay_by_priority(
+    lineitem: DataFrame, orders: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q12-shaped (adapted: the driver schema has no shipmode or
+    commit/receipt dates, so lateness = ship date > order date +
+    ``late_days``): conditional line counts per order priority.
+
+    One fact-fact shuffle join, then a 5-group conditional aggregate —
+    the sum(CASE WHEN) split is computed in a single pass.
+    Output: o_orderpriority, late_count, ontime_count.
+    """
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(delay > late_days, 1).otherwise(0)).alias("late_count"),
+            F.sum(F.when(delay <= late_days, 1).otherwise(0)).alias("ontime_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def sole_return_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_4",
+    n: int = 25,
+) -> DataFrame:
+    """TPC-H Q21-shaped (adapted: no receipt/commit dates, so "failed"
+    = the line was returned): suppliers from one nation who were the
+    *only* supplier with a returned line on a finalized multi-supplier
+    order.
+
+    EXISTS → left-semi join, NOT EXISTS → left-anti join, both on
+    orderkey equality + suppkey inequality (Spark plans these as
+    shuffled joins with the residual inequality — no correlated
+    per-row subquery execution). Output: s_name, numwait.
+    """
+    nat_suppliers = supplier.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+        ),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    l1 = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(nat_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3"))
+    )
+    return (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["sk2"]),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1["l_orderkey"] == l3["k3"]) & (l1["l_suppkey"] != l3["sk3"]),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(n)
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q22-shaped (adapted: every driver customer has orders, so
+    "idle" = no *urgent* orders): customers with above-average balances
+    and no urgent orders, rolled up by nation.
+
+    The scalar subquery (global positive-balance average) is a 1-row
+    broadcast cross join — evaluated once, never per row; the NOT EXISTS
+    is a left-anti join on custkey. The average is rounded to 2 dp
+    before the comparison so the cut line is engine-independent.
+    Output: c_nationkey, numcust, totacctbal.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == priority).select("o_custkey"),
+            customer["c_custkey"] == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -405,6 +405,120 @@ JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_quantity < 0.5 * a.avg_qty
 GROUP BY 1
 """,
+    "forecast_revenue": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue,
+       count(*) AS line_count
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount >= 0.04 AND l_discount <= 0.06
+  AND l_quantity < 24.0
+""",
+    "volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+    "market_share": """
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey
+WHERE p.p_type = 'PROMO' AND r.r_name = 'EUROPE'
+GROUP BY 1
+ORDER BY 1
+""",
+    "product_profit": """
+SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+""",
+    "top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+""",
+    "discount_eligible_revenue": """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS disc_revenue,
+       count(*) AS line_count
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    "shipment_delay_by_priority": """
+SELECT o.o_orderpriority,
+       CAST(sum(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 60 THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+       CAST(sum(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY 1
+""",
+    "sole_return_suppliers": """
+SELECT s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l1.l_orderkey = o.o_orderkey
+WHERE l1.l_returnflag = 'R' AND n.n_name = 'NATION_4' AND o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 25
+""",
+    "idle_rich_customers": """
+WITH cut AS (
+  SELECT round(avg(c_acctbal), 2) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, count(*) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, cut
+WHERE c.c_acctbal > cut.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+ORDER BY 1
+""",
     "day_over_day_revenue": f"""
 WITH {_RETAIL},
 daily AS (

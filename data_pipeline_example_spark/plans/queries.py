@@ -221,6 +221,75 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.volume_shipping(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.product_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.top_supplier(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    )
+
+
+def q_discount_eligible_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.discount_eligible_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_shipment_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.shipment_delay_by_priority(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.sole_return_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.idle_rich_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
 def q_day_over_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retail.day_over_day_revenue(retail.daily_revenue(_events_retail(spark, sf_dir)))
 
@@ -362,6 +431,15 @@ QUERIES: dict[str, QueryFn] = {
     "high_value_retained": q_high_value_retained,
     "user_cardinality_exact": q_user_cardinality_exact,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "forecast_revenue": q_forecast_revenue,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "top_supplier": q_top_supplier,
+    "discount_eligible_revenue": q_discount_eligible_revenue,
+    "shipment_delay_by_priority": q_shipment_delay_by_priority,
+    "sole_return_suppliers": q_sole_return_suppliers,
+    "idle_rich_customers": q_idle_rich_customers,
     "day_over_day_revenue": q_day_over_day_revenue,
     "value_percentiles": q_value_percentiles,
     "doc_stats": q_doc_stats,

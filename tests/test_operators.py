@@ -9,7 +9,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from data_pipeline_example_spark.operators import multimodal, retail, text, windows
+from data_pipeline_example_spark.operators import multimodal, retail, text, tpch, windows
 
 
 @pytest.fixture(scope="module")
@@ -214,3 +214,103 @@ def test_revenue_rollup_levels(spark):
     assert rows[("2024-01-01", "A")] == 1.0
     assert rows[("2024-01-01", None)] == 3.0   # per-date subtotal
     assert rows[("None", None)] == 7.0 or rows.get((None, None)) == 7.0  # grand total
+
+
+def test_forecast_revenue_filters(spark):
+    d = datetime.datetime
+    li = spark.createDataFrame(
+        [
+            # in window, eligible: 100 * 0.05 = 5.0
+            (d(1997, 6, 1), 0.05, 10.0, 100.0),
+            # discount out of band
+            (d(1997, 6, 1), 0.09, 10.0, 100.0),
+            # quantity too big
+            (d(1997, 6, 1), 0.05, 30.0, 100.0),
+            # shipped outside window
+            (d(1998, 6, 1), 0.05, 10.0, 100.0),
+        ],
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    row = tpch.forecast_revenue(li).collect()[0]
+    assert row["promo_revenue"] == 5.0
+    assert row["line_count"] == 1
+
+
+def test_top_supplier_keeps_ties(spark):
+    d = datetime.datetime
+    li = spark.createDataFrame(
+        [
+            (d(1997, 2, 1), 1, 100.0, 0.0),
+            (d(1997, 2, 1), 2, 60.0, 0.0),
+            (d(1997, 2, 1), 2, 40.0, 0.0),
+            (d(1997, 2, 1), 3, 10.0, 0.0),
+        ],
+        ["l_shipdate", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s3")], ["s_suppkey", "s_name"]
+    )
+    got = [(r["s_suppkey"], r["total_revenue"])
+           for r in tpch.top_supplier(li, supp).collect()]
+    assert got == [(1, 100.0), (2, 100.0)]
+
+
+def test_sole_return_suppliers_exists_not_exists(spark):
+    li = spark.createDataFrame(
+        [
+            # order 10: supplier 1 returned, supplier 2 not → blamed
+            (10, 1, "R"), (10, 2, "N"),
+            # order 20: suppliers 1 and 2 both returned → nobody blamed
+            (20, 1, "R"), (20, 2, "R"),
+            # order 30: single-supplier order → EXISTS fails, not counted
+            (30, 1, "R"),
+        ],
+        ["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+    orders = spark.createDataFrame(
+        [(10, "F"), (20, "F"), (30, "F")], ["o_orderkey", "o_orderstatus"]
+    )
+    supp = spark.createDataFrame(
+        [(1, "s1", 0), (2, "s2", 0)], ["s_suppkey", "s_name", "s_nationkey"]
+    )
+    nat = spark.createDataFrame([(0, "NATION_4")], ["n_nationkey", "n_name"])
+    got = {r["s_name"]: r["numwait"]
+           for r in tpch.sole_return_suppliers(li, orders, supp, nat).collect()}
+    assert got == {"s1": 1}
+
+
+def test_idle_rich_customers_scalar_cut_and_anti_join(spark):
+    cust = spark.createDataFrame(
+        [(1, 0, 100.0), (2, 0, 900.0), (3, 1, 800.0), (4, 1, -50.0)],
+        ["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    # avg positive balance = 600.00; customers 2 (urgent order) and 3 qualify
+    orders = spark.createDataFrame(
+        [(2, "1-URGENT"), (3, "5-LOW")], ["o_custkey", "o_orderpriority"]
+    )
+    got = {r["c_nationkey"]: (r["numcust"], r["totacctbal"])
+           for r in tpch.idle_rich_customers(cust, orders).collect()}
+    assert got == {1: (1, 800.0)}
+
+
+def test_market_share_conditional_ratio(spark):
+    d = datetime.datetime
+    li = spark.createDataFrame(
+        [(1, 1, 1, 100.0, 0.0), (1, 2, 1, 300.0, 0.0)],
+        ["l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+    orders = spark.createDataFrame(
+        [(1, 1, d(1996, 5, 1))], ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = spark.createDataFrame([(1, 7)], ["c_custkey", "c_nationkey"])
+    supp = spark.createDataFrame(
+        [(1, 3), (2, 8)], ["s_suppkey", "s_nationkey"]
+    )
+    nat = spark.createDataFrame(
+        [(3, "NATION_3", 0), (7, "NATION_7", 0), (8, "NATION_8", 0)],
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = spark.createDataFrame([(0, "EUROPE")], ["r_regionkey", "r_name"])
+    part = spark.createDataFrame([(1, "PROMO")], ["p_partkey", "p_type"])
+    got = tpch.market_share(li, orders, cust, supp, nat, reg, part).collect()
+    assert [(r["o_year"], r["mkt_share"]) for r in got] == [(1996, 0.25)]
