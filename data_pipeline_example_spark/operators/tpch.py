@@ -733,3 +733,54 @@ def idle_rich_customers(
         )
         .orderBy("c_nationkey")
     )
+
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def priority_revenue_pivot(orders: DataFrame) -> DataFrame:
+    """PIVOT — order revenue by year (rows) × order priority (columns).
+
+    The pivot values are passed explicitly so Spark skips the extra
+    distinct-values job and the output schema is static (required for
+    the oracle and for any downstream consumer at scale).
+    Output: o_year, one column per priority.
+    """
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .orderBy("o_year")
+    )
+
+
+def customer_spend_distribution(orders: DataFrame, n: int = 50) -> DataFrame:
+    """Distribution window functions — each top customer's percent_rank
+    and cume_dist over total spend.
+
+    The global window runs over the *per-customer aggregate* (|customers|
+    rows), never raw orders — at 100 TB the aggregate output is what a
+    single-partition ranking window can safely hold; percentiles over
+    raw facts would use approx quantiles instead. Ranks are computed on
+    the rounded spend so ties agree across engines. Output: c_custkey,
+    total_spend, spend_pct_rank, spend_cume_dist.
+    """
+    from pyspark.sql.window import Window
+
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.orderBy("total_spend")
+    return (
+        spend.withColumn("spend_pct_rank", F.round(F.percent_rank().over(w), 6))
+        .withColumn("spend_cume_dist", F.round(F.cume_dist().over(w), 6))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "total_spend",
+            "spend_pct_rank",
+            "spend_cume_dist",
+        )
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(n)
+    )

@@ -99,3 +99,95 @@ def value_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def value_histogram(
+    events: DataFrame, step: float = 50.0, n_buckets: int = 10
+) -> DataFrame:
+    """Fixed-width histogram of event values — width-bucket binning via
+    portable arithmetic (``floor(value/step)`` clamped to the last
+    bucket) so Spark and the oracle compute identical bucket ids.
+    Single scan, |buckets| groups. Output: bucket, bucket_lo, n,
+    total_value.
+    """
+    bucket = F.least(
+        F.floor(F.col("value") / step), F.lit(n_buckets - 1)
+    ).cast("int")
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .withColumn("bucket_lo", F.round(F.col("bucket") * step, 2))
+        .select("bucket", "bucket_lo", "n", "total_value")
+        .orderBy("bucket")
+    )
+
+
+def hash_split_summary(
+    events: DataFrame, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the
+    training-data-pipeline staple. The split is a pure function of the
+    row id (md5 of the id string, first 4 hex digits mod 100), so it is
+    stable across runs, engines, partitionings, and cluster sizes — no
+    RNG, no sampleBy. Output: split, n, total_value.
+    """
+    pct = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(pct < train_pct, "train")
+        .when(pct < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        events.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("split")
+    )
+
+
+def events_profile(events: DataFrame) -> DataFrame:
+    """Per-column data-quality profile (null count + exact distinct
+    count) in ONE pass over the table: a single multi-expression
+    aggregate, then ``stack`` to long form — never one job per column.
+    Output: col_name, null_count, distinct_count.
+    """
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    wide = events.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', {c}__nulls, {c}__distinct" for c in cols)
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) AS (col_name, null_count, distinct_count)"
+        )
+    ).orderBy("col_name")
+
+
+def props_key_stats(events: DataFrame) -> DataFrame:
+    """JSON property extraction — pull ``$.k`` out of the ``props``
+    JSON string column and aggregate by its decile. The extraction is a
+    built-in JSON-path expression (JVM-side, codegen), not a UDF.
+    Output: k_decile, n, avg_k, total_value.
+    """
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.filter(k.isNotNull())
+        .groupBy(F.floor(k / 10).cast("int").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 4).alias(
+                "avg_k"
+            ),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("k_decile")
+    )

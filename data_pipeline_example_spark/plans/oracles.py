@@ -519,6 +519,103 @@ WHERE c.c_acctbal > cut.avg_bal
 GROUP BY 1
 ORDER BY 1
 """,
+    "asof_last_view": """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'view'
+)
+SELECT purchase_id, user_id, purchase_ts, asof_view_id, asof_view_ts, gap_s
+FROM (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+         v.event_id AS asof_view_id, v.ts AS asof_view_ts,
+         CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_s,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+) WHERE rn = 1
+""",
+    "priority_revenue_pivot": """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",
+       round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS "2-HIGH",
+       round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS "3-MEDIUM",
+       round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
+       round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
+    "customer_spend_distribution": """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey, round(sum(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY 1
+)
+SELECT c_custkey, total_spend,
+       round(percent_rank() OVER (ORDER BY total_spend), 6) AS spend_pct_rank,
+       round(cume_dist() OVER (ORDER BY total_spend), 6) AS spend_cume_dist
+FROM spend
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 50
+""",
+    "value_histogram": """
+SELECT CAST(least(floor(value / 50.0), 9) AS INTEGER) AS bucket,
+       round(CAST(least(floor(value / 50.0), 9) AS INTEGER) * CAST(50.0 AS DOUBLE), 2) AS bucket_lo,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1
+""",
+    "hash_split_summary": """
+SELECT CASE WHEN pct < 80 THEN 'train'
+            WHEN pct < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM (
+  SELECT ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS pct,
+         value
+  FROM events
+)
+GROUP BY 1
+ORDER BY 1
+""",
+    "events_profile": """
+SELECT 'event_id' AS col_name,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS distinct_count
+FROM events
+UNION ALL
+SELECT 'ts', CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CAST(ts AS TIMESTAMP)) AS BIGINT) FROM events
+UNION ALL
+SELECT 'user_id', CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'event_type', CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT) FROM events
+UNION ALL
+SELECT 'props', CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT) FROM events
+ORDER BY col_name
+""",
+    "props_key_stats": """
+SELECT CAST(floor(TRY_CAST(props->>'k' AS INTEGER) / 10.0) AS INTEGER) AS k_decile,
+       count(*) AS n,
+       round(avg(TRY_CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE TRY_CAST(props->>'k' AS INTEGER) IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+""",
     "day_over_day_revenue": f"""
 WITH {_RETAIL},
 daily AS (

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_example_spark.operators import (
+    asof,
     dedup,
     multimodal,
     retail,
@@ -290,6 +291,34 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof.asof_join_events(load_table(spark, sf_dir, "events"))
+
+
+def q_priority_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.priority_revenue_pivot(load_table(spark, sf_dir, "orders"))
+
+
+def q_customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.customer_spend_distribution(load_table(spark, sf_dir, "orders"))
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return users.value_histogram(load_table(spark, sf_dir, "events"))
+
+
+def q_hash_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return users.hash_split_summary(load_table(spark, sf_dir, "events"))
+
+
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return users.events_profile(load_table(spark, sf_dir, "events"))
+
+
+def q_props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return users.props_key_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_day_over_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retail.day_over_day_revenue(retail.daily_revenue(_events_retail(spark, sf_dir)))
 
@@ -440,6 +469,13 @@ QUERIES: dict[str, QueryFn] = {
     "shipment_delay_by_priority": q_shipment_delay_by_priority,
     "sole_return_suppliers": q_sole_return_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
+    "asof_last_view": q_asof_last_view,
+    "priority_revenue_pivot": q_priority_revenue_pivot,
+    "customer_spend_distribution": q_customer_spend_distribution,
+    "value_histogram": q_value_histogram,
+    "hash_split_summary": q_hash_split_summary,
+    "events_profile": q_events_profile,
+    "props_key_stats": q_props_key_stats,
     "day_over_day_revenue": q_day_over_day_revenue,
     "value_percentiles": q_value_percentiles,
     "doc_stats": q_doc_stats,

@@ -314,3 +314,50 @@ def test_market_share_conditional_ratio(spark):
     part = spark.createDataFrame([(1, "PROMO")], ["p_partkey", "p_type"])
     got = tpch.market_share(li, orders, cust, supp, nat, reg, part).collect()
     assert [(r["o_year"], r["mkt_share"]) for r in got] == [(1996, 0.25)]
+
+
+def test_asof_join_semantics(spark):
+    from data_pipeline_example_spark.operators import asof
+
+    d = datetime.datetime
+    events = spark.createDataFrame(
+        [
+            # user 1: view at 10:00, purchase at 10:05 → matched
+            (1, d(2024, 1, 1, 10, 0), 1, "view", 0.0, ""),
+            (2, d(2024, 1, 1, 10, 5), 1, "purchase", 9.0, ""),
+            # user 1: second purchase still sees the 10:00 view
+            (3, d(2024, 1, 1, 11, 0), 1, "purchase", 9.0, ""),
+            # user 2: purchase with NO prior view → nulls
+            (4, d(2024, 1, 1, 9, 0), 2, "purchase", 9.0, ""),
+            (5, d(2024, 1, 1, 9, 30), 2, "view", 0.0, ""),
+            # user 3: view at the SAME instant as the purchase → visible
+            # (<= semantics); two same-ts views tie-break to higher id
+            (6, d(2024, 1, 1, 8, 0), 3, "view", 0.0, ""),
+            (7, d(2024, 1, 1, 8, 0), 3, "view", 0.0, ""),
+            (8, d(2024, 1, 1, 8, 0), 3, "purchase", 9.0, ""),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    got = {r["purchase_id"]: (r["asof_view_id"], r["gap_s"])
+           for r in asof.asof_join_events(events).collect()}
+    assert got == {2: (1, 300), 3: (1, 3600), 4: (None, None), 8: (7, 0)}
+
+
+def test_hash_split_is_deterministic_and_total(spark, sf_dir):
+    from data_pipeline_example_spark.operators import users as users_ops
+    from data_pipeline_example_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    rows = {r["split"]: r["n"] for r in users_ops.hash_split_summary(events).collect()}
+    again = {r["split"]: r["n"] for r in users_ops.hash_split_summary(events).collect()}
+    assert rows == again
+    assert sum(rows.values()) == events.count()
+    # roughly 80/10/10 at sf0.001 (600 events) — loose sanity bound
+    assert rows["train"] > rows["val"] and rows["train"] > rows["test"]
+
+
+def test_priority_pivot_columns_static(spark, sf_dir):
+    from data_pipeline_example_spark.sources import load_table
+
+    out = tpch.priority_revenue_pivot(load_table(spark, sf_dir, "orders"))
+    assert out.columns == ["o_year"] + tpch.PRIORITIES
