@@ -34,6 +34,9 @@ HEADLINE = [
     "brand_volume",
     "customer_order_distribution",
     "large_orders",
+    "market_share",
+    "sole_return_suppliers",
+    "asof_last_view",
     "doc_stats",
     "exact_dedup",
     "minhash_lsh_pairs",

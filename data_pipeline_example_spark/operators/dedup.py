@@ -405,3 +405,80 @@ def minhash_jaccard_estimates(
         )
         .filter(F.col("jaccard_est") >= min_est)
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph — the step that
+    turns pairwise similarity (jaccard/minhash/simhash/cosine pairs)
+    into dedup decisions.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round it adopts the minimum label among itself and its
+    neighbors. Converges in O(graph diameter) rounds — near-dup
+    clusters are dense and shallow, so a handful of rounds suffices.
+    Each round is one keyed join + aggregate (no driver-side graph);
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    doesn't replay rounds 1..N-1. At cluster scale, swap in a reliable
+    checkpoint dir; the algorithm itself (label propagation over edge
+    joins) is how GraphX/GraphFrames run CC on Spark.
+
+    Output: doc_id, cluster_id (= min doc_id reachable) for every doc
+    that appears in at least one pair.
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("p"), "doc_id")
+            .filter(F.col("n.label") != F.col("p.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_summary(documents: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Corpus-level dedup outcome: keep the cluster representative
+    (min doc_id) from every near-dup cluster plus all unclustered docs.
+
+    Two 1-row aggregates cross-joined — no per-doc output, so the
+    result size is constant at any corpus scale.
+    Output: n_docs, n_kept, n_removed.
+    """
+    removed = clusters.agg(
+        F.coalesce(
+            F.sum((F.col("doc_id") != F.col("cluster_id")).cast("long")), F.lit(0)
+        ).alias("n_removed")
+    )
+    total = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    return total.crossJoin(F.broadcast(removed)).select(
+        "n_docs",
+        (F.col("n_docs") - F.col("n_removed")).alias("n_kept"),
+        "n_removed",
+    )

@@ -769,6 +769,59 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
 """,
+    "dedup_clusters": f"""
+WITH RECURSIVE {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT DISTINCT a AS doc_id, a AS label FROM edges
+  UNION
+  SELECT e.a, cc.label FROM edges e JOIN cc ON cc.doc_id = e.b
+)
+SELECT doc_id, min(label) AS cluster_id FROM cc GROUP BY 1
+""",
+    "dedup_summary": f"""
+WITH RECURSIVE {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT DISTINCT a AS doc_id, a AS label FROM edges
+  UNION
+  SELECT e.a, cc.label FROM edges e JOIN cc ON cc.doc_id = e.b
+),
+clusters AS (SELECT doc_id, min(label) AS cluster_id FROM cc GROUP BY 1)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(*) FROM documents)
+         - coalesce(CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_kept,
+       coalesce(CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_removed
+FROM clusters
+""",
     "minhash_lsh_pairs": f"""
 WITH {_SHINGLES},
 hashes AS (

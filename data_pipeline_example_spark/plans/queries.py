@@ -377,6 +377,19 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(
+        dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+    )
+
+
+def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_summary(
+        docs, dedup.dedup_clusters(dedup.jaccard_pairs(docs, threshold=0.1))
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
 
@@ -487,6 +500,8 @@ QUERIES: dict[str, QueryFn] = {
     "pack_documents": q_pack_documents,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_summary": q_dedup_summary,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_jaccard_estimates": q_minhash_jaccard_estimates,
     "value_stats": q_value_stats,

@@ -92,3 +92,88 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str,
+    target_rows_per_file: int,
+) -> dict[str, int]:
+    """Small-file compaction — the standing maintenance job any
+    long-running partitioned sink needs (streaming sinks and frequent
+    dynamic overwrites accrete many small files; at 100 TB, scan cost is
+    dominated by file-open overhead once files drop below ~tens of MB).
+
+    Rewrites each partition into ``ceil(rows / target_rows_per_file)``
+    files: one pass to count rows per partition, then a salted
+    repartition + dynamic-overwrite write, so only partitions present in
+    the data are touched and readers never see a half-compacted
+    directory (parquet commit protocol). Row-count is used as the size
+    proxy here; a production job would target bytes
+    (``spark.sql.files.maxPartitionBytes``-sized outputs).
+
+    Returns {partition_value: n_files_written} for observability.
+    """
+    import math
+
+    # localCheckpoint materializes the input before the overwrite —
+    # Spark (correctly) refuses to overwrite a path it is still reading;
+    # a production job at scale writes to a temp dir and swaps instead.
+    df = spark.read.parquet(path).localCheckpoint()
+    counts = {
+        str(r["p"]): r["n"]
+        for r in df.groupBy(F.col(partition_col).alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    max_files = max(
+        math.ceil(n / target_rows_per_file) for n in counts.values()
+    ) if counts else 1
+    write_partitioned_parquet(
+        df, path, partition_col=partition_col, partition_file_target=max_files
+    )
+    return {
+        p: min(math.ceil(n / target_rows_per_file), n) for p, n in counts.items()
+    }
+
+
+def upsert_partitioned(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    order_col: str | None = None,
+) -> None:
+    """Upsert-by-rewrite into a partitioned parquet dataset — MERGE
+    semantics without a table format: new keys insert, existing keys are
+    replaced by the update row.
+
+    Only the partitions present in ``updates`` are read back and
+    rewritten (partition pruning on the read + dynamic partition
+    overwrite on the write); untouched partitions are never opened. The
+    winner per key is picked with a row_number window over
+    (key, is_update desc [, order_col desc]) — one shuffle on the key.
+    At 100 TB this is the idiomatic parquet-only pattern; a table format
+    (Delta/Iceberg/Hudi) replaces the rewrite with a metadata commit but
+    the dataflow is the same.
+    """
+    from pyspark.sql.window import Window
+
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    existing = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    tagged = existing.withColumn("__is_update", F.lit(0)).unionByName(
+        updates.withColumn("__is_update", F.lit(1))
+    )
+    order = [F.desc("__is_update")] + (
+        [F.desc(order_col)] if order_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    merged = (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__is_update", "__rn")
+        .localCheckpoint()  # see compact_partitions: can't overwrite a read path
+    )
+    write_partitioned_parquet(merged, path, partition_col=partition_col)

@@ -139,3 +139,37 @@ def test_cosine_dup_blocked_subset_of_brute(spark, sf_dir):
         for r in similarity.cosine_dup_pairs_blocked(emb, 0.3).collect()
     }
     assert blocked <= brute  # precision exact, recall approximate
+
+
+def test_dedup_clusters_chain_and_summary(spark):
+    from data_pipeline_example_spark.operators import dedup as dd
+
+    # chain 1-2-3-4 needs multiple propagation rounds; 10-11 is separate
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dd.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(20)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    row = dd.dedup_summary(docs, dd.dedup_clusters(pairs)).collect()[0]
+    # 20 docs, clusters keep 1 and 10, drop 2,3,4,11
+    assert (row["n_docs"], row["n_kept"], row["n_removed"]) == (20, 16, 4)
+
+
+def test_dedup_clusters_empty_graph(spark):
+    from data_pipeline_example_spark.operators import dedup as dd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("doc_a", LongType()), StructField("doc_b", LongType())])
+    )
+    assert dd.dedup_clusters(empty).count() == 0
+    docs = spark.createDataFrame(
+        [(1, "t", "en", "s", 1)], ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    row = dd.dedup_summary(docs, dd.dedup_clusters(empty)).collect()[0]
+    assert (row["n_docs"], row["n_kept"], row["n_removed"]) == (1, 1, 0)

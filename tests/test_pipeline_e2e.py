@@ -8,6 +8,8 @@ import random
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from data_pipeline_example_spark.pipeline import run_batch_pipeline
 
 PRODUCTS = ["Masala Dosa", "Idli", "Vada", "Filter Coffee", "Upma"]
@@ -115,3 +117,52 @@ def test_observation_metrics_report_drops(spark, tmp_path):
     result = run_batch_pipeline(spark, str(in_dir), str(tmp_path / "out"))
     assert result.observed_metrics["invalid_dates"] == 1
     assert result.observed_metrics["null_amounts"] == 1
+
+
+def test_compact_partitions_reduces_files(spark, tmp_path):
+    import glob
+
+    from data_pipeline_example_spark import sinks
+
+    out = str(tmp_path / "compact")
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02") for i in range(100)],
+        ["day", "k", "v"],
+    )
+    # 20 writer tasks → many small files per partition
+    df.repartition(20).write.partitionBy("day").parquet(out)
+    before = len(glob.glob(f"{out}/day=*/*.parquet"))
+    assert before > 2
+
+    written = sinks.compact_partitions(spark, out, "day", target_rows_per_file=100)
+    after = len(glob.glob(f"{out}/day=*/*.parquet"))
+    assert after < before
+    assert written == {"2024-01-01": 1, "2024-01-02": 1}
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(100))
+
+
+def test_upsert_partitioned_merge_semantics(spark, tmp_path):
+    from data_pipeline_example_spark import sinks
+
+    out = str(tmp_path / "upsert")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, "old"), ("2024-01-01", 2, "old"), ("2024-01-02", 3, "old")],
+        ["day", "k", "v"],
+    )
+    base.write.partitionBy("day").parquet(out)
+
+    updates = spark.createDataFrame(
+        [("2024-01-01", 2, "new"), ("2024-01-01", 9, "new")], ["day", "k", "v"]
+    )
+    sinks.upsert_partitioned(spark, out, updates, key_cols=["day", "k"], partition_col="day")
+
+    # partition values come back type-inferred (date), so compare on str
+    got = {(str(r["day"]), r["k"]): r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("2024-01-01", 1): "old",   # untouched key in touched partition
+        ("2024-01-01", 2): "new",   # replaced
+        ("2024-01-01", 9): "new",   # inserted
+        ("2024-01-02", 3): "old",   # untouched partition never rewritten
+    }
