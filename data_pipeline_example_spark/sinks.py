@@ -160,9 +160,17 @@ def upsert_partitioned(
     the dataflow is the same.
     """
     from pyspark.sql.window import Window
+    from pyspark.errors import AnalysisException
+
+    try:
+        target = spark.read.parquet(path)
+    except AnalysisException:
+        # first write — nothing to merge against
+        write_partitioned_parquet(updates, path, partition_col=partition_col)
+        return
 
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    existing = spark.read.parquet(path).filter(F.col(partition_col).isin(touched))
+    existing = target.filter(F.col(partition_col).isin(touched))
     tagged = existing.withColumn("__is_update", F.lit(0)).unionByName(
         updates.withColumn("__is_update", F.lit(1))
     )
@@ -177,3 +185,14 @@ def upsert_partitioned(
         .localCheckpoint()  # see compact_partitions: can't overwrite a read path
     )
     write_partitioned_parquet(merged, path, partition_col=partition_col)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (one object per row) — the interchange twin of
+    the Kafka producer payloads (`kafka_event_producer.py:119-120`)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC columnar sink — same write contract as the parquet sinks."""
+    df.write.mode("overwrite").orc(path)

@@ -3,6 +3,8 @@ from data_pipeline_example_spark.sources.tables import (
     load_table,
     load_tables,
     read_csv_dir,
+    read_json_dir,
+    read_orc_dir,
     wait_for_input_files,
 )
 
@@ -11,5 +13,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_csv_dir",
+    "read_json_dir",
+    "read_orc_dir",
     "wait_for_input_files",
 ]

@@ -122,3 +122,27 @@ def wait_for_input_files(
         if time.monotonic() >= deadline:
             raise TimeoutError(f"no input files matched {pattern!r} within {timeout_s}s")
         time.sleep(poll_s)
+
+
+def read_json_dir(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """JSON-lines directory scan (the batch twin of the streaming S4
+    decode path). Always pass a ``schema`` in production: schema
+    inference reads the whole dataset once before the real scan — at
+    100 TB that doubles the job. Unknown keys are dropped, missing keys
+    are null, matching `streaming_sales_aggregator.py:187-200`'s
+    tolerant contract.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc_dir(spark: SparkSession, path: str) -> DataFrame:
+    """ORC dataset scan — same columnar pushdown/pruning contract as
+    parquet (S5) for shops standardized on ORC."""
+    return spark.read.orc(path)

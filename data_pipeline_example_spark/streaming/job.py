@@ -279,3 +279,46 @@ def join_orders_refunds(
         ),
         "inner",
     ).select("product", "order_ts", "refund_ts", "line_amount", "refund_amount")
+
+
+def write_stream_upsert(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    partition_col: str,
+    order_col: str | None = None,
+):
+    """foreachBatch upsert sink — MERGE semantics for a stream without a
+    table format. Each micro-batch runs `sinks.upsert_partitioned`: new
+    keys insert, re-delivered or corrected keys replace their previous
+    row, and only partitions present in the batch are rewritten.
+
+    This is the idiomatic Spark pattern for sinks the built-in writers
+    can't express (upserts, JDBC merges, multi-sink fan-out): foreachBatch
+    hands the micro-batch over as a *batch* DataFrame with exactly-once
+    bookkeeping from the checkpoint. Replays after a crash re-run the
+    same epoch, and the per-key rewrite makes the replay idempotent —
+    the end-to-end contract is effectively exactly-once even though
+    foreachBatch itself is at-least-once.
+    """
+    from data_pipeline_example_spark import sinks
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sinks.upsert_partitioned(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            key_cols=key_cols,
+            partition_col=partition_col,
+            order_col=order_col,
+        )
+
+    return (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -36,3 +36,26 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = _executed_plan(QUERIES["top_revenue_orders"](spark, SF))
     assert "PushedFilters" in plan
     assert "o_orderdate" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_forecast_revenue_pushes_all_range_filters(spark):
+    plan = _executed_plan(QUERIES["forecast_revenue"](spark, SF))
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to the lineitem scan"
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    plan = _executed_plan(QUERIES["market_share"](spark, SF))
+    # part, supplier+nation, customer+nation+region all broadcast; the
+    # only shuffle joins involve the two fact tables
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_asof_join_single_shuffle_no_pairs_blowup(spark):
+    plan = _executed_plan(QUERIES["asof_last_view"](spark, SF))
+    # union trick: a window over (user_id, ts) — never a range join
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2

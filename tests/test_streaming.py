@@ -320,3 +320,39 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["product"] == "A"
     assert rows[0]["refund_amount"] == 4.0
+
+
+def test_stream_upsert_sink_merges_batches(spark, tmp_path):
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_dir.mkdir()
+    # batch 1: two products on one day
+    _write_events(
+        str(in_dir / "b1.json"),
+        [
+            {"product": "A", "event_time": "2025-01-01 10:00:00", "total_price": "10.0"},
+            {"product": "B", "event_time": "2025-01-01 11:00:00", "total_price": "5.0"},
+        ],
+        time.time() - 20,
+    )
+    # batch 2: corrects A's price and adds a second day
+    _write_events(
+        str(in_dir / "b2.json"),
+        [
+            {"product": "A", "event_time": "2025-01-01 10:00:00", "total_price": "99.0"},
+            {"product": "C", "event_time": "2025-01-02 09:00:00", "total_price": "7.0"},
+        ],
+        time.time() - 10,
+    )
+    raw = job.read_stream(spark, "json", path=str(in_dir), max_files_per_trigger=1)
+    conformed = job.transform_orders(raw)
+    q = job.write_stream_upsert(
+        conformed,
+        str(out_dir),
+        str(ckpt),
+        key_cols=["product", "order_ts"],
+        partition_col="order_date",
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(out_dir))
+    got = {r["product"]: r["line_amount"] for r in out.collect()}
+    assert got == {"A": 99.0, "B": 5.0, "C": 7.0}  # A replaced, not duplicated
