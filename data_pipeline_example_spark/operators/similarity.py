@@ -334,3 +334,31 @@ def ivf_knn(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def embedding_centroids(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """Per-bucket centroid statistics over the embedding column — the
+    aggregate-a-vector-column pattern (mean vector per group), expressed
+    as posexplode → per-component avg → recompose. Component averages
+    are rounded to 6 dp before the norm so cross-engine float-sum order
+    can't flip the result. Shuffles carry (bucket, pos, partial-sum)
+    triples, never whole vectors. Output: bucket, n_vecs, centroid_norm.
+    """
+    ex = _as_double(embeddings).select(
+        (F.col("vec_id") % k).alias("bucket"),
+        F.posexplode("v").alias("pos", "val"),
+    )
+    comp = ex.groupBy("bucket", "pos").agg(F.round(F.avg("val"), 6).alias("m"))
+    norms = comp.groupBy("bucket").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
+    )
+    counts = (
+        _as_double(embeddings)
+        .groupBy((F.col("vec_id") % k).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    return (
+        counts.join(norms, "bucket")
+        .select("bucket", "n_vecs", "centroid_norm")
+        .orderBy("bucket")
+    )

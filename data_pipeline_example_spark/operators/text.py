@@ -172,3 +172,67 @@ def pack_documents(
         offset.alias("tok_offset"),
         "n_tokens",
     )
+
+
+def top_bigrams(documents: DataFrame, n: int = 50) -> DataFrame:
+    """Corpus-level bigram frequency table, top-``n`` — n-gram statistics
+    with *occurrence* counts (unlike the dedup shingles, which are
+    per-doc distinct sets).
+
+    The pair construction is a pure array expression (slice + indexed
+    transform) — no UDF, no self-join; one explode then one count
+    aggregate keyed on the bigram string. Ties rank alphabetically so
+    top-k is deterministic. Output: bigram, n_occurrences.
+    """
+    t = T.tokens(F.lower(F.col("text")))
+    bigrams = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+    )
+    return (
+        documents.select(t.alias("t"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(n)
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, top_per_doc: int = 3) -> DataFrame:
+    """Per-document top TF-IDF terms — classic term-importance scoring.
+
+    tf and df come from one tokenize→explode→two-aggregate pass; N (the
+    corpus size) is a 1-row broadcast, never a driver-side constant. The
+    tf⋈df join keys on the term — vocabulary-sized, so it stays a
+    shuffle join (a 100 TB corpus has a vocabulary too big to
+    broadcast). idf is rounded to 6 dp *before* entering the score so
+    both engines rank on identical numbers; per-doc ranking breaks score
+    ties alphabetically. Output: doc_id, term, tf, idf, score.
+    """
+    from pyspark.sql.window import Window
+
+    exploded = documents.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n"))
+    idf = F.round(F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6)
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            idf.alias("idf"),
+            F.round(F.col("tf") * idf, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_per_doc)
+        .drop("rn")
+    )

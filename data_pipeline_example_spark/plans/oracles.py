@@ -769,6 +769,60 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
 """,
+    "top_bigrams": """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n_occurrences
+FROM bg
+GROUP BY 1
+ORDER BY n_occurrences DESC, bigram ASC
+LIMIT 50
+""",
+    "tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(ln((n.n + 1.0) / (df.df + 1.0)), 6) AS idf,
+         round(tf.tf * round(ln((n.n + 1.0) / (df.df + 1.0)), 6), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, idf, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+    "embedding_centroids": f"""
+WITH {_VECS},
+ex AS (
+  SELECT vec_id % 8 AS bucket,
+         unnest(range(1, len(v) + 1)) AS pos,
+         unnest(v) AS val
+  FROM e
+),
+comp AS (
+  SELECT bucket, pos, round(avg(val), 6) AS m FROM ex GROUP BY 1, 2
+),
+counts AS (SELECT vec_id % 8 AS bucket, count(*) AS n_vecs FROM e GROUP BY 1)
+SELECT c.bucket, counts.n_vecs, round(sqrt(sum(c.m * c.m)), 6) AS centroid_norm
+FROM comp c JOIN counts USING (bucket)
+GROUP BY 1, 2
+ORDER BY 1
+""",
     "dedup_clusters": f"""
 WITH RECURSIVE {_SHINGLES},
 inter AS (

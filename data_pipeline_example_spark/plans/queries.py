@@ -369,6 +369,18 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dedup extensions ----------------------------------------------------
 
 
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.top_bigrams(load_table(spark, sf_dir, "documents"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -498,6 +510,9 @@ QUERIES: dict[str, QueryFn] = {
     "token_counts": q_token_counts,
     "curated_corpus": q_curated_corpus,
     "pack_documents": q_pack_documents,
+    "top_bigrams": q_top_bigrams,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "embedding_centroids": q_embedding_centroids,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,

@@ -173,3 +173,50 @@ def test_dedup_clusters_empty_graph(spark):
     )
     row = dd.dedup_summary(docs, dd.dedup_clusters(empty)).collect()[0]
     assert (row["n_docs"], row["n_kept"], row["n_removed"]) == (1, 1, 0)
+
+
+def test_tfidf_favors_rare_terms(spark):
+    from data_pipeline_example_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra", "en", "s", 19),
+            (2, "common yak", "en", "s", 10),
+            (3, "common", "en", "s", 6),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = text_ops.tfidf_top_terms(docs, top_per_doc=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # "common" appears everywhere → idf ln(4/4)=0; rare terms win
+    assert top == {1: "zebra", 2: "yak", 3: "common"}
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[3] == 0.0
+
+
+def test_top_bigrams_counts_occurrences(spark):
+    from data_pipeline_example_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en", "s", 7), (2, "a b", "en", "s", 3)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {r["bigram"]: r["n_occurrences"]
+           for r in text_ops.top_bigrams(docs).collect()}
+    # "a b" occurs twice in doc 1 (occurrences, not distinct-per-doc)
+    assert got == {"a b": 3, "b a": 1}
+
+
+def test_embedding_centroids_golden(spark):
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0]), (1, [3.0, 4.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {r["bucket"]: (r["n_vecs"], r["centroid_norm"])
+           for r in sim.embedding_centroids(emb, k=2).collect()}
+    # bucket 0: vecs 0,2 → mean (0.5, 0.5), norm ≈ 0.707107
+    # bucket 1: vec 1 → norm 5
+    assert got[0] == (2, 0.707107)
+    assert got[1] == (1, 5.0)
