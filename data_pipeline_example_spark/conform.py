@@ -123,8 +123,25 @@ def _first_present(columns: list[str], candidates: tuple[str, ...]) -> str | Non
 
 
 def normalize_headers(df: DataFrame) -> DataFrame:
-    """P1 — lower/strip every column name (pipeline_batch.py:131-132)."""
-    return df.toDF(*[c.lower().strip() for c in df.columns])
+    """P1 — lower/strip every column name (pipeline_batch.py:131-132).
+
+    Deviation from the reference: headers that *collide* after
+    normalization ("PRODUCT " next to "product") are deduplicated —
+    first occurrence keeps the name, later ones get a ``__dupN`` suffix.
+    The reference would emit duplicate column names and crash on the
+    first ambiguous reference; drift-tolerant ingest shouldn't.
+    """
+    seen: dict[str, int] = {}
+    names = []
+    for c in df.columns:
+        n = c.lower().strip()
+        if n in seen:
+            seen[n] += 1
+            n = f"{n}__dup{seen[n]}"
+        else:
+            seen[n] = 0
+        names.append(n)
+    return df.toDF(*names)
 
 
 def _resolve_product(df: DataFrame, spec: ConformSpec) -> Column:

@@ -109,3 +109,30 @@ def day_over_day_revenue(daily: DataFrame) -> DataFrame:
         prev.alias("prev_amount"),
         F.round(F.col("total_amount") - F.coalesce(prev, F.lit(0.0)), 2).alias("delta"),
     )
+
+
+def rolling_revenue_7d(daily: DataFrame) -> DataFrame:
+    """7-day rolling revenue per product — a RANGE window frame over the
+    *calendar*, not over rows: days with no sales still age out of the
+    frame after a week (a rows-frame would hold the last 7 *sale* days
+    open indefinitely).
+
+    The frame is keyed on an integer day number so the range arithmetic
+    is engine-portable; partitioned by product, so the window state is
+    per-key and the whole computation is one shuffle on product.
+    Output: order_date, product, total_amount, rolling_7d.
+    """
+    from pyspark.sql.window import Window
+
+    day_num = F.datediff(F.col("order_date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("product")
+        .orderBy(day_num)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "order_date",
+        "product",
+        "total_amount",
+        F.round(F.sum("total_amount").over(w), 2).alias("rolling_7d"),
+    )

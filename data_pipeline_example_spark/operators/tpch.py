@@ -784,3 +784,24 @@ def customer_spend_distribution(orders: DataFrame, n: int = 50) -> DataFrame:
         .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
         .limit(n)
     )
+
+
+def returns_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id — all four
+    grouping-set levels (detail, two marginals, grand total) in ONE
+    aggregate pass; Catalyst's Expand feeds every row to each set, so
+    the cost is one scan + one shuffle regardless of how many levels a
+    consumer wants. grouping_id disambiguates real NULL keys from
+    subtotal rows. Output: l_returnflag, l_linestatus, grp, sum_qty,
+    line_count.
+    """
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("grp"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .select("l_returnflag", "l_linestatus", "grp", "sum_qty", "line_count")
+        .orderBy("grp", "l_returnflag", "l_linestatus")
+    )

@@ -519,6 +519,29 @@ WHERE c.c_acctbal > cut.avg_bal
 GROUP BY 1
 ORDER BY 1
 """,
+    "rolling_revenue_7d": f"""
+WITH {_RETAIL},
+daily AS (
+  SELECT order_date, product, round(sum(amount), 2) AS total_amount
+  FROM retail GROUP BY 1, 2
+)
+SELECT order_date, product, total_amount,
+       round(sum(total_amount) OVER (
+         PARTITION BY product
+         ORDER BY datediff('day', DATE '1970-01-01', order_date)
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 2) AS rolling_7d
+FROM daily
+""",
+    "returns_cube": """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS line_count
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY grp, l_returnflag, l_linestatus
+""",
     "asof_last_view": """
 WITH p AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

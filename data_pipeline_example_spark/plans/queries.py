@@ -291,6 +291,16 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retail.rolling_revenue_7d(
+        retail.daily_revenue(_events_retail(spark, sf_dir))
+    )
+
+
+def q_returns_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.returns_cube(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.asof_join_events(load_table(spark, sf_dir, "events"))
 
@@ -494,6 +504,8 @@ QUERIES: dict[str, QueryFn] = {
     "shipment_delay_by_priority": q_shipment_delay_by_priority,
     "sole_return_suppliers": q_sole_return_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
+    "rolling_revenue_7d": q_rolling_revenue_7d,
+    "returns_cube": q_returns_cube,
     "asof_last_view": q_asof_last_view,
     "priority_revenue_pivot": q_priority_revenue_pivot,
     "customer_spend_distribution": q_customer_spend_distribution,

@@ -144,3 +144,55 @@ def test_observe_metrics(spark):
     out = conform(df, spec)
     observation_rows = out.count()  # trigger an action
     assert observation_rows == 0  # both rows invalid
+
+
+# --- property-based: conform never crashes and keeps its contract ------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    _cell = st.one_of(
+        st.none(),
+        st.text(max_size=12),
+        st.sampled_from(
+            ["2024-01-05", "2024-01-05 10:00:00", "2024-01-05T10:00:00",
+             "20240105", "garbage", "", " ", "12.5", "-3", "1e3"]
+        ),
+    )
+    _headers = st.lists(
+        st.sampled_from(
+            ["product", "item", "PRODUCT ", "order_date", "date", "timestamp",
+             "event_time", "amount", "quantity", "unit_price", "price", "extra"]
+        ),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    )
+
+    @given(headers=_headers, data=st.data())
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_conform_never_crashes_and_keeps_contract(spark, headers, data):
+        """For ANY subset of known/unknown columns and ANY garbage cell
+        values, conform() must analyze, run, and produce the contract
+        columns with non-null product, valid dates, and non-null amounts."""
+        rows = data.draw(
+            st.lists(
+                st.tuples(*[_cell for _ in headers]), min_size=0, max_size=5
+            )
+        )
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType([StructField(h, StringType()) for h in headers])
+        df = spark.createDataFrame(rows, schema)
+        out = conform(df, BATCH_SPEC).collect()
+        for r in out:
+            assert r["product"] is not None and r["product"].strip() != ""
+            assert r["order_date"] is not None
+            assert r["amount"] is not None

@@ -361,3 +361,31 @@ def test_priority_pivot_columns_static(spark, sf_dir):
 
     out = tpch.priority_revenue_pivot(load_table(spark, sf_dir, "orders"))
     assert out.columns == ["o_year"] + tpch.PRIORITIES
+
+
+def test_rolling_7d_ages_out_by_calendar(spark):
+    d = datetime.date
+    daily = spark.createDataFrame(
+        [
+            (d(2024, 1, 1), "a", 10.0),
+            (d(2024, 1, 5), "a", 5.0),
+            (d(2024, 1, 8), "a", 1.0),   # Jan 1 is 7 days back → aged out
+        ],
+        ["order_date", "product", "total_amount"],
+    )
+    got = {str(r["order_date"]): r["rolling_7d"]
+           for r in retail.rolling_revenue_7d(daily).collect()}
+    assert got == {"2024-01-01": 10.0, "2024-01-05": 15.0, "2024-01-08": 6.0}
+
+
+def test_returns_cube_levels(spark):
+    li = spark.createDataFrame(
+        [("R", "F", 2.0), ("R", "O", 3.0), ("N", "F", 5.0)],
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    rows = {(r["l_returnflag"], r["l_linestatus"], r["grp"]): r["sum_qty"]
+            for r in tpch.returns_cube(li).collect()}
+    assert rows[("R", "F", 0)] == 2.0       # detail
+    assert rows[("R", None, 1)] == 5.0      # marginal over linestatus
+    assert rows[(None, "F", 2)] == 7.0      # marginal over returnflag
+    assert rows[(None, None, 3)] == 10.0    # grand total
