@@ -79,7 +79,9 @@ def jaccard_pairs(
     Exploded shingles self-join → intersection counts → Jaccard from
     per-doc set sizes. Group-bys are keyed on doc-id pairs (uniform).
     """
-    sh = shingled(documents, k)
+    # materialize the shingle table once — explode and sizes both read it,
+    # and regexp shingling is the dominant CPU of this operator
+    sh = shingled(documents, k).localCheckpoint()
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -105,7 +107,10 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    documents: DataFrame, k: int = 3, num_hashes: int = 16
+    documents: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """doc_id + minhash signature columns h0..h{n-1}.
 
@@ -123,7 +128,8 @@ def minhash_signatures(
     arrays themselves never shuffle.
     """
     assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
-    ex = shingled(documents, k).select("doc_id", F.explode("shingles").alias("sh"))
+    sh = shingled(documents, k) if shingle_df is None else shingle_df
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     md5s = ex.select(
         "doc_id",
         *[
@@ -155,7 +161,10 @@ def minhash_lsh_pairs(
     to LSH candidates — recall is probabilistic, precision exact.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, k, num_hashes)
+    # one materialization feeds signature construction AND both sides of
+    # the verification join — shingling would otherwise run three times
+    sh_mat = shingled(documents, k).localCheckpoint()
+    sigs = minhash_signatures(documents, k, num_hashes, shingle_df=sh_mat)
     # slim band/bucket rows: (doc_id, band, bucket) only — the shingle
     # arrays stay out of the LSH join entirely
     buckets = sigs.select(
@@ -195,9 +204,8 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # verification: fetch shingle sets only for candidate docs
-    sh = shingled(documents, k)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = sh_mat.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh_mat.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -274,7 +282,9 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     computed digit-wise with a popcount lookup. Output: doc_a, doc_b,
     hamming (int), ascending-unique pairs.
     """
-    sigs = simhash_signatures(documents)
+    # the signature aggregate feeds four consumers (two chunk-join sides,
+    # two halves lookups) — materialize it once; |docs| rows of 16 chars
+    sigs = simhash_signatures(documents).localCheckpoint()
     chunks = sigs.select(
         "doc_id",
         F.explode(
