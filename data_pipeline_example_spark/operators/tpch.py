@@ -805,3 +805,53 @@ def returns_cube(lineitem: DataFrame) -> DataFrame:
         .select("l_returnflag", "l_linestatus", "grp", "sum_qty", "line_count")
         .orderBy("grp", "l_returnflag", "l_linestatus")
     )
+
+
+def customer_value_tiles(orders: DataFrame, tiles: int = 4) -> DataFrame:
+    """NTILE quartiles over per-customer spend — equal-frequency binning
+    for cohort analysis. The tile assignment orders on (rounded spend,
+    custkey) so bucket boundaries are engine-independent; the window
+    runs over the |customers|-sized aggregate, not raw orders.
+    Output: tile, n_customers, min_spend, max_spend.
+    """
+    from pyspark.sql.window import Window
+
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w = Window.orderBy(F.asc("total_spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("tile", F.ntile(tiles).over(w))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("total_spend").alias("min_spend"),
+            F.max("total_spend").alias("max_spend"),
+        )
+        .orderBy("tile")
+    )
+
+
+def first_last_order_value(orders: DataFrame) -> DataFrame:
+    """Each customer's first and last order price — first_value /
+    last_value over an unbounded frame with a unique (date, orderkey)
+    ordering, so ties cannot produce engine-dependent picks. One window
+    pass, then one distinct per customer.
+    Output: c_custkey, first_price, last_price, n_orders.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.first_value("o_totalprice").over(w).alias("first_price"),
+            F.last_value("o_totalprice").over(w).alias("last_price"),
+            F.count(F.lit(1)).over(w).alias("n_orders"),
+        )
+        .dropDuplicates(["c_custkey"])
+    )

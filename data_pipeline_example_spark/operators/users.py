@@ -191,3 +191,22 @@ def props_key_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("k_decile")
     )
+
+
+def salted_event_totals(events: DataFrame, salt_buckets: int = 32) -> DataFrame:
+    """Per-type totals via the two-stage salted aggregation — the skew
+    scale path producing results identical to a direct GROUP BY (which
+    is exactly what its oracle checks). Sums are rounded only after the
+    final combine. Output: event_type, total_value, n_events.
+    """
+    from data_pipeline_example_spark.functions.skew import salted_agg
+
+    out = salted_agg(
+        events, ["event_type"], {"value": "sum", "event_id": "count"},
+        salt_buckets=salt_buckets,
+    )
+    return out.select(
+        "event_type",
+        F.round(F.col("sum_value"), 2).alias("total_value"),
+        F.col("count_event_id").alias("n_events"),
+    ).orderBy("event_type")

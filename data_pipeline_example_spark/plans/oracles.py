@@ -519,6 +519,39 @@ WHERE c.c_acctbal > cut.avg_bal
 GROUP BY 1
 ORDER BY 1
 """,
+    "customer_value_tiles": """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY 1
+),
+tiled AS (
+  SELECT total_spend,
+         ntile(4) OVER (ORDER BY total_spend ASC, o_custkey ASC) AS tile
+  FROM spend
+)
+SELECT tile, count(*) AS n_customers,
+       min(total_spend) AS min_spend, max(total_spend) AS max_spend
+FROM tiled
+GROUP BY 1
+ORDER BY 1
+""",
+    "first_last_order_value": """
+SELECT DISTINCT o_custkey AS c_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price,
+       count(*) OVER w AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    "salted_event_totals": """
+SELECT event_type, round(sum(value), 2) AS total_value,
+       count(event_id) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
     "rolling_revenue_7d": f"""
 WITH {_RETAIL},
 daily AS (

@@ -291,6 +291,18 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.customer_value_tiles(load_table(spark, sf_dir, "orders"))
+
+
+def q_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.first_last_order_value(load_table(spark, sf_dir, "orders"))
+
+
+def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return users.salted_event_totals(load_table(spark, sf_dir, "events"))
+
+
 def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retail.rolling_revenue_7d(
         retail.daily_revenue(_events_retail(spark, sf_dir))
@@ -504,6 +516,9 @@ QUERIES: dict[str, QueryFn] = {
     "shipment_delay_by_priority": q_shipment_delay_by_priority,
     "sole_return_suppliers": q_sole_return_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
+    "customer_value_tiles": q_customer_value_tiles,
+    "first_last_order_value": q_first_last_order_value,
+    "salted_event_totals": q_salted_event_totals,
     "rolling_revenue_7d": q_rolling_revenue_7d,
     "returns_cube": q_returns_cube,
     "asof_last_view": q_asof_last_view,

@@ -389,3 +389,32 @@ def test_returns_cube_levels(spark):
     assert rows[("R", None, 1)] == 5.0      # marginal over linestatus
     assert rows[(None, "F", 2)] == 7.0      # marginal over returnflag
     assert rows[(None, None, 3)] == 10.0    # grand total
+
+
+def test_first_last_order_value_unique_ordering(spark):
+    d = datetime.datetime
+    orders = spark.createDataFrame(
+        [
+            (3, 1, d(2024, 1, 2), 30.0),
+            (1, 1, d(2024, 1, 1), 10.0),
+            # same date as orderkey 1 → orderkey breaks the tie
+            (2, 1, d(2024, 1, 1), 20.0),
+        ],
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    r = tpch.first_last_order_value(orders).collect()[0]
+    assert (r["first_price"], r["last_price"], r["n_orders"]) == (10.0, 30.0, 3)
+
+
+def test_salted_totals_match_direct_groupby(spark, sf_dir):
+    from data_pipeline_example_spark.operators import users as users_ops
+    from data_pipeline_example_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    salted = {r["event_type"]: (r["total_value"], r["n_events"])
+              for r in users_ops.salted_event_totals(events).collect()}
+    direct = {r["event_type"]: (r["tv"], r["ne"]) for r in
+              events.groupBy("event_type")
+              .agg(F.round(F.sum("value"), 2).alias("tv"),
+                   F.count("event_id").alias("ne")).collect()}
+    assert salted == direct
