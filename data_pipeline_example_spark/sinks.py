@@ -196,3 +196,24 @@ def write_json(df: DataFrame, path: str) -> None:
 def write_orc(df: DataFrame, path: str) -> None:
     """ORC columnar sink — same write contract as the parquet sinks."""
     df.write.mode("overwrite").orc(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    partitions: int | None = None,
+) -> None:
+    """Range-partition + sort-within-partitions before writing, so every
+    parquet row group carries tight min/max statistics on ``sort_cols``
+    — readers filtering on those columns skip whole row groups (the
+    poor-man's clustered index; the same reason table formats Z-order).
+    ``repartitionByRange`` gives globally disjoint key ranges per file,
+    so a point predicate touches exactly one file.
+    """
+    out = (
+        df.repartitionByRange(partitions, *sort_cols)
+        if partitions
+        else df.repartitionByRange(*sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

@@ -3,6 +3,7 @@ from data_pipeline_example_spark.sources.tables import (
     load_table,
     load_tables,
     read_csv_dir,
+    read_binary_dir,
     read_json_dir,
     read_orc_dir,
     wait_for_input_files,
@@ -13,6 +14,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_csv_dir",
+    "read_binary_dir",
     "read_json_dir",
     "read_orc_dir",
     "wait_for_input_files",

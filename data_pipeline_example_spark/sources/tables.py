@@ -146,3 +146,25 @@ def read_orc_dir(spark: SparkSession, path: str) -> DataFrame:
     """ORC dataset scan — same columnar pushdown/pruning contract as
     parquet (S5) for shops standardized on ORC."""
     return spark.read.orc(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Binary-file ingestion for multimodal corpora — Spark's
+    ``binaryFile`` source yields (path, modificationTime, length,
+    content:binary) per file, ready for the Arrow-batched decode /
+    feature operators in ``operators/multimodal.py``.
+
+    Scale notes: each file is one row read by one task, so ingest
+    parallelism = file count (fine for media blobs); filters on
+    ``length`` or the path are pushed into the file index, never
+    opening filtered-out blobs. Very large single blobs should be
+    sharded upstream — Spark caps a row comfortably in the tens of MB.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

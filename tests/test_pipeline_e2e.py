@@ -166,3 +166,33 @@ def test_upsert_partitioned_merge_semantics(spark, tmp_path):
         ("2024-01-01", 9): "new",   # inserted
         ("2024-01-02", 3): "old",   # untouched partition never rewritten
     }
+
+
+def test_sorted_parquet_has_tight_rowgroup_stats(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_example_spark import sinks
+
+    out = str(tmp_path / "sorted")
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 7919 % 10000).alias("k"), F.col("id").alias("v")
+    )
+    sinks.write_sorted_parquet(df, out, ["k"], partitions=4)
+
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = md.row_group(0).column(0)
+        lo = col.statistics.min
+        hi = md.row_group(md.num_row_groups - 1).column(0).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    # global range partitioning → per-file key ranges are disjoint
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next
+    # and the data round-trips completely
+    assert spark.read.parquet(out).count() == 10000

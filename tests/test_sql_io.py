@@ -58,3 +58,32 @@ def test_orc_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
     sinks.write_orc(df, out)
     assert sorted(map(tuple, read_orc_dir(spark, out).collect())) == [(1, "a"), (2, "b")]
+
+
+def test_binary_file_source_feeds_multimodal_ops(spark, tmp_path):
+    import hashlib
+
+    from data_pipeline_example_spark.operators import multimodal
+    from data_pipeline_example_spark.sources import read_binary_dir
+    from pyspark.sql import functions as F2
+
+    blobs = {"a.bin": b"\x00\x01\x02payload", "b.bin": b"xyz", "skip.txt": b"no"}
+    for name, content in blobs.items():
+        (tmp_path / name).write_bytes(content)
+
+    df = read_binary_dir(spark, str(tmp_path), glob="*.bin")
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert got == {"a.bin": blobs["a.bin"], "b.bin": blobs["b.bin"]}
+
+    # pipe straight into the Arrow-batched feature extractor
+    media = df.select(
+        F2.monotonically_increasing_id().alias("doc_id"),
+        F2.col("content"),
+        F2.col("length").alias("n_chars"),
+    )
+    feats = {bytes(r["content_md5"], "ascii") if isinstance(r["content_md5"], str)
+             else r["content_md5"]: r["n_bytes"]
+             for r in multimodal.extract_features(media).collect()}
+    expected = {hashlib.md5(c).hexdigest().encode("ascii"): len(c)
+                for c in (blobs["a.bin"], blobs["b.bin"])}
+    assert {k if isinstance(k, bytes) else k.encode(): v for k, v in feats.items()} == expected
