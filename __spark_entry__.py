@@ -31,5 +31,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twin for each query (all entries are SQL-expressible)."""
+    """DuckDB twin for each SQL-expressible query. Two entries
+    (user_reach_rollup: opaque HLL sketches; kmeans_embeddings:
+    iterative refinement) are deliberately rows-only — their
+    correctness is covered by unit tests against exact twins."""
     return dict(ORACLES)

@@ -362,3 +362,75 @@ def embedding_centroids(embeddings: DataFrame, k: int = 8) -> DataFrame:
         .select("bucket", "n_vecs", "centroid_norm")
         .orderBy("bucket")
     )
+
+
+def kmeans_embeddings(
+    embeddings: DataFrame, k: int = 8, iterations: int = 5
+) -> DataFrame:
+    """K-means over the embedding column with pure DataFrame ops — the
+    iterative-refinement workload class (like the connected-components
+    operator, driver-side loop over distributed steps; no MLlib, no
+    UDFs in the assignment step).
+
+    Initialization is deterministic (the k lowest vec_ids seed the
+    centroids). Each iteration: (a) assign — crossJoin against the
+    broadcast centroid table, squared-L2 via ``F.aggregate(zip_with)``,
+    argmin with one ``min_by``; (b) update — per-cluster component
+    means via posexplode (shuffles carry (cluster, pos, sum) scalars,
+    never vectors). ``localCheckpoint`` truncates each iteration's
+    lineage. Not SQL-expressible in one query → rows-only check; the
+    unit test asserts inertia is monotonically non-increasing.
+    Output: cluster, n_vecs, inertia (2 dp).
+    """
+    vecs = _as_double(embeddings).localCheckpoint()
+    dim_count = len(vecs.first()["v"])
+    centroids = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
+            F.col("v").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    sqdist = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = None
+    for _ in range(iterations):
+        scored = vecs.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "v", "cluster", sqdist.alias("d2")
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min_by("cluster", F.struct("d2", "cluster")).alias("cluster"),
+                F.min("d2").alias("d2"),
+            )
+            .join(vecs, "vec_id")
+            .localCheckpoint()
+        )
+        comp = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        centroids = (
+            comp.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster",
+                F.expr("transform(pm, x -> x.m)").alias("c"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("d2"), 2).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

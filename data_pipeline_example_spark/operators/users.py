@@ -210,3 +210,27 @@ def salted_event_totals(events: DataFrame, salt_buckets: int = 32) -> DataFrame:
         F.round(F.col("sum_value"), 2).alias("total_value"),
         F.col("count_event_id").alias("n_events"),
     ).orderBy("event_type")
+
+
+def user_reach_rollup(events: DataFrame) -> DataFrame:
+    """Mergeable-sketch rollup — the pattern that replaces re-scanning
+    raw data for every reporting window at 100 TB: build one HLL sketch
+    per (day, event_type) partial, then *union the sketches* per
+    event_type instead of re-reading events. HLL registers are maxima,
+    so union is commutative/associative — estimates are deterministic
+    regardless of partitioning or merge order. Sketches are Spark
+    DataSketches binaries (not SQL-portable → rows-only check; the
+    exact twin is `user_cardinality`).
+    Output: event_type, daily_sketches, reach_estimate.
+    """
+    daily = events.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("daily_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("reach_estimate"),
+        )
+        .orderBy("event_type")
+    )

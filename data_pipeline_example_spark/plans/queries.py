@@ -468,6 +468,18 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal plumbing --------------------------------------------------
 
 
+def q_user_reach_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: HLL sketch binaries aren't SQL-portable; the
+    # exact twin is user_cardinality_exact
+    return users.user_reach_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: iterative refinement isn't one SQL query; the
+    # unit test asserts inertia monotonicity and full assignment
+    return similarity.kmeans_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features(load_table(spark, sf_dir, "documents"))
 
@@ -553,6 +565,8 @@ QUERIES: dict[str, QueryFn] = {
     "knn_bruteforce": q_knn_bruteforce,
     "nearest_neighbor": q_nearest_neighbor,
     "ivf_knn": q_ivf_knn,
+    "user_reach_rollup": q_user_reach_rollup,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "media_features": q_media_features,
     "frame_samples": q_frame_samples,
 }

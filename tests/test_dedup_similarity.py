@@ -220,3 +220,37 @@ def test_embedding_centroids_golden(spark):
     # bucket 1: vec 1 → norm 5
     assert got[0] == (2, 0.707107)
     assert got[1] == (1, 5.0)
+
+
+def test_kmeans_inertia_monotone_and_partitioning(spark, sf_dir):
+    from data_pipeline_example_spark.operators import similarity as sim
+    from data_pipeline_example_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    one = sim.kmeans_embeddings(emb, k=4, iterations=1).collect()
+    three = sim.kmeans_embeddings(emb, k=4, iterations=3).collect()
+    # every vector is assigned exactly once
+    assert sum(r["n_vecs"] for r in one) == n
+    assert sum(r["n_vecs"] for r in three) == n
+    # k-means inertia never increases with more iterations
+    assert sum(r["inertia"] for r in three) <= sum(r["inertia"] for r in one) + 1e-6
+
+
+def test_user_reach_rollup_matches_exact_within_rsd(spark, sf_dir):
+    from data_pipeline_example_spark.operators import users as users_ops
+    from data_pipeline_example_spark.sources import load_table
+    from pyspark.sql import functions as F2
+
+    events = load_table(spark, sf_dir, "events")
+    est = {r["event_type"]: r["reach_estimate"]
+           for r in users_ops.user_reach_rollup(events).collect()}
+    exact = {r["event_type"]: r["x"] for r in
+             events.groupBy("event_type")
+             .agg(F2.countDistinct("user_id").alias("x")).collect()}
+    for t, x in exact.items():
+        assert abs(est[t] - x) <= max(3, 0.05 * x), (t, est[t], x)
+    # sketch union is order-insensitive → estimate is deterministic
+    again = {r["event_type"]: r["reach_estimate"]
+             for r in users_ops.user_reach_rollup(events.repartition(7)).collect()}
+    assert est == again
