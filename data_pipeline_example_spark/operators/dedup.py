@@ -282,11 +282,16 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     computed digit-wise with a popcount lookup. Output: doc_a, doc_b,
     hamming (int), ascending-unique pairs.
     """
-    # the signature aggregate feeds four consumers (two chunk-join sides,
-    # two halves lookups) — materialize it once; |docs| rows of 16 chars
+    # the signature aggregate feeds both chunk-join sides — materialize
+    # it once; |docs| rows of 16 chars
     sigs = simhash_signatures(documents).localCheckpoint()
+    # chunk rows carry the signature pre-parsed into two 32-bit longs so
+    # hamming is computable inside the chunk join itself: 2 xor +
+    # 2 bit_count per matched pair, no signature lookup join afterwards
     chunks = sigs.select(
         "doc_id",
+        F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long").alias("lo"),
         F.explode(
             F.array(
                 *[
@@ -298,12 +303,19 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
                 ]
             )
         ).alias("cc"),
-    ).select("doc_id", "cc.chunk", "cc.val")
+    ).select("doc_id", "hi", "lo", "cc.chunk", "cc.val")
     a, b = chunks.alias("a"), chunks.alias("b")
-    # candidate dedup on bare id pairs (a near-dup pair collides in up to
-    # 4 chunks → up to 4 duplicates); signatures join back afterwards so
-    # the dedup shuffle carries ids only, not 16-char strings
-    cand = (
+    ham = (
+        F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+        + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+    ).cast("int")
+    # hamming filters BEFORE the pair dedup (a near-dup pair collides in
+    # up to 4 chunks → up to 4 duplicates, each with identical hamming):
+    # the dedup shuffle carries only pairs that already passed the
+    # threshold — on a self-similar corpus that's several× fewer rows
+    # than deduping raw candidates, and the per-duplicate recomputed
+    # hamming is 2 xor + 2 bit_count, far cheaper than a wider shuffle
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -313,40 +325,10 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    # hamming distance as two 32-bit XOR + popcount ops: the hex signature
-    # is parsed into two longs ONCE PER DOC (tiny broadcast side), so the
-    # per-pair cost on millions of candidates is 2 xor + 2 bit_count —
-    # not 16 string lookups
-    halves = sigs.select(
-        "doc_id",
-        F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long").alias("lo"),
-    )
-    cand = cand.join(
-        F.broadcast(
-            halves.select(
-                F.col("doc_id").alias("doc_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a")
-            )
-        ),
-        "doc_a",
-    ).join(
-        F.broadcast(
-            halves.select(
-                F.col("doc_id").alias("doc_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b")
-            )
-        ),
-        "doc_b",
-    )
-    ham = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    ).cast("int")
-    return (
-        cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
