@@ -293,6 +293,57 @@ def cosine_dup_pairs_blocked(
     )
 
 
+def nearest_neighbor_blocked(
+    embeddings: DataFrame, n_centroids: int = 16
+) -> DataFrame:
+    """IVF-blocked hybrid NN — the scale-safe all-corpus neighbor search
+    promised in ``nearest_neighbor_per_vector``'s docstring: candidates
+    come from the centroid assignment (the same index ``ivf_knn`` probes),
+    and scoring runs as one BLAS matmul per centroid bucket.
+
+    Per-bucket cost is O((n/k)²·d) instead of the exact baseline's
+    O(n²·d); buckets shuffle and compute independently, and no vector is
+    replicated (each row is Arrow-transferred exactly once), so the shape
+    survives a 100×-corpus scale-up by raising ``n_centroids``. Recall is
+    approximate — a vector whose true neighbor lives in another bucket
+    gets its best same-bucket neighbor — precision exact. Singleton
+    buckets emit no row (no candidate exists), matching the SQL oracle.
+
+    Output: vec_id, nn_id, cos_sim (6 dp). Tie-break: ranked on the
+    6-dp-rounded cosine, lowest nn_id wins (rows sorted asc, first
+    argmax), cross-engine deterministic.
+    """
+    import pandas as pd  # driver/executor-side only
+
+    e = _as_double(embeddings)
+    assigned = assign_centroids(embeddings, n_centroids)
+    bucketed = e.join(assigned, "vec_id")
+
+    def bucket_nn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")  # asc → argmax = lowest nn_id on ties
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": [], "nn_id": [], "cos_sim": []})
+        M = np.vstack(pdf["v"].to_numpy())
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = np.round(Mn @ Mn.T, 6)
+        np.fill_diagonal(S, -np.inf)
+        ids = pdf["vec_id"].to_numpy()
+        j = np.argmax(S, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "nn_id": ids[j],
+                "cos_sim": S[np.arange(len(ids)), j],
+            }
+        )
+
+    return bucketed.groupBy("centroid_id").applyInPandas(
+        bucket_nn, "vec_id long, nn_id long, cos_sim double"
+    )
+
+
 def ivf_knn(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -383,7 +434,6 @@ def kmeans_embeddings(
     Output: cluster, n_vecs, inertia (2 dp).
     """
     vecs = _as_double(embeddings).localCheckpoint()
-    dim_count = len(vecs.first()["v"])
     centroids = (
         vecs.orderBy("vec_id")
         .limit(k)

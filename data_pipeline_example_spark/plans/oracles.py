@@ -1030,6 +1030,27 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 """,
+    "cosine_dup_pairs_blocked": f"""
+WITH {_VECS},
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+FROM assigned a
+JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+""",
     # --- similarity search ------------------------------------------------
     "knn_bruteforce": f"""
 WITH {_VECS}
@@ -1043,6 +1064,34 @@ scored AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
          round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
   FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT vec_id, nn_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, nn_id, cos_sim FROM ranked WHERE rn = 1
+""",
+    "nearest_neighbor_blocked": f"""
+WITH {_VECS},
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+  FROM assigned a
+  JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
 ),
 ranked AS (
   SELECT vec_id, nn_id, cos_sim,
