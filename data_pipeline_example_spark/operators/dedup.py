@@ -346,9 +346,15 @@ def minhash_jaccard_estimates(
     corpus text is scanned exactly once (for signatures) regardless of
     how many pairs collide. Standard estimator: E[matches/num_hashes] =
     J(a,b). Output: doc_a, doc_b, jaccard_est (4 dp).
+
+    The signature frame is localCheckpoint-ed because it feeds three
+    consumers (bucket generation + both sides of the match-count join);
+    without it the dominant shingling/md5 scan would re-run per consumer
+    (same reuse reasoning as minhash_lsh_pairs' shingle materialization
+    — "scanned exactly once" is only true if the plan reuses the scan).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, k, num_hashes)
+    sigs = minhash_signatures(documents, k, num_hashes).localCheckpoint()
     buckets = sigs.select(
         "doc_id",
         F.explode(

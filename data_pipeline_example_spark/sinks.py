@@ -106,14 +106,19 @@ def compact_partitions(
     dominated by file-open overhead once files drop below ~tens of MB).
 
     Rewrites each partition into ``ceil(rows / target_rows_per_file)``
-    files: one pass to count rows per partition, then a salted
-    repartition + dynamic-overwrite write, so only partitions present in
-    the data are touched and readers never see a half-compacted
-    directory (parquet commit protocol). Row-count is used as the size
-    proxy here; a production job would target bytes
-    (``spark.sql.files.maxPartitionBytes``-sized outputs).
+    files: one pass to count rows per partition, then a *per-partition*
+    salt — ``pmod(hash, ceil(n_p/target))`` via a broadcast join on the
+    per-partition counts — so a small partition compacts to exactly one
+    file while a big one spreads over its own file budget (a single
+    global salt would fan every small partition out to the global max).
+    Only partitions present in the data are touched (dynamic overwrite)
+    and readers never see a half-compacted directory (parquet commit
+    protocol). Row-count is the size proxy here; a production job would
+    target bytes (``spark.sql.files.maxPartitionBytes``-sized outputs).
 
-    Returns {partition_value: n_files_written} for observability.
+    Returns {partition_value: target_file_count}. Targets, not actuals:
+    hash skew can leave a salt bucket empty, so a partition may write
+    fewer files than its target (never more).
     """
     import math
 
@@ -127,15 +132,32 @@ def compact_partitions(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    max_files = max(
-        math.ceil(n / target_rows_per_file) for n in counts.values()
-    ) if counts else 1
-    write_partitioned_parquet(
-        df, path, partition_col=partition_col, partition_file_target=max_files
-    )
-    return {
-        p: min(math.ceil(n / target_rows_per_file), n) for p, n in counts.items()
+    targets = {
+        p: math.ceil(n / target_rows_per_file) for p, n in counts.items()
     }
+    if not targets:
+        return {}
+    plan = F.broadcast(
+        spark.createDataFrame(
+            [(p, nf) for p, nf in targets.items()], "__p string, __nf int"
+        )
+    )
+    salted = (
+        df.join(plan, F.col(partition_col).cast("string") == F.col("__p"))
+        .withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__nf")),
+        )
+    )
+    (
+        salted.repartition(F.col(partition_col), F.col("__salt"))
+        .drop("__p", "__nf", "__salt")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return targets
 
 
 def upsert_partitioned(
@@ -145,6 +167,7 @@ def upsert_partitioned(
     key_cols: list[str],
     partition_col: str,
     order_col: str | None = None,
+    keys_may_move: bool = False,
 ) -> None:
     """Upsert-by-rewrite into a partitioned parquet dataset — MERGE
     semantics without a table format: new keys insert, existing keys are
@@ -158,6 +181,18 @@ def upsert_partitioned(
     At 100 TB this is the idiomatic parquet-only pattern; a table format
     (Delta/Iceberg/Hudi) replaces the rewrite with a metadata commit but
     the dataflow is the same.
+
+    INVARIANT (default path): an update must not change a key's
+    ``partition_col`` value — the pruned read only opens partitions
+    present in ``updates``, so a row that moved partitions would leave
+    its stale copy behind in the old one. When keys can move, pass
+    ``keys_may_move=True``: a semi-join of the target against the update
+    keys finds the partitions those keys currently live in, and both
+    partition sets are rewritten. That key lookup scans the target's key
+    column (full-dataset read at worst) — the price of MERGE-with-
+    repartitioning without an index; a partition left with zero rows by
+    a move is not deleted (dynamic overwrite never drops directories),
+    so pair moves with a cleanup pass if empty partitions matter.
     """
     from pyspark.sql.window import Window
     from pyspark.errors import AnalysisException
@@ -169,7 +204,17 @@ def upsert_partitioned(
         write_partitioned_parquet(updates, path, partition_col=partition_col)
         return
 
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    touched = {r[0] for r in updates.select(partition_col).distinct().collect()}
+    if keys_may_move:
+        update_keys = updates.select(*key_cols).distinct()
+        touched |= {
+            r[0]
+            for r in target.join(F.broadcast(update_keys), key_cols, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        }
+    touched = sorted(touched)
     existing = target.filter(F.col(partition_col).isin(touched))
     tagged = existing.withColumn("__is_update", F.lit(0)).unionByName(
         updates.withColumn("__is_update", F.lit(1))

@@ -46,10 +46,15 @@ def to_events(transactions: DataFrame, injection_time: str = "1970-01-01T00:00:0
         else F.lit(injection_time)
     )
     out = out.withColumn("event_time", event_time)
-    # skip rows where every original field is empty/null (S7)
-    any_value = F.greatest(
-        *[F.col(c).isNotNull() & (F.col(c) != "") for c in out.columns if c != "event_time"]
-    )
+    # skip rows where every original field is empty/null (S7);
+    # greatest() needs >=2 args, so a single-column table uses the bare
+    # predicate and a zero-column one (nothing to judge) keeps all rows
+    preds = [
+        F.col(c).isNotNull() & (F.col(c) != "") for c in out.columns if c != "event_time"
+    ]
+    if not preds:
+        return out
+    any_value = preds[0] if len(preds) == 1 else F.greatest(*preds)
     return out.filter(any_value)
 
 
@@ -59,16 +64,26 @@ def write_event_batches(
     """JSON-lines files for the file-source streaming path: one file per
     batch (``maxFilesPerTrigger=1`` then replays them in order). Batch
     assignment is deterministic when ``order_col`` is given (ntile over
-    the ordered stream), round-robin otherwise."""
-    if order_col is not None:
-        from pyspark.sql.window import Window
+    the ordered stream); otherwise true round-robin over a row_number —
+    every batch id 0..num_batches-1 is non-empty whenever the input has
+    at least num_batches rows. (monotonically_increasing_id can't do
+    this: its ids are partition-offset based, so pmod over them skews
+    with the partitioning and can leave batch ids empty.) Both paths
+    funnel through a single-task window — fine for a replay harness
+    that's generating demo micro-batches, not a 100 TB write path."""
+    from pyspark.sql.window import Window
 
+    if order_col is not None:
         batched = events.withColumn(
             "batch", F.ntile(num_batches).over(Window.orderBy(order_col)) - 1
         )
     else:
         batched = events.withColumn(
-            "batch", F.pmod(F.monotonically_increasing_id(), num_batches)
+            "batch",
+            F.pmod(
+                F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
+                num_batches,
+            ),
         )
     batched.repartition("batch").write.mode("overwrite").partitionBy("batch").json(path)
 
