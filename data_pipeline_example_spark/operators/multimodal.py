@@ -63,18 +63,24 @@ def attach_binary(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(content: bytes) -> object:
-    """STUB — real image decode requires PIL/opencv (not installed).
-
-    Kept as the single seam where a real decoder plugs in; everything
-    around it (batching, schema, partitioning) works today.
+    """Decode image bytes → PIL Image (loaded into memory, file handle
+    closed). The single seam where the real decoder lives; raises
+    NotImplementedError when PIL is absent (this sandbox) so callers fail
+    loudly instead of silently skipping payloads. The PIL path itself is
+    covered by a ``pytest.importorskip("PIL")`` test that runs the moment
+    the cluster image carries PIL.
     """
     try:
-        from PIL import Image  # noqa: F401  (absent in this container)
-    except ImportError as exc:  # pragma: no cover - exercised via tests
+        from PIL import Image
+    except ImportError as exc:
         raise NotImplementedError(
             "image decoding requires PIL; install it on the cluster image"
         ) from exc
-    raise NotImplementedError("wire PIL decode here once available")
+    import io
+
+    img = Image.open(io.BytesIO(content))
+    img.load()  # force decode now; surface corrupt payloads here
+    return img
 
 
 def extract_features(media: DataFrame, batch_limit: int | None = None) -> DataFrame:
@@ -123,15 +129,53 @@ FRAME_SCHEMA = StructType(
 
 
 def resize_image(content: bytes, width: int, height: int) -> bytes:
-    """STUB — real resize requires PIL/opencv (not installed). Same seam
-    contract as ``decode_image``: the Spark plumbing around it is real."""
-    try:
-        from PIL import Image  # noqa: F401  (absent in this container)
-    except ImportError as exc:  # pragma: no cover - exercised via tests
-        raise NotImplementedError(
-            "image resize requires PIL; install it on the cluster image"
-        ) from exc
-    raise NotImplementedError("wire PIL resize here once available")
+    """Decode → resize → re-encode (PNG) image bytes. Same seam contract
+    as ``decode_image``: raises NotImplementedError without PIL; the real
+    path is covered by the PIL-gated test."""
+    import io
+
+    img = decode_image(content)
+    fmt = img.format or "PNG"
+    buf = io.BytesIO()
+    img.resize((width, height)).save(buf, format=fmt)
+    return buf.getvalue()
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+    ]
+)
+
+
+def decoded_image_features(media: DataFrame) -> DataFrame:
+    """REAL decoder path: Arrow-batched ``mapInPandas`` over binary image
+    payloads, one ``decode_image`` per row inside the batch loop —
+    exactly the plan shape of ``extract_features`` but with the live
+    decoder in place of the deterministic fake. Requires PIL on the
+    executors, so it is not a registered query in this sandbox; the
+    PIL-gated test runs it end-to-end (tiny generated PNGs → widths/
+    heights/modes) wherever the image library exists.
+    """
+
+    def _decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            imgs = [decode_image(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array([i.width for i in imgs], dtype="int32"),
+                    "height": pd.array([i.height for i in imgs], dtype="int32"),
+                    "mode": pd.array([i.mode for i in imgs], dtype=object),
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every: int = 10, modulus: int = 100) -> DataFrame:

@@ -47,6 +47,25 @@ EVENT_FIELDS = (
 EVENT_SCHEMA = StructType([StructField(f, StringType(), True) for f in EVENT_FIELDS])
 
 
+def kafka_reader_options(
+    kafka_bootstrap: str = "localhost:9092",
+    topic: str = "sales",
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """The Kafka source contract (S3/T6), as data: exactly the options
+    the reference wires (`streaming_sales_aggregator.py:307-318`) —
+    subscribe + startingOffsets + failOnDataLoss=false. Split out from
+    ``read_stream`` so the contract is assertable in CI without a broker
+    or the spark-sql-kafka connector jar (neither exists in the sandbox;
+    live-broker integration is out of CI scope by design)."""
+    return {
+        "kafka.bootstrap.servers": kafka_bootstrap,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",  # T5 parity
+    }
+
+
 def read_stream(
     spark: SparkSession,
     source: str = "kafka",
@@ -61,12 +80,8 @@ def read_stream(
     (key, value, …) frame; ``json`` reads event files from ``path`` with
     the fixed schema already applied (hermetic test path)."""
     if source == "kafka":
-        reader = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", kafka_bootstrap)
-            .option("subscribe", topic)
-            .option("startingOffsets", starting_offsets)
-            .option("failOnDataLoss", "false")  # T5 parity
+        reader = spark.readStream.format("kafka").options(
+            **kafka_reader_options(kafka_bootstrap, topic, starting_offsets)
         )
         return reader.load()
     if source == "json":

@@ -88,19 +88,34 @@ def write_event_batches(
     batched.repartition("batch").write.mode("overwrite").partitionBy("batch").json(path)
 
 
+def kafka_writer_options(bootstrap: str, topic: str) -> dict[str, str]:
+    """The Kafka sink contract (K5), as data — split out so CI can
+    assert it without a broker or the spark-sql-kafka connector jar
+    (`kafka_event_producer.py:40-47` wires the same pair)."""
+    return {"kafka.bootstrap.servers": bootstrap, "topic": topic}
+
+
+def to_kafka_payload(events: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Rows → the (key?, value) JSON frame the Kafka sink serializes —
+    the plan half of ``write_kafka``, runnable (and tested) hermetically."""
+    value = F.to_json(F.struct(*[F.col(c) for c in events.columns]))
+    if key_col is not None:
+        return events.select(
+            F.col(key_col).cast("string").alias("key"), value.alias("value")
+        )
+    return events.select(value.alias("value"))
+
+
 def write_kafka(
     events: DataFrame, bootstrap: str, topic: str, key_col: str | None = None
 ) -> None:
     """K5 — Kafka sink for environments with a broker: rows serialized as
-    JSON values (`df.write.format("kafka")`). Untestable in this
-    container (no broker); the file-batch path above is the CI twin."""
-    value = F.to_json(F.struct(*[F.col(c) for c in events.columns]))
-    out = events.select(value.alias("value"))
-    if key_col is not None:
-        out = events.select(F.col(key_col).cast("string").alias("key"), value.alias("value"))
+    JSON values (`df.write.format("kafka")`). The payload plan and the
+    option contract are CI-tested (`to_kafka_payload`,
+    `kafka_writer_options`); this composition needs a live broker."""
     (
-        out.write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
+        to_kafka_payload(events, key_col)
+        .write.format("kafka")
+        .options(**kafka_writer_options(bootstrap, topic))
         .save()
     )
