@@ -73,6 +73,12 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+    # spin up the Arrow Python worker pool once (daemon workers are
+    # reused afterwards) so the first Pandas-UDF query isn't charged
+    # ~1.5s of process-pool startup that every later UDF query gets free
+    spark.range(int(cpus)).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -145,6 +145,40 @@ def minhash_signatures(
     )
 
 
+def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Signature frame → one row per (doc, band): all columns of ``sigs``
+    plus ``bk`` (the array of every band's key: the band's hash slice
+    concatenated) and the exploded (band, key). The raw concatenation IS
+    the bucket id — hashing it again (md5) would only relabel equal keys
+    equal."""
+    rpb = num_hashes // bands
+    bk = F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rpb + j}") for j in range(rpb)]
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.withColumn("bk", bk).select(
+        "*", F.posexplode("bk").alias("band", "key")
+    )
+
+
+def _band_match(bands: int) -> Column:
+    """Join condition for aliased ``a``/``b`` band rows: same (band, key),
+    AND every earlier band's key differs — the canonical first-match
+    emission that makes a multi-band collision surface exactly once (no
+    dropDuplicates pass needed on the candidate set)."""
+    cond = (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+    for k in range(bands - 1):
+        cond = cond & (
+            (F.col("a.band") <= k)
+            | (F.element_at(F.col("a.bk"), k + 1) != F.element_at(F.col("b.bk"), k + 1))
+        )
+    return cond
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     k: int = 3,
@@ -165,43 +199,19 @@ def minhash_lsh_pairs(
     # the verification join — shingling would otherwise run three times
     sh_mat = shingled(documents, k).localCheckpoint()
     sigs = minhash_signatures(documents, k, num_hashes, shingle_df=sh_mat)
-    # slim band/bucket rows: (doc_id, band, bucket) only — the shingle
-    # arrays stay out of the LSH join entirely
-    buckets = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"h{b * rows_per_band + j}")
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    # slim band rows: (doc_id, all band keys, exploded band) — the
+    # shingle arrays stay out of the LSH join entirely. Carrying the
+    # band-key array on both sides lets the join emit each colliding
+    # pair ONLY from its lowest matching band ("first-match"): every
+    # earlier band must differ, so the candidate set needs no
+    # dropDuplicates shuffle afterwards — same set, one shuffle fewer.
+    buckets = _banded(sigs, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    candidates = a.join(
+        b, _band_match(bands) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
     )
     # verification: fetch shingle sets only for candidate docs
     sa = sh_mat.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
@@ -286,8 +296,13 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     # it once; |docs| rows of 16 chars
     sigs = simhash_signatures(documents).localCheckpoint()
     # chunk rows carry the signature pre-parsed into two 32-bit longs so
-    # hamming is computable inside the chunk join itself: 2 xor +
-    # 2 bit_count per matched pair, no signature lookup join afterwards
+    # hamming (2 xor + 2 bit_count) AND every chunk value (shift + mask)
+    # are computable inside the chunk join itself — no signature lookup
+    # join afterwards, no string comparisons in the join
+    def _chunk_val(side: str, c: int):  # 16-bit chunk c of the 64-bit sig
+        src = F.col(f"{side}.hi") if c < 2 else F.col(f"{side}.lo")
+        return F.shiftright(src, 16 * (1 - c % 2)).bitwiseAND(F.lit(0xFFFF))
+
     chunks = sigs.select(
         "doc_id",
         F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long").alias("hi"),
@@ -297,7 +312,9 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.substring("simhash", 4 * c + 1, 4).alias("val"),
+                        F.conv(F.substring("simhash", 4 * c + 1, 4), 16, 10)
+                        .cast("int")
+                        .alias("val"),
                     )
                     for c in range(4)
                 ]
@@ -309,18 +326,25 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
         + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
     ).cast("int")
-    # hamming filters BEFORE the pair dedup (a near-dup pair collides in
-    # up to 4 chunks → up to 4 duplicates, each with identical hamming):
-    # the dedup shuffle carries only pairs that already passed the
-    # threshold — on a self-similar corpus that's several× fewer rows
-    # than deduping raw candidates, and the per-duplicate recomputed
-    # hamming is 2 xor + 2 bit_count, far cheaper than a wider shuffle
+    # canonical first-match emission: a pair colliding in several chunks
+    # is emitted ONLY from its lowest matching chunk — the join condition
+    # requires every earlier chunk to differ (recomputed from hi/lo by
+    # shift+mask, pure codegen). Each qualifying pair is produced exactly
+    # once, so the millions-of-rows dropDuplicates shuffle that used to
+    # canonicalize the candidate set disappears entirely; the result SET
+    # is identical (anything with >=1 matching chunk still surfaces).
+    first_match = F.lit(True)
+    for k in range(3):
+        first_match = first_match & (
+            (F.col("a.chunk") <= k) | (_chunk_val("a", k) != _chunk_val("b", k))
+        )
     return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & first_match,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -328,7 +352,6 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -347,58 +370,26 @@ def minhash_jaccard_estimates(
     how many pairs collide. Standard estimator: E[matches/num_hashes] =
     J(a,b). Output: doc_a, doc_b, jaccard_est (4 dp).
 
-    The signature frame is localCheckpoint-ed because it feeds three
-    consumers (bucket generation + both sides of the match-count join);
-    without it the dominant shingling/md5 scan would re-run per consumer
-    (same reuse reasoning as minhash_lsh_pairs' shingle materialization
-    — "scanned exactly once" is only true if the plan reuses the scan).
+    The signature frame is localCheckpoint-ed because it feeds both join
+    sides; without it the dominant shingling/md5 scan would re-run per
+    consumer ("scanned exactly once" is only true if the plan reuses the
+    scan). Band rows carry the full signature through the join — fixed
+    num_hashes × 8-char payload — so the estimate is computed INSIDE the
+    candidate join (no post-join signature lookups), and first-match band
+    emission (see ``_band_match``) yields each colliding pair exactly
+    once with no dropDuplicates shuffle.
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, k, num_hashes).localCheckpoint()
-    buckets = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"h{b * rows_per_band + j}")
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
+    banded = _banded(sigs, num_hashes, bands)
+    a, b = banded.alias("a"), banded.alias("b")
     matches = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(num_hashes)
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(b, _band_match(bands) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             F.round(matches / F.lit(float(num_hashes)), 4).alias("jaccard_est"),
         )
         .filter(F.col("jaccard_est") >= min_est)

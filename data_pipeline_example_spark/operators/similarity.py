@@ -35,6 +35,13 @@ def _as_double(df: DataFrame) -> DataFrame:
     return df.select("vec_id", V.to_double_array(F.col("embedding")).alias("v"))
 
 
+def _as_float(df: DataFrame) -> DataFrame:
+    """Raw float32 vectors — for Arrow-bound paths: half the transfer
+    bytes of the double cast, and float→double widening inside NumPy is
+    exact, so downstream float64 math is bit-identical to _as_double."""
+    return df.select("vec_id", F.col("embedding").alias("v"))
+
+
 def _with_norm(df: DataFrame) -> DataFrame:
     """vec_id, v, nrm — the L2 norm computed ONCE per vector, below any
     join, so an n²-pair scoring stage pays one dot product per pair
@@ -98,7 +105,7 @@ def nearest_neighbor_per_vector(
     if method == "blocked":
         import pandas as pd  # driver/executor-side only
 
-        e = _as_double(embeddings)
+        e = _as_float(embeddings)
         queries = e.select(
             F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("blk"),
             F.lit(True).alias("is_query"),
@@ -119,8 +126,8 @@ def nearest_neighbor_per_vector(
             rs = pdf[~pdf["is_query"]].sort_values("vec_id")  # asc → argmax = lowest id
             if qs.empty or rs.empty:
                 return pd.DataFrame({"vec_id": [], "nn_id": [], "cos_sim": []})
-            Q = np.vstack(qs["v"].to_numpy())
-            R = np.vstack(rs["v"].to_numpy())
+            Q = np.vstack(qs["v"].to_numpy()).astype(np.float64)
+            R = np.vstack(rs["v"].to_numpy()).astype(np.float64)
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
             Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
             S = np.round(Qn @ Rn.T, 6)
@@ -206,7 +213,7 @@ def cosine_dup_pairs(
     if method == "blocked":
         import pandas as pd
 
-        e = _as_double(embeddings)
+        e = _as_float(embeddings)
         queries = e.select(
             F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("blk"),
             F.lit(True).alias("is_query"),
@@ -227,8 +234,8 @@ def cosine_dup_pairs(
             rs = pdf[~pdf["is_query"]]
             if qs.empty or rs.empty:
                 return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
-            Q = np.vstack(qs["v"].to_numpy())
-            R = np.vstack(rs["v"].to_numpy())
+            Q = np.vstack(qs["v"].to_numpy()).astype(np.float64)
+            R = np.vstack(rs["v"].to_numpy()).astype(np.float64)
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
             Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
             S = np.round(Qn @ Rn.T, 6)
@@ -315,7 +322,7 @@ def nearest_neighbor_blocked(
     """
     import pandas as pd  # driver/executor-side only
 
-    e = _as_double(embeddings)
+    e = _as_float(embeddings)
     assigned = assign_centroids(embeddings, n_centroids)
     bucketed = e.join(assigned, "vec_id")
 
@@ -325,7 +332,7 @@ def nearest_neighbor_blocked(
         pdf = pdf.sort_values("vec_id")  # asc → argmax = lowest nn_id on ties
         if len(pdf) < 2:
             return pd.DataFrame({"vec_id": [], "nn_id": [], "cos_sim": []})
-        M = np.vstack(pdf["v"].to_numpy())
+        M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         S = np.round(Mn @ Mn.T, 6)
         np.fill_diagonal(S, -np.inf)
