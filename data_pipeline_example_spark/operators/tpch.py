@@ -180,6 +180,47 @@ def brand_volume(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def bloom_pruned_brand_volume(
+    lineitem: DataFrame, part: DataFrame, min_size: int = 30, n_buckets: int = 8192
+) -> DataFrame:
+    """Brand volume over a *selective* dim filter, with the fact side
+    pruned by a bloom-style runtime filter before the join — the
+    fact-side scan-reduction pattern for joins whose dim filter kills
+    most fact rows (Spark's own runtime bloom filter does this
+    transparently where enabled; expressed explicitly here so the shape
+    is visible and testable).
+
+    The "bloom" is relational: the filtered dim's join keys hash into
+    ``n_buckets`` buckets (xxhash64 — the prune is engine-internal, so
+    portability doesn't matter); the distinct bucket set broadcasts, and
+    a LEFT SEMI join on the fact key's bucket drops most non-matching
+    fact rows at O(1) probe cost per row — exactly a one-hash bloom at
+    bucket granularity. False positives survive the prune and are
+    removed by the exact join that follows, so the RESULT is identical
+    to the unpruned plan — which is what the oracle checks (plain SQL
+    join, no bloom anywhere). At 100 TB the prune runs in the scan stage
+    and the exact join shuffles only surviving rows.
+    """
+    dim = part.filter(F.col("p_size") >= min_size).select("p_partkey", "p_brand")
+    bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets))  # noqa: E731
+    bucket_set = dim.select(bucket_of(F.col("p_partkey")).alias("__b")).distinct()
+    pruned = lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(bucket_set),
+        bucket_of(F.col("l_partkey")) == F.col("__b"),
+        "left_semi",
+    )
+    return (
+        pruned.join(F.broadcast(dim), pruned["l_partkey"] == dim["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """TPC-H Q13-shaped: distribution of orders-per-customer.
 

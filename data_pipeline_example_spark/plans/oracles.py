@@ -699,6 +699,53 @@ SELECT event_type, count(DISTINCT user_id) AS users_exact
 FROM events GROUP BY 1
 """,
     # --- text analysis ----------------------------------------------------
+    # --- sampling / pruning extensions --------------------------------------
+    "stratified_sample": """
+SELECT event_id, event_type, value
+FROM (
+  SELECT event_id, event_type, value,
+         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS pct
+  FROM events
+)
+WHERE pct < CASE event_type
+              WHEN 'click' THEN 5
+              WHEN 'error' THEN 90
+              WHEN 'purchase' THEN 60
+              WHEN 'signup' THEN 30
+              WHEN 'view' THEN 5
+              ELSE 10 END
+""",
+    "reservoir_sample": """
+SELECT event_type, event_id, value, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rk
+  FROM events
+)
+WHERE rk <= 20
+""",
+    "value_quantile_sketch": """
+SELECT event_type,
+       round(quantile_disc(value, 0.5), 2) AS p50,
+       round(quantile_disc(value, 0.9), 2) AS p90,
+       round(quantile_disc(value, 0.99), 2) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    "bloom_pruned_brand_volume": """
+SELECT p_brand,
+       round(sum(l_quantity), 2) AS total_qty,
+       round(sum(l_extendedprice), 2) AS total_price,
+       count(*) AS line_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 30
+GROUP BY 1
+ORDER BY 1
+""",
     "doc_stats": f"""
 WITH {_DOC_EXPRS}
 SELECT doc_id,

@@ -22,6 +22,7 @@ from data_pipeline_example_spark.operators import (
     dedup,
     multimodal,
     retail,
+    sampling,
     similarity,
     text,
     tpch,
@@ -357,6 +358,27 @@ def q_user_cardinality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sampling extensions -------------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_sample(load_table(spark, sf_dir, "events"))
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.reservoir_sample(load_table(spark, sf_dir, "events"))
+
+
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.value_quantile_sketch(load_table(spark, sf_dir, "events"))
+
+
+def q_bloom_pruned_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch.bloom_pruned_brand_volume(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
 # --- text analysis extensions -------------------------------------------
 
 
@@ -542,6 +564,11 @@ QUERIES: dict[str, QueryFn] = {
     # --- multimodal plumbing ---
     "media_features": q_media_features,
     "frame_samples": q_frame_samples,
+    # --- sampling / pruning extensions ---
+    "stratified_sample": q_stratified_sample,
+    "reservoir_sample": q_reservoir_sample,
+    "value_quantile_sketch": q_value_quantile_sketch,
+    "bloom_pruned_brand_volume": q_bloom_pruned_brand_volume,
     # --- profiling / splits / sketches ---
     "user_reach_rollup": q_user_reach_rollup,
     "props_key_stats": q_props_key_stats,
@@ -558,16 +585,16 @@ QUERIES: dict[str, QueryFn] = {
     "kpis": q_kpis,
     "events_json_conform": q_events_json_conform,
     "sliding_window_revenue": q_sliding_window_revenue,
-    "latest_window_leaderboard": q_latest_window_leaderboard,
-    "window_health": q_window_health,
-    "timeline_points": q_timeline_points,
-    "window_summary_stats": q_window_summary_stats,
     "user_sessions": q_user_sessions,
     "pricing_summary": q_pricing_summary,
     "market_share": q_market_share,
     "asof_last_view": q_asof_last_view,
     "rolling_revenue_7d": q_rolling_revenue_7d,
     # ---------------- end of the driver's 50-entry window ----------------
+    "latest_window_leaderboard": q_latest_window_leaderboard,
+    "window_health": q_window_health,
+    "timeline_points": q_timeline_points,
+    "window_summary_stats": q_window_summary_stats,
     "per_day_totals": q_per_day_totals,
     "top_products": q_top_products,
     "sample_rows": q_sample_rows,
