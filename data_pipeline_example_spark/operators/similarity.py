@@ -422,6 +422,48 @@ def embedding_centroids(embeddings: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization summary — the storage-side
+    companion of similarity search: at corpus scale embeddings ship and
+    sit quantized (4× smaller than float32, 8× than float64), and this
+    operator computes the quantization deterministically in pure column
+    expressions (no UDF, single scan, no shuffle).
+
+    scale = round(127 / max|v_i|, 6) (rounded BEFORE use so both engines
+    multiply by the identical double); q_i = floor(v_i·scale + 0.5) —
+    explicit round-half-up, portable across engines unlike bankers'
+    rounding. The query returns the audit row (scale + quantized
+    sum/min/max), not the byte arrays, so the result is fixed-width;
+    zero vectors quantize to all-zero with scale 0. Output: vec_id,
+    scale, q_sum, q_min, q_max.
+    """
+    e = _as_double(embeddings)
+    max_abs = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    # scale materialized in a lower projection so the transform below
+    # references the bound column, not a duplicated max/divide subtree
+    base = e.select(
+        "vec_id",
+        "v",
+        F.when(max_abs > 0, F.round(F.lit(127.0) / max_abs, 6))
+        .otherwise(F.lit(0.0))
+        .alias("scale"),
+    )
+    withq = base.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            "v", lambda x: F.floor(x * F.col("scale") + 0.5).cast("long")
+        ).alias("q"),
+    )
+    return withq.select(
+        "vec_id",
+        "scale",
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
 def kmeans_embeddings(
     embeddings: DataFrame, k: int = 8, iterations: int = 5
 ) -> DataFrame:

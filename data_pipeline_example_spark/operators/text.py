@@ -174,6 +174,82 @@ def pack_documents(
     )
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style filters an LLM
+    curation pipeline applies): per-document bigram totals, the most
+    frequent bigram's share, and the distinct-bigram ratio. Highly
+    repetitive documents (top_bigram_ratio near 1, distinct ratio near
+    0) are template/boilerplate candidates.
+
+    One tokenize → explode → (doc, bigram) count → per-doc rollup: both
+    shuffles are keyed on doc_id(+bigram) — uniform keys, map-side
+    partial aggregation, no arrays in any shuffle. Documents with fewer
+    than two tokens have no bigrams and produce no row (nothing to
+    measure). Output: doc_id, n_bigrams, top_bigram_n, top_bigram_ratio,
+    distinct_bigram_ratio.
+    """
+    t = T.tokens(F.lower(F.col("text")))
+    bigrams = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+    )
+    counts = (
+        documents.select("doc_id", t.alias("t"))
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_n"),
+            F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_ratio"),
+            F.round(F.count(F.lit(1)) / F.sum("c"), 4).alias("distinct_bigram_ratio"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_n",
+            "top_bigram_ratio",
+            "distinct_bigram_ratio",
+        )
+    )
+
+
+# PII patterns shared by the Spark operator and the SQL oracle: plain
+# character-class regex only (no lookaround, no \d shorthand) so the Java
+# and RE2 dialects match byte-for-byte.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONG_NUMBER_RE = "[0-9]{7,}"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """PII scrubbing — the redaction pass a training-data pipeline runs
+    before anything ships: email addresses → ``<EMAIL>``, long digit
+    runs (phone/account numbers) → ``<NUM>``. Counts are taken before
+    replacement; the redacted text is fingerprinted (md5) rather than
+    returned, so the result row stays fixed-width however large the
+    document. Pure regexp_replace / regexp-count expressions — codegen,
+    single scan, no shuffle. Output: doc_id, n_emails, n_numbers,
+    redacted_fp.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    redacted = F.regexp_replace(
+        F.regexp_replace(txt, EMAIL_RE, "<EMAIL>"), LONG_NUMBER_RE, "<NUM>"
+    )
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(txt, F.lit(LONG_NUMBER_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_numbers"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
 def top_bigrams(documents: DataFrame, n: int = 50) -> DataFrame:
     """Corpus-level bigram frequency table, top-``n`` — n-gram statistics
     with *occurrence* counts (unlike the dedup shingles, which are

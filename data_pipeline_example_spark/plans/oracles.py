@@ -888,6 +888,57 @@ GROUP BY 1
 ORDER BY n_occurrences DESC, bigram ASC
 LIMIT 50
 """,
+    "repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                       i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks
+),
+counts AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(max(c) AS BIGINT) AS top_bigram_n,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_bigram_ratio,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS distinct_bigram_ratio
+FROM counts GROUP BY 1
+""",
+    "redact_pii": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9]{7,}')) AS BIGINT) AS n_numbers,
+       md5(regexp_replace(
+             regexp_replace(coalesce(text, ''),
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '[0-9]{7,}', '<NUM>', 'g')) AS redacted_fp
+FROM documents
+""",
+    "quantize_embeddings": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scaled AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN round(127.0 / list_max(list_transform(v, x -> abs(x))), 6)
+              ELSE 0.0 END AS scale,
+         v
+  FROM e
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+  FROM scaled
+)
+SELECT vec_id, scale,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       list_aggregate(qv, 'min') AS q_min,
+       list_aggregate(qv, 'max') AS q_max
+FROM q
+""",
     "tfidf_top_terms": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term

@@ -417,6 +417,18 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.top_bigrams(load_table(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -543,6 +555,8 @@ QUERIES: dict[str, QueryFn] = {
     "pack_documents": q_pack_documents,
     "top_bigrams": q_top_bigrams,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "repetition_stats": q_repetition_stats,
+    "redact_pii": q_redact_pii,
     # --- dedup extensions ---
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
@@ -560,6 +574,7 @@ QUERIES: dict[str, QueryFn] = {
     "nearest_neighbor": q_nearest_neighbor,
     "nearest_neighbor_blocked": q_nearest_neighbor_blocked,
     "ivf_knn": q_ivf_knn,
+    "quantize_embeddings": q_quantize_embeddings,
     "kmeans_embeddings": q_kmeans_embeddings,
     # --- multimodal plumbing ---
     "media_features": q_media_features,
@@ -582,15 +597,15 @@ QUERIES: dict[str, QueryFn] = {
     "user_cardinality_exact": q_user_cardinality_exact,
     # --- reference-parity representatives (each family keeps one inside
     # the window; the rest are certified-in-r1 derivatives in the tail) ---
-    "kpis": q_kpis,
-    "events_json_conform": q_events_json_conform,
     "sliding_window_revenue": q_sliding_window_revenue,
     "user_sessions": q_user_sessions,
     "pricing_summary": q_pricing_summary,
     "market_share": q_market_share,
     "asof_last_view": q_asof_last_view,
-    "rolling_revenue_7d": q_rolling_revenue_7d,
     # ---------------- end of the driver's 50-entry window ----------------
+    "kpis": q_kpis,
+    "events_json_conform": q_events_json_conform,
+    "rolling_revenue_7d": q_rolling_revenue_7d,
     "latest_window_leaderboard": q_latest_window_leaderboard,
     "window_health": q_window_health,
     "timeline_points": q_timeline_points,
