@@ -396,6 +396,37 @@ def minhash_jaccard_estimates(
     )
 
 
+def contamination_pairs(
+    documents: DataFrame, eval_max_id: int = 10, k: int = 3
+) -> DataFrame:
+    """Eval-set decontamination — the overlap check a training pipeline
+    runs before any corpus ships: for every training document, count the
+    k-token shingles it shares with each held-out eval document (here:
+    doc_id < ``eval_max_id`` plays the eval set). Any row in the output
+    is a contamination candidate; downstream filtering drops or scrubs
+    them.
+
+    Shape: one shingle materialization, eval-side inverted index
+    broadcast (the eval set is small by definition — benchmarks, not
+    corpora), training side streamed through the broadcast hash join and
+    rolled up per (train, eval) pair. No shuffle carries shingle arrays;
+    at 100 TB the train side stays a single scan. Output: doc_id,
+    eval_doc, n_shared.
+    """
+    sh = shingled(documents, k)
+    ev = sh.filter(F.col("doc_id") < eval_max_id).select(
+        F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("sh")
+    )
+    tr = sh.filter(F.col("doc_id") >= eval_max_id).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over a near-dup pair graph — the step that
     turns pairwise similarity (jaccard/minhash/simhash/cosine pairs)

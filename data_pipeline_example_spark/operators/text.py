@@ -217,6 +217,58 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+# default per-source mixing weights for mixture_rates: named overrides,
+# everything else weight 1.0 (mirrored by the oracle's CASE)
+DEFAULT_MIX_WEIGHTS: dict[str, float] = {"src0": 3.0, "src1": 2.0}
+
+
+def mixture_rates(
+    documents: DataFrame,
+    weights: dict[str, float] | None = None,
+    default_weight: float = 1.0,
+    token_budget: int = 50_000,
+) -> DataFrame:
+    """Corpus mixture planning — given per-source mixing weights and a
+    total token budget, compute each source's token allocation and the
+    sampling rate that hits it: rate = min(1, target/total). The output
+    feeds ``sampling.stratified_sample``-style hash filters, closing the
+    loop from mixture spec to executable per-source sampling.
+
+    One aggregate to per-source token totals (|sources| rows), one
+    broadcast of the 1-row weight sum — the corpus is scanned once and
+    nothing bigger than the source list ever moves. Output: source,
+    total_tokens, target_tokens, rate.
+    """
+    weights = DEFAULT_MIX_WEIGHTS if weights is None else weights
+    w = F.lit(float(default_weight))
+    for src, wt in sorted(weights.items()):
+        w = F.when(F.col("source") == src, float(wt)).otherwise(w)
+    per = (
+        documents.select("source", T.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("total_tokens"))
+        .withColumn("w", w)
+    )
+    total_w = per.agg(F.sum("w").alias("sw"))
+    target = F.floor(F.lit(float(token_budget)) * F.col("w") / F.col("sw")).cast("long")
+    return (
+        per.crossJoin(F.broadcast(total_w))
+        .select(
+            "source",
+            "total_tokens",
+            target.alias("target_tokens"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    target.cast("double") / F.col("total_tokens"),
+                ),
+                4,
+            ).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # PII patterns shared by the Spark operator and the SQL oracle: plain
 # character-class regex only (no lookaround, no \d shorthand) so the Java
 # and RE2 dialects match byte-for-byte.

@@ -918,6 +918,29 @@ SELECT doc_id,
              '[0-9]{7,}', '<NUM>', 'g')) AS redacted_fp
 FROM documents
 """,
+    "mixture_rates": """
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))) AS BIGINT)
+           AS total_tokens,
+         CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0 ELSE 1.0 END AS w
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(w) AS sw FROM per)
+SELECT source, total_tokens,
+       CAST(floor(50000.0 * w / sw) AS BIGINT) AS target_tokens,
+       round(least(1.0, CAST(floor(50000.0 * w / sw) AS DOUBLE) / total_tokens), 4)
+         AS rate
+FROM per, tot
+ORDER BY source
+""",
+    "contamination_pairs": f"""
+WITH {_SHINGLES}
+SELECT a.doc_id AS doc_id, b.doc_id AS eval_doc, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh a JOIN sh b ON a.sh = b.sh
+WHERE a.doc_id >= 10 AND b.doc_id < 10
+GROUP BY 1, 2
+""",
     "quantize_embeddings": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 scaled AS (

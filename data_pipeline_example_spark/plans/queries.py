@@ -429,6 +429,14 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.mixture_rates(load_table(spark, sf_dir, "documents"))
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -557,7 +565,9 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_stats": q_repetition_stats,
     "redact_pii": q_redact_pii,
+    "mixture_rates": q_mixture_rates,
     # --- dedup extensions ---
+    "contamination_pairs": q_contamination_pairs,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -599,10 +609,10 @@ QUERIES: dict[str, QueryFn] = {
     # the window; the rest are certified-in-r1 derivatives in the tail) ---
     "sliding_window_revenue": q_sliding_window_revenue,
     "user_sessions": q_user_sessions,
-    "pricing_summary": q_pricing_summary,
-    "market_share": q_market_share,
     "asof_last_view": q_asof_last_view,
     # ---------------- end of the driver's 50-entry window ----------------
+    "pricing_summary": q_pricing_summary,
+    "market_share": q_market_share,
     "kpis": q_kpis,
     "events_json_conform": q_events_json_conform,
     "rolling_revenue_7d": q_rolling_revenue_7d,

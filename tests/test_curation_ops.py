@@ -62,6 +62,47 @@ def test_redact_short_numbers_survive(spark):
     assert r["redacted_fp"] == hashlib.md5(b"room 42 on floor 123456").hexdigest()
 
 
+def test_contamination_pairs_finds_planted_overlap(spark):
+    from data_pipeline_example_spark.operators import dedup
+
+    eval_doc = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(
+        spark,
+        [
+            eval_doc,                                   # doc 0: the eval set
+            "prefix words alpha beta gamma more words", # shares 1 shingle
+            "totally unrelated content here now",       # clean
+        ],
+    )
+    out = dedup.contamination_pairs(docs, eval_max_id=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["eval_doc"]) == (1, 0)
+    assert r["n_shared"] == 1  # "alpha beta gamma"
+
+
+def test_mixture_rates_allocates_budget_and_caps_rate(spark):
+    rows = [
+        (0, "en", "src0", "tok " * 100),   # 100 tokens, weight 3
+        (1, "en", "src1", "tok " * 100),   # 100 tokens, weight 2
+        (2, "en", "srcX", "tok " * 5),     # 5 tokens, weight 1 -> rate caps at 1
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    got = {
+        r["source"]: r
+        for r in text.mixture_rates(docs, token_budget=120).collect()
+    }
+    # weight sum = 6 -> targets 60 / 40 / 20
+    assert got["src0"]["target_tokens"] == 60
+    assert got["src1"]["target_tokens"] == 40
+    assert got["srcX"]["target_tokens"] == 20
+    assert got["src0"]["rate"] == 0.6
+    assert got["src1"]["rate"] == 0.4
+    assert got["srcX"]["rate"] == 1.0  # capped: budget exceeds supply
+
+
 def test_quantize_embeddings_bounds_and_zero_vector(spark):
     vecs = spark.createDataFrame(
         [
