@@ -87,7 +87,7 @@ def reservoir_sample(events: DataFrame, k: int = 20) -> DataFrame:
 
 
 def value_quantile_sketch(
-    events: DataFrame, accuracy: int = 10_000
+    events: DataFrame, accuracy: int = 100_000
 ) -> DataFrame:
     """Per-stratum quantiles via Spark's mergeable quantile sketch
     (``percentile_approx``, Greenwald-Khanna) — the sketch workload
@@ -97,9 +97,10 @@ def value_quantile_sketch(
 
     With ``accuracy`` >= the stratum row count the sketch degrades to
     exact nearest-rank selection — which is how the oracle pins it at
-    test scale (DuckDB ``quantile_disc``); at 100 TB the same query runs
-    with bounded memory and principled error (1/accuracy quantile
-    rank error). Output: event_type, p50, p90, p99.
+    every test sf (strata are ≤ ~20k rows at sf0.1, under the default
+    accuracy); at 100 TB the same query runs with bounded memory —
+    O(accuracy · log n) per stratum — and principled 1/accuracy quantile
+    rank error. Output: event_type, p50, p90, p99.
     """
     qs = F.percentile_approx("value", [0.5, 0.9, 0.99], accuracy)
     return (
