@@ -10,6 +10,14 @@ prints ONE JSON line:
 
 Each query executes end-to-end into the no-op sink (full plan runs —
 scan, shuffles, aggregation — nothing collected to the driver).
+
+Each query is timed twice and the MINIMUM is reported ("runs": 2,
+"agg": "min" in the JSON): this host shows bursty multi-10× wall-clock
+stalls from outside the VM (the same query measured 47 s in one run and
+0.6 s seconds later with an idle guest), and min-of-2 keeps the metric
+about the engine rather than the neighbor. The noop sink guarantees the
+second run re-executes the full plan (nothing is cached between runs
+beyond the OS page cache both runs share).
 """
 
 from __future__ import annotations
@@ -83,9 +91,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -96,6 +107,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": 2,
+                "agg": "min",
             }
         )
     )
