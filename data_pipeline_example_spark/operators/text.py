@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_example_spark.functions import text as T
+from data_pipeline_example_spark.functions.parallel import widen
 
 
 def doc_stats(documents: DataFrame) -> DataFrame:
@@ -363,4 +364,103 @@ def tfidf_top_terms(documents: DataFrame, top_per_doc: int = 3) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_per_doc)
         .drop("rn")
+    )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Context-length chunking: overlapping fixed-size token windows.
+
+    The standard pre-training transform — long documents become
+    ``chunk_size``-token slices starting every ``stride`` tokens (so
+    consecutive chunks overlap by chunk_size − stride). Output: doc_id,
+    chunk_id (0-based slice ordinal), n_tokens (≤ chunk_size; the last
+    slice is usually short), chunk_hash (md5 of the space-joined slice —
+    content-verifying without shipping the text twice).
+
+    Plan: one tokenize projection, one ``transform``+``posexplode`` —
+    all higher-order built-ins, no shuffle at all until a downstream
+    aggregate. Row count multiplies by ~n_tokens/stride, but each output
+    row is a fixed-width hash, so the operator's output volume is
+    bounded per input token regardless of document length — the skew an
+    enormous document would cause lives inside one task's explode, which
+    is the best available locality (``widen`` first, so a single-file
+    corpus still chunks on every core).
+    """
+    toks_df = widen(documents).select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
+    chunks = toks_df.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice("toks", s + 1, chunk_size))
+        ).alias("chunk_id", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+    )
+
+
+def chunk_dedup_stats(
+    documents: DataFrame, chunk_size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sub-document (chunk-level) duplication rate of the corpus.
+
+    Near-dup operators catch whole-document copies; training corpora
+    also carry repeated boilerplate *inside* otherwise-distinct docs.
+    One row: n_chunks, distinct_chunks, dup_rate (4 dp). The distinct
+    count is exact — a hash aggregate keyed by the 128-bit chunk hash,
+    uniform by construction, so it scales like ``exact_dedup``.
+    """
+    ch = chunk_documents(documents, chunk_size, stride)
+    return ch.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct(F.col("chunk_hash")).alias("distinct_chunks"),
+        F.round(
+            1.0 - F.count_distinct(F.col("chunk_hash")) / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+    )
+
+
+def source_blocklist_summary(documents: DataFrame) -> DataFrame:
+    """Corpus after dropping low-quality sources (blocklist anti-join).
+
+    Curation-by-provenance: a source whose *mean* document quality falls
+    below the corpus-wide mean document quality is blocked entirely, and
+    the surviving corpus is summarized per language. Output: lang,
+    n_docs, n_sources, avg_quality (4 dp), ordered for determinism by
+    the caller's oracle.
+
+    Plan shape at scale: per-source means are one hash aggregate; the
+    corpus mean is a 1-row broadcast; the blocklist itself is
+    |sources|-sized (tiny) and broadcast into a LEFT ANTI join against
+    the fact scan — the full corpus is never shuffled, mirroring
+    ``tpch.bloom_pruned_brand_volume``'s dimension-prune pattern.
+
+    Both means compare on values rounded to 4 dp (the per-doc quality is
+    already 4 dp-rounded) — the 6 dp re-round before the comparison
+    keeps the boundary decision identical across engines.
+    """
+    scored = doc_stats(documents).select("doc_id", "quality").join(
+        documents.select("doc_id", "lang", "source"), "doc_id"
+    )
+    per_source = scored.groupBy("source").agg(
+        F.round(F.avg("quality"), 6).alias("src_quality")
+    )
+    global_mean = scored.agg(F.round(F.avg("quality"), 6).alias("corpus_quality"))
+    blocked = per_source.crossJoin(F.broadcast(global_mean)).filter(
+        F.col("src_quality") < F.col("corpus_quality")
+    )
+    kept = scored.join(
+        F.broadcast(blocked.select("source")), "source", "left_anti"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
     )

@@ -234,3 +234,104 @@ def user_reach_rollup(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def value_anomalies(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Daily revenue outliers per event type (z-score screen).
+
+    Aggregate to (day, event_type) totals — one shuffle keyed on a
+    bounded composite — then score each day against its type's 30-day
+    distribution with an unbounded window per type. The window operates
+    on |days × types| rows (tiny after aggregation at any corpus scale),
+    so the expensive part stays a plain map-side-combined hash
+    aggregate. Output: event_type, day, total_value (2 dp),
+    z (4 dp, |z| ≥ threshold).
+
+    z is computed from the 2 dp-rounded totals (exact in both engines)
+    with population stddev; the 4 dp round happens before the threshold
+    filter so both engines make identical keep/drop decisions.
+    """
+    from pyspark.sql.window import Window
+
+    daily = events.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("total_value"))
+    w = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "total_value",
+        F.round(
+            (F.col("total_value") - F.avg("total_value").over(w))
+            / F.nullif(F.stddev_pop("total_value").over(w), F.lit(0.0)),
+            4,
+        ).alias("z"),
+    )
+    return scored.filter(F.abs(F.col("z")) >= z_threshold)
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-active
+    day, counted on each subsequent active day.
+
+    Shape at scale: distinct (user, day) pairs — one dedup shuffle over
+    the raw scan, everything after operates on |users × active-days|
+    rows. The cohort frame is |users|-sized; the join back is keyed on
+    user_id (uniform). Output: cohort_day, day_offset, active_users.
+    """
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+def event_funnel(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel: signup → view → click → purchase.
+
+    Stage N counts users with a stage-N event strictly *after* their
+    earliest stage-(N−1) completion — order-sensitive, unlike the naive
+    "did all four" intersection. Each stage timestamp is a conditional
+    min over the user partition referencing the previous stage's column,
+    so all four windows share one partitioning: Spark plans a single
+    user_id exchange + sort and chains the Window operators over it —
+    per-user state, no self-joins, no iteration. Output: stage_idx,
+    stage, users (users is monotonically non-increasing by construction).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    stages = ["signup", "view", "click", "purchase"]
+    df = events.select("user_id", "event_type", "ts").withColumn(
+        "t0", F.min(F.when(F.col("event_type") == stages[0], F.col("ts"))).over(w)
+    )
+    for i, stage in enumerate(stages[1:], start=1):
+        df = df.withColumn(
+            f"t{i}",
+            F.min(
+                F.when(
+                    (F.col("event_type") == stage)
+                    & (F.col("ts") > F.col(f"t{i-1}")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    per_user = df.groupBy("user_id").agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(len(stages))]
+    )
+    counts = per_user.agg(
+        *[F.count(f"t{i}").alias(f"c{i}") for i in range(len(stages))]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', c{i}" for i, s in enumerate(stages)
+    )
+    return counts.selectExpr(
+        f"stack({len(stages)}, {stack_args}) as (stage_idx, stage, users)"
+    )

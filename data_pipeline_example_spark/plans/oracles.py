@@ -1266,4 +1266,120 @@ FROM (
   FROM documents
 )
 """,
+    # chunking: range() over a column works inside list_transform (the
+    # FROM-clause lateral form does not in DuckDB 1.0); zipped unnests in
+    # the SELECT list expand positionally in lockstep
+    "chunk_documents": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       unnest(list_transform(range(0, len(t), 48),
+              s -> CAST(s // 48 AS INTEGER))) AS chunk_id,
+       unnest(list_transform(range(0, len(t), 48),
+              s -> CAST(len(list_slice(t, s + 1, s + 64)) AS INTEGER))) AS n_tokens,
+       unnest(list_transform(range(0, len(t), 48),
+              s -> md5(array_to_string(list_slice(t, s + 1, s + 64), ' ')))) AS chunk_hash
+FROM toks WHERE len(t) > 0
+""",
+    "chunk_dedup_stats": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+ch AS (
+  SELECT unnest(list_transform(range(0, len(t), 48),
+                s -> md5(array_to_string(list_slice(t, s + 1, s + 64), ' ')))) AS chunk_hash
+  FROM toks WHERE len(t) > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT chunk_hash) AS BIGINT) AS distinct_chunks,
+       round(1.0 - count(DISTINCT chunk_hash) * 1.0 / count(*), 4) AS dup_rate
+FROM ch
+""",
+    "source_blocklist_summary": f"""
+WITH {_DOC_EXPRS},
+q AS (
+  SELECT doc_id, lang, source,
+         round(least(n_tokens_raw / 100.0, 1.0)
+               * (1.0 - n_punct_raw * 1.0 / greatest(n_chars_raw, 1))
+               * (0.5 + 0.5 * (c_en * 1.0 / greatest(n_tokens_raw, 1))), 4) AS quality
+  FROM docx
+),
+src AS (SELECT source, round(avg(quality), 6) AS src_quality FROM q GROUP BY 1),
+g AS (SELECT round(avg(quality), 6) AS corpus_quality FROM q),
+blocked AS (SELECT source FROM src, g WHERE src_quality < corpus_quality)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       round(avg(quality), 4) AS avg_quality
+FROM q ANTI JOIN blocked USING (source)
+GROUP BY lang
+""",
+    "value_anomalies": """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day, total_value,
+         round((total_value - avg(total_value) OVER (PARTITION BY event_type))
+               / nullif(stddev_pop(total_value) OVER (PARTITION BY event_type), 0.0),
+               4) AS z
+  FROM daily
+)
+SELECT event_type, day, total_value, z FROM scored WHERE abs(z) >= 2.0
+""",
+    "retention_cohorts": """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+  FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+    # ordered funnel: each stage's timestamp is a conditional window min
+    # referencing the previous stage — CAST ts to µs TIMESTAMP so strict
+    # '>' comparisons agree with Spark's µs-truncated event time
+    "event_funnel": """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+              OVER (PARTITION BY user_id) AS t0
+  FROM e
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND ts > t0 THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s2
+),
+s4 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s3
+),
+pu AS (
+  SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM s4 GROUP BY 1
+),
+c AS (
+  SELECT count(t0) AS c0, count(t1) AS c1, count(t2) AS c2, count(t3) AS c3
+  FROM pu
+)
+SELECT 0 AS stage_idx, 'signup' AS stage, c0 AS users FROM c
+UNION ALL SELECT 1, 'view', c1 FROM c
+UNION ALL SELECT 2, 'click', c2 FROM c
+UNION ALL SELECT 3, 'purchase', c3 FROM c
+""",
 }

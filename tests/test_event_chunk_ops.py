@@ -1,0 +1,150 @@
+"""Unit tests for the chunking / provenance-curation / event-analytics
+operators (round 2): semantics pinned on planted data, independent of
+the DuckDB oracle harness."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from data_pipeline_example_spark.operators import text, users
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, "en", f"src{i % 2}", t) for i, t in enumerate(rows)],
+        "doc_id long, lang string, source string, text string",
+    )
+
+
+def _events(spark, rows):
+    """rows: (user_id, event_type, ts_str, value)."""
+    return spark.createDataFrame(
+        [
+            (i, u, e, datetime.datetime.fromisoformat(ts), v)
+            for i, (u, e, ts, v) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+
+
+# --- chunking -------------------------------------------------------------
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = _docs(spark, [words])
+    got = sorted(
+        text.chunk_documents(docs, chunk_size=4, stride=3).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # starts 0,3,6,9 -> sizes 4,4,4,1
+    assert [r["chunk_id"] for r in got] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in got] == [4, 4, 4, 1]
+    # consecutive chunks overlap by chunk_size - stride = 1 token:
+    # chunk0 = w0..w3, chunk1 = w3..w6 — verified via hashes of the
+    # expected texts
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[0]["chunk_hash"] == h("w0 w1 w2 w3")
+    assert got[1]["chunk_hash"] == h("w3 w4 w5 w6")
+    assert got[3]["chunk_hash"] == h("w9")
+
+
+def test_chunk_documents_skips_empty(spark):
+    docs = _docs(spark, ["", "   ", "one two"])
+    got = text.chunk_documents(docs, chunk_size=4, stride=3).collect()
+    assert {r["doc_id"] for r in got} == {2}
+
+
+def test_chunk_dedup_stats_counts_repeats(spark):
+    # two docs with identical text -> every chunk duplicated once
+    words = " ".join(f"w{i}" for i in range(8))
+    docs = _docs(spark, [words, words])
+    row = text.chunk_dedup_stats(docs, chunk_size=4, stride=4).collect()[0]
+    assert row["n_chunks"] == 4  # 2 docs x 2 chunks
+    assert row["distinct_chunks"] == 2
+    assert row["dup_rate"] == 0.5
+
+
+# --- provenance blocklist -------------------------------------------------
+
+
+def test_source_blocklist_drops_low_quality_source(spark):
+    good = "the cat and the dog walked to the park and it is a good day " * 3
+    bad = "x;;;;;;;;;;;;;;;;;;;;;;;;;;;;;"
+    rows = [
+        (0, "en", "good_src", good),
+        (1, "en", "good_src", good),
+        (2, "en", "bad_src", bad),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    got = text.source_blocklist_summary(docs).collect()
+    assert len(got) == 1
+    assert got[0]["lang"] == "en"
+    assert got[0]["n_docs"] == 2
+    assert got[0]["n_sources"] == 1
+
+
+# --- event analytics ------------------------------------------------------
+
+
+def test_value_anomalies_flags_spike(spark):
+    rows = []
+    for d in range(1, 11):
+        rows.append((1, "view", f"2024-01-{d:02d}T00:00:00", 10.0))
+    rows.append((1, "view", "2024-01-05T01:00:00", 500.0))  # day 5 spikes
+    got = users.value_anomalies(_events(spark, rows)).collect()
+    assert len(got) == 1
+    assert got[0]["day"] == datetime.date(2024, 1, 5)
+    assert got[0]["total_value"] == 510.0
+    assert got[0]["z"] > 2.0
+
+
+def test_retention_cohorts_triangle(spark):
+    rows = [
+        (1, "view", "2024-01-01T08:00:00", 1.0),
+        (1, "view", "2024-01-03T08:00:00", 1.0),
+        (2, "view", "2024-01-01T09:00:00", 1.0),
+        (3, "view", "2024-01-02T09:00:00", 1.0),
+        (3, "view", "2024-01-03T09:00:00", 1.0),
+    ]
+    got = {
+        (r["cohort_day"].isoformat(), r["day_offset"]): r["active_users"]
+        for r in users.retention_cohorts(_events(spark, rows)).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # users 1, 2
+        ("2024-01-01", 2): 1,  # user 1 back on day 3
+        ("2024-01-02", 0): 1,  # user 3
+        ("2024-01-02", 1): 1,  # user 3 back on day 3
+    }
+
+
+def test_event_funnel_is_order_sensitive(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, "signup", "2024-01-01T00:00:00", 0.0),
+        (1, "view", "2024-01-01T01:00:00", 0.0),
+        (1, "click", "2024-01-01T02:00:00", 0.0),
+        (1, "purchase", "2024-01-01T03:00:00", 0.0),
+        # user 2: view BEFORE signup only -> stops at signup stage
+        (2, "view", "2024-01-01T00:00:00", 0.0),
+        (2, "signup", "2024-01-01T01:00:00", 0.0),
+        # user 3: signup + view, click missing -> purchase doesn't count
+        (3, "signup", "2024-01-01T00:00:00", 0.0),
+        (3, "view", "2024-01-01T01:00:00", 0.0),
+        (3, "purchase", "2024-01-01T02:00:00", 0.0),
+        # user 4: never signed up
+        (4, "view", "2024-01-01T00:00:00", 0.0),
+    ]
+    got = {r["stage"]: r["users"] for r in users.event_funnel(_events(spark, rows)).collect()}
+    assert got == {"signup": 3, "view": 2, "click": 1, "purchase": 1}
+    idx = {r["stage"]: r["stage_idx"] for r in users.event_funnel(_events(spark, rows)).collect()}
+    assert idx == {"signup": 0, "view": 1, "click": 2, "purchase": 3}
