@@ -65,3 +65,65 @@ def asof_join_events(
             ).alias("gap_s"),
         )
     )
+
+
+def range_join_counts(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    band_s: int = 300,
+) -> DataFrame:
+    """Band (range) join: for each ``left_type`` event, how many
+    ``right_type`` events of the same user fall within ±``band_s``
+    seconds. Spark has no native range join either; the naive
+    formulation (`ON r.ts BETWEEN l.ts - Δ AND l.ts + Δ`) degenerates to
+    a per-user cross product that a 100 TB event table cannot survive.
+
+    Scale path — bucketized band join: both sides bucket their epoch
+    second by the band width, the LEFT side explodes to its three
+    adjacent buckets ({b−1, b, b+1} — any row within ±Δ of it must land
+    there), and the join is a plain EQUI-join on (user_id, bucket)
+    followed by the exact band predicate. Each right row lives in
+    exactly one bucket, so no pair is counted twice; shuffle volume is
+    3·|L| + |R| rows keyed uniformly by (user, time-bucket) — skew
+    appears only if one user has a hot 5-minute window, which AQE's
+    skew-join splitting absorbs.
+
+    Band semantics are on WHOLE epoch seconds (`unix_timestamp`
+    truncation; the oracle mirrors with floor(epoch())) so both engines
+    make identical in/out decisions at the boundary. Output:
+    purchase_id, user_id, n_nearby (0 when none — left join).
+    """
+    lhs = events.filter(F.col("event_type") == left_type).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("l_sec"),
+    )
+    rhs = events.filter(F.col("event_type") == right_type).select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.unix_timestamp("ts").alias("r_sec"),
+        (F.unix_timestamp("ts") / band_s).cast("long").alias("bucket"),
+    )
+    probes = lhs.select(
+        "purchase_id",
+        "user_id",
+        "l_sec",
+        F.explode(
+            F.array(
+                (F.col("l_sec") / band_s).cast("long") - 1,
+                (F.col("l_sec") / band_s).cast("long"),
+                (F.col("l_sec") / band_s).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    matched = probes.join(
+        rhs,
+        (F.col("user_id") == F.col("r_user"))
+        & (probes["bucket"] == rhs["bucket"])
+        & (F.abs(F.col("r_sec") - F.col("l_sec")) <= band_s),
+        "left",
+    )
+    return matched.groupBy("purchase_id", "user_id").agg(
+        F.count("r_id").alias("n_nearby")
+    )

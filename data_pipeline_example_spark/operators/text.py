@@ -464,3 +464,99 @@ def source_blocklist_summary(documents: DataFrame) -> DataFrame:
         F.count_distinct("source").alias("n_sources"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+def frequent_terms(documents: DataFrame, eps: float = 0.005) -> DataFrame:
+    """Corpus-wide heavy hitters: every term occurring in ≥ ``eps`` of
+    all token positions, with its exact count.
+
+    Two-phase sketch-then-verify — the bounded-memory shape for a
+    vocabulary too large to shuffle whole:
+
+    1. *Candidates*: a Misra–Gries summary (k = ⌈1/eps⌉ counters) per
+       input partition via Arrow-batched ``mapInPandas``. MG guarantees
+       any term with local frequency > n_p/(k+1) survives its
+       partition, and a term with global share ≥ eps has local share
+       ≥ eps on at least one partition — so the union of partition
+       summaries is a SUPERSET of the true answer, regardless of
+       partitioning. Candidate volume is ≤ k·partitions rows, tiny.
+    2. *Verify*: exact counts for candidates only — the token stream is
+       filtered by a broadcast semi-join before the counting shuffle,
+       so the full vocabulary never shuffles.
+
+    Because phase 2 recounts exactly and the phase-1 superset property
+    is deterministic, the final output equals the plain exact answer —
+    the oracle is ordinary SQL with no sketch in it. Output: term,
+    n_occurrences (threshold = ⌈eps · total_tokens⌉, computed as a
+    1-row broadcast, never a driver-side constant).
+    """
+    import math
+
+    k = int(math.ceil(1.0 / eps))
+    toks = widen(documents).select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"term": list(counters)})
+
+    candidates = toks.mapInPandas(mg, "term string").distinct()
+    totals = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        toks.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("n_occurrences") >= F.ceil(F.lit(eps) * F.col("n_total")))
+        .select("term", "n_occurrences")
+    )
+
+
+def unigram_scores(documents: DataFrame) -> DataFrame:
+    """Per-document mean negative log2 unigram probability — the
+    perplexity-proxy quality signal (CCNet-style) computed against the
+    corpus's OWN unigram LM, no external model needed. Common-word prose
+    scores low; rare-token noise scores high; downstream curation
+    thresholds on it.
+
+    Plan: one tokenize/explode feeds both the vocabulary aggregate and
+    the scoring join; the join keys on the term (vocabulary-sized — too
+    big to broadcast at 100 TB, so a shuffle join is the *correct*
+    choice, same reasoning as ``tfidf_top_terms``), and the corpus
+    total rides in as a 1-row broadcast. Output: doc_id, n_tokens,
+    avg_neg_log2p (4 dp; sum-order float noise is ~1e-12 of the value,
+    far inside the rounding).
+    """
+    toks = widen(documents).select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log2(F.col("n_total") / F.col("tc"))), 4).alias(
+                "avg_neg_log2p"
+            ),
+        )
+    )

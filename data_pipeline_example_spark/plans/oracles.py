@@ -1382,4 +1382,50 @@ UNION ALL SELECT 1, 'view', c1 FROM c
 UNION ALL SELECT 2, 'click', c2 FROM c
 UNION ALL SELECT 3, 'purchase', c3 FROM c
 """,
+    # oracle is the NAIVE band join — the Spark plan's bucketization is
+    # pruning only, so result sets are identical; band on whole epoch
+    # seconds (floor) to match Spark's unix_timestamp truncation
+    "range_join_counts": """
+WITH p AS (
+  SELECT event_id, user_id, floor(epoch(CAST(ts AS TIMESTAMP))) AS sec
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT event_id, user_id, floor(epoch(CAST(ts AS TIMESTAMP))) AS sec
+  FROM events WHERE event_type = 'error'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_nearby
+FROM p LEFT JOIN e
+  ON e.user_id = p.user_id AND abs(e.sec - p.sec) <= 300
+GROUP BY 1, 2
+""",
+    # oracle is the exact heavy-hitter query with no sketch in it — the
+    # Misra-Gries phase only proposes a guaranteed-superset candidate
+    # set that exact recounting then filters
+    "frequent_terms": """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM toks, tot
+GROUP BY term, tot.n
+HAVING count(*) >= ceil(0.005 * n)
+""",
+    "unigram_scores": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(*) AS tc FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM toks)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(log2(n_total * 1.0 / tc)), 4) AS avg_neg_log2p
+FROM toks JOIN vocab USING (term), tot
+GROUP BY doc_id
+""",
 }

