@@ -63,10 +63,15 @@ class DashboardServer:
         self._thread.start()
 
     def stop(self) -> None:
-        self._httpd.shutdown()
-        self._httpd.server_close()
+        # shutdown() blocks until a serve_forever() loop acknowledges it
+        # — calling it without a started loop would deadlock, so it runs
+        # only when start() actually ran; server_close() (releasing the
+        # socket the constructor bound) is safe and needed either way
         if self._thread is not None:
+            self._httpd.shutdown()
             self._thread.join(timeout=5)
+            self._thread = None
+        self._httpd.server_close()
 
     def refresh(self) -> None:
         """Recompute payloads (runs the Spark queries). Swaps the cache

@@ -419,7 +419,10 @@ def contamination_pairs(
     at 100 TB the train side stays a single scan. Output: doc_id,
     eval_doc, n_shared.
     """
-    sh = shingled(documents, k)
+    # both the broadcast eval build and the streamed train probe read
+    # the shingle frame — materialize once (same reasoning as
+    # minhash_lsh_pairs: shingling dominates this operator's CPU)
+    sh = shingled(documents, k).localCheckpoint()
     ev = sh.filter(F.col("doc_id") < eval_max_id).select(
         F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("sh")
     )

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_example_spark.functions.hashing import hash_pct
+
 # per-stratum inclusion percentages for stratified_sample: the mixing
 # weights a corpus-curation job applies per source/type
 DEFAULT_RATES: dict[str, int] = {
@@ -28,15 +30,6 @@ DEFAULT_RATES: dict[str, int] = {
     "signup": 30,
 }
 DEFAULT_PCT = 10
-
-
-def hash_pct(col: Column) -> Column:
-    """Deterministic 0..99 bucket from md5 of the stringified id — the
-    same portable idiom as users.hash_split_summary (first 4 hex digits
-    mod 100)."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long") % 100
-    )
 
 
 def stratified_sample(

@@ -134,9 +134,9 @@ def hash_split_summary(
     stable across runs, engines, partitionings, and cluster sizes — no
     RNG, no sampleBy. Output: split, n, total_value.
     """
-    pct = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10).cast(
-        "long"
-    ) % 100
+    from data_pipeline_example_spark.functions.hashing import hash_pct
+
+    pct = hash_pct(F.col("event_id"))
     split = (
         F.when(pct < train_pct, "train")
         .when(pct < train_pct + val_pct, "val")

@@ -126,9 +126,16 @@ def compact_partitions(
     # Spark (correctly) refuses to overwrite a path it is still reading;
     # a production job at scale writes to a temp dir and swaps instead.
     df = spark.read.parquet(path).localCheckpoint()
+    # NULL partition values (Hive's __HIVE_DEFAULT_PARTITION__ directory)
+    # must compact too: a plain equi-join on the casted column would
+    # silently drop them, so both the count key and the join key map NULL
+    # to the Hive sentinel string
+    pkey = F.coalesce(
+        F.col(partition_col).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")
+    )
     counts = {
-        str(r["p"]): r["n"]
-        for r in df.groupBy(F.col(partition_col).alias("p"))
+        r["p"]: r["n"]
+        for r in df.groupBy(pkey.alias("p"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
@@ -143,7 +150,7 @@ def compact_partitions(
         )
     )
     salted = (
-        df.join(plan, F.col(partition_col).cast("string") == F.col("__p"))
+        df.join(plan, pkey == F.col("__p"))
         .withColumn(
             "__salt",
             F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__nf")),
@@ -190,9 +197,11 @@ def upsert_partitioned(
     keys finds the partitions those keys currently live in, and both
     partition sets are rewritten. That key lookup scans the target's key
     column (full-dataset read at worst) — the price of MERGE-with-
-    repartitioning without an index; a partition left with zero rows by
-    a move is not deleted (dynamic overwrite never drops directories),
-    so pair moves with a cleanup pass if empty partitions matter.
+    repartitioning without an index. A touched partition whose every row
+    moved away has nothing for dynamic overwrite to rewrite (it only
+    touches partitions present in the output), so its directory — still
+    holding the stale pre-move rows — is deleted explicitly before the
+    write.
     """
     from pyspark.sql.window import Window
     from pyspark.errors import AnalysisException
@@ -204,18 +213,23 @@ def upsert_partitioned(
         write_partitioned_parquet(updates, path, partition_col=partition_col)
         return
 
-    touched = {r[0] for r in updates.select(partition_col).distinct().collect()}
+    # partition values are compared as strings throughout: the read-back
+    # side type-infers partition dirs (e.g. '2024-01-01' → date) while
+    # updates may carry the raw string, and the directory name IS the
+    # string form
+    pstr = F.col(partition_col).cast("string")
+    touched = {r[0] for r in updates.select(pstr).distinct().collect()}
     if keys_may_move:
         update_keys = updates.select(*key_cols).distinct()
         touched |= {
             r[0]
             for r in target.join(F.broadcast(update_keys), key_cols, "left_semi")
-            .select(partition_col)
+            .select(pstr)
             .distinct()
             .collect()
         }
     touched = sorted(touched)
-    existing = target.filter(F.col(partition_col).isin(touched))
+    existing = target.filter(pstr.isin(touched))
     tagged = existing.withColumn("__is_update", F.lit(0)).unionByName(
         updates.withColumn("__is_update", F.lit(1))
     )
@@ -229,6 +243,26 @@ def upsert_partitioned(
         .drop("__is_update", "__rn")
         .localCheckpoint()  # see compact_partitions: can't overwrite a read path
     )
+    if keys_may_move:
+        # a move can empty a touched partition; dynamic overwrite would
+        # skip it and leave the stale rows on disk — drop those
+        # directories (bounded by |touched|, a collect-safe set)
+        survivors = {
+            r[0]
+            for r in merged.select(F.col(partition_col).cast("string"))
+            .distinct()
+            .collect()
+        }
+        stale = [p for p in touched if p not in survivors]
+        if stale:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            for p in stale:
+                pdir = jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/{partition_col}={p}"
+                )
+                fs = pdir.getFileSystem(hconf)
+                fs.delete(pdir, True)
     write_partitioned_parquet(merged, path, partition_col=partition_col)
 
 

@@ -84,3 +84,15 @@ def test_server_without_stream_fn():
             _get(srv.port, "/api/stream")
     finally:
         srv.stop()
+
+
+def test_stop_without_start_does_not_hang():
+    import threading
+
+    from data_pipeline_example_spark.http_serving import DashboardServer
+
+    srv = DashboardServer(daily_fn=lambda: {"x": 1})
+    t = threading.Thread(target=srv.stop, daemon=True)
+    t.start()
+    t.join(timeout=5)
+    assert not t.is_alive(), "stop() deadlocked without a started server"

@@ -196,3 +196,57 @@ def test_sorted_parquet_has_tight_rowgroup_stats(spark, tmp_path):
         assert hi_prev < lo_next
     # and the data round-trips completely
     assert spark.read.parquet(out).count() == 10000
+
+
+def test_upsert_keys_may_move_no_stale_rows(spark, tmp_path):
+    import glob
+
+    from data_pipeline_example_spark import sinks
+
+    out = str(tmp_path / "upsert_move")
+    base = spark.createDataFrame(
+        [("2024-01-01", 42, "old"), ("2024-01-01", 7, "keep"), ("2024-01-03", 5, "keep")],
+        ["day", "k", "v"],
+    )
+    base.write.partitionBy("day").parquet(out)
+
+    # key 42 moves 01-01 -> 01-02; key 5 moves 01-03 -> 01-02, emptying
+    # its old partition entirely (the dynamic-overwrite blind spot)
+    updates = spark.createDataFrame(
+        [("2024-01-02", 42, "new"), ("2024-01-02", 5, "new")], ["day", "k", "v"]
+    )
+    sinks.upsert_partitioned(
+        spark, out, updates, key_cols=["k"], partition_col="day", keys_may_move=True
+    )
+
+    got = {(str(r["day"]), r["k"]): r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("2024-01-01", 7): "keep",
+        ("2024-01-02", 42): "new",
+        ("2024-01-02", 5): "new",
+    }
+    # the emptied partition directory is actually gone
+    assert glob.glob(f"{out}/day=2024-01-03") == []
+
+
+def test_compact_partitions_handles_null_partition(spark, tmp_path):
+    import glob
+
+    from data_pipeline_example_spark import sinks
+
+    out = str(tmp_path / "compact_null")
+    df = spark.createDataFrame(
+        [(None if i % 2 == 0 else "2024-01-01", i, float(i)) for i in range(100)],
+        "day string, k long, v double",
+    )
+    df.repartition(10).write.partitionBy("day").parquet(out)
+    before_null = len(glob.glob(f"{out}/day=__HIVE_DEFAULT_PARTITION__/*.parquet"))
+    assert before_null > 1
+
+    written = sinks.compact_partitions(spark, out, "day", target_rows_per_file=100)
+    assert written == {"2024-01-01": 1, "__HIVE_DEFAULT_PARTITION__": 1}
+    after_null = len(glob.glob(f"{out}/day=__HIVE_DEFAULT_PARTITION__/*.parquet"))
+    assert after_null < before_null
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert back.filter(F.col("day").isNull()).count() == 50
