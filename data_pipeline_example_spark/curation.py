@@ -1,0 +1,150 @@
+"""End-to-end training-corpus curation — the composed pipeline a
+training-data team actually ships, built entirely from this engine's
+own operators:
+
+    raw documents
+      → quality / token-count filter          (text.doc_stats)
+      → exact dedup                           (md5 fingerprint keep-set)
+      → near-dup drop                         (dedup.minhash_lsh_pairs)
+      → eval-set decontamination              (dedup.contamination_pairs)
+      → context-length chunking               (text.chunk_documents)
+      → sharded parquet export + manifest     (run_curation)
+
+Every stage is a keep-SET of doc_ids joined semi/anti against the next
+— document text is carried through exactly once (into chunking), and
+all stage frames are id-only, so the composition adds no text shuffles
+beyond what the member operators already do. The near-dup rule here is
+the cheap deterministic pass (drop the higher doc_id of every verified
+LSH pair whose both endpoints survive so far); ``dedup.dedup_clusters``
+is the principled connected-components version when transitive merge
+order matters.
+
+``curation_summary`` exposes the whole pipeline as one driver-certified
+single-row query (per-stage survivor counts + chunk/token totals); its
+DuckDB oracle recomposes the same stages from the member operators'
+oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_example_spark.functions import text as T
+from data_pipeline_example_spark.operators import dedup, text
+
+
+def curation_stages(
+    documents: DataFrame,
+    min_quality: float = 0.05,
+    min_tokens: int = 10,
+    lsh_threshold: float = 0.1,
+    contam_shared: int = 5,
+    eval_max_id: int = 10,
+) -> dict[str, DataFrame]:
+    """The staged keep-sets (id-only frames) plus the final chunk frame.
+
+    Returned keys: s1_quality, s2_exact, s3_neardup, s4_decontam (each
+    ``doc_id`` only), survivors (full rows), chunks.
+    """
+    stats = text.doc_stats(documents).select("doc_id", "n_tokens", "quality")
+    s1 = stats.filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    ).select("doc_id")
+
+    fp = documents.join(s1, "doc_id", "left_semi").select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+    s2 = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+
+    pairs = dedup.minhash_lsh_pairs(documents, threshold=lsh_threshold).select(
+        "doc_a", "doc_b"
+    )
+    drop_b = (
+        pairs.join(s2.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(drop_b, "doc_id", "left_anti")
+
+    contam = (
+        dedup.contamination_pairs(documents, eval_max_id)
+        .filter(F.col("n_shared") >= contam_shared)
+        .select("doc_id")
+        .distinct()
+    )
+    # eval documents themselves never ship in a training corpus
+    s4 = s3.filter(F.col("doc_id") >= eval_max_id).join(contam, "doc_id", "left_anti")
+
+    survivors = documents.join(s4, "doc_id", "left_semi")
+    return {
+        "s1_quality": s1,
+        "s2_exact": s2,
+        "s3_neardup": s3,
+        "s4_decontam": s4,
+        "survivors": survivors,
+        "chunks": text.chunk_documents(survivors),
+    }
+
+
+def curation_summary(documents: DataFrame, **kwargs) -> DataFrame:
+    """One row: docs_raw, after_quality, after_exact, after_neardup,
+    after_decontam, n_chunks, total_tokens — the audit line every
+    curation run logs. Each count is a 1-row aggregate crossJoined in
+    via broadcast (no driver-side actions)."""
+    st = curation_stages(documents, **kwargs)
+    parts = [
+        documents.agg(F.count(F.lit(1)).alias("docs_raw")),
+        st["s1_quality"].agg(F.count(F.lit(1)).alias("after_quality")),
+        st["s2_exact"].agg(F.count(F.lit(1)).alias("after_exact")),
+        st["s3_neardup"].agg(F.count(F.lit(1)).alias("after_neardup")),
+        st["s4_decontam"].agg(F.count(F.lit(1)).alias("after_decontam")),
+        st["chunks"].agg(F.count(F.lit(1)).alias("n_chunks")),
+        st["survivors"]
+        .select(T.token_count(F.col("text")).cast("long").alias("nt"))
+        .agg(
+            F.coalesce(F.sum("nt"), F.lit(0).cast("long")).alias("total_tokens")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(F.broadcast(p))
+    return out
+
+
+def run_curation(
+    spark,
+    documents: DataFrame,
+    out_dir: str,
+    shards: int = 8,
+    **kwargs,
+) -> DataFrame:
+    """Execute the pipeline and export the chunked corpus as
+    shard-partitioned parquet, returning the manifest (one row per
+    shard: n_docs, n_chunks, n_tokens).
+
+    Shard assignment is the deterministic md5 bucket of the doc_id
+    (functions/hashing idiom) — stable across runs and engines, so a
+    re-run reproduces byte-identical shard membership. The export
+    carries chunk hashes + sizes; a tokenizer-owning trainer joins the
+    text back by doc_id. Partitioned write → each shard is one
+    directory, separately consumable by a downstream loader.
+    """
+    st = curation_stages(documents, **kwargs)
+    sharded = st["chunks"].withColumn(
+        "shard",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+            ).cast("long")
+            % shards
+        ).cast("int"),
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("shard").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )

