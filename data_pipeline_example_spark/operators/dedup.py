@@ -191,6 +191,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -202,8 +203,12 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # one materialization feeds signature construction AND both sides of
-    # the verification join — shingling would otherwise run three times
-    sh_mat = shingled(documents, k).localCheckpoint()
+    # the verification join — shingling would otherwise run three times.
+    # Callers composing several shingle consumers (curation.py) pass an
+    # already-materialized frame instead.
+    sh_mat = (
+        shingled(documents, k).localCheckpoint() if shingle_df is None else shingle_df
+    )
     sigs = minhash_signatures(documents, k, num_hashes, shingle_df=sh_mat)
     # slim band rows: (doc_id, all band keys, exploded band) — the
     # shingle arrays stay out of the LSH join entirely. Carrying the
@@ -403,7 +408,10 @@ def minhash_jaccard_estimates(
 
 
 def contamination_pairs(
-    documents: DataFrame, eval_max_id: int = 10, k: int = 3
+    documents: DataFrame,
+    eval_max_id: int = 10,
+    k: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Eval-set decontamination — the overlap check a training pipeline
     runs before any corpus ships: for every training document, count the
@@ -422,7 +430,7 @@ def contamination_pairs(
     # both the broadcast eval build and the streamed train probe read
     # the shingle frame — materialize once (same reasoning as
     # minhash_lsh_pairs: shingling dominates this operator's CPU)
-    sh = shingled(documents, k).localCheckpoint()
+    sh = shingled(documents, k).localCheckpoint() if shingle_df is None else shingle_df
     ev = sh.filter(F.col("doc_id") < eval_max_id).select(
         F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("sh")
     )
