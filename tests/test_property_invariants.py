@@ -1,0 +1,148 @@
+"""Property-based invariants (hypothesis) for the algebraically
+checkable operators: randomized inputs, invariant assertions — the
+layer between planted-example unit tests and the DuckDB oracle.
+
+Example counts are deliberately small: every example runs Spark jobs,
+so these buy breadth per example, not per thousand examples.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_pipeline_example_spark.operators import asof, text, users
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=200),
+    chunk=st.integers(min_value=2, max_value=16),
+)
+def test_chunking_partitions_tokens_exactly(spark, n_tokens, chunk):
+    """stride == chunk_size → chunks partition the token stream: sizes
+    sum to n, every chunk full except possibly the last, count = ⌈n/c⌉."""
+    words = " ".join(f"w{i}" for i in range(n_tokens))
+    docs = spark.createDataFrame(
+        [(0, "en", "s", words)], "doc_id long, lang string, source string, text string"
+    )
+    rows = sorted(
+        text.chunk_documents(docs, chunk_size=chunk, stride=chunk).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    if n_tokens == 0:
+        assert rows == []
+        return
+    assert len(rows) == -(-n_tokens // chunk)
+    assert sum(r["n_tokens"] for r in rows) == n_tokens
+    assert all(r["n_tokens"] == chunk for r in rows[:-1])
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),              # user
+            st.sampled_from(["purchase", "error"]),             # type
+            st.integers(min_value=0, max_value=2000),           # offset s
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_range_join_equals_naive_band_join(spark, events):
+    """The bucketized plan must equal the naive O(n²) definition."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, u, e, base + datetime.timedelta(seconds=s), 0.0)
+        for i, (u, e, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        (r["purchase_id"], r["user_id"]): r["n_nearby"]
+        for r in asof.range_join_counts(df, band_s=300).collect()
+    }
+    purchases = [r for r in rows if r[2] == "purchase"]
+    errors = [r for r in rows if r[2] == "error"]
+    want = {
+        (p[0], p[1]): sum(
+            1
+            for e in errors
+            if e[1] == p[1] and abs((e[3] - p[3]).total_seconds()) <= 300
+        )
+        for p in purchases
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.sampled_from(["signup", "view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_funnel_counts_never_increase(spark, events):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, u, e, base + datetime.timedelta(minutes=m), 0.0)
+        for i, (u, e, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    got = sorted(users.event_funnel(df).collect(), key=lambda r: r["stage_idx"])
+    counts = [r["users"] for r in got]
+    assert counts == sorted(counts, reverse=True)
+    n_signup_users = len({u for u, e, _ in events if e == "signup"})
+    assert counts[0] == n_signup_users
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=8
+    ),
+    eps_pct=st.integers(min_value=10, max_value=60),
+)
+def test_frequent_terms_equals_exact_answer(spark, texts, eps_pct):
+    """Sketch-then-verify must equal the plain exact heavy-hitter query
+    on any corpus and threshold."""
+    import math
+    import re
+
+    eps = eps_pct / 100.0
+    docs = spark.createDataFrame(
+        [(i, "en", "s", t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, source string, text string",
+    )
+    got = {
+        (r["term"], r["n_occurrences"])
+        for r in text.frequent_terms(docs, eps=eps).collect()
+    }
+    toks = [t for s in texts for t in re.findall(r"[a-z0-9]+", s.lower())]
+    n = len(toks)
+    want = set()
+    if n:
+        thr = math.ceil(eps * n)
+        from collections import Counter
+
+        want = {(t, c) for t, c in Counter(toks).items() if c >= thr}
+    assert got == want
