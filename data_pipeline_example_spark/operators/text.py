@@ -368,7 +368,11 @@ def tfidf_top_terms(documents: DataFrame, top_per_doc: int = 3) -> DataFrame:
 
 
 def chunk_documents(
-    documents: DataFrame, chunk_size: int = 64, stride: int = 48
+    documents: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    widen_input: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Context-length chunking: overlapping fixed-size token windows.
 
@@ -386,14 +390,21 @@ def chunk_documents(
     bounded per input token regardless of document length — the skew an
     enormous document would cause lives inside one task's explode, which
     is the best available locality (``widen`` first, so a single-file
-    corpus still chunks on every core).
+    corpus still chunks on every core; pass ``widen_input=False`` from
+    streaming callers — partition introspection is illegal on a
+    streaming frame, whose parallelism the source already sets).
+    ``carry`` names extra input columns replicated onto each chunk row
+    (e.g. the event-time column a streaming sink windows on — carrying
+    it through beats re-joining, which would be a stream-stream join).
     """
-    toks_df = widen(documents).select(
-        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+    src = widen(documents) if widen_input else documents
+    toks_df = src.select(
+        "doc_id", *carry, T.tokens(F.lower(F.col("text"))).alias("toks")
     )
     starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
     chunks = toks_df.filter(F.size("toks") > 0).select(
         "doc_id",
+        *carry,
         F.posexplode(
             F.transform(starts, lambda s: F.slice("toks", s + 1, chunk_size))
         ).alias("chunk_id", "chunk"),
@@ -403,6 +414,7 @@ def chunk_documents(
         "chunk_id",
         F.size("chunk").alias("n_tokens"),
         F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+        *carry,
     )
 
 

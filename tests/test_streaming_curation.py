@@ -1,0 +1,78 @@
+"""Streaming corpus ingestion: hermetic file-source test of the
+quality gate → watermarked exact dedup → chunk fan-out flow."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from data_pipeline_example_spark.streaming import curation as sc
+
+
+def _write_docs(path: str, docs: list[dict], mtime: float) -> None:
+    with open(path, "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+GOOD = " ".join(f"tok{i}" for i in range(30)) + " the and of it is"
+OTHER = " ".join(f"word{i}" for i in range(40)) + " the a to in is"
+
+
+def test_stream_curation_gates_dedups_and_chunks(spark, tmp_path):
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    in_dir.mkdir()
+    now = time.time()
+    _write_docs(
+        str(in_dir / "b1.json"),
+        [
+            {"doc_id": "1", "text": GOOD, "ingest_ts": "2025-01-01 10:00:00"},
+            # exact duplicate text in the same horizon -> state drops it
+            {"doc_id": "2", "text": GOOD, "ingest_ts": "2025-01-01 10:05:00"},
+            # too short -> quality gate drops it
+            {"doc_id": "3", "text": "tiny", "ingest_ts": "2025-01-01 10:06:00"},
+            {"doc_id": "4", "text": OTHER, "ingest_ts": "2025-01-01 10:07:00"},
+        ],
+        now,
+    )
+    # second batch: duplicate again (still within watermark), one new doc
+    _write_docs(
+        str(in_dir / "b2.json"),
+        [
+            {"doc_id": "5", "text": GOOD, "ingest_ts": "2025-01-01 10:20:00"},
+            {
+                "doc_id": "6",
+                "text": OTHER + " extended with new unique tail tokens",
+                "ingest_ts": "2025-01-01 10:21:00",
+            },
+        ],
+        now + 2,
+    )
+
+    raw = sc.read_doc_stream(spark, str(in_dir), max_files_per_trigger=1)
+    curated = sc.curate_doc_stream(
+        sc.decode_doc_stream(raw), chunk_size=16, stride=16
+    )
+    q = (
+        curated.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(out_dir))
+    surviving = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    # 1 kept; 2 and 5 are dup of 1; 3 gated; 4 and 6 kept
+    assert surviving == {1, 4, 6}
+    # chunk fan-out: doc 1 has 35 tokens -> chunks of 16/16/3
+    d1 = sorted(
+        (r["chunk_id"], r["n_tokens"]) for r in out.filter("doc_id = 1").collect()
+    )
+    assert d1 == [(0, 16), (1, 16), (2, 3)]
+    # event time rides along on every chunk row
+    assert out.filter("ingest_ts IS NULL").count() == 0
