@@ -171,3 +171,39 @@ def run_curation(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+def update_dedup_index(spark, documents: DataFrame, index_path: str) -> DataFrame:
+    """Incremental exact dedup against a PERSISTED fingerprint index —
+    the batch-sweep half of the lambda split in
+    ``streaming/curation.py``: the stream dedups within its watermark
+    horizon; this pass dedups each new batch against *everything ever
+    admitted* without rescanning old corpora (only the fingerprint
+    index, 1 row per distinct document, is read).
+
+    Index schema: fingerprint, keep_doc_id. A new batch is admitted
+    fingerprint-by-fingerprint: already-indexed fingerprints are
+    duplicates (LEFT ANTI join — shuffle keyed on the uniform 128-bit
+    hash; bucket the index by fingerprint to make it co-located at
+    100 TB), new fingerprints keep their min doc_id and are APPENDED to
+    the index. Returns the admitted (fingerprint, keep_doc_id) frame —
+    idempotent: re-running the same batch admits nothing.
+    """
+    from pyspark.errors import AnalysisException
+
+    fp = documents.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+    try:
+        index = spark.read.parquet(index_path)
+    except AnalysisException:
+        index = None
+    if index is not None:
+        fp = fp.join(index.select("fingerprint"), "fingerprint", "left_anti")
+    admitted = (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        # materialize BEFORE the append: the plan reads the same path it
+        # is about to extend
+        .localCheckpoint()
+    )
+    admitted.write.mode("append").parquet(index_path)
+    return admitted

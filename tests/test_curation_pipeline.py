@@ -41,3 +41,28 @@ def test_run_curation_manifest_round_trip(spark, sf_dir, tmp_path):
     # deterministic shard assignment: re-deriving membership agrees
     again = curation.run_curation(spark, docs, str(tmp_path / "corpus2"), shards=4)
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in rows}
+
+
+def test_update_dedup_index_is_incremental_and_idempotent(spark, tmp_path):
+    idx = str(tmp_path / "fp_index")
+    b1 = spark.createDataFrame(
+        [(1, "en", "s", "alpha beta gamma"), (2, "en", "s", "alpha beta gamma"),
+         (3, "en", "s", "delta epsilon zeta")],
+        "doc_id long, lang string, source string, text string",
+    )
+    a1 = curation.update_dedup_index(spark, b1, idx)
+    assert a1.count() == 2  # two distinct texts admitted
+
+    # batch 2: one text already indexed, one new
+    b2 = spark.createDataFrame(
+        [(10, "en", "s", "alpha beta gamma"), (11, "en", "s", "brand new text here")],
+        "doc_id long, lang string, source string, text string",
+    )
+    a2 = curation.update_dedup_index(spark, b2, idx)
+    got = {r["keep_doc_id"] for r in a2.collect()}
+    assert got == {11}  # the duplicate of doc 1 was rejected by the index
+
+    # idempotence: same batch again admits nothing, index stable at 3
+    a3 = curation.update_dedup_index(spark, b2, idx)
+    assert a3.count() == 0
+    assert spark.read.parquet(idx).count() == 3
