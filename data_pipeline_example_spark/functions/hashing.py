@@ -22,3 +22,15 @@ def hash_pct(col: Column) -> Column:
         F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
         % 100
     )
+
+
+def hash_frac(col: Column) -> Column:
+    """Deterministic fraction in [0, 1) with 1/65536 granularity — the
+    fine-grained twin of :func:`hash_pct` for fractional sampling rates
+    (mixture materialization uses 4-dp rates that pct buckets would
+    quantize away). Same oracle-portable md5+substring+conv arithmetic.
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("double")
+        / 65536.0
+    )

@@ -270,6 +270,46 @@ def mixture_rates(
     )
 
 
+def mixture_sample(
+    documents: DataFrame,
+    weights: dict[str, float] | None = None,
+    default_weight: float = 1.0,
+    token_budget: int = 50_000,
+) -> DataFrame:
+    """Materialize the mixture plan: each document joins its source's
+    planned sampling rate (the |sources|-row :func:`mixture_rates`
+    output, broadcast) and survives iff its deterministic hash fraction
+    falls under the rate — the executable half of mixture planning, and
+    reproducible: membership is a pure function of doc_id, so the mixed
+    corpus can be re-derived from raw data at any time.
+
+    Two corpus scans total (one inside mixture_rates for the token
+    totals, one here for the filter), a broadcast hash join against the
+    tiny plan, and a |sources|-row aggregate — no corpus shuffle
+    anywhere, which is what lets this run at 100 TB. Output: source,
+    n_docs, sampled_tokens, target_tokens.
+    """
+    from data_pipeline_example_spark.functions.hashing import hash_frac
+
+    plan = mixture_rates(documents, weights, default_weight, token_budget)
+    return (
+        documents.select(
+            "doc_id", "source", T.token_count(F.col("text")).alias("n_tok")
+        )
+        .join(
+            F.broadcast(plan.select("source", "rate", "target_tokens")), "source"
+        )
+        .filter(hash_frac(F.col("doc_id")) < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sampled_tokens"),
+            F.min("target_tokens").alias("target_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # PII patterns shared by the Spark operator and the SQL oracle: plain
 # character-class regex only (no lookaround, no \d shorthand) so the Java
 # and RE2 dialects match byte-for-byte.

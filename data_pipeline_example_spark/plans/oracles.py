@@ -934,6 +934,33 @@ SELECT source, total_tokens,
 FROM per, tot
 ORDER BY source
 """,
+    "mixture_sample": """
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))) AS BIGINT)
+           AS total_tokens,
+         CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0 ELSE 1.0 END AS w
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(w) AS sw FROM per),
+plan AS (
+  SELECT source,
+         CAST(floor(50000.0 * w / sw) AS BIGINT) AS target_tokens,
+         round(least(1.0, CAST(floor(50000.0 * w / sw) AS DOUBLE) / total_tokens), 4)
+           AS rate
+  FROM per, tot
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(coalesce(d.text, ''), '[A-Za-z0-9]+'))) AS BIGINT)
+         AS sampled_tokens,
+       CAST(min(plan.target_tokens) AS BIGINT) AS target_tokens
+FROM documents d JOIN plan ON d.source = plan.source
+WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT / 65536.0
+      < plan.rate
+GROUP BY 1
+ORDER BY 1
+""",
     "contamination_pairs": f"""
 WITH {_SHINGLES}
 SELECT a.doc_id AS doc_id, b.doc_id AS eval_doc, CAST(count(*) AS BIGINT) AS n_shared

@@ -437,6 +437,10 @@ def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.mixture_rates(load_table(spark, sf_dir, "documents"))
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -613,6 +617,7 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_stats": q_repetition_stats,
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
+    "mixture_sample": q_mixture_sample,
     # --- dedup extensions ---
     "contamination_pairs": q_contamination_pairs,
     "exact_dedup": q_exact_dedup,

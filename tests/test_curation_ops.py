@@ -103,6 +103,35 @@ def test_mixture_rates_allocates_budget_and_caps_rate(spark):
     assert got["srcX"]["rate"] == 1.0  # capped: budget exceeds supply
 
 
+def test_mixture_sample_respects_rates_and_is_deterministic(spark):
+    # 40 docs in one source at rate<1, plus a rate-1.0 source that must
+    # survive in full
+    rows = [(i, "en", "src0", "tok " * 10) for i in range(40)] + [
+        (100, "en", "srcX", "tok " * 5)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    # budget 250, weights 3:1 -> src0 target 187 of 400 (rate ~.4675),
+    # srcX target 62 of 5 (rate 1.0)
+    out = {
+        r["source"]: r
+        for r in text.mixture_sample(docs, token_budget=250).collect()
+    }
+    assert out["srcX"]["n_docs"] == 1  # rate 1.0 keeps everything
+    assert out["srcX"]["sampled_tokens"] == 5
+    # subsample is a strict subset, near the planned rate, and tokens
+    # consistent with doc count (10 tokens per doc)
+    assert 0 < out["src0"]["n_docs"] < 40
+    assert out["src0"]["sampled_tokens"] == out["src0"]["n_docs"] * 10
+    # deterministic: same input -> identical membership
+    again = {
+        r["source"]: r
+        for r in text.mixture_sample(docs, token_budget=250).collect()
+    }
+    assert again["src0"]["n_docs"] == out["src0"]["n_docs"]
+
+
 def test_quantize_embeddings_bounds_and_zero_vector(spark):
     vecs = spark.createDataFrame(
         [
