@@ -241,11 +241,6 @@ _HEX = "0123456789abcdef"
 _POPCOUNT4 = "0112122312232334"  # popcount lookup for a 4-bit value
 
 
-def _digit_val(col: Column) -> Column:
-    """Hex char → 0..15 via position lookup (portable to ANSI SQL)."""
-    return F.instr(F.lit(_HEX), col) - 1
-
-
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document as a 16-hex-char string.
 
@@ -257,26 +252,33 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
 
     One explode + one 64-column hash aggregate: shuffle volume is
     |docs| × 64 ints regardless of document length — scales to 100 TB.
+    (``array_distinct`` already dedups tokens inside each document, so
+    the exploded rows are distinct by construction — no dedup shuffle.)
     Docs with zero tokens produce no signature (consistent with the
     shingle-based operators).
     """
     toks = widen(documents).select(
         "doc_id", F.explode(F.array_distinct(T.tokens(F.lower(F.col("text"))))).alias("tok")
-    ).dropDuplicates(["doc_id", "tok"])
+    )
     h = toks.select("doc_id", F.md5(F.col("tok")).alias("hx"))
-    # materialize the 16 digit values in a projection BELOW the aggregate:
-    # each instr/substring runs once per row here, instead of once per bit
-    # inside the 64 aggregate expressions (4× less string work per token)
-    digits = h.select(
+    # parse the 64 hash bits into two 32-bit longs in a projection BELOW
+    # the aggregate — 2 conv calls per token, with the 64 per-bit votes
+    # reading those longs by shift+mask instead of running 16
+    # substring+instr digit lookups per row (string work is the
+    # signature pass's hotspot)
+    halves = h.select(
         "doc_id",
-        *[_digit_val(F.substring(F.col("hx"), p + 1, 1)).alias(f"d{p}") for p in range(16)],
+        F.conv(F.substring("hx", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("hx", 9, 8), 16, 10).cast("long").alias("lo"),
     )
     vote_cols = []
     for p in range(16):
         for b in range(4):
-            bit = F.shiftright(F.col(f"d{p}"), 3 - b).bitwiseAND(F.lit(1))
+            gbit = 4 * p + b  # global bit index, MSB-first hex order
+            src = F.col("hi") if gbit < 32 else F.col("lo")
+            bit = F.shiftright(src, 31 - (gbit % 32)).bitwiseAND(F.lit(1))
             vote_cols.append(F.sum(bit * 2 - 1).alias(f"s_{p}_{b}"))
-    votes = digits.groupBy("doc_id").agg(*vote_cols)
+    votes = halves.groupBy("doc_id").agg(*vote_cols)
     digits = [
         F.substring(
             F.lit(_HEX),
