@@ -191,7 +191,12 @@ def update_dedup_index(spark, documents: DataFrame, index_path: str) -> DataFram
     """
     from pyspark.errors import AnalysisException
 
-    fp = documents.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+    if "fingerprint" in documents.columns:  # e.g. streaming gate_and_dedup output
+        fp = documents.select("doc_id", "fingerprint")
+    else:
+        fp = documents.select(
+            "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
+        )
     try:
         index = spark.read.parquet(index_path)
     except AnalysisException:

@@ -60,6 +60,30 @@ def decode_doc_stream(raw: DataFrame) -> DataFrame:
     )
 
 
+def gate_and_dedup(
+    docs: DataFrame,
+    min_quality: float = 0.05,
+    min_tokens: int = 10,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The first two incremental stages — quality gate (stateless column
+    arithmetic, same expressions as batch ``text.doc_stats``) and
+    watermarked exact dedup (``dropDuplicatesWithinWatermark`` keyed on
+    the md5 fingerprint: state bounded by the horizon). Returns the
+    admitted document stream with its ``fingerprint`` column attached —
+    consumed by ``curate_doc_stream`` (chunk fan-out) and
+    ``run_doc_ingest`` (foreachBatch index gate)."""
+    n_tok = T.token_count(F.col("text"))
+    gated = docs.filter(
+        (T.quality_score(F.col("text")) >= min_quality) & (n_tok >= min_tokens)
+    )
+    return (
+        gated.withColumn("fingerprint", T.fingerprint(F.col("text")))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def curate_doc_stream(
     docs: DataFrame,
     min_quality: float = 0.05,
@@ -85,15 +109,7 @@ def curate_doc_stream(
 
     Output: doc_id, chunk_id, n_tokens, chunk_hash, ingest_ts.
     """
-    n_tok = T.token_count(F.col("text"))
-    gated = docs.filter(
-        (T.quality_score(F.col("text")) >= min_quality) & (n_tok >= min_tokens)
-    )
-    deduped = (
-        gated.withColumn("fingerprint", T.fingerprint(F.col("text")))
-        .withWatermark("ingest_ts", watermark)
-        .dropDuplicatesWithinWatermark(["fingerprint"])
-    )
+    deduped = gate_and_dedup(docs, min_quality, min_tokens, watermark)
     return text.chunk_documents(
         deduped,
         chunk_size=chunk_size,
@@ -101,3 +117,69 @@ def curate_doc_stream(
         widen_input=False,
         carry=("ingest_ts",),
     )
+
+
+def run_doc_ingest(
+    spark: SparkSession,
+    input_path: str,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    min_quality: float = 0.05,
+    min_tokens: int = 10,
+    watermark: str = "1 hour",
+    chunk_size: int = 64,
+    stride: int = 48,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """The wired lambda pipeline: landing zone → quality gate →
+    watermarked in-horizon dedup → **foreachBatch** {persistent
+    fingerprint-index gate → chunk fan-out → corpus append}.
+
+    The stream's ``dropDuplicatesWithinWatermark`` state catches
+    duplicates inside the horizon; ``curation.update_dedup_index``
+    inside ``foreachBatch`` catches duplicates against *everything ever
+    admitted* — including re-arrivals after a restart wiped the stream
+    state — by reading only the 1-row-per-distinct-doc index, never the
+    accumulated corpus. Because index admission is idempotent (left-anti
+    on already-indexed fingerprints), a micro-batch replayed after a
+    failure admits nothing twice: the corpus append is guarded by the
+    same admission set, so the sink is effectively exactly-once at the
+    document level.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from data_pipeline_example_spark import curation as batch_curation
+
+    docs = decode_doc_stream(
+        read_doc_stream(spark, input_path, max_files_per_trigger)
+    )
+    admitted_stream = gate_and_dedup(docs, min_quality, min_tokens, watermark)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        admitted = batch_curation.update_dedup_index(spark, batch, index_path)
+        # per-micro-batch admission set is small — broadcast it back
+        # against the batch rather than shuffling the batch
+        kept = batch.join(
+            F.broadcast(admitted.select(F.col("keep_doc_id").alias("doc_id"))),
+            "doc_id",
+            "left_semi",
+        )
+        chunks = text.chunk_documents(
+            kept,
+            chunk_size=chunk_size,
+            stride=stride,
+            widen_input=False,
+            carry=("ingest_ts",),
+        )
+        chunks.write.mode("append").parquet(corpus_path)
+
+    writer = (
+        admitted_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

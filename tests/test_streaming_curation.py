@@ -76,3 +76,59 @@ def test_stream_curation_gates_dedups_and_chunks(spark, tmp_path):
     assert d1 == [(0, 16), (1, 16), (2, 3)]
     # event time rides along on every chunk row
     assert out.filter("ingest_ts IS NULL").count() == 0
+
+
+def test_run_doc_ingest_index_gate_survives_stream_state_loss(spark, tmp_path):
+    """The lambda split, wired: a duplicate re-arriving in a LATER RUN
+    (fresh checkpoint — stream dedup state gone) is still rejected,
+    because foreachBatch gates every batch against the persistent
+    fingerprint index."""
+    in1, in2 = tmp_path / "in1", tmp_path / "in2"
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    in1.mkdir(), in2.mkdir()
+    now = time.time()
+
+    _write_docs(
+        str(in1 / "b1.json"),
+        [
+            {"doc_id": "1", "text": GOOD, "ingest_ts": "2025-01-01 10:00:00"},
+            {"doc_id": "2", "text": OTHER, "ingest_ts": "2025-01-01 10:01:00"},
+        ],
+        now,
+    )
+    q = sc.run_doc_ingest(
+        spark, str(in1), corpus, idx, str(tmp_path / "ck1"),
+        chunk_size=16, stride=16,
+    )
+    q.awaitTermination(120)
+
+    # run 2: new input dir + NEW checkpoint (stream state lost) — one
+    # cross-run duplicate of doc 1, one genuinely new doc
+    _write_docs(
+        str(in2 / "b1.json"),
+        [
+            {"doc_id": "9", "text": GOOD, "ingest_ts": "2025-01-02 10:00:00"},
+            {
+                "doc_id": "10",
+                "text": OTHER + " fresh unique continuation tokens here",
+                "ingest_ts": "2025-01-02 10:01:00",
+            },
+        ],
+        now + 2,
+    )
+    q2 = sc.run_doc_ingest(
+        spark, str(in2), corpus, idx, str(tmp_path / "ck2"),
+        chunk_size=16, stride=16,
+    )
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(corpus)
+    surviving = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert surviving == {1, 2, 10}  # doc 9 rejected by the INDEX, not stream state
+    # index holds exactly one row per distinct admitted document
+    assert spark.read.parquet(idx).count() == 3
+    # chunk shape intact through the foreachBatch path
+    d1 = sorted(
+        (r["chunk_id"], r["n_tokens"]) for r in out.filter("doc_id = 1").collect()
+    )
+    assert d1 == [(0, 16), (1, 16), (2, 3)]
