@@ -602,8 +602,11 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (per_day_totals, sample_rows, the remaining TPC-H derivatives) sit in the
 # tail, where they still run in bench/tests and local oracle validation.
 QUERIES: dict[str, QueryFn] = {
-    # flagship first — entry() serves it
-    "daily_revenue": q_daily_revenue,
+    # (the flagship daily_revenue sits in the tail: it is served by
+    # entry() and was driver-certified in round 1, so its window slot
+    # goes to a never-certified query — the window rotates each round
+    # until every SQL-oracled query has a driver-green row)
+    "value_stats": q_value_stats,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -637,7 +640,6 @@ QUERIES: dict[str, QueryFn] = {
     "nearest_neighbor_blocked": q_nearest_neighbor_blocked,
     "ivf_knn": q_ivf_knn,
     "quantize_embeddings": q_quantize_embeddings,
-    "kmeans_embeddings": q_kmeans_embeddings,
     # --- multimodal plumbing ---
     "media_features": q_media_features,
     "frame_samples": q_frame_samples,
@@ -663,11 +665,13 @@ QUERIES: dict[str, QueryFn] = {
     "day_over_day_revenue": q_day_over_day_revenue,
     "value_percentiles": q_value_percentiles,
     # ---------------- end of the driver's 50-entry window ----------------
-    "value_stats": q_value_stats,
     # (everything below was driver-certified in round 1, is a composition
-    # of certified operators, or gets the same weaker rows-only check at
-    # any position (user_reach_rollup — no SQL twin); all remain locally
-    # verified by tools/validate_oracle.py every round)
+    # of certified operators, or has no SQL twin and gets the same weaker
+    # rows-only check at any position (user_reach_rollup, kmeans — both
+    # unit-tested); all remain locally verified by
+    # tools/validate_oracle.py every round)
+    "daily_revenue": q_daily_revenue,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "user_reach_rollup": q_user_reach_rollup,
     "value_histogram": q_value_histogram,
     "hash_split_summary": q_hash_split_summary,
