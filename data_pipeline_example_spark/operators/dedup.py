@@ -257,43 +257,45 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     Docs with zero tokens produce no signature (consistent with the
     shingle-based operators).
     """
+    # The per-bit expressions are emitted as SQL strings, not Column-op
+    # chains: building 64 vote columns op-by-op costs ~8k py4j round
+    # trips (~2 s of driver latency per plan, measured) while the
+    # resulting Catalyst plan is identical. One F.expr parse per
+    # aggregate column keeps plan construction in the low milliseconds —
+    # on a busy production driver that latency is queueing delay for
+    # every other job.
     toks = widen(documents).select(
         "doc_id", F.explode(F.array_distinct(T.tokens(F.lower(F.col("text"))))).alias("tok")
     )
-    h = toks.select("doc_id", F.md5(F.col("tok")).alias("hx"))
     # parse the 64 hash bits into two 32-bit longs in a projection BELOW
     # the aggregate — 2 conv calls per token, with the 64 per-bit votes
     # reading those longs by shift+mask instead of running 16
     # substring+instr digit lookups per row (string work is the
     # signature pass's hotspot)
-    halves = h.select(
+    h = toks.selectExpr("doc_id", "md5(tok) AS hx")
+    halves = h.selectExpr(
         "doc_id",
-        F.conv(F.substring("hx", 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring("hx", 9, 8), 16, 10).cast("long").alias("lo"),
+        "cast(conv(substring(hx, 1, 8), 16, 10) as long) AS hi",
+        "cast(conv(substring(hx, 9, 8), 16, 10) as long) AS lo",
     )
     vote_cols = []
     for p in range(16):
         for b in range(4):
             gbit = 4 * p + b  # global bit index, MSB-first hex order
-            src = F.col("hi") if gbit < 32 else F.col("lo")
-            bit = F.shiftright(src, 31 - (gbit % 32)).bitwiseAND(F.lit(1))
-            vote_cols.append(F.sum(bit * 2 - 1).alias(f"s_{p}_{b}"))
-    votes = halves.groupBy("doc_id").agg(*vote_cols)
-    digits = [
-        F.substring(
-            F.lit(_HEX),
-            (
-                (F.col(f"s_{p}_0") > 0).cast("int") * 8
-                + (F.col(f"s_{p}_1") > 0).cast("int") * 4
-                + (F.col(f"s_{p}_2") > 0).cast("int") * 2
-                + (F.col(f"s_{p}_3") > 0).cast("int")
+            src = "hi" if gbit < 32 else "lo"
+            vote_cols.append(
+                F.expr(
+                    f"sum((shiftright({src}, {31 - (gbit % 32)}) & 1) * 2 - 1)"
+                ).alias(f"s_{p}_{b}")
             )
-            + 1,
-            1,
-        )
+    votes = halves.groupBy("doc_id").agg(*vote_cols)
+    digits = ", ".join(
+        f"substring('{_HEX}', "
+        f"cast(s_{p}_0 > 0 as int) * 8 + cast(s_{p}_1 > 0 as int) * 4 + "
+        f"cast(s_{p}_2 > 0 as int) * 2 + cast(s_{p}_3 > 0 as int) + 1, 1)"
         for p in range(16)
-    ]
-    return votes.select("doc_id", F.concat(*digits).alias("simhash"))
+    )
+    return votes.selectExpr("doc_id", f"concat({digits}) AS simhash")
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
@@ -312,33 +314,23 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     # hamming (2 xor + 2 bit_count) AND every chunk value (shift + mask)
     # are computable inside the chunk join itself — no signature lookup
     # join afterwards, no string comparisons in the join
-    def _chunk_val(side: str, c: int):  # 16-bit chunk c of the 64-bit sig
-        src = F.col(f"{side}.hi") if c < 2 else F.col(f"{side}.lo")
-        return F.shiftright(src, 16 * (1 - c % 2)).bitwiseAND(F.lit(0xFFFF))
+    # (expressions emitted as SQL strings — see simhash_signatures — so
+    # plan construction stays a handful of py4j calls, not hundreds)
+    def _chunk_val(side: str, c: int) -> str:  # 16-bit chunk c of the sig
+        src = f"{side}.hi" if c < 2 else f"{side}.lo"
+        return f"(shiftright({src}, {16 * (1 - c % 2)}) & 65535)"
 
-    chunks = sigs.select(
+    chunk_structs = ", ".join(
+        f"struct({c} AS chunk, cast(conv(substring(simhash, {4 * c + 1}, 4), 16, 10) as int) AS val)"
+        for c in range(4)
+    )
+    chunks = sigs.selectExpr(
         "doc_id",
-        F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long").alias("lo"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.conv(F.substring("simhash", 4 * c + 1, 4), 16, 10)
-                        .cast("int")
-                        .alias("val"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
-    ).select("doc_id", "hi", "lo", "cc.chunk", "cc.val")
+        "cast(conv(substring(simhash, 1, 8), 16, 10) as long) AS hi",
+        "cast(conv(substring(simhash, 9, 8), 16, 10) as long) AS lo",
+        f"explode(array({chunk_structs})) AS cc",
+    ).selectExpr("doc_id", "hi", "lo", "cc.chunk AS chunk", "cc.val AS val")
     a, b = chunks.alias("a"), chunks.alias("b")
-    ham = (
-        F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
-        + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
-    ).cast("int")
     # canonical first-match emission: a pair colliding in several chunks
     # is emitted ONLY from its lowest matching chunk — the join condition
     # requires every earlier chunk to differ (recomputed from hi/lo by
@@ -346,23 +338,22 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     # once, so the millions-of-rows dropDuplicates shuffle that used to
     # canonicalize the candidate set disappears entirely; the result SET
     # is identical (anything with >=1 matching chunk still surfaces).
-    first_match = F.lit(True)
-    for k in range(3):
-        first_match = first_match & (
-            (F.col("a.chunk") <= k) | (_chunk_val("a", k) != _chunk_val("b", k))
-        )
+    first_match = " AND ".join(
+        f"(a.chunk <= {k} OR {_chunk_val('a', k)} != {_chunk_val('b', k)})"
+        for k in range(3)
+    )
     return (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & first_match,
+            F.expr(
+                "a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id"
+                f" AND {first_match}"
+            ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "b.doc_id AS doc_b",
+            "cast(bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) as int) AS hamming",
         )
         .filter(F.col("hamming") <= max_hamming)
     )
