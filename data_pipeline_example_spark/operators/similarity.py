@@ -533,3 +533,119 @@ def kmeans_embeddings(
         )
         .orderBy("cluster")
     )
+
+
+def _srp_signs(n_bits: int, dims: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix for signed random projections.
+
+    Component (j, i) is +1 when the first hex digit of md5("j:i") is
+    < 8, else −1 — a Rademacher vector family derived from a public
+    hash, so the same hyperplanes are reproducible in any engine (the
+    oracle embeds the identical literals) without shipping an RNG seed
+    or a trained artifact.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) < 8 else -1.0
+            for i in range(dims)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def srp_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_bits: int = 16,
+    bands: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Signed-random-projection (hyperplane) LSH near-dup pairs — the
+    data-INDEPENDENT bucketed scale path for embedding dedup.
+
+    Charikar SRP: bit j of a vector's signature is the sign of its dot
+    product with a fixed ±1 hyperplane; P[bits agree] = 1 − θ/π for
+    angle θ. Signatures are banded (``bands`` bands of n_bits/bands
+    bits); pairs colliding in ≥1 band are candidates, verified with the
+    exact cosine and kept at >= ``threshold``. Output: vec_a, vec_b,
+    cos_sim (6 dp) — same schema as ``cosine_dup_pairs``, a subset of
+    its rows (recall at cos 0.35 with 4×4-bit bands is ~0.5 by the
+    closed form 1−(1−p⁴)⁴, p = 1−θ/π; raise bands for recall, bits per
+    band for candidate precision).
+
+    vs ``cosine_dup_pairs_blocked`` (centroid buckets): SRP needs no
+    stats of the corpus — no centroid pass, no assignment join — so a
+    signature is a pure per-row expression. That makes it the variant
+    that drops into a STREAMING ingest (sign bits computed per
+    micro-batch row with zero state) and lets signatures be precomputed
+    once and stored as a 64-bit column beside the corpus. Candidates
+    meet only inside (band, bucket) partitions; shuffle carries ids +
+    4 small ints, never vectors; verification re-reads vectors only for
+    candidate ids. Banded first-match emission (the join requires every
+    earlier band to differ) keeps each pair single-sourced with no
+    dedup shuffle — same trick as ``minhash_lsh_pairs``/
+    ``simhash_pairs``.
+
+    Plan expressions are emitted as SQL strings (one parse each) — the
+    16 fold-dot projections built op-by-op would cost thousands of py4j
+    round trips of driver latency (see simhash_signatures).
+    """
+    nb_per_band = n_bits // bands
+    assert nb_per_band * bands == n_bits, "bands must divide n_bits"
+    signs = _srp_signs(n_bits, dims)
+    e = _as_double(embeddings)
+
+    proj_exprs = []
+    for j in range(n_bits):
+        arr = ", ".join(f"{s:.1f}D" for s in signs[j])
+        proj_exprs.append(
+            f"round(aggregate(zip_with(v, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x), 6) >= 0 AS bit{j}"
+        )
+    bits = e.selectExpr("vec_id", *proj_exprs)
+    bucket_exprs = [
+        " + ".join(f"cast(bit{b * nb_per_band + j} as int) * {1 << j}" for j in range(nb_per_band))
+        + f" AS bucket{b}"
+        for b in range(bands)
+    ]
+    sig = bits.selectExpr("vec_id", *bucket_exprs)
+    band_structs = ", ".join(f"struct({b} AS band, bucket{b} AS bucket)" for b in range(bands))
+    banded = sig.selectExpr(
+        "vec_id",
+        *[f"bucket{b}" for b in range(bands)],
+        f"explode(array({band_structs})) AS bb",
+    ).selectExpr(
+        "vec_id", *[f"bucket{b}" for b in range(bands)], "bb.band AS band", "bb.bucket AS bucket"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    first_match = " AND ".join(
+        f"(a.band <= {k} OR a.bucket{k} != b.bucket{k})" for k in range(bands - 1)
+    )
+    cand = a.join(
+        b,
+        F.expr(
+            f"a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id AND {first_match}"
+        ),
+    ).selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b")
+
+    ev = _with_norm(embeddings)
+    ea = ev.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = ev.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

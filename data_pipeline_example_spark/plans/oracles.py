@@ -1509,3 +1509,52 @@ SELECT
   (SELECT CAST(coalesce(sum(n_tokens_raw), 0) AS BIGINT)
      FROM docx JOIN s4 USING (doc_id)) AS total_tokens
 """
+
+
+def _srp_oracle(n_bits: int = 16, bands: int = 4, dims: int = 64) -> str:
+    """SRP-LSH oracle generated from the SAME deterministic hyperplane
+    matrix the Spark operator embeds (operators/similarity._srp_signs),
+    so the two sides can never drift: both compute sign bits from
+    round(dot(v, ±1-hyperplane), 6), band them, join candidates on
+    (band, bucket) with first-match emission, and verify with the exact
+    cosine."""
+    from data_pipeline_example_spark.operators.similarity import _srp_signs
+
+    signs = _srp_signs(n_bits, dims)
+    nb_per_band = n_bits // bands
+    proj_cols = ",\n    ".join(
+        "CASE WHEN round(list_dot_product(v, CAST(["
+        + ",".join(f"{s:.1f}" for s in signs[j])
+        + f"] AS DOUBLE[])), 6) >= 0 THEN 1 ELSE 0 END AS bit{j}"
+        for j in range(n_bits)
+    )
+    bucket_cols = ",\n    ".join(
+        " + ".join(f"bit{b * nb_per_band + j} * {1 << j}" for j in range(nb_per_band))
+        + f" AS bucket{b}"
+        for b in range(bands)
+    )
+    bucket_list = ", ".join(f"bucket{b}" for b in range(bands))
+    banded = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {bucket_list}, {b} AS band, bucket{b} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    first_match = " AND ".join(
+        f"(a.band <= {k} OR a.bucket{k} != b.bucket{k})" for k in range(bands - 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+proj AS (SELECT vec_id, {proj_cols} FROM e),
+sig AS (SELECT vec_id, {bucket_cols} FROM proj),
+banded AS ({banded}),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id AND {first_match}
+)
+SELECT c.vec_a, c.vec_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+"""
+
+
+ORACLES["srp_dup_pairs"] = _srp_oracle()

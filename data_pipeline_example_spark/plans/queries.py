@@ -502,6 +502,12 @@ def q_cosine_dup_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_dup_pairs_blocked(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_srp_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH near-dup — the data-independent
+    bucketed scale path (no centroid pass; streaming-friendly)."""
+    return similarity.srp_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 # --- similarity-search extensions ----------------------------------------
 
 
@@ -672,6 +678,9 @@ QUERIES: dict[str, QueryFn] = {
     # tools/validate_oracle.py every round)
     "daily_revenue": q_daily_revenue,
     "kmeans_embeddings": q_kmeans_embeddings,
+    # new this round, after the window froze — rotate into the window
+    # next round for driver certification (locally oracle-verified)
+    "srp_dup_pairs": q_srp_dup_pairs,
     "user_reach_rollup": q_user_reach_rollup,
     "value_histogram": q_value_histogram,
     "hash_split_summary": q_hash_split_summary,

@@ -254,3 +254,32 @@ def test_user_reach_rollup_matches_exact_within_rsd(spark, sf_dir):
     again = {r["event_type"]: r["reach_estimate"]
              for r in users_ops.user_reach_rollup(events.repartition(7)).collect()}
     assert est == again
+
+
+def test_srp_dup_pairs_subset_and_identical_vectors(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in similarity.cosine_dup_pairs(emb, 0.35).collect()
+    }
+    srp = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in similarity.srp_dup_pairs(emb, 0.35).collect()
+    }
+    # precision exact: every SRP pair is a true >=threshold pair with the
+    # same rounded cosine; recall approximate (banded subset)
+    assert srp and set(srp) <= set(brute)
+    assert all(brute[p] == srp[p] for p in srp)
+
+
+def test_srp_near_parallel_vectors_always_collide(vectors):
+    # v0=(1,0,0) and v1=(1,.01,0): every +-1 hyperplane projection is
+    # dominated by the first component, so all sign bits agree -> the
+    # pair collides in every band -> must surface exactly once (banded
+    # first-match emission) with cos_sim ~ 1
+    rows = [
+        r
+        for r in similarity.srp_dup_pairs(vectors, threshold=0.9, dims=3).collect()
+        if (r["vec_a"], r["vec_b"]) == (0, 1)
+    ]
+    assert len(rows) == 1 and rows[0]["cos_sim"] > 0.99

@@ -137,7 +137,8 @@ def main() -> int:
         print(f"{status:40s} {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
         if problems:
             failures.append(name)
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} queries match")
+    n_run = len([n for n in QUERIES if not only or n in only])
+    print(f"\n{n_run - len(failures)}/{n_run} queries match")
     spark.stop()
     return 1 if failures else 0
 
