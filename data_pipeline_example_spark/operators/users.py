@@ -87,8 +87,11 @@ def value_stats(events: DataFrame) -> DataFrame:
     value and its correlation with time-of-day (seconds since midnight)
     — the moment aggregates (all algebraic, map-side combinable).
     Output: event_type, sd_value, var_value, corr_value_tod."""
+    # hour/min/sec arithmetic (not cast-to-long) so the expression works
+    # on TIMESTAMP and TIMESTAMP_NTZ alike — a vanilla session reads the
+    # parquet `ts` (no tz flag) as NTZ, which refuses CAST(... AS BIGINT)
     tod = (
-        F.col("ts").cast("long") % 86400
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
     ).cast("double")
     return (
         events.groupBy("event_type")
