@@ -86,13 +86,21 @@ def value_stats(events: DataFrame) -> DataFrame:
     """Distribution statistics per event type: sample stddev/variance of
     value and its correlation with time-of-day (seconds since midnight)
     — the moment aggregates (all algebraic, map-side combinable).
+
+    Time-of-day is derived per the column's type so the result is
+    session-timezone-invariant either way: TZ-aware TIMESTAMP uses epoch
+    arithmetic (``unix_timestamp % 86400``, UTC midnight regardless of
+    ``spark.sql.session.timeZone``); TIMESTAMP_NTZ — which only arises
+    for callers that scan the parquet without ``load_table``'s
+    nanos-rebuild — uses its timezone-free wall-clock fields directly
+    (NTZ refuses both CAST-to-long and unix_timestamp).
     Output: event_type, sd_value, var_value, corr_value_tod."""
-    # hour/min/sec arithmetic (not cast-to-long) so the expression works
-    # on TIMESTAMP and TIMESTAMP_NTZ alike — a vanilla session reads the
-    # parquet `ts` (no tz flag) as NTZ, which refuses CAST(... AS BIGINT)
-    tod = (
-        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
-    ).cast("double")
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        tod = (
+            F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+        ).cast("double")
+    else:
+        tod = (F.unix_timestamp("ts") % 86400).cast("double")
     return (
         events.groupBy("event_type")
         .agg(

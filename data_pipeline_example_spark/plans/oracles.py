@@ -822,10 +822,13 @@ WITH toks AS (
   FROM documents
 ),
 off AS (
+  -- CAST: DuckDB window sum(BIGINT) yields HUGEINT (int128); harness
+  -- comparators that fetch via pandas widen HUGEINT to float64 and the
+  -- stringified "N.0" breaks the value hash against Spark's long.
   SELECT doc_id, shard, n_tokens,
-         coalesce(sum(n_tokens) OVER (
+         CAST(coalesce(sum(n_tokens) OVER (
            PARTITION BY shard ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
   FROM toks
 )
 SELECT doc_id, shard, CAST(tok_offset // 2048 AS BIGINT) AS bin_id, tok_offset, n_tokens
