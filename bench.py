@@ -11,8 +11,10 @@ prints ONE JSON line:
 Each query executes end-to-end into the no-op sink (full plan runs —
 scan, shuffles, aggregation — nothing collected to the driver).
 
-Each query is timed twice and the MINIMUM is reported ("runs": 2,
-"agg": "min" in the JSON): this host shows bursty multi-10× wall-clock
+Each query is timed twice — three times when the first two samples
+disagree by >40% — and the MINIMUM is reported ("runs": 2,
+"max_runs": 3, "agg": "min" in the JSON): this host shows bursty
+multi-10× wall-clock
 stalls from outside the VM (the same query measured 47 s in one run and
 0.6 s seconds later with an idle guest), and min-of-2 keeps the metric
 about the engine rather than the neighbor. The noop sink guarantees the
@@ -91,12 +93,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        # adaptive third run: when the two samples disagree by >40% a
+        # host stall likely polluted one of them — one more sample keeps
+        # the reported min about the engine, not the neighbor
+        if min(runs) > 0.5 and abs(runs[0] - runs[1]) / min(runs) > 0.4:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -108,6 +117,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs": 2,
+                "max_runs": 3,
                 "agg": "min",
             }
         )

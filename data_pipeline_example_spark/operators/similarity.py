@@ -172,10 +172,13 @@ def nearest_neighbor_per_vector(
     )
 
 
-def assign_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+def assign_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, keep_sim: bool = False
+) -> DataFrame:
     """Assign each vector to its nearest 'centroid' (cosine, tie-break
     lowest centroid id). Centroids = embeddings with vec_id < n_centroids.
-    Output: vec_id, centroid_id. The centroid set is tiny → broadcast."""
+    Output: vec_id, centroid_id (+ cos_sim when ``keep_sim``). The
+    centroid set is tiny → broadcast."""
     e = _as_double(embeddings)
     cents = e.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
@@ -186,11 +189,9 @@ def assign_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
         F.round(V.cosine(F.col("v"), F.col("cv")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
-    )
+    out = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    cols = ["vec_id", "centroid_id"] + (["cos_sim"] if keep_sim else [])
+    return out.select(*cols)
 
 
 def cosine_dup_pairs(
@@ -267,16 +268,23 @@ def cosine_dup_pairs(
 
 
 def cosine_dup_pairs_blocked(
-    embeddings: DataFrame, threshold: float = 0.35, n_centroids: int = 16
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidates limited to pairs
     assigned to the same centroid bucket, so the join is an equi-join on
     centroid_id instead of an all-pairs cross product — per-bucket cost
     is (n/k)² and buckets shuffle independently. Recall is approximate
     (a pair straddling two buckets is missed); precision exact.
+    Callers that already hold the centroid assignment (``semantic_prune``)
+    pass it via ``assigned`` so it is computed once.
     """
     e = _with_norm(embeddings)
-    assigned = assign_centroids(embeddings, n_centroids)
+    if assigned is None:
+        assigned = assign_centroids(embeddings, n_centroids)
+    assigned = assigned.select("vec_id", "centroid_id")
     ea = e.join(assigned, "vec_id")
     a = ea.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
@@ -297,6 +305,73 @@ def cosine_dup_pairs_blocked(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_prune(
+    embeddings: DataFrame, threshold: float = 0.35, n_centroids: int = 16
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication decision per vector: inside
+    each centroid bucket, a vector is DROPPED when any earlier vector
+    (lower vec_id, same bucket) is cosine-similar above ``threshold``;
+    the earliest member of every near-dup group survives.
+
+    This is the one-shuffle declarative variant of within-cluster
+    semantic pruning (Abbas et al., SemDeDup): candidates come from the
+    same equi-join-on-centroid shape as ``cosine_dup_pairs_blocked`` —
+    no cross product, buckets prune independently — and the keep
+    decision is a single aggregation over the pair list, not an
+    iterative sequential scan. At 100 TB the pair stage shuffles only
+    (bucket, id, vector) rows and each bucket is (n/k)² locally.
+
+    Output: vec_id, centroid_id, keep (1/0 — int for cross-engine hash
+    parity), n_earlier_dups, max_cos (max_cos NULL for kept vectors —
+    nothing above threshold to report).
+    """
+    assigned = assign_centroids(embeddings, n_centroids)
+    pairs = cosine_dup_pairs_blocked(embeddings, threshold, n_centroids, assigned)
+    dropped = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_earlier_dups"),
+        F.round(F.max("cos_sim"), 6).alias("max_cos"),
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "centroid_id",
+        F.col("n_earlier_dups").isNull().cast("int").alias("keep"),
+        F.coalesce("n_earlier_dups", F.lit(0)).cast("long").alias("n_earlier_dups"),
+        "max_cos",
+    )
+
+
+def embedding_prototypes(
+    embeddings: DataFrame, per_bucket: int = 8, n_centroids: int = 16
+) -> DataFrame:
+    """Cluster-stratified prototype selection: the ``per_bucket`` most
+    central vectors (highest cosine to their assigned centroid) from
+    every centroid bucket — the prototypicality ranking data-pruning
+    curricula sort by (Sorscher et al.: keep prototypes for small
+    budgets, hard examples for large ones; flip the ordering for the
+    latter).
+
+    Two window passes, both over naturally small partitions: the
+    assignment window groups k rows per vec_id, the ranking window
+    ~n/k rows per bucket — at 100 TB swap the ranking window for a
+    per-bucket top-m aggregate if buckets grow beyond task memory.
+    Output: vec_id, centroid_id, cos_centroid, rank.
+    """
+    assigned = assign_centroids(embeddings, n_centroids, keep_sim=True)
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_bucket)
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("cos_sim").alias("cos_centroid"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 

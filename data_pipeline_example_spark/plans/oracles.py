@@ -1202,6 +1202,59 @@ JOIN e ea ON ea.vec_id = a.vec_id
 JOIN e eb ON eb.vec_id = b.vec_id
 WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
 """,
+    "semantic_prune": f"""
+WITH {_VECS},
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT b.vec_id,
+         CAST(count(*) AS BIGINT) AS n_earlier_dups,
+         round(max(round(list_cosine_similarity(ea.v, eb.v), 6)), 6) AS max_cos
+  FROM assigned a
+  JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+  GROUP BY 1
+)
+SELECT asg.vec_id, asg.centroid_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       CAST(coalesce(d.n_earlier_dups, 0) AS BIGINT) AS n_earlier_dups,
+       d.max_cos AS max_cos
+FROM assigned asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
+""",
+    "embedding_prototypes": f"""
+WITH {_VECS},
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, centroid_id, cos_sim FROM (
+    SELECT e.vec_id, c.centroid_id,
+           round(list_cosine_similarity(e.v, c.cv), 6) AS cos_sim,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+)
+SELECT vec_id, centroid_id, cos_sim AS cos_centroid, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT vec_id, centroid_id, cos_sim,
+         row_number() OVER (
+           PARTITION BY centroid_id ORDER BY cos_sim DESC, vec_id ASC
+         ) AS rank
+  FROM assigned
+) WHERE rank <= 8
+""",
     # --- similarity search ------------------------------------------------
     "knn_bruteforce": f"""
 WITH {_VECS}

@@ -508,6 +508,17 @@ def q_srp_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_dup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style within-cluster keep/drop decision per vector."""
+    return similarity.semantic_prune(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-stratified prototype selection (top-m most central per
+    centroid bucket)."""
+    return similarity.embedding_prototypes(load_table(spark, sf_dir, "embeddings"))
+
+
 # --- similarity-search extensions ----------------------------------------
 
 
@@ -612,7 +623,15 @@ QUERIES: dict[str, QueryFn] = {
     # entry() and was driver-certified in round 1, so its window slot
     # goes to a never-certified query — the window rotates each round
     # until every SQL-oracled query has a driver-green row)
+    # round-3 front: changed this round (value_stats tz-invariance,
+    # pack_documents oracle cast), never-driver-certified (srp added
+    # after the r2 window froze; the two rows-only ops), and new ops
     "value_stats": q_value_stats,
+    "srp_dup_pairs": q_srp_dup_pairs,
+    "semantic_prune": q_semantic_prune,
+    "embedding_prototypes": q_embedding_prototypes,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "user_reach_rollup": q_user_reach_rollup,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -664,24 +683,17 @@ QUERIES: dict[str, QueryFn] = {
     "event_funnel": q_event_funnel,
     "range_join_counts": q_range_join_counts,
     "frequent_terms": q_frequent_terms,
+    # ---------------- end of the driver's 50-entry window ----------------
+    # (everything below was driver-certified in round 1 or 2, or is a
+    # composition of certified operators; all remain locally verified by
+    # tools/validate_oracle.py every round)
     "unigram_scores": q_unigram_scores,
     "curation_summary": q_curation_summary,
     # --- profiling / splits / sketches ---
     "props_key_stats": q_props_key_stats,
     "day_over_day_revenue": q_day_over_day_revenue,
     "value_percentiles": q_value_percentiles,
-    # ---------------- end of the driver's 50-entry window ----------------
-    # (everything below was driver-certified in round 1, is a composition
-    # of certified operators, or has no SQL twin and gets the same weaker
-    # rows-only check at any position (user_reach_rollup, kmeans — both
-    # unit-tested); all remain locally verified by
-    # tools/validate_oracle.py every round)
     "daily_revenue": q_daily_revenue,
-    "kmeans_embeddings": q_kmeans_embeddings,
-    # new this round, after the window froze — rotate into the window
-    # next round for driver certification (locally oracle-verified)
-    "srp_dup_pairs": q_srp_dup_pairs,
-    "user_reach_rollup": q_user_reach_rollup,
     "value_histogram": q_value_histogram,
     "hash_split_summary": q_hash_split_summary,
     "events_profile": q_events_profile,

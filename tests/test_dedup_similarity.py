@@ -283,3 +283,44 @@ def test_srp_near_parallel_vectors_always_collide(vectors):
         if (r["vec_a"], r["vec_b"]) == (0, 1)
     ]
     assert len(rows) == 1 and rows[0]["cos_sim"] > 0.99
+
+
+def test_semantic_prune_consistent_with_blocked_pairs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pruned = {r["vec_id"]: r for r in similarity.semantic_prune(emb, 0.35).collect()}
+    pairs = similarity.cosine_dup_pairs_blocked(emb, 0.35).collect()
+    dropped_expect = {r["vec_b"] for r in pairs}
+    assert len(pruned) == emb.count()  # one decision per vector
+    for vid, row in pruned.items():
+        assert row["keep"] == (0 if vid in dropped_expect else 1)
+        if row["keep"]:
+            assert row["n_earlier_dups"] == 0 and row["max_cos"] is None
+        else:
+            assert row["n_earlier_dups"] >= 1
+            assert row["max_cos"] >= 0.35
+    # the earliest member of every bucket always survives
+    by_bucket: dict[int, int] = {}
+    for vid, row in pruned.items():
+        b = row["centroid_id"]
+        if b not in by_bucket or vid < by_bucket[b]:
+            by_bucket[b] = vid
+    assert all(pruned[v]["keep"] == 1 for v in by_bucket.values())
+
+
+def test_embedding_prototypes_rank_shape(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.embedding_prototypes(emb, per_bucket=4, n_centroids=8).collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["centroid_id"], []).append(r)
+    for bucket, members in by_bucket.items():
+        assert len(members) <= 4
+        ranks = sorted(m["rank"] for m in members)
+        assert ranks == list(range(1, len(members) + 1))  # contiguous from 1
+        # ranking follows cosine-to-centroid descending
+        ordered = sorted(members, key=lambda m: m["rank"])
+        sims = [m["cos_centroid"] for m in ordered]
+        assert sims == sorted(sims, reverse=True)
+    # a centroid vector is maximally central in its own bucket (cos=1)
+    own = [r for r in rows if r["vec_id"] == r["centroid_id"]]
+    assert own and all(r["rank"] == 1 for r in own)
