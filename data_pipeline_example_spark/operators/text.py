@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_pipeline_example_spark.functions import text as T
 from data_pipeline_example_spark.functions.parallel import widen
@@ -172,6 +173,38 @@ def pack_documents(
         F.floor(offset / budget).cast("long").alias("bin_id"),
         offset.alias("tok_offset"),
         "n_tokens",
+    )
+
+
+def length_buckets(
+    documents: DataFrame, n_buckets: int = 8
+) -> DataFrame:
+    """Length-bucketed batching assignment: documents ranked by token
+    count (tie-break doc_id) and cut into ``n_buckets`` equal-frequency
+    buckets — the dynamic-batching layout that keeps same-batch
+    sequences near-equal length so padding waste stays low.
+
+    ``ntile`` is one global sort — acceptable because the sorted payload
+    is two longs per document (id + count), not the text; at 100 TB
+    replace with rank-against-broadcast-quantile-boundaries
+    (``value_quantile_sketch``'s GK cuts) to avoid the single ordered
+    exchange. Output: doc_id, n_tokens, bucket, plus per-bucket padding
+    diagnostics (bucket_max_tokens, pad_waste = bucket_max − n_tokens).
+    """
+    toks = documents.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    bucketed = toks.select(
+        "doc_id", "n_tokens", F.ntile(n_buckets).over(w).alias("bucket")
+    )
+    wb = Window.partitionBy("bucket")
+    return bucketed.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.max("n_tokens").over(wb).alias("bucket_max_tokens"),
+        (F.max("n_tokens").over(wb) - F.col("n_tokens")).alias("pad_waste"),
     )
 
 

@@ -834,6 +834,21 @@ off AS (
 SELECT doc_id, shard, CAST(tok_offset // 2048 AS BIGINT) AS bin_id, tok_offset, n_tokens
 FROM off
 """,
+    "length_buckets": """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, ntile(8) OVER (ORDER BY n_tokens, doc_id) AS bucket
+  FROM toks
+)
+SELECT doc_id, n_tokens, CAST(bucket AS INTEGER) AS bucket,
+       CAST(max(n_tokens) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_max_tokens,
+       CAST(max(n_tokens) OVER (PARTITION BY bucket) - n_tokens AS BIGINT) AS pad_waste
+FROM b
+""",
     "token_counts": """
 SELECT doc_id,
        CASE WHEN trim(coalesce(text, '')) = '' THEN 0

@@ -602,6 +602,12 @@ def q_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_scores(load_table(spark, sf_dir, "documents"))
 
 
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency token-length buckets for padding-efficient
+    dynamic batching."""
+    return text.length_buckets(load_table(spark, sf_dir, "documents"))
+
+
 def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline (quality → exact dedup → LSH near-dup
     → decontamination → chunking) as one audited summary row."""
@@ -632,6 +638,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_prototypes": q_embedding_prototypes,
     "kmeans_embeddings": q_kmeans_embeddings,
     "user_reach_rollup": q_user_reach_rollup,
+    "length_buckets": q_length_buckets,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -682,11 +689,11 @@ QUERIES: dict[str, QueryFn] = {
     "retention_cohorts": q_retention_cohorts,
     "event_funnel": q_event_funnel,
     "range_join_counts": q_range_join_counts,
-    "frequent_terms": q_frequent_terms,
     # ---------------- end of the driver's 50-entry window ----------------
     # (everything below was driver-certified in round 1 or 2, or is a
     # composition of certified operators; all remain locally verified by
     # tools/validate_oracle.py every round)
+    "frequent_terms": q_frequent_terms,
     "unigram_scores": q_unigram_scores,
     "curation_summary": q_curation_summary,
     # --- profiling / splits / sketches ---

@@ -158,3 +158,23 @@ def test_quantize_embeddings_whole_table_in_range(spark, sf_dir):
     bad = q.filter((F.col("q_min") < -127) | (F.col("q_max") > 127)).count()
     assert bad == 0
     assert q.filter(F.col("scale") <= 0).count() == 0  # no zero vectors in corpus
+
+
+def test_length_buckets_equal_frequency_and_padding(spark, sf_dir):
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = tx.length_buckets(docs, n_buckets=4).collect()
+    assert len(rows) == docs.count()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    sizes = [len(v) for _, v in sorted(by_bucket.items())]
+    assert max(sizes) - min(sizes) <= 1  # ntile equal-frequency
+    # buckets are length-ordered: every doc in bucket b is <= min of bucket b+1
+    maxes = [max(x["n_tokens"] for x in by_bucket[b]) for b in sorted(by_bucket)]
+    mins = [min(x["n_tokens"] for x in by_bucket[b]) for b in sorted(by_bucket)]
+    assert all(maxes[i] <= mins[i + 1] for i in range(len(maxes) - 1))
+    for r in rows:
+        assert r["pad_waste"] == r["bucket_max_tokens"] - r["n_tokens"]
+        assert r["pad_waste"] >= 0
