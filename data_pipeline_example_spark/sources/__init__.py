@@ -6,6 +6,7 @@ from data_pipeline_example_spark.sources.tables import (
     read_binary_dir,
     read_json_dir,
     read_orc_dir,
+    read_text_dir,
     wait_for_input_files,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "read_binary_dir",
     "read_json_dir",
     "read_orc_dir",
+    "read_text_dir",
     "wait_for_input_files",
 ]

@@ -142,6 +142,27 @@ def read_json_dir(
     return reader.json(path)
 
 
+def read_text_dir(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Plain-text corpus ingestion — the rawest LLM-corpus format.
+
+    ``whole_file=False`` (default): one row per line (``value`` string),
+    splittable, so a single 1 TB file still parallelizes by HDFS block.
+    ``whole_file=True``: one row per file — document-per-file corpora;
+    parallelism = file count, same contract as ``read_binary_dir``.
+    ``line_sep`` overrides the record delimiter (e.g. ``"\\0"`` for
+    NUL-delimited document dumps — a splittable document-per-record
+    layout, unlike whole_file).
+    """
+    # options must ride the .text() call itself — DataFrameReader.text
+    # re-applies its keyword defaults over any pre-set .option() values
+    return spark.read.text(path, wholetext=whole_file, lineSep=line_sep)
+
+
 def read_orc_dir(spark: SparkSession, path: str) -> DataFrame:
     """ORC dataset scan — same columnar pushdown/pruning contract as
     parquet (S5) for shops standardized on ORC."""

@@ -87,3 +87,29 @@ def test_binary_file_source_feeds_multimodal_ops(spark, tmp_path):
     expected = {hashlib.md5(c).hexdigest().encode("ascii"): len(c)
                 for c in (blobs["a.bin"], blobs["b.bin"])}
     assert {k if isinstance(k, bytes) else k.encode(): v for k, v in feats.items()} == expected
+
+
+def test_read_text_dir_lines_wholefile_and_nul_sep(spark, tmp_path):
+    from data_pipeline_example_spark.sources import read_text_dir
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("doc one\ndoc two\n")
+    (d / "b.txt").write_text("doc three\n")
+    lines = sorted(r["value"] for r in read_text_dir(spark, str(d)).collect())
+    assert lines == ["doc one", "doc three", "doc two"]
+
+    whole = sorted(
+        r["value"] for r in read_text_dir(spark, str(d), whole_file=True).collect()
+    )
+    assert whole == ["doc one\ndoc two\n", "doc three\n"]
+
+    n = tmp_path / "nul"
+    n.mkdir()
+    (n / "c.txt").write_text("alpha\0beta\0")
+    nul = sorted(
+        r["value"]
+        for r in read_text_dir(spark, str(n), line_sep="\0").collect()
+        if r["value"]
+    )
+    assert nul == ["alpha", "beta"]
