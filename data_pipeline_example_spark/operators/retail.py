@@ -47,6 +47,23 @@ def kpis(df: DataFrame) -> DataFrame:
     )
 
 
+def kpis_long(df: DataFrame) -> DataFrame:
+    """KPI snapshot reshaped wide→long via ``DataFrame.unpivot`` (the
+    relational MELT — Spark's native unpivot operator, not a union of
+    selects): one (metric, value) row per KPI, the shape metric stores
+    and dashboards ingest. Values cast to double first — unpivot
+    requires one common value type. Runs on the one-row aggregate, so
+    the reshape itself is free at any corpus size."""
+    wide = kpis(df).select(
+        F.col("grand_total").cast("double").alias("grand_total"),
+        F.col("distinct_products").cast("double").alias("distinct_products"),
+        F.col("rows").cast("double").alias("rows"),
+    )
+    return wide.unpivot(
+        [], ["grand_total", "distinct_products", "rows"], "metric", "value"
+    )
+
+
 def per_day_totals(daily: DataFrame) -> DataFrame:
     """A4 — per-day totals over the curated aggregate
     (`dashboard/app.py:33-36`), rebuilt as a Spark query."""

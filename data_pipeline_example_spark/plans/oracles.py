@@ -142,6 +142,20 @@ SELECT round(sum(amount), 2) AS grand_total,
        count(*) AS "rows"
 FROM retail
 """,
+    "kpis_long": f"""
+WITH {_RETAIL},
+k AS (
+  SELECT round(sum(amount), 2) AS grand_total,
+         count(DISTINCT product) AS distinct_products,
+         count(*) AS n_rows
+  FROM retail
+)
+SELECT 'grand_total' AS metric, CAST(grand_total AS DOUBLE) AS value FROM k
+UNION ALL
+SELECT 'distinct_products', CAST(distinct_products AS DOUBLE) FROM k
+UNION ALL
+SELECT 'rows', CAST(n_rows AS DOUBLE) FROM k
+""",
     "per_day_totals": f"""
 WITH {_RETAIL},
 daily AS (

@@ -60,6 +60,11 @@ def q_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retail.kpis(_events_retail(spark, sf_dir))
 
 
+def q_kpis_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long KPI reshape via the native unpivot (MELT) operator."""
+    return retail.kpis_long(_events_retail(spark, sf_dir))
+
+
 def q_per_day_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retail.per_day_totals(retail.daily_revenue(_events_retail(spark, sf_dir)))
 
@@ -639,6 +644,7 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "user_reach_rollup": q_user_reach_rollup,
     "length_buckets": q_length_buckets,
+    "kpis_long": q_kpis_long,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -688,8 +694,8 @@ QUERIES: dict[str, QueryFn] = {
     "value_anomalies": q_value_anomalies,
     "retention_cohorts": q_retention_cohorts,
     "event_funnel": q_event_funnel,
-    "range_join_counts": q_range_join_counts,
     # ---------------- end of the driver's 50-entry window ----------------
+    "range_join_counts": q_range_join_counts,
     # (everything below was driver-certified in round 1 or 2, or is a
     # composition of certified operators; all remain locally verified by
     # tools/validate_oracle.py every round)

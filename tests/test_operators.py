@@ -418,3 +418,15 @@ def test_salted_totals_match_direct_groupby(spark, sf_dir):
               .agg(F.round(F.sum("value"), 2).alias("tv"),
                    F.count("event_id").alias("ne")).collect()}
     assert salted == direct
+
+
+def test_kpis_long_matches_wide(spark, sf_dir):
+    from data_pipeline_example_spark.operators import retail
+    from data_pipeline_example_spark.plans.queries import _events_retail
+
+    df = _events_retail(spark, sf_dir)
+    wide = retail.kpis(df).collect()[0]
+    long = {r["metric"]: r["value"] for r in retail.kpis_long(df).collect()}
+    assert long["grand_total"] == float(wide["grand_total"])
+    assert long["distinct_products"] == float(wide["distinct_products"])
+    assert long["rows"] == float(wide["rows"])
