@@ -1,3 +1,8 @@
+from data_pipeline_example_spark.sources.warc import (
+    WarcDataSource,
+    read_warc,
+    warc_documents,
+)
 from data_pipeline_example_spark.sources.tables import (
     TABLE_NAMES,
     load_table,
@@ -19,5 +24,8 @@ __all__ = [
     "read_json_dir",
     "read_orc_dir",
     "read_text_dir",
+    "WarcDataSource",
+    "read_warc",
+    "warc_documents",
     "wait_for_input_files",
 ]
