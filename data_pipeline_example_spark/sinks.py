@@ -266,10 +266,16 @@ def upsert_partitioned(
     write_partitioned_parquet(merged, path, partition_col=partition_col)
 
 
-def write_json(df: DataFrame, path: str) -> None:
+def write_json(df: DataFrame, path: str, compression: str | None = None) -> None:
     """JSON-lines sink (one object per row) — the interchange twin of
-    the Kafka producer payloads (`kafka_event_producer.py:119-120`)."""
-    df.write.mode("overwrite").json(path)
+    the Kafka producer payloads (`kafka_event_producer.py:119-120`) and
+    the standard LLM-corpus exchange layout (`.jsonl.gz` shards when
+    ``compression="gzip"``; gzip keeps shards splittable-by-file, which
+    is how corpus consumers parallelize anyway)."""
+    w = df.write.mode("overwrite")
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def write_orc(df: DataFrame, path: str) -> None:
