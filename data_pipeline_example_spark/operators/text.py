@@ -251,6 +251,39 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def dup_ngram_fraction(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Gopher-style duplicate n-gram fraction (Rae et al.): the share of
+    a document's n-gram occurrences that are repeats of an earlier one —
+    near 0 for natural prose, near 1 for templated/looping boilerplate;
+    Gopher drops docs above ~0.10-0.15 at n in 5..10.
+
+    Entirely per-row array arithmetic — tokenize once, build the n-gram
+    list with ``transform`` over a slice, and the fraction is
+    ``1 − distinct/total`` via ``array_distinct``; ZERO shuffles at any
+    corpus size (the scan partitioning is the parallelism). Documents
+    shorter than ``n`` tokens have no n-grams → fraction 0.0 (nothing
+    measured, nothing to drop on). Output: doc_id, n_ngrams,
+    n_distinct, dup_fraction.
+    """
+    grams = (
+        f"transform(slice(t, 1, greatest(size(t) - {n} + 1, 0)), "
+        f"(x, i) -> array_join(slice(t, i + 1, {n}), ' '))"
+    )
+    base = documents.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    ).select("doc_id", F.expr(grams).alias("g"))
+    total = F.size("g").cast("long")
+    distinct = F.size(F.array_distinct("g")).cast("long")
+    return base.select(
+        "doc_id",
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        F.when(total > 0, F.round((total - distinct) / total, 4))
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )
+
+
 # default per-source mixing weights for mixture_rates: named overrides,
 # everything else weight 1.0 (mirrored by the oracle's CASE)
 DEFAULT_MIX_WEIGHTS: dict[str, float] = {"src0": 3.0, "src1": 2.0}

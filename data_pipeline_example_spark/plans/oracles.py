@@ -848,6 +848,25 @@ off AS (
 SELECT doc_id, shard, CAST(tok_offset // 2048 AS BIGINT) AS bin_id, tok_offset, n_tokens
 FROM off
 """,
+    "dup_ngram_fraction": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                        i -> array_to_string(list_slice(t, i, i + 7), ' ')) AS grams
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN round((len(grams) - len(list_distinct(grams))) * 1.0 / len(grams), 4)
+            ELSE 0.0 END AS dup_fraction
+FROM g
+""",
     "length_buckets": """
 WITH toks AS (
   SELECT doc_id,

@@ -613,6 +613,12 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.length_buckets(load_table(spark, sf_dir, "documents"))
 
 
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-8-gram fraction — zero-shuffle repetition
+    filter."""
+    return text.dup_ngram_fraction(load_table(spark, sf_dir, "documents"))
+
+
 def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline (quality → exact dedup → LSH near-dup
     → decontamination → chunking) as one audited summary row."""
@@ -645,6 +651,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_reach_rollup": q_user_reach_rollup,
     "length_buckets": q_length_buckets,
     "kpis_long": q_kpis_long,
+    "dup_ngram_fraction": q_dup_ngram_fraction,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -693,8 +700,8 @@ QUERIES: dict[str, QueryFn] = {
     # --- event analytics extensions ---
     "value_anomalies": q_value_anomalies,
     "retention_cohorts": q_retention_cohorts,
-    "event_funnel": q_event_funnel,
     # ---------------- end of the driver's 50-entry window ----------------
+    "event_funnel": q_event_funnel,
     "range_join_counts": q_range_join_counts,
     # (everything below was driver-certified in round 1 or 2, or is a
     # composition of certified operators; all remain locally verified by

@@ -178,3 +178,22 @@ def test_length_buckets_equal_frequency_and_padding(spark, sf_dir):
     for r in rows:
         assert r["pad_waste"] == r["bucket_max_tokens"] - r["n_tokens"]
         assert r["pad_waste"] >= 0
+
+
+def test_dup_ngram_fraction_planted_repetition(spark):
+    from data_pipeline_example_spark.operators import text as tx
+
+    loop = ("spam ham eggs one two three four five " * 10).strip()  # 8-token loop
+    prose = "the quick brown fox jumps over the lazy dog and then sleeps all day long"
+    short = "too few tokens"
+    docs = spark.createDataFrame(
+        [(0, loop, "en", "s", len(loop)), (1, prose, "en", "s", len(prose)),
+         (2, short, "en", "s", len(short))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r["doc_id"]: r for r in tx.dup_ngram_fraction(docs, n=8).collect()}
+    # looping doc: 80 tokens → 73 8-grams, only 8 distinct → fraction ≈ 0.89
+    assert out[0]["n_ngrams"] == 73 and out[0]["n_distinct"] == 8
+    assert out[0]["dup_fraction"] > 0.85
+    assert out[1]["dup_fraction"] == 0.0  # natural prose, no repeated 8-gram
+    assert out[2]["n_ngrams"] == 0 and out[2]["dup_fraction"] == 0.0
