@@ -55,6 +55,9 @@ HEADLINE = [
     "knn_bruteforce",
     "nearest_neighbor",
     "media_features",
+    # round 3 additions: semantic dedup decision + Gopher repetition filter
+    "semantic_prune",
+    "dup_ngram_fraction",
 ]
 
 

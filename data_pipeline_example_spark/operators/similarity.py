@@ -309,26 +309,65 @@ def cosine_dup_pairs_blocked(
 
 
 def semantic_prune(
-    embeddings: DataFrame, threshold: float = 0.35, n_centroids: int = 16
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    method: str = "blocked",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication decision per vector: inside
     each centroid bucket, a vector is DROPPED when any earlier vector
     (lower vec_id, same bucket) is cosine-similar above ``threshold``;
-    the earliest member of every near-dup group survives.
+    the earliest member of every near-dup group survives (Abbas et al.,
+    SemDeDup — the declarative, non-iterative keep rule).
 
-    This is the one-shuffle declarative variant of within-cluster
-    semantic pruning (Abbas et al., SemDeDup): candidates come from the
-    same equi-join-on-centroid shape as ``cosine_dup_pairs_blocked`` —
-    no cross product, buckets prune independently — and the keep
-    decision is a single aggregation over the pair list, not an
-    iterative sequential scan. At 100 TB the pair stage shuffles only
-    (bucket, id, vector) rows and each bucket is (n/k)² locally.
+    ``method="blocked"`` (default): one shuffle keyed on centroid_id,
+    then per-bucket BLAS — each bucket's (n/k)² similarity matrix is a
+    single float64 matmul inside Arrow-batched ``applyInPandas``, and
+    the per-vector (count, max) rollup happens in the same batch, so
+    no pair list is ever materialized or shuffled. np.round(·, 6)
+    reproduces the expression path's rounding bit-for-bit (float64
+    both ways), keeping the SQL oracle green. ``method="fold"`` is the
+    pure-expression twin: pairs from ``cosine_dup_pairs_blocked`` + one
+    aggregation — same result, JVM-only, but it shuffles vectors into a
+    self-join and evaluates a d-dim fold per pair.
 
     Output: vec_id, centroid_id, keep (1/0 — int for cross-engine hash
     parity), n_earlier_dups, max_cos (max_cos NULL for kept vectors —
     nothing above threshold to report).
     """
     assigned = assign_centroids(embeddings, n_centroids)
+    if method == "blocked":
+        import pandas as pd
+
+        bucketed = _as_float(embeddings).join(assigned, "vec_id")
+
+        def bucket_prune(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = np.round(Vn @ Vn.T, 6)
+            hit = np.tril(S >= threshold, k=-1)  # row j vs earlier cols i<j
+            n_dups = hit.sum(axis=1)
+            masked = np.where(hit, S, -np.inf)
+            max_cos = masked.max(axis=1, initial=-np.inf)
+            return pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "centroid_id": pdf["centroid_id"].to_numpy()[order].astype("int64"),
+                    "keep": (n_dups == 0).astype("int32"),
+                    "n_earlier_dups": n_dups.astype("int64"),
+                    "max_cos": np.where(n_dups > 0, max_cos, np.nan),
+                }
+            )
+
+        return bucketed.groupBy("centroid_id").applyInPandas(
+            bucket_prune,
+            "vec_id long, centroid_id long, keep int, n_earlier_dups long, max_cos double",
+        )
     pairs = cosine_dup_pairs_blocked(embeddings, threshold, n_centroids, assigned)
     dropped = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
         F.count(F.lit(1)).alias("n_earlier_dups"),

@@ -269,7 +269,9 @@ def dup_ngram_fraction(documents: DataFrame, n: int = 8) -> DataFrame:
         f"transform(slice(t, 1, greatest(size(t) - {n} + 1, 0)), "
         f"(x, i) -> array_join(slice(t, i + 1, {n}), ' '))"
     )
-    base = documents.select(
+    # widen: n-gram string building is the cost; a single-file corpus
+    # scan must not serialize it onto one core
+    base = widen(documents).select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
     ).select("doc_id", F.expr(grams).alias("g"))
     total = F.size("g").cast("long")
