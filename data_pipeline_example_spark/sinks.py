@@ -302,3 +302,34 @@ def write_sorted_parquet(
         else df.repartitionByRange(*sort_cols)
     )
     out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    partitions: int | None = None,
+) -> None:
+    """Two-dimensional clustered write: range-sort by the Morton
+    (Z-order) interleave of two quantized columns, so parquet row-group
+    min/max stats prune scans filtering on EITHER column — the
+    ``OPTIMIZE ZORDER BY`` layout without a table format
+    (``functions/zorder.py``). Columns must be non-negative 32-bit
+    (quantize/rank first). The key is dropped before writing — it is
+    layout, not data.
+    """
+    from data_pipeline_example_spark.functions.zorder import morton_key
+
+    keyed = df.withColumn("__zkey", morton_key(F.col(col_a), F.col(col_b)))
+    out = (
+        keyed.repartitionByRange(partitions, "__zkey")
+        if partitions
+        else keyed.repartitionByRange("__zkey")
+    )
+    (
+        out.sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
