@@ -1191,6 +1191,16 @@ m AS (
 SELECT doc_a, doc_b, round(matches / 16.0, 4) AS jaccard_est
 FROM m WHERE round(matches / 16.0, 4) >= 0.1
 """,
+    "props_variant_stats": """
+SELECT CAST(floor(TRY_CAST(props->>'k' AS INTEGER) / 10.0) AS INTEGER) AS k_decile,
+       count(*) AS n,
+       CAST(min(TRY_CAST(props->>'k' AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(max(TRY_CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+WHERE TRY_CAST(props->>'k' AS INTEGER) IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+""",
     "value_stats": """
 SELECT event_type,
        round(stddev_samp(value), 6) AS sd_value,

@@ -347,6 +347,11 @@ def q_props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return users.props_key_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT-typed JSON extraction (parse once, typed gets)."""
+    return users.props_variant_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_day_over_day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retail.day_over_day_revenue(retail.daily_revenue(_events_retail(spark, sf_dir)))
 
@@ -652,6 +657,7 @@ QUERIES: dict[str, QueryFn] = {
     "length_buckets": q_length_buckets,
     "kpis_long": q_kpis_long,
     "dup_ngram_fraction": q_dup_ngram_fraction,
+    "props_variant_stats": q_props_variant_stats,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -699,8 +705,8 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_pruned_brand_volume": q_bloom_pruned_brand_volume,
     # --- event analytics extensions ---
     "value_anomalies": q_value_anomalies,
-    "retention_cohorts": q_retention_cohorts,
     # ---------------- end of the driver's 50-entry window ----------------
+    "retention_cohorts": q_retention_cohorts,
     "event_funnel": q_event_funnel,
     "range_join_counts": q_range_join_counts,
     # (everything below was driver-certified in round 1 or 2, or is a

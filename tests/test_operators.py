@@ -430,3 +430,16 @@ def test_kpis_long_matches_wide(spark, sf_dir):
     assert long["grand_total"] == float(wide["grand_total"])
     assert long["distinct_products"] == float(wide["distinct_products"])
     assert long["rows"] == float(wide["rows"])
+
+
+def test_props_variant_stats_agrees_with_json_path_twin(spark, sf_dir):
+    from data_pipeline_example_spark.operators import users
+    from data_pipeline_example_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    variant = {r["k_decile"]: r for r in users.props_variant_stats(ev).collect()}
+    classic = {r["k_decile"]: r for r in users.props_key_stats(ev).collect()}
+    assert set(variant) == set(classic)  # same deciles either parse path
+    for d, row in variant.items():
+        assert row["n"] == classic[d]["n"]
+        assert row["min_k"] <= classic[d]["avg_k"] <= row["max_k"]
