@@ -178,6 +178,67 @@ def decoded_image_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("start_ms", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("window_md5", StringType()),
+    ]
+)
+
+
+def audio_windows(
+    media: DataFrame, window_ms: int = 1000, sample_rate: int = 16_000
+) -> DataFrame:
+    """Audio windowing plumbing — the third modality next to images
+    (``extract_features``/``decoded_image_features``) and video
+    (``sample_frames``): one payload row fans out to one row per
+    fixed-duration analysis window, the shape a real PCM decoder /
+    feature extractor (fbank, VAD, diarization) plugs into.
+
+    The deterministic fake treats the payload as PCM16 mono at
+    ``sample_rate``: n_samples = len(bytes) // 2, windows of
+    ``window_ms`` each; the last partial window is kept (real feature
+    pipelines pad it). window_md5 = md5(bytes ':' idx) stands in for
+    the window's content digest — a pure function of the bytes, so the
+    whole fan-out is SQL-checkable like the frame sampler.
+    """
+    spw = sample_rate * window_ms // 1000  # samples per window
+
+    def _windows(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            starts: list[int] = []
+            counts: list[int] = []
+            md5s: list[str] = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                raw = bytes(content)
+                n_samples = len(raw) // 2
+                n_windows = max((n_samples + spw - 1) // spw, 0)
+                for i in range(n_windows):
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    starts.append(i * window_ms)
+                    counts.append(min(spw, n_samples - i * spw))
+                    md5s.append(hashlib.md5(raw + b":" + str(i).encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(doc_ids, dtype="int64"),
+                    "window_idx": pd.array(idxs, dtype="int32"),
+                    "start_ms": pd.array(starts, dtype="int64"),
+                    "n_samples": pd.array(counts, dtype="int64"),
+                    "window_md5": pd.array(md5s, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(_windows, schema=AUDIO_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every: int = 10, modulus: int = 100) -> DataFrame:
     """Video-frame sampling plumbing: one payload row fans out to one row
     per sampled frame through ``mapInPandas`` (the shape a real decoder

@@ -1201,6 +1201,19 @@ WHERE TRY_CAST(props->>'k' AS INTEGER) IS NOT NULL
 GROUP BY 1
 ORDER BY 1
 """,
+    "audio_windows": """
+SELECT doc_id,
+       CAST(i AS INTEGER) AS window_idx,
+       CAST(i * 10 AS BIGINT) AS start_ms,
+       CAST(least(160, ns - i * 160) AS BIGINT) AS n_samples,
+       md5(t || ':' || CAST(i AS VARCHAR)) AS window_md5
+FROM (
+  SELECT doc_id, coalesce(text, '') AS t,
+         octet_length(encode(coalesce(text, ''))) // 2 AS ns,
+         unnest(range(0, (octet_length(encode(coalesce(text, ''))) // 2 + 159) // 160)) AS i
+  FROM documents
+)
+""",
     "value_stats": """
 SELECT event_type,
        round(stddev_samp(value), 6) AS sd_value,

@@ -569,6 +569,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features(load_table(spark, sf_dir, "documents"))
 
 
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-window fan-out plumbing (PCM16 fake decode; 10 ms windows
+    at 16 kHz so the synthetic payloads yield several windows each)."""
+    return multimodal.audio_windows(
+        multimodal.attach_binary(load_table(spark, sf_dir, "documents")),
+        window_ms=10,
+    )
+
+
 def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_samples(load_table(spark, sf_dir, "documents"))
 
@@ -658,6 +667,7 @@ QUERIES: dict[str, QueryFn] = {
     "kpis_long": q_kpis_long,
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "props_variant_stats": q_props_variant_stats,
+    "audio_windows": q_audio_windows,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -704,8 +714,8 @@ QUERIES: dict[str, QueryFn] = {
     "value_quantile_sketch": q_value_quantile_sketch,
     "bloom_pruned_brand_volume": q_bloom_pruned_brand_volume,
     # --- event analytics extensions ---
-    "value_anomalies": q_value_anomalies,
     # ---------------- end of the driver's 50-entry window ----------------
+    "value_anomalies": q_value_anomalies,
     "retention_cohorts": q_retention_cohorts,
     "event_funnel": q_event_funnel,
     "range_join_counts": q_range_join_counts,

@@ -443,3 +443,20 @@ def test_props_variant_stats_agrees_with_json_path_twin(spark, sf_dir):
     for d, row in variant.items():
         assert row["n"] == classic[d]["n"]
         assert row["min_k"] <= classic[d]["avg_k"] <= row["max_k"]
+
+
+def test_audio_windows_fanout_and_partial_tail(spark):
+    from data_pipeline_example_spark.operators import multimodal as mm
+
+    # 700 utf-8 bytes → 350 fake PCM16 samples; 10ms @ 16kHz = 160/window
+    # → windows of 160, 160, 30 samples
+    docs = spark.createDataFrame(
+        [(1, "x" * 700, "en", "s", 700), (2, "", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = mm.audio_windows(mm.attach_binary(docs), window_ms=10).collect()
+    mine = sorted([r for r in rows if r["doc_id"] == 1], key=lambda r: r["window_idx"])
+    assert [r["n_samples"] for r in mine] == [160, 160, 30]
+    assert [r["start_ms"] for r in mine] == [0, 10, 20]
+    assert len({r["window_md5"] for r in mine}) == 3  # per-window digests differ
+    assert not [r for r in rows if r["doc_id"] == 2]  # empty payload → no windows
