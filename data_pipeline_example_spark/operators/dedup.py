@@ -512,3 +512,30 @@ def dedup_summary(documents: DataFrame, clusters: DataFrame) -> DataFrame:
         (F.col("n_docs") - F.col("n_removed")).alias("n_kept"),
         "n_removed",
     )
+
+
+def lsh_recall_summary(documents: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Self-measured LSH quality: recall of ``minhash_lsh_pairs``
+    against the exact ``jaccard_pairs`` ground truth at the same
+    threshold — the audit every probabilistic-dedup deployment should
+    ship next to its banding config. Precision is 1.0 by construction
+    (LSH candidates are exact-Jaccard verified before emission, so the
+    LSH pair set is a subset of the truth set), which reduces the
+    metric to two 1-row counts cross-joined: constant-size output at
+    any corpus scale; the truth side is the documented O(n²)-worst-case
+    exact baseline, so this is a validation query, not a hot-path one.
+    Output: n_true, n_lsh, recall.
+    """
+    n_true = jaccard_pairs(documents, threshold=threshold).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    n_lsh = minhash_lsh_pairs(documents, threshold=threshold).agg(
+        F.count(F.lit(1)).alias("n_lsh")
+    )
+    return n_true.crossJoin(F.broadcast(n_lsh)).select(
+        "n_true",
+        "n_lsh",
+        F.when(
+            F.col("n_true") > 0, F.round(F.col("n_lsh") / F.col("n_true"), 4)
+        ).alias("recall"),
+    )

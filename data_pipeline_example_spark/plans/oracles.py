@@ -1685,3 +1685,15 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
 
 
 ORACLES["srp_dup_pairs"] = _srp_oracle()
+
+# recall audit composes the two pair oracles verbatim as derived tables,
+# so the metric's ground truth is definitionally the certified queries'
+ORACLES["lsh_recall_summary"] = f"""
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_lsh AS BIGINT) AS n_lsh,
+       CASE WHEN n_true > 0 THEN round(n_lsh * 1.0 / n_true, 4) END AS recall
+FROM (
+  SELECT (SELECT count(*) FROM ({ORACLES["jaccard_pairs"]})) AS n_true,
+         (SELECT count(*) FROM ({ORACLES["minhash_lsh_pairs"]})) AS n_lsh
+)
+"""

@@ -484,6 +484,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
 
 
+def q_lsh_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of banded-LSH vs the exact Jaccard ground truth."""
+    return dedup.lsh_recall_summary(load_table(spark, sf_dir, "documents"))
+
+
 def q_minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_jaccard_estimates(
         load_table(spark, sf_dir, "documents"), min_est=0.1
@@ -668,6 +673,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "props_variant_stats": q_props_variant_stats,
     "audio_windows": q_audio_windows,
+    "lsh_recall_summary": q_lsh_recall_summary,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -712,9 +718,9 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample": q_stratified_sample,
     "reservoir_sample": q_reservoir_sample,
     "value_quantile_sketch": q_value_quantile_sketch,
-    "bloom_pruned_brand_volume": q_bloom_pruned_brand_volume,
     # --- event analytics extensions ---
     # ---------------- end of the driver's 50-entry window ----------------
+    "bloom_pruned_brand_volume": q_bloom_pruned_brand_volume,
     "value_anomalies": q_value_anomalies,
     "retention_cohorts": q_retention_cohorts,
     "event_funnel": q_event_funnel,

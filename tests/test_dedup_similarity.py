@@ -324,3 +324,14 @@ def test_embedding_prototypes_rank_shape(spark, sf_dir):
     # a centroid vector is maximally central in its own bucket (cos=1)
     own = [r for r in rows if r["vec_id"] == r["centroid_id"]]
     assert own and all(r["rank"] == 1 for r in own)
+
+
+def test_lsh_recall_summary_consistent_with_pair_queries(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = dedup.lsh_recall_summary(docs, threshold=0.1).collect()[0]
+    n_true = dedup.jaccard_pairs(docs, threshold=0.1).count()
+    n_lsh = dedup.minhash_lsh_pairs(docs, threshold=0.1).count()
+    assert row["n_true"] == n_true and row["n_lsh"] == n_lsh
+    assert n_lsh <= n_true  # precision 1.0: LSH pairs are exact-verified
+    if n_true:
+        assert row["recall"] == round(n_lsh / n_true, 4)
