@@ -896,3 +896,39 @@ def first_last_order_value(orders: DataFrame) -> DataFrame:
         )
         .dropDuplicates(["c_custkey"])
     )
+
+
+def nation_actor_presence(
+    customer: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation customer vs supplier presence via FULL OUTER join —
+    the one join type the rest of the surface doesn't exercise: neither
+    side may be dropped (a nation with only suppliers still reports,
+    and vice versa), which inner/semi/anti shapes can't express.
+
+    Both inputs are pre-aggregated to |nations| rows BEFORE the outer
+    join, so the join is tiny regardless of fact cardinality; nation
+    names come from the broadcast dim afterwards. Output: n_name,
+    n_customers, n_suppliers, balance.
+    """
+    c = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    merged = c.join(s, "nk", "full_outer").select(
+        "nk",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+    return (
+        merged.join(F.broadcast(nation), merged["nk"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            "n_customers",
+            "n_suppliers",
+            (F.col("n_customers") - F.col("n_suppliers")).alias("balance"),
+        )
+        .orderBy("n_name")
+    )

@@ -1201,6 +1201,22 @@ WHERE TRY_CAST(props->>'k' AS INTEGER) IS NOT NULL
 GROUP BY 1
 ORDER BY 1
 """,
+    "nation_actor_presence": """
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1),
+m AS (
+  SELECT coalesce(c.nk, s.nk) AS nk,
+         coalesce(n_customers, 0) AS n_customers,
+         coalesce(n_suppliers, 0) AS n_suppliers
+  FROM c FULL OUTER JOIN s ON c.nk = s.nk
+)
+SELECT n_name,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(n_customers - n_suppliers AS BIGINT) AS balance
+FROM m JOIN nation ON m.nk = n_nationkey
+ORDER BY n_name
+""",
     "audio_windows": """
 SELECT doc_id,
        CAST(i AS INTEGER) AS window_idx,

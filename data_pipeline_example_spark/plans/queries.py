@@ -136,6 +136,15 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_actor_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: per-nation customer vs supplier counts."""
+    return tpch.nation_actor_presence(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.supplier_nation_revenue(
         load_table(spark, sf_dir, "lineitem"),
@@ -674,6 +683,7 @@ QUERIES: dict[str, QueryFn] = {
     "props_variant_stats": q_props_variant_stats,
     "audio_windows": q_audio_windows,
     "lsh_recall_summary": q_lsh_recall_summary,
+    "nation_actor_presence": q_nation_actor_presence,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -717,9 +727,9 @@ QUERIES: dict[str, QueryFn] = {
     # --- sampling / pruning extensions ---
     "stratified_sample": q_stratified_sample,
     "reservoir_sample": q_reservoir_sample,
-    "value_quantile_sketch": q_value_quantile_sketch,
     # --- event analytics extensions ---
     # ---------------- end of the driver's 50-entry window ----------------
+    "value_quantile_sketch": q_value_quantile_sketch,
     "bloom_pruned_brand_volume": q_bloom_pruned_brand_volume,
     "value_anomalies": q_value_anomalies,
     "retention_cohorts": q_retention_cohorts,

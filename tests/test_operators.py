@@ -460,3 +460,19 @@ def test_audio_windows_fanout_and_partial_tail(spark):
     assert [r["start_ms"] for r in mine] == [0, 10, 20]
     assert len({r["window_md5"] for r in mine}) == 3  # per-window digests differ
     assert not [r for r in rows if r["doc_id"] == 2]  # empty payload → no windows
+
+
+def test_nation_actor_presence_full_outer_keeps_one_sided_nations(spark):
+    from data_pipeline_example_spark.operators import tpch
+
+    cust = spark.createDataFrame([(1, 10), (2, 10), (3, 20)], ["c_custkey", "c_nationkey"])
+    supp = spark.createDataFrame([(1, 20), (2, 30)], ["s_suppkey", "s_nationkey"])
+    nation = spark.createDataFrame(
+        [(10, "ALPHA", 0), (20, "BETA", 0), (30, "GAMMA", 0)],
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+    rows = {r["n_name"]: r for r in tpch.nation_actor_presence(cust, supp, nation).collect()}
+    assert rows["ALPHA"]["n_customers"] == 2 and rows["ALPHA"]["n_suppliers"] == 0
+    assert rows["BETA"]["n_customers"] == 1 and rows["BETA"]["n_suppliers"] == 1
+    assert rows["GAMMA"]["n_customers"] == 0 and rows["GAMMA"]["n_suppliers"] == 1
+    assert rows["GAMMA"]["balance"] == -1  # supplier-only nation survives the join
