@@ -97,6 +97,37 @@ def lang_predict(documents: DataFrame) -> DataFrame:
     )
 
 
+def lang_mixture(documents: DataFrame) -> DataFrame:
+    """Per-document language-mixture (code-switching) signal: stopword
+    votes per language, reduced to the dominant and runner-up share of
+    the total vote mass. A high second share flags documents mixing two
+    languages — kept, routed, or segmented differently than monolingual
+    text by real curation pipelines.
+
+    Same per-row stopword counts as ``lang_predict`` (pure regex
+    expressions, zero shuffle); the two largest vote counts come from
+    one ``sort_array`` over the 4-element count array — no CASE ladder.
+    Output: doc_id, n_votes, top_share, second_share, is_mixed
+    (second share ≥ 0.25 of a non-empty vote mass).
+    """
+    counts = [
+        T.stopword_count(F.col("text"), words).cast("long")
+        for words in T.STOPWORDS.values()
+    ]
+    arr = F.sort_array(F.array(*counts), asc=False)
+    total = sum(counts[1:], counts[0])
+    top = F.element_at(arr, 1)
+    second = F.element_at(arr, 2)
+    tot = F.greatest(total, F.lit(1)).cast("double")
+    return documents.select(
+        "doc_id",
+        total.alias("n_votes"),
+        F.round(top / tot, 4).alias("top_share"),
+        F.round(second / tot, 4).alias("second_share"),
+        ((total > 0) & (second / tot >= 0.25)).cast("int").alias("is_mixed"),
+    )
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
     """Three token-count ladders per document: whitespace split, word
     regex, BPE-ish pre-tokenizer — the budget columns an LLM-data

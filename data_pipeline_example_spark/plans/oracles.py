@@ -1201,6 +1201,19 @@ WHERE TRY_CAST(props->>'k' AS INTEGER) IS NOT NULL
 GROUP BY 1
 ORDER BY 1
 """,
+    "lang_mixture": f"""
+WITH {_DOC_EXPRS}
+SELECT doc_id,
+       CAST(c_en + c_de + c_fr + c_es AS BIGINT) AS n_votes,
+       round(list_reverse_sort([c_en, c_de, c_fr, c_es])[1] * 1.0
+             / greatest(c_en + c_de + c_fr + c_es, 1), 4) AS top_share,
+       round(list_reverse_sort([c_en, c_de, c_fr, c_es])[2] * 1.0
+             / greatest(c_en + c_de + c_fr + c_es, 1), 4) AS second_share,
+       CAST((c_en + c_de + c_fr + c_es > 0 AND
+             list_reverse_sort([c_en, c_de, c_fr, c_es])[2] * 1.0
+             / greatest(c_en + c_de + c_fr + c_es, 1) >= 0.25) AS INTEGER) AS is_mixed
+FROM docx
+""",
     "nation_actor_presence": """
 WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1),
 s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1),

