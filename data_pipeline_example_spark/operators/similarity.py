@@ -536,6 +536,32 @@ def embedding_centroids(embeddings: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+def embedding_profile(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding-space profile: vector count and L2-norm
+    distribution (mean/min/max) for every label — the drift monitor a
+    production embedding pipeline runs per batch (collapsed norms flag
+    a dead encoder; a drifting mean flags distribution shift).
+
+    Norms are computed once in a projection (`_with_norm`), then it is
+    one |labels|-group aggregation — map-side combinable, the vectors
+    themselves never shuffle. Output: label, n_vectors, avg_norm,
+    min_norm, max_norm.
+    """
+    e = embeddings.select(
+        "label", V.norm(V.to_double_array(F.col("embedding"))).alias("nrm")
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     """Per-vector symmetric int8 quantization summary — the storage-side
     companion of similarity search: at corpus scale embeddings ship and

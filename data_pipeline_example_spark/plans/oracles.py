@@ -1201,6 +1201,19 @@ WHERE TRY_CAST(props->>'k' AS INTEGER) IS NOT NULL
 GROUP BY 1
 ORDER BY 1
 """,
+    "embedding_profile": f"""
+WITH {_VECS},
+norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT label,
+       count(*) AS n_vectors,
+       round(avg(nrm), 6) AS avg_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM norms JOIN lab USING (vec_id)
+GROUP BY label
+ORDER BY label
+""",
     "lang_mixture": f"""
 WITH {_DOC_EXPRS}
 SELECT doc_id,

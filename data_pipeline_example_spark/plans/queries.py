@@ -449,6 +449,11 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.redact_pii(load_table(spark, sf_dir, "documents"))
 
 
+def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution — the embedding drift monitor."""
+    return similarity.embedding_profile(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
@@ -690,6 +695,7 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_recall_summary": q_lsh_recall_summary,
     "nation_actor_presence": q_nation_actor_presence,
     "lang_mixture": q_lang_mixture,
+    "embedding_profile": q_embedding_profile,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -731,9 +737,9 @@ QUERIES: dict[str, QueryFn] = {
     "chunk_dedup_stats": q_chunk_dedup_stats,
     "source_blocklist_summary": q_source_blocklist_summary,
     # --- sampling / pruning extensions ---
-    "stratified_sample": q_stratified_sample,
     # --- event analytics extensions ---
     # ---------------- end of the driver's 50-entry window ----------------
+    "stratified_sample": q_stratified_sample,
     "reservoir_sample": q_reservoir_sample,
     "value_quantile_sketch": q_value_quantile_sketch,
     "bloom_pruned_brand_volume": q_bloom_pruned_brand_volume,

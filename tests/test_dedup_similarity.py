@@ -335,3 +335,13 @@ def test_lsh_recall_summary_consistent_with_pair_queries(spark, sf_dir):
     assert n_lsh <= n_true  # precision 1.0: LSH pairs are exact-verified
     if n_true:
         assert row["recall"] == round(n_lsh / n_true, 4)
+
+
+def test_embedding_profile_norm_bounds(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.embedding_profile(emb).collect()
+    assert sum(r["n_vectors"] for r in rows) == emb.count()
+    for r in rows:
+        assert 0 <= r["min_norm"] <= r["avg_norm"] <= r["max_norm"]
+    labels = [r["label"] for r in rows]
+    assert labels == sorted(labels)
