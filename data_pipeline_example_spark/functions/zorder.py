@@ -42,7 +42,21 @@ def spread_bits(col: Column) -> Column:
 def morton_key(a: Column, b: Column) -> Column:
     """Interleave two 32-bit non-negative columns into one 64-bit
     Z-order key: ``a`` occupies even bit positions, ``b`` odd ones.
-    Lexicographic order on the key walks the Z-curve, so values close
-    in BOTH dimensions land close in the sort — and therefore in the
-    same parquet row groups."""
+
+    The raw interleave is an UNSIGNED 64-bit pattern carried in a
+    signed long: when ``b`` has bit 31 set, bit 63 of the key is set
+    and the signed value is negative — so do not ORDER BY this column
+    directly for full-range inputs; sort by :func:`zorder_sort_key`,
+    which flips the sign bit so signed order equals unsigned Z-curve
+    order. (Inputs confined to 31 bits per column never set bit 63 and
+    may sort on this key as-is.)"""
     return spread_bits(a).bitwiseOR(F.shiftleft(spread_bits(b), 1))
+
+
+def zorder_sort_key(a: Column, b: Column) -> Column:
+    """Sortable Z-order key: ``morton_key`` with the sign bit flipped
+    (key XOR Long.MIN_VALUE), the standard unsigned-compare-via-signed
+    trick — lexicographic signed order on this column walks the Z-curve
+    for the FULL non-negative 32-bit input range, including values with
+    bit 31 set."""
+    return morton_key(a, b).bitwiseXOR(F.lit(-(1 << 63)).cast("long"))

@@ -325,8 +325,11 @@ def semantic_prune(
     single float64 matmul inside Arrow-batched ``applyInPandas``, and
     the per-vector (count, max) rollup happens in the same batch, so
     no pair list is ever materialized or shuffled. np.round(·, 6)
-    reproduces the expression path's rounding bit-for-bit (float64
-    both ways), keeping the SQL oracle green. ``method="fold"`` is the
+    applies the same float64 rounding as the expression path; the BLAS
+    matmul accumulates in a different order than the sequential fold,
+    so knife-edge values could in principle differ in the last ulp
+    before rounding — in practice the 6-dp results match the oracle on
+    every certified run. ``method="fold"`` is the
     pure-expression twin: pairs from ``cosine_dup_pairs_blocked`` + one
     aggregation — same result, JVM-only, but it shuffles vectors into a
     self-join and evaluates a d-dim fold per pair.
@@ -353,14 +356,18 @@ def semantic_prune(
             hit = np.tril(S >= threshold, k=-1)  # row j vs earlier cols i<j
             n_dups = hit.sum(axis=1)
             masked = np.where(hit, S, -np.inf)
-            max_cos = masked.max(axis=1, initial=-np.inf)
+            # explicit nullable Float64 with pd.NA for kept vectors —
+            # the NULL contract is stated in the dtype, not left to
+            # Arrow's NaN→NULL coercion of a float64 ndarray
+            max_cos = pd.array(masked.max(axis=1, initial=-np.inf), dtype="Float64")
+            max_cos[n_dups == 0] = pd.NA
             return pd.DataFrame(
                 {
                     "vec_id": ids,
                     "centroid_id": pdf["centroid_id"].to_numpy()[order].astype("int64"),
                     "keep": (n_dups == 0).astype("int32"),
                     "n_earlier_dups": n_dups.astype("int64"),
-                    "max_cos": np.where(n_dups > 0, max_cos, np.nan),
+                    "max_cos": max_cos,
                 }
             )
 

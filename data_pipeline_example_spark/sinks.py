@@ -317,11 +317,13 @@ def write_zordered_parquet(
     ``OPTIMIZE ZORDER BY`` layout without a table format
     (``functions/zorder.py``). Columns must be non-negative 32-bit
     (quantize/rank first). The key is dropped before writing — it is
-    layout, not data.
+    layout, not data. Sorting uses ``zorder_sort_key`` (sign-flipped
+    interleave) so the layout stays correct even when the second
+    column sets bit 31 and the raw key would go negative.
     """
-    from data_pipeline_example_spark.functions.zorder import morton_key
+    from data_pipeline_example_spark.functions.zorder import zorder_sort_key
 
-    keyed = df.withColumn("__zkey", morton_key(F.col(col_a), F.col(col_b)))
+    keyed = df.withColumn("__zkey", zorder_sort_key(F.col(col_a), F.col(col_b)))
     out = (
         keyed.repartitionByRange(partitions, "__zkey")
         if partitions

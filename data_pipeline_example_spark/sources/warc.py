@@ -104,16 +104,17 @@ def iter_warc_records(stream: io.BufferedReader, source_file: str) -> Iterator[t
         except ValueError:
             length = 0
         payload = stream.read(length)
-        if len(payload) < length:
-            # truncated tail record — emit what was readable, stop file
-            pass
+        # truncated tail record: emit what was readable, but report the
+        # ACTUAL payload size so content_length == len(payload) always
+        # holds — downstream slicing by content_length must never
+        # over-read (the header-claimed length is gone with the bytes)
         yield (
             headers.get("warc-record-id"),
             headers.get("warc-type"),
             headers.get("warc-target-uri"),
             headers.get("warc-date"),
             headers.get("content-type"),
-            length,
+            len(payload),
             payload,
             source_file,
         )
@@ -158,11 +159,19 @@ class WarcDataSource(DataSource):
 
 
 def read_warc(spark, pattern: str):
-    """Convenience: register (idempotent) + load in one call."""
+    """Convenience: register (idempotent) + load in one call.
+
+    Only the duplicate-registration error is swallowed; any other
+    registration failure (unsupported Spark version, conflicting
+    source) propagates with its root cause instead of resurfacing
+    later as a confusing "format warc not found".
+    """
     try:
         spark.dataSource.register(WarcDataSource)
-    except Exception:
-        pass  # already registered
+    except Exception as exc:  # re-register in the same session is fine
+        msg = str(exc)
+        if "DATA_SOURCE_ALREADY_EXISTS" not in msg and "already" not in msg.lower():
+            raise
     return spark.read.format("warc").load(pattern)
 
 
@@ -175,7 +184,10 @@ def warc_documents(df):
     whitespace collapsed (the honest baseline; a production extractor
     like trafilatura slots in as an Arrow-batched ``mapInPandas`` the
     same way the multimodal decoders do). doc_id is the xxhash64 of the
-    WARC record id — deterministic, collision-safe at corpus scale.
+    WARC record id — deterministic, collision-safe at corpus scale;
+    records MISSING a record id fall back to a composite key
+    (source_file:uri:date) so they don't all collapse onto
+    xxhash64(NULL) and get silently merged by exact-dedup downstream.
     """
     from pyspark.sql import functions as F
 
@@ -192,7 +204,14 @@ def warc_documents(df):
     return (
         df.filter(F.col("warc_type") == "response")
         .select(
-            F.xxhash64("warc_record_id").alias("doc_id"),
+            F.xxhash64(
+                F.coalesce(
+                    F.col("warc_record_id"),
+                    F.concat_ws(
+                        ":", F.col("source_file"), F.col("target_uri"), F.col("warc_date")
+                    ),
+                )
+            ).alias("doc_id"),
             F.col("target_uri").alias("url"),
             F.col("warc_date").alias("fetched_at"),
             text.alias("text"),

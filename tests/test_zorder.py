@@ -34,6 +34,27 @@ def test_morton_key_matches_reference(spark):
         assert got[i] % (1 << 64) == expect, (i, a, b)
 
 
+def test_zorder_sort_key_unsigned_order_full_range(spark):
+    """Bit 31 of the second column sets bit 63 of the raw interleave
+    (negative as a signed long); the sort key must still order those
+    rows AFTER smaller keys — i.e. signed order on zorder_sort_key ==
+    unsigned order on the raw interleave (the ADVICE regression)."""
+    from data_pipeline_example_spark.functions.zorder import zorder_sort_key
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 2**32), rng.randrange(0, 2**32)) for i in range(300)]
+    rows += [(300, 0, 2**31), (301, 2**32 - 1, 2**32 - 1), (302, 5, 3)]
+    df = spark.createDataFrame(rows, ["i", "a", "b"])
+    got = df.select(
+        "i", zorder_sort_key(F.col("a"), F.col("b")).alias("sk")
+    ).collect()
+    by_sort_key = [r["i"] for r in sorted(got, key=lambda r: r["sk"])]
+    by_unsigned = [
+        i for i, _, _ in sorted(rows, key=lambda t: _ref_interleave(t[1], t[2]))
+    ]
+    assert by_sort_key == by_unsigned
+
+
 def test_spread_bits_even_positions_only(spark):
     df = spark.range(1).select(spread_bits(F.lit(0xFFFFFFFF)).alias("s"))
     s = df.collect()[0]["s"] % (1 << 64)
