@@ -208,23 +208,110 @@ def pack_documents(
 
 
 def length_buckets(
-    documents: DataFrame, n_buckets: int = 8
+    documents: DataFrame, n_buckets: int = 8, method: str = "cuts"
 ) -> DataFrame:
     """Length-bucketed batching assignment: documents ranked by token
     count (tie-break doc_id) and cut into ``n_buckets`` equal-frequency
     buckets — the dynamic-batching layout that keeps same-batch
     sequences near-equal length so padding waste stays low.
 
-    ``ntile`` is one global sort — acceptable because the sorted payload
-    is two longs per document (id + count), not the text; at 100 TB
-    replace with rank-against-broadcast-quantile-boundaries
-    (``value_quantile_sketch``'s GK cuts) to avoid the single ordered
-    exchange. Output: doc_id, n_tokens, bucket, plus per-bucket padding
+    ``method="cuts"`` (default, the scale path): NO global ordered
+    exchange. The global rank of a row under ORDER BY (n_tokens,
+    doc_id) decomposes as
+
+        rank = (# rows with a smaller n_tokens)          [cum_before]
+             + (row_number among its own n_tokens value) [tie-break]
+
+    cum_before comes from a token-count histogram — a map-side-combined
+    ``groupBy(n_tokens).count()`` collected to the driver (distinct
+    token counts are bounded by max document length, ~10⁴-10⁵ values at
+    any corpus size — planning-stats-sized, same idea as AQE) — and is
+    broadcast back as a tiny join table that also carries each bucket's
+    boundary and max token count, both derived from the histogram by
+    pure prefix-sum arithmetic. The tie-break is a ``row_number`` over
+    a window PARTITIONED BY n_tokens — a hash exchange, not an ordered
+    one; no single reducer ever sees the corpus. The ntile formula
+    (first N mod n buckets get one extra row) is applied per-row as
+    arithmetic, so the result is bit-identical to ``ntile`` — the
+    ``method="ntile"`` twin IS the registered SQL oracle. Skew note: a
+    single hot n_tokens value (e.g. empty docs) concentrates its
+    tie-break window in one task; AQE skew-split handles the exchange,
+    and the window is two longs per row, never the text.
+
+    ``method="ntile"``: the textbook single-ordered-exchange shape —
+    kept as the oracle twin and for tiny inputs.
+
+    Output: doc_id, n_tokens, bucket, plus per-bucket padding
     diagnostics (bucket_max_tokens, pad_waste = bucket_max − n_tokens).
     """
     toks = documents.select(
         "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
+    if method == "cuts":
+        hist = sorted(
+            (r["n_tokens"], r["cnt"])
+            for r in toks.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        )
+        n_rows = sum(c for _, c in hist)
+        spark = documents.sparkSession
+        if n_rows == 0:
+            return spark.createDataFrame(
+                [],
+                "doc_id long, n_tokens long, bucket int, "
+                "bucket_max_tokens long, pad_waste long",
+            )
+        q, r = divmod(n_rows, n_buckets)
+        # bucket b (1-based) covers ranks (lb(b), ub(b)]; ntile gives the
+        # first r buckets q+1 rows, the rest q
+        ub = [b * q + min(b, r) for b in range(n_buckets + 1)]
+        # per-bucket max token count = value at sorted position ub(b):
+        # walk the histogram's prefix sums once
+        bucket_max: list[tuple[int, int]] = []
+        cum, hi = 0, 0
+        for b in range(1, n_buckets + 1):
+            if ub[b] <= ub[b - 1]:  # empty bucket (N < n_buckets)
+                continue
+            while cum < ub[b]:
+                t, c = hist[hi]
+                cum += c
+                hi += 1
+            bucket_max.append((b, hist[hi - 1][0]))
+        cuts = []  # (n_tokens, cum_before) pairs
+        acc = 0
+        for t, c in hist:
+            cuts.append((t, acc))
+            acc += c
+        cuts_df = F.broadcast(
+            spark.createDataFrame(cuts, "n_tokens long, cum_before long")
+        )
+        bmax_df = F.broadcast(
+            spark.createDataFrame(bucket_max, "bucket int, bucket_max_tokens long")
+        )
+        wt = Window.partitionBy("n_tokens").orderBy("doc_id")
+        ranked = (
+            toks.join(cuts_df, "n_tokens")
+            .withColumn("rank", F.col("cum_before") + F.row_number().over(wt))
+        )
+        # inline ntile formula: ranks 1..r(q+1) → ceil(rank/(q+1)),
+        # later ranks → r + ceil((rank - r(q+1))/q); integer `div` only —
+        # double division could misround ceil at exact multiples once
+        # ranks exceed 2^53
+        qd = max(q, 1)  # q=0 → else branch is unreachable; avoid div 0
+        bucket = F.when(
+            F.col("rank") <= r * (q + 1),
+            F.expr(f"(rank + {q}) div {q + 1}"),
+        ).otherwise(F.expr(f"{r} + (rank - {r * (q + 1)} + {qd - 1}) div {qd}"))
+        return (
+            ranked.withColumn("bucket", bucket.cast("int"))
+            .join(bmax_df, "bucket")
+            .select(
+                "doc_id",
+                "n_tokens",
+                "bucket",
+                "bucket_max_tokens",
+                (F.col("bucket_max_tokens") - F.col("n_tokens")).alias("pad_waste"),
+            )
+        )
     w = Window.orderBy("n_tokens", "doc_id")
     bucketed = toks.select(
         "doc_id", "n_tokens", F.ntile(n_buckets).over(w).alias("bucket")

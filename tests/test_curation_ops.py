@@ -180,6 +180,41 @@ def test_length_buckets_equal_frequency_and_padding(spark, sf_dir):
         assert r["pad_waste"] >= 0
 
 
+def test_length_buckets_cuts_matches_ntile_exactly(spark):
+    """The broadcast-cut path must be bit-identical to the ntile twin
+    (which is the registered SQL oracle) — including heavy ties across
+    bucket boundaries and N not divisible by n_buckets."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    # 23 docs over 3 distinct lengths → ties straddle every boundary
+    texts = ["a b c", "a b c d e", "a"]
+    docs = spark.createDataFrame(
+        [(i, texts[i % 3], "en", "s", 5) for i in range(23)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    for n in (1, 4, 5, 8, 30):  # 30 > N exercises empty buckets
+        got = sorted(
+            tuple(r) for r in tx.length_buckets(docs, n_buckets=n, method="cuts").collect()
+        )
+        want = sorted(
+            tuple(r) for r in tx.length_buckets(docs, n_buckets=n, method="ntile").collect()
+        )
+        assert got == want, f"n_buckets={n}"
+
+
+def test_length_buckets_cuts_empty_and_plan(spark):
+    from data_pipeline_example_spark.operators import text as tx
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert tx.length_buckets(empty).count() == 0
+    # scale contract: the cuts path must not contain a global ordered
+    # exchange (rangepartitioning) — only hash exchanges
+    docs = spark.createDataFrame([(i, "a b c", "en", "s", 5) for i in range(10)],
+                                 ["doc_id", "text", "lang", "source", "n_chars"])
+    plan = tx.length_buckets(docs, method="cuts")._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_dup_ngram_fraction_planted_repetition(spark):
     from data_pipeline_example_spark.operators import text as tx
 
