@@ -51,12 +51,18 @@ HEADLINE = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "simhash_pairs",
-    "cosine_dup_pairs",
-    "knn_bruteforce",
-    "nearest_neighbor",
+    # round 4: the exact O(n²) baselines (cosine_dup_pairs,
+    # knn_bruteforce, nearest_neighbor) are demoted from the headline
+    # set in favor of their certified scale twins — the headline number
+    # should reflect the plans you'd actually run at 100 TB; the exact
+    # baselines stay in the registry as oracle anchors
+    "srp_dup_pairs",        # was cosine_dup_pairs
+    "ivf_knn",              # was knn_bruteforce
+    "nearest_neighbor_capped",  # was nearest_neighbor
     "media_features",
-    # round 3 additions: semantic dedup decision + Gopher repetition filter
-    "semantic_prune",
+    # round 3 additions: semantic dedup decision + Gopher repetition
+    # filter; r4 swaps the prune to its bounded-bucket twin
+    "semantic_prune_capped",  # was semantic_prune
     "dup_ngram_fraction",
 ]
 

@@ -897,6 +897,7 @@ def srp_dup_pairs(
     n_bits: int = 16,
     bands: int = 4,
     dims: int = 64,
+    method: str = "blas",
 ) -> DataFrame:
     """Signed-random-projection (hyperplane) LSH near-dup pairs — the
     data-INDEPENDENT bucketed scale path for embedding dedup.
@@ -924,15 +925,111 @@ def srp_dup_pairs(
     dedup shuffle — same trick as ``minhash_lsh_pairs``/
     ``simhash_pairs``.
 
-    Plan expressions are emitted as SQL strings (one parse each) — the
-    16 fold-dot projections built op-by-op would cost thousands of py4j
-    round trips of driver latency (see simhash_signatures).
+    ``method="blas"`` (default): a single Arrow pipeline — signatures
+    computed batch-wise, then ONE hash shuffle on (band, bucket) and an
+    ``applyInPandas`` that enumerates same-bucket pairs, applies the
+    first-match band mask, and verifies with row-wise dots in the same
+    task. BIT-EXACT with the ``"fold"`` expression twin because every
+    sum is taken with ``np.cumsum`` (strict left-to-right float64, the
+    same order as ``aggregate``'s sequential fold and DuckDB's list
+    fold; no pairwise/BLAS re-association anywhere near a rounding
+    boundary, so a knife-edge signature bit or cosine can't flip
+    between engines). vs the fold/join twin: no interpreted
+    higher-order-function folds (the twin spends ~30M lambda
+    invocations verifying the sf0.1 candidate set), no double
+    evaluation of the signature stage through a self-join, no
+    candidate×vector join — the shuffle carries each vector ``bands``
+    times (fixed-size replicas), and per-task memory is bounded by the
+    largest (band, bucket) group, the usual bucketed-BLAS tradeoff (a
+    hot bucket means too few bits per band). ``method="fold"``: pure
+    column expressions + streaming candidate join — the
+    unbounded-memory-safe twin, kept for parity debugging (plan
+    expressions emitted as SQL strings — one parse each — because 16
+    fold-dot projections built op-by-op would cost thousands of py4j
+    round trips, see simhash_signatures).
     """
     nb_per_band = n_bits // bands
     assert nb_per_band * bands == n_bits, "bands must divide n_bits"
     signs = _srp_signs(n_bits, dims)
-    e = _as_double(embeddings)
 
+    if method == "blas":
+        import numpy as np
+        import pandas as pd
+
+        H = np.array(signs, dtype=np.float64)  # (n_bits, dims)
+        ef = _as_float(embeddings)
+        bucket_cols = ", ".join(f"bucket{b} int" for b in range(bands))
+        sig_schema = f"vec_id long, v array<float>, {bucket_cols}"
+
+        def sig_batches(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                # (rows × n_bits × dims) elementwise product, summed
+                # LEFT-TO-RIGHT via cumsum → identical to the fold
+                prod = M[:, None, :] * H[None, :, :]
+                dots = np.round(np.cumsum(prod, axis=2)[:, :, -1], 6)
+                bits_m = dots >= 0  # -0.0 >= 0 is True, as in SQL
+                out = {"vec_id": pdf["vec_id"], "v": pdf["v"]}
+                for b in range(bands):
+                    val = np.zeros(len(pdf), dtype="int32")
+                    for j in range(nb_per_band):
+                        val += bits_m[:, b * nb_per_band + j].astype("int32") << j
+                    out[f"bucket{b}"] = val
+                yield pd.DataFrame(out)
+
+        sig = ef.mapInPandas(sig_batches, sig_schema)
+        band_structs = ", ".join(
+            f"struct({b} AS band, bucket{b} AS bucket)" for b in range(bands)
+        )
+        banded = sig.selectExpr(
+            "vec_id",
+            "v",
+            *[f"bucket{b}" for b in range(bands)],
+            f"explode(array({band_structs})) AS bb",
+        ).selectExpr(
+            "vec_id",
+            "v",
+            *[f"bucket{b}" for b in range(bands)],
+            "bb.band AS band",
+            "bb.bucket AS bucket",
+        )
+
+        def pair_verify(key, pdf):
+            band = key[0]
+            empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+            m = len(pdf)
+            if m < 2:
+                return empty
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            ai, bi = np.triu_indices(m, k=1)  # ids sorted → vec_a < vec_b
+            # first-match emission: candidate counted in THIS band only
+            # if every earlier band's buckets differ
+            ok = np.ones(len(ai), dtype=bool)
+            for k in range(band):
+                bk = pdf[f"bucket{k}"].to_numpy()
+                ok &= bk[ai] != bk[bi]
+            ai, bi = ai[ok], bi[ok]
+            if not len(ai):
+                return empty
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            A, B = M[ai], M[bi]
+            dot = np.cumsum(A * B, axis=1)[:, -1]
+            na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+            nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+            cos = np.round(dot / (na * nb), 6)
+            keep = cos >= threshold
+            return pd.DataFrame(
+                {"vec_a": ids[ai[keep]], "vec_b": ids[bi[keep]], "cos_sim": cos[keep]}
+            )
+
+        return banded.groupBy("band", "bucket").applyInPandas(
+            pair_verify, "vec_a long, vec_b long, cos_sim double"
+        )
+
+    e = _as_double(embeddings)
     proj_exprs = []
     for j in range(n_bits):
         arr = ", ".join(f"{s:.1f}D" for s in signs[j])
