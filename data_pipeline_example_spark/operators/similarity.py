@@ -891,6 +891,35 @@ def _srp_signs(n_bits: int, dims: int) -> list[list[float]]:
     ]
 
 
+def srp_signature_expr(
+    vec_col: str = "embedding", n_bits: int = 16, dims: int = 64
+) -> str:
+    """SQL expression string computing the full ``n_bits``-bit SRP
+    signature of a vector column as ONE bigint — the property that makes
+    hyperplane LSH the streaming-ingest dedup key: the hyperplanes are
+    fixed (md5-derived, the same family ``srp_dup_pairs`` banks on), so
+    the signature is a pure per-row expression with NO corpus statistics,
+    no fitted centroids, and no state — it can be computed on a
+    micro-batch row the moment it arrives, or precomputed once and
+    stored beside the corpus as an 8-byte column.
+
+    Identical vectors and near-parallel vectors (within ~1/2^bits of the
+    angular space) share the signature; ``streaming/curation.py`` keys
+    ``dropDuplicatesWithinWatermark`` on it for bounded-state embedding
+    near-dup admission.
+    """
+    signs = _srp_signs(n_bits, dims)
+    terms = []
+    for j in range(n_bits):
+        arr = ", ".join(f"{s:.1f}D" for s in signs[j])
+        bit = (
+            f"round(aggregate(zip_with(cast({vec_col} as array<double>), "
+            f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x), 6) >= 0"
+        )
+        terms.append(f"cast({bit} as bigint) * {1 << j}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def srp_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,

@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyspark.sql import SparkSession
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from data_pipeline_example_spark.functions import text as T
 from data_pipeline_example_spark.operators import text
@@ -116,6 +122,74 @@ def curate_doc_stream(
         stride=stride,
         widen_input=False,
         carry=("ingest_ts",),
+    )
+
+
+# embedding landing-zone contract: id + raw float vector + event time
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("ingest_ts", StringType()),
+    ]
+)
+
+
+def read_embedding_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """JSON-lines landing directory → raw embedding stream (the Kafka
+    twin decodes the same schema out of the message value)."""
+    reader = spark.readStream.schema(EMB_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def decode_embedding_stream(raw: DataFrame) -> DataFrame:
+    """Typed embedding stream: vec_id long, embedding array<float>,
+    ingest_ts timestamp (event time for the dedup watermark)."""
+    return raw.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        F.to_timestamp("ingest_ts").alias("ingest_ts"),
+    )
+
+
+def dedup_embedding_stream(
+    vecs: DataFrame,
+    watermark: str = "1 hour",
+    n_bits: int = 16,
+    dims: int = 64,
+) -> DataFrame:
+    """Streaming embedding NEAR-dup admission — SRP-LSH as the stateful
+    dedup key (the wiring ``srp_dup_pairs``'s docstring promises).
+
+    The signature (`similarity.srp_signature_expr`) is data-independent
+    — fixed md5-derived hyperplanes, no centroid pass, no corpus stats —
+    so it is computed per arriving row as a pure column expression, and
+    ``dropDuplicatesWithinWatermark`` keyed on it gives the same bounded
+    state contract as the exact-text stage in ``gate_and_dedup``: one
+    8-byte key per distinct signature inside the horizon, evicted after
+    it. A vector whose signature matches an earlier arrival (identical
+    or near-parallel within the signature's angular resolution) is
+    rejected; raise ``n_bits`` for finer resolution (stricter admission
+    ≈ only true near-dups collide), lower it for more aggressive
+    semantic collapsing. Near-dups the signature misses (pairs
+    straddling a hyperplane) are swept by the periodic batch
+    ``srp_dup_pairs``/``semantic_prune_capped`` pass — the same
+    lambda-style split as the document path.
+
+    Output: the admitted stream with its ``srp_sig`` column attached.
+    """
+    from data_pipeline_example_spark.operators import similarity
+
+    sig = F.expr(similarity.srp_signature_expr("embedding", n_bits, dims))
+    return (
+        vecs.filter(F.col("embedding").isNotNull())
+        .withColumn("srp_sig", sig)
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["srp_sig"])
     )
 
 

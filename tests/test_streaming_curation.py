@@ -78,6 +78,85 @@ def test_stream_curation_gates_dedups_and_chunks(spark, tmp_path):
     assert out.filter("ingest_ts IS NULL").count() == 0
 
 
+def _write_vecs(path: str, vecs: list[dict], mtime: float) -> None:
+    with open(path, "w") as f:
+        for v in vecs:
+            f.write(json.dumps(v) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def test_stream_embedding_srp_dedup_across_microbatches(spark, tmp_path):
+    """SRP near-dup admission in streaming ingest: a near-parallel
+    re-arrival in a LATER micro-batch collides on the data-independent
+    signature and is rejected with bounded (watermarked) state."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_example_spark.operators import similarity
+    from data_pipeline_example_spark.streaming import curation as scur
+
+    dims, n_bits = 8, 8
+    A = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    A2 = [1.0, 1e-4, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]  # near-parallel to A
+    B = [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]  # antiparallel → flips bits
+    C = [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 2.0, 0.0]
+    # self-validating fixture: batch-side signatures must collide for
+    # (A, A2) and be pairwise distinct for (A, B, C)
+    sigs = dict(
+        spark.createDataFrame(
+            [(0, A), (1, A2), (2, B), (3, C)], ["vec_id", "embedding"]
+        )
+        .select(
+            "vec_id",
+            F.expr(similarity.srp_signature_expr("embedding", n_bits, dims)).alias("s"),
+        )
+        .collect()
+    )
+    assert sigs[0] == sigs[1]
+    assert len({sigs[0], sigs[2], sigs[3]}) == 3
+
+    in_dir, out_dir, ckpt = tmp_path / "vin", tmp_path / "vout", tmp_path / "vckpt"
+    in_dir.mkdir()
+    now = time.time()
+    _write_vecs(
+        str(in_dir / "b1.json"),
+        [
+            {"vec_id": "0", "embedding": A, "ingest_ts": "2025-01-01 10:00:00"},
+            {"vec_id": "2", "embedding": B, "ingest_ts": "2025-01-01 10:01:00"},
+        ],
+        now,
+    )
+    _write_vecs(
+        str(in_dir / "b2.json"),
+        [
+            # near-dup of vec 0, later micro-batch, inside the horizon
+            {"vec_id": "1", "embedding": A2, "ingest_ts": "2025-01-01 10:20:00"},
+            {"vec_id": "3", "embedding": C, "ingest_ts": "2025-01-01 10:21:00"},
+        ],
+        now + 2,
+    )
+
+    raw = scur.read_embedding_stream(spark, str(in_dir), max_files_per_trigger=1)
+    admitted = scur.dedup_embedding_stream(
+        scur.decode_embedding_stream(raw), n_bits=n_bits, dims=dims
+    )
+    q = (
+        admitted.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(out_dir))
+    surviving = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert surviving == {0, 2, 3}  # vec 1 rejected as SRP near-dup of 0
+    # the admitted rows carry their signature for downstream indexing
+    got_sigs = {r["vec_id"]: r["srp_sig"] for r in out.collect()}
+    assert got_sigs == {0: sigs[0], 2: sigs[2], 3: sigs[3]}
+
+
 def test_run_doc_ingest_index_gate_survives_stream_state_loss(spark, tmp_path):
     """The lambda split, wired: a duplicate re-arriving in a LATER RUN
     (fresh checkpoint — stream dedup state gone) is still rejected,
