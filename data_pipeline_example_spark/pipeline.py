@@ -71,3 +71,48 @@ def run_batch_pipeline(
         return BatchResult(daily=daily, kpis=kpis, observed_metrics=obs.get)
     finally:
         clean.unpersist()
+
+
+def build_arg_parser():
+    """spark-submit CLI for the batch job — the DEPLOY.md twin of the
+    reference's `spark-app` compose service (`docker-compose.batch.yml:
+    215-224`, which submits `pipeline_batch.py` with in-code defaults).
+    Exposed separately so deployment commands can be smoke-tested
+    without building a session."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="pipeline", description="batch retail pipeline (CSV in, parquet+CSV out)"
+    )
+    p.add_argument("--input", required=True, help="CSV landing directory")
+    p.add_argument("--output", required=True, help="partitioned parquet output path")
+    p.add_argument("--csv-output", default=None, help="dashboard CSV directory")
+    p.add_argument(
+        "--wait-for-input", action="store_true",
+        help="poll for input files before scanning (S2 readiness gate)",
+    )
+    p.add_argument("--show-kpis", action="store_true", help="print the KPI row")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    from data_pipeline_example_spark.session import get_spark
+
+    spark = get_spark(app_name="batch-pipeline")
+    try:
+        result = run_batch_pipeline(
+            spark,
+            input_path=args.input,
+            output_path=args.output,
+            csv_output_path=args.csv_output,
+            wait_for_input=args.wait_for_input,
+            show_kpis=args.show_kpis,
+        )
+        return 0 if result is not None else 0  # empty input exits 0 (reference parity)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -337,3 +337,60 @@ def write_stream_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def build_arg_parser():
+    """spark-submit CLI for the streaming job — the DEPLOY.md twin of
+    the reference's `spark-streaming` compose service
+    (`docker-compose.streaming.yml:244-250`, which submits
+    `streaming_sales_aggregator.py` with `--packages` for the Kafka
+    connector). Exposed separately so deployment commands can be
+    smoke-tested without a session or broker."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="streaming-job",
+        description="windowed revenue stream (Kafka or JSON landing dir in, parquet out)",
+    )
+    p.add_argument("--source", choices=("kafka", "json"), default="kafka")
+    p.add_argument("--bootstrap", default="localhost:9092", help="Kafka bootstrap servers")
+    p.add_argument("--topic", default="sales")
+    p.add_argument(
+        "--starting-offsets", default="latest",
+        help="Kafka startingOffsets (reference: env-overridable, default latest)",
+    )
+    p.add_argument("--input-path", default=None, help="JSON landing dir (source=json)")
+    p.add_argument("--output", required=True, help="append-only parquet output path")
+    p.add_argument("--checkpoint", required=True, help="checkpoint location")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    if args.source == "json" and not args.input_path:
+        build_arg_parser().error("--input-path is required with --source json")
+    from data_pipeline_example_spark.session import get_spark
+
+    spark = get_spark(app_name="streaming-job")
+    kwargs = (
+        {
+            "kafka_bootstrap": args.bootstrap,
+            "topic": args.topic,
+            "starting_offsets": args.starting_offsets,
+        }
+        if args.source == "kafka"
+        else {"path": args.input_path}
+    )
+    query = run_pipeline(
+        spark,
+        source=args.source,
+        out_path=args.output,
+        checkpoint=args.checkpoint,
+        **kwargs,
+    )
+    query.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

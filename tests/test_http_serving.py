@@ -58,6 +58,100 @@ def test_stream_endpoint_equals_serving_payload(spark, sf_dir, server):
     assert len(body["leaderboard"]) <= serving.MAX_LEADERBOARD
 
 
+def _leaf_shape(obj, list_probe=2):
+    """Structural skeleton of a JSON payload: dict → sorted key map,
+    list → shapes of the first ``list_probe`` elements (lists are
+    homogeneous records here), leaf → type name."""
+    if isinstance(obj, dict):
+        return {k: _leaf_shape(v, list_probe) for k, v in sorted(obj.items())}
+    if isinstance(obj, list):
+        return [_leaf_shape(x, list_probe) for x in obj[:list_probe]]
+    return type(obj).__name__
+
+
+# golden JSON shapes pinned from the reference dashboards:
+# /api/daily  — dashboard/app.py:44-49 (jsonify keys + record fields)
+# /api/stream — streaming_dashboard/app.py:79-154 (StreamPayload.to_json:
+#   status/last_updated/summary/timeline/leaderboard/window_health/
+#   raw_windows; record fields per builder; _format_ts → UTC ISO-8601 Z)
+DAILY_RECORD_SHAPES = {
+    "daily": {"order_date": "str", "total_amount": "float"},
+    "top_products": {"product": "str", "total_amount": "float"},
+    "sample": {"order_date": "str", "product": "str", "total_amount": "float"},
+}
+STREAM_RECORD_SHAPES = {
+    "timeline": {"product": "str", "total_revenue": "float", "points": "list"},
+    "leaderboard": {"product": "str", "window_end": "str", "revenue": "float"},
+    "window_health": {
+        "window_start": "str",
+        "window_end": "str",
+        "total_revenue": "float",
+        "product_count": "int",
+    },
+}
+
+
+def test_daily_payload_shape_matches_reference(server):
+    """Byte-level JSON SHAPE parity with `dashboard/app.py:44-49`: same
+    top-level keys, same record fields, same leaf JSON types."""
+    _, body = _get(server.port, "/api/daily")
+    assert sorted(body) == ["daily", "sample", "status", "top_products"]
+    assert body["status"] == "ok"
+    for key, record_shape in DAILY_RECORD_SHAPES.items():
+        assert body[key], f"{key} empty — shape unverifiable"
+        for rec in body[key]:
+            assert _leaf_shape(rec) == record_shape, (key, rec)
+    # reference serves order_date as the CSV string (ISO yyyy-mm-dd)
+    assert all(len(r["order_date"]) == 10 for r in body["daily"])
+
+
+def test_stream_payload_shape_matches_reference(server):
+    """JSON SHAPE parity with `streaming_dashboard/app.py:79-154`
+    (StreamPayload.to_json): key set, per-record fields, summary fields,
+    and the `_format_ts` UTC `Z`-suffixed ISO-8601 timestamps."""
+    _, body = _get(server.port, "/api/stream")
+    assert sorted(body) == [
+        "last_updated",
+        "leaderboard",
+        "raw_windows",
+        "status",
+        "summary",
+        "timeline",
+        "window_health",
+    ]
+    assert body["status"] == "ok"
+    assert _leaf_shape(body["summary"]) == {
+        "unique_products": "int",
+        "windows": "int",
+        "latest_window_end": "str",
+    }
+    assert isinstance(body["raw_windows"], int)
+    for key, record_shape in STREAM_RECORD_SHAPES.items():
+        assert body[key], f"{key} empty — shape unverifiable"
+        for rec in body[key]:
+            got = {
+                k: ("list" if isinstance(v, list) else type(v).__name__)
+                for k, v in sorted(rec.items())
+            }
+            assert got == record_shape, (key, rec)
+    # timeline points: {window_start, window_end, revenue} per point
+    for series in body["timeline"]:
+        assert series["points"]
+        for pt in series["points"]:
+            assert _leaf_shape(pt) == {
+                "window_start": "str",
+                "window_end": "str",
+                "revenue": "float",
+            }
+    # _format_ts parity: UTC ISO-8601 with Z suffix
+    stamps = (
+        [body["last_updated"], body["summary"]["latest_window_end"]]
+        + [r["window_end"] for r in body["leaderboard"]]
+        + [r["window_start"] for r in body["window_health"]]
+    )
+    assert all(s.endswith("Z") and "T" in s for s in stamps)
+
+
 def test_unknown_route_404(server):
     import urllib.error
 
