@@ -326,6 +326,134 @@ def length_buckets(
     )
 
 
+# the eight Gopher "required stop words" (Rae et al. 2021, §A1.1)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021,
+    public appendix) as pure column expressions — the standard first
+    gate of an LLM curation pipeline, one scan, zero shuffle:
+
+    * word count in [50, 100 000]; mean word length in [3, 10]
+    * symbol-to-word ratio (``#`` + ellipses) ≤ 0.1
+    * ≤ 90 % of lines bullet-started; ≤ 30 % ellipsis-terminated
+    * ≥ 80 % of words contain an alphabetic character
+    * ≥ 2 of the 8 required stop words present
+
+    Words are WHITESPACE-split (Gopher's definition — includes
+    punctuation in word length), lines split on ``\\n``. Every ratio is
+    rounded to 4 dp BEFORE its threshold comparison so the pass flag is
+    knife-edge-stable across engines. ``passes`` is int (0/1) — the
+    oracle hash contract avoids BOOLEAN columns. Mean word length is
+    computed as non-whitespace chars / words — algebraically the sum of
+    word lengths without materializing per-word lengths.
+
+    Output: doc_id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_required_stops, passes.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    words = F.when(F.trim(txt) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(txt), r"\s+")
+    )
+    lines = F.split(txt, "\n")
+    base = documents.select(
+        "doc_id",
+        txt.alias("t"),
+        words.alias("words"),
+        lines.alias("lines"),
+        F.length(F.regexp_replace(txt, r"\s+", "")).cast("long").alias("word_chars"),
+    )
+    n_words = F.size("words").cast("long")
+    n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
+    n_lines_d = F.greatest(F.size("lines"), F.lit(1)).cast("double")
+    n_hash = F.length("t") - F.length(F.replace(F.col("t"), F.lit("#")))
+    n_dots = (F.length("t") - F.length(F.replace(F.col("t"), F.lit("...")))) / 3
+    n_uni = F.length("t") - F.length(F.replace(F.col("t"), F.lit("…")))
+    mean_wl = F.round(F.col("word_chars") / n_words_d, 4)
+    sym_ratio = F.round((n_hash + n_dots + n_uni) / n_words_d, 4)
+    bullet_frac = F.round(
+        F.size(F.filter("lines", lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines_d, 4
+    )
+    ell_frac = F.round(
+        F.size(F.filter("lines", lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines_d, 4
+    )
+    alpha_frac = F.round(
+        F.size(F.filter("words", lambda w: w.rlike("[A-Za-z]"))) / n_words_d, 4
+    )
+    n_stops = sum(
+        F.when(F.lower(F.col("t")).rlike(rf"\b{s}\b"), 1).otherwise(0)
+        for s in GOPHER_STOPS
+    ).cast("long")
+    scored = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stops.alias("n_required_stops"),
+    )
+    passes = (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_required_stops") >= 2)
+    )
+    return scored.withColumn("passes", passes.cast("int"))
+
+
+def c4_line_stats(documents: DataFrame) -> DataFrame:
+    """C4-style line/page cleaning audit (Raffel et al. 2020, §2.2) —
+    per document: how many lines survive the line rules (≥ 5
+    whitespace words AND terminal punctuation ``. ! ? "``), plus the
+    page-level blockers (a ``lorem ipsum`` marker, a ``{`` — code-like
+    content) and the 3-kept-lines page minimum. One scan, zero shuffle;
+    flags are ints for the oracle hash contract.
+
+    Output: doc_id, n_lines, n_kept_lines, kept_line_frac, has_lorem,
+    has_brace, page_pass.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    line_words = lambda l: F.when(  # noqa: E731 — local expression builder
+        F.trim(l) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(l), r"\s+")))
+    kept = F.filter(
+        F.split(txt, "\n"),
+        lambda l: (line_words(l) >= 5) & l.rlike(r'[.!?"]\s*$'),
+    )
+    base = documents.select(
+        "doc_id",
+        F.size(F.split(txt, "\n")).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        (F.locate("lorem ipsum", F.lower(txt)) > 0).cast("int").alias("has_lorem"),
+        (F.locate("{", txt) > 0).cast("int").alias("has_brace"),
+    )
+    return base.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        F.round(
+            F.col("n_kept_lines") / F.greatest(F.col("n_lines"), F.lit(1)).cast("double"),
+            4,
+        ).alias("kept_line_frac"),
+        "has_lorem",
+        "has_brace",
+        (
+            (F.col("has_lorem") == 0)
+            & (F.col("has_brace") == 0)
+            & (F.col("n_kept_lines") >= 3)
+        )
+        .cast("int")
+        .alias("page_pass"),
+    )
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Repetition-based quality signals (the Gopher-style filters an LLM
     curation pipeline applies): per-document bigram totals, the most

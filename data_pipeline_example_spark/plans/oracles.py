@@ -882,6 +882,78 @@ SELECT doc_id, n_tokens, CAST(bucket AS INTEGER) AS bucket,
        CAST(max(n_tokens) OVER (PARTITION BY bucket) - n_tokens AS BIGINT) AS pad_waste
 FROM b
 """,
+    "gopher_quality": """
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(coalesce(text, '')), '\\s+') END AS words,
+         string_split(coalesce(text, ''), chr(10)) AS lines,
+         CAST(length(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS BIGINT) AS word_chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         round(word_chars / greatest(len(words), 1), 4) AS mean_word_len,
+         round((length(t) - length(replace(t, '#', ''))
+                + (length(t) - length(replace(t, '...', ''))) / 3
+                + length(t) - length(replace(t, '…', ''))) / greatest(len(words), 1),
+               4) AS symbol_word_ratio,
+         round(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) * 1.0
+               / greatest(len(lines), 1), 4) AS bullet_line_frac,
+         round(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) * 1.0
+               / greatest(len(lines), 1), 4) AS ellipsis_line_frac,
+         round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+               / greatest(len(words), 1), 4) AS alpha_word_frac,
+         CAST((CASE WHEN regexp_matches(lower(t), '\\bthe\\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(lower(t), '\\bbe\\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(lower(t), '\\bto\\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(lower(t), '\\bof\\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(lower(t), '\\band\\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(lower(t), '\\bthat\\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(lower(t), '\\bhave\\b') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(lower(t), '\\bwith\\b') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_required_stops
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, n_required_stops,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND symbol_word_ratio <= 0.1
+                  AND bullet_line_frac <= 0.9
+                  AND ellipsis_line_frac <= 0.3
+                  AND alpha_word_frac >= 0.8
+                  AND n_required_stops >= 2
+            THEN 1 ELSE 0 END AS INTEGER) AS passes
+FROM m
+""",
+    "c4_line_stats": """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l ->
+              (CASE WHEN trim(l) = '' THEN 0
+                    ELSE len(string_split_regex(trim(l), '\\s+')) END) >= 5
+              AND regexp_matches(l, '[.!?"]\\s*$'))) AS BIGINT) AS n_kept_lines,
+         CAST(CASE WHEN position('lorem ipsum' IN lower(t)) > 0 THEN 1 ELSE 0 END
+              AS INTEGER) AS has_lorem,
+         CAST(CASE WHEN position('{' IN t) > 0 THEN 1 ELSE 0 END AS INTEGER) AS has_brace
+  FROM base
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       round(n_kept_lines * 1.0 / greatest(n_lines, 1), 4) AS kept_line_frac,
+       has_lorem, has_brace,
+       CAST(CASE WHEN has_lorem = 0 AND has_brace = 0 AND n_kept_lines >= 3
+            THEN 1 ELSE 0 END AS INTEGER) AS page_pass
+FROM m
+""",
     "token_counts": """
 SELECT doc_id,
        CASE WHEN trim(coalesce(text, '')) = '' THEN 0

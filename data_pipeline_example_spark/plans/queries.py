@@ -434,6 +434,16 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_documents(load_table(spark, sf_dir, "documents"))
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher document-quality rule set — zero-shuffle gate."""
+    return text.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+def q_c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning audit — zero-shuffle."""
+    return text.c4_line_stats(load_table(spark, sf_dir, "documents"))
+
+
 # --- dedup extensions ----------------------------------------------------
 
 
@@ -693,9 +703,12 @@ QUERIES: dict[str, QueryFn] = {
     # round-3 front: changed this round (value_stats tz-invariance,
     # pack_documents oracle cast), never-driver-certified (srp added
     # after the r2 window froze; the two rows-only ops), and new ops
-    # round-4 front: new capped embedding ops + the r4-changed queries
+    # round-4 front: new capped embedding ops, new quality gates, and
+    # the r4-changed queries
     "semantic_prune_capped": q_semantic_prune_capped,
     "nearest_neighbor_capped": q_nearest_neighbor_capped,
+    "gopher_quality": q_gopher_quality,
+    "c4_line_stats": q_c4_line_stats,
     "value_stats": q_value_stats,
     "srp_dup_pairs": q_srp_dup_pairs,
     "semantic_prune": q_semantic_prune,
@@ -724,7 +737,6 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_stats": q_repetition_stats,
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
-    "mixture_sample": q_mixture_sample,
     # --- dedup extensions ---
     "contamination_pairs": q_contamination_pairs,
     "exact_dedup": q_exact_dedup,
@@ -748,14 +760,16 @@ QUERIES: dict[str, QueryFn] = {
     "media_features": q_media_features,
     "frame_samples": q_frame_samples,
     # --- chunking / provenance curation ---
-    "chunk_documents": q_chunk_documents,
     # --- sampling / pruning extensions ---
     # --- event analytics extensions ---
     # ---------------- end of the driver's 50-entry window ----------------
-    # (chunk_dedup_stats + source_blocklist_summary rotated out r4 —
-    # both r3-driver-green — to make room for the capped embedding ops)
+    # (chunk_dedup_stats, source_blocklist_summary, chunk_documents and
+    # mixture_sample rotated out r4 — all r3-driver-green — to make room
+    # for the capped embedding ops and the Gopher/C4 quality gates)
+    "chunk_documents": q_chunk_documents,
     "chunk_dedup_stats": q_chunk_dedup_stats,
     "source_blocklist_summary": q_source_blocklist_summary,
+    "mixture_sample": q_mixture_sample,
     "stratified_sample": q_stratified_sample,
     "reservoir_sample": q_reservoir_sample,
     "value_quantile_sketch": q_value_quantile_sketch,

@@ -215,6 +215,57 @@ def test_length_buckets_cuts_empty_and_plan(spark):
     assert "rangepartitioning" not in plan.lower()
 
 
+def test_gopher_quality_rules(spark):
+    from data_pipeline_example_spark.operators import text as tx
+
+    good = (
+        "the cat sat with the dog and they have been known to sleep. "
+        + " ".join(f"word{i} item{i} thing{i}" for i in range(20))
+    )  # >50 words, stopwords present, clean
+    bullets = "\n".join(f"- bullet line {i}" for i in range(10))
+    symbols = "the and " + " ".join("#tag" for _ in range(60)) + " of that have with"
+    short = "the of and be"
+    numeric = "the of " + " ".join(str(i) for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, good, "en", "s", 1), (1, bullets, "en", "s", 1),
+         (2, symbols, "en", "s", 1), (3, short, "en", "s", 1),
+         (4, numeric, "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r["doc_id"]: r for r in tx.gopher_quality(docs).collect()}
+    assert out[0]["passes"] == 1
+    assert out[0]["n_required_stops"] >= 4
+    assert out[1]["bullet_line_frac"] == 1.0 and out[1]["passes"] == 0
+    assert out[2]["symbol_word_ratio"] > 0.1 and out[2]["passes"] == 0
+    assert out[3]["n_words"] < 50 and out[3]["passes"] == 0
+    # 60 of 62 words purely numeric → alpha fraction well below 0.8
+    assert out[4]["alpha_word_frac"] < 0.8 and out[4]["passes"] == 0
+
+
+def test_c4_line_stats_rules(spark):
+    from data_pipeline_example_spark.operators import text as tx
+
+    page = (
+        "This line has enough words to be kept easily.\n"
+        "short line.\n"                       # < 5 words → dropped
+        "no terminal punctuation here at all\n"  # no punctuation → dropped
+        'A quoted ending with five words plus "\n'
+        "Another perfectly fine sentence with many words!\n"
+        "And one more proper sentence to clear the minimum?"
+    )
+    lorem = "Lorem ipsum dolor sit amet and this sentence is long enough."
+    codey = "function f() { return this long sentence of words. }"
+    docs = spark.createDataFrame(
+        [(0, page, "en", "s", 1), (1, lorem, "en", "s", 1), (2, codey, "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r["doc_id"]: r for r in tx.c4_line_stats(docs).collect()}
+    assert out[0]["n_lines"] == 6 and out[0]["n_kept_lines"] == 4
+    assert out[0]["page_pass"] == 1 and out[0]["has_lorem"] == 0
+    assert out[1]["has_lorem"] == 1 and out[1]["page_pass"] == 0
+    assert out[2]["has_brace"] == 1 and out[2]["page_pass"] == 0
+
+
 def test_dup_ngram_fraction_planted_repetition(spark):
     from data_pipeline_example_spark.operators import text as tx
 
