@@ -209,7 +209,11 @@ def minhash_lsh_pairs(
     sh_mat = (
         shingled(documents, k).localCheckpoint() if shingle_df is None else shingle_df
     )
-    sigs = minhash_signatures(documents, k, num_hashes, shingle_df=sh_mat)
+    # signatures are also referenced on BOTH sides of the band self-join
+    # below — checkpoint them too (|docs| × num_hashes 8-char strings,
+    # tiny) or the explode+md5+min aggregate runs twice (~25% of the
+    # operator's wall-clock, measured at sf0.1)
+    sigs = minhash_signatures(documents, k, num_hashes, shingle_df=sh_mat).localCheckpoint()
     # slim band rows: (doc_id, all band keys, exploded band) — the
     # shingle arrays stay out of the LSH join entirely. Carrying the
     # band-key array on both sides lets the join emit each colliding
