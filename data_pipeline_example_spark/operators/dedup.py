@@ -82,6 +82,10 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Brute-force n-gram Jaccard near-dup pairs (doc_a < doc_b).
 
+    BASELINE ONLY — exact O(candidate²) oracle anchor for the bucketed
+    paths; at corpus scale use ``minhash_lsh_pairs`` (banded LSH, same
+    output schema, probabilistic recall / exact precision).
+
     Exploded shingles self-join → intersection counts → Jaccard from
     per-doc set sizes. Group-bys are keyed on doc-id pairs (uniform).
     """

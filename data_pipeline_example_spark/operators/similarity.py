@@ -53,6 +53,8 @@ def _with_norm(df: DataFrame) -> DataFrame:
 def knn(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
     """Brute-force cosine top-k neighbors of ``query_id`` (self included).
 
+    BASELINE ONLY — exact single-linear-scan oracle anchor; at corpus
+    scale use ``ivf_knn`` (probe-pruned bucketed search, same schema).
     Output: vec_id, cos_sim (6 dp).
     """
     e = _as_double(embeddings)
@@ -73,8 +75,12 @@ def nearest_neighbor_per_vector(
 ) -> DataFrame:
     """For every vector: its top-1 neighbor (excluding itself).
 
-    Output: vec_id, nn_id, cos_sim (6 dp). All-pairs O(n²·d) — the exact
-    baseline the approximate paths are checked against.
+    BASELINE ONLY — all-pairs O(n²·d), the exact anchor the approximate
+    paths are checked against; at corpus scale use
+    ``nearest_neighbor_blocked`` (fixed-k buckets) or
+    ``nearest_neighbor_capped`` (adaptive k + hard bucket cap).
+
+    Output: vec_id, nn_id, cos_sim (6 dp).
 
     ``method="blocked"`` (default): block nested-loop with vectorized
     NumPy scoring. The corpus is hashed into ``n_blocks`` buckets; every
