@@ -146,3 +146,26 @@ def test_frequent_terms_equals_exact_answer(spark, texts, eps_pct):
 
         want = {(t, c) for t, c in Counter(toks).items() if c >= thr}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    word_counts=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+    n_buckets=st.integers(min_value=1, max_value=9),
+)
+def test_length_buckets_cuts_equals_ntile(spark, word_counts, n_buckets):
+    """The broadcast-cut assignment is bit-identical to the ntile twin
+    (the registered oracle) for ANY corpus shape — heavy ties, empty
+    docs, N above/below/equal to n_buckets all emerge from the random
+    word-count lists."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(c))) for i, c in enumerate(word_counts)],
+        ["doc_id", "text"],
+    )
+    cuts = sorted(
+        tuple(r) for r in text.length_buckets(docs, n_buckets, method="cuts").collect()
+    )
+    ntile = sorted(
+        tuple(r) for r in text.length_buckets(docs, n_buckets, method="ntile").collect()
+    )
+    assert cuts == ntile
