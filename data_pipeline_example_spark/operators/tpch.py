@@ -697,10 +697,19 @@ def sole_return_suppliers(
     *only* supplier with a returned line on a finalized multi-supplier
     order.
 
-    EXISTS → left-semi join, NOT EXISTS → left-anti join, both on
-    orderkey equality + suppkey inequality (Spark plans these as
-    shuffled joins with the residual inequality — no correlated
-    per-row subquery execution). Output: s_name, numwait.
+    Decorrelated via per-order pre-aggregation instead of the textbook
+    EXISTS/NOT EXISTS self-joins: one ``groupBy(l_orderkey)`` frame
+    carries ``countDistinct(l_suppkey)`` and ``countDistinct(returned
+    l_suppkey)``; a returned line's supplier is the sole returner on a
+    multi-supplier order ⟺ ``n_ret_supp = 1 AND n_supp > 1`` (the
+    line's own supplier is counted by both, so the inequality residuals
+    vanish). This replaces three full lineitem shuffles (l1 + semi l2 +
+    anti l3, each with a suppkey-inequality residual) with ONE lineitem
+    shuffle for the aggregate plus a shuffle of the ~1%-selectivity l1
+    side — the shape that survives a 100× fact scale-up. All joins
+    become pure equi-joins on l_orderkey, so AQE can reuse one hash
+    partitioning across the agg and both joins.
+    Output: s_name, numwait.
     """
     nat_suppliers = supplier.join(
         F.broadcast(
@@ -708,6 +717,24 @@ def sole_return_suppliers(
         ),
         supplier["s_nationkey"] == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name")
+    # size(collect_set) instead of two countDistincts: same per-order
+    # distinct counts, but partial set-merge replaces the Expand (2x
+    # rows) + double exchange that multi-distinct aggregation plans;
+    # set size is bounded by lines-per-order (~7), so carried state is
+    # a few ints per order. One lineitem exchange total.
+    ord_stats = (
+        lineitem.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+            F.size(
+                F.collect_set(
+                    F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+                )
+            ).alias("n_ret_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .select("ok")
+    )
     l1 = (
         lineitem.filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_suppkey")
@@ -716,26 +743,10 @@ def sole_return_suppliers(
             orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .select("l_orderkey", "l_suppkey", "s_name")
-    )
-    l2 = lineitem.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
-    )
-    l3 = (
-        lineitem.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3"))
+        .select("l_orderkey", "s_name")
     )
     return (
-        l1.join(
-            l2,
-            (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["sk2"]),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (l1["l_orderkey"] == l3["k3"]) & (l1["l_suppkey"] != l3["sk3"]),
-            "left_anti",
-        )
+        l1.join(ord_stats, F.col("l_orderkey") == F.col("ok"), "left_semi")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
