@@ -213,6 +213,75 @@ def n_centroids_for(
     return max(1, min(max_centroids, math.ceil(n_rows / max(target_bucket, 1))))
 
 
+def _cos_matrix(M, C):
+    """Rounded (6 dp) cosine of every row of ``M`` against every row of
+    ``C``, float64 — with every sum taken in STRICT LEFT-TO-RIGHT order
+    (``np.cumsum``) and ``dot / (na * nb)`` normalization, the exact
+    recipe of ``srp_dup_pairs``'s pair verification. This is
+    bit-identical to the SQL ``aggregate`` fold and DuckDB's
+    ``list_cosine_similarity`` sequential fold, so a knife-edge value at
+    the rounding boundary (or a rounded-cosine tie) can never flip a
+    centroid assignment or keep/drop decision between engines — the
+    hash-exact oracle contract holds unconditionally, not just away
+    from boundaries. (A BLAS ``Mn @ Cn.T`` re-associates the sum and
+    normalizes before the dot; both differ from the fold in the last
+    ulp.) Memory is bounded by chunking over C so the (rows × chunk ×
+    dims) product tensor stays ~256 MB however large the centroid set
+    grows (the documented clamp is 65536 centroids).
+    """
+    import numpy as np
+
+    rows, d = M.shape
+    k = C.shape[0]
+    na = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+    nc = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+    out = np.empty((rows, k), dtype=np.float64)
+    cchunk = max(1, (1 << 25) // max(rows * d, 1))
+    for j0 in range(0, k, cchunk):
+        Cj = C[j0 : j0 + cchunk]
+        prod = M[:, None, :] * Cj[None, :, :]
+        dots = np.cumsum(prod, axis=2)[:, :, -1]
+        out[:, j0 : j0 + cchunk] = dots / (na[:, None] * nc[None, j0 : j0 + cchunk])
+    return np.round(out, 6)
+
+
+def _capped_assigner(bc_cents):
+    """Build the ``mapInPandas`` assigner for
+    :func:`assign_centroids_capped` around a BROADCAST handle.
+
+    The centroid matrix rides a torrent broadcast (deserialized once
+    per executor), NOT the task closure: at the documented 65536-
+    centroid clamp a closure-captured matrix is a multi-hundred-MB
+    pickle shipped with every task — a driver-memory and task-dispatch
+    bottleneck at exactly the scale the operator targets. The returned
+    function's own pickled payload is a few KB regardless of centroid
+    count (asserted by test).
+    """
+    import pandas as pd
+
+    def assign(batches):
+        import numpy as np
+
+        C, cent_ids = bc_cents.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            S = _cos_matrix(M, C)
+            # cent_ids ascending by construction → np.argmax's
+            # first-max rule = lowest centroid_id on rounded-cosine
+            # ties, same as the oracle's ORDER BY cos DESC, id ASC
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "centroid_id": cent_ids[np.argmax(S, axis=1)],
+                }
+            )
+
+    return assign
+
+
 def assign_centroids_capped(
     embeddings: DataFrame,
     target_bucket: int = 64,
@@ -228,13 +297,16 @@ def assign_centroids_capped(
       the same adaptive idea as AQE), so expected bucket size is
       constant at any corpus scale.
     * **Zero-shuffle assignment** — the k centroids (vec_id < k, the
-      same deterministic rule as the fixed-k path) are collected and
-      closed over an Arrow-batched ``mapInPandas``: one BLAS (batch × k)
-      matmul per batch, argmax over the 6-dp-rounded cosine with
-      lowest-centroid-id tie-break (identical to the SQL oracle's
-      ``ORDER BY cos DESC, centroid_id``). No n×k row blow-up, no
-      per-vector window — the fixed-k path shuffles n·k rows through a
-      window; this shuffles nothing.
+      same deterministic rule as the fixed-k path) are collected once,
+      **broadcast** (torrent, deserialized once per executor — never
+      shipped in the task closure), and scored inside an Arrow-batched
+      ``mapInPandas``: per batch, a (batch × k) cosine matrix computed
+      with the strict left-to-right fold order (:func:`_cos_matrix`, so
+      assignment ties and knife-edge cosines match the SQL oracle
+      bit-exactly), argmax with lowest-centroid-id tie-break (identical
+      to the oracle's ``ORDER BY cos DESC, centroid_id``). No n×k row
+      blow-up, no per-vector window — the fixed-k path shuffles n·k
+      rows through a window; this shuffles nothing.
 
     Oversized buckets (skewed corpora — many vectors near one centroid)
     are then re-split: ``sub_id = (row_number within bucket − 1) div
@@ -250,7 +322,7 @@ def assign_centroids_capped(
 
     Output: vec_id, v (double array), centroid_id, sub_id.
     """
-    import pandas as pd
+    import numpy as np
 
     n = embeddings.count() if n_rows is None else n_rows
     spark = embeddings.sparkSession
@@ -260,33 +332,19 @@ def assign_centroids_capped(
     k = n_centroids_for(n, target_bucket)
     e = _as_double(embeddings)
     cents = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    C = np.vstack([r["v"] for r in cents]).astype(np.float64)
+    cent_ids = np.array([r["vec_id"] for r in cents], dtype="int64")
+    bc_cents = spark.sparkContext.broadcast((C, cent_ids))
 
-    def assign(batches):
-        import numpy as np
-
-        C = np.vstack([r["v"] for r in cents]).astype(np.float64)
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        # ascending by construction (orderBy above) → first argmax =
-        # lowest centroid_id on rounded-cosine ties, same as the oracle
-        cent_ids = np.array([r["vec_id"] for r in cents], dtype="int64")
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            S = np.round(Mn @ Cn.T, 6)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "v": pdf["v"],
-                    "centroid_id": cent_ids[np.argmax(S, axis=1)],
-                }
-            )
-
-    assigned = e.mapInPandas(assign, out_schema)
+    assigned = e.mapInPandas(_capped_assigner(bc_cents), out_schema)
     w = Window.partitionBy("centroid_id").orderBy("vec_id")
-    return assigned.withColumn(
-        "sub_id", ((F.row_number().over(w) - 1) / F.lit(cap)).cast("int")
+    # integer `div`, not double `/`+cast: float division of two longs
+    # can misround past 2^53 (same reason length_buckets' cuts path
+    # avoids it), and the SQL oracle uses integer `// cap`
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .withColumn("sub_id", F.expr(f"cast((rn - 1) div {cap} as int)"))
+        .drop("rn")
     )
 
 
@@ -295,6 +353,7 @@ def semantic_prune_capped(
     threshold: float = 0.35,
     target_bucket: int = 64,
     cap: int = 96,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_prune` with bounded per-bucket work — the 100 TB
     shape. Centroid count adapts to corpus size and every similarity
@@ -307,11 +366,13 @@ def semantic_prune_capped(
 
     Output: vec_id, centroid_id, sub_id, keep, n_earlier_dups, max_cos
     — the fixed-k schema plus the sub-bucket id, so the bound is
-    auditable downstream.
+    auditable downstream. ``n_rows``: pass the corpus row count when
+    the caller already knows it (a composed pipeline) to skip this
+    operator's one planning ``count()`` job.
     """
     import pandas as pd
 
-    bucketed = assign_centroids_capped(embeddings, target_bucket, cap)
+    bucketed = assign_centroids_capped(embeddings, target_bucket, cap, n_rows)
 
     def bucket_prune(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -320,8 +381,7 @@ def semantic_prune_capped(
         order = np.argsort(ids)
         ids = ids[order]
         M = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        S = np.round(Mn @ Mn.T, 6)
+        S = _cos_matrix(M, M)  # fold-order bit-exact with the oracle
         hit = np.tril(S >= threshold, k=-1)
         n_dups = hit.sum(axis=1)
         masked = np.where(hit, S, -np.inf)
@@ -346,18 +406,22 @@ def semantic_prune_capped(
 
 
 def nearest_neighbor_capped(
-    embeddings: DataFrame, target_bucket: int = 64, cap: int = 96
+    embeddings: DataFrame,
+    target_bucket: int = 64,
+    cap: int = 96,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """:func:`nearest_neighbor_blocked` with adaptive centroid count and
     a hard per-bucket cap (see :func:`assign_centroids_capped`): every
-    BLAS matmul is at most cap×cap, total work O(n·cap) at any corpus
-    size. Recall approximate (neighbor must share the sub-bucket),
-    precision exact; singleton sub-buckets emit no row, matching the
-    SQL oracle. Output: vec_id, nn_id, cos_sim (6 dp).
+    per-bucket cosine matrix is at most cap×cap, total work O(n·cap) at
+    any corpus size. Recall approximate (neighbor must share the
+    sub-bucket), precision exact; singleton sub-buckets emit no row,
+    matching the SQL oracle. ``n_rows``: pass when known to skip the
+    planning ``count()`` job. Output: vec_id, nn_id, cos_sim (6 dp).
     """
     import pandas as pd
 
-    bucketed = assign_centroids_capped(embeddings, target_bucket, cap)
+    bucketed = assign_centroids_capped(embeddings, target_bucket, cap, n_rows)
 
     def bucket_nn(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -366,8 +430,7 @@ def nearest_neighbor_capped(
         if len(pdf) < 2:
             return pd.DataFrame({"vec_id": [], "nn_id": [], "cos_sim": []})
         M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        S = np.round(Mn @ Mn.T, 6)
+        S = _cos_matrix(M, M)  # fold-order bit-exact with the oracle
         np.fill_diagonal(S, -np.inf)
         ids = pdf["vec_id"].to_numpy()
         j = np.argmax(S, axis=1)
@@ -933,6 +996,7 @@ def srp_dup_pairs(
     bands: int = 4,
     dims: int = 64,
     method: str = "blas",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Signed-random-projection (hyperplane) LSH near-dup pairs — the
     data-INDEPENDENT bucketed scale path for embedding dedup.
@@ -998,7 +1062,9 @@ def srp_dup_pairs(
     if n_bits is None:
         import math
 
-        n = embeddings.count()  # one planning-stats scalar, as elsewhere
+        # one planning-stats scalar — skipped entirely when the caller
+        # already knows the corpus size (composed pipelines pass n_rows)
+        n = embeddings.count() if n_rows is None else n_rows
         nb = max(4, math.ceil(math.log2(max(n, 1) / 64)) if n > 64 else 4)
         n_bits = nb * bands
     nb_per_band = n_bits // bands

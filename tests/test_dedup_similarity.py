@@ -332,6 +332,93 @@ def test_capped_assignment_bounds_buckets_on_skew(spark):
     assert assigned.count() == n
 
 
+def test_capped_assigner_payload_is_broadcast_backed(spark):
+    """The centroid matrix must ride a Spark broadcast, not the task
+    closure: at the documented 65536-centroid clamp a closure-captured
+    matrix is a multi-hundred-MB pickle shipped with every task. The
+    assigner's own pickled payload must stay KB-sized however large the
+    centroid set grows."""
+    import numpy as np
+    from pyspark.serializers import CloudPickleSerializer
+
+    # 2000 x 256 float64 = ~4 MB — two orders of magnitude above the
+    # payload bound below, so closure capture would fail the assert
+    C = np.ones((2000, 256), dtype=np.float64)
+    ids = np.arange(2000, dtype="int64")
+    bc = spark.sparkContext.broadcast((C, ids))
+    try:
+        fn = similarity._capped_assigner(bc)
+        payload = CloudPickleSerializer().dumps(fn)
+        assert len(payload) < 64 * 1024, len(payload)
+    finally:
+        bc.unpersist()
+
+
+def test_cos_matrix_bit_exact_with_sequential_fold():
+    """_cos_matrix must equal a strict left-to-right scalar fold with
+    dot/(na*nb) normalization — the DuckDB list_cosine_similarity /
+    SQL aggregate-fold order — EXACTLY (==, not approx), across chunk
+    boundaries, so knife-edge cosines at the 6-dp rounding boundary
+    can never flip between engines."""
+    import math
+    import random
+
+    import numpy as np
+
+    rng = random.Random(17)
+    d = 31
+    M = np.array(
+        [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(23)], dtype=np.float64
+    )
+    C = np.array(
+        [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(7)], dtype=np.float64
+    )
+    got = similarity._cos_matrix(M, C)
+
+    def fold_cos(a, b):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    for i in range(M.shape[0]):
+        for j in range(C.shape[0]):
+            assert got[i, j] == fold_cos(M[i], C[j]), (i, j)
+
+
+def test_capped_ops_skip_count_when_n_rows_given(spark, monkeypatch):
+    """Composed pipelines pass n_rows so the capped ops and srp_dup_pairs
+    add zero planning count() jobs — one scan per pipeline."""
+    import pytest
+
+    rows = [(i, [float(i % 7), 1.0, 0.5, 0.25], 0) for i in range(64)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    n = emb.count()  # caller-side count, before the patch
+
+    def boom(self):
+        raise AssertionError("count() must not run when n_rows is given")
+
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is an
+    # abstract base whose subclass overrides count)
+    monkeypatch.setattr(type(emb), "count", boom)
+    pruned = similarity.semantic_prune_capped(emb, n_rows=n)
+    nn = similarity.nearest_neighbor_capped(emb, n_rows=n)
+    srp = similarity.srp_dup_pairs(emb, dims=4, n_rows=n)
+    monkeypatch.undo()
+    assert len(pruned.collect()) == n
+    nn.collect()  # executes without a hidden count
+    srp.collect()
+    with pytest.raises(AssertionError):
+        monkeypatch.setattr(type(emb), "count", boom)
+        similarity.semantic_prune_capped(emb)  # no n_rows → counts
+
+
 def test_semantic_prune_capped_keep_rule_and_bound(spark):
     """Within a sub-bucket of identical vectors only the earliest id is
     kept; group sizes stay at or under the cap; every vector gets a row."""
