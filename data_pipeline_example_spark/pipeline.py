@@ -109,7 +109,8 @@ def main(argv: list[str] | None = None) -> int:
             wait_for_input=args.wait_for_input,
             show_kpis=args.show_kpis,
         )
-        return 0 if result is not None else 0  # empty input exits 0 (reference parity)
+        del result  # result unused: empty input also exits 0 (reference parity)
+        return 0
     finally:
         spark.stop()
 

@@ -169,8 +169,14 @@ def read_warc(spark, pattern: str):
     try:
         spark.dataSource.register(WarcDataSource)
     except Exception as exc:  # re-register in the same session is fine
-        msg = str(exc)
-        if "DATA_SOURCE_ALREADY_EXISTS" not in msg and "already" not in msg.lower():
+        # match ONLY the duplicate-registration condition — a broad
+        # "already" substring can mask unrelated failures whose message
+        # happens to contain the word (e.g. a path or state description)
+        error_class = getattr(exc, "getErrorClass", lambda: None)() or ""
+        if (
+            "DATA_SOURCE_ALREADY_EXISTS" not in str(exc)
+            and "DATA_SOURCE_ALREADY_EXISTS" not in error_class
+        ):
             raise
     return spark.read.format("warc").load(pattern)
 

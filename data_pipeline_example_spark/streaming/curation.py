@@ -186,7 +186,15 @@ def dedup_embedding_stream(
 
     sig = F.expr(similarity.srp_signature_expr("embedding", n_bits, dims))
     return (
-        vecs.filter(F.col("embedding").isNotNull())
+        # size() must match dims, not just non-NULL: a wrong-length
+        # vector would fold to a NULL srp_sig (zip_with null-pads), and
+        # dropDuplicatesWithinWatermark treats NULL keys as EQUAL — the
+        # first malformed vector would be admitted and every later one
+        # silently swallowed as its "near-dup". Malformed rows are
+        # dropped here (the stream's reject path), never signed.
+        vecs.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == dims)
+        )
         .withColumn("srp_sig", sig)
         .withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["srp_sig"])

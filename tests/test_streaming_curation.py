@@ -122,6 +122,11 @@ def test_stream_embedding_srp_dedup_across_microbatches(spark, tmp_path):
         [
             {"vec_id": "0", "embedding": A, "ingest_ts": "2025-01-01 10:00:00"},
             {"vec_id": "2", "embedding": B, "ingest_ts": "2025-01-01 10:01:00"},
+            # malformed: wrong length → must be DROPPED, not signed. A
+            # wrong-length vector folds to a NULL srp_sig, and NULL keys
+            # compare equal in dropDuplicatesWithinWatermark — admitting
+            # the first would silently swallow every later malformed row
+            {"vec_id": "4", "embedding": A[:3], "ingest_ts": "2025-01-01 10:02:00"},
         ],
         now,
     )
@@ -131,6 +136,8 @@ def test_stream_embedding_srp_dedup_across_microbatches(spark, tmp_path):
             # near-dup of vec 0, later micro-batch, inside the horizon
             {"vec_id": "1", "embedding": A2, "ingest_ts": "2025-01-01 10:20:00"},
             {"vec_id": "3", "embedding": C, "ingest_ts": "2025-01-01 10:21:00"},
+            # second malformed row (different wrong length)
+            {"vec_id": "5", "embedding": A + [0.0], "ingest_ts": "2025-01-01 10:22:00"},
         ],
         now + 2,
     )
@@ -151,7 +158,8 @@ def test_stream_embedding_srp_dedup_across_microbatches(spark, tmp_path):
 
     out = spark.read.parquet(str(out_dir))
     surviving = {r["vec_id"] for r in out.select("vec_id").collect()}
-    assert surviving == {0, 2, 3}  # vec 1 rejected as SRP near-dup of 0
+    # vec 1 rejected as SRP near-dup of 0; malformed 4 and 5 dropped
+    assert surviving == {0, 2, 3}
     # the admitted rows carry their signature for downstream indexing
     got_sigs = {r["vec_id"]: r["srp_sig"] for r in out.collect()}
     assert got_sigs == {0: sigs[0], 2: sigs[2], 3: sigs[3]}
