@@ -7,13 +7,15 @@ Python-only media libraries at scale (each task pulls batches through
 Arrow once, the Python worker is reused, and output schema is declared
 up front so Catalyst can plan around the black box).
 
-The actual media decoding libraries (PIL/opencv/librosa) are NOT in this
-container, so ``decode_image`` is a clearly-marked stub behind an
-import-try (NotImplementedError), and ``extract_features`` uses a
-deterministic byte-level fake (length, md5, fake dimensions derived from
-the payload) — the Spark-side plumbing (schema, batching, partitioning,
-UDF signature) is real and tested, and because the fake is a pure
-function of the bytes it is even oracle-checkable in SQL.
+The heavy media libraries (PIL/opencv/librosa) are NOT in this
+container. ``decode_image`` therefore has two real branches: PIL when
+installed (every format), else a pure-stdlib decoder for binary netpbm
+(P5/P6) and 24-bit BMP (:class:`StdlibImage`) — so the decode →
+pixels → re-encode path executes and is tested in EVERY environment,
+and only non-stdlib formats raise NotImplementedError without PIL.
+``extract_features`` additionally keeps a deterministic byte-level fake
+(length, md5, fake dimensions derived from the payload) — a pure
+function of the bytes, so that pipeline stays oracle-checkable in SQL.
 """
 
 from __future__ import annotations
@@ -62,19 +64,172 @@ def attach_binary(documents: DataFrame) -> DataFrame:
     )
 
 
+class StdlibImage:
+    """Minimal decoded-image object for the stdlib formats (binary
+    netpbm P5/P6 and 24-bit uncompressed BMP) — the same seam contract
+    as a PIL ``Image``: ``width``/``height``/``mode``/``format``
+    attributes, ``load()``, nearest-neighbor ``resize()``, and
+    ``save(buf, format=...)``. Exists so ``decode_image``'s REAL branch
+    (decode → pixels → re-encode) executes even where PIL is absent;
+    pixel data is row-major ``mode``-interleaved bytes (RGB or L).
+    """
+
+    def __init__(self, width: int, height: int, mode: str, pixels: bytes, fmt: str):
+        if mode not in ("RGB", "L"):
+            raise ValueError(f"unsupported mode {mode!r}")
+        bpp = 3 if mode == "RGB" else 1
+        if len(pixels) != width * height * bpp:
+            raise ValueError("pixel buffer does not match dimensions")
+        self.width, self.height, self.mode = width, height, mode
+        self.format = fmt
+        self._pixels = pixels
+
+    def load(self) -> None:  # already fully decoded
+        return None
+
+    def tobytes(self) -> bytes:
+        return self._pixels
+
+    def resize(self, size: tuple[int, int]) -> "StdlibImage":
+        new_w, new_h = size
+        if new_w <= 0 or new_h <= 0:
+            raise ValueError("resize dimensions must be positive")
+        bpp = 3 if self.mode == "RGB" else 1
+        src, out = self._pixels, bytearray(new_w * new_h * bpp)
+        for y in range(new_h):
+            sy = y * self.height // new_h
+            row = sy * self.width * bpp
+            dst = y * new_w * bpp
+            for x in range(new_w):
+                sx = x * self.width // new_w
+                out[dst + x * bpp : dst + (x + 1) * bpp] = src[
+                    row + sx * bpp : row + (sx + 1) * bpp
+                ]
+        return StdlibImage(new_w, new_h, self.mode, bytes(out), self.format)
+
+    def save(self, buf, format: str | None = None) -> None:
+        fmt = (format or self.format or "PPM").upper()
+        if fmt in ("PPM", "PGM"):
+            buf.write(encode_netpbm(self))
+        elif fmt == "BMP":
+            buf.write(encode_bmp(self))
+        else:
+            raise NotImplementedError(f"stdlib encoder supports PPM/PGM/BMP, not {fmt}")
+
+
+def _decode_netpbm(content: bytes) -> StdlibImage:
+    """Binary netpbm: P6 (RGB) / P5 (gray). Header tokens (magic, width,
+    height, maxval) may be separated by any whitespace or #-comments;
+    one whitespace byte then raw pixel data."""
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4:
+        if i >= len(content):
+            raise ValueError("truncated netpbm header")
+        c = content[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(content) and content[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(content) and not content[j : j + 1].isspace():
+                j += 1
+            tokens.append(content[i:j])
+            i = j
+    i += 1  # the single whitespace after maxval
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    mode, bpp = ("RGB", 3) if magic == b"P6" else ("L", 1)
+    need = w * h * bpp
+    pixels = content[i : i + need]
+    if len(pixels) != need:
+        raise ValueError("truncated netpbm pixel data")
+    return StdlibImage(w, h, mode, pixels, "PPM" if magic == b"P6" else "PGM")
+
+
+def encode_netpbm(img: StdlibImage) -> bytes:
+    magic = b"P6" if img.mode == "RGB" else b"P5"
+    header = b"%s\n%d %d\n255\n" % (magic, img.width, img.height)
+    return header + img.tobytes()
+
+
+def _decode_bmp(content: bytes) -> StdlibImage:
+    """24-bit uncompressed (BI_RGB) BITMAPINFOHEADER BMP; rows stored
+    bottom-up, BGR, padded to 4 bytes — returned top-down RGB."""
+    import struct
+
+    if content[:2] != b"BM" or len(content) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", content, 14)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    if h <= 0 or w <= 0:
+        raise ValueError("top-down or empty BMP not supported")
+    stride = (w * 3 + 3) & ~3
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        src = data_off + (h - 1 - y) * stride  # bottom-up → top-down
+        row = content[src : src + w * 3]
+        if len(row) != w * 3:
+            raise ValueError("truncated BMP pixel data")
+        dst = y * w * 3
+        for x in range(w):  # BGR → RGB
+            out[dst + x * 3] = row[x * 3 + 2]
+            out[dst + x * 3 + 1] = row[x * 3 + 1]
+            out[dst + x * 3 + 2] = row[x * 3]
+    return StdlibImage(w, h, "RGB", bytes(out), "BMP")
+
+
+def encode_bmp(img: StdlibImage) -> bytes:
+    import struct
+
+    if img.mode != "RGB":
+        raise NotImplementedError("BMP encoder is 24-bit RGB only")
+    w, h = img.width, img.height
+    stride = (w * 3 + 3) & ~3
+    pix = img.tobytes()
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # top-down → bottom-up
+        row = bytearray()
+        base = y * w * 3
+        for x in range(w):  # RGB → BGR
+            r, g, b = pix[base + x * 3 : base + x * 3 + 3]
+            row += bytes((b, g, r))
+        rows += row.ljust(stride, b"\x00")
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return bytes(header + info + rows)
+
+
 def decode_image(content: bytes) -> object:
-    """Decode image bytes → PIL Image (loaded into memory, file handle
-    closed). The single seam where the real decoder lives; raises
-    NotImplementedError when PIL is absent (this sandbox) so callers fail
-    loudly instead of silently skipping payloads. The PIL path itself is
-    covered by a ``pytest.importorskip("PIL")`` test that runs the moment
-    the cluster image carries PIL.
+    """Decode image bytes → image object (loaded into memory). The
+    single seam where the real decoder lives. PIL handles every format
+    when installed; without PIL, binary netpbm (P5/P6) and 24-bit BMP
+    payloads decode through the stdlib path (:class:`StdlibImage`) so
+    the real decode branch executes in every environment — only
+    non-stdlib formats (PNG/JPEG/...) raise NotImplementedError here,
+    loudly, instead of silently skipping payloads. The PIL path is
+    additionally covered by a ``pytest.importorskip("PIL")`` test that
+    runs wherever the cluster image carries PIL.
     """
     try:
         from PIL import Image
     except ImportError as exc:
+        if content[:2] in (b"P5", b"P6"):
+            return _decode_netpbm(content)
+        if content[:2] == b"BM":
+            return _decode_bmp(content)
         raise NotImplementedError(
-            "image decoding requires PIL; install it on the cluster image"
+            "decoding this format requires PIL; install it on the cluster "
+            "image (stdlib fallback covers netpbm P5/P6 and 24-bit BMP)"
         ) from exc
     import io
 
@@ -129,9 +284,10 @@ FRAME_SCHEMA = StructType(
 
 
 def resize_image(content: bytes, width: int, height: int) -> bytes:
-    """Decode → resize → re-encode (PNG) image bytes. Same seam contract
-    as ``decode_image``: raises NotImplementedError without PIL; the real
-    path is covered by the PIL-gated test."""
+    """Decode → resize → re-encode image bytes in the source format.
+    Same seam contract as ``decode_image``: PIL when installed, stdlib
+    netpbm/BMP otherwise (nearest-neighbor resample), NotImplementedError
+    only for non-stdlib formats without PIL."""
     import io
 
     img = decode_image(content)

@@ -1,0 +1,116 @@
+"""Real image-decode tests that run in EVERY environment.
+
+decode_image's real branch (decode → pixels → re-encode) must not be a
+PIL-only story: binary netpbm (P5/P6) and 24-bit BMP decode through the
+stdlib path when PIL is absent. These formats are also PIL-decodable,
+so this module is environment-agnostic — in this sandbox it exercises
+the stdlib decoders; on a cluster image with PIL the same tests drive
+the PIL branch (plus test_multimodal_pil.py's PNG coverage). The
+stdlib codec internals (_decode_netpbm/_decode_bmp/encode_*) are
+pinned exactly, independent of which branch decode_image picks.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from data_pipeline_example_spark.operators import multimodal as mm
+
+
+def _ppm_bytes(width: int, height: int, color=(200, 10, 10)) -> bytes:
+    pix = bytes(color) * (width * height)
+    return b"P6\n%d %d\n255\n" % (width, height) + pix
+
+
+def _pgm_bytes(width: int, height: int, value: int = 77) -> bytes:
+    return b"P5\n%d %d\n255\n" % (width, height) + bytes([value]) * (width * height)
+
+
+def _bmp_bytes(width: int, height: int, color=(200, 10, 10)) -> bytes:
+    pix = bytes(color) * (width * height)
+    return mm.encode_bmp(mm.StdlibImage(width, height, "RGB", pix, "BMP"))
+
+
+def test_netpbm_decode_exact_pixels_and_comments():
+    # header with a comment and mixed whitespace, 2x2 distinct pixels
+    pix = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    raw = b"P6 # a comment\n 2\t2 # another\n255\n" + pix
+    img = mm._decode_netpbm(raw)
+    assert (img.width, img.height, img.mode, img.format) == (2, 2, "RGB", "PPM")
+    assert img.tobytes() == pix
+    # re-encode → decode is lossless
+    assert mm._decode_netpbm(mm.encode_netpbm(img)).tobytes() == pix
+
+
+def test_pgm_decodes_gray():
+    img = mm._decode_netpbm(_pgm_bytes(4, 3, 9))
+    assert (img.width, img.height, img.mode) == (4, 3, "L")
+    assert img.tobytes() == bytes([9]) * 12
+
+
+def test_bmp_roundtrip_exact_with_row_padding():
+    # width 3 → 9-byte rows padded to 12: stride handling must be exact
+    pix = bytes(range(3 * 2 * 3))
+    img = mm.StdlibImage(3, 2, "RGB", pix, "BMP")
+    back = mm._decode_bmp(mm.encode_bmp(img))
+    assert (back.width, back.height, back.mode) == (3, 2, "RGB")
+    assert back.tobytes() == pix
+
+
+def test_stdlib_resize_nearest_neighbor_exact():
+    # 2x1 image upscaled 2x: each source pixel repeats twice
+    pix = bytes([10, 20, 30, 40, 50, 60])
+    img = mm.StdlibImage(2, 1, "RGB", pix, "PPM")
+    out = img.resize((4, 2))
+    row = bytes([10, 20, 30, 10, 20, 30, 40, 50, 60, 40, 50, 60])
+    assert out.tobytes() == row * 2
+
+
+@pytest.mark.parametrize(
+    "payload,width,height,mode",
+    [
+        (_ppm_bytes(12, 7), 12, 7, "RGB"),
+        (_pgm_bytes(5, 4), 5, 4, "L"),
+        (_bmp_bytes(6, 3), 6, 3, "RGB"),
+    ],
+    ids=["ppm", "pgm", "bmp"],
+)
+def test_decode_image_real_branch(payload, width, height, mode):
+    """The public seam, whichever branch (PIL or stdlib) is active."""
+    img = mm.decode_image(payload)
+    img.load()
+    assert (img.width, img.height, img.mode) == (width, height, mode)
+
+
+@pytest.mark.parametrize(
+    "payload", [_ppm_bytes(12, 8), _bmp_bytes(12, 8)], ids=["ppm", "bmp"]
+)
+def test_resize_image_reencodes_in_source_format(payload):
+    out = mm.resize_image(payload, 4, 3)
+    img = mm.decode_image(out)
+    assert (img.width, img.height) == (4, 3)
+
+
+def test_decode_image_rejects_garbage_loudly():
+    with pytest.raises(Exception):
+        mm.decode_image(b"definitely not an image")
+    with pytest.raises(Exception):
+        mm.decode_image(b"P6\n2 2\n255\n\x00")  # truncated pixel data
+
+
+def test_decoded_image_features_end_to_end_stdlib(spark):
+    """The real-decoder mapInPandas pipeline executes in this sandbox:
+    Arrow batches of netpbm/BMP payloads → per-row decode → dims."""
+    rows = [
+        (1, "image/x-portable-pixmap", _ppm_bytes(12, 7)),
+        (2, "image/x-portable-graymap", _pgm_bytes(3, 5)),
+        (3, "image/bmp", _bmp_bytes(9, 2)),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["mode"])
+        for r in mm.decoded_image_features(media).collect()
+    }
+    assert got == {1: (12, 7, "RGB"), 2: (3, 5, "L"), 3: (9, 2, "RGB")}
