@@ -434,3 +434,46 @@ def sample_frames(media: DataFrame, every: int = 10, modulus: int = 100) -> Data
 def frame_samples(documents: DataFrame) -> DataFrame:
     """End-to-end: text corpus as binary payloads → sampled frames."""
     return sample_frames(attach_binary(documents))
+
+
+def attach_ppm(documents: DataFrame) -> DataFrame:
+    """Synthesize a VALID binary-netpbm (P6) payload per document —
+    dimensions derived deterministically from the text length, pixel
+    block filled with 'A' bytes — entirely in column expressions
+    (binary ``concat`` of the encoded header and pixel run). Stands in
+    for reading real image files while producing payloads the REAL
+    decoder must actually parse (header tokenization + pixel-length
+    check), not a byte-level fake.
+    """
+    L = F.length(F.coalesce(F.col("text"), F.lit("")))
+    w = (L % 13 + 1).cast("int")
+    h = ((L * 7) % 11 + 1).cast("int")
+    header = F.concat(
+        F.lit("P6\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    pixels = F.expr("repeat('A', width * height * 3)")
+    return documents.select(
+        F.col("doc_id"), w.alias("width"), h.alias("height"), header.alias("hdr")
+    ).select(
+        "doc_id",
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        F.concat(F.encode(F.col("hdr"), "UTF-8"), F.encode(pixels, "UTF-8")).alias(
+            "content"
+        ),
+    )
+
+
+def decoded_image_stats(documents: DataFrame) -> DataFrame:
+    """End-to-end REAL-decode pipeline, runnable (and oracle-checked)
+    in every environment: synthesize P6 payloads from the corpus
+    (:func:`attach_ppm`), then run the live decoder over Arrow batches
+    (:func:`decoded_image_features` — stdlib netpbm branch here, PIL on
+    cluster images). The SQL oracle recomputes the intended dimensions
+    from the same length formula, so a decoder that mis-parses the
+    header or drops payloads hash-mismatches immediately.
+    """
+    return decoded_image_features(attach_ppm(documents))

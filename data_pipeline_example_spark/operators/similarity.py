@@ -215,34 +215,37 @@ def n_centroids_for(
 
 def _cos_matrix(M, C):
     """Rounded (6 dp) cosine of every row of ``M`` against every row of
-    ``C``, float64 — with every sum taken in STRICT LEFT-TO-RIGHT order
-    (``np.cumsum``) and ``dot / (na * nb)`` normalization, the exact
-    recipe of ``srp_dup_pairs``'s pair verification. This is
-    bit-identical to the SQL ``aggregate`` fold and DuckDB's
-    ``list_cosine_similarity`` sequential fold, so a knife-edge value at
-    the rounding boundary (or a rounded-cosine tie) can never flip a
-    centroid assignment or keep/drop decision between engines — the
-    hash-exact oracle contract holds unconditionally, not just away
-    from boundaries. (A BLAS ``Mn @ Cn.T`` re-associates the sum and
-    normalizes before the dot; both differ from the fold in the last
-    ulp.) Memory is bounded by chunking over C so the (rows × chunk ×
-    dims) product tensor stays ~256 MB however large the centroid set
-    grows (the documented clamp is 65536 centroids).
+    ``C``, float64 — BIT-IDENTICAL to the strict left-to-right fold
+    with ``dot / (na * nb)`` normalization (the SQL ``aggregate`` fold
+    and DuckDB's ``list_cosine_similarity``), at BLAS speed.
+
+    Hybrid verify-the-boundary scheme: the bulk runs as one
+    ``M @ C.T`` matmul (re-associated sums — may differ from the fold
+    in the last ulp, ~1e-15 relative), then every entry whose value
+    lies within 1e-9 of a 0.5e-6 rounding boundary is recomputed with
+    the exact fold recipe (``np.cumsum`` left-to-right, the same order
+    as ``srp_dup_pairs``'s pair verification). Away from the band, a
+    1e-15 perturbation cannot change ``round(x, 6)``, so BLAS and fold
+    round identically; inside the band the fold value is used outright.
+    Net: rounded output == fold output EXACTLY for every entry (guard
+    test compares against a scalar Python fold), knife-edge centroid
+    assignments and keep/drop decisions can never flip between engines,
+    and the band is ~2e-3 of entries so the recompute cost is noise
+    (the all-cumsum variant measured ~10x slower at sf1 — memory-bound
+    rank-3 tensor vs a compute-bound matmul).
     """
     import numpy as np
 
-    rows, d = M.shape
-    k = C.shape[0]
+    # norms via cumsum: exactly the fold's left-to-right accumulation
     na = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
     nc = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
-    out = np.empty((rows, k), dtype=np.float64)
-    cchunk = max(1, (1 << 25) // max(rows * d, 1))
-    for j0 in range(0, k, cchunk):
-        Cj = C[j0 : j0 + cchunk]
-        prod = M[:, None, :] * Cj[None, :, :]
-        dots = np.cumsum(prod, axis=2)[:, :, -1]
-        out[:, j0 : j0 + cchunk] = dots / (na[:, None] * nc[None, j0 : j0 + cchunk])
-    return np.round(out, 6)
+    S = (M @ C.T) / (na[:, None] * nc[None, :])
+    R = np.round(S, 6)
+    frac = np.abs(np.modf(S * 1e6)[0])
+    for i, j in zip(*np.where(np.abs(frac - 0.5) < 1e-3)):
+        dot = np.cumsum(M[i] * C[j])[-1]
+        R[i, j] = np.round(dot / (na[i] * nc[j]), 6)
+    return R
 
 
 def _capped_assigner(bc_cents):

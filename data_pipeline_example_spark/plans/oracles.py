@@ -1618,6 +1618,17 @@ FROM (
   FROM documents
 )
 """,
+    # the Spark side REALLY decodes the synthesized P6 payloads (header
+    # tokenization + pixel-length check); the oracle recomputes the
+    # intended dims from the same char-length formula, so any decoder
+    # deviation (mis-parse, dropped row) hash-mismatches
+    "decoded_image_stats": """
+SELECT doc_id,
+       CAST(length(coalesce(text, '')) % 13 + 1 AS INTEGER) AS width,
+       CAST((length(coalesce(text, '')) * 7) % 11 + 1 AS INTEGER) AS height,
+       'RGB' AS mode
+FROM documents
+""",
     # chunking: range() over a column works inside list_transform (the
     # FROM-clause lateral form does not in DuckDB 1.0); zipped unnests in
     # the SELECT list expand positionally in lockstep

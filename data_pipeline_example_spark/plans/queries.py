@@ -628,6 +628,15 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_samples(load_table(spark, sf_dir, "documents"))
 
 
+def q_decoded_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the driver: synthesized P6 payloads →
+    live decoder (stdlib netpbm here, PIL on cluster images) → dims.
+    The oracle recomputes the intended dimensions from the same
+    text-length formula, so a header mis-parse or dropped payload
+    hash-mismatches."""
+    return multimodal.decoded_image_stats(load_table(spark, sf_dir, "documents"))
+
+
 # --- chunking / provenance curation / event analytics ---------------------
 
 
@@ -705,10 +714,15 @@ QUERIES: dict[str, QueryFn] = {
     # after the r2 window froze; the two rows-only ops), and new ops
     # round-4 front: new capped embedding ops, new quality gates, and
     # the r4-changed queries
+    # round-5 front: the queries CHANGED this round (sole_return_
+    # suppliers rewritten with per-order pre-aggregation; the capped
+    # embedding ops + srp_dup_pairs moved to broadcast centroids /
+    # fold-order cosines) and the new real-decode query; gopher_quality
+    # and c4_line_stats rotated out (r4-certified, untouched since)
+    "sole_return_suppliers": q_sole_return_suppliers,
+    "decoded_image_stats": q_decoded_image_stats,
     "semantic_prune_capped": q_semantic_prune_capped,
     "nearest_neighbor_capped": q_nearest_neighbor_capped,
-    "gopher_quality": q_gopher_quality,
-    "c4_line_stats": q_c4_line_stats,
     "value_stats": q_value_stats,
     "srp_dup_pairs": q_srp_dup_pairs,
     "semantic_prune": q_semantic_prune,
@@ -765,7 +779,10 @@ QUERIES: dict[str, QueryFn] = {
     # ---------------- end of the driver's 50-entry window ----------------
     # (chunk_dedup_stats, source_blocklist_summary, chunk_documents and
     # mixture_sample rotated out r4 — all r3-driver-green — to make room
-    # for the capped embedding ops and the Gopher/C4 quality gates)
+    # for the capped embedding ops and the Gopher/C4 quality gates;
+    # gopher_quality + c4_line_stats rotated out r5, both r4-green)
+    "gopher_quality": q_gopher_quality,
+    "c4_line_stats": q_c4_line_stats,
     "chunk_documents": q_chunk_documents,
     "chunk_dedup_stats": q_chunk_dedup_stats,
     "source_blocklist_summary": q_source_blocklist_summary,
@@ -831,7 +848,6 @@ QUERIES: dict[str, QueryFn] = {
     "top_supplier": q_top_supplier,
     "discount_eligible_revenue": q_discount_eligible_revenue,
     "shipment_delay_by_priority": q_shipment_delay_by_priority,
-    "sole_return_suppliers": q_sole_return_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
     "customer_value_tiles": q_customer_value_tiles,
     "first_last_order_value": q_first_last_order_value,

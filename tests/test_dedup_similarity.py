@@ -373,6 +373,16 @@ def test_cos_matrix_bit_exact_with_sequential_fold():
     C = np.array(
         [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(7)], dtype=np.float64
     )
+    # knife-edge rows: cos(M[-1], C[-1]) lands within ~1e-16 of the
+    # 6-dp rounding boundary 0.1234565 — forces the hybrid's
+    # recompute-the-band path, not just the BLAS bulk
+    edge_m = np.zeros(d)
+    edge_m[0] = 1.0
+    edge_c = np.zeros(d)
+    edge_c[0] = 0.1234565
+    edge_c[1] = math.sqrt(1.0 - 0.1234565**2)
+    M = np.vstack([M, edge_m])
+    C = np.vstack([C, edge_c])
     got = similarity._cos_matrix(M, C)
 
     def fold_cos(a, b):

@@ -8,6 +8,16 @@ Prints one JSON line:
     {"metric": "scaling_sf0.1_to_sf1", "queries": {name:
         {"small": s, "big": s, "ratio": big/small}}, ...}
 
+Render mode — regenerate BASELINE.md's measured-scaling table from a
+recorded bench artifact instead of hand-transcribing numbers (the
+round-4 verdict found a transcription drift):
+
+    python tools/bench_scaling.py --render-md BENCH_r04.json [label]
+
+Accepts either bench.py's one-line JSON or a driver BENCH_r{N}.json
+record (the JSON line is extracted from its "tail"). Prints the
+markdown rows + worst-query list computed from the artifact itself.
+
 A ratio near 10 is linear for a 32-thread fixed-resource host once the
 query is compute-bound; well under 10 means fixed per-query overhead
 (plan latency, Arrow worker spin-up) still dominates at sf0.1. Ratios
@@ -41,7 +51,58 @@ def time_query(fn, spark, sf_dir) -> float:
     return round(min(runs), 3)
 
 
+def load_bench_record(path: str) -> dict:
+    """A bench.py JSON line, or a driver BENCH_r{N}.json whose 'tail'
+    embeds one — returns the parsed bench record either way."""
+    import re
+
+    with open(path) as fh:
+        rec = json.load(fh)
+    if "tail" in rec and "queries" not in rec:
+        m = re.search(r'\{"metric".*', rec["tail"])
+        if not m:
+            raise SystemExit(f"no bench JSON line found in {path}")
+        rec = json.loads(m.group(0))
+    return rec
+
+
+def render_md(path: str, label: str = "") -> str:
+    """BASELINE.md's measured-scaling block, computed from the artifact."""
+    rec = load_bench_record(path)
+    scaling = rec.get("scaling")
+    if not scaling:
+        raise SystemExit(f"{path} has no 'scaling' section")
+    small_total = rec["value"]
+    big = scaling["sf1_queries"]
+    big_total = scaling.get("sf1_total") or round(sum(big.values()), 3)
+    shared = [q for q in rec["queries"] if q in big]
+    ratios = sorted(
+        ((q, big[q] / rec["queries"][q]) for q in shared if rec["queries"][q] > 0),
+        key=lambda t: -t[1],
+    )
+    tag = f" — {label}" if label else ""
+    lines = [
+        f"Source artifact: `{os.path.basename(path)}`{tag} "
+        f"(regenerate: `python tools/bench_scaling.py --render-md {os.path.basename(path)}`)",
+        "",
+        "| Scale | headline total ({} queries) | vs sf0.1 |".format(len(rec["queries"])),
+        "|---|---|---|",
+        f"| sf0.1 | {small_total:.1f} s | — |",
+        f"| sf1 (10x upsampled) | {big_total:.1f} s | x{big_total / small_total:.2f} |",
+        "",
+        "Worst per-query ratios (10x data): "
+        + ", ".join(
+            f"`{q}` x{r:.1f} ({rec['queries'][q]:.2f}→{big[q]:.2f} s)"
+            for q, r in ratios[:4]
+        ),
+    ]
+    return "\n".join(lines)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--render-md":
+        print(render_md(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else ""))
+        return
     from bench import HEADLINE
     from data_pipeline_example_spark.plans.queries import QUERIES
     from data_pipeline_example_spark.session import get_spark
