@@ -532,6 +532,67 @@ def dup_ngram_fraction(documents: DataFrame, n: int = 8) -> DataFrame:
     )
 
 
+def corpus_dup_ngrams(documents: DataFrame, n: int = 8) -> DataFrame:
+    """CROSS-document duplicated n-gram fraction — the corpus-level
+    twin of :func:`dup_ngram_fraction` (which is within-doc): the share
+    of a document's n-gram occurrences whose gram also appears in at
+    least one OTHER document. High values flag boilerplate, mirrored
+    pages, and template farms (the Dolma/Gopher cross-doc signal);
+    within-doc repetition alone does not trigger it.
+
+    Distributed shape (same as TF-IDF's): explode grams → one exchange
+    on (doc_id, gram) to per-doc occurrence counts → one small exchange
+    on gram to per-gram document counts → equi-join back on gram → one
+    exchange on doc_id for the per-doc rollup; every aggregate has a
+    map-side partial. The gram strings themselves ride the shuffles at
+    this operating point (oracle parity); at 100 TB you would xxhash64
+    grams to 8 bytes first — the signal tolerates the collision rate —
+    and the docstring is the contract for that swap. Documents with
+    fewer than ``n`` tokens have no grams → fraction 0.0 via the final
+    left join (they never enter the shuffles).
+
+    Output: doc_id, n_ngrams, n_cross_dup, cross_dup_fraction (4 dp).
+    """
+    grams = (
+        f"transform(slice(t, 1, greatest(size(t) - {n} + 1, 0)), "
+        f"(x, i) -> array_join(slice(t, i + 1, {n}), ' '))"
+    )
+    pos = (
+        widen(documents)
+        .select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
+        .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+    )
+    per_pair = pos.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("occ"))
+    gram_docs = per_pair.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        per_pair.join(gram_docs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").alias("n_ngrams"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("occ")).otherwise(F.lit(0))).alias(
+                "n_cross_dup"
+            ),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce(F.col("n_cross_dup"), F.lit(0))
+            .cast("long")
+            .alias("n_cross_dup"),
+            F.when(
+                F.coalesce(F.col("n_ngrams"), F.lit(0)) > 0,
+                F.round(F.col("n_cross_dup") / F.col("n_ngrams"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cross_dup_fraction"),
+        )
+    )
+
+
 # default per-source mixing weights for mixture_rates: named overrides,
 # everything else weight 1.0 (mirrored by the oracle's CASE)
 DEFAULT_MIX_WEIGHTS: dict[str, float] = {"src0": 3.0, "src1": 2.0}

@@ -867,6 +867,38 @@ SELECT doc_id,
             ELSE 0.0 END AS dup_fraction
 FROM g
 """,
+    "corpus_dup_ngrams": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                               i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS gram
+  FROM toks
+),
+per_pair AS (
+  SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY 1, 2
+),
+gram_docs AS (
+  SELECT gram, count(*) AS nd FROM per_pair GROUP BY 1
+),
+per_doc AS (
+  SELECT p.doc_id,
+         sum(p.occ) AS n_ngrams,
+         sum(CASE WHEN gd.nd >= 2 THEN p.occ ELSE 0 END) AS n_cross_dup
+  FROM per_pair p JOIN gram_docs gd USING (gram)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(p.n_cross_dup, 0) AS BIGINT) AS n_cross_dup,
+       CASE WHEN coalesce(p.n_ngrams, 0) > 0
+            THEN round(p.n_cross_dup * 1.0 / p.n_ngrams, 4)
+            ELSE 0.0 END AS cross_dup_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
     "length_buckets": """
 WITH toks AS (
   SELECT doc_id,

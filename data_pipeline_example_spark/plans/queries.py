@@ -688,6 +688,12 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dup_ngram_fraction(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-8-gram fraction — the corpus-level
+    boilerplate/mirror signal (TF-IDF shuffle shape)."""
+    return text.corpus_dup_ngrams(load_table(spark, sf_dir, "documents"))
+
+
 def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline (quality → exact dedup → LSH near-dup
     → decontamination → chunking) as one audited summary row."""
@@ -721,9 +727,9 @@ QUERIES: dict[str, QueryFn] = {
     # and c4_line_stats rotated out (r4-certified, untouched since)
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
+    "corpus_dup_ngrams": q_corpus_dup_ngrams,
     "semantic_prune_capped": q_semantic_prune_capped,
     "nearest_neighbor_capped": q_nearest_neighbor_capped,
-    "value_stats": q_value_stats,
     "srp_dup_pairs": q_srp_dup_pairs,
     "semantic_prune": q_semantic_prune,
     "embedding_prototypes": q_embedding_prototypes,
@@ -780,9 +786,11 @@ QUERIES: dict[str, QueryFn] = {
     # (chunk_dedup_stats, source_blocklist_summary, chunk_documents and
     # mixture_sample rotated out r4 — all r3-driver-green — to make room
     # for the capped embedding ops and the Gopher/C4 quality gates;
-    # gopher_quality + c4_line_stats rotated out r5, both r4-green)
+    # gopher_quality + c4_line_stats + value_stats rotated out r5, all
+    # r4-green)
     "gopher_quality": q_gopher_quality,
     "c4_line_stats": q_c4_line_stats,
+    "value_stats": q_value_stats,
     "chunk_documents": q_chunk_documents,
     "chunk_dedup_stats": q_chunk_dedup_stats,
     "source_blocklist_summary": q_source_blocklist_summary,
