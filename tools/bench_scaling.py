@@ -67,17 +67,27 @@ def load_bench_record(path: str) -> dict:
 
 
 def render_md(path: str, label: str = "") -> str:
-    """BASELINE.md's measured-scaling block, computed from the artifact."""
+    """BASELINE.md's measured-scaling block, computed from the artifact.
+
+    Accepts bench.py records (headline 'queries' + 'scaling' section,
+    incl. driver BENCH_r{N}.json wrappers) AND bench_scaling.py's own
+    output ({'queries': {q: {small, big, ratio}}, ...})."""
     rec = load_bench_record(path)
-    scaling = rec.get("scaling")
-    if not scaling:
-        raise SystemExit(f"{path} has no 'scaling' section")
-    small_total = rec["value"]
-    big = scaling["sf1_queries"]
-    big_total = scaling.get("sf1_total") or round(sum(big.values()), 3)
-    shared = [q for q in rec["queries"] if q in big]
+    if rec.get("metric") == "scaling_sf0.1_to_sf1":
+        small = {q: v["small"] for q, v in rec["queries"].items()}
+        big = {q: v["big"] for q, v in rec["queries"].items()}
+        small_total, big_total = rec["small_total"], rec["big_total"]
+    else:
+        scaling = rec.get("scaling")
+        if not scaling:
+            raise SystemExit(f"{path} has no 'scaling' section")
+        small = rec["queries"]
+        big = scaling["sf1_queries"]
+        small_total = rec["value"]
+        big_total = scaling.get("sf1_total") or round(sum(big.values()), 3)
+    shared = [q for q in small if q in big]
     ratios = sorted(
-        ((q, big[q] / rec["queries"][q]) for q in shared if rec["queries"][q] > 0),
+        ((q, big[q] / small[q]) for q in shared if small[q] > 0),
         key=lambda t: -t[1],
     )
     tag = f" — {label}" if label else ""
@@ -85,15 +95,14 @@ def render_md(path: str, label: str = "") -> str:
         f"Source artifact: `{os.path.basename(path)}`{tag} "
         f"(regenerate: `python tools/bench_scaling.py --render-md {os.path.basename(path)}`)",
         "",
-        "| Scale | headline total ({} queries) | vs sf0.1 |".format(len(rec["queries"])),
+        "| Scale | headline total ({} queries) | vs sf0.1 |".format(len(small)),
         "|---|---|---|",
         f"| sf0.1 | {small_total:.1f} s | — |",
         f"| sf1 (10x upsampled) | {big_total:.1f} s | x{big_total / small_total:.2f} |",
         "",
         "Worst per-query ratios (10x data): "
         + ", ".join(
-            f"`{q}` x{r:.1f} ({rec['queries'][q]:.2f}→{big[q]:.2f} s)"
-            for q, r in ratios[:4]
+            f"`{q}` x{r:.1f} ({small[q]:.2f}→{big[q]:.2f} s)" for q, r in ratios[:4]
         ),
     ]
     return "\n".join(lines)

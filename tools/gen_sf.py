@@ -161,7 +161,13 @@ def main() -> None:
         app_name="gen_sf",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         shuffle_partitions=32,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # local mode = one JVM for driver + all executor threads;
+            # the default 1g heap OOMs on a x10-of-sf1 upsample with 32
+            # concurrent writers (measured) — size it like bench does
+            "spark.driver.memory": os.environ.get("GEN_SF_DRIVER_MEM", "12g"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     upsample(spark, src, dst, factor)
