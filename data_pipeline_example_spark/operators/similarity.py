@@ -1204,3 +1204,203 @@ def srp_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def project_embeddings(
+    embeddings: DataFrame, out_dims: int = 16, dims: int = 64
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress ``dims``-dim
+    embeddings to ``out_dims`` components with the SAME deterministic
+    md5-derived Rademacher hyperplane family ``srp_dup_pairs`` banks on
+    (``_srp_signs``) — component j is ``round(dot(v, h_j) / sqrt(out_dims),
+    6)``, i.e. the SRP bit j is exactly ``sign(p_j)``.  Pairwise distances
+    are preserved to within ~1/sqrt(out_dims) (JL lemma), which is what a
+    100 TB similarity pipeline stores and shuffles: 16 doubles instead of
+    64 floats per vector for candidate generation, with exact re-ranking
+    against the full vectors only for the survivors.
+
+    Pure column expressions (zip_with + sequential aggregate fold, the
+    oracle-stable order), zero shuffle, single scan, no UDF — the plan is
+    one Project over the parquet scan, so it scales with the scan.  The
+    hyperplanes are literals baked into the plan (out_dims x dims signs),
+    not a fitted artifact: no driver state, no broadcast, reproducible in
+    any engine.  Output: vec_id, p00..p{out_dims-1} (doubles, 6 dp).
+
+    The reference has no vector ops; this extends its surface per
+    BASELINE.json (dim-reduction leg of the similarity-search story).
+    """
+    import math
+
+    signs = _srp_signs(out_dims, dims)
+    inv = 1.0 / math.sqrt(out_dims)
+    e = _as_double(embeddings)
+    cols = [
+        F.round(
+            V.dot(F.col("v"), F.array(*[F.lit(s) for s in signs[j]])) * F.lit(inv),
+            6,
+        ).alias(f"p{j:02d}")
+        for j in range(out_dims)
+    ]
+    return e.select("vec_id", *cols)
+
+
+def pq_codes(
+    embeddings: DataFrame, m: int = 4, ks: int = 16, dims: int = 64
+) -> DataFrame:
+    """Product-quantization codes: split each vector into ``m`` contiguous
+    subspaces of ``dims // m`` components and snap every sub-vector to its
+    nearest sub-centroid (cosine, tie-break lowest centroid id, 6-dp
+    rounding — the repo-wide oracle contract).  Sub-centroids are the
+    matching slices of the vectors with ``vec_id < ks`` — the same
+    deterministic data-derived scheme every centroid op here uses, so the
+    codebook needs no training artifact and the DuckDB oracle can rebuild
+    it in pure SQL.
+
+    Storage story at 100 TB: m codes of ceil(log2 ks) bits replace the
+    full vector (4 bytes/vector at m=4, ks=16 vs 256 for float32x64 — a
+    64x compression), and asymmetric-distance kNN scans codes instead of
+    vectors.  Plan shape: the codebook frame is m*ks rows -> broadcast
+    hash join against the posexploded sub-vectors (m narrow rows per
+    input row, no shuffle to produce), then ONE map-side-combined hash
+    aggregation re-assembles the m codes per vec_id — min over a
+    (-cos, cid) struct is partially aggregable, so the only exchange
+    carries one narrow row per vector.  Zero-norm sub-vectors yield NULL
+    cosine and fall out of min(); synthetic corpora don't produce them
+    (documented, matching cosine_dup_pairs' contract).
+
+    Output: vec_id, code_0..code_{m-1} (long).
+    """
+    assert dims % m == 0, "m must divide dims"
+    sub_len = dims // m
+    e = _as_double(embeddings)
+    slices = F.array(*[F.slice("v", g * sub_len + 1, sub_len) for g in range(m)])
+    parts = e.select("vec_id", F.posexplode(slices).alias("g", "sv"))
+    cparts = (
+        e.filter(F.col("vec_id") < ks)
+        .select(F.col("vec_id").alias("cid"), "v")
+        .select(
+            "cid",
+            F.posexplode(
+                F.array(*[F.slice("v", g * sub_len + 1, sub_len) for g in range(m)])
+            ).alias("g", "cv"),
+        )
+    )
+    scored = parts.join(F.broadcast(cparts), "g").select(
+        "vec_id",
+        "g",
+        "cid",
+        F.round(V.cosine(F.col("sv"), F.col("cv")), 6).alias("cos"),
+    )
+    # min over (-cos, cid): highest cosine wins, ties to the lowest
+    # centroid id — lexicographic struct ordering IS the tie-break
+    codes = [
+        F.min(
+            F.when(
+                F.col("g") == g,
+                F.struct((-F.col("cos")).alias("nc"), F.col("cid").alias("cid")),
+            )
+        )
+        .getField("cid")
+        .alias(f"code_{g}")
+        for g in range(m)
+    ]
+    return scored.groupBy("vec_id").agg(*codes)
+
+
+def ivfpq_knn(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    dims: int = 64,
+    rerank: int = 32,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the full billion-scale ANN shape on
+    DataFrames: an IVF coarse quantizer prunes the corpus to ``n_probe``
+    buckets, PQ codes stand in for vectors during candidate scoring
+    (asymmetric distance: per-subspace query-vs-codebook cosine lookup
+    tables, summed over the m codes), and only the top ``rerank``
+    candidates are re-scored against their REAL vectors for the final
+    top-k.  Completes the suite knn (exact brute) -> ivf_knn (pruned
+    exact) -> ivfpq_knn (pruned + compressed scoring).
+
+    100 TB shape: the corpus-sized inputs are the IVF assignment and the
+    code table — both written once, partitioned by centroid_id; a query
+    touches n_probe partitions of 4-byte codes, never the vectors, until
+    the ``rerank``-row shortlist.  Everything query-sized here is
+    broadcast (query vector, probed bucket list, m*ks-row LUT,
+    shortlist); the only corpus-wide work is one broadcast-join over the
+    probed codes and a partially-aggregated sum of m lookups per
+    candidate.  Rounding contract: LUT entries and all emitted
+    similarities round to 6 dp; approx_sim is a sum of m 6-dp values
+    (re-rounded), so cross-engine accumulation order cannot flip it.
+    Ties break on vec_id everywhere.  The query vector itself ranks
+    first (cos 1.0) by construction, matching knn/ivf_knn.
+
+    Output: vec_id, approx_sim, cos_sim — top-k by exact cosine over the
+    PQ shortlist.
+    """
+    assert dims % m == 0, "m must divide dims"
+    sub_len = dims // m
+    e = _as_double(embeddings)
+    assigned = assign_centroids(embeddings, n_centroids)
+    codes = pq_codes(embeddings, m, ks, dims)
+    q = e.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.round(V.cosine(F.col("cv"), F.col("qv")), 6).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    bucket_ids = assigned.join(F.broadcast(probed), "centroid_id").select("vec_id")
+
+    # per-subspace codebook x query lookup table: m * ks rows, broadcast
+    cparts = (
+        e.filter(F.col("vec_id") < ks)
+        .select(F.col("vec_id").alias("cid"), "v")
+        .select(
+            "cid",
+            F.posexplode(
+                F.array(*[F.slice("v", g * sub_len + 1, sub_len) for g in range(m)])
+            ).alias("g", "cv"),
+        )
+    )
+    lut = cparts.crossJoin(F.broadcast(q)).select(
+        "g",
+        "cid",
+        F.round(
+            V.cosine(F.col("cv"), F.expr(f"slice(qv, g * {sub_len} + 1, {sub_len})")),
+            6,
+        ).alias("l"),
+    )
+    melted = codes.join(bucket_ids, "vec_id").select(
+        "vec_id",
+        F.posexplode(F.array(*[f"code_{g}" for g in range(m)])).alias("g", "cid"),
+    )
+    approx = (
+        melted.join(F.broadcast(lut), ["g", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("l"), 6).alias("approx_sim"))
+    )
+    shortlist = approx.orderBy(F.desc("approx_sim"), F.asc("vec_id")).limit(rerank)
+    return (
+        e.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "approx_sim",
+            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1938,3 +1938,73 @@ FROM (
          (SELECT count(*) FROM ({ORACLES["minhash_lsh_pairs"]})) AS n_lsh
 )
 """
+
+
+def _projection_oracle(out_dims: int = 16, dims: int = 64) -> str:
+    """JL-projection oracle generated from the SAME md5-derived sign
+    matrix the Spark operator embeds (operators/similarity._srp_signs):
+    p_j = round(dot(v, h_j) * (1/sqrt(out_dims)), 6). list_dot_product's
+    accumulation matched the Spark sequential fold at 6 dp for the SRP
+    oracle; the projection reuses exactly that contract."""
+    import math
+
+    from data_pipeline_example_spark.operators.similarity import _srp_signs
+
+    signs = _srp_signs(out_dims, dims)
+    inv = repr(1.0 / math.sqrt(out_dims))
+    proj_cols = ",\n       ".join(
+        "round(list_dot_product(v, CAST(["
+        + ",".join(f"{s:.1f}" for s in signs[j])
+        + f"] AS DOUBLE[])) * {inv}, 6) AS p{j:02d}"
+        for j in range(out_dims)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       {proj_cols}
+FROM e
+"""
+
+
+ORACLES["project_embeddings"] = _projection_oracle()
+
+
+def _pq_oracle(m: int = 4, ks: int = 16, dims: int = 64) -> str:
+    """Product-quantization oracle: rebuild the data-derived codebook
+    (slices of vec_id < ks) in SQL, score every sub-vector against its
+    subspace's centroids with the same rounded cosine, pick argmax with
+    the lowest-cid tie-break via window rank, pivot codes back to one
+    row per vector."""
+    sub_len = dims // m
+    code_cols = ",\n       ".join(
+        f"max(CASE WHEN g = {g} THEN cid END) AS code_{g}" for g in range(m)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+parts AS (
+  SELECT vec_id, g, list_slice(v, g * {sub_len} + 1, (g + 1) * {sub_len}) AS sv
+  FROM e CROSS JOIN range({m}) t(g)
+),
+cparts AS (
+  SELECT vec_id AS cid, g, list_slice(v, g * {sub_len} + 1, (g + 1) * {sub_len}) AS cv
+  FROM e CROSS JOIN range({m}) t(g)
+  WHERE vec_id < {ks}
+),
+scored AS (
+  SELECT p.vec_id, p.g, c.cid,
+         round(list_cosine_similarity(p.sv, c.cv), 6) AS cos
+  FROM parts p JOIN cparts c ON p.g = c.g
+),
+best AS (
+  SELECT vec_id, g, cid,
+         row_number() OVER (PARTITION BY vec_id, g ORDER BY cos DESC, cid ASC) AS rn
+  FROM scored
+)
+SELECT vec_id,
+       {code_cols}
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+ORACLES["pq_codes"] = _pq_oracle()

@@ -468,6 +468,16 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> 16 dims (same hyperplane family as SRP)."""
+    return similarity.project_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: 4 subspaces x 16 data-derived centroids."""
+    return similarity.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -755,8 +765,6 @@ QUERIES: dict[str, QueryFn] = {
     "top_bigrams": q_top_bigrams,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_stats": q_repetition_stats,
-    "redact_pii": q_redact_pii,
-    "mixture_rates": q_mixture_rates,
     # --- dedup extensions ---
     "contamination_pairs": q_contamination_pairs,
     "exact_dedup": q_exact_dedup,
@@ -776,6 +784,8 @@ QUERIES: dict[str, QueryFn] = {
     "nearest_neighbor_blocked": q_nearest_neighbor_blocked,
     "ivf_knn": q_ivf_knn,
     "quantize_embeddings": q_quantize_embeddings,
+    "project_embeddings": q_project_embeddings,
+    "pq_codes": q_pq_codes,
     # --- multimodal plumbing ---
     "media_features": q_media_features,
     "frame_samples": q_frame_samples,
@@ -787,7 +797,10 @@ QUERIES: dict[str, QueryFn] = {
     # mixture_sample rotated out r4 — all r3-driver-green — to make room
     # for the capped embedding ops and the Gopher/C4 quality gates;
     # gopher_quality + c4_line_stats + value_stats rotated out r5, all
-    # r4-green)
+    # r4-green; redact_pii + mixture_rates rotated out mid-r5 (r4-green)
+    # to make window room for the new project_embeddings + pq_codes)
+    "redact_pii": q_redact_pii,
+    "mixture_rates": q_mixture_rates,
     "gopher_quality": q_gopher_quality,
     "c4_line_stats": q_c4_line_stats,
     "value_stats": q_value_stats,

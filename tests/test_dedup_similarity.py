@@ -511,3 +511,62 @@ def test_embedding_profile_norm_bounds(spark, sf_dir):
         assert 0 <= r["min_norm"] <= r["avg_norm"] <= r["max_norm"]
     labels = [r["label"] for r in rows]
     assert labels == sorted(labels)
+
+
+def test_project_embeddings_shape_and_srp_coherence(spark, sf_dir):
+    """p_j's sign IS SRP bit j (same hyperplane family), and the plan is
+    a single zero-shuffle projection over the scan."""
+    from data_pipeline_example_spark.operators.similarity import (
+        project_embeddings,
+        srp_signature_expr,
+    )
+    from data_pipeline_example_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = project_embeddings(emb)
+    assert proj.columns == ["vec_id"] + [f"p{j:02d}" for j in range(16)]
+
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(proj._jdf.queryExecution(), "simple")
+    assert "Exchange" not in plan  # pure per-row projection
+
+    sigs = emb.selectExpr(
+        "vec_id", f"{srp_signature_expr('embedding', 16, 64)} AS sig"
+    )
+    joined = proj.join(sigs, "vec_id").collect()
+    assert len(joined) > 0
+    for row in joined:
+        for j in range(16):
+            bit = (row["sig"] >> j) & 1
+            # srp bit j = [round(dot,6) >= 0]; p_j = round(dot/4, 6) —
+            # same dot, so sign agrees except knife-edge |dot| < 5e-7
+            p = row[f"p{j:02d}"]
+            if abs(p) > 1e-6:
+                assert (p > 0) == (bit == 1), (row["vec_id"], j, p, bit)
+
+
+def test_pq_codes_shape_and_self_coding(spark, sf_dir):
+    """One row per vector, codes in [0, ks); codebook vectors code to
+    themselves (their own slice has cosine 1.0, tie-break lowest cid
+    can only pick an earlier EXACT-duplicate slice, absent here)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_example_spark.operators.similarity import pq_codes
+    from data_pipeline_example_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_codes(emb)
+    assert codes.columns == ["vec_id", "code_0", "code_1", "code_2", "code_3"]
+    n = emb.count()
+    assert codes.count() == n
+    bounds = codes.select(
+        *[F.min(f"code_{g}").alias(f"lo{g}") for g in range(4)],
+        *[F.max(f"code_{g}").alias(f"hi{g}") for g in range(4)],
+    ).first()
+    for g in range(4):
+        assert bounds[f"lo{g}"] >= 0 and bounds[f"hi{g}"] < 16
+    selfc = codes.filter(F.col("vec_id") < 16).collect()
+    assert len(selfc) == min(16, n)
+    for row in selfc:
+        for g in range(4):
+            assert row[f"code_{g}"] == row["vec_id"], row

@@ -116,8 +116,14 @@ def main() -> None:
     from data_pipeline_example_spark.plans.queries import QUERIES
     from data_pipeline_example_spark.session import get_spark
 
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.localdata/sf1"
+    argv = sys.argv[1:]
+    subset = None
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        subset = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    small = argv[0] if argv else "/root/testdata/sf0.1"
+    big = argv[1] if len(argv) > 1 else "/root/repo/.localdata/sf1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="bench_scaling",
@@ -134,7 +140,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     out: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in subset if subset else HEADLINE:
         fn = QUERIES[name]
         s = time_query(fn, spark, small)
         b = time_query(fn, spark, big)
