@@ -2008,3 +2008,86 @@ GROUP BY vec_id
 
 
 ORACLES["pq_codes"] = _pq_oracle()
+
+
+def _ivfpq_oracle(
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    dims: int = 64,
+    rerank: int = 32,
+) -> str:
+    """IVF-PQ oracle: coarse assignment + probed buckets + PQ codes +
+    per-subspace query LUT + summed approximate similarity + exact
+    re-rank, all rebuilt in SQL from the same deterministic data-derived
+    codebooks (vec_id < n_centroids coarse, vec_id < ks slices per
+    subspace).  approx_sim = round(sum of m 6-dp LUT values, 6) — exact
+    to fp, so accumulation order can't flip the hash."""
+    sub_len = dims // m
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {n_centroids}),
+ascore AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+         ) AS rn
+  FROM e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, centroid_id FROM ascore WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id}),
+probed AS (
+  SELECT centroid_id
+  FROM cents CROSS JOIN q
+  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, centroid_id ASC
+  LIMIT {n_probe}
+),
+bucket_ids AS (SELECT vec_id FROM assigned JOIN probed USING (centroid_id)),
+parts AS (
+  SELECT vec_id, g, list_slice(v, g * {sub_len} + 1, (g + 1) * {sub_len}) AS sv
+  FROM e CROSS JOIN range({m}) t(g)
+),
+cparts AS (
+  SELECT vec_id AS cid, g, list_slice(v, g * {sub_len} + 1, (g + 1) * {sub_len}) AS cv
+  FROM e CROSS JOIN range({m}) t(g)
+  WHERE vec_id < {ks}
+),
+pqscore AS (
+  SELECT p.vec_id, p.g, c.cid,
+         row_number() OVER (
+           PARTITION BY p.vec_id, p.g
+           ORDER BY round(list_cosine_similarity(p.sv, c.cv), 6) DESC, c.cid ASC
+         ) AS rn
+  FROM parts p JOIN cparts c ON p.g = c.g
+),
+codes AS (SELECT vec_id, g, cid FROM pqscore WHERE rn = 1),
+lut AS (
+  SELECT c.g, c.cid,
+         round(list_cosine_similarity(
+           c.cv, list_slice(qv, c.g * {sub_len} + 1, (c.g + 1) * {sub_len})), 6) AS l
+  FROM cparts c CROSS JOIN q
+),
+approx AS (
+  SELECT codes.vec_id, round(sum(l), 6) AS approx_sim
+  FROM codes
+  JOIN bucket_ids USING (vec_id)
+  JOIN lut ON lut.g = codes.g AND lut.cid = codes.cid
+  GROUP BY codes.vec_id
+),
+shortlist AS (
+  SELECT vec_id, approx_sim FROM approx
+  ORDER BY approx_sim DESC, vec_id ASC LIMIT {rerank}
+)
+SELECT s.vec_id, s.approx_sim,
+       round(list_cosine_similarity(e.v, qv), 6) AS cos_sim
+FROM shortlist s JOIN e ON e.vec_id = s.vec_id CROSS JOIN q
+ORDER BY cos_sim DESC, s.vec_id ASC
+LIMIT {k}
+"""
+
+
+ORACLES["ivfpq_knn"] = _ivfpq_oracle()

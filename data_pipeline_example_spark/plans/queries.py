@@ -478,6 +478,11 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_codes(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10: coarse probe + PQ asymmetric scoring + exact re-rank."""
+    return similarity.ivfpq_knn(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -764,7 +769,6 @@ QUERIES: dict[str, QueryFn] = {
     "pack_documents": q_pack_documents,
     "top_bigrams": q_top_bigrams,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "repetition_stats": q_repetition_stats,
     # --- dedup extensions ---
     "contamination_pairs": q_contamination_pairs,
     "exact_dedup": q_exact_dedup,
@@ -786,6 +790,7 @@ QUERIES: dict[str, QueryFn] = {
     "quantize_embeddings": q_quantize_embeddings,
     "project_embeddings": q_project_embeddings,
     "pq_codes": q_pq_codes,
+    "ivfpq_knn": q_ivfpq_knn,
     # --- multimodal plumbing ---
     "media_features": q_media_features,
     "frame_samples": q_frame_samples,
@@ -801,6 +806,7 @@ QUERIES: dict[str, QueryFn] = {
     # to make window room for the new project_embeddings + pq_codes)
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
+    "repetition_stats": q_repetition_stats,
     "gopher_quality": q_gopher_quality,
     "c4_line_stats": q_c4_line_stats,
     "value_stats": q_value_stats,

@@ -570,3 +570,21 @@ def test_pq_codes_shape_and_self_coding(spark, sf_dir):
     for row in selfc:
         for g in range(4):
             assert row[f"code_{g}"] == row["vec_id"], row
+
+
+def test_ivfpq_knn_reranks_to_exact_neighbors(spark, sf_dir):
+    """The query ranks itself first at cos 1.0; results descend by exact
+    cosine; and the PQ shortlist's top-k substantially overlaps brute
+    kNN (same probed-bucket universe as ivf_knn, so any loss comes only
+    from PQ scoring — the rerank pool absorbs it)."""
+    from data_pipeline_example_spark.operators.similarity import ivfpq_knn, knn
+    from data_pipeline_example_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = ivfpq_knn(emb, query_id=0, k=10).collect()
+    assert approx[0]["vec_id"] == 0 and approx[0]["cos_sim"] == 1.0
+    sims = [r["cos_sim"] for r in approx]
+    assert sims == sorted(sims, reverse=True)
+    exact = {r["vec_id"] for r in knn(emb, query_id=0, k=10).collect()}
+    got = {r["vec_id"] for r in approx}
+    assert len(got & exact) >= 5, (got, exact)
