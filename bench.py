@@ -64,6 +64,11 @@ HEADLINE = [
     # filter; r4 swaps the prune to its bounded-bucket twin
     "semantic_prune_capped",  # was semantic_prune
     "dup_ngram_fraction",
+    # round 5: the compressed-similarity leg — JL projection (zero
+    # shuffle), PQ code assignment, and IVF-PQ ANN with exact re-rank
+    "project_embeddings",
+    "pq_codes",
+    "ivfpq_knn",
 ]
 
 

@@ -73,10 +73,16 @@ def render_md(path: str, label: str = "") -> str:
     incl. driver BENCH_r{N}.json wrappers) AND bench_scaling.py's own
     output ({'queries': {q: {small, big, ratio}}, ...})."""
     rec = load_bench_record(path)
+    small_label, big_label = "sf0.1", "sf1 (10x upsampled)"
     if rec.get("metric") == "scaling_sf0.1_to_sf1":
         small = {q: v["small"] for q, v in rec["queries"].items()}
         big = {q: v["big"] for q, v in rec["queries"].items()}
         small_total, big_total = rec["small_total"], rec["big_total"]
+        if "small_dir" in rec:  # custom-dir runs label from the dirs
+            small_label = os.path.basename(rec["small_dir"].rstrip("/"))
+            big_label = (
+                os.path.basename(rec["big_dir"].rstrip("/")) + " (10x upsampled)"
+            )
     else:
         scaling = rec.get("scaling")
         if not scaling:
@@ -95,10 +101,10 @@ def render_md(path: str, label: str = "") -> str:
         f"Source artifact: `{os.path.basename(path)}`{tag} "
         f"(regenerate: `python tools/bench_scaling.py --render-md {os.path.basename(path)}`)",
         "",
-        "| Scale | headline total ({} queries) | vs sf0.1 |".format(len(small)),
+        "| Scale | headline total ({} queries) | vs {} |".format(len(small), small_label),
         "|---|---|---|",
-        f"| sf0.1 | {small_total:.1f} s | — |",
-        f"| sf1 (10x upsampled) | {big_total:.1f} s | x{big_total / small_total:.2f} |",
+        f"| {small_label} | {small_total:.1f} s | — |",
+        f"| {big_label} | {big_total:.1f} s | x{big_total / small_total:.2f} |",
         "",
         "Worst per-query ratios (10x data): "
         + ", ".join(
@@ -157,6 +163,8 @@ def main() -> None:
             {
                 "metric": "scaling_sf0.1_to_sf1",
                 "data_factor": 10,
+                "small_dir": small,
+                "big_dir": big,
                 "queries": out,
                 **totals,
             }
