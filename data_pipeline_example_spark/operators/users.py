@@ -371,3 +371,56 @@ def event_funnel(events: DataFrame) -> DataFrame:
     return counts.selectExpr(
         f"stack({len(stages)}, {stack_args}) as (stage_idx, stage, users)"
     )
+
+
+def user_cardinality_kmv(events: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-user estimate via a K-minimum-values sketch — the
+    cardinality sketch whose estimate is ENGINE-DETERMINISTIC, unlike
+    HLL++ (`user_cardinality`'s approx column is Spark-specific and
+    excluded from its oracle; this one hash-matches end to end).
+
+    KMV: hash every distinct user to a 48-bit value (first 12 hex chars
+    of md5 — portable, same family as the dedup fingerprints), keep the
+    k smallest; if the sketch saw fewer than k distinct hashes the
+    estimate IS the exact count, else est = round((k-1) * 2^48 / kth
+    smallest).  100 TB shape: `orderBy().limit(k)` compiles to
+    TakeOrderedAndProject — each task keeps a k-row heap and only k rows
+    per partition ever move, so the sketch costs one scan and a
+    k-row-per-partition collect instead of a distinct shuffle (the
+    mergeable-union property production KMV banks on).  The exact count
+    is computed alongside (sketch-then-exact-recount, the repo's
+    Misra-Gries discipline) so the relative error is continuously
+    visible next to the truth.
+
+    Output (one row): k, n_exact, kmv_estimate, rel_err (4 dp).
+    """
+    u = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+    hv = u.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv")
+    ).distinct()
+    top = hv.orderBy("hv").limit(k)
+    sketch = top.agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("hv").alias("kth")
+    )
+    exact = u.agg(F.count(F.lit(1)).alias("n_exact"))
+    full = F.lit(float((k - 1) * (1 << 48)))
+    est = F.when(F.col("n_seen") < k, F.col("n_seen").cast("long")).otherwise(
+        F.round(full / F.col("kth"), 0).cast("long")
+    )
+    return (
+        sketch.crossJoin(exact)
+        .select(
+            F.lit(k).alias("k"),
+            F.col("n_exact"),
+            est.alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+    )

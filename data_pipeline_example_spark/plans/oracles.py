@@ -2091,3 +2091,25 @@ LIMIT {k}
 
 
 ORACLES["ivfpq_knn"] = _ivfpq_oracle()
+
+
+ORACLES["user_cardinality_kmv"] = """
+WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+hv AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+  FROM u
+),
+top AS (SELECT hv FROM hv ORDER BY hv LIMIT 64),
+sketch AS (SELECT CAST(count(*) AS BIGINT) AS n_seen, max(hv) AS kth FROM top),
+exact AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM u),
+est AS (
+  SELECT n_exact,
+         CASE WHEN n_seen < 64 THEN n_seen
+              ELSE CAST(round(17732923532771328.0 / kth, 0) AS BIGINT)
+         END AS kmv_estimate
+  FROM sketch CROSS JOIN exact
+)
+SELECT CAST(64 AS INTEGER) AS k, n_exact, kmv_estimate,
+       round(abs(kmv_estimate - n_exact) / n_exact, 4) AS rel_err
+FROM est
+"""

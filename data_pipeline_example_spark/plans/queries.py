@@ -483,6 +483,11 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_knn(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_user_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct-count sketch (oracle-able, unlike HLL++)."""
+    return users.user_cardinality_kmv(load_table(spark, sf_dir, "events"))
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -791,6 +796,7 @@ QUERIES: dict[str, QueryFn] = {
     "project_embeddings": q_project_embeddings,
     "pq_codes": q_pq_codes,
     "ivfpq_knn": q_ivfpq_knn,
+    "user_cardinality_kmv": q_user_cardinality_kmv,
     # --- multimodal plumbing ---
     "media_features": q_media_features,
     "frame_samples": q_frame_samples,
@@ -806,6 +812,7 @@ QUERIES: dict[str, QueryFn] = {
     # to make window room for the new project_embeddings + pq_codes)
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_stats": q_repetition_stats,
     "gopher_quality": q_gopher_quality,
     "c4_line_stats": q_c4_line_stats,

@@ -300,3 +300,29 @@ def test_lang_mixture_flags_code_switching(spark):
     assert out[0]["is_mixed"] == 1 and out[0]["second_share"] >= 0.25
     assert out[1]["is_mixed"] == 0 and out[1]["top_share"] > 0.8
     assert out[2]["n_votes"] == 0 and out[2]["is_mixed"] == 0
+
+
+def test_kmv_sketch_branches_and_plan(spark, sf_dir):
+    """Degenerate branch (n < k) returns the exact count with rel_err 0;
+    the top-k side compiles to TakeOrderedAndProject (per-partition
+    k-row heaps), never a global sort shuffle."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_example_spark.operators.users import user_cardinality_kmv
+    from data_pipeline_example_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.filter(F.col("user_id").isNotNull()).select("user_id").distinct().count()
+
+    degenerate = user_cardinality_kmv(ev, k=n_users + 10).first()
+    assert degenerate["kmv_estimate"] == n_users == degenerate["n_exact"]
+    assert degenerate["rel_err"] == 0.0
+
+    active = user_cardinality_kmv(ev, k=max(2, n_users // 2))
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(active._jdf.queryExecution(), "simple")
+    assert "TakeOrderedAndProject" in plan
+    row = active.first()
+    assert row["kmv_estimate"] > 0
+    # a k-of-n/2 KMV on 48-bit hashes lands well within 3x of truth
+    assert 0.33 * n_users <= row["kmv_estimate"] <= 3 * n_users
