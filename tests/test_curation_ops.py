@@ -326,3 +326,30 @@ def test_kmv_sketch_branches_and_plan(spark, sf_dir):
     assert row["kmv_estimate"] > 0
     # a k-of-n/2 KMV on 48-bit hashes lands well within 3x of truth
     assert 0.33 * n_users <= row["kmv_estimate"] <= 3 * n_users
+
+
+def test_kmv_sketch_is_mergeable(spark, sf_dir):
+    """The union of per-shard k-minimum sets, re-minimized to k, equals
+    the whole-corpus sketch — the mergeability that lets KMV run
+    map-side at 100 TB (each partition ships k hashes, the driver (or a
+    combiner) re-minimizes)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_example_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    k = 8
+    hv = ev.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hv"),
+        (F.col("user_id") % 3).alias("shard"),
+    ).distinct()
+    whole = [r["hv"] for r in hv.select("hv").distinct().orderBy("hv").limit(k).collect()]
+    shard_mins = (
+        hv.groupBy("shard")
+        .agg(F.slice(F.sort_array(F.collect_set("hv")), 1, k).alias("mins"))
+        .collect()
+    )
+    merged = sorted({v for r in shard_mins for v in r["mins"]})[:k]
+    assert merged == whole
