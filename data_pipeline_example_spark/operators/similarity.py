@@ -184,7 +184,17 @@ def assign_centroids(
     """Assign each vector to its nearest 'centroid' (cosine, tie-break
     lowest centroid id). Centroids = embeddings with vec_id < n_centroids.
     Output: vec_id, centroid_id (+ cos_sim when ``keep_sim``). The
-    centroid set is tiny → broadcast."""
+    centroid set is tiny → broadcast.
+
+    Argmax is a ``min(struct(-cos, cid))`` aggregation, not a window
+    rank: min-of-struct is partially aggregable, so the one exchange
+    carries ONE narrow row per vector (map-side combined) instead of
+    the window's corpus × n_centroids rows sorted per vec_id — the
+    difference between shuffling the scored cross product and shuffling
+    the answer. Lexicographic struct ordering IS the tie-break
+    (-cos asc = cos desc, then cid asc), identical to the rank version
+    and to every oracle's ``ORDER BY cos DESC, cid ASC ... rn = 1``.
+    """
     e = _as_double(embeddings)
     cents = e.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
@@ -194,8 +204,18 @@ def assign_centroids(
         "centroid_id",
         F.round(V.cosine(F.col("v"), F.col("cv")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
-    out = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cos_sim")).alias("nc"), F.col("centroid_id").alias("cid")
+            )
+        ).alias("b")
+    )
+    out = best.select(
+        "vec_id",
+        F.col("b.cid").alias("centroid_id"),
+        (-F.col("b.nc")).alias("cos_sim"),
+    )
     cols = ["vec_id", "centroid_id"] + (["cos_sim"] if keep_sim else [])
     return out.select(*cols)
 
