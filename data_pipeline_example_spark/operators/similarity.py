@@ -1,6 +1,8 @@
 """Similarity search over embedding columns (``array<float>``).
 
-LLM-data-pipeline extensions (BASELINE.json north star). Three operators:
+LLM-data-pipeline extensions (BASELINE.json north star; the reference
+has no vector operators — every op here is new surface). The search
+ladder, exact to compressed:
 
 * ``knn`` — brute-force cosine top-k for one query vector: broadcast the
   query row, score every vector with the UDF-free cosine from
@@ -16,6 +18,12 @@ LLM-data-pipeline extensions (BASELINE.json north star). Three operators:
   Centroids here are taken deterministically from the dataset itself
   (first ``n_centroids`` vec_ids) so the operator — and its SQL oracle —
   are fully reproducible without an ML training step.
+* ``project_embeddings`` / ``pq_codes`` / ``ivfpq_knn`` — the
+  compressed leg: JL random projection (16 doubles stand in for the
+  vector during candidate generation), product-quantization codes
+  (m small ints stand in for the vector in storage), and IVF-PQ search
+  (coarse probe + code-based asymmetric scoring + exact re-rank of a
+  short list) — the shape billion-scale ANN systems actually run.
 
 Ordering for top-k uses the 6-dp-rounded cosine plus vec_id tie-break:
 double-precision sums can differ in the last ulp across engines, and
