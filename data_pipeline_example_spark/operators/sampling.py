@@ -107,3 +107,41 @@ def value_quantile_sketch(
         )
         .orderBy("event_type")
     )
+
+
+def priority_sample(
+    documents: DataFrame, k: int = 50, weight_col: str = "n_chars"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact size k — the
+    Efraimidis-Spirakis A-ES scheme, deterministic: each row gets
+    priority key ln(u)/w where u ∈ (0,1] is its md5 hash fraction
+    (48-bit, same family as every sampler here) and w its weight; the
+    k largest keys ARE a weighted sample without replacement.  This is
+    the exact-k counterpart of `mixture_sample`'s rate-based
+    (expected-size) membership — the op a data-mixing job needs when
+    the budget is "exactly k documents, long ones proportionally more
+    likely", e.g. token-weighted subset selection.
+
+    Keys are rounded to 12 dp before ranking: ln() may differ in the
+    last ulp across engines and ranking on the rounded key keeps the
+    sample cross-engine identical (same discipline as the 6-dp cosine
+    ordering), with doc_id as the total-order tie-break.  Rows with
+    NULL or non-positive weight are excluded (ln(u)/w flips sign).
+
+    Scale shape: one scan, pure expressions, `orderBy().limit(k)` →
+    TakeOrderedAndProject — per-task k-row heaps, only k rows per
+    partition move.  Output: doc_id, weight, sample_key.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 48))
+    key = F.round(F.log(u) / w, 12)
+    return (
+        documents.filter(w.isNotNull() & (w > 0))
+        .select("doc_id", w.alias("weight"), key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(k)
+    )

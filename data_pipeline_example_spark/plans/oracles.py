@@ -2113,3 +2113,19 @@ SELECT CAST(64 AS INTEGER) AS k, n_exact, kmv_estimate,
        round(abs(kmv_estimate - n_exact) / n_exact, 4) AS rel_err
 FROM est
 """
+
+
+ORACLES["priority_sample"] = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) AS weight,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1.0)
+           / 281474976710656.0 AS u
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, weight, round(ln(u) / weight, 12) AS sample_key
+FROM d
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 50
+"""

@@ -488,6 +488,11 @@ def q_user_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return users.user_cardinality_kmv(load_table(spark, sf_dir, "events"))
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling without replacement, exact k, deterministic."""
+    return sampling.priority_sample(load_table(spark, sf_dir, "documents"))
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -797,9 +802,9 @@ QUERIES: dict[str, QueryFn] = {
     "pq_codes": q_pq_codes,
     "ivfpq_knn": q_ivfpq_knn,
     "user_cardinality_kmv": q_user_cardinality_kmv,
+    "priority_sample": q_priority_sample,
     # --- multimodal plumbing ---
-    "media_features": q_media_features,
-    "frame_samples": q_frame_samples,
+
     # --- chunking / provenance curation ---
     # --- sampling / pruning extensions ---
     # --- event analytics extensions ---
@@ -812,6 +817,8 @@ QUERIES: dict[str, QueryFn] = {
     # to make window room for the new project_embeddings + pq_codes)
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
+    "media_features": q_media_features,
+    "frame_samples": q_frame_samples,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_stats": q_repetition_stats,
     "gopher_quality": q_gopher_quality,

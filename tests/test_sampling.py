@@ -85,3 +85,30 @@ def test_bloom_prune_is_broadcast_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_priority_sample_is_weighted_and_exact_k(spark, sf_dir):
+    """Exactly k rows; heavier documents are overrepresented (mean
+    sampled weight well above the corpus mean); deterministic across
+    repartitionings; TakeOrderedAndProject plan (no global sort)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_example_spark.operators.sampling import priority_sample
+    from data_pipeline_example_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 50
+    samp = priority_sample(docs, k=k)
+    rows = samp.collect()
+    assert len(rows) == min(k, docs.count())
+
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean  # weight-proportional inclusion
+
+    again = priority_sample(docs.repartition(7), k=k).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in rows}
+
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(samp._jdf.queryExecution(), "simple")
+    assert "TakeOrderedAndProject" in plan
