@@ -69,6 +69,9 @@ HEADLINE = [
     "project_embeddings",
     "pq_codes",
     "ivfpq_knn",
+    # round 5: sketch + weighted-sampling legs (TakeOrdered-shaped)
+    "user_cardinality_kmv",
+    "priority_sample",
 ]
 
 
