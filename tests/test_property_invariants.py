@@ -169,3 +169,48 @@ def test_length_buckets_cuts_equals_ntile(spark, word_counts, n_buckets):
         tuple(r) for r in text.length_buckets(docs, n_buckets, method="ntile").collect()
     )
     assert cuts == ntile
+
+
+@settings(**_SETTINGS)
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=10_000), min_size=3, max_size=24),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_priority_sample_nesting(spark, weights, k):
+    """A-ES samples nest: the top-k keyed rows are a prefix of the
+    top-(k+m) keyed rows — the property that makes one keyed pass serve
+    every budget (compute keys once, cut anywhere)."""
+    from data_pipeline_example_spark.operators.sampling import priority_sample
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, n_chars long"
+    )
+    small = [r["doc_id"] for r in priority_sample(docs, k=k).collect()]
+    big = [r["doc_id"] for r in priority_sample(docs, k=k + 3).collect()]
+    assert big[: len(small)] == small
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_pq_codes_identical_vectors_share_codes(spark, seed):
+    """Exact-duplicate vectors always land on identical PQ codes
+    (quantization is a pure function of the vector given the codebook)."""
+    import hashlib
+
+    from data_pipeline_example_spark.operators.similarity import pq_codes
+
+    def vec(i: int) -> list[float]:
+        return [
+            (int(hashlib.md5(f"{seed}:{i}:{d}".encode()).hexdigest()[:4], 16) % 997)
+            / 997.0
+            - 0.5
+            for d in range(64)
+        ]
+
+    base = [(i, vec(i)) for i in range(20)]
+    dups = [(100 + i, v) for i, v in base[16:20]]  # non-centroid duplicates
+    df = spark.createDataFrame(base + dups, "vec_id long, embedding array<double>")
+    rows = {r["vec_id"]: (r["code_0"], r["code_1"], r["code_2"], r["code_3"])
+            for r in pq_codes(df).collect()}
+    for i, _ in base[16:20]:
+        assert rows[i] == rows[100 + i]
