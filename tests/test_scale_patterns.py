@@ -145,3 +145,33 @@ def test_datagen_replay_streaming_full_loop(spark, tmp_path):
     payload = serving.stream_payload(windowed)
     assert payload["status"] == "ok"
     assert payload["summary"]["unique_products"] >= 1
+
+
+def test_ann_index_partition_pruning_and_equivalence(spark, sf_dir, tmp_path):
+    """write_ann_index → ivfpq_knn_indexed: the probed read carries the
+    centroid_id filter as a PARTITION filter (only n_probe directories
+    scanned), and the served top-k is bit-identical to the direct
+    ivfpq_knn over the same corpus."""
+    from data_pipeline_example_spark.operators.similarity import (
+        ivfpq_knn,
+        ivfpq_knn_indexed,
+        write_ann_index,
+    )
+    from data_pipeline_example_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    served = ivfpq_knn_indexed(spark, path, qv)
+
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(served._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters", 1)[1][:200]
+    assert "centroid_id" in part_section
+
+    direct = [tuple(r) for r in ivfpq_knn(emb, query_id=0).collect()]
+    got = [tuple(r) for r in served.collect()]
+    assert got == direct
