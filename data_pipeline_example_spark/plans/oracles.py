@@ -2129,3 +2129,37 @@ FROM d
 ORDER BY sample_key DESC, doc_id ASC
 LIMIT 50
 """
+
+
+ORACLES["user_cardinality_kmv_by_type"] = """
+WITH pairs AS (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+hv AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+  FROM pairs
+),
+ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM hv
+),
+sketch AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen, max(hv) AS kth
+  FROM ranked WHERE rk <= 16 GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM pairs GROUP BY event_type
+),
+est AS (
+  SELECT s.event_type, e.n_exact,
+         CASE WHEN s.n_seen < 16 THEN s.n_seen
+              ELSE CAST(round(4222124650659840.0 / s.kth, 0) AS BIGINT)
+         END AS kmv_estimate
+  FROM sketch s JOIN exact e USING (event_type)
+)
+SELECT event_type, n_exact, kmv_estimate,
+       round(abs(kmv_estimate - n_exact) / n_exact, 4) AS rel_err
+FROM est
+"""

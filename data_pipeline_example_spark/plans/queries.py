@@ -493,6 +493,11 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.priority_sample(load_table(spark, sf_dir, "documents"))
 
 
+def q_user_cardinality_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV sketches in one pass (WindowGroupLimit pre-trim)."""
+    return users.user_cardinality_kmv_by_type(load_table(spark, sf_dir, "events"))
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -768,7 +773,6 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_recall_summary": q_lsh_recall_summary,
     "nation_actor_presence": q_nation_actor_presence,
     "lang_mixture": q_lang_mixture,
-    "embedding_profile": q_embedding_profile,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -802,6 +806,7 @@ QUERIES: dict[str, QueryFn] = {
     "pq_codes": q_pq_codes,
     "ivfpq_knn": q_ivfpq_knn,
     "user_cardinality_kmv": q_user_cardinality_kmv,
+    "user_cardinality_kmv_by_type": q_user_cardinality_kmv_by_type,
     "priority_sample": q_priority_sample,
     # --- multimodal plumbing ---
 
@@ -815,6 +820,7 @@ QUERIES: dict[str, QueryFn] = {
     # gopher_quality + c4_line_stats + value_stats rotated out r5, all
     # r4-green; redact_pii + mixture_rates rotated out mid-r5 (r4-green)
     # to make window room for the new project_embeddings + pq_codes)
+    "embedding_profile": q_embedding_profile,
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
     "media_features": q_media_features,

@@ -353,3 +353,31 @@ def test_kmv_sketch_is_mergeable(spark, sf_dir):
     )
     merged = sorted({v for r in shard_mins for v in r["mins"]})[:k]
     assert merged == whole
+
+
+def test_kmv_by_type_plan_uses_window_group_limit(spark, sf_dir):
+    """The per-group k-minimum selection must pre-trim map-side
+    (WindowGroupLimit) — the property that keeps the rollup one cheap
+    pass at 100 TB — and each group's row matches the whole-table
+    estimator run on that group alone."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_example_spark.operators.users import (
+        user_cardinality_kmv,
+        user_cardinality_kmv_by_type,
+    )
+    from data_pipeline_example_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    grouped = user_cardinality_kmv_by_type(ev, k=8)
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(grouped._jdf.queryExecution(), "simple")
+    assert "WindowGroupLimit" in plan
+
+    rows = {r["event_type"]: r for r in grouped.collect()}
+    one_type = sorted(rows)[0]
+    single = user_cardinality_kmv(
+        ev.filter(F.col("event_type") == one_type), k=8
+    ).first()
+    assert rows[one_type]["n_exact"] == single["n_exact"]
+    assert rows[one_type]["kmv_estimate"] == single["kmv_estimate"]
