@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -303,6 +304,7 @@ DECODED_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("mode", StringType()),
+        StructField("mean_pixel", DoubleType()),
     ]
 )
 
@@ -322,12 +324,26 @@ def decoded_image_features(media: DataFrame) -> DataFrame:
 
         for pdf in batches:
             imgs = [decode_image(bytes(b)) for b in pdf["content"]]
+            # tobytes() is the common seam (PIL and StdlibImage): the
+            # mean over raw interleaved pixel bytes proves the pixel
+            # block was actually decoded, not just the header parsed
+            means = []
+            for i in imgs:
+                px = i.tobytes()
+                # explicit round-half-up (floor(x*1e4 + 0.5)/1e4): the
+                # byte-sum mean can land exactly on a 4-dp tie (e.g.
+                # 72.65625 at n=96) where Python's bankers' rounding
+                # and the oracle's half-up disagree
+                means.append(
+                    int(sum(px) / len(px) * 10000 + 0.5) / 10000 if px else None
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": pd.array([i.width for i in imgs], dtype="int32"),
                     "height": pd.array([i.height for i in imgs], dtype="int32"),
                     "mode": pd.array([i.mode for i in imgs], dtype=object),
+                    "mean_pixel": pd.array(means, dtype="float64"),
                 }
             )
 
@@ -455,7 +471,14 @@ def attach_ppm(documents: DataFrame) -> DataFrame:
         h.cast("string"),
         F.lit("\n255\n"),
     )
-    pixels = F.expr("repeat('A', width * height * 3)")
+    # VARYING pixel bytes (codes 65..81, i mod 17 cycle): a decoder
+    # that parses the header but mis-reads the pixel block can no
+    # longer pass — the decoded mean has a closed form the oracle
+    # recomputes exactly (integer arithmetic, no float folds)
+    pixels = F.expr(
+        "array_join(transform(sequence(0, width * height * 3 - 1),"
+        " i -> char(65 + i % 17)), '')"
+    )
     return documents.select(
         F.col("doc_id"), w.alias("width"), h.alias("height"), header.alias("hdr")
     ).select(

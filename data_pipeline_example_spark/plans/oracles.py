@@ -1655,11 +1655,24 @@ FROM (
     # intended dims from the same char-length formula, so any decoder
     # deviation (mis-parse, dropped row) hash-mismatches
     "decoded_image_stats": """
-SELECT doc_id,
-       CAST(length(coalesce(text, '')) % 13 + 1 AS INTEGER) AS width,
-       CAST((length(coalesce(text, '')) * 7) % 11 + 1 AS INTEGER) AS height,
-       'RGB' AS mode
-FROM documents
+WITH dims AS (
+  SELECT doc_id,
+         CAST(length(coalesce(text, '')) % 13 + 1 AS INTEGER) AS width,
+         CAST((length(coalesce(text, '')) * 7) % 11 + 1 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  -- pixel i (0-based) has byte value 65 + i % 17; over n = w*h*3 bytes
+  -- the sum is 65n + 136*(n//17) + r(r-1)/2 with r = n % 17 — exact
+  -- integer arithmetic, so the decoded mean must match to the digit
+  SELECT doc_id, width, height,
+         CAST(width AS BIGINT) * height * 3 AS n
+  FROM dims
+)
+SELECT doc_id, width, height, 'RGB' AS mode,
+       round((65.0 * n + 136 * (n // 17) + (n % 17) * ((n % 17) - 1) / 2) / n, 4)
+         AS mean_pixel
+FROM px
 """,
     # chunking: range() over a column works inside list_transform (the
     # FROM-clause lateral form does not in DuckDB 1.0); zipped unnests in
