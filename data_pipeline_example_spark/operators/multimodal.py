@@ -500,3 +500,66 @@ def decoded_image_stats(documents: DataFrame) -> DataFrame:
     header or drops payloads hash-mismatches immediately.
     """
     return decoded_image_features(attach_ppm(documents))
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual aHash over the REAL decode → resize pipeline: decode
+    the payload, nearest-neighbor resize to 8x8, per-cell gray value
+    (sum of the 3 channel bytes — integer, no division), bit i = [64 *
+    gray_i > total] — all-integer comparisons, so the 64-char bit
+    string is exact and cross-engine oracle-able (no float thresholds).
+    This is the image-dedup primitive: near-identical images (resize,
+    recompress) collide on phash; Hamming-near hashes are banded the
+    same way SimHash text signatures are.
+
+    Executes the live decoder + the real ``resize`` (StdlibImage here,
+    PIL on clusters — both map dst pixel x to src ``x * W // 8``).
+    Arrow-batched mapInPandas; one scan, no shuffle.
+    Output: doc_id, width, height, phash (64-char '0'/'1' string).
+    """
+
+    def _hash(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "width": [], "height": [], "phash": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_image(bytes(b))
+                small = img.resize((8, 8))
+                px = small.tobytes()
+                grays = [px[i * 3] + px[i * 3 + 1] + px[i * 3 + 2] for i in range(64)]
+                total = sum(grays)
+                bits = "".join("1" if 64 * g > total else "0" for g in grays)
+                out["doc_id"].append(doc_id)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["phash"].append(bits)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "width": pd.array(out["width"], dtype="int32"),
+                    "height": pd.array(out["height"], dtype="int32"),
+                    "phash": pd.array(out["phash"], dtype=object),
+                }
+            )
+
+    return media.mapInPandas(_hash, schema=PHASH_SCHEMA)
+
+
+def image_phash_stats(documents: DataFrame) -> DataFrame:
+    """Registered pipeline: synthesize P6 payloads (:func:`attach_ppm`)
+    → real decode → real 8x8 resize → integer aHash. The SQL oracle
+    replays the whole chain analytically (pixel (sx,sy) of the resize
+    pulls source byte 65 + ((sy*W+sx)*3 + c) % 17), so a decoder OR
+    resize deviation flips bits and hash-mismatches."""
+    return image_phash(attach_ppm(documents))

@@ -2176,3 +2176,34 @@ SELECT event_type, n_exact, kmv_estimate,
        round(abs(kmv_estimate - n_exact) / n_exact, 4) AS rel_err
 FROM est
 """
+
+
+# image_phash_stats: replay attach_ppm -> decode -> 8x8 nearest resize
+# -> integer aHash analytically. Resized cell (x,y) pulls source pixel
+# (x*W//8, y*H//8); its 3 bytes are 65 + (base+c) % 17 with
+# base = (sy*W+sx)*3. All-integer: bit i = [64*gray_i > total].
+ORACLES["image_phash_stats"] = """
+WITH dims AS (
+  SELECT doc_id,
+         length(coalesce(text, '')) % 13 + 1 AS w,
+         (length(coalesce(text, '')) * 7) % 11 + 1 AS h
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w, h,
+         list_transform(range(64), i ->
+           195 + ((((i // 8) * h // 8) * w + (i % 8) * w // 8) * 3 % 17)
+               + ((((i // 8) * h // 8) * w + (i % 8) * w // 8) * 3 + 1) % 17
+               + ((((i // 8) * h // 8) * w + (i % 8) * w // 8) * 3 + 2) % 17
+         ) AS grays
+  FROM dims
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       array_to_string(
+         list_transform(range(64), i ->
+           CASE WHEN 64 * grays[i + 1] > list_aggregate(grays, 'sum')
+                THEN '1' ELSE '0' END), '') AS phash
+FROM g
+"""

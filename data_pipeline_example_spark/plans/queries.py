@@ -498,6 +498,11 @@ def q_user_cardinality_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFram
     return users.user_cardinality_kmv_by_type(load_table(spark, sf_dir, "events"))
 
 
+def q_image_phash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode -> real resize -> integer aHash, oracled end to end."""
+    return multimodal.image_phash_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -758,6 +763,7 @@ QUERIES: dict[str, QueryFn] = {
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
+    "image_phash_stats": q_image_phash_stats,
     "semantic_prune_capped": q_semantic_prune_capped,
     "nearest_neighbor_capped": q_nearest_neighbor_capped,
     "srp_dup_pairs": q_srp_dup_pairs,
@@ -772,7 +778,6 @@ QUERIES: dict[str, QueryFn] = {
     "audio_windows": q_audio_windows,
     "lsh_recall_summary": q_lsh_recall_summary,
     "nation_actor_presence": q_nation_actor_presence,
-    "lang_mixture": q_lang_mixture,
     # --- text analysis extensions ---
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
@@ -821,6 +826,7 @@ QUERIES: dict[str, QueryFn] = {
     # r4-green; redact_pii + mixture_rates rotated out mid-r5 (r4-green)
     # to make window room for the new project_embeddings + pq_codes)
     "embedding_profile": q_embedding_profile,
+    "lang_mixture": q_lang_mixture,
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
     "media_features": q_media_features,

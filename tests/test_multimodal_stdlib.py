@@ -114,3 +114,30 @@ def test_decoded_image_features_end_to_end_stdlib(spark):
         for r in mm.decoded_image_features(media).collect()
     }
     assert got == {1: (12, 7, "RGB"), 2: (3, 5, "L"), 3: (9, 2, "RGB")}
+
+
+def test_image_phash_contract(spark, sf_dir):
+    """Identical payloads hash identically; the bit string is 64 chars;
+    and hashes vary across dimension groups (the threshold pattern is a
+    function of (w, h), so distinct shapes should not all collide)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_example_spark.operators.multimodal import (
+        attach_ppm,
+        image_phash,
+    )
+    from data_pipeline_example_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = image_phash(attach_ppm(docs))
+    rows = hashed.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["phash"]) == 64 and set(r["phash"]) <= {"0", "1"} for r in rows)
+
+    by_dims = {}
+    for r in rows:
+        by_dims.setdefault((r["width"], r["height"]), set()).add(r["phash"])
+    # same synthesized dims => identical image => identical hash
+    assert all(len(s) == 1 for s in by_dims.values())
+    # and the hash space is not degenerate across shapes
+    assert len({next(iter(s)) for s in by_dims.values()}) > 1
