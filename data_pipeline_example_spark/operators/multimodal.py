@@ -563,3 +563,51 @@ def image_phash_stats(documents: DataFrame) -> DataFrame:
     pulls source byte 65 + ((sy*W+sx)*3 + c) % 17), so a decoder OR
     resize deviation flips bits and hash-mismatches."""
     return image_phash(attach_ppm(documents))
+
+
+def phash_dup_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Image near-dup pairs over the real decode→resize→aHash pipeline:
+    the multimodal twin of ``dedup.simhash_pairs``, same banded-LSH
+    shape — candidates join ONLY on 16-bit chunk equality (a pair
+    within Hamming ≤ 8 of 64 agrees on ≥1 chunk), first-match emission
+    (every earlier chunk must differ) so no dedup shuffle, exact
+    Hamming via two XOR+popcounts on the bit string packed into two
+    longs (``conv(..., 2, 10)``).  Identical synthesized dims ⇒
+    identical image ⇒ hamming 0; near dims land under the threshold.
+
+    Output: doc_a, doc_b, hamming (int), ascending-unique pairs.
+    """
+    hashed = image_phash(attach_ppm(documents)).localCheckpoint()
+    chunk_structs = ", ".join(
+        f"struct({c} AS chunk, substring(phash, {16 * c + 1}, 16) AS val)"
+        for c in range(4)
+    )
+    first_match = " AND ".join(
+        f"(a.chunk <= {k} OR substring(a.phash, {16 * k + 1}, 16)"
+        f" != substring(b.phash, {16 * k + 1}, 16))"
+        for k in range(3)
+    )
+    # phash survives into the join rows for the first-match residual
+    chunks = hashed.selectExpr(
+        "doc_id",
+        "phash",
+        "cast(conv(substring(phash, 1, 32), 2, 10) as long) AS hi",
+        "cast(conv(substring(phash, 33, 32), 2, 10) as long) AS lo",
+        f"explode(array({chunk_structs})) AS cc",
+    ).selectExpr("doc_id", "phash", "hi", "lo", "cc.chunk AS chunk", "cc.val AS val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            F.expr(
+                "a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id"
+                f" AND {first_match}"
+            ),
+        )
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "b.doc_id AS doc_b",
+            "cast(bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) as int) AS hamming",
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

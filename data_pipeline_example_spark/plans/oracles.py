@@ -2207,3 +2207,31 @@ SELECT doc_id,
                 THEN '1' ELSE '0' END), '') AS phash
 FROM g
 """
+
+
+# phash_dup_pairs: banded join over the analytic phash (derived table =
+# the image_phash_stats oracle), first-match emission, exact Hamming by
+# per-position char comparison
+ORACLES["phash_dup_pairs"] = f"""
+WITH ph AS ({ORACLES["image_phash_stats"]}),
+banded AS (
+  SELECT doc_id, phash, b.c AS chunk, substr(phash, b.c * 16 + 1, 16) AS val
+  FROM ph CROSS JOIN (SELECT unnest(range(4)) AS c) b
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash AS pa, b.phash AS pb
+  FROM banded a JOIN banded b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+   AND (a.chunk <= 0 OR substr(a.phash, 1, 16) != substr(b.phash, 1, 16))
+   AND (a.chunk <= 1 OR substr(a.phash, 17, 16) != substr(b.phash, 17, 16))
+   AND (a.chunk <= 2 OR substr(a.phash, 33, 16) != substr(b.phash, 33, 16))
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(range(64),
+            i -> substr(pa, CAST(i + 1 AS INTEGER), 1)
+              != substr(pb, CAST(i + 1 AS INTEGER), 1))) AS INTEGER) AS hamming
+FROM cand
+WHERE len(list_filter(range(64),
+      i -> substr(pa, CAST(i + 1 AS INTEGER), 1)
+        != substr(pb, CAST(i + 1 AS INTEGER), 1))) <= 8
+"""

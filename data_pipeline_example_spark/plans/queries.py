@@ -503,6 +503,11 @@ def q_image_phash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_phash_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: banded aHash LSH over the real decode path."""
+    return multimodal.phash_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -764,6 +769,7 @@ QUERIES: dict[str, QueryFn] = {
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
     "image_phash_stats": q_image_phash_stats,
+    "phash_dup_pairs": q_phash_dup_pairs,
     "semantic_prune_capped": q_semantic_prune_capped,
     "nearest_neighbor_capped": q_nearest_neighbor_capped,
     "srp_dup_pairs": q_srp_dup_pairs,
@@ -779,7 +785,6 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_recall_summary": q_lsh_recall_summary,
     "nation_actor_presence": q_nation_actor_presence,
     # --- text analysis extensions ---
-    "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
     "lang_predict": q_lang_predict,
     "doc_fingerprints": q_doc_fingerprints,
@@ -827,6 +832,7 @@ QUERIES: dict[str, QueryFn] = {
     # to make window room for the new project_embeddings + pq_codes)
     "embedding_profile": q_embedding_profile,
     "lang_mixture": q_lang_mixture,
+    "doc_stats": q_doc_stats,
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
     "media_features": q_media_features,
