@@ -72,6 +72,9 @@ HEADLINE = [
     # round 5: sketch + weighted-sampling legs (TakeOrdered-shaped)
     "user_cardinality_kmv",
     "priority_sample",
+    # round 5: multimodal real-decode leg — aHash + banded image dedup
+    "image_phash_stats",
+    "phash_dup_pairs",
 ]
 
 
