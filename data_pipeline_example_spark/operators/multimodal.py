@@ -611,3 +611,27 @@ def phash_dup_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def audio_dup_windows(media: DataFrame, window_ms: int = 1000) -> DataFrame:
+    """Exact-duplicate audio segments across documents: group the
+    :func:`audio_windows` fan-out on the window content digest and keep
+    digests appearing in more than one document — the audio-modality
+    exact-dedup (window_md5 is a pure function of the window bytes, so
+    equal digests ⇔ byte-identical segments; near-dup would swap the
+    digest for an acoustic fingerprint, same plan shape).  One
+    map-side-combined aggregation over the fan-out; the shuffle carries
+    (digest, partials), never samples.
+
+    Output: window_md5, n_copies, n_docs, first_doc.
+    """
+    w = audio_windows(media, window_ms=window_ms)
+    return (
+        w.groupBy("window_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

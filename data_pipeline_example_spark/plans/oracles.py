@@ -2235,3 +2235,15 @@ WHERE len(list_filter(range(64),
       i -> substr(pa, CAST(i + 1 AS INTEGER), 1)
         != substr(pb, CAST(i + 1 AS INTEGER), 1))) <= 8
 """
+
+
+ORACLES["audio_dup_windows"] = f"""
+WITH w AS ({ORACLES["audio_windows"]})
+SELECT window_md5,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc
+FROM w
+GROUP BY window_md5
+HAVING count(DISTINCT doc_id) > 1
+"""

@@ -508,6 +508,14 @@ def q_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_dup_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_audio_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-duplicate audio segments (digest grouping)."""
+    return multimodal.audio_dup_windows(
+        multimodal.attach_binary(load_table(spark, sf_dir, "documents")),
+        window_ms=10,
+    )
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -770,6 +778,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
     "image_phash_stats": q_image_phash_stats,
     "phash_dup_pairs": q_phash_dup_pairs,
+    "audio_dup_windows": q_audio_dup_windows,
     "semantic_prune_capped": q_semantic_prune_capped,
     "nearest_neighbor_capped": q_nearest_neighbor_capped,
     "srp_dup_pairs": q_srp_dup_pairs,
@@ -785,7 +794,6 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_recall_summary": q_lsh_recall_summary,
     "nation_actor_presence": q_nation_actor_presence,
     # --- text analysis extensions ---
-    "corpus_stats": q_corpus_stats,
     "lang_predict": q_lang_predict,
     "doc_fingerprints": q_doc_fingerprints,
     "token_counts": q_token_counts,
@@ -833,6 +841,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_profile": q_embedding_profile,
     "lang_mixture": q_lang_mixture,
     "doc_stats": q_doc_stats,
+    "corpus_stats": q_corpus_stats,
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
     "media_features": q_media_features,
