@@ -2214,14 +2214,21 @@ FROM g
 # per-position char comparison
 ORACLES["phash_dup_pairs"] = f"""
 WITH ph AS ({ORACLES["image_phash_stats"]}),
+groups AS (
+  SELECT phash, min(doc_id) AS rep_doc, CAST(count(*) AS BIGINT) AS n_members
+  FROM ph GROUP BY phash
+),
 banded AS (
-  SELECT doc_id, phash, b.c AS chunk, substr(phash, b.c * 16 + 1, 16) AS val
-  FROM ph CROSS JOIN (SELECT unnest(range(4)) AS c) b
+  SELECT phash, rep_doc, n_members, b.c AS chunk,
+         substr(phash, b.c * 16 + 1, 16) AS val
+  FROM groups CROSS JOIN (SELECT unnest(range(4)) AS c) b
 ),
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash AS pa, b.phash AS pb
+  SELECT a.rep_doc AS doc_a, b.rep_doc AS doc_b,
+         a.phash AS pa, b.phash AS pb,
+         a.n_members AS n_a, b.n_members AS n_b
   FROM banded a JOIN banded b
-    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    ON a.chunk = b.chunk AND a.val = b.val AND a.rep_doc < b.rep_doc
    AND (a.chunk <= 0 OR substr(a.phash, 1, 16) != substr(b.phash, 1, 16))
    AND (a.chunk <= 1 OR substr(a.phash, 17, 16) != substr(b.phash, 17, 16))
    AND (a.chunk <= 2 OR substr(a.phash, 33, 16) != substr(b.phash, 33, 16))
@@ -2229,11 +2236,12 @@ cand AS (
 SELECT doc_a, doc_b,
        CAST(len(list_filter(range(64),
             i -> substr(pa, CAST(i + 1 AS INTEGER), 1)
-              != substr(pb, CAST(i + 1 AS INTEGER), 1))) AS INTEGER) AS hamming
+              != substr(pb, CAST(i + 1 AS INTEGER), 1))) AS INTEGER) AS hamming,
+       n_a, n_b
 FROM cand
 WHERE len(list_filter(range(64),
       i -> substr(pa, CAST(i + 1 AS INTEGER), 1)
-        != substr(pb, CAST(i + 1 AS INTEGER), 1))) <= 8
+        != substr(pb, CAST(i + 1 AS INTEGER), 1))) BETWEEN 1 AND 8
 """
 
 

@@ -141,3 +141,34 @@ def test_image_phash_contract(spark, sf_dir):
     assert all(len(s) == 1 for s in by_dims.values())
     # and the hash space is not degenerate across shapes
     assert len({next(iter(s)) for s in by_dims.values()}) > 1
+
+
+def test_phash_dup_pairs_relates_distinct_classes(spark, sf_dir):
+    """Pairs are between distinct hash classes only (hamming >= 1),
+    representatives are the lowest member doc_ids, and identical-image
+    multiplicity rides along as n_a/n_b instead of being enumerated as
+    O(g^2) pairs."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_example_spark.operators.multimodal import (
+        attach_ppm,
+        image_phash,
+        phash_dup_pairs,
+    )
+    from data_pipeline_example_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = phash_dup_pairs(docs).collect()
+    assert pairs, "synthetic corpus has near-dup dimension classes"
+    assert all(1 <= r["hamming"] <= 8 and r["doc_a"] < r["doc_b"] for r in pairs)
+
+    groups = (
+        image_phash(attach_ppm(docs))
+        .groupBy("phash")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    reps = {r["rep"]: r["n"] for r in groups}
+    for r in pairs:
+        assert r["doc_a"] in reps and r["doc_b"] in reps
+        assert r["n_a"] == reps[r["doc_a"]] and r["n_b"] == reps[r["doc_b"]]
