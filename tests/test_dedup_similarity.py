@@ -588,3 +588,28 @@ def test_ivfpq_knn_reranks_to_exact_neighbors(spark, sf_dir):
     exact = {r["vec_id"] for r in knn(emb, query_id=0, k=10).collect()}
     got = {r["vec_id"] for r in approx}
     assert len(got & exact) >= 5, (got, exact)
+
+
+def test_new_embedding_ops_handle_tiny_and_empty_inputs(spark):
+    """Empty corpus → empty results (no crash); corpus smaller than the
+    codebook (n < ks) → codes drawn from the vectors that exist."""
+    from data_pipeline_example_spark.operators.similarity import (
+        ivfpq_knn,
+        pq_codes,
+        project_embeddings,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert pq_codes(empty).count() == 0
+    assert project_embeddings(empty).count() == 0
+    assert ivfpq_knn(empty).count() == 0
+
+    tiny = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(64)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    codes = pq_codes(tiny).collect()
+    assert len(codes) == 5
+    assert all(0 <= r[f"code_{g}"] < 5 for r in codes for g in range(4))
+    top = ivfpq_knn(tiny, query_id=2, k=3).collect()
+    assert top and top[0]["vec_id"] == 2 and top[0]["cos_sim"] == 1.0
