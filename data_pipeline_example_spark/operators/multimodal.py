@@ -512,6 +512,18 @@ PHASH_SCHEMA = StructType(
 )
 
 
+def ahash_bits(img) -> str:
+    """64-char aHash bit string of a decoded image (PIL or StdlibImage):
+    nearest-neighbor resize to 8x8, per-cell 3-byte gray sum, bit i =
+    [64 * gray_i > total] — all-integer, the shared contract of
+    `image_phash` (batch) and `streaming.curation.dedup_image_stream`."""
+    small = img.resize((8, 8))
+    px = small.tobytes()
+    grays = [px[i * 3] + px[i * 3 + 1] + px[i * 3 + 2] for i in range(64)]
+    total = sum(grays)
+    return "".join("1" if 64 * g > total else "0" for g in grays)
+
+
 def image_phash(media: DataFrame) -> DataFrame:
     """Perceptual aHash over the REAL decode → resize pipeline: decode
     the payload, nearest-neighbor resize to 8x8, per-cell gray value
@@ -535,15 +547,10 @@ def image_phash(media: DataFrame) -> DataFrame:
             out: dict[str, list] = {"doc_id": [], "width": [], "height": [], "phash": []}
             for doc_id, b in zip(pdf["doc_id"], pdf["content"]):
                 img = decode_image(bytes(b))
-                small = img.resize((8, 8))
-                px = small.tobytes()
-                grays = [px[i * 3] + px[i * 3 + 1] + px[i * 3 + 2] for i in range(64)]
-                total = sum(grays)
-                bits = "".join("1" if 64 * g > total else "0" for g in grays)
                 out["doc_id"].append(doc_id)
                 out["width"].append(img.width)
                 out["height"].append(img.height)
-                out["phash"].append(bits)
+                out["phash"].append(ahash_bits(img))
             yield pd.DataFrame(
                 {
                     "doc_id": out["doc_id"],

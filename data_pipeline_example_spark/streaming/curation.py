@@ -265,3 +265,87 @@ def run_doc_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# media landing-zone contract: id + base64 payload + event time (JSON
+# can't carry raw binary; the Kafka twin reads value bytes directly)
+MEDIA_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("content_b64", StringType()),
+        StructField("ingest_ts", StringType()),
+    ]
+)
+
+
+def read_media_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """JSON-lines landing directory → raw media stream."""
+    reader = spark.readStream.schema(MEDIA_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def decode_media_stream(raw: DataFrame) -> DataFrame:
+    """Typed media stream: doc_id long, content binary, ingest_ts
+    timestamp (event time for the dedup watermark)."""
+    return raw.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.unbase64("content_b64").alias("content"),
+        F.to_timestamp("ingest_ts").alias("ingest_ts"),
+    )
+
+
+def dedup_image_stream(media: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming image near-dup admission — perceptual aHash as the
+    stateful dedup key: the image-modality twin of
+    ``dedup_embedding_stream``'s SRP stage, completing streaming dedup
+    across modalities (text fingerprint, embedding SRP, image aHash).
+
+    The hash (`multimodal.ahash_bits` over the REAL decode+resize) is a
+    pure per-row function — no corpus statistics, no trained artifact —
+    so it is computed inside the micro-batch by an Arrow-batched
+    ``mapInPandas`` (stateless, streaming-safe), and
+    ``dropDuplicatesWithinWatermark`` keyed on it holds one 64-bit-wide
+    entry per distinct image inside the horizon. Byte-identical and
+    resize/visually-identical images collide and are rejected;
+    Hamming-near pairs the exact key misses are swept by the periodic
+    batch ``phash_dup_pairs`` pass — the same lambda-style split as the
+    other two modalities.
+
+    Undecodable payloads are the reject path: rows whose decode raises
+    are DROPPED inside the batch (not keyed — a shared failure hash
+    would swallow every later broken payload as a "duplicate", the
+    NULL-key trap the embedding stage documents).
+
+    Output: the admitted stream (doc_id, ingest_ts, phash).
+    """
+    from data_pipeline_example_spark.operators.multimodal import (
+        ahash_bits,
+        decode_image,
+    )
+
+    def _hash(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, tss, hashes = [], [], []
+            for doc_id, ts, b in zip(pdf["doc_id"], pdf["ingest_ts"], pdf["content"]):
+                try:
+                    img = decode_image(bytes(b))
+                    h = ahash_bits(img)
+                except Exception:
+                    continue  # reject: undecodable payload
+                ids.append(doc_id)
+                tss.append(ts)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "ingest_ts": tss, "phash": hashes})
+
+    hashed = media.filter(F.col("content").isNotNull()).mapInPandas(
+        _hash, "doc_id long, ingest_ts timestamp, phash string"
+    )
+    return hashed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["phash"]
+    )

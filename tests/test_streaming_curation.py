@@ -219,3 +219,73 @@ def test_run_doc_ingest_index_gate_survives_stream_state_loss(spark, tmp_path):
         (r["chunk_id"], r["n_tokens"]) for r in out.filter("doc_id = 1").collect()
     )
     assert d1 == [(0, 16), (1, 16), (2, 3)]
+
+
+def test_dedup_image_stream_admits_by_perceptual_hash(spark, tmp_path):
+    """Image-modality streaming dedup: a LATER payload with DIFFERENT
+    bytes but the same decoded pixels (header whitespace variant) is
+    rejected — the key is perceptual, not a byte digest; a genuinely
+    different image is admitted; undecodable payloads are dropped, not
+    keyed."""
+    import base64
+    import json
+    import os
+    import time
+
+    from data_pipeline_example_spark.streaming import curation as scur
+
+    px = bytes(65 + (i % 17) for i in range(4 * 4 * 3))
+    img_a1 = b"P6\n4 4\n255\n" + px          # canonical header
+    img_a2 = b"P6 4 4 255 " + px             # same pixels, different bytes
+    other = bytes(200 - (i % 23) for i in range(4 * 4 * 3))
+    img_b = b"P6\n4 4\n255\n" + other
+    junk = b"not an image at all"
+
+    def _write(path, rows, mtime):
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    def b64(b):
+        return base64.b64encode(b).decode()
+
+    in_dir, out_dir, ckpt = tmp_path / "min", tmp_path / "mout", tmp_path / "mckpt"
+    in_dir.mkdir()
+    now = time.time()
+    _write(
+        str(in_dir / "b1.json"),
+        [
+            {"doc_id": "1", "content_b64": b64(img_a1), "ingest_ts": "2025-01-01 10:00:00"},
+            {"doc_id": "4", "content_b64": b64(junk), "ingest_ts": "2025-01-01 10:01:00"},
+        ],
+        now,
+    )
+    _write(
+        str(in_dir / "b2.json"),
+        [
+            {"doc_id": "2", "content_b64": b64(img_a2), "ingest_ts": "2025-01-01 10:20:00"},
+            {"doc_id": "3", "content_b64": b64(img_b), "ingest_ts": "2025-01-01 10:21:00"},
+            {"doc_id": "5", "content_b64": b64(junk + b"!"), "ingest_ts": "2025-01-01 10:22:00"},
+        ],
+        now + 2,
+    )
+
+    raw = scur.read_media_stream(spark, str(in_dir), max_files_per_trigger=1)
+    admitted = scur.dedup_image_stream(scur.decode_media_stream(raw))
+    q = (
+        admitted.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(out_dir)).collect()
+    surviving = {r["doc_id"] for r in out}
+    # 2 rejected (perceptual dup of 1); 4 and 5 dropped (undecodable)
+    assert surviving == {1, 3}
+    hashes = {r["doc_id"]: r["phash"] for r in out}
+    assert len(hashes[1]) == 64 and hashes[1] != hashes[3]
