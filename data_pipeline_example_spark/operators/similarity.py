@@ -1575,3 +1575,29 @@ def ivfpq_knn_indexed(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivfpq_recall(
+    embeddings: DataFrame, query_id: int = 0, k: int = 10, **ivfpq_kwargs
+) -> DataFrame:
+    """Recall audit for the compressed ANN path: |ivfpq top-k ∩ exact
+    top-k| / k — the similarity-search counterpart of
+    ``dedup.lsh_recall_summary``, composing two certified operators so
+    the metric's ground truth is definitionally the oracle-checked
+    queries. Both sides are k-row frames; the intersection is a
+    broadcast semi-join, the counts one crossJoin of two 1-row
+    aggregates — no collect. Output (one row): k, n_hits, recall (4 dp).
+    """
+    exact = knn(embeddings, query_id=query_id, k=k).select("vec_id")
+    approx = ivfpq_knn(embeddings, query_id=query_id, k=k, **ivfpq_kwargs).select(
+        "vec_id"
+    )
+    hits = approx.join(F.broadcast(exact), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    total = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return hits.crossJoin(total).select(
+        F.lit(k).cast("int").alias("k"),
+        F.col("n_hits"),
+        F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
+    )

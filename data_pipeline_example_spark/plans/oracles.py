@@ -2255,3 +2255,17 @@ FROM w
 GROUP BY window_md5
 HAVING count(DISTINCT doc_id) > 1
 """
+
+
+# ANN recall audit: composes the two certified oracles verbatim, like
+# lsh_recall_summary does for the text-LSH path
+ORACLES["ivfpq_recall"] = f"""
+WITH exact AS ({ORACLES["knn_bruteforce"]}),
+approx AS ({ORACLES["ivfpq_knn"]})
+SELECT CAST(10 AS INTEGER) AS k,
+       CAST((SELECT count(*) FROM approx WHERE approx.vec_id IN
+             (SELECT vec_id FROM exact)) AS BIGINT) AS n_hits,
+       round((SELECT count(*) FROM approx WHERE approx.vec_id IN
+             (SELECT vec_id FROM exact)) * 1.0
+             / (SELECT count(*) FROM exact), 4) AS recall
+"""

@@ -516,6 +516,11 @@ def q_audio_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall vs brute-force ground truth (composed certified ops)."""
+    return similarity.ivfpq_recall(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -794,7 +799,6 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_recall_summary": q_lsh_recall_summary,
     "nation_actor_presence": q_nation_actor_presence,
     # --- text analysis extensions ---
-    "lang_predict": q_lang_predict,
     "doc_fingerprints": q_doc_fingerprints,
     "token_counts": q_token_counts,
     "curated_corpus": q_curated_corpus,
@@ -823,6 +827,7 @@ QUERIES: dict[str, QueryFn] = {
     "project_embeddings": q_project_embeddings,
     "pq_codes": q_pq_codes,
     "ivfpq_knn": q_ivfpq_knn,
+    "ivfpq_recall": q_ivfpq_recall,
     "user_cardinality_kmv": q_user_cardinality_kmv,
     "user_cardinality_kmv_by_type": q_user_cardinality_kmv_by_type,
     "priority_sample": q_priority_sample,
@@ -842,6 +847,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_mixture": q_lang_mixture,
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
+    "lang_predict": q_lang_predict,
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
     "media_features": q_media_features,
