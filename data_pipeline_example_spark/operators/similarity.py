@@ -1352,7 +1352,7 @@ def ivfpq_knn(
     m: int = 4,
     ks: int = 16,
     dims: int = 64,
-    rerank: int = 32,
+    rerank: int = 64,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the full billion-scale ANN shape on
     DataFrames: an IVF coarse quantizer prunes the corpus to ``n_probe``
@@ -1498,7 +1498,7 @@ def ivfpq_knn_indexed(
     m: int = 4,
     ks: int = 16,
     dims: int = 64,
-    rerank: int = 32,
+    rerank: int = 64,
 ) -> DataFrame:
     """Serve an ANN query from a materialized `write_ann_index` layout.
 

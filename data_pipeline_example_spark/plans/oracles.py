@@ -2031,7 +2031,7 @@ def _ivfpq_oracle(
     m: int = 4,
     ks: int = 16,
     dims: int = 64,
-    rerank: int = 32,
+    rerank: int = 64,
 ) -> str:
     """IVF-PQ oracle: coarse assignment + probed buckets + PQ codes +
     per-subspace query LUT + summed approximate similarity + exact
