@@ -928,10 +928,18 @@ def kmeans_embeddings(
         )
         .localCheckpoint()
     )
-    sqdist = F.aggregate(
-        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # 6-dp rounding on BOTH the distance and the updated component
+    # means makes every iteration's argmin/average engine-deterministic
+    # — the contract that lets the DuckDB oracle replay the whole
+    # refinement as an unrolled CTE chain (this op used to be the
+    # rows-only entry; the rounding is what upgraded it to hash-exact)
+    sqdist = F.round(
+        F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
     )
     assigned = None
     for _ in range(iterations):
@@ -950,7 +958,7 @@ def kmeans_embeddings(
         comp = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.round(F.avg("val"), 6).alias("m"))
         )
         centroids = (
             comp.groupBy("cluster")

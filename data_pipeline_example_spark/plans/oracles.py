@@ -2269,3 +2269,58 @@ SELECT CAST(10 AS INTEGER) AS k,
              (SELECT vec_id FROM exact)) * 1.0
              / (SELECT count(*) FROM exact), 4) AS recall
 """
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 5, dims: int = 64) -> str:
+    """K-means replayed as an unrolled CTE chain — possible because the
+    Spark operator rounds every iteration's squared distance AND every
+    updated component mean to 6 dp (operators/similarity.
+    kmeans_embeddings), so argmin ties and averages are engine-exact.
+    c0 = vectors with the k lowest vec_ids (cluster ids 1..k in vec_id
+    order); each round: assign (argmin rounded L2², tie lowest
+    cluster), update (per-cluster per-component rounded mean,
+    re-assembled with list(m ORDER BY pos)). The final aggregate runs
+    over the LAST assignment, matching the Spark loop exactly."""
+    d2 = (
+        "round(list_aggregate(list_transform(range({d}), "
+        "i -> (e.v[i + 1] - c.c[i + 1]) * (e.v[i + 1] - c.c[i + 1])), 'sum'), 6)"
+    ).format(d=dims)
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cluster, v AS c
+  FROM e ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    for it in range(1, iterations + 1):
+        prev_c = f"c{it - 1}"
+        parts.append(f"""s{it} AS (
+  SELECT e.vec_id, e.v, c.cluster, {d2} AS d2,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {d2} ASC, c.cluster ASC) AS rn
+  FROM e CROSS JOIN {prev_c} c
+)""")
+        parts.append(
+            f"a{it} AS (SELECT vec_id, v, cluster, d2 FROM s{it} WHERE rn = 1)"
+        )
+        if it < iterations:
+            parts.append(f"""m{it} AS (
+  SELECT cluster, CAST(t.i AS INTEGER) AS pos, round(avg(v[t.i + 1]), 6) AS m
+  FROM a{it} CROSS JOIN range({dims}) t(i)
+  GROUP BY cluster, t.i
+)""")
+            parts.append(f"""c{it} AS (
+  SELECT cluster, list(m ORDER BY pos) AS c FROM m{it} GROUP BY cluster
+)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(sum(d2), 2) AS inertia
+FROM a{iterations}
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+ORACLES["kmeans_embeddings"] = _kmeans_oracle()
