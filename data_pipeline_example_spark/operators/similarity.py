@@ -1609,3 +1609,29 @@ def ivfpq_recall(
         F.col("n_hits"),
         F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
     )
+
+
+def srp_recall_summary(embeddings: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Self-measured SRP-LSH quality: recall of ``srp_dup_pairs``
+    against the exact ``cosine_dup_pairs`` ground truth at the same
+    threshold — completing the audit family (`dedup.lsh_recall_summary`
+    for text MinHash, `ivfpq_recall` for compressed kNN, this for the
+    embedding near-dup path). Precision is 1.0 by construction
+    (candidates are exact-cosine verified before emission), so the
+    metric reduces to two 1-row counts; the truth side is the
+    documented O(n²) exact baseline — a validation query, not a
+    hot-path one. Output: n_true, n_lsh, recall (4 dp).
+    """
+    n_true = cosine_dup_pairs(embeddings, threshold=threshold).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    n_lsh = srp_dup_pairs(embeddings, threshold=threshold).agg(
+        F.count(F.lit(1)).alias("n_lsh")
+    )
+    return n_true.crossJoin(F.broadcast(n_lsh)).select(
+        "n_true",
+        "n_lsh",
+        F.when(
+            F.col("n_true") > 0, F.round(F.col("n_lsh") / F.col("n_true"), 4)
+        ).alias("recall"),
+    )

@@ -2324,3 +2324,16 @@ ORDER BY cluster
 
 
 ORACLES["kmeans_embeddings"] = _kmeans_oracle()
+
+
+# SRP recall audit: composes the two certified pair oracles verbatim,
+# mirroring lsh_recall_summary
+ORACLES["srp_recall_summary"] = f"""
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_lsh AS BIGINT) AS n_lsh,
+       CASE WHEN n_true > 0 THEN round(n_lsh * 1.0 / n_true, 4) END AS recall
+FROM (
+  SELECT (SELECT count(*) FROM ({ORACLES["cosine_dup_pairs"]})) AS n_true,
+         (SELECT count(*) FROM ({ORACLES["srp_dup_pairs"]})) AS n_lsh
+)
+"""

@@ -521,6 +521,11 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_recall(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_srp_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH recall vs exact cosine ground truth (composed audits)."""
+    return similarity.srp_recall_summary(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -799,7 +804,6 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_recall_summary": q_lsh_recall_summary,
     "nation_actor_presence": q_nation_actor_presence,
     # --- text analysis extensions ---
-    "doc_fingerprints": q_doc_fingerprints,
     "token_counts": q_token_counts,
     "curated_corpus": q_curated_corpus,
     "pack_documents": q_pack_documents,
@@ -828,6 +832,7 @@ QUERIES: dict[str, QueryFn] = {
     "pq_codes": q_pq_codes,
     "ivfpq_knn": q_ivfpq_knn,
     "ivfpq_recall": q_ivfpq_recall,
+    "srp_recall_summary": q_srp_recall_summary,
     "user_cardinality_kmv": q_user_cardinality_kmv,
     "user_cardinality_kmv_by_type": q_user_cardinality_kmv_by_type,
     "priority_sample": q_priority_sample,
@@ -848,6 +853,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
     "lang_predict": q_lang_predict,
+    "doc_fingerprints": q_doc_fingerprints,
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
     "media_features": q_media_features,
