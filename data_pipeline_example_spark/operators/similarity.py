@@ -1092,9 +1092,11 @@ def srp_dup_pairs(
     ~constant (~64). With fixed bits, occupancy is n/2^bits and the
     candidate set grows as n² — measured as a 45× wall-clock blow-up on
     a 10× corpus before this; adaptive sizing brings the same step to
-    ~linear. At the oracle's operating points (sf ≤ 0.01, n ≤ 500) the
-    formula floors at 4 bits/band = the certified 16-bit signature, so
-    the fixed SQL oracle stays exact. The recall/bits tradeoff is the
+    ~linear. The SQL oracle replicates the
+    same width formula (scalar-subquery nb selecting among unrolled
+    banding branches — `plans.oracles._srp_oracle_adaptive`), so the
+    hash contract holds at EVERY corpus size, not only at the ≤500-row
+    floor where nb = 4. The recall/bits tradeoff is the
     usual banded-LSH one (more bits per band → fewer false candidates,
     lower recall per band — raise ``bands`` to recover recall at scale).
     """

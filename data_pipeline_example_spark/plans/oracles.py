@@ -2337,3 +2337,79 @@ FROM (
          (SELECT count(*) FROM ({ORACLES["srp_dup_pairs"]})) AS n_lsh
 )
 """
+
+
+def _srp_oracle_adaptive(
+    bands: int = 4, dims: int = 64, threshold: float = 0.35, max_nb: int = 16
+) -> str:
+    """Adaptive-width SRP oracle: replicates the operator's
+    corpus-sized signature (bits per band = max(4, ceil(log2(n/64)))
+    for n > 64 — `similarity.srp_dup_pairs`) instead of pinning 16
+    bits, so the oracle is exact at EVERY validation scale, not only at
+    the ≤500-row floor. All ``bands * max_nb`` sign bits are computed
+    once from the shared md5-derived hyperplane family (hyperplane j
+    depends only on j, so every width uses the same prefix); the banded
+    CTE unions one branch per candidate width, each filtered by the
+    scalar-subquery width, so exactly one branch produces rows."""
+    from data_pipeline_example_spark.operators.similarity import _srp_signs
+
+    n_bits_max = bands * max_nb
+    signs = _srp_signs(n_bits_max, dims)
+    proj_cols = ",\n    ".join(
+        "CASE WHEN round(list_dot_product(v, CAST(["
+        + ",".join(f"{s:.1f}" for s in signs[j])
+        + f"] AS DOUBLE[])), 6) >= 0 THEN 1 ELSE 0 END AS bit{j}"
+        for j in range(n_bits_max)
+    )
+    branches = []
+    for nb in range(4, max_nb + 1):
+        bucket_exprs = [
+            " + ".join(f"bit{b * nb + p} * {1 << p}" for p in range(nb))
+            for b in range(bands)
+        ]
+        bucket_cols = ", ".join(
+            f"({bucket_exprs[b]}) AS bucket{b}" for b in range(bands)
+        )
+        for b in range(bands):
+            branches.append(
+                f"SELECT vec_id, {bucket_cols}, {b} AS band,"
+                f" ({bucket_exprs[b]}) AS bucket"
+                f" FROM proj WHERE (SELECT nb FROM nbv) = {nb}"
+            )
+    banded = "\n  UNION ALL ".join(branches)
+    first_match = " AND ".join(
+        f"(a.band <= {k} OR a.bucket{k} != b.bucket{k})" for k in range(bands - 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+stats AS (SELECT count(*) AS n FROM embeddings),
+nbv AS (
+  SELECT CASE WHEN n <= 64 THEN 4
+              ELSE greatest(4, CAST(ceil(log2(n / 64.0)) AS INTEGER))
+         END AS nb
+  FROM stats
+),
+proj AS (SELECT vec_id, {proj_cols} FROM e),
+banded AS ({banded}),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id AND {first_match}
+)
+SELECT c.vec_a, c.vec_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+"""
+
+
+ORACLES["srp_dup_pairs"] = _srp_oracle_adaptive()
+# rebuild the recall audit on top of the adaptive pair oracle
+ORACLES["srp_recall_summary"] = f"""
+SELECT CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_lsh AS BIGINT) AS n_lsh,
+       CASE WHEN n_true > 0 THEN round(n_lsh * 1.0 / n_true, 4) END AS recall
+FROM (
+  SELECT (SELECT count(*) FROM ({ORACLES["cosine_dup_pairs"]})) AS n_true,
+         (SELECT count(*) FROM ({ORACLES["srp_dup_pairs"]})) AS n_lsh
+)
+"""
