@@ -77,9 +77,15 @@ def main() -> int:
         spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # testdata ships single files; gen_sf.py scale dirs ship Spark
+        # dataset DIRECTORIES — glob those so the oracle gate also runs
+        # against .localdata/sf1 and beyond
+        import os as _os
+
+        src = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     failures = []
     for name, fn in QUERIES.items():
