@@ -547,3 +547,49 @@ def lsh_recall_summary(documents: DataFrame, threshold: float = 0.1) -> DataFram
             F.col("n_true") > 0, F.round(F.col("n_lsh") / F.col("n_true"), 4)
         ).alias("recall"),
     )
+
+
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff between two corpus versions — the incremental-
+    ingest primitive: a refreshed crawl/delivery lands beside the
+    previous snapshot, and everything downstream (re-tokenization,
+    re-embedding, re-dedup) should touch ONLY the delta, not the
+    corpus. Full-outer join on doc_id comparing the normalized content
+    fingerprint (`functions.text.fingerprint`, the exact_dedup key):
+
+    * ``added``     — doc_id only in the new snapshot
+    * ``removed``   — doc_id only in the old
+    * ``changed``   — present in both, fingerprint differs
+    * ``unchanged`` — present in both, fingerprint equal
+
+    Output: one row per doc_id with status + both fingerprints —
+    filter by status to drive the incremental stages. Shuffle carries
+    (doc_id, 32-hex fp) pairs, never text; at 100 TB both sides read
+    only their id+text columns and the join keys on the id the
+    snapshots are already bucketed by.
+    """
+    o = old.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp_old")
+    )
+    n = new.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp_new")
+    )
+    joined = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select("doc_id", status.alias("status"), "fp_old", "fp_new")
+
+
+def corpus_diff_summary(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Counts per diff status — the refresh-monitoring rollup (how much
+    churn did this delivery bring?). Output: status, n_docs."""
+    return (
+        corpus_diff(old, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )

@@ -2413,3 +2413,26 @@ FROM (
          (SELECT count(*) FROM ({ORACLES["srp_dup_pairs"]})) AS n_lsh
 )
 """
+
+
+ORACLES["corpus_diff"] = r"""
+WITH old AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')) AS fp_old
+  FROM documents WHERE doc_id % 10 != 3
+),
+new AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(
+           coalesce(text, '') || CASE WHEN doc_id % 10 = 1 THEN ' rev2' ELSE '' END
+         )), '\s+', ' ', 'g')) AS fp_new
+  FROM documents WHERE doc_id % 10 != 7
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN fp_old = fp_new THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       fp_old, fp_new
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""

@@ -526,6 +526,23 @@ def q_srp_recall_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_recall_summary(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: deterministic old/new views of the corpus (10%
+    removed, 10% added, 10% content-changed) through dedup.corpus_diff."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 1,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" rev2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.corpus_diff(old, new)
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -804,7 +821,6 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_recall_summary": q_lsh_recall_summary,
     "nation_actor_presence": q_nation_actor_presence,
     # --- text analysis extensions ---
-    "token_counts": q_token_counts,
     "curated_corpus": q_curated_corpus,
     "pack_documents": q_pack_documents,
     "top_bigrams": q_top_bigrams,
@@ -833,6 +849,7 @@ QUERIES: dict[str, QueryFn] = {
     "ivfpq_knn": q_ivfpq_knn,
     "ivfpq_recall": q_ivfpq_recall,
     "srp_recall_summary": q_srp_recall_summary,
+    "corpus_diff": q_corpus_diff,
     "user_cardinality_kmv": q_user_cardinality_kmv,
     "user_cardinality_kmv_by_type": q_user_cardinality_kmv_by_type,
     "priority_sample": q_priority_sample,
@@ -854,6 +871,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_stats": q_corpus_stats,
     "lang_predict": q_lang_predict,
     "doc_fingerprints": q_doc_fingerprints,
+    "token_counts": q_token_counts,
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
     "media_features": q_media_features,

@@ -381,3 +381,39 @@ def test_kmv_by_type_plan_uses_window_group_limit(spark, sf_dir):
     ).first()
     assert rows[one_type]["n_exact"] == single["n_exact"]
     assert rows[one_type]["kmv_estimate"] == single["kmv_estimate"]
+
+
+def test_corpus_diff_statuses(spark, sf_dir):
+    """Every status class present and counts consistent: the synthetic
+    old/new views drop 10% each way and change 10%; summary counts must
+    reconcile with the per-doc statuses."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_example_spark.operators.dedup import (
+        corpus_diff,
+        corpus_diff_summary,
+    )
+    from data_pipeline_example_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 1,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" rev2")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    diff = corpus_diff(old, new).collect()
+    by_status = {}
+    for r in diff:
+        by_status.setdefault(r["status"], set()).add(r["doc_id"])
+    assert all(i % 10 == 3 for i in by_status["added"])
+    assert all(i % 10 == 7 for i in by_status["removed"])
+    assert all(i % 10 == 1 for i in by_status["changed"])
+    assert by_status["unchanged"]
+    n = docs.count()
+    assert sum(len(v) for v in by_status.values()) == n
+
+    summary = {r["status"]: r["n_docs"] for r in corpus_diff_summary(old, new).collect()}
+    assert summary == {k: len(v) for k, v in by_status.items()}
