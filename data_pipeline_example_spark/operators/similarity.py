@@ -1637,3 +1637,46 @@ def srp_recall_summary(embeddings: DataFrame, threshold: float = 0.35) -> DataFr
             F.col("n_true") > 0, F.round(F.col("n_lsh") / F.col("n_true"), 4)
         ).alias("recall"),
     )
+
+
+def pq_distortion(
+    embeddings: DataFrame, m: int = 4, ks: int = 16, dims: int = 64
+) -> DataFrame:
+    """Quantization-quality audit for the PQ codebook — the third leg
+    of the audit family (recall audits measure search quality; this
+    measures REPRESENTATION quality): per subspace, the mean cosine
+    between each sub-vector and its chosen sub-centroid, and how many
+    sub-vectors land below 0.8 (poorly covered by the codebook — the
+    signal to raise ks or retrain). Same broadcast-codebook scoring
+    shape as `pq_codes`, one map-side-combined aggregation.
+
+    Output: g, n_vecs, mean_best_cos (4 dp), n_low.
+    """
+    assert dims % m == 0
+    sub_len = dims // m
+    e = _as_double(embeddings)
+    slices = F.array(*[F.slice("v", g * sub_len + 1, sub_len) for g in range(m)])
+    parts = e.select("vec_id", F.posexplode(slices).alias("g", "sv"))
+    cparts = (
+        e.filter(F.col("vec_id") < ks)
+        .select(F.col("vec_id").alias("cid"), "v")
+        .select(
+            "cid",
+            F.posexplode(
+                F.array(*[F.slice("v", g * sub_len + 1, sub_len) for g in range(m)])
+            ).alias("g", "cv"),
+        )
+    )
+    scored = parts.join(F.broadcast(cparts), "g").select(
+        "vec_id", "g", F.round(V.cosine(F.col("sv"), F.col("cv")), 6).alias("cos")
+    )
+    best = scored.groupBy("vec_id", "g").agg(F.max("cos").alias("best"))
+    return (
+        best.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("best"), 4).alias("mean_best_cos"),
+            F.sum(F.when(F.col("best") < 0.8, 1).otherwise(0)).alias("n_low"),
+        )
+        .orderBy("g")
+    )

@@ -2436,3 +2436,37 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        fp_old, fp_new
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
+
+
+ORACLES["pq_distortion"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+parts AS (
+  SELECT vec_id, g, list_slice(v, g * 16 + 1, (g + 1) * 16) AS sv
+  FROM e CROSS JOIN range(4) t(g)
+),
+cparts AS (
+  SELECT vec_id AS cid, g, list_slice(v, g * 16 + 1, (g + 1) * 16) AS cv
+  FROM e CROSS JOIN range(4) t(g)
+  WHERE vec_id < 16
+),
+best AS (
+  SELECT p.vec_id, p.g,
+         max(round(list_cosine_similarity(p.sv, c.cv), 6)) AS best
+  FROM parts p JOIN cparts c ON p.g = c.g
+  GROUP BY p.vec_id, p.g
+)
+SELECT CAST(g AS INTEGER) AS g,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(best), 4) AS mean_best_cos,
+       CAST(sum(CASE WHEN best < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+FROM best
+GROUP BY g
+ORDER BY g
+"""
+
+
+ORACLES["corpus_diff_summary"] = f"""
+WITH diff AS ({ORACLES["corpus_diff"]})
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+FROM diff GROUP BY status ORDER BY status
+"""

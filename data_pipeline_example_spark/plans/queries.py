@@ -543,6 +543,27 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.corpus_diff(old, new)
 
 
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook representation-quality audit per subspace."""
+    return similarity.pq_distortion(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_corpus_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn rollup of the snapshot diff (same synthetic old/new views)."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 1,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" rev2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.corpus_diff_summary(old, new)
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -821,8 +842,7 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_recall_summary": q_lsh_recall_summary,
     "nation_actor_presence": q_nation_actor_presence,
     # --- text analysis extensions ---
-    "curated_corpus": q_curated_corpus,
-    "pack_documents": q_pack_documents,
+
     "top_bigrams": q_top_bigrams,
     "tfidf_top_terms": q_tfidf_top_terms,
     # --- dedup extensions ---
@@ -850,6 +870,8 @@ QUERIES: dict[str, QueryFn] = {
     "ivfpq_recall": q_ivfpq_recall,
     "srp_recall_summary": q_srp_recall_summary,
     "corpus_diff": q_corpus_diff,
+    "corpus_diff_summary": q_corpus_diff_summary,
+    "pq_distortion": q_pq_distortion,
     "user_cardinality_kmv": q_user_cardinality_kmv,
     "user_cardinality_kmv_by_type": q_user_cardinality_kmv_by_type,
     "priority_sample": q_priority_sample,
@@ -872,6 +894,8 @@ QUERIES: dict[str, QueryFn] = {
     "lang_predict": q_lang_predict,
     "doc_fingerprints": q_doc_fingerprints,
     "token_counts": q_token_counts,
+    "curated_corpus": q_curated_corpus,
+    "pack_documents": q_pack_documents,
     "redact_pii": q_redact_pii,
     "mixture_rates": q_mixture_rates,
     "media_features": q_media_features,
