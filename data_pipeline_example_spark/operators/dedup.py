@@ -593,3 +593,79 @@ def corpus_diff_summary(old: DataFrame, new: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("status")
     )
+
+
+def split_leakage_audit(documents: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Near-dup-aware train/val/test assignment plus the leakage audit
+    that justifies it. Naive per-document hash splits leak: two
+    near-duplicate documents land in train and test and the eval is
+    contaminated. The fix is to split by DEDUP GROUP — every member of
+    a near-dup cluster (``dedup_clusters`` output; unclustered docs are
+    their own group) hashes to the same split, so no group ever spans
+    the boundary. This op assigns both policies and measures the
+    difference.
+
+    Hash → split uses the engine's standard md5-bucket idiom
+    (``hash_split_summary``): first 4 hex chars → pct in [0, 100),
+    <80 train / <90 val / else test.
+
+    Plan: clusters is near-dup-pair-sized (tiny next to the corpus) but
+    keyed like it, so the left join on doc_id is one co-partitioned
+    exchange; the three audit aggregates run over (doc_id, group_id,
+    two split labels) — narrow rows — and produce 3-row frames joined
+    broadcast at the end. Constant-size output at any corpus scale.
+
+    Output (one row per split): split, n_docs, n_groups, n_docs_naive,
+    n_leaky_groups (groups assigned here whose members span >1 split
+    under the NAIVE policy — the leakage the grouped policy removes;
+    by construction the grouped policy's own spanning count is zero,
+    asserted by test rather than carried as a constant column).
+    """
+    pct = (
+        lambda c: F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    split_of = lambda c: (
+        F.when(pct(c) < 80, "train").when(pct(c) < 90, "val").otherwise("test")
+    )
+    assigned = (
+        documents.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("group_id"),
+        )
+        .select(
+            "doc_id",
+            "group_id",
+            split_of(F.col("group_id")).alias("split"),
+            split_of(F.col("doc_id")).alias("split_naive"),
+        )
+    )
+    by_group = assigned.groupBy("group_id").agg(
+        F.first("split").alias("split"),
+        F.countDistinct("split_naive").alias("n_naive_splits"),
+    )
+    grouped = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("group_id").alias("n_groups"),
+    )
+    naive = assigned.groupBy(F.col("split_naive").alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs_naive")
+    )
+    leaky = by_group.groupBy("split").agg(
+        F.sum((F.col("n_naive_splits") > 1).cast("long")).alias("n_leaky_groups")
+    )
+    return (
+        grouped.join(F.broadcast(naive), "split", "left")
+        .join(F.broadcast(leaky), "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_groups",
+            F.coalesce("n_docs_naive", F.lit(0)).alias("n_docs_naive"),
+            F.coalesce("n_leaky_groups", F.lit(0)).alias("n_leaky_groups"),
+        )
+    )

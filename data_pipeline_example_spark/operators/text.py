@@ -987,3 +987,139 @@ def unigram_scores(documents: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def line_dedup(documents: DataFrame, min_words: int = 4) -> DataFrame:
+    """Corpus-wide exact line deduplication with document reassembly —
+    the C4/RefinedWeb boilerplate-removal step (`c4_line_stats` and
+    `corpus_dup_ngrams` only *measure* duplication; this op *removes*
+    it and hands back cleaned text). A line appearing in many documents
+    (nav menus, cookie banners, license footers) survives only at its
+    first occurrence ordered by (doc_id, pos); lines shorter than
+    ``min_words`` whitespace words are structural (headings, blanks)
+    and are never dedup keys.
+
+    Plan (all keys balanced at 100 TB): posexplode is scan-local; the
+    keeper aggregate ``min(struct(doc_id, pos)) per line-hash`` is
+    map-side combined, so a million-copy boilerplate line collapses to
+    one row per input partition before the exchange; the keeper
+    verdict comes back via a LEFT join on ``(k, doc_id, pos)`` — the
+    composite key is unique on both sides, so a hot line hash cannot
+    concentrate in one task (and NULL-k structural lines hash by
+    (doc_id, pos), spreading evenly); reassembly is one groupBy(doc_id)
+    where ``collect_list`` skips the NULL entries ``when`` produces for
+    dropped lines. Per-doc state is bounded by document length, never
+    by corpus duplication.
+
+    Output: doc_id, n_lines, n_kept, n_dropped, text_clean.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    lines = widen(documents).select(
+        "doc_id", F.posexplode(F.split(txt, "\n")).alias("pos", "line")
+    )
+    n_words = F.when(F.trim("line") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("line"), r"\s+"))
+    )
+    keyed = lines.withColumn(
+        "k",
+        F.when(
+            n_words >= min_words,
+            F.md5(F.lower(F.regexp_replace(F.trim("line"), r"\s+", " "))),
+        ),
+    )
+    keepers = (
+        keyed.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("keep"))
+        .select(
+            "k",
+            F.col("keep.doc_id").alias("doc_id"),
+            F.col("keep.pos").alias("pos"),
+            F.lit(1).alias("is_keeper"),
+        )
+    )
+    flagged = keyed.join(keepers, ["k", "doc_id", "pos"], "left")
+    kept = F.col("k").isNull() | F.col("is_keeper").isNotNull()
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(kept.cast("long"))).cast("long").alias("n_dropped"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(kept, F.struct("pos", "line")))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )
+
+
+#: (stage, rule, flag-builder) for ``quality_funnel`` — the gopher rule
+#: set in its published order, then the C4 page gate. Flags are
+#: recomputed from ``gopher_quality``'s ROUNDED outputs so Spark and
+#: the DuckDB oracle threshold identical values.
+FUNNEL_RULES = (
+    ("word_count", lambda: F.col("n_words").between(50, 100_000)),
+    ("mean_word_len", lambda: F.col("mean_word_len").between(3.0, 10.0)),
+    ("symbol_ratio", lambda: F.col("symbol_word_ratio") <= 0.1),
+    ("bullet_lines", lambda: F.col("bullet_line_frac") <= 0.9),
+    ("ellipsis_lines", lambda: F.col("ellipsis_line_frac") <= 0.3),
+    ("alpha_words", lambda: F.col("alpha_word_frac") >= 0.8),
+    ("stop_words", lambda: F.col("n_required_stops") >= 2),
+    ("c4_page", lambda: F.col("page_pass") == 1),
+)
+
+
+def quality_funnel(documents: DataFrame) -> DataFrame:
+    """Per-rule attrition attribution for the quality gates — the
+    curation-debugging view every filter deployment needs: for each
+    rule, how many documents fail it at all (``n_fail``), how many fail
+    ONLY it (``n_sole_fail`` — the docs that rule alone costs you, the
+    number to stare at before tightening a threshold), and how many
+    survive the pipeline up to and including it in published order
+    (``n_survive``, the funnel).
+
+    Plan: two document scans (gopher metrics + C4 line stats) joined
+    once on doc_id, then ONE global aggregate of 24 conditional sums —
+    constant-size output, partials combined map-side; the per-rule rows
+    are unpivoted from the single aggregate row with ``stack``.
+
+    Output: stage, rule, n_fail, n_sole_fail, n_survive (8 rows).
+    """
+    gq = gopher_quality(documents)
+    c4 = c4_line_stats(documents).select("doc_id", "page_pass")
+    flags = gq.join(c4, "doc_id").select(
+        *[
+            build().cast("long").alias(f"f{i}")
+            for i, (_, build) in enumerate(FUNNEL_RULES, start=1)
+        ]
+    )
+    n = len(FUNNEL_RULES)
+    aggs = []
+    for i in range(1, n + 1):
+        fi = F.col(f"f{i}")
+        others = [F.col(f"f{j}") for j in range(1, n + 1) if j != i]
+        sole = (1 - fi) * _prod(others)
+        cum = _prod([F.col(f"f{j}") for j in range(1, i + 1)])
+        aggs += [
+            F.sum(1 - fi).alias(f"nf{i}"),
+            F.sum(sole).alias(f"sf{i}"),
+            F.sum(cum).alias(f"sv{i}"),
+        ]
+    one = flags.agg(*aggs)
+    stacked = ", ".join(
+        f"{i}, '{rule}', nf{i}, sf{i}, sv{i}"
+        for i, (rule, _) in enumerate(FUNNEL_RULES, start=1)
+    )
+    return one.selectExpr(
+        f"stack({n}, {stacked}) AS (stage, rule, n_fail, n_sole_fail, n_survive)"
+    )
+
+
+def _prod(cols):
+    out = F.lit(1)
+    for c in cols:
+        out = out * c
+    return out

@@ -2470,3 +2470,128 @@ WITH diff AS ({ORACLES["corpus_diff"]})
 SELECT status, CAST(count(*) AS BIGINT) AS n_docs
 FROM diff GROUP BY status ORDER BY status
 """
+
+ORACLES["line_dedup"] = r"""
+WITH lines AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, len(l))) AS INTEGER) AS pos,
+         unnest(l) AS line
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS l FROM documents)
+),
+keyed AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN (CASE WHEN trim(line) = '' THEN 0
+                    ELSE len(string_split_regex(trim(line), '\s+')) END) >= 4
+              THEN md5(lower(regexp_replace(trim(line), '\s+', ' ', 'g')))
+         END AS k
+  FROM lines
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+  FROM keyed WHERE k IS NOT NULL
+),
+kept AS (
+  SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, line FROM keyed WHERE k IS NULL
+)
+SELECT d.doc_id,
+       CAST(len(string_split(coalesce(d.text, ''), chr(10))) AS BIGINT) AS n_lines,
+       CAST(kc.n_kept AS BIGINT) AS n_kept,
+       CAST(len(string_split(coalesce(d.text, ''), chr(10))) - kc.n_kept AS BIGINT)
+         AS n_dropped,
+       kc.text_clean
+FROM documents d
+JOIN (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+) kc USING (doc_id)
+"""
+
+_FUNNEL_SQL_FLAGS = (
+    ("word_count", "CASE WHEN gq.n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END"),
+    ("mean_word_len",
+     "CASE WHEN gq.mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END"),
+    ("symbol_ratio", "CASE WHEN gq.symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END"),
+    ("bullet_lines", "CASE WHEN gq.bullet_line_frac <= 0.9 THEN 1 ELSE 0 END"),
+    ("ellipsis_lines", "CASE WHEN gq.ellipsis_line_frac <= 0.3 THEN 1 ELSE 0 END"),
+    ("alpha_words", "CASE WHEN gq.alpha_word_frac >= 0.8 THEN 1 ELSE 0 END"),
+    ("stop_words", "CASE WHEN gq.n_required_stops >= 2 THEN 1 ELSE 0 END"),
+    ("c4_page", "c4.page_pass"),
+)
+
+
+def _funnel_oracle() -> str:
+    n = len(_FUNNEL_SQL_FLAGS)
+    flags = ",\n         ".join(
+        f"{expr} AS f{i}" for i, (_, expr) in enumerate(_FUNNEL_SQL_FLAGS, 1)
+    )
+    sums = []
+    for i in range(1, n + 1):
+        others = " * ".join(f"f{j}" for j in range(1, n + 1) if j != i)
+        cum = " * ".join(f"f{j}" for j in range(1, i + 1))
+        sums += [
+            f"CAST(sum(1 - f{i}) AS BIGINT) AS nf{i}",
+            f"CAST(sum((1 - f{i}) * {others}) AS BIGINT) AS sf{i}",
+            f"CAST(sum({cum}) AS BIGINT) AS sv{i}",
+        ]
+    rows = "\n  UNION ALL\n  ".join(
+        f"SELECT {i} AS stage, '{rule}' AS rule, nf{i} AS n_fail,"
+        f" sf{i} AS n_sole_fail, sv{i} AS n_survive FROM s"
+        for i, (rule, _) in enumerate(_FUNNEL_SQL_FLAGS, 1)
+    )
+    return f"""
+WITH gq AS ({ORACLES["gopher_quality"]}),
+c4 AS ({ORACLES["c4_line_stats"]}),
+f AS (
+  SELECT {flags}
+  FROM gq JOIN c4 USING (doc_id)
+),
+s AS (SELECT {", ".join(sums)} FROM f)
+{rows}
+"""
+
+
+ORACLES["quality_funnel"] = _funnel_oracle()
+
+ORACLES["split_leakage_audit"] = f"""
+WITH clusters AS ({ORACLES["dedup_clusters"]}),
+assigned AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS group_id,
+         CASE WHEN ('0x' || substring(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || substring(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split_naive
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+by_group AS (
+  SELECT group_id, min(split) AS split,
+         count(DISTINCT split_naive) AS n_naive_splits
+  FROM assigned GROUP BY 1
+),
+grouped AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups
+  FROM assigned GROUP BY 1
+),
+naive AS (
+  SELECT split_naive AS split, CAST(count(*) AS BIGINT) AS n_docs_naive
+  FROM assigned GROUP BY 1
+),
+leaky AS (
+  SELECT split, CAST(sum(CASE WHEN n_naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaky_groups
+  FROM by_group GROUP BY 1
+)
+SELECT g.split, g.n_docs, g.n_groups,
+       coalesce(n.n_docs_naive, 0) AS n_docs_naive,
+       coalesce(l.n_leaky_groups, 0) AS n_leaky_groups
+FROM grouped g
+LEFT JOIN naive n USING (split)
+LEFT JOIN leaky l USING (split)
+"""

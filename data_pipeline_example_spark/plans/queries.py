@@ -798,6 +798,26 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide C4-style line dedup with document reassembly —
+    boilerplate lines removed at all but their first occurrence."""
+    return text.line_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule attrition funnel over the Gopher + C4 quality gates:
+    n_fail / n_sole_fail / cumulative survivors per rule."""
+    return text.quality_funnel(load_table(spark, sf_dir, "documents"))
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-group-aware train/val/test split assignment with the
+    near-dup leakage audit of the naive per-doc policy."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(dedup.jaccard_pairs(docs, threshold=0.1))
+    return dedup.split_leakage_audit(docs, clusters)
+
+
 # Registry order is part of the driver contract: the driver's correctness
 # gate samples the FIRST 50 entries (round-1 lesson — the extension surface
 # was registered past the window and got zero driver-green rows). The top
@@ -821,6 +841,13 @@ QUERIES: dict[str, QueryFn] = {
     # embedding ops + srp_dup_pairs moved to broadcast centroids /
     # fold-order cosines) and the new real-decode query; gopher_quality
     # and c4_line_stats rotated out (r4-certified, untouched since)
+    # round-5 continuation: three new never-certified ops front the
+    # window (line_dedup, quality_funnel, split_leakage_audit);
+    # kpis_long / top_bigrams / tfidf_top_terms rotate out to the tail
+    # (r4-certified, implementations untouched since)
+    "line_dedup": q_line_dedup,
+    "quality_funnel": q_quality_funnel,
+    "split_leakage_audit": q_split_leakage_audit,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
@@ -835,16 +862,12 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "user_reach_rollup": q_user_reach_rollup,
     "length_buckets": q_length_buckets,
-    "kpis_long": q_kpis_long,
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "props_variant_stats": q_props_variant_stats,
     "audio_windows": q_audio_windows,
     "lsh_recall_summary": q_lsh_recall_summary,
     "nation_actor_presence": q_nation_actor_presence,
     # --- text analysis extensions ---
-
-    "top_bigrams": q_top_bigrams,
-    "tfidf_top_terms": q_tfidf_top_terms,
     # --- dedup extensions ---
     "contamination_pairs": q_contamination_pairs,
     "exact_dedup": q_exact_dedup,
@@ -886,7 +909,12 @@ QUERIES: dict[str, QueryFn] = {
     # for the capped embedding ops and the Gopher/C4 quality gates;
     # gopher_quality + c4_line_stats + value_stats rotated out r5, all
     # r4-green; redact_pii + mixture_rates rotated out mid-r5 (r4-green)
-    # to make window room for the new project_embeddings + pq_codes)
+    # to make window room for the new project_embeddings + pq_codes;
+    # kpis_long + top_bigrams + tfidf_top_terms rotated out late-r5,
+    # all r4-green untouched, for line_dedup / quality_funnel /
+    # split_leakage_audit)
+    "kpis_long": q_kpis_long,
+    "top_bigrams": q_top_bigrams,
     "embedding_profile": q_embedding_profile,
     "lang_mixture": q_lang_mixture,
     "doc_stats": q_doc_stats,

@@ -1,0 +1,139 @@
+"""Unit coverage for the round-5 continuation ops: corpus-wide line
+dedup with reassembly, the quality-rule funnel, and the dedup-group
+split leakage audit. The driver testdata documents are single-line, so
+the multi-line / cross-document behavior is pinned here on synthetic
+frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_example_spark.operators import dedup, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_removes_cross_document_boilerplate(spark):
+    banner = "please accept our cookie policy before you continue reading"
+    rows = [
+        (1, f"{banner}\nunique first body line with several words here"),
+        (2, f"{banner}\nanother distinct body line with several words too"),
+        (3, f"completely original document text with enough words\n{banner}"),
+    ]
+    out = {r["doc_id"]: r for r in text.line_dedup(_docs(spark, rows)).collect()}
+    # first occurrence ordered by (doc_id, pos) survives: doc 1 keeps it
+    assert out[1]["text_clean"].splitlines()[0] == banner
+    assert out[1]["n_dropped"] == 0
+    # later occurrences are dropped, order of surviving lines preserved
+    assert out[2]["n_dropped"] == 1
+    assert out[2]["text_clean"] == "another distinct body line with several words too"
+    assert out[3]["n_dropped"] == 1
+    assert out[3]["text_clean"] == "completely original document text with enough words"
+    for r in out.values():
+        assert r["n_lines"] == r["n_kept"] + r["n_dropped"]
+
+
+def test_line_dedup_short_lines_never_dedup(spark):
+    rows = [
+        (1, "Title\n\nbody line with quite enough words here"),
+        (2, "Title\n\nother body line with quite enough words here"),
+    ]
+    out = {r["doc_id"]: r for r in text.line_dedup(_docs(spark, rows)).collect()}
+    # "Title" (<4 words) and blank lines repeat across docs but are kept
+    assert out[2]["n_dropped"] == 0
+    assert out[2]["text_clean"].splitlines() == [
+        "Title",
+        "",
+        "other body line with quite enough words here",
+    ]
+
+
+def test_line_dedup_normalizes_case_and_whitespace(spark):
+    rows = [
+        (1, "The  Quick   Brown Fox Jumps"),
+        (2, "the quick brown fox jumps"),
+    ]
+    out = {r["doc_id"]: r for r in text.line_dedup(_docs(spark, rows)).collect()}
+    assert out[1]["n_kept"] == 1  # first occurrence survives verbatim
+    assert out[1]["text_clean"] == "The  Quick   Brown Fox Jumps"
+    assert out[2]["n_kept"] == 0
+    assert out[2]["text_clean"] == ""
+
+
+def test_line_dedup_within_document_duplicates_collapse(spark):
+    body = "repeated body line with several words in it"
+    rows = [(1, f"{body}\nmiddle line with plenty of distinct words\n{body}")]
+    out = text.line_dedup(_docs(spark, rows)).collect()[0]
+    assert out["n_lines"] == 3
+    assert out["n_kept"] == 2
+    assert out["text_clean"].splitlines() == [
+        body,
+        "middle line with plenty of distinct words",
+    ]
+
+
+def test_quality_funnel_attribution(spark):
+    stops = "the be to of and that have with"
+    good = (
+        ("good document line full of plain words. " + stops + " end. ") * 3
+    ).strip()
+    # fails ONLY word_count: three clean punctuated lines (C4 page
+    # passes), every other gopher ratio in range, but < 50 words total
+    short_line = f"short text {stops} here."
+    short = "\n".join([short_line] * 3)
+    rows = [(1, good + "\n" + good + "\n" + good), (2, short)]
+    funnel = {r["rule"]: r for r in text.quality_funnel(_docs(spark, rows)).collect()}
+    assert set(funnel) == {r for r, _ in text.FUNNEL_RULES}
+    assert funnel["word_count"]["n_fail"] == 1
+    assert funnel["word_count"]["n_sole_fail"] == 1
+    # funnel is monotone non-increasing over stages
+    survivors = [
+        r["n_survive"]
+        for r in sorted(funnel.values(), key=lambda r: r["stage"])
+    ]
+    assert survivors == sorted(survivors, reverse=True)
+    assert survivors[0] <= 2
+
+
+def test_split_leakage_audit_grouped_policy_never_spans(spark):
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body "), F.col("id")).alias("text"),
+    )
+    # pair up consecutive docs: (0,1), (2,3), ... — 100 groups of 2
+    clusters = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") - F.col("id") % 2).alias("cluster_id"),
+    )
+    out = dedup.split_leakage_audit(docs, clusters).collect()
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in out) == 200
+    assert sum(r["n_docs_naive"] for r in out) == 200
+    assert sum(r["n_groups"] for r in out) == 100
+    # grouped policy: every cluster lands in exactly one split
+    assigned = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(F.coalesce("cluster_id", "doc_id").alias("g"), "doc_id")
+    )
+    pct = F.conv(F.substring(F.md5(F.col("g").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    ) % 100
+    spans = (
+        assigned.select(
+            "g",
+            F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test").alias(
+                "s"
+            ),
+        )
+        .groupBy("g")
+        .agg(F.countDistinct("s").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert spans == 0
+    # naive policy leaks on this corpus (some pair straddles a boundary)
+    assert sum(r["n_leaky_groups"] for r in out) > 0
