@@ -1123,3 +1123,143 @@ def _prod(cols):
     for c in cols:
         out = out * c
     return out
+
+
+def dsir_weights(documents: DataFrame, n_buckets: int = 1024) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public): score
+    every document by how much its hashed-bigram profile looks like the
+    high-quality slice of the corpus — ``log p_target(x)/p_raw(x)``
+    under bag-of-hashed-bigram multinomials with add-one smoothing.
+    The target slice is self-referential (docs whose ``doc_stats``
+    quality ≥ the corpus mean), so no external model ships with the
+    operator; resampling by these weights is the published recipe for
+    matching a pretraining corpus to a quality domain.
+
+    Plan: one tokenize/explode scan feeds per-(doc, bucket) counts
+    (map-side combined); the bucket model is ``n_buckets`` rows —
+    broadcast back for the per-doc weighted sum, so the corpus shuffles
+    only narrow count rows, never text. Per-bucket log-ratios are
+    rounded to 6 dp then scaled to exact integer MICRO-NATS before the
+    per-doc sum — the whole doc score is integer arithmetic, immune to
+    addition order and to cross-engine double-rounding disagreements.
+
+    Output: doc_id, n_feats, log_weight_micro (micro-nats; divide by
+    1e6 for the nat-scale log weight) — docs with ≥ 1 bigram.
+    """
+    scored = doc_stats(documents).select("doc_id", "quality")
+    mean_q = scored.agg(F.round(F.avg("quality"), 6).alias("mq"))
+    flags = scored.crossJoin(F.broadcast(mean_q)).select(
+        "doc_id", (F.col("quality") >= F.col("mq")).cast("int").alias("is_t")
+    )
+    t = T.tokens(F.lower(F.col("text")))
+    bigrams = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+    )
+    feats = (
+        widen(documents)
+        .select("doc_id", t.alias("t"))
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast("long")
+                % n_buckets
+            ).alias("bucket"),
+        )
+    )
+    cnt = feats.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    withflag = cnt.join(flags, "doc_id")
+    btab = withflag.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t") == 1, F.col("c")).otherwise(0)).alias("ct"),
+        F.sum("c").alias("cr"),
+    )
+    tot = btab.agg(
+        F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
+    )
+    lr = btab.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        # micro-units: the 6 dp log-ratio scaled to an exact long, so the
+        # per-doc sum is integer arithmetic — order-independent, no
+        # knife-edge at the output rounding boundary (a float-sum variant
+        # flipped one doc's 4th decimal at sf0.01)
+        F.round(
+            F.round(
+                F.log((F.col("ct") + 1.0) / (F.col("t_tot") + n_buckets))
+                - F.log((F.col("cr") + 1.0) / (F.col("r_tot") + n_buckets)),
+                6,
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("lw_micro"),
+    )
+    return (
+        withflag.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            # exact integer micro-nats end to end: no float rounding
+            # anywhere, so no engine can disagree at a half-way boundary
+            # (Spark rounds doubles via their decimal string, DuckDB via
+            # the binary value — -0.27795 split them)
+            F.sum(F.col("c") * F.col("lw_micro")).cast("long").alias(
+                "log_weight_micro"
+            ),
+        )
+    )
+
+
+def source_caps(documents: DataFrame, cap: int = 50) -> DataFrame:
+    """Per-source document cap by quality rank — the RefinedWeb-style
+    per-domain limiter: no single domain may contribute more than
+    ``cap`` documents, and when it would, its highest-quality documents
+    win. Ties rank by doc_id so the keep-set is deterministic.
+
+    Plan: quality is a scan-local expression (`doc_stats`), the rank is
+    ``row_number`` over (source) with a ``<= cap`` filter — Spark
+    rewrites that into WindowGroupLimit, so each task keeps a cap-sized
+    heap per source instead of sorting whole domains; a mega-domain
+    never materializes sorted. Output: doc_id, source, quality, q_rank.
+    """
+    scored = doc_stats(documents).select("doc_id", "quality").join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("q_rank", F.row_number().over(w))
+        .filter(F.col("q_rank") <= cap)
+        .select("doc_id", "source", "quality", "q_rank")
+    )
+
+
+def packing_efficiency(
+    documents: DataFrame, budget: int = 2048, shards: int = 16
+) -> DataFrame:
+    """Audit of ``pack_documents``: how full the fixed-budget bins
+    actually are — the number a packing strategy is judged by. A bin's
+    fill is the token mass of documents whose offset starts inside it;
+    offset binning lets one straddling document overflow its bin, so
+    overflow stats are reported rather than hidden.
+
+    Constant-size output (one row): n_bins, avg_fill_frac (mean of
+    min(fill, budget)/budget), overflow_bin_frac, waste_frac
+    (1 − total-capped-fill / total capacity). Bin aggregation is one
+    map-side-combined exchange on (shard, bin_id); no global sort.
+    """
+    packed = pack_documents(documents, budget=budget, shards=shards)
+    bins = packed.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    capped = F.least(F.col("fill"), F.lit(budget))
+    return bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(F.avg(capped / float(budget)), 4).alias("avg_fill_frac"),
+        F.round(
+            F.avg((F.col("fill") > budget).cast("double")), 4
+        ).alias("overflow_bin_frac"),
+        F.round(
+            1.0 - F.sum(capped) / (F.count(F.lit(1)) * float(budget)), 4
+        ).alias("waste_frac"),
+    )

@@ -2595,3 +2595,87 @@ FROM grouped g
 LEFT JOIN naive n USING (split)
 LEFT JOIN leaky l USING (split)
 """
+
+_QUALITY_SQL = """
+q AS (
+  SELECT doc_id,
+         round(least(n_tokens_raw / 100.0, 1.0)
+               * (1.0 - n_punct_raw * 1.0 / greatest(n_chars_raw, 1))
+               * (0.5 + 0.5 * (c_en * 1.0 / greatest(n_tokens_raw, 1))), 4) AS quality
+  FROM docx
+)
+"""
+
+ORACLES["dsir_weights"] = f"""
+WITH {_DOC_EXPRS},
+{_QUALITY_SQL},
+m AS (SELECT round(avg(quality), 6) AS mq FROM q),
+flags AS (
+  SELECT doc_id, CASE WHEN quality >= (SELECT mq FROM m) THEN 1 ELSE 0 END AS is_t
+  FROM q
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(bigram), 1, 8))::BIGINT % 1024 AS bucket
+  FROM bg
+),
+cnt AS (SELECT doc_id, bucket, count(*) AS c FROM feats GROUP BY 1, 2),
+withflag AS (SELECT cnt.*, f.is_t FROM cnt JOIN flags f USING (doc_id)),
+btab AS (
+  SELECT bucket,
+         sum(CASE WHEN is_t = 1 THEN c ELSE 0 END) AS ct,
+         sum(c) AS cr
+  FROM withflag GROUP BY 1
+),
+tot AS (SELECT sum(ct) AS t_tot, sum(cr) AS r_tot FROM btab),
+lr AS (
+  SELECT bucket,
+         CAST(round(round(ln((ct + 1.0) / (t_tot + 1024))
+               - ln((cr + 1.0) / (r_tot + 1024)), 6) * 1e6) AS BIGINT) AS lw_micro
+  FROM btab, tot
+)
+SELECT w.doc_id, CAST(sum(w.c) AS BIGINT) AS n_feats,
+       CAST(sum(w.c * lr.lw_micro) AS BIGINT) AS log_weight_micro
+FROM withflag w JOIN lr USING (bucket)
+GROUP BY 1
+"""
+
+ORACLES["source_caps"] = f"""
+WITH {_DOC_EXPRS},
+{_QUALITY_SQL},
+scored AS (
+  SELECT q.doc_id, d.source, q.quality
+  FROM q JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, source, quality,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY quality DESC, doc_id ASC) AS INTEGER)
+           AS q_rank
+  FROM scored
+)
+SELECT doc_id, source, quality, q_rank FROM ranked WHERE q_rank <= 50
+"""
+
+ORACLES["packing_efficiency"] = f"""
+WITH packed AS ({ORACLES["pack_documents"]}),
+bins AS (
+  SELECT shard, bin_id, CAST(sum(n_tokens) AS BIGINT) AS fill
+  FROM packed GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       round(avg(least(fill, 2048) / 2048.0), 4) AS avg_fill_frac,
+       round(avg(CASE WHEN fill > 2048 THEN 1.0 ELSE 0.0 END), 4) AS overflow_bin_frac,
+       round(1.0 - sum(least(fill, 2048)) / (count(*) * 2048.0), 4) AS waste_frac
+FROM bins
+"""

@@ -798,6 +798,22 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights against the corpus's own
+    high-quality slice."""
+    return text.dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap by quality rank (RefinedWeb-style domain limiter)."""
+    return text.source_caps(load_table(spark, sf_dir, "documents"))
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-fill audit of the token-budget packer."""
+    return text.packing_efficiency(load_table(spark, sf_dir, "documents"))
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide C4-style line dedup with document reassembly —
     boilerplate lines removed at all but their first occurrence."""
@@ -848,6 +864,9 @@ QUERIES: dict[str, QueryFn] = {
     "line_dedup": q_line_dedup,
     "quality_funnel": q_quality_funnel,
     "split_leakage_audit": q_split_leakage_audit,
+    "dsir_weights": q_dsir_weights,
+    "source_caps": q_source_caps,
+    "packing_efficiency": q_packing_efficiency,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
@@ -862,9 +881,6 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "user_reach_rollup": q_user_reach_rollup,
     "length_buckets": q_length_buckets,
-    "dup_ngram_fraction": q_dup_ngram_fraction,
-    "props_variant_stats": q_props_variant_stats,
-    "audio_windows": q_audio_windows,
     "lsh_recall_summary": q_lsh_recall_summary,
     "nation_actor_presence": q_nation_actor_presence,
     # --- text analysis extensions ---
@@ -912,9 +928,14 @@ QUERIES: dict[str, QueryFn] = {
     # to make window room for the new project_embeddings + pq_codes;
     # kpis_long + top_bigrams + tfidf_top_terms rotated out late-r5,
     # all r4-green untouched, for line_dedup / quality_funnel /
-    # split_leakage_audit)
+    # split_leakage_audit; dup_ngram_fraction + props_variant_stats +
+    # audio_windows rotated out for dsir_weights / source_caps /
+    # packing_efficiency — same r4-green-untouched rule)
     "kpis_long": q_kpis_long,
     "top_bigrams": q_top_bigrams,
+    "dup_ngram_fraction": q_dup_ngram_fraction,
+    "props_variant_stats": q_props_variant_stats,
+    "audio_windows": q_audio_windows,
     "embedding_profile": q_embedding_profile,
     "lang_mixture": q_lang_mixture,
     "doc_stats": q_doc_stats,

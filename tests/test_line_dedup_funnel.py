@@ -137,3 +137,58 @@ def test_split_leakage_audit_grouped_policy_never_spans(spark):
     assert spans == 0
     # naive policy leaks on this corpus (some pair straddles a boundary)
     assert sum(r["n_leaky_groups"] for r in out) > 0
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    # quality ∝ token count here: long plain docs are the target slice
+    quality_body = "the quick brown fox jumps over the lazy dog again " * 20
+    noise_body = "zxqv kjhg wwpo qqee rrty " * 4
+    rows = [(i, quality_body) for i in range(8)] + [
+        (100 + i, noise_body) for i in range(4)
+    ]
+    out = {r["doc_id"]: r for r in text.dsir_weights(_docs(spark, rows)).collect()}
+    assert set(out) == {*range(8), *range(100, 104)}
+    # target-profile docs must outscore the noise docs
+    assert min(out[i]["log_weight_micro"] for i in range(8)) > max(
+        out[100 + i]["log_weight_micro"] for i in range(4)
+    )
+    assert all(r["n_feats"] > 0 for r in out.values())
+
+
+def test_dsir_weights_skips_docs_without_bigrams(spark):
+    rows = [(1, "lonely"), (2, "two tokens make one bigram " * 30)]
+    out = text.dsir_weights(_docs(spark, rows)).collect()
+    assert {r["doc_id"] for r in out} == {2}
+
+
+def test_source_caps_keeps_best_per_source(spark):
+    docs = spark.createDataFrame(
+        [
+            (i, "word " * (10 + i) + "sentence end.", "en", "src_a", 0)
+            for i in range(5)
+        ]
+        + [(10, "single low quality doc.", "en", "src_b", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = text.source_caps(docs, cap=2)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["src_a"]) == 2
+    assert len(by_src["src_b"]) == 1
+    # ranks are 1..cap and the kept docs are the highest-quality ones
+    assert sorted(r["q_rank"] for r in by_src["src_a"]) == [1, 2]
+    kept_a = {r["doc_id"] for r in by_src["src_a"]}
+    assert kept_a == {3, 4}  # longest docs → highest quality score
+
+
+def test_packing_efficiency_bounds(spark):
+    docs = spark.createDataFrame(
+        [(i, "tok " * 100) for i in range(40)], "doc_id long, text string"
+    )
+    row = text.packing_efficiency(docs, budget=256, shards=4).collect()[0]
+    assert row["n_bins"] > 0
+    assert 0.0 <= row["avg_fill_frac"] <= 1.0
+    assert 0.0 <= row["overflow_bin_frac"] <= 1.0
+    assert abs((1.0 - row["avg_fill_frac"]) - row["waste_frac"]) < 1e-9
