@@ -75,6 +75,13 @@ HEADLINE = [
     # round 5: multimodal real-decode leg — aHash + banded image dedup
     "image_phash_stats",
     "phash_dup_pairs",
+    # round 5 continuation: corpus transforms a curation pipeline runs
+    # at full scale — C4 line dedup w/ reassembly, DSIR importance
+    # weights, per-source caps, quality funnel attribution
+    "line_dedup",
+    "dsir_weights",
+    "source_caps",
+    "quality_funnel",
 ]
 
 

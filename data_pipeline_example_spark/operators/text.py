@@ -1263,3 +1263,154 @@ def packing_efficiency(
             1.0 - F.sum(capped) / (F.count(F.lit(1)) * float(budget)), 4
         ).alias("waste_frac"),
     )
+
+
+def bigram_lm_scores(documents: DataFrame) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus's OWN
+    bigram LM with Laplace smoothing — the next rung above
+    ``unigram_scores`` on the CCNet-style perplexity-proxy ladder:
+    ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)``.
+
+    Exactness: each bigram's −log2 P is rounded to 6 dp then scaled to
+    integer MICRO-BITS; per-doc totals are integer sums and the mean is
+    integer division — no float accumulation anywhere, so the result is
+    engine- and order-independent (the ``dsir_weights`` discipline).
+
+    Plan: one tokenize pass explodes (w1, bigram) pairs; bigram and
+    unigram counts are two map-side-combined aggregates; both scoring
+    joins key on vocabulary-sized terms (too big to broadcast at
+    100 TB — the shuffle join is the correct choice, as in
+    ``tfidf_top_terms``); V rides in as a 1-row broadcast.
+
+    Output: doc_id, n_bigrams, total_nll_micro, avg_nll_micro
+    (micro-bits; divide by 1e6 for bits) — docs with ≥ 1 bigram.
+    """
+    t = T.tokens(F.lower(F.col("text")))
+    toked = widen(documents).select("doc_id", t.alias("t"))
+    pairs = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+                "(x, i) -> struct(x AS w1, "
+                "concat(x, ' ', element_at(t, i + 2)) AS bg))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.bg")
+    unis = toked.select(F.explode("t").alias("term"))
+    uni = unis.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    nll_micro = (
+        F.round(
+            F.round(
+                -F.log2((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))), 6
+            )
+            * 1e6,
+            0,
+        )
+    ).cast("long")
+    return (
+        pairs.join(bg, "bg")
+        .join(uni, pairs["w1"] == uni["term"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(nll_micro).alias("total_nll_micro"),
+        )
+        # integral `div`, NOT float `/`+cast: a double quotient can land
+        # at N − 1e-10 and truncate to N−1 while the oracle's exact
+        # integer // yields N (the length_buckets/sub_id lesson)
+        .withColumn(
+            "avg_nll_micro", F.expr("total_nll_micro div n_bigrams")
+        )
+    )
+
+
+def ccnet_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing: label every document head /
+    middle / tail by which tercile of the corpus's ``unigram_scores``
+    perplexity proxy it falls in (head = most-fluent third). The
+    published CCNet pipeline routes these buckets to different
+    training mixtures; the label is the routing key.
+
+    Tercile thresholds come from a value histogram of the 4-dp-rounded
+    scores — distinct-score cardinality is bounded by the rounding
+    (planning-sized), so the prefix-sum window runs over a tiny frame
+    and the corpus itself is never globally sorted (the
+    ``length_buckets`` cuts discipline). Threshold semantics: t_k is
+    the smallest score with cumulative count ≥ ⌈k·n/3⌉; bucket
+    boundaries are value-based, so ties share a bucket and the
+    assignment is deterministic.
+
+    Output: doc_id, avg_neg_log2p, bucket — docs with ≥ 1 token.
+    """
+    scores = unigram_scores(documents).select("doc_id", "avg_neg_log2p")
+    hist = scores.groupBy("avg_neg_log2p").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("avg_neg_log2p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "avg_neg_log2p", F.sum("c").over(w).alias("cum")
+    )
+    total = hist.agg(F.sum("c").alias("n"))
+    cuts = cum.crossJoin(F.broadcast(total)).agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n + 2) div 3"), F.col("avg_neg_log2p")
+            )
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * n + 2) div 3"),
+                F.col("avg_neg_log2p"),
+            )
+        ).alias("t2"),
+    )
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "avg_neg_log2p",
+        F.when(F.col("avg_neg_log2p") <= F.col("t1"), "head")
+        .when(F.col("avg_neg_log2p") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def oov_rate(documents: DataFrame, vocab_size: int = 1000) -> DataFrame:
+    """Vocabulary-coverage audit: per-document out-of-vocabulary rate
+    against the corpus's own top-``vocab_size`` terms (count desc, term
+    asc — ties cut deterministically). The signal a tokenizer/vocab
+    decision is judged by: a rising OOV tail means the vocab under-fits
+    the corpus slice.
+
+    Plan: one tokenize/explode feeds the vocabulary aggregate; top-V
+    selection is a TakeOrdered over the vocabulary-sized count frame
+    (never the corpus); the V-row keep-set broadcasts into a LEFT join
+    so the corpus tokens are scanned once and shuffle only for the
+    per-doc rollup. Output: doc_id, n_tokens, n_oov, oov_rate.
+    """
+    toks = widen(documents).select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(top), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+            F.round(
+                F.sum(F.col("in_vocab").isNull().cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+    )

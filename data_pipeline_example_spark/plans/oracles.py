@@ -2679,3 +2679,85 @@ SELECT CAST(count(*) AS BIGINT) AS n_bins,
        round(1.0 - sum(least(fill, 2048)) / (count(*) * 2048.0), 4) AS waste_frac
 FROM bins
 """
+
+ORACLES["bigram_lm_scores"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks
+),
+unis AS (
+  SELECT unnest(t) AS term FROM toks
+),
+uni AS (SELECT term, count(*) AS c1 FROM unis GROUP BY 1),
+vocab AS (SELECT count(*) AS v FROM uni),
+bgc AS (SELECT bg, count(*) AS c2 FROM pairs GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(round(-log2((bgc.c2 + 1.0) / (uni.c1 + vocab.v)), 6) * 1e6)
+              AS BIGINT) AS nll_micro
+  FROM pairs p
+  JOIN bgc USING (bg)
+  JOIN uni ON p.w1 = uni.term
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll_micro) AS BIGINT) AS total_nll_micro,
+       CAST(CAST(sum(nll_micro) AS BIGINT) // count(*) AS BIGINT) AS avg_nll_micro
+FROM scored
+GROUP BY 1
+"""
+
+ORACLES["ccnet_buckets"] = f"""
+WITH scores AS (
+  SELECT doc_id, avg_neg_log2p
+  FROM ({ORACLES["unigram_scores"]})
+),
+hist AS (SELECT avg_neg_log2p, count(*) AS c FROM scores GROUP BY 1),
+cum AS (
+  SELECT avg_neg_log2p,
+         sum(c) OVER (ORDER BY avg_neg_log2p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+total AS (SELECT sum(c) AS n FROM hist),
+cuts AS (
+  SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN avg_neg_log2p END) AS t1,
+         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN avg_neg_log2p END) AS t2
+  FROM cum, total
+)
+SELECT s.doc_id, s.avg_neg_log2p,
+       CASE WHEN s.avg_neg_log2p <= cuts.t1 THEN 'head'
+            WHEN s.avg_neg_log2p <= cuts.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores s, cuts
+"""
+
+ORACLES["oov_rate"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+  FROM documents
+),
+top AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS tc FROM toks GROUP BY 1
+    ORDER BY tc DESC, term ASC LIMIT 1000
+  )
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN top.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN top.term IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS oov_rate
+FROM toks t LEFT JOIN top ON t.term = top.term
+GROUP BY 1
+"""

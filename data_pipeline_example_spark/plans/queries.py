@@ -798,6 +798,21 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace bigram-LM document NLL in exact micro-bits."""
+    return text.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles via histogram cuts."""
+    return text.ccnet_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate against the corpus top-1000 vocabulary."""
+    return text.oov_rate(load_table(spark, sf_dir, "documents"))
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-bigram importance weights against the corpus's own
     high-quality slice."""
@@ -867,6 +882,9 @@ QUERIES: dict[str, QueryFn] = {
     "dsir_weights": q_dsir_weights,
     "source_caps": q_source_caps,
     "packing_efficiency": q_packing_efficiency,
+    "bigram_lm_scores": q_bigram_lm_scores,
+    "ccnet_buckets": q_ccnet_buckets,
+    "oov_rate": q_oov_rate,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
@@ -882,11 +900,8 @@ QUERIES: dict[str, QueryFn] = {
     "user_reach_rollup": q_user_reach_rollup,
     "length_buckets": q_length_buckets,
     "lsh_recall_summary": q_lsh_recall_summary,
-    "nation_actor_presence": q_nation_actor_presence,
     # --- text analysis extensions ---
     # --- dedup extensions ---
-    "contamination_pairs": q_contamination_pairs,
-    "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_summary": q_dedup_summary,
@@ -930,9 +945,14 @@ QUERIES: dict[str, QueryFn] = {
     # all r4-green untouched, for line_dedup / quality_funnel /
     # split_leakage_audit; dup_ngram_fraction + props_variant_stats +
     # audio_windows rotated out for dsir_weights / source_caps /
-    # packing_efficiency — same r4-green-untouched rule)
+    # packing_efficiency; nation_actor_presence + contamination_pairs +
+    # exact_dedup rotated out for bigram_lm_scores / ccnet_buckets /
+    # oov_rate — same r4-green-untouched rule)
     "kpis_long": q_kpis_long,
     "top_bigrams": q_top_bigrams,
+    "nation_actor_presence": q_nation_actor_presence,
+    "contamination_pairs": q_contamination_pairs,
+    "exact_dedup": q_exact_dedup,
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "props_variant_stats": q_props_variant_stats,
     "audio_windows": q_audio_windows,

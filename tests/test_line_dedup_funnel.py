@@ -192,3 +192,42 @@ def test_packing_efficiency_bounds(spark):
     assert 0.0 <= row["avg_fill_frac"] <= 1.0
     assert 0.0 <= row["overflow_bin_frac"] <= 1.0
     assert abs((1.0 - row["avg_fill_frac"]) - row["waste_frac"]) < 1e-9
+
+
+def test_bigram_lm_scores_exact_micro_arithmetic(spark):
+    rows = [(1, "a b a b a b"), (2, "a b c d e f")]
+    out = {r["doc_id"]: r for r in text.bigram_lm_scores(_docs(spark, rows)).collect()}
+    assert out[1]["n_bigrams"] == 5
+    assert out[2]["n_bigrams"] == 5
+    # repeated bigrams are more probable → lower NLL than all-new bigrams
+    assert out[1]["total_nll_micro"] < out[2]["total_nll_micro"]
+    for r in out.values():
+        assert r["avg_nll_micro"] == r["total_nll_micro"] // r["n_bigrams"]
+        assert r["total_nll_micro"] > 0
+
+
+def test_ccnet_buckets_tercile_labels(spark):
+    # three score groups: common words, mixed, rare words
+    rows = (
+        [(i, "common words common words common words") for i in range(6)]
+        + [(10 + i, "common words rare" + str(i) + " thing") for i in range(6)]
+        + [(20 + i, f"zzz{i} qqq{i} vvv{i} kkk{i}") for i in range(6)]
+    )
+    out = text.ccnet_buckets(_docs(spark, rows)).collect()
+    buckets = {r["doc_id"]: r["bucket"] for r in out}
+    assert set(buckets.values()) == {"head", "middle", "tail"}
+    # fluent docs land in head, rare-token docs in tail
+    assert all(buckets[i] == "head" for i in range(6))
+    assert all(buckets[20 + i] == "tail" for i in range(6))
+    # value-based boundaries: equal scores share a bucket
+    scores = {}
+    for r in out:
+        scores.setdefault(r["avg_neg_log2p"], set()).add(r["bucket"])
+    assert all(len(b) == 1 for b in scores.values())
+
+
+def test_oov_rate_against_top_vocab(spark):
+    rows = [(1, "common common common"), (2, "common rareword")]
+    out = {r["doc_id"]: r for r in text.oov_rate(_docs(spark, rows), vocab_size=1).collect()}
+    assert out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
+    assert out[2]["n_oov"] == 1 and abs(out[2]["oov_rate"] - 0.5) < 1e-9
