@@ -771,33 +771,76 @@ def ivf_knn(
     """IVF-style approximate top-k: probe only the n_probe buckets whose
     centroids are closest to the query. Output: vec_id, cos_sim (6 dp).
 
-    At scale, ``assign_centroids`` output is materialized once and
-    partitioned by centroid_id; a query then reads only the probed
-    partitions (partition pruning) instead of the full corpus.
+    Serving plan: ONE corpus scan, zero exchanges — assignment is an
+    inline min(struct(-cos, cid)) expression over the broadcast-literal
+    centroids (the ``assign_centroids`` tie-break verbatim), the probe
+    filter is scan-local, and top-k is a TakeOrdered. The only driver
+    materialization is the (n_centroids + 1)-row centroid/query fetch —
+    bounded by the parameter, not the corpus. At scale the same layout
+    is served from ``write_ann_index``'s centroid-partitioned files
+    with partition pruning (``ivfpq_knn_indexed``).
     """
     e = _as_double(embeddings)
-    assigned = assign_centroids(embeddings, n_centroids)
-    q = e.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
-    cents = e.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    head = e.filter(
+        (F.col("vec_id") < n_centroids) | (F.col("vec_id") == query_id)
+    ).collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["v"]] for r in head}
+    if query_id not in by_id:
+        return e.select(
+            "vec_id", F.lit(0.0).alias("cos_sim")
+        ).limit(0)
+    qv = by_id[query_id]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    cent_rows = [
+        (int(cid), by_id[cid]) for cid in sorted(by_id) if cid < n_centroids
+    ]
+    # probe selection runs as a local-frame Spark job so round/cosine
+    # semantics are engine-exact (identical to the oracle's fold); the
+    # frame is n_centroids rows, never the corpus
+    spark = embeddings.sparkSession
+    cents_local = spark.createDataFrame(
+        cent_rows, "centroid_id long, cv array<double>"
     )
-    probed = (
-        cents.crossJoin(F.broadcast(q))
-        .select(
+    probed = [
+        r["centroid_id"]
+        for r in cents_local.select(
             "centroid_id",
-            F.round(V.cosine(F.col("cv"), F.col("qv")), 6).alias("c_sim"),
+            F.round(V.cosine(F.col("cv"), qlit), 6).alias("c_sim"),
         )
         .orderBy(F.desc("c_sim"), F.asc("centroid_id"))
         .limit(n_probe)
-        .select("centroid_id")
+        .collect()
+    ]
+    # inline assignment: argmax over the centroid literals via
+    # min(struct(-cos, cid)) — the assign_centroids tie-break verbatim,
+    # but as a scan-local expression, so the corpus is read ONCE with
+    # ZERO exchanges and top-k is a TakeOrdered (the previous plan
+    # shuffled full vectors through a corpus-sized vec_id join: the one
+    # super-linear scaler of the r5 sf1 pass, x12 on x10 data)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        -F.round(
+                            V.cosine(
+                                F.col("v"), F.array(*[F.lit(x) for x in cv])
+                            ),
+                            6,
+                        )
+                    ).alias("nc"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cent_rows
+            ]
+        )
     )
-    bucket_ids = assigned.join(F.broadcast(probed), "centroid_id").select("vec_id")
     return (
-        e.join(bucket_ids, "vec_id")
-        .crossJoin(F.broadcast(q))
+        e.withColumn("cid", best["cid"])
+        .filter(F.col("cid").isin(probed))
         .select(
             "vec_id",
-            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            F.round(V.cosine(F.col("v"), qlit), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
