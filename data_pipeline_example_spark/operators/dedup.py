@@ -669,3 +669,67 @@ def split_leakage_audit(documents: DataFrame, clusters: DataFrame) -> DataFrame:
             F.coalesce("n_leaky_groups", F.lit(0)).alias("n_leaky_groups"),
         )
     )
+
+
+def decontaminated_corpus(
+    documents: DataFrame,
+    eval_max_id: int = 10,
+    k: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """The decontamination TRANSFORM: the training corpus after
+    dropping every document sharing ≥ ``min_shared`` k-token shingles
+    with the held-out eval set (``contamination_pairs`` is the audit;
+    this applies the verdict — the step a corpus must pass before its
+    evals mean anything).
+
+    Plan: the candidate drop-list is contamination-pair-sized (tiny),
+    aggregated per training doc and LEFT ANTI joined against the
+    training scan — the corpus itself streams through one broadcastable
+    anti join. Output: doc_id, lang, source.
+    """
+    cands = (
+        contamination_pairs(documents, eval_max_id=eval_max_id, k=k)
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        documents.filter(F.col("doc_id") >= eval_max_id)
+        .join(F.broadcast(cands), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+def dedup_threshold_curve(
+    documents: DataFrame,
+    thresholds: tuple = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    k: int = 3,
+) -> DataFrame:
+    """Dedup operating curve: how many near-dup pairs and how many
+    distinct documents a Jaccard threshold would implicate, for a sweep
+    of thresholds — the tuning table that justifies a production
+    threshold choice instead of folklore.
+
+    One exact-pair materialization at the loosest threshold, then a
+    tiny thresholds-array explode over the PAIR frame (pair-sized ×
+    |thresholds|, never corpus-sized) and one aggregate. Output:
+    threshold, n_pairs, n_docs.
+    """
+    pairs = jaccard_pairs(documents, threshold=min(thresholds), k=k)
+    t_arr = F.array(*[F.lit(float(t)) for t in sorted(thresholds)])
+    swept = pairs.select(
+        "doc_a", "doc_b", "jaccard", F.explode(t_arr).alias("threshold")
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    n_pairs = swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    docs = swept.select("threshold", F.col("doc_a").alias("d")).unionByName(
+        swept.select("threshold", F.col("doc_b").alias("d"))
+    )
+    n_docs = docs.groupBy("threshold").agg(
+        F.countDistinct("d").alias("n_docs")
+    )
+    return n_pairs.join(n_docs, "threshold").select(
+        "threshold", "n_pairs", "n_docs"
+    )

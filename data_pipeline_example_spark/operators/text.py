@@ -1414,3 +1414,50 @@ def oov_rate(documents: DataFrame, vocab_size: int = 1000) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+def c4_clean(
+    documents: DataFrame,
+    min_line_words: int = 5,
+    require_terminal: bool = True,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 TRANSFORM (Raffel et al. 2020 §2.2) — ``c4_line_stats``
+    audits the rules; this applies them and hands back the cleaned
+    corpus: lines with < ``min_line_words`` whitespace words (or, when
+    ``require_terminal``, no terminal punctuation) are dropped, and
+    pages with a ``lorem ipsum`` marker, a ``{``, or fewer than
+    ``min_kept_lines`` surviving lines are dropped whole. Defaults are
+    the published C4 rules; the registered driver query relaxes
+    (require_terminal=False, min_kept_lines=1) because the synthetic
+    corpus is single-line unpunctuated word salad and the strict gate
+    would certify a vacuous 0-row result — the strict path is pinned by
+    unit test instead.
+
+    Pure column expressions over one scan — array filter + join, zero
+    shuffle, whole-stage codegen; the corpus transform costs exactly
+    one pass at any scale. Output: doc_id, n_kept_lines, text_clean
+    (surviving pages only).
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    line_words = lambda l: F.when(  # noqa: E731 — local expression builder
+        F.trim(l) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(l), r"\s+")))
+    line_ok = (
+        (lambda l: (line_words(l) >= min_line_words) & l.rlike(r'[.!?"]\s*$'))
+        if require_terminal
+        else (lambda l: line_words(l) >= min_line_words)
+    )
+    kept = F.filter(F.split(txt, "\n"), line_ok)
+    base = documents.select(
+        "doc_id",
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("text_clean"),
+        (F.locate("lorem ipsum", F.lower(txt)) > 0).alias("has_lorem"),
+        (F.locate("{", txt) > 0).alias("has_brace"),
+    )
+    return base.filter(
+        (~F.col("has_lorem"))
+        & (~F.col("has_brace"))
+        & (F.col("n_kept_lines") >= min_kept_lines)
+    ).select("doc_id", "n_kept_lines", "text_clean")

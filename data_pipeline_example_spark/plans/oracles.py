@@ -2761,3 +2761,69 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN top ON t.term = top.term
 GROUP BY 1
 """
+
+ORACLES["c4_clean"] = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(string_split(coalesce(text, ''), chr(10)), l ->
+              (CASE WHEN trim(l) = '' THEN 0
+                    ELSE len(string_split_regex(trim(l), '\\s+')) END) >= 5) AS kept
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       array_to_string(kept, chr(10)) AS text_clean
+FROM base
+WHERE position('lorem ipsum' IN lower(t)) = 0
+  AND position('{' IN t) = 0
+  AND len(kept) >= 1
+"""
+
+ORACLES["decontaminated_corpus"] = f"""
+WITH {_SHINGLES},
+cont AS (
+  SELECT a.doc_id, b.doc_id AS eval_doc, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE a.doc_id >= 10 AND b.doc_id < 10
+  GROUP BY 1, 2
+),
+drops AS (SELECT DISTINCT doc_id FROM cont WHERE n_shared >= 2)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id >= 10
+  AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+ORACLES["dedup_threshold_curve"] = f"""
+WITH {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
+),
+swept AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard, t.threshold
+  FROM pairs p,
+       (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+          AS threshold) t
+  WHERE p.jaccard >= t.threshold
+),
+docs AS (
+  SELECT threshold, doc_a AS d FROM swept
+  UNION ALL
+  SELECT threshold, doc_b FROM swept
+)
+SELECT np.threshold, np.n_pairs, nd.n_docs
+FROM (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM swept GROUP BY 1) np
+JOIN (SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+      FROM docs GROUP BY 1) nd USING (threshold)
+"""

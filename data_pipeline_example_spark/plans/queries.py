@@ -798,6 +798,28 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning transform: surviving pages with cleaned text.
+    Relaxed line/page gates so the single-line synthetic corpus
+    certifies a non-vacuous transform (strict C4 defaults are
+    unit-test-pinned)."""
+    return text.c4_clean(
+        load_table(spark, sf_dir, "documents"),
+        require_terminal=False,
+        min_kept_lines=1,
+    )
+
+
+def q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training corpus after eval-overlap decontamination."""
+    return dedup.decontaminated_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold operating curve for dedup tuning."""
+    return dedup.dedup_threshold_curve(load_table(spark, sf_dir, "documents"))
+
+
 def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laplace bigram-LM document NLL in exact micro-bits."""
     return text.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
@@ -885,6 +907,9 @@ QUERIES: dict[str, QueryFn] = {
     "bigram_lm_scores": q_bigram_lm_scores,
     "ccnet_buckets": q_ccnet_buckets,
     "oov_rate": q_oov_rate,
+    "c4_clean": q_c4_clean,
+    "decontaminated_corpus": q_decontaminated_corpus,
+    "dedup_threshold_curve": q_dedup_threshold_curve,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
@@ -902,18 +927,15 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_recall_summary": q_lsh_recall_summary,
     # --- text analysis extensions ---
     # --- dedup extensions ---
-    "jaccard_pairs": q_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_summary": q_dedup_summary,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_jaccard_estimates": q_minhash_jaccard_estimates,
-    "simhash_signatures": q_simhash_signatures,
     "simhash_pairs": q_simhash_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "cosine_dup_pairs_blocked": q_cosine_dup_pairs_blocked,
     # --- similarity search extensions ---
     "embedding_centroids": q_embedding_centroids,
-    "knn_bruteforce": q_knn_bruteforce,
     "nearest_neighbor": q_nearest_neighbor,
     "nearest_neighbor_blocked": q_nearest_neighbor_blocked,
     "ivf_knn": q_ivf_knn,
@@ -947,8 +969,13 @@ QUERIES: dict[str, QueryFn] = {
     # audio_windows rotated out for dsir_weights / source_caps /
     # packing_efficiency; nation_actor_presence + contamination_pairs +
     # exact_dedup rotated out for bigram_lm_scores / ccnet_buckets /
-    # oov_rate — same r4-green-untouched rule)
+    # oov_rate; jaccard_pairs + simhash_signatures + knn_bruteforce
+    # rotated out for c4_clean / decontaminated_corpus /
+    # dedup_threshold_curve — same r4-green-untouched rule)
     "kpis_long": q_kpis_long,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash_signatures": q_simhash_signatures,
+    "knn_bruteforce": q_knn_bruteforce,
     "top_bigrams": q_top_bigrams,
     "nation_actor_presence": q_nation_actor_presence,
     "contamination_pairs": q_contamination_pairs,

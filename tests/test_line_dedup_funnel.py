@@ -231,3 +231,42 @@ def test_oov_rate_against_top_vocab(spark):
     out = {r["doc_id"]: r for r in text.oov_rate(_docs(spark, rows), vocab_size=1).collect()}
     assert out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
     assert out[2]["n_oov"] == 1 and abs(out[2]["oov_rate"] - 0.5) < 1e-9
+
+
+def test_c4_clean_drops_bad_lines_and_pages(spark):
+    good_line = "this sentence has plenty of words and ends properly."
+    rows = [
+        (1, f"{good_line}\nshort line\n{good_line}\n{good_line}"),
+        (2, f"{good_line}\n{good_line}"),          # only 2 kept -> page dropped
+        (3, f"{good_line}\n{good_line}\n{good_line}\nlorem ipsum filler."),
+        (4, "{ code block }\n" + "\n".join([good_line] * 3)),
+    ]
+    out = {r["doc_id"]: r for r in text.c4_clean(_docs(spark, rows)).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_kept_lines"] == 3
+    assert out[1]["text_clean"] == "\n".join([good_line] * 3)
+
+
+def test_decontaminated_corpus_drops_overlapping_docs(spark):
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, eval_text, "en", "eval", 0),
+         (20, eval_text + " extra words here", "en", "web", 0),
+         (21, "totally unrelated content words nothing shared apple", "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dedup.decontaminated_corpus(docs, eval_max_id=10, min_shared=2)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {21}
+
+
+def test_dedup_threshold_curve_monotone(spark):
+    base = "one two three four five six seven eight nine ten"
+    rows = [(1, base), (2, base), (3, base + " eleven"), (4, "unrelated words entirely different content")]
+    curve = {r["threshold"]: r for r in dedup.dedup_threshold_curve(_docs(spark, rows)).collect()}
+    ts = sorted(curve)
+    pairs = [curve[t]["n_pairs"] for t in ts]
+    docs_ = [curve[t]["n_docs"] for t in ts]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs_ == sorted(docs_, reverse=True)
+    assert curve[ts[-1]]["n_pairs"] >= 1  # exact dup pair survives at 0.9
