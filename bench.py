@@ -82,6 +82,10 @@ HEADLINE = [
     "dsir_weights",
     "source_caps",
     "quality_funnel",
+    "c4_clean",
+    "bigram_lm_scores",
+    "ccnet_buckets",
+    "oov_rate",
 ]
 
 

@@ -2498,12 +2498,12 @@ kept AS (
 )
 SELECT d.doc_id,
        CAST(len(string_split(coalesce(d.text, ''), chr(10))) AS BIGINT) AS n_lines,
-       CAST(kc.n_kept AS BIGINT) AS n_kept,
-       CAST(len(string_split(coalesce(d.text, ''), chr(10))) - kc.n_kept AS BIGINT)
-         AS n_dropped,
-       kc.text_clean
+       CAST(coalesce(kc.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(string_split(coalesce(d.text, ''), chr(10)))
+            - coalesce(kc.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(kc.text_clean, '') AS text_clean
 FROM documents d
-JOIN (
+LEFT JOIN (
   SELECT doc_id, count(*) AS n_kept,
          string_agg(line, chr(10) ORDER BY pos) AS text_clean
   FROM kept GROUP BY doc_id

@@ -214,3 +214,58 @@ def test_pq_codes_identical_vectors_share_codes(spark, seed):
             for r in pq_codes(df).collect()}
     for i, _ in base[16:20]:
         assert rows[i] == rows[100 + i]
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.lists(
+            st.sampled_from(
+                [
+                    "shared boilerplate line with enough words here",
+                    "another repeated navigation line of many words",
+                    "unique",
+                    "",
+                ]
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_line_dedup_invariants(spark, data):
+    """line_dedup: every doc survives; n_lines = n_kept + n_dropped;
+    each dedupable line's FIRST (doc_id, pos) occurrence is kept; the
+    cleaned text is a subsequence of the original lines in order."""
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(data)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.line_dedup(docs).collect()}
+    assert set(out) == {i for i, _ in rows}
+    seen: set[str] = set()
+    for i, lines in enumerate(data):
+        r = out[i]
+        assert r["n_lines"] == len(lines)
+        assert r["n_lines"] == r["n_kept"] + r["n_dropped"]
+        kept = r["text_clean"].split("\n") if r["text_clean"] != "" else []
+        # cleaned text is an in-order subsequence of the original lines
+        it = iter(lines)
+        assert all(any(orig == k for orig in it) for k in kept)
+        # replay the dedup decision per line (docs iterate in doc_id
+        # order, positions in order — matching the operator's keep rule)
+        expect_kept = []
+        for line in lines:
+            words = len(line.split()) if line.strip() else 0
+            if words >= 4:
+                key = " ".join(line.strip().lower().split())
+                if key in seen:
+                    continue
+                seen.add(key)
+            expect_kept.append(line)
+        # n_kept==0 gives text_clean "" which also encodes one empty
+        # line's worth of nothing — compare as lists
+        assert kept == [l for l in expect_kept] or (
+            kept == [] and expect_kept == [""]
+        ) or (kept == [""] and expect_kept == [""])
+        assert r["n_kept"] == len(expect_kept)
