@@ -212,3 +212,86 @@ def update_dedup_index(spark, documents: DataFrame, index_path: str) -> DataFram
     )
     admitted.write.mode("append").parquet(index_path)
     return admitted
+
+
+def corpus_funnel(documents: DataFrame) -> DataFrame:
+    """Cross-document curation funnel — the corpus-level companion to
+    ``text.quality_funnel`` (which covers the per-document rules):
+    survivors of each stage of the modern curation recipe applied in
+    order, where the later stages are the CROSS-document ones a
+    per-doc funnel can't express:
+
+      1. raw                — corpus size
+      2. c4_page            — C4 page gate (relaxed line rule, the
+                              registered ``c4_clean`` configuration)
+      3. unique_lines       — still has ≥1 line after corpus-wide
+                              first-occurrence line dedup
+      4. exact_keeper       — canonical survivor of its exact-dup class
+      5. decontaminated     — shares < 2 shingles with the eval slice
+      6. gopher             — the full strict Gopher document gate last
+                              (its published thresholds fail the whole
+                              synthetic corpus, so running it late
+                              keeps the cross-doc stages informative)
+
+    Each flag comes from the corresponding certified operator; the
+    funnel is their running conjunction, so the row for stage k is the
+    corpus a pipeline would actually have after stages 2..k. Flag
+    frames are doc-keyed and narrow; the conjunction is one multi-way
+    join on doc_id plus a constant-size aggregate unpivoted with
+    ``stack``. Output: stage, rule, n_surviving (6 rows).
+    """
+    base = documents.select("doc_id")
+    f_c4 = text.c4_clean(
+        documents, require_terminal=False, min_kept_lines=1
+    ).select("doc_id", F.lit(1).alias("f2"))
+    f_uni = text.line_dedup(documents).select(
+        "doc_id", (F.col("n_kept") > 0).cast("int").alias("f3")
+    )
+    keepers = dedup.exact_dedup(documents).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("f4")
+    )
+    f_gq = text.gopher_quality(documents).select(
+        "doc_id", F.col("passes").alias("f6")
+    )
+    cont = (
+        dedup.contamination_pairs(documents)
+        .filter(F.col("n_shared") >= 2)
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    flags = (
+        base.join(f_c4, "doc_id", "left")
+        .join(f_uni, "doc_id", "left")
+        .join(keepers, "doc_id", "left")
+        .join(F.broadcast(cont), "doc_id", "left")
+        .join(f_gq, "doc_id", "left")
+        .select(
+            F.lit(1).alias("f1"),
+            F.coalesce("f2", F.lit(0)).alias("f2"),
+            F.coalesce("f3", F.lit(0)).alias("f3"),
+            F.coalesce("f4", F.lit(0)).alias("f4"),
+            F.when(F.col("contaminated").isNull(), 1).otherwise(0).alias("f5"),
+            F.coalesce("f6", F.lit(0)).alias("f6"),
+        )
+    )
+    rules = [
+        "raw",
+        "c4_page",
+        "unique_lines",
+        "exact_keeper",
+        "decontaminated",
+        "gopher",
+    ]
+    aggs = []
+    cum = None
+    for i in range(1, len(rules) + 1):
+        cum = F.col(f"f{i}") if cum is None else cum * F.col(f"f{i}")
+        aggs.append(F.sum(cum).cast("long").alias(f"sv{i}"))
+    one = flags.agg(*aggs)
+    stacked = ", ".join(
+        f"{i}, '{rule}', sv{i}" for i, rule in enumerate(rules, start=1)
+    )
+    return one.selectExpr(
+        f"stack({len(rules)}, {stacked}) AS (stage, rule, n_surviving)"
+    )

@@ -2827,3 +2827,43 @@ FROM (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
 JOIN (SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
       FROM docs GROUP BY 1) nd USING (threshold)
 """
+
+ORACLES["corpus_funnel"] = f"""
+WITH c4 AS (SELECT doc_id FROM ({ORACLES["c4_clean"]})),
+ld AS (SELECT doc_id, n_kept FROM ({ORACLES["line_dedup"]})),
+gq AS (SELECT doc_id, passes FROM ({ORACLES["gopher_quality"]})),
+keep AS (SELECT min(doc_id) AS doc_id
+         FROM documents
+         GROUP BY md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'))),
+cont AS (SELECT DISTINCT doc_id FROM ({ORACLES["contamination_pairs"]})
+         WHERE n_shared >= 2),
+flags AS (
+  SELECT 1 AS f1,
+         CASE WHEN c4.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f2,
+         CASE WHEN ld.n_kept > 0 THEN 1 ELSE 0 END AS f3,
+         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f4,
+         CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END AS f5,
+         gq.passes AS f6
+  FROM documents d
+  LEFT JOIN c4 ON c4.doc_id = d.doc_id
+  LEFT JOIN ld ON ld.doc_id = d.doc_id
+  LEFT JOIN gq ON gq.doc_id = d.doc_id
+  LEFT JOIN keep k ON k.doc_id = d.doc_id
+  LEFT JOIN cont ct ON ct.doc_id = d.doc_id
+),
+s AS (SELECT CAST(sum(f1) AS BIGINT) AS sv1,
+             CAST(sum(f1 * f2) AS BIGINT) AS sv2,
+             CAST(sum(f1 * f2 * f3) AS BIGINT) AS sv3,
+             CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS sv4,
+             CAST(sum(f1 * f2 * f3 * f4 * f5) AS BIGINT) AS sv5,
+             CAST(sum(f1 * f2 * f3 * f4 * f5 * f6) AS BIGINT) AS sv6
+      FROM flags)
+SELECT stage, rule, n_surviving FROM (
+  SELECT 1 AS stage, 'raw' AS rule, sv1 AS n_surviving FROM s
+  UNION ALL SELECT 2, 'c4_page', sv2 FROM s
+  UNION ALL SELECT 3, 'unique_lines', sv3 FROM s
+  UNION ALL SELECT 4, 'exact_keeper', sv4 FROM s
+  UNION ALL SELECT 5, 'decontaminated', sv5 FROM s
+  UNION ALL SELECT 6, 'gopher', sv6 FROM s
+)
+"""

@@ -798,6 +798,14 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document curation funnel: survivors after each stage of
+    page gate → line dedup → exact dedup → decontamination → gopher."""
+    from data_pipeline_example_spark import curation
+
+    return curation.corpus_funnel(load_table(spark, sf_dir, "documents"))
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4 cleaning transform: surviving pages with cleaned text.
     Relaxed line/page gates so the single-line synthetic corpus
@@ -910,6 +918,7 @@ QUERIES: dict[str, QueryFn] = {
     "c4_clean": q_c4_clean,
     "decontaminated_corpus": q_decontaminated_corpus,
     "dedup_threshold_curve": q_dedup_threshold_curve,
+    "corpus_funnel": q_corpus_funnel,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
@@ -928,7 +937,6 @@ QUERIES: dict[str, QueryFn] = {
     # --- text analysis extensions ---
     # --- dedup extensions ---
     "dedup_clusters": q_dedup_clusters,
-    "dedup_summary": q_dedup_summary,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_jaccard_estimates": q_minhash_jaccard_estimates,
     "simhash_pairs": q_simhash_pairs,
@@ -971,8 +979,10 @@ QUERIES: dict[str, QueryFn] = {
     # exact_dedup rotated out for bigram_lm_scores / ccnet_buckets /
     # oov_rate; jaccard_pairs + simhash_signatures + knn_bruteforce
     # rotated out for c4_clean / decontaminated_corpus /
-    # dedup_threshold_curve — same r4-green-untouched rule)
+    # dedup_threshold_curve; dedup_summary rotated out for
+    # corpus_funnel — same r4-green-untouched rule)
     "kpis_long": q_kpis_long,
+    "dedup_summary": q_dedup_summary,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash_signatures": q_simhash_signatures,
     "knn_bruteforce": q_knn_bruteforce,

@@ -270,3 +270,36 @@ def test_dedup_threshold_curve_monotone(spark):
     assert pairs == sorted(pairs, reverse=True)
     assert docs_ == sorted(docs_, reverse=True)
     assert curve[ts[-1]]["n_pairs"] >= 1  # exact dup pair survives at 0.9
+
+
+def test_corpus_funnel_stage_semantics(spark):
+    from data_pipeline_example_spark import curation
+
+    base = "plain words for the shared body of this document right here"
+    # 20: distinct line but shares shingles with eval doc 1 → falls at
+    #     decontamination. 30: its only line duplicates doc 1's → falls
+    #     at unique_lines. 21/22: exact dups whose unique surviving
+    #     line is the SHORT one (< 4 words, never a dedup key) → 22
+    #     reaches and falls at exact_keeper. 23: clean solo.
+    docs = spark.createDataFrame(
+        [
+            (1, base),                         # eval doc (id < 10)
+            (20, base + " and a few extra trailing words too"),
+            (30, base),
+            (21, "w1 w2 w3\nfive plain words are here"),
+            (22, "w1 w2 w3\nfive plain words are here"),
+            (23, "solo words entirely distinct from anything else around"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["rule"]: r["n_surviving"] for r in curation.corpus_funnel(docs).collect()}
+    assert out["raw"] == 6
+    # funnel is monotone non-increasing in stage order
+    order = ["raw", "c4_page", "unique_lines", "exact_keeper",
+             "decontaminated", "gopher"]
+    vals = [out[r] for r in order]
+    assert vals == sorted(vals, reverse=True)
+    assert out["unique_lines"] == 5    # 30 falls (its one line is a dup)
+    assert out["exact_keeper"] == 4    # 22 falls (exact dup of 21)
+    assert out["decontaminated"] == 3  # 20 falls (shingle overlap w/ eval)
+    assert out["gopher"] == 0          # word-count rule fails the fixtures
