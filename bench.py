@@ -86,6 +86,7 @@ HEADLINE = [
     "bigram_lm_scores",
     "ccnet_buckets",
     "oov_rate",
+    "corpus_funnel",
 ]
 
 
