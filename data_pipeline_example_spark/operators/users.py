@@ -477,3 +477,46 @@ def user_cardinality_kmv_by_type(events: DataFrame, k: int = 16) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def skew_report(events: DataFrame, key: str = "user_id", top: int = 10) -> DataFrame:
+    """Join/aggregation-key skew diagnosis — the pre-flight check
+    before keying a 100 TB shuffle: the ``top`` heaviest values of
+    ``key`` with their row share, and the corpus-wide skew factor
+    (heaviest key count ÷ mean per-key count). A factor in the
+    hundreds says "salt this key or let AQE split it" before the job
+    runs, not after a straggler task spills.
+
+    Plan: one map-side-combined count per key, heavy hitters via
+    TakeOrdered over the key-cardinality frame (never the fact scan),
+    totals as a 1-row broadcast. Ties rank by key value so the report
+    is deterministic. Output: rank, key_value, n_rows, share_pct,
+    skew_factor.
+    """
+    counts = events.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    heavy = (
+        counts.orderBy(F.desc("n_rows"), F.asc("key_value"))
+        .limit(top)
+        .crossJoin(F.broadcast(totals))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key_value"))
+    return heavy.select(
+        F.row_number().over(w).alias("rank"),
+        "key_value",
+        "n_rows",
+        F.round(F.col("n_rows") * 100.0 / F.col("total_rows"), 4).alias(
+            "share_pct"
+        ),
+        F.round(
+            F.col("n_rows") * F.col("n_keys") / F.col("total_rows").cast("double"),
+            4,
+        ).alias("skew_factor"),
+    )

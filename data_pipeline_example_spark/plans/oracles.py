@@ -2867,3 +2867,25 @@ SELECT stage, rule, n_surviving FROM (
   UNION ALL SELECT 6, 'gopher', sv6 FROM s
 )
 """
+
+ORACLES["skew_report"] = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key_value, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM counts
+),
+heavy AS (
+  SELECT key_value, n_rows FROM counts
+  ORDER BY n_rows DESC, key_value ASC LIMIT 10
+)
+SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key_value ASC) AS INTEGER)
+         AS rank,
+       key_value, n_rows,
+       round(n_rows * 100.0 / total_rows, 4) AS share_pct,
+       round(n_rows * n_keys / CAST(total_rows AS DOUBLE), 4) AS skew_factor
+FROM heavy, totals
+"""

@@ -798,6 +798,11 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis: heavy hitters + skew factor."""
+    return users.skew_report(load_table(spark, sf_dir, "events"))
+
+
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document curation funnel: survivors after each stage of
     page gate → line dedup → exact dedup → decontamination → gopher."""
@@ -919,6 +924,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminated_corpus": q_decontaminated_corpus,
     "dedup_threshold_curve": q_dedup_threshold_curve,
     "corpus_funnel": q_corpus_funnel,
+    "skew_report": q_skew_report,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
@@ -938,7 +944,6 @@ QUERIES: dict[str, QueryFn] = {
     # --- dedup extensions ---
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "minhash_jaccard_estimates": q_minhash_jaccard_estimates,
     "simhash_pairs": q_simhash_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "cosine_dup_pairs_blocked": q_cosine_dup_pairs_blocked,
@@ -979,10 +984,12 @@ QUERIES: dict[str, QueryFn] = {
     # exact_dedup rotated out for bigram_lm_scores / ccnet_buckets /
     # oov_rate; jaccard_pairs + simhash_signatures + knn_bruteforce
     # rotated out for c4_clean / decontaminated_corpus /
-    # dedup_threshold_curve; dedup_summary rotated out for
-    # corpus_funnel — same r4-green-untouched rule)
+    # dedup_threshold_curve; dedup_summary + minhash_jaccard_estimates
+    # rotated out for corpus_funnel + skew_report — same
+    # r4-green-untouched rule)
     "kpis_long": q_kpis_long,
     "dedup_summary": q_dedup_summary,
+    "minhash_jaccard_estimates": q_minhash_jaccard_estimates,
     "jaccard_pairs": q_jaccard_pairs,
     "simhash_signatures": q_simhash_signatures,
     "knn_bruteforce": q_knn_bruteforce,

@@ -303,3 +303,17 @@ def test_corpus_funnel_stage_semantics(spark):
     assert out["exact_keeper"] == 4    # 22 falls (exact dup of 21)
     assert out["decontaminated"] == 3  # 20 falls (shingle overlap w/ eval)
     assert out["gopher"] == 0          # word-count rule fails the fixtures
+
+
+def test_skew_report_heavy_hitters(spark):
+    from data_pipeline_example_spark.operators import users
+
+    rows = [(i, 1 if i < 90 else i) for i in range(100)]  # key 1 holds 90%
+    events = spark.createDataFrame(rows, "event_id long, user_id long")
+    out = users.skew_report(events, top=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    top = out[0]
+    assert top["key_value"] == "1" and top["n_rows"] == 90
+    assert abs(top["share_pct"] - 90.0) < 1e-9
+    # 11 distinct keys, mean ~9.09 rows -> skew factor ~9.9
+    assert abs(top["skew_factor"] - round(90 * 11 / 100.0, 4)) < 1e-9
