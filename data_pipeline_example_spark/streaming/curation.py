@@ -349,3 +349,50 @@ def dedup_image_stream(media: DataFrame, watermark: str = "1 hour") -> DataFrame
     return hashed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
         ["phash"]
     )
+
+
+def dedup_lines_stream(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    min_words: int = 4,
+) -> DataFrame:
+    """Streaming LINE-level dedup admission — the continuous twin of
+    the batch ``text.line_dedup`` (C4/RefinedWeb boilerplate
+    suppression) for a document ingest stream: every arriving document
+    fans out to its lines, and a line whose normalized hash was already
+    admitted inside the watermark horizon is dropped. Nav menus, cookie
+    banners and license footers collapse to their first arrival; the
+    first-occurrence-wins rule is the streaming analogue of the batch
+    operator's (doc_id, pos) ordering — here, arrival order.
+
+    Lines shorter than ``min_words`` are structural (headings, blanks)
+    and are NEVER dedup keys — but unlike the batch path they also
+    aren't re-emitted per document here (a keyed stateful stream must
+    not carry unkeyed rows), so the admitted stream is the stream of
+    first-seen SUBSTANTIVE lines: the input a downstream index or
+    boilerplate-model trainer wants. State is one md5 key per distinct
+    admitted line inside the horizon, evicted after it — the same
+    bounded-state contract as every other admission stage in this
+    module.
+
+    Output: doc_id, pos, line, line_hash, ingest_ts (admitted lines).
+    """
+    exploded = docs.select(
+        "doc_id",
+        "ingest_ts",
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    n_words = F.when(F.trim("line") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("line"), r"\s+"))
+    )
+    keyed = exploded.filter(n_words >= min_words).withColumn(
+        "line_hash",
+        F.md5(F.lower(F.regexp_replace(F.trim("line"), r"\s+", " "))),
+    )
+    return (
+        keyed.withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["line_hash"])
+        .select("doc_id", "pos", "line", "line_hash", "ingest_ts")
+    )

@@ -289,3 +289,54 @@ def test_dedup_image_stream_admits_by_perceptual_hash(spark, tmp_path):
     assert surviving == {1, 3}
     hashes = {r["doc_id"]: r["phash"] for r in out}
     assert len(hashes[1]) == 64 and hashes[1] != hashes[3]
+
+
+def test_dedup_lines_stream_suppresses_boilerplate_across_batches(spark, tmp_path):
+    """Streaming line dedup: a boilerplate line re-arriving in a LATER
+    micro-batch is rejected; distinct lines are admitted; short lines
+    are never keyed (and never emitted)."""
+    banner = "please accept our cookie policy before continuing here"
+    body1 = "first document body line with several unique words"
+    body2 = "second document body line with different unique words"
+
+    in_dir, out_dir, ckpt = tmp_path / "lin", tmp_path / "lout", tmp_path / "lckpt"
+    in_dir.mkdir()
+    now = time.time()
+    _write_docs(
+        str(in_dir / "b1.json"),
+        [{"doc_id": "1", "text": f"{banner}\n{body1}\nTitle",
+          "ingest_ts": "2025-01-01 10:00:00"}],
+        now,
+    )
+    _write_docs(
+        str(in_dir / "b2.json"),
+        [{"doc_id": "2", "text": f"{banner}\n{body2}",
+          "ingest_ts": "2025-01-01 10:05:00"}],
+        now + 1,
+    )
+
+    stream = sc.decode_doc_stream(
+        sc.read_doc_stream(spark, str(in_dir), max_files_per_trigger=1)
+    )
+    admitted = sc.dedup_lines_stream(stream, watermark="1 hour")
+    q = (
+        admitted.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(out_dir))
+    rows = {(r["doc_id"], r["line"]) for r in out.collect()}
+    # banner admitted once (doc 1's arrival); doc 2's copy rejected
+    assert (1, banner) in rows
+    assert (2, banner) not in rows
+    # substantive body lines admitted from both docs
+    assert (1, body1) in rows and (2, body2) in rows
+    # short structural line never keyed nor emitted
+    assert all(line != "Title" for _, line in rows)
+    # line_hash is carried for downstream indexing
+    assert out.filter("line_hash is null").count() == 0
