@@ -645,7 +645,10 @@ def split_leakage_audit(documents: DataFrame, clusters: DataFrame) -> DataFrame:
         )
     )
     by_group = assigned.groupBy("group_id").agg(
-        F.first("split").alias("split"),
+        # min, not first: the value is constant within a group (split is
+        # a function of group_id) but min is PROVABLY order-independent,
+        # and it mirrors the oracle's min(split) exactly
+        F.min("split").alias("split"),
         F.countDistinct("split_naive").alias("n_naive_splits"),
     )
     grouped = assigned.groupBy("split").agg(
