@@ -1723,3 +1723,29 @@ def pq_distortion(
         )
         .orderBy("g")
     )
+
+
+def cluster_balance_audit(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """IVF bucket-health audit: the size distribution of
+    ``assign_centroids`` buckets — the number an ANN deployment tunes
+    ``n_centroids``/``n_probe`` by. A balance factor near 1 means probes
+    cost what the math says; a hot bucket means probe latency is
+    whatever that bucket costs (the embedding-space analogue of
+    ``users.skew_report``).
+
+    One assignment pass (broadcast centroids, narrow-row exchange),
+    one map-side-combined count per bucket, constant-size output:
+    n_buckets, n_vecs, min_bucket, max_bucket, avg_bucket (4 dp),
+    balance_factor (max/avg, 4 dp).
+    """
+    counts = assign_centroids(embeddings, n_centroids).groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").alias("n_vecs"),
+        F.min("n").alias("min_bucket"),
+        F.max("n").alias("max_bucket"),
+        F.round(F.avg("n"), 4).alias("avg_bucket"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("balance_factor"),
+    )

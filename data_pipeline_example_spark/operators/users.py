@@ -520,3 +520,94 @@ def skew_report(events: DataFrame, key: str = "user_id", top: int = 10) -> DataF
             4,
         ).alias("skew_factor"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pre-join cardinality estimation from KMV sketches — answer
+    "how big is this join's key overlap" from two single scans BEFORE
+    keying a 100 TB shuffle. Distinct keys per side and of the union
+    are KMV-estimated (the deterministic ``user_cardinality_kmv``
+    machinery); the intersection uses the standard KMV Jaccard
+    estimator (the fraction of the union sketch's minima present in
+    both sides), and the exact distinct-key intersection is computed
+    alongside so the estimator's error is continuously visible
+    (sketch-then-exact-recount, the repo's Misra-Gries discipline).
+
+    Plan: per-side distinct (map-side combined) → 48-bit md5 hash →
+    TakeOrdered k-row sketches; membership marking joins k-row frames
+    (broadcast). Output (one row): k, est_left, est_right, est_union,
+    est_intersection, n_exact_intersection, rel_err (4 dp, vs exact;
+    0 when exact is 0 and the estimate agrees).
+    """
+    def hashes(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.filter(F.col(key).isNotNull())
+            .select(F.col(key).cast("string").alias("key_value"))
+            .distinct()
+            .select(
+                "key_value",
+                F.conv(F.substring(F.md5("key_value"), 1, 12), 16, 10)
+                .cast("long")
+                .alias("hv"),
+            )
+        )
+
+    full = F.lit(float((k - 1) * (1 << 48)))
+
+    def kmv_est(hv: DataFrame):
+        sk = hv.select("hv").distinct().orderBy("hv").limit(k).agg(
+            F.count(F.lit(1)).alias("n_seen"), F.max("hv").alias("kth")
+        )
+        return F.when(
+            F.col("n_seen") < k, F.col("n_seen").cast("long")
+        ).otherwise(F.round(full / F.col("kth"), 0).cast("long")), sk
+
+    ha, hb = hashes(left, left_key), hashes(right, right_key)
+    est_a_col, sk_a = kmv_est(ha)
+    est_b_col, sk_b = kmv_est(hb)
+    hu = ha.select("hv").unionByName(hb.select("hv")).distinct()
+    union_sketch = hu.orderBy("hv").limit(k)
+    est_u_col = F.when(
+        F.col("n_seen_u") < k, F.col("n_seen_u").cast("long")
+    ).otherwise(F.round(full / F.col("kth_u"), 0).cast("long"))
+    both = (
+        union_sketch.join(ha.select("hv"), "hv", "left_semi")
+        .join(hb.select("hv"), "hv", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sk_u = union_sketch.agg(
+        F.count(F.lit(1)).alias("n_seen_u"), F.max("hv").alias("kth_u")
+    )
+    exact = ha.select("hv").join(hb.select("hv"), "hv", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_exact_intersection")
+    )
+    est_u = est_u_col
+    est_i = F.round(
+        F.col("n_both") / F.greatest(F.col("n_seen_u"), F.lit(1)) * est_u, 0
+    ).cast("long")
+    return (
+        sk_a.select(est_a_col.alias("est_left"))
+        .crossJoin(sk_b.select(est_b_col.alias("est_right")))
+        .crossJoin(F.broadcast(sk_u))
+        .crossJoin(F.broadcast(both))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).alias("k"),
+            "est_left",
+            "est_right",
+            est_u.alias("est_union"),
+            est_i.alias("est_intersection"),
+            "n_exact_intersection",
+            F.round(
+                F.abs(est_i - F.col("n_exact_intersection"))
+                / F.greatest(F.col("n_exact_intersection"), F.lit(1)),
+                4,
+            ).alias("rel_err"),
+        )
+    )

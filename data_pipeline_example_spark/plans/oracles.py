@@ -2889,3 +2889,67 @@ SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key_value ASC) AS INTEGER)
        round(n_rows * n_keys / CAST(total_rows AS DOUBLE), 4) AS skew_factor
 FROM heavy, totals
 """
+
+ORACLES["cluster_balance_audit"] = f"""
+WITH {_VECS},
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+counts AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS n_vecs,
+       CAST(min(n) AS BIGINT) AS min_bucket,
+       CAST(max(n) AS BIGINT) AS max_bucket,
+       round(avg(n), 4) AS avg_bucket,
+       round(max(n) / avg(n), 4) AS balance_factor
+FROM counts
+"""
+
+ORACLES["join_size_estimate"] = """
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS hv
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+hb AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT AS hv
+  FROM customer WHERE c_custkey IS NOT NULL
+),
+ska AS (SELECT CAST(count(*) AS BIGINT) AS n_seen, max(hv) AS kth
+        FROM (SELECT hv FROM ha ORDER BY hv LIMIT 64)),
+skb AS (SELECT CAST(count(*) AS BIGINT) AS n_seen, max(hv) AS kth
+        FROM (SELECT hv FROM hb ORDER BY hv LIMIT 64)),
+usk AS (SELECT hv FROM (SELECT hv FROM ha UNION SELECT hv FROM hb)
+        ORDER BY hv LIMIT 64),
+sku AS (SELECT CAST(count(*) AS BIGINT) AS n_seen_u, max(hv) AS kth_u FROM usk),
+bth AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM usk
+         WHERE hv IN (SELECT hv FROM ha) AND hv IN (SELECT hv FROM hb)),
+exact AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_intersection
+          FROM ha WHERE hv IN (SELECT hv FROM hb)),
+est AS (
+  SELECT
+    CASE WHEN ska.n_seen < 64 THEN ska.n_seen
+         ELSE CAST(round(17732923532771328.0 / ska.kth, 0) AS BIGINT) END AS est_left,
+    CASE WHEN skb.n_seen < 64 THEN skb.n_seen
+         ELSE CAST(round(17732923532771328.0 / skb.kth, 0) AS BIGINT) END AS est_right,
+    CASE WHEN sku.n_seen_u < 64 THEN sku.n_seen_u
+         ELSE CAST(round(17732923532771328.0 / sku.kth_u, 0) AS BIGINT) END AS est_union,
+    sku.n_seen_u, bth.n_both, exact.n_exact_intersection
+  FROM ska CROSS JOIN skb CROSS JOIN sku CROSS JOIN bth CROSS JOIN exact
+)
+SELECT CAST(64 AS INTEGER) AS k, est_left, est_right, est_union,
+       CAST(round(n_both * 1.0 / greatest(n_seen_u, 1) * est_union, 0) AS BIGINT)
+         AS est_intersection,
+       n_exact_intersection,
+       round(abs(CAST(round(n_both * 1.0 / greatest(n_seen_u, 1) * est_union, 0) AS BIGINT)
+                 - n_exact_intersection)
+             / greatest(n_exact_intersection, 1), 4) AS rel_err
+FROM est
+"""

@@ -798,6 +798,24 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_cluster_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF bucket-size health: balance factor over assign_centroids."""
+    return similarity.cluster_balance_audit(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV pre-join cardinality estimate (orders ⋈ customer keys) with
+    the exact intersection alongside."""
+    return users.join_size_estimate(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis: heavy hitters + skew factor."""
     return users.skew_report(load_table(spark, sf_dir, "events"))
@@ -925,6 +943,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_threshold_curve": q_dedup_threshold_curve,
     "corpus_funnel": q_corpus_funnel,
     "skew_report": q_skew_report,
+    "cluster_balance_audit": q_cluster_balance_audit,
+    "join_size_estimate": q_join_size_estimate,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
@@ -939,10 +959,8 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "user_reach_rollup": q_user_reach_rollup,
     "length_buckets": q_length_buckets,
-    "lsh_recall_summary": q_lsh_recall_summary,
     # --- text analysis extensions ---
     # --- dedup extensions ---
-    "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -985,9 +1003,12 @@ QUERIES: dict[str, QueryFn] = {
     # oov_rate; jaccard_pairs + simhash_signatures + knn_bruteforce
     # rotated out for c4_clean / decontaminated_corpus /
     # dedup_threshold_curve; dedup_summary + minhash_jaccard_estimates
-    # rotated out for corpus_funnel + skew_report — same
-    # r4-green-untouched rule)
+    # rotated out for corpus_funnel + skew_report; lsh_recall_summary +
+    # dedup_clusters rotated out for cluster_balance_audit +
+    # join_size_estimate — same r4-green-untouched rule)
     "kpis_long": q_kpis_long,
+    "lsh_recall_summary": q_lsh_recall_summary,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_summary": q_dedup_summary,
     "minhash_jaccard_estimates": q_minhash_jaccard_estimates,
     "jaccard_pairs": q_jaccard_pairs,

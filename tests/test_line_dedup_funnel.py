@@ -317,3 +317,31 @@ def test_skew_report_heavy_hitters(spark):
     assert abs(top["share_pct"] - 90.0) < 1e-9
     # 11 distinct keys, mean ~9.09 rows -> skew factor ~9.9
     assert abs(top["skew_factor"] - round(90 * 11 / 100.0, 4)) < 1e-9
+
+
+def test_cluster_balance_audit_consistency(spark):
+    from data_pipeline_example_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float((i * 7) % 5)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    row = similarity.cluster_balance_audit(vecs, n_centroids=4).collect()[0]
+    assert row["n_vecs"] == 40
+    assert 1 <= row["n_buckets"] <= 4
+    assert row["min_bucket"] <= row["avg_bucket"] <= row["max_bucket"]
+    assert abs(row["balance_factor"] - round(row["max_bucket"] / (40 / row["n_buckets"]), 4)) < 1e-6
+
+
+def test_join_size_estimate_exact_regime(spark):
+    from data_pipeline_example_spark.operators import users
+
+    left = spark.createDataFrame([(i,) for i in range(30)], "o_custkey long")
+    right = spark.createDataFrame([(i,) for i in range(20, 50)], "c_custkey long")
+    row = users.join_size_estimate(left, "o_custkey", right, "c_custkey", k=64).collect()[0]
+    # below the sketch size everything is exact
+    assert row["est_left"] == 30 and row["est_right"] == 30
+    assert row["est_union"] == 50
+    assert row["est_intersection"] == 10
+    assert row["n_exact_intersection"] == 10
+    assert row["rel_err"] == 0.0
