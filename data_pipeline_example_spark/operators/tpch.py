@@ -943,3 +943,56 @@ def nation_actor_presence(
         )
         .orderBy("n_name")
     )
+
+
+def branded_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: OR-of-ANDs over
+    (p_brand, p_size, l_quantity) bands, adapted to the driver schema
+    (no p_container / l_shipmode columns).
+
+    The scale move is the classic Q19 rewrite: Catalyst cannot push an
+    OR-of-ANDs spanning both tables into either scan, so the UNION
+    BOUNDING BOX of the disjuncts is applied per side BEFORE the join —
+    part prunes to the three brands and the size envelope (broadcast
+    side shrinks), lineitem prunes to the quantity envelope (fact scan
+    carries PushedFilters) — and the exact disjunction runs after the
+    join on the survivors only. Output: branch, n_items, revenue —
+    per-disjunct rows, deterministic.
+    """
+    branches = [
+        (1, "Brand#12", (1, 15), (1.0, 15.0)),
+        (2, "Brand#23", (1, 25), (10.0, 30.0)),
+        (3, "Brand#34", (1, 35), (20.0, 45.0)),
+    ]
+    brands = [b for _, b, _, _ in branches]
+    size_lo = min(lo for _, _, (lo, _), _ in branches)
+    size_hi = max(hi for _, _, (_, hi), _ in branches)
+    qty_lo = min(lo for _, _, _, (lo, _) in branches)
+    qty_hi = max(hi for _, _, _, (_, hi) in branches)
+    p = part.filter(
+        F.col("p_brand").isin(brands)
+        & F.col("p_size").between(size_lo, size_hi)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = lineitem.filter(F.col("l_quantity").between(qty_lo, qty_hi)).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    branch = None
+    for bid, brand, (slo, shi), (qlo, qhi) in branches:
+        cond = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        branch = F.when(cond, bid) if branch is None else branch.when(cond, bid)
+    return (
+        joined.withColumn("branch", branch)
+        .filter(F.col("branch").isNotNull())
+        .groupBy("branch")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

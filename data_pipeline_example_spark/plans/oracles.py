@@ -2953,3 +2953,25 @@ SELECT CAST(64 AS INTEGER) AS k, est_left, est_right, est_union,
              / greatest(n_exact_intersection, 1), 4) AS rel_err
 FROM est
 """
+
+ORACLES["branded_quantity_revenue"] = """
+WITH j AS (
+  SELECT p.p_brand, p.p_size, l.l_quantity, l.l_extendedprice, l.l_discount
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+tagged AS (
+  SELECT CASE
+    WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 1 AND 15 THEN 1
+    WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         AND l_quantity BETWEEN 10 AND 30 THEN 2
+    WHEN p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+         AND l_quantity BETWEEN 20 AND 45 THEN 3
+  END AS branch, l_extendedprice, l_discount
+  FROM j
+)
+SELECT branch, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM tagged WHERE branch IS NOT NULL
+GROUP BY 1
+"""

@@ -798,6 +798,14 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_branded_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue (bounding-box
+    pushdown + broadcast part)."""
+    return tpch.branded_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
 def q_cluster_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF bucket-size health: balance factor over assign_centroids."""
     return similarity.cluster_balance_audit(
@@ -945,6 +953,7 @@ QUERIES: dict[str, QueryFn] = {
     "skew_report": q_skew_report,
     "cluster_balance_audit": q_cluster_balance_audit,
     "join_size_estimate": q_join_size_estimate,
+    "branded_quantity_revenue": q_branded_quantity_revenue,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
@@ -961,7 +970,6 @@ QUERIES: dict[str, QueryFn] = {
     "length_buckets": q_length_buckets,
     # --- text analysis extensions ---
     # --- dedup extensions ---
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "cosine_dup_pairs_blocked": q_cosine_dup_pairs_blocked,
@@ -1005,8 +1013,10 @@ QUERIES: dict[str, QueryFn] = {
     # dedup_threshold_curve; dedup_summary + minhash_jaccard_estimates
     # rotated out for corpus_funnel + skew_report; lsh_recall_summary +
     # dedup_clusters rotated out for cluster_balance_audit +
-    # join_size_estimate — same r4-green-untouched rule)
+    # join_size_estimate; minhash_lsh_pairs rotated out for
+    # branded_quantity_revenue — same r4-green-untouched rule)
     "kpis_long": q_kpis_long,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "lsh_recall_summary": q_lsh_recall_summary,
     "dedup_clusters": q_dedup_clusters,
     "dedup_summary": q_dedup_summary,

@@ -345,3 +345,24 @@ def test_join_size_estimate_exact_regime(spark):
     assert row["est_intersection"] == 10
     assert row["n_exact_intersection"] == 10
     assert row["rel_err"] == 0.0
+
+
+def test_branded_quantity_revenue_branch_tagging(spark):
+    from data_pipeline_example_spark.operators import tpch
+
+    part = spark.createDataFrame(
+        [(1, "p", "Brand#12", "t", 5, 1.0), (2, "p", "Brand#23", "t", 20, 1.0),
+         (3, "p", "Brand#99", "t", 5, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 10.0, 100.0, 0.1), (2, 2, 1, 1, 25.0, 200.0, 0.0),
+         (3, 3, 1, 1, 10.0, 300.0, 0.0),   # brand outside the disjuncts
+         (4, 1, 1, 1, 40.0, 400.0, 0.0)],  # quantity outside branch 1's band
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double",
+    )
+    out = {r["branch"]: r for r in tpch.branded_quantity_revenue(li, part).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_items"] == 1 and abs(out[1]["revenue"] - 90.0) < 1e-9
+    assert out[2]["n_items"] == 1 and abs(out[2]["revenue"] - 200.0) < 1e-9
