@@ -295,3 +295,45 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
     return one.selectExpr(
         f"stack({len(rules)}, {stacked}) AS (stage, rule, n_surviving)"
     )
+
+
+def cross_modal_prune(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Cross-modal dedup verdict — the driver corpus ships documents
+    and their embeddings under ALIGNED ids (doc_id = vec_id), so the
+    two certified keep rules compose: a document survives only if it is
+    BOTH the canonical member of its exact-text class (``exact_dedup``)
+    AND not a semantic near-dup under SemDeDup (``semantic_prune``
+    keep = 1). Text-level and embedding-level dedup catch different
+    duplicates (verbatim mirrors vs paraphrases/translations); real
+    curation pipelines run both, and this op is that conjunction with
+    per-source attribution.
+
+    Plan: two certified member passes produce doc-keyed flag frames;
+    the rollup is one narrow multi-way join + a per-source aggregate.
+    Output (per source): source, n_docs, n_text_dropped,
+    n_sem_dropped, n_kept.
+    """
+    from data_pipeline_example_spark.operators import similarity
+
+    keepers = dedup.exact_dedup(documents).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("is_keeper")
+    )
+    sem = similarity.semantic_prune(embeddings).select(
+        F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem_keep")
+    )
+    flags = (
+        documents.select("doc_id", "source")
+        .join(keepers, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("is_keeper", F.lit(0)).alias("tk"),
+            F.coalesce("sem_keep", F.lit(0)).alias("sk"),
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(1 - F.col("tk")).cast("long").alias("n_text_dropped"),
+        F.sum(1 - F.col("sk")).cast("long").alias("n_sem_dropped"),
+        F.sum(F.col("tk") * F.col("sk")).cast("long").alias("n_kept"),
+    )

@@ -996,3 +996,42 @@ def branded_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+def returned_item_ranking(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, top: int = 20
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item customer ranking: revenue the
+    business lost to returns (``l_returnflag = 'R'``), rolled up per
+    customer, top-``top``.
+
+    Scale shape: the returnflag filter is pushed into the lineitem
+    scan; lineitem⋈orders is the one fact-fact shuffle (equi-join on
+    l_orderkey); the per-customer aggregate is map-side combined; the
+    customer dimension broadcasts onto the |customers|-sized rollup;
+    ranking is a TakeOrdered with revenue-then-key tie-break. Output:
+    c_custkey, c_name, c_mktsegment, revenue (2 dp).
+    """
+    rev = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
+            rev["o_custkey"] == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", "c_mktsegment", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(top)
+    )

@@ -2975,3 +2975,41 @@ SELECT branch, CAST(count(*) AS BIGINT) AS n_items,
 FROM tagged WHERE branch IS NOT NULL
 GROUP BY 1
 """
+
+ORACLES["returned_item_ranking"] = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment, rev.revenue
+FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+ORACLES["cross_modal_prune"] = f"""
+WITH sem AS (
+  SELECT vec_id, keep FROM ({ORACLES["semantic_prune"]})
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'))
+),
+flags AS (
+  SELECT d.source,
+         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS tk,
+         coalesce(s.keep, 0) AS sk
+  FROM documents d
+  LEFT JOIN keepers k ON k.doc_id = d.doc_id
+  LEFT JOIN sem s ON s.vec_id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(1 - tk) AS BIGINT) AS n_text_dropped,
+       CAST(sum(1 - sk) AS BIGINT) AS n_sem_dropped,
+       CAST(sum(tk * sk) AS BIGINT) AS n_kept
+FROM flags GROUP BY 1
+"""

@@ -798,6 +798,26 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped top customers by returned-item revenue."""
+    return tpch.returned_item_ranking(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_cross_modal_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source conjunction of text exact-dedup and SemDeDup keeps
+    over the aligned documents/embeddings ids."""
+    from data_pipeline_example_spark import curation
+
+    return curation.cross_modal_prune(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
 def q_branded_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19-shaped disjunctive-predicate revenue (bounding-box
     pushdown + broadcast part)."""
@@ -954,6 +974,8 @@ QUERIES: dict[str, QueryFn] = {
     "cluster_balance_audit": q_cluster_balance_audit,
     "join_size_estimate": q_join_size_estimate,
     "branded_quantity_revenue": q_branded_quantity_revenue,
+    "returned_item_ranking": q_returned_item_ranking,
+    "cross_modal_prune": q_cross_modal_prune,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
@@ -970,8 +992,6 @@ QUERIES: dict[str, QueryFn] = {
     "length_buckets": q_length_buckets,
     # --- text analysis extensions ---
     # --- dedup extensions ---
-    "simhash_pairs": q_simhash_pairs,
-    "cosine_dup_pairs": q_cosine_dup_pairs,
     "cosine_dup_pairs_blocked": q_cosine_dup_pairs_blocked,
     # --- similarity search extensions ---
     "embedding_centroids": q_embedding_centroids,
@@ -1014,9 +1034,13 @@ QUERIES: dict[str, QueryFn] = {
     # rotated out for corpus_funnel + skew_report; lsh_recall_summary +
     # dedup_clusters rotated out for cluster_balance_audit +
     # join_size_estimate; minhash_lsh_pairs rotated out for
-    # branded_quantity_revenue — same r4-green-untouched rule)
+    # branded_quantity_revenue; simhash_pairs + cosine_dup_pairs
+    # rotated out for returned_item_ranking + cross_modal_prune —
+    # same r4-green-untouched rule)
     "kpis_long": q_kpis_long,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_dup_pairs": q_cosine_dup_pairs,
     "lsh_recall_summary": q_lsh_recall_summary,
     "dedup_clusters": q_dedup_clusters,
     "dedup_summary": q_dedup_summary,

@@ -366,3 +366,44 @@ def test_branded_quantity_revenue_branch_tagging(spark):
     assert set(out) == {1, 2}
     assert out[1]["n_items"] == 1 and abs(out[1]["revenue"] - 90.0) < 1e-9
     assert out[2]["n_items"] == 1 and abs(out[2]["revenue"] - 200.0) < 1e-9
+
+
+def test_returned_item_ranking_orders_by_return_revenue(spark):
+    from data_pipeline_example_spark.operators import tpch
+
+    customer = spark.createDataFrame(
+        [(1, "alice", 0, 0.0, "A"), (2, "bob", 0, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(10, 100.0, 0.0, "R"), (10, 50.0, 0.0, "N"), (11, 300.0, 0.5, "R")],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_returnflag string",
+    )
+    rows = tpch.returned_item_ranking(customer, orders, li, top=10).collect()
+    assert [(r["c_custkey"], r["revenue"]) for r in rows] == [(2, 150.0), (1, 100.0)]
+
+
+def test_cross_modal_prune_counts(spark):
+    from data_pipeline_example_spark import curation
+
+    docs = spark.createDataFrame(
+        [(0, "identical text body here", "en", "web", 0),
+         (1, "identical text body here", "en", "web", 0),   # exact dup of 0
+         (2, "completely different words", "en", "books", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # embeddings: 0 and 1 near-parallel (semantic dups), 2 orthogonal
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 1e-4]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["source"]: r for r in curation.cross_modal_prune(docs, vecs).collect()}
+    web = out["web"]
+    assert web["n_docs"] == 2
+    assert web["n_text_dropped"] == 1     # doc 1 loses exact dedup
+    assert web["n_sem_dropped"] >= 1      # doc 1 is also a semantic dup
+    assert web["n_kept"] == 1
+    assert out["books"]["n_kept"] == 1
