@@ -87,6 +87,9 @@ HEADLINE = [
     "ccnet_buckets",
     "oov_rate",
     "corpus_funnel",
+    "branded_quantity_revenue",
+    "returned_item_ranking",
+    "join_size_estimate",
 ]
 
 
