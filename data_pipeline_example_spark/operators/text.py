@@ -1461,3 +1461,43 @@ def c4_clean(
         & (~F.col("has_brace"))
         & (F.col("n_kept_lines") >= min_kept_lines)
     ).select("doc_id", "n_kept_lines", "text_clean")
+
+
+def ccnet_mixture(
+    documents: DataFrame,
+    rates: dict | None = None,
+) -> DataFrame:
+    """CCNet's SAMPLING step: keep perplexity-bucketed documents at
+    per-bucket rates (head oversampled, tail thinned) — the step that
+    turns ``ccnet_buckets`` labels into an actual training mixture.
+    Membership is the deterministic md5 hash fraction (the
+    ``mixture_sample`` idiom), so the mixed corpus is reproducible from
+    raw data at any time.
+
+    Plan: the bucket assignment's histogram cuts are planning-sized;
+    membership is a scan-local expression; the rollup is a 3-group
+    aggregate. Output (per bucket): bucket, n_docs, n_sampled, rate.
+    """
+    from data_pipeline_example_spark.functions.hashing import hash_frac
+
+    rates = rates or {"head": 1.0, "middle": 0.5, "tail": 0.1}
+    rate = None
+    for name, r in rates.items():
+        rate = (
+            F.when(F.col("bucket") == name, float(r))
+            if rate is None
+            else rate.when(F.col("bucket") == name, float(r))
+        )
+    buckets = ccnet_buckets(documents).select("doc_id", "bucket")
+    return (
+        buckets.withColumn("rate", rate)
+        .withColumn(
+            "sampled", (hash_frac(F.col("doc_id")) < F.col("rate")).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("sampled").alias("n_sampled"),
+            F.min("rate").alias("rate"),
+        )
+    )

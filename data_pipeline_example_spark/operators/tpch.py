@@ -1035,3 +1035,62 @@ def returned_item_ranking(
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(top)
     )
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    r_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation where
+    the CUSTOMER and the SUPPLIER sit in the same nation of one region,
+    over one order-date year — the classic 6-table star join whose
+    distinguishing edge is the second nation equality
+    (``c_nationkey = s_nationkey``), which Catalyst applies as an extra
+    equi-key on the final join rather than a filter afterward.
+
+    Scale shape: region→nation prune broadcasts down the dim chain
+    (nation keeps only the region's rows before touching any fact);
+    the o_orderdate band is pushed into the orders scan; the only
+    fact-fact shuffle is lineitem⋈orders; supplier and the pruned
+    customer side broadcast. Output: n_name, revenue (2 dp), ordered
+    by revenue desc (deterministic: nation names unique).
+    """
+    nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == r_name)),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(nations), supplier["s_nationkey"] == nations["n_nationkey"]
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    ord_band = orders.filter(
+        (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
+    ).select("o_orderkey", "o_custkey")
+    cust = customer.select("c_custkey", "c_nationkey")
+    joined = (
+        lineitem.select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(ord_band, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )

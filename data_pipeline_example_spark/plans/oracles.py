@@ -3013,3 +3013,41 @@ SELECT source,
        CAST(sum(tk * sk) AS BIGINT) AS n_kept
 FROM flags GROUP BY 1
 """
+
+ORACLES["local_supplier_volume"] = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+ORACLES["ccnet_mixture"] = f"""
+WITH b AS (
+  SELECT doc_id, bucket FROM ({ORACLES["ccnet_buckets"]})
+),
+tagged AS (
+  SELECT bucket,
+         CASE bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
+                     ELSE 0.1 END AS rate,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                   / 65536.0
+                   < CASE bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
+                                 ELSE 0.1 END
+              THEN 1 ELSE 0 END AS sampled
+  FROM b
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sampled) AS BIGINT) AS n_sampled,
+       CAST(min(rate) AS DOUBLE) AS rate
+FROM tagged GROUP BY 1
+"""

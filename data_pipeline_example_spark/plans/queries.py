@@ -798,6 +798,24 @@ def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_summary(load_table(spark, sf_dir, "documents"))
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume (same-nation customer and
+    supplier, one region, one order year)."""
+    return tpch.local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_ccnet_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet bucket-rate sampling rollup (head/middle/tail rates)."""
+    return text.ccnet_mixture(load_table(spark, sf_dir, "documents"))
+
+
 def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped top customers by returned-item revenue."""
     return tpch.returned_item_ranking(
@@ -976,6 +994,8 @@ QUERIES: dict[str, QueryFn] = {
     "branded_quantity_revenue": q_branded_quantity_revenue,
     "returned_item_ranking": q_returned_item_ranking,
     "cross_modal_prune": q_cross_modal_prune,
+    "local_supplier_volume": q_local_supplier_volume,
+    "ccnet_mixture": q_ccnet_mixture,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
@@ -995,10 +1015,8 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_dup_pairs_blocked": q_cosine_dup_pairs_blocked,
     # --- similarity search extensions ---
     "embedding_centroids": q_embedding_centroids,
-    "nearest_neighbor": q_nearest_neighbor,
     "nearest_neighbor_blocked": q_nearest_neighbor_blocked,
     "ivf_knn": q_ivf_knn,
-    "quantize_embeddings": q_quantize_embeddings,
     "project_embeddings": q_project_embeddings,
     "pq_codes": q_pq_codes,
     "ivfpq_knn": q_ivfpq_knn,
@@ -1035,9 +1053,12 @@ QUERIES: dict[str, QueryFn] = {
     # dedup_clusters rotated out for cluster_balance_audit +
     # join_size_estimate; minhash_lsh_pairs rotated out for
     # branded_quantity_revenue; simhash_pairs + cosine_dup_pairs
-    # rotated out for returned_item_ranking + cross_modal_prune —
-    # same r4-green-untouched rule)
+    # rotated out for returned_item_ranking + cross_modal_prune;
+    # nearest_neighbor + quantize_embeddings rotated out for
+    # local_supplier_volume + ccnet_mixture — same rule)
     "kpis_long": q_kpis_long,
+    "nearest_neighbor": q_nearest_neighbor,
+    "quantize_embeddings": q_quantize_embeddings,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "cosine_dup_pairs": q_cosine_dup_pairs,

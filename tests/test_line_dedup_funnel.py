@@ -407,3 +407,46 @@ def test_cross_modal_prune_counts(spark):
     assert web["n_sem_dropped"] >= 1      # doc 1 is also a semantic dup
     assert web["n_kept"] == 1
     assert out["books"]["n_kept"] == 1
+
+
+def test_local_supplier_volume_same_nation_only(spark):
+    from data_pipeline_example_spark.operators import tpch
+
+    region = spark.createDataFrame([(0, "ASIA")], "r_regionkey long, r_name string")
+    nation = spark.createDataFrame(
+        [(0, "JAPAN", 0), (1, "INDIA", 0)], "n_nationkey long, n_name string, n_regionkey long"
+    )
+    supplier = spark.createDataFrame(
+        [(1, "s1", 0, 0.0)], "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+    )
+    customer = spark.createDataFrame(
+        [(1, "c-jp", 0, 0.0, "A"), (2, "c-in", 1, 0.0, "A")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "1996-06-01"), (11, 2, "1996-06-01")],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    li = spark.createDataFrame(
+        [(10, 1, 100.0, 0.0), (11, 1, 999.0, 0.0)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    rows = tpch.local_supplier_volume(
+        customer, orders, li, supplier, nation, region
+    ).collect()
+    # only the same-nation (customer JP, supplier JP) order counts
+    assert [(r["n_name"], r["revenue"]) for r in rows] == [("JAPAN", 100.0)]
+
+
+def test_ccnet_mixture_rates_and_counts(spark):
+    rows = (
+        [(i, "common words common words common words") for i in range(6)]
+        + [(10 + i, "common words rare" + str(i) + " thing") for i in range(6)]
+        + [(20 + i, f"zzz{i} qqq{i} vvv{i} kkk{i}") for i in range(6)]
+    )
+    out = {r["bucket"]: r for r in text.ccnet_mixture(_docs(spark, rows)).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert out["head"]["rate"] == 1.0
+    assert out["head"]["n_sampled"] == out["head"]["n_docs"]  # rate 1.0 keeps all
+    for b in out.values():
+        assert 0 <= b["n_sampled"] <= b["n_docs"]
