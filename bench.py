@@ -90,6 +90,7 @@ HEADLINE = [
     "branded_quantity_revenue",
     "returned_item_ranking",
     "join_size_estimate",
+    "local_supplier_volume",
 ]
 
 
