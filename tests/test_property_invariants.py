@@ -269,3 +269,56 @@ def test_line_dedup_invariants(spark, data):
             kept == [] and expect_kept == [""]
         ) or (kept == [""] and expect_kept == [""])
         assert r["n_kept"] == len(expect_kept)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab .\n",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_quality_funnel_counting_identities(spark, texts):
+    """quality_funnel: for every rule, n_sole_fail ≤ n_fail ≤ n_docs;
+    the funnel is monotone non-increasing; and the last stage's
+    survivors equal the docs passing ALL rules."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = sorted(text.quality_funnel(docs).collect(), key=lambda r: r["stage"])
+    n = len(texts)
+    surv = [r["n_survive"] for r in rows]
+    for r in rows:
+        assert 0 <= r["n_sole_fail"] <= r["n_fail"] <= n
+    assert surv == sorted(surv, reverse=True)
+    # docs failing zero rules == final survivors
+    gq = text.gopher_quality(docs).collect()
+    c4 = {r["doc_id"]: r["page_pass"] for r in text.c4_line_stats(docs).collect()}
+    all_pass = sum(
+        1 for r in gq if r["passes"] == 1 and c4[r["doc_id"]] == 1
+    )
+    assert surv[-1] == all_pass
+
+
+@settings(**_SETTINGS)
+@given(
+    n_docs=st.integers(min_value=1, max_value=12),
+    vocab_size=st.integers(min_value=1, max_value=5),
+)
+def test_oov_rate_bounds_and_totals(spark, n_docs, vocab_size):
+    """oov_rate: 0 ≤ n_oov ≤ n_tokens; a corpus with ≤ vocab_size
+    distinct terms has zero OOV everywhere."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j % vocab_size}" for j in range(i + 1))) for i in range(n_docs)],
+        "doc_id long, text string",
+    )
+    out = text.oov_rate(docs, vocab_size=vocab_size).collect()
+    assert len(out) == n_docs
+    for r in out:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert r["n_oov"] == 0  # whole vocabulary fits
