@@ -310,15 +310,21 @@ def cross_modal_prune(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
 
     Plan: two certified member passes produce doc-keyed flag frames;
     the rollup is one narrow multi-way join + a per-source aggregate.
-    Output (per source): source, n_docs, n_text_dropped,
-    n_sem_dropped, n_kept.
+    The embedding side is the HARD-CAPPED SemDeDup twin
+    (``semantic_prune_capped``: adaptive centroid count + ≤cap-row
+    sub-buckets, per-task work bounded regardless of corpus size) —
+    the first composed version used the fixed-16-centroid oracle
+    anchor and the sf1→sf10 harness measured it x18.5 on x10 data
+    (31k-row buckets → quadratic in-bucket pairwise); the capped twin
+    re-measures x2.2 across the same decade. Output (per source):
+    source, n_docs, n_text_dropped, n_sem_dropped, n_kept.
     """
     from data_pipeline_example_spark.operators import similarity
 
     keepers = dedup.exact_dedup(documents).select(
         F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("is_keeper")
     )
-    sem = similarity.semantic_prune(embeddings).select(
+    sem = similarity.semantic_prune_capped(embeddings).select(
         F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem_keep")
     )
     flags = (

@@ -2991,7 +2991,7 @@ ORDER BY revenue DESC, c_custkey ASC LIMIT 20
 
 ORACLES["cross_modal_prune"] = f"""
 WITH sem AS (
-  SELECT vec_id, keep FROM ({ORACLES["semantic_prune"]})
+  SELECT vec_id, keep FROM ({ORACLES["semantic_prune_capped"]})
 ),
 keepers AS (
   SELECT min(doc_id) AS doc_id
