@@ -716,7 +716,10 @@ def dedup_threshold_curve(
 
     One exact-pair materialization at the loosest threshold, then a
     tiny thresholds-array explode over the PAIR frame (pair-sized ×
-    |thresholds|, never corpus-sized) and one aggregate. Output:
+    |thresholds|, never corpus-sized) and one aggregate. Every
+    requested threshold appears in the output — counts LEFT-join onto
+    the exploded threshold list and coalesce to 0, so a consumer can
+    tell "zero surviving pairs" from "not computed". Output:
     threshold, n_pairs, n_docs.
     """
     pairs = jaccard_pairs(documents, threshold=min(thresholds), k=k)
@@ -733,6 +736,15 @@ def dedup_threshold_curve(
     n_docs = docs.groupBy("threshold").agg(
         F.countDistinct("d").alias("n_docs")
     )
-    return n_pairs.join(n_docs, "threshold").select(
-        "threshold", "n_pairs", "n_docs"
+    all_t = documents.sparkSession.range(1).select(
+        F.explode(t_arr).alias("threshold")
+    )
+    return (
+        all_t.join(F.broadcast(n_pairs), "threshold", "left")
+        .join(F.broadcast(n_docs), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
     )

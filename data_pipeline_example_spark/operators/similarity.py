@@ -779,6 +779,15 @@ def ivf_knn(
     bounded by the parameter, not the corpus. At scale the same layout
     is served from ``write_ann_index``'s centroid-partitioned files
     with partition pruning (``ivfpq_knn_indexed``).
+
+    Contract note: unlike the lazy operators, this one runs eager
+    Spark jobs at DataFrame-CONSTRUCTION time (the centroid/query
+    fetch and the n_centroids-row probe ranking) — callers that need
+    a fully lazy plan should serve from ``ivfpq_knn_indexed``. The
+    centroid matrix is emitted as ONE parsed SQL literal (the simhash
+    SQL-string discipline) so plan construction stays linear and
+    JVM-side instead of building O(n_centroids × dims) py4j Column
+    objects.
     """
     e = _as_double(embeddings)
     head = e.filter(
@@ -794,6 +803,10 @@ def ivf_knn(
     cent_rows = [
         (int(cid), by_id[cid]) for cid in sorted(by_id) if cid < n_centroids
     ]
+    if not cent_rows:
+        # no vec_id below n_centroids: nothing to probe — empty result,
+        # same contract as the missing-query path
+        return e.select("vec_id", F.lit(0.0).alias("cos_sim")).limit(0)
     # probe selection runs as a local-frame Spark job so round/cosine
     # semantics are engine-exact (identical to the oracle's fold); the
     # frame is n_centroids rows, never the corpus
@@ -816,23 +829,34 @@ def ivf_knn(
     # but as a scan-local expression, so the corpus is read ONCE with
     # ZERO exchanges and top-k is a TakeOrdered (the previous plan
     # shuffled full vectors through a corpus-sized vec_id join: the one
-    # super-linear scaler of the r5 sf1 pass, x12 on x10 data)
+    # super-linear scaler of the r5 sf1 pass, x12 on x10 data).
+    # The centroid matrix + id list go through ONE parsed SQL string
+    # each: CAST('<repr>' AS DOUBLE) round-trips the exact double, and
+    # a single expr() parse replaces n_centroids × dims py4j literal
+    # Columns (driver plan-build was quadratic-ish at the 65536 clamp).
+    cmat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv) + ")"
+            for _, cv in cent_rows
+        )
+        + ")"
+    )
+    cids = F.expr(
+        "array(" + ",".join(f"{cid}L" for cid, _ in cent_rows) + ")"
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(cent_rows) - 1))
     best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    (
-                        -F.round(
-                            V.cosine(
-                                F.col("v"), F.array(*[F.lit(x) for x in cv])
-                            ),
-                            6,
-                        )
-                    ).alias("nc"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in cent_rows
-            ]
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                (
+                    -F.round(
+                        V.cosine(F.col("v"), F.element_at(cmat, i + 1)), 6
+                    )
+                ).alias("nc"),
+                F.element_at(cids, i + 1).alias("cid"),
+            ),
         )
     )
     return (

@@ -9,6 +9,8 @@ operators scale linearly to 100 TB of text.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -329,6 +331,23 @@ def length_buckets(
 # the eight Gopher "required stop words" (Rae et al. 2021, §A1.1)
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+#: THE single source of truth for the Gopher thresholds, as (rule, SQL
+#: predicate over ``gopher_quality``'s ROUNDED output columns). The
+#: same fragment parses identically in Spark (``F.expr``) and DuckDB,
+#: so ``gopher_quality.passes``, ``quality_funnel``'s FUNNEL_RULES and
+#: the oracle's SQL flags (plans/oracles.py imports this) are all
+#: derived from one table — a threshold change cannot desynchronize
+#: the encodings (previously three independent copies).
+GOPHER_RULE_SQL: tuple[tuple[str, str], ...] = (
+    ("word_count", "n_words BETWEEN 50 AND 100000"),
+    ("mean_word_len", "mean_word_len BETWEEN 3.0 AND 10.0"),
+    ("symbol_ratio", "symbol_word_ratio <= 0.1"),
+    ("bullet_lines", "bullet_line_frac <= 0.9"),
+    ("ellipsis_lines", "ellipsis_line_frac <= 0.3"),
+    ("alpha_words", "alpha_word_frac >= 0.8"),
+    ("stop_words", "n_required_stops >= 2"),
+)
+
 
 def gopher_quality(documents: DataFrame) -> DataFrame:
     """The full Gopher document-quality rule set (Rae et al. 2021,
@@ -396,14 +415,8 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
         alpha_frac.alias("alpha_word_frac"),
         n_stops.alias("n_required_stops"),
     )
-    passes = (
-        F.col("n_words").between(50, 100_000)
-        & F.col("mean_word_len").between(3.0, 10.0)
-        & (F.col("symbol_word_ratio") <= 0.1)
-        & (F.col("bullet_line_frac") <= 0.9)
-        & (F.col("ellipsis_line_frac") <= 0.3)
-        & (F.col("alpha_word_frac") >= 0.8)
-        & (F.col("n_required_stops") >= 2)
+    passes = reduce(
+        lambda a, b: a & b, [F.expr(sql) for _, sql in GOPHER_RULE_SQL]
     )
     return scored.withColumn("passes", passes.cast("int"))
 
@@ -1057,19 +1070,13 @@ def line_dedup(documents: DataFrame, min_words: int = 4) -> DataFrame:
 
 
 #: (stage, rule, flag-builder) for ``quality_funnel`` — the gopher rule
-#: set in its published order, then the C4 page gate. Flags are
-#: recomputed from ``gopher_quality``'s ROUNDED outputs so Spark and
-#: the DuckDB oracle threshold identical values.
-FUNNEL_RULES = (
-    ("word_count", lambda: F.col("n_words").between(50, 100_000)),
-    ("mean_word_len", lambda: F.col("mean_word_len").between(3.0, 10.0)),
-    ("symbol_ratio", lambda: F.col("symbol_word_ratio") <= 0.1),
-    ("bullet_lines", lambda: F.col("bullet_line_frac") <= 0.9),
-    ("ellipsis_lines", lambda: F.col("ellipsis_line_frac") <= 0.3),
-    ("alpha_words", lambda: F.col("alpha_word_frac") >= 0.8),
-    ("stop_words", lambda: F.col("n_required_stops") >= 2),
-    ("c4_page", lambda: F.col("page_pass") == 1),
-)
+#: set in its published order (each flag derived from the shared
+#: ``GOPHER_RULE_SQL`` threshold table over ``gopher_quality``'s
+#: ROUNDED outputs, so Spark and the DuckDB oracle threshold identical
+#: values from identical fragments), then the C4 page gate.
+FUNNEL_RULES = tuple(
+    (rule, (lambda sql=sql: F.expr(sql))) for rule, sql in GOPHER_RULE_SQL
+) + (("c4_page", lambda: F.col("page_pass") == 1),)
 
 
 def quality_funnel(documents: DataFrame) -> DataFrame:

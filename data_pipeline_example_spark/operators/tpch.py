@@ -1008,9 +1008,13 @@ def returned_item_ranking(
     Scale shape: the returnflag filter is pushed into the lineitem
     scan; lineitem⋈orders is the one fact-fact shuffle (equi-join on
     l_orderkey); the per-customer aggregate is map-side combined; the
-    customer dimension broadcasts onto the |customers|-sized rollup;
-    ranking is a TakeOrdered with revenue-then-key tie-break. Output:
-    c_custkey, c_name, c_mktsegment, revenue (2 dp).
+    customer-dimension join is left to AQE (no explicit broadcast
+    hint: |customers| grows with the fact table — 15M rows at sf100 —
+    so a forced broadcast would OOM the driver at exactly the scale
+    this operator targets; AQE picks broadcast when the dim is small
+    and a shuffle join keyed on c_custkey when it isn't); ranking is a
+    TakeOrdered with revenue-then-key tie-break. Output: c_custkey,
+    c_name, c_mktsegment, revenue (2 dp).
     """
     rev = (
         lineitem.filter(F.col("l_returnflag") == "R")
@@ -1028,7 +1032,7 @@ def returned_item_ranking(
     )
     return (
         rev.join(
-            F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
+            customer.select("c_custkey", "c_name", "c_mktsegment"),
             rev["o_custkey"] == F.col("c_custkey"),
         )
         .select("c_custkey", "c_name", "c_mktsegment", "revenue")

@@ -588,26 +588,38 @@ def join_size_estimate(
         F.count(F.lit(1)).alias("n_exact_intersection")
     )
     est_u = est_u_col
-    est_i = F.round(
-        F.col("n_both") / F.greatest(F.col("n_seen_u"), F.lit(1)) * est_u, 0
-    ).cast("long")
-    return (
+    # est_intersection = HALF_UP((n_both * est_union) / n_seen_u) in
+    # PURE long arithmetic — round(2a+b div 2b) — so the estimate can
+    # never hit the double-rounding knife edge the dsir/bigram integer
+    # discipline exists for (n_both ≤ k and est_union < 2^48, so the
+    # numerator stays far inside long range). rel_err is a SINGLE
+    # division + round(...,4) — the certified-safe shape.
+    base = (
         sk_a.select(est_a_col.alias("est_left"))
         .crossJoin(sk_b.select(est_b_col.alias("est_right")))
         .crossJoin(F.broadcast(sk_u))
         .crossJoin(F.broadcast(both))
         .crossJoin(F.broadcast(exact))
         .select(
-            F.lit(k).alias("k"),
             "est_left",
             "est_right",
             est_u.alias("est_union"),
-            est_i.alias("est_intersection"),
+            F.greatest(F.col("n_seen_u"), F.lit(1)).alias("den"),
+            "n_both",
             "n_exact_intersection",
-            F.round(
-                F.abs(est_i - F.col("n_exact_intersection"))
-                / F.greatest(F.col("n_exact_intersection"), F.lit(1)),
-                4,
-            ).alias("rel_err"),
         )
+    )
+    est_i = F.expr("(2 * n_both * est_union + den) div (2 * den)")
+    return base.select(
+        F.lit(k).alias("k"),
+        "est_left",
+        "est_right",
+        "est_union",
+        est_i.alias("est_intersection"),
+        "n_exact_intersection",
+        F.round(
+            F.abs(est_i - F.col("n_exact_intersection"))
+            / F.greatest(F.col("n_exact_intersection"), F.lit(1)),
+            4,
+        ).alias("rel_err"),
     )

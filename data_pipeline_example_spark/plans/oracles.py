@@ -19,6 +19,8 @@ reproduces this by cross-joining offsets 0..3 against the row's
 
 from __future__ import annotations
 
+from data_pipeline_example_spark.operators import text as _text_ops
+
 # events → conformed retail mapping (FIXTURES.md F-D)
 _RETAIL = """
 retail AS (
@@ -2510,17 +2512,13 @@ LEFT JOIN (
 ) kc USING (doc_id)
 """
 
-_FUNNEL_SQL_FLAGS = (
-    ("word_count", "CASE WHEN gq.n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END"),
-    ("mean_word_len",
-     "CASE WHEN gq.mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END"),
-    ("symbol_ratio", "CASE WHEN gq.symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END"),
-    ("bullet_lines", "CASE WHEN gq.bullet_line_frac <= 0.9 THEN 1 ELSE 0 END"),
-    ("ellipsis_lines", "CASE WHEN gq.ellipsis_line_frac <= 0.3 THEN 1 ELSE 0 END"),
-    ("alpha_words", "CASE WHEN gq.alpha_word_frac >= 0.8 THEN 1 ELSE 0 END"),
-    ("stop_words", "CASE WHEN gq.n_required_stops >= 2 THEN 1 ELSE 0 END"),
-    ("c4_page", "c4.page_pass"),
-)
+# the Gopher flags derive from the SAME threshold table the Spark
+# operators use (text.GOPHER_RULE_SQL — the fragments parse identically
+# in both engines), so the three encodings can never drift
+_FUNNEL_SQL_FLAGS = tuple(
+    (rule, f"CASE WHEN {sql} THEN 1 ELSE 0 END")
+    for rule, sql in _text_ops.GOPHER_RULE_SQL
+) + (("c4_page", "c4.page_pass"),)
 
 
 def _funnel_oracle() -> str:
@@ -2821,10 +2819,14 @@ docs AS (
   UNION ALL
   SELECT threshold, doc_b FROM swept
 )
-SELECT np.threshold, np.n_pairs, nd.n_docs
-FROM (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
-      FROM swept GROUP BY 1) np
-JOIN (SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+SELECT t.threshold,
+       CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+FROM (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        AS threshold) t
+LEFT JOIN (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM swept GROUP BY 1) np USING (threshold)
+LEFT JOIN (SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
       FROM docs GROUP BY 1) nd USING (threshold)
 """
 
@@ -2945,10 +2947,11 @@ est AS (
   FROM ska CROSS JOIN skb CROSS JOIN sku CROSS JOIN bth CROSS JOIN exact
 )
 SELECT CAST(64 AS INTEGER) AS k, est_left, est_right, est_union,
-       CAST(round(n_both * 1.0 / greatest(n_seen_u, 1) * est_union, 0) AS BIGINT)
-         AS est_intersection,
+       CAST((2 * n_both * est_union + greatest(n_seen_u, 1))
+            // (2 * greatest(n_seen_u, 1)) AS BIGINT) AS est_intersection,
        n_exact_intersection,
-       round(abs(CAST(round(n_both * 1.0 / greatest(n_seen_u, 1) * est_union, 0) AS BIGINT)
+       round(abs(CAST((2 * n_both * est_union + greatest(n_seen_u, 1))
+                      // (2 * greatest(n_seen_u, 1)) AS BIGINT)
                  - n_exact_intersection)
              / greatest(n_exact_intersection, 1), 4) AS rel_err
 FROM est
