@@ -31,8 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twin for each SQL-expressible query. Two entries
-    (user_reach_rollup: opaque HLL sketches; kmeans_embeddings:
-    iterative refinement) are deliberately rows-only — their
-    correctness is covered by unit tests against exact twins."""
+    """DuckDB twin for each SQL-expressible query — every registry
+    entry is hash-oracled (user_reach_rollup moved from opaque HLL
+    binaries to an exactly-mergeable KMV rollup in r6, closing the
+    last rows-only entry; kmeans_embeddings got its unrolled-CTE twin
+    in r5)."""
     return dict(ORACLES)

@@ -248,26 +248,64 @@ def salted_event_totals(events: DataFrame, salt_buckets: int = 32) -> DataFrame:
     ).orderBy("event_type")
 
 
-def user_reach_rollup(events: DataFrame) -> DataFrame:
+def user_reach_rollup(events: DataFrame, k: int = 64) -> DataFrame:
     """Mergeable-sketch rollup — the pattern that replaces re-scanning
-    raw data for every reporting window at 100 TB: build one HLL sketch
-    per (day, event_type) partial, then *union the sketches* per
-    event_type instead of re-reading events. HLL registers are maxima,
-    so union is commutative/associative — estimates are deterministic
-    regardless of partitioning or merge order. Sketches are Spark
-    DataSketches binaries (not SQL-portable → rows-only check; the
-    exact twin is `user_cardinality`).
+    raw data for every reporting window at 100 TB: build one KMV
+    cardinality sketch per (day, event_type) partial, then *union-merge
+    the sketches* per event_type instead of re-reading events. KMV
+    minima sets merge exactly like HLL registers (the k smallest of a
+    union of per-day k-smallest sets ARE the union's k smallest — every
+    global minimum survives in its own day's sketch, so the merge is
+    commutative/associative AND lossless), but unlike the
+    Spark-DataSketches HLL binaries this op previously rolled up
+    (opaque → rows-only check), the merged estimate is a pure function
+    of portable 48-bit md5 hashes and value-hash-matches the DuckDB
+    oracle end to end.
+
+    Plan: distinct (day, type, hash) triples (one map-side-combined
+    dedup shuffle); per-(day, type) k-minima via a rank-≤-k window that
+    Spark compiles with WindowGroupLimit (map tasks pre-trim to k rows
+    per group BEFORE the exchange); the merge re-ranks the
+    (type, hash)-distinct union of daily minima — (k × days) rows per
+    type, never the corpus. Exact twin: `user_cardinality`.
     Output: event_type, daily_sketches, reach_estimate.
     """
-    daily = events.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    from pyspark.sql.window import Window
+
+    hv = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.to_date("ts").alias("d"),
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+            )
+            .cast("long")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    wd = Window.partitionBy("d", "event_type").orderBy("hv")
+    daily = hv.withColumn("rk", F.row_number().over(wd)).filter(F.col("rk") <= k)
+    wt = Window.partitionBy("event_type").orderBy("hv")
+    sketch = (
+        daily.select("event_type", "hv")
+        .distinct()
+        .withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= k)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("hv").alias("kth"))
+    )
+    days = daily.groupBy("event_type").agg(
+        F.count_distinct("d").alias("daily_sketches")
+    )
+    full = F.lit(float((k - 1) * (1 << 48)))
+    est = F.when(F.col("n_seen") < k, F.col("n_seen").cast("long")).otherwise(
+        F.round(full / F.col("kth"), 0).cast("long")
     )
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("daily_sketches"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("reach_estimate"),
-        )
+        days.join(sketch, "event_type")
+        .select("event_type", "daily_sketches", est.alias("reach_estimate"))
         .orderBy("event_type")
     )
 

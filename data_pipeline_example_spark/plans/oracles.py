@@ -2130,6 +2130,36 @@ FROM est
 """
 
 
+ORACLES["user_reach_rollup"] = """
+WITH hv AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+dsk AS (
+  SELECT d, event_type, hv
+  FROM (SELECT d, event_type, hv,
+               row_number() OVER (PARTITION BY d, event_type ORDER BY hv) AS rk
+        FROM hv)
+  WHERE rk <= 64
+),
+merged AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM (SELECT DISTINCT event_type, hv FROM dsk)
+),
+sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen, max(hv) AS kth
+       FROM merged WHERE rk <= 64 GROUP BY 1),
+days AS (SELECT event_type, CAST(count(DISTINCT d) AS BIGINT) AS daily_sketches
+         FROM dsk GROUP BY 1)
+SELECT s.event_type, days.daily_sketches,
+       CASE WHEN s.n_seen < 64 THEN s.n_seen
+            ELSE CAST(round(17732923532771328.0 / s.kth, 0) AS BIGINT)
+       END AS reach_estimate
+FROM sk s JOIN days USING (event_type)
+ORDER BY event_type
+"""
+
 ORACLES["priority_sample"] = """
 WITH d AS (
   SELECT doc_id,

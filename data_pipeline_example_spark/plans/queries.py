@@ -696,8 +696,8 @@ def q_nearest_neighbor_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_user_reach_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: HLL sketch binaries aren't SQL-portable; the
-    # exact twin is user_cardinality_exact
+    # hash-oracled since r6: the KMV union-merge is deterministic and
+    # SQL-portable (the HLL-binary predecessor was rows-only)
     return users.user_reach_rollup(load_table(spark, sf_dir, "events"))
 
 
