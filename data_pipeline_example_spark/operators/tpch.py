@@ -806,16 +806,30 @@ def priority_revenue_pivot(orders: DataFrame) -> DataFrame:
     )
 
 
-def customer_spend_distribution(orders: DataFrame, n: int = 50) -> DataFrame:
-    """Distribution window functions — each top customer's percent_rank
-    and cume_dist over total spend.
+def customer_spend_distribution(
+    orders: DataFrame, n: int = 50, method: str = "cuts"
+) -> DataFrame:
+    """Distribution functions — each top customer's percent_rank and
+    cume_dist over total spend, computed over the per-customer
+    aggregate (never raw orders). Ranks are computed on the rounded
+    spend so ties agree across engines. Output: c_custkey, total_spend,
+    spend_pct_rank, spend_cume_dist.
 
-    The global window runs over the *per-customer aggregate* (|customers|
-    rows), never raw orders — at 100 TB the aggregate output is what a
-    single-partition ranking window can safely hold; percentiles over
-    raw facts would use approx quantiles instead. Ranks are computed on
-    the rounded spend so ties agree across engines. Output: c_custkey,
-    total_spend, spend_pct_rank, spend_cume_dist.
+    ``method="cuts"`` (default, the scale path): NO global ordered
+    window. percent_rank and cume_dist depend only on a row's VALUE —
+    pct_rank = cum_before/(N−1), cume_dist = cum_incl/N — so both come
+    from a spend-value histogram (map-side-combined
+    ``groupBy(total_spend).count()``, collected and broadcast back as
+    prefix sums; bounded by the 2-dp value DOMAIN, not by |customers| —
+    the ``length_buckets`` planning-stats discipline) joined onto the
+    aggregate, and the top-n is a TakeOrdered. A
+    ``Window.orderBy(total_spend)`` here would move every per-customer
+    row through ONE task (|customers| grows with the fact table —
+    single-task sort of ~10⁹ rows at 100 TB); the cuts path has no
+    ordered exchange at all. Divisions + 6-dp rounds happen in Spark
+    expressions (never in Python) so results are bit-identical to the
+    window twin, which is retained as ``method="window"`` and pinned
+    equal by unit test; the SQL oracle is the window form.
     """
     from pyspark.sql.window import Window
 
@@ -823,6 +837,46 @@ def customer_spend_distribution(orders: DataFrame, n: int = 50) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
     )
+    if method == "cuts":
+        spark = orders.sparkSession
+        hist = sorted(
+            (r["total_spend"], r["cnt"])
+            for r in spend.groupBy("total_spend")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        n_rows = sum(c for _, c in hist)
+        if n_rows == 0:
+            return spark.createDataFrame(
+                [],
+                "c_custkey long, total_spend double, "
+                "spend_pct_rank double, spend_cume_dist double",
+            )
+        cuts, acc = [], 0
+        for v, c in hist:
+            cuts.append((v, acc, acc + c))  # (value, cum_before, cum_incl)
+            acc += c
+        cuts_df = F.broadcast(
+            spark.createDataFrame(
+                cuts, "total_spend double, cum_before long, cum_incl long"
+            )
+        )
+        den = max(n_rows - 1, 1)  # percent_rank of a 1-row frame is 0
+        return (
+            spend.join(cuts_df, "total_spend")
+            .select(
+                F.col("o_custkey").alias("c_custkey"),
+                "total_spend",
+                F.round(F.col("cum_before") / F.lit(float(den)), 6).alias(
+                    "spend_pct_rank"
+                ),
+                F.round(F.col("cum_incl") / F.lit(float(n_rows)), 6).alias(
+                    "spend_cume_dist"
+                ),
+            )
+            .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+            .limit(n)
+        )
     w = Window.orderBy("total_spend")
     return (
         spend.withColumn("spend_pct_rank", F.round(F.percent_rank().over(w), 6))
@@ -859,18 +913,75 @@ def returns_cube(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def customer_value_tiles(orders: DataFrame, tiles: int = 4) -> DataFrame:
+def customer_value_tiles(
+    orders: DataFrame, tiles: int = 4, method: str = "cuts"
+) -> DataFrame:
     """NTILE quartiles over per-customer spend — equal-frequency binning
-    for cohort analysis. The tile assignment orders on (rounded spend,
-    custkey) so bucket boundaries are engine-independent; the window
-    runs over the |customers|-sized aggregate, not raw orders.
+    for cohort analysis. Tile assignment orders on (rounded spend,
+    custkey) so bucket boundaries are engine-independent.
     Output: tile, n_customers, min_spend, max_spend.
+
+    ``method="cuts"`` (default, the scale path): the ``length_buckets``
+    broadcast-histogram discipline instead of an unpartitioned NTILE
+    window (which would sort all |customers| per-customer rows in ONE
+    task — the textbook 100× straggler). The global rank under ORDER BY
+    (total_spend, o_custkey) decomposes into a histogram prefix sum
+    (spend-value histogram, value-DOMAIN-bounded, broadcast back) plus
+    a ``row_number`` over a window PARTITIONED BY total_spend (hash
+    exchange, never a global order); the ntile formula is applied
+    per-row as integer arithmetic, bit-identical to ``ntile`` — the
+    ``method="window"`` twin is pinned equal by unit test and serves as
+    the SQL-oracle form.
     """
     from pyspark.sql.window import Window
 
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("total_spend")
     )
+    if method == "cuts":
+        spark = orders.sparkSession
+        hist = sorted(
+            (r["total_spend"], r["cnt"])
+            for r in spend.groupBy("total_spend")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        n_rows = sum(c for _, c in hist)
+        if n_rows == 0:
+            return spark.createDataFrame(
+                [],
+                "tile int, n_customers long, min_spend double, "
+                "max_spend double",
+            )
+        q, r = divmod(n_rows, tiles)
+        cuts, acc = [], 0
+        for v, c in hist:
+            cuts.append((v, acc))
+            acc += c
+        cuts_df = F.broadcast(
+            spark.createDataFrame(cuts, "total_spend double, cum_before long")
+        )
+        wt = Window.partitionBy("total_spend").orderBy("o_custkey")
+        ranked = spend.join(cuts_df, "total_spend").withColumn(
+            "rank", F.col("cum_before") + F.row_number().over(wt)
+        )
+        # inline ntile: first r tiles get q+1 rows (integer div only —
+        # the length_buckets formula verbatim)
+        qd = max(q, 1)
+        tile = F.when(
+            F.col("rank") <= r * (q + 1),
+            F.expr(f"(rank + {q}) div {q + 1}"),
+        ).otherwise(F.expr(f"{r} + (rank - {r * (q + 1)} + {qd - 1}) div {qd}"))
+        return (
+            ranked.withColumn("tile", tile.cast("int"))
+            .groupBy("tile")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.min("total_spend").alias("min_spend"),
+                F.max("total_spend").alias("max_spend"),
+            )
+            .orderBy("tile")
+        )
     w = Window.orderBy(F.asc("total_spend"), F.asc("o_custkey"))
     return (
         spend.withColumn("tile", F.ntile(tiles).over(w))

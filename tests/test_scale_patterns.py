@@ -175,3 +175,44 @@ def test_ann_index_partition_pruning_and_equivalence(spark, sf_dir, tmp_path):
     direct = [tuple(r) for r in ivfpq_knn(emb, query_id=0).collect()]
     got = [tuple(r) for r in served.collect()]
     assert got == direct
+
+
+def test_customer_ranking_cuts_match_window_and_plan(spark, sf_dir):
+    """The de-windowed customer ranking ops (broadcast-histogram cuts)
+    must be bit-identical to their unpartitioned-window twins — which
+    are the SQL-oracle forms — including heavy spend ties across tile
+    boundaries, and their plans must contain NO global ordered exchange
+    (rangepartitioning) and NO single-partition window exchange."""
+    from data_pipeline_example_spark.operators import tpch
+    from data_pipeline_example_spark.sources import load_table
+
+    # synthetic tie-heavy orders: 23 customers over 3 distinct spends →
+    # ties straddle every quartile boundary
+    synth = spark.createDataFrame(
+        [(100 + i, i, float(100 + (i % 3) * 50)) for i in range(23)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    real = load_table(spark, sf_dir, "orders")
+    for orders in (synth, real):
+        for fn in (tpch.customer_spend_distribution, tpch.customer_value_tiles):
+            cut = fn(orders, method="cuts")
+            win = fn(orders, method="window")
+            assert sorted(tuple(r) for r in cut.collect()) == sorted(
+                tuple(r) for r in win.collect()
+            ), fn.__name__
+            plan = cut._jdf.queryExecution().executedPlan().toString().lower()
+            # the all-rows-to-one-task shape the rewrite removes: an
+            # unpartitioned Window compiles to Exchange SinglePartition
+            assert "singlepartition" not in plan, fn.__name__
+    # spend_distribution's plan must also carry no global ordered
+    # exchange at all (its top-n is a TakeOrdered); value_tiles keeps
+    # one rangepartitioning from the final orderBy over the ≤tiles-row
+    # AGGREGATE — constant-size at any corpus scale
+    plan = (
+        tpch.customer_spend_distribution(real, method="cuts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .lower()
+    )
+    assert "rangepartitioning" not in plan
