@@ -233,46 +233,128 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
                               synthetic corpus, so running it late
                               keeps the cross-doc stages informative)
 
-    Each flag comes from the corresponding certified operator; the
-    funnel is their running conjunction, so the row for stage k is the
-    corpus a pipeline would actually have after stages 2..k. Flag
-    frames are doc-keyed and narrow; the conjunction is one multi-way
-    join on doc_id plus a constant-size aggregate unpivoted with
-    ``stack``. Output: stage, rule, n_surviving (6 rows).
+    Single-scan design (the r5 verdict's top item — the previous
+    composition re-scanned and re-tokenized the corpus once per member,
+    5× I/O at 100 TB): ONE enriched projection computes every per-doc
+    expression the five members need — the C4 page flag, the Gopher
+    metrics + pass flag (via ``text._gopher_scored``'s passthrough
+    hook, so the expressions are the member operators' own), the exact
+    fingerprint, the ≥4-word line keys with positions, and the 3-token
+    shingle set — and is ``localCheckpoint``-ed, so the corpus is read
+    ONCE and tokenized ONCE. The three cross-doc members (line-dedup
+    winners, exact keepers, contamination) are narrow shuffles over the
+    checkpointed columns, never the text; the conjunction is doc-keyed
+    joins plus a constant-size aggregate unpivoted with ``stack``.
+    Flag semantics are pinned to the standalone operators by unit test
+    and by the unchanged composed oracle. Output: stage, rule,
+    n_surviving (6 rows).
     """
-    base = documents.select("doc_id")
-    f_c4 = text.c4_clean(
-        documents, require_terminal=False, min_kept_lines=1
-    ).select("doc_id", F.lit(1).alias("f2"))
-    f_uni = text.line_dedup(documents).select(
-        "doc_id", (F.col("n_kept") > 0).cast("int").alias("f3")
+    from data_pipeline_example_spark.functions.parallel import widen
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(txt, "\n")
+
+    def line_words(l):
+        return F.when(F.trim(l) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(l), r"\s+"))
+        )
+
+    # c4_clean(require_terminal=False, min_kept_lines=1) page flag
+    f2 = (
+        (F.locate("lorem ipsum", F.lower(txt)) == 0)
+        & (F.locate("{", txt) == 0)
+        & (F.size(F.filter(lines, lambda l: line_words(l) >= 5)) >= 1)
+    ).cast("int")
+    # line_dedup(min_words=4) ingredients: structural-line presence
+    # (never dedup keys → always kept) and the keyed lines (same md5
+    # normalization, posexplode-compatible 0-based positions)
+    has_short = (
+        F.size(F.filter(lines, lambda l: line_words(l) < 4)) > 0
+    ).cast("int")
+    keyed = F.filter(
+        F.transform(
+            lines,
+            lambda l, i: F.struct(
+                F.md5(
+                    F.lower(F.regexp_replace(F.trim(l), r"\s+", " "))
+                ).alias("k"),
+                i.alias("pos"),
+                line_words(l).alias("nw"),
+            ),
+        ),
+        lambda s: s["nw"] >= 4,
     )
-    keepers = dedup.exact_dedup(documents).select(
-        F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("f4")
+    extras = (
+        ("f2", f2),
+        ("fingerprint", T.fingerprint(F.col("text"))),
+        ("has_short", has_short),
+        ("keyed", keyed),
+        ("shingles", T.shingles_from_tokens(T.tokens(F.lower(F.col("text"))), 3)),
     )
-    f_gq = text.gopher_quality(documents).select(
-        "doc_id", F.col("passes").alias("f6")
+    enriched = (
+        text._gopher_scored(widen(documents), extras)
+        .select(
+            "doc_id",
+            "f2",
+            "has_short",
+            "fingerprint",
+            "keyed",
+            "shingles",
+            text.gopher_passes().cast("int").alias("f6"),
+        )
+        .localCheckpoint()
+    )
+    # corpus-wide line-dedup winners: a doc survives iff it owns the
+    # min (doc_id, pos) of ≥1 line hash (or has a structural line)
+    winners = (
+        enriched.select("doc_id", F.explode("keyed").alias("e"))
+        .groupBy(F.col("e.k").alias("k"))
+        .agg(
+            F.min(
+                F.struct(F.col("doc_id"), F.col("e.pos").alias("pos"))
+            ).alias("keep")
+        )
+        .select(F.col("keep.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("f3w", F.lit(1))
+    )
+    keepers = (
+        enriched.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("f4", F.lit(1))
+    )
+    # contamination_pairs(eval_max_id=10, k=3) over the shared shingles
+    ev = enriched.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("sh")
+    )
+    tr = enriched.filter(F.col("doc_id") >= 10).select(
+        "doc_id", F.explode("shingles").alias("sh")
     )
     cont = (
-        dedup.contamination_pairs(documents)
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
         .select("doc_id")
         .distinct()
         .withColumn("contaminated", F.lit(1))
     )
     flags = (
-        base.join(f_c4, "doc_id", "left")
-        .join(f_uni, "doc_id", "left")
+        enriched.select("doc_id", "f2", "has_short", "f6")
+        .join(winners, "doc_id", "left")
         .join(keepers, "doc_id", "left")
         .join(F.broadcast(cont), "doc_id", "left")
-        .join(f_gq, "doc_id", "left")
         .select(
             F.lit(1).alias("f1"),
-            F.coalesce("f2", F.lit(0)).alias("f2"),
-            F.coalesce("f3", F.lit(0)).alias("f3"),
-            F.coalesce("f4", F.lit(0)).alias("f4"),
+            F.col("f2"),
+            F.greatest(
+                "has_short",
+                F.when(F.col("f3w").isNotNull(), 1).otherwise(0),
+            ).alias("f3"),
+            F.when(F.col("f4").isNotNull(), 1).otherwise(0).alias("f4"),
             F.when(F.col("contaminated").isNull(), 1).otherwise(0).alias("f5"),
-            F.coalesce("f6", F.lit(0)).alias("f6"),
+            F.col("f6"),
         )
     )
     rules = [

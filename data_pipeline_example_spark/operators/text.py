@@ -372,6 +372,28 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
     bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
     n_required_stops, passes.
     """
+    return _gopher_scored(documents).withColumn(
+        "passes", gopher_passes().cast("int")
+    )
+
+
+def gopher_passes():
+    """The Gopher pass flag as a Column over ``_gopher_scored``'s
+    ROUNDED metric columns — the conjunction of the shared
+    ``GOPHER_RULE_SQL`` threshold table."""
+    return reduce(lambda a, b: a & b, [F.expr(sql) for _, sql in GOPHER_RULE_SQL])
+
+
+def _gopher_scored(documents: DataFrame, extras: tuple = ()) -> DataFrame:
+    """``gopher_quality``'s scored projection without the pass flag.
+
+    ``extras`` is a tuple of (name, Column) pairs evaluated against the
+    RAW input frame in the same base projection and carried through —
+    the hook that lets ``curation.corpus_funnel`` compute its
+    fingerprint/line-key/shingle columns in the SAME single corpus scan
+    as the Gopher metrics (one scan, one tokenize, instead of one per
+    member operator).
+    """
     txt = F.coalesce(F.col("text"), F.lit(""))
     words = F.when(F.trim(txt) == "", F.array().cast("array<string>")).otherwise(
         F.split(F.trim(txt), r"\s+")
@@ -383,6 +405,7 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
         words.alias("words"),
         lines.alias("lines"),
         F.length(F.regexp_replace(txt, r"\s+", "")).cast("long").alias("word_chars"),
+        *[col.alias(name) for name, col in extras],
     )
     n_words = F.size("words").cast("long")
     n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
@@ -405,7 +428,7 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
         F.when(F.lower(F.col("t")).rlike(rf"\b{s}\b"), 1).otherwise(0)
         for s in GOPHER_STOPS
     ).cast("long")
-    scored = base.select(
+    return base.select(
         "doc_id",
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
@@ -414,11 +437,8 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
         ell_frac.alias("ellipsis_line_frac"),
         alpha_frac.alias("alpha_word_frac"),
         n_stops.alias("n_required_stops"),
+        *[F.col(name) for name, _ in extras],
     )
-    passes = reduce(
-        lambda a, b: a & b, [F.expr(sql) for _, sql in GOPHER_RULE_SQL]
-    )
-    return scored.withColumn("passes", passes.cast("int"))
 
 
 def c4_line_stats(documents: DataFrame) -> DataFrame:

@@ -450,3 +450,33 @@ def test_ccnet_mixture_rates_and_counts(spark):
     assert out["head"]["n_sampled"] == out["head"]["n_docs"]  # rate 1.0 keeps all
     for b in out.values():
         assert 0 <= b["n_sampled"] <= b["n_docs"]
+
+
+def test_corpus_funnel_matches_member_composition(spark, sf_dir):
+    """The single-scan rewrite must produce exactly the funnel the
+    standalone member operators compose to — flag semantics pinned on
+    the real sf corpus (covers empty docs, heavy line duplication,
+    exact-dup classes, eval-shingle overlap)."""
+    from data_pipeline_example_spark import curation
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # member composition (the pre-single-scan formulation)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    c4 = {r["doc_id"] for r in tx.c4_clean(
+        docs, require_terminal=False, min_kept_lines=1).select("doc_id").collect()}
+    uni = {r["doc_id"] for r in tx.line_dedup(docs)
+           .filter(F.col("n_kept") > 0).select("doc_id").collect()}
+    keep = {r["keep_doc_id"] for r in dedup.exact_dedup(docs).collect()}
+    gq = {r["doc_id"] for r in tx.gopher_quality(docs)
+          .filter(F.col("passes") == 1).collect()}
+    cont = {r["doc_id"] for r in dedup.contamination_pairs(docs)
+            .filter(F.col("n_shared") >= 2).select("doc_id").distinct().collect()}
+    sets = [set(ids), c4, uni, keep, set(ids) - cont, gq]
+    want, cum = [], set(ids)
+    for s in sets:
+        cum &= s
+        want.append(len(cum))
+    got = {r["stage"]: r["n_surviving"]
+           for r in curation.corpus_funnel(docs).collect()}
+    assert [got[i] for i in range(1, 7)] == want
