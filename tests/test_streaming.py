@@ -356,3 +356,65 @@ def test_stream_upsert_sink_merges_batches(spark, tmp_path):
     out = spark.read.parquet(str(out_dir))
     got = {r["product"]: r["line_amount"] for r in out.collect()}
     assert got == {"A": 99.0, "B": 5.0, "C": 7.0}  # A replaced, not duplicated
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """T5 — true stop-and-restart recovery: run a checkpointed query to
+    completion, STOP it, append new input, then restart the SAME query
+    (same plan, same checkpoint). The restarted query must resume from
+    committed offsets (batch-1 windows are NOT re-emitted — exactly-once
+    across the restart), must carry the watermark forward from
+    checkpointed state (the new flush event finalizes the pre-restart
+    product's windows), and the checkpoint's offset/commit logs must
+    advance."""
+    in_dir, out, ckpt = tmp_path / "in", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    in_dir.mkdir()
+    now = time.time()
+    _write_events(
+        str(in_dir / "b1.json"),
+        [
+            {"product": "A", "event_time": "2025-01-01 10:00:00", "total_price": "10.0"},
+            {"product": "A", "event_time": "2025-01-01 10:10:00", "total_price": "10.0"},
+            {"product": "B", "event_time": "2025-01-01 13:00:00", "total_price": "5.0"},
+        ],
+        now - 60,
+    )
+
+    def run_once():
+        raw = job.read_stream(
+            spark, "json", path=str(in_dir), max_files_per_trigger=1
+        )
+        agg = job.build_aggregations(job.transform_orders(raw))
+        q = job.write_stream(agg, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+    run_once()  # run 1: watermark 12:45 → all four A-windows finalize
+    first = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert len(first) == 4 and all(r[0] == "A" for r in first)
+    n_commits_1 = len(
+        [f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")]
+    )
+
+    # the query is STOPPED (availableNow drained). Append batch 2 and
+    # restart the same query from the checkpoint.
+    _write_events(
+        str(in_dir / "b2.json"),
+        [{"product": "D", "event_time": "2025-01-01 14:00:00", "total_price": "2.0"}],
+        now,
+    )
+    run_once()  # run 2: resumes offsets, watermark 12:45 → 13:45
+
+    rows = [tuple(r) for r in spark.read.parquet(out).collect()]
+    # exactly-once: the four A-windows appear exactly once, never twice
+    assert sorted(r for r in rows if r[0] == "A") == first
+    assert len(rows) == len(set(rows))
+    # recovered watermark finalized B's windows ending ≤ 13:45 (3 of 4)
+    b_rows = [r for r in rows if r[0] == "B"]
+    assert len(b_rows) == 3
+    assert all(r[3].isoformat() <= "2025-01-01T13:45:00" for r in b_rows)
+    # D (14:00) is beyond the new watermark → not finalized
+    assert not [r for r in rows if r[0] == "D"]
+    n_commits_2 = len(
+        [f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")]
+    )
+    assert n_commits_2 > n_commits_1
