@@ -1209,3 +1209,215 @@ def local_supplier_volume(
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    r_name: str = "EUROPE",
+    p_type: str = "SMALL",
+    size_lo: int = 1,
+    size_hi: int = 25,
+    n: int = 100,
+) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier (adapted: the driver corpus
+    ships no partsupp table, so the observed lineitem relation plays the
+    supply catalog — the supply cost of a (part, supplier) pair is that
+    pair's minimum observed l_extendedprice). For every part of one
+    type in a size band, the region-local supplier offering the minimum
+    cost: the classic correlated min-subquery, decorrelated into a
+    groupBy-min plus per-part argmin.
+
+    Scale shape: region→nation→supplier prune broadcasts down the dim
+    chain; the (part, supplier) cost table is ONE map-side-combined
+    aggregate over the part-pruned lineitem scan; the per-part argmin is
+    ``min(struct(cost, suppkey))`` — no window, no self-join, ties break
+    to the smallest suppkey deterministically; supplier detail broadcasts
+    back onto the |parts|-sized result and the Q2 ordering is a
+    TakeOrdered. Output: s_acctbal, s_name, n_name, p_partkey, p_brand,
+    min_cost.
+    """
+    nat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == r_name)),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(nat), supplier["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    pts = part.filter(
+        (F.col("p_type") == p_type) & F.col("p_size").between(size_lo, size_hi)
+    ).select("p_partkey", "p_brand")
+    costs = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    best = costs.groupBy("p_partkey", "p_brand").agg(
+        F.min(F.struct(F.col("cost"), F.col("l_suppkey").alias("sk"))).alias("b")
+    )
+    return (
+        best.select(
+            "p_partkey",
+            "p_brand",
+            F.col("b.cost").alias("min_cost"),
+            F.col("b.sk").alias("s_suppkey"),
+        )
+        .join(F.broadcast(supp), "s_suppkey")
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "min_cost")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(n)
+    )
+
+
+def important_part_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    n_name: str = "NATION_7",
+    bp: int = 15,
+) -> DataFrame:
+    """TPC-H Q11-shaped important stock: per-part inventory value held
+    by one nation's suppliers, keeping parts whose value exceeds ``bp``
+    basis points of the nation's total — the HAVING-against-a-global-
+    scalar shape (adapted to the lineitem supply catalog: value =
+    Σ quantity × extendedprice over the nation's observed supply
+    lines).
+
+    Exactness discipline: per-line values are 2-dp-rounded then scaled
+    to integer CENTS and summed as longs (the dsir/bigram integer-unit
+    rule), and the threshold test is pure integer cross-multiplication
+    (``10000 × part_value > bp × total``) — a float sum in a HAVING is
+    a cross-engine knife edge; an integer one cannot flip. Scale shape:
+    nation→supplier prune broadcasts into the lineitem scan; ONE
+    map-side-combined aggregate per part; the grand total is a
+    broadcast one-row cross join, not a second corpus pass over raw
+    lines. Output: l_partkey, value_cents (BIGINT), ordered by value
+    desc.
+    """
+    supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == n_name)),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey")
+    cents = F.round(
+        F.round(F.col("l_quantity") * F.col("l_extendedprice"), 2) * 100, 0
+    ).cast("long")
+    per_part = (
+        lineitem.select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.lit(10000) * F.col("value_cents") > F.lit(bp) * F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), F.asc("l_partkey"))
+    )
+
+
+def supplier_count_by_part(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    exclude_type: str = "PROMO",
+    sizes: tuple = (1, 5, 9, 13, 17, 21, 25, 29),
+) -> DataFrame:
+    """TPC-H Q16-shaped supplier-count-by-part-attributes: how many
+    distinct suppliers can deliver each (brand, type, size) bucket,
+    excluding one part type and excluding suppliers in bad standing —
+    the NOT-IN-subquery shape, expressed as a broadcast LEFT ANTI join
+    (adapted: the corpus has no s_comment, so negative account balance
+    plays the 'Customer Complaints' exclusion set).
+
+    Scale shape: the (part, supplier) pairs come from ONE distinct over
+    the two-column lineitem projection (map-side combined); the part
+    attribute filter and the exclusion set both broadcast; the count
+    distinct is keyed on the bounded attribute triple. Output: p_brand,
+    p_type, p_size, supplier_cnt, Q16 ordering.
+    """
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    pts = part.filter(
+        (F.col("p_type") != exclude_type)
+        & F.col("p_size").isin(*[int(s) for s in sizes])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+def excess_shipped_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "red",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20-shaped excess-movement suppliers: suppliers for whom
+    MORE THAN HALF of their all-time shipped quantity of one part
+    family (name prefix) moved inside a single year — the
+    correlated-half-of-sum shape (adapted: no partsupp availqty, so the
+    all-time shipped quantity plays the stock level).
+
+    Exactness discipline: l_quantity is integral, so both quantity sums
+    cast to long and the half test is the integer cross-multiplication
+    ``2 × qty_band > qty_total`` — no 0.5× float compare. Scale shape:
+    the name-prefix part prune broadcasts into ONE lineitem scan that
+    computes both sums as conditional aggregates per (supplier, part)
+    (map-side combined, no second scan for the window-band sum); the
+    supplier verdict is a semi-style distinct + broadcast dim join.
+    Output: s_name, n_name, ordered by s_name.
+    """
+    pts = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    shipped = (
+        lineitem.select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= date_lo)
+                    & (F.col("l_shipdate") < date_hi),
+                    F.col("l_quantity"),
+                ).otherwise(F.lit(0.0))
+            )
+            .cast("long")
+            .alias("qty_band"),
+            F.sum("l_quantity").cast("long").alias("qty_total"),
+        )
+    )
+    hits = (
+        shipped.filter(F.lit(2) * F.col("qty_band") > F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        hits.join(supplier, hits["l_suppkey"] == supplier["s_suppkey"])
+        .join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -3084,3 +3084,87 @@ SELECT bucket,
        CAST(min(rate) AS DOUBLE) AS rate
 FROM tagged GROUP BY 1
 """
+
+ORACLES["min_cost_supplier"] = """
+WITH nat AS (
+  SELECT n_nationkey, n_name FROM nation
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+),
+supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nat ON s_nationkey = n_nationkey
+),
+pts AS (
+  SELECT p_partkey, p_brand FROM part
+  WHERE p_type = 'SMALL' AND p_size BETWEEN 1 AND 25
+),
+costs AS (
+  SELECT p.p_partkey, p.p_brand, l.l_suppkey, min(l.l_extendedprice) AS cost
+  FROM lineitem l
+  JOIN pts p ON l.l_partkey = p.p_partkey
+  JOIN supp s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT p_partkey, p_brand, cost AS min_cost, l_suppkey AS s_suppkey,
+         row_number() OVER (PARTITION BY p_partkey ORDER BY cost, l_suppkey) AS rk
+  FROM costs
+)
+SELECT s.s_acctbal, s.s_name, s.n_name, b.p_partkey, b.p_brand, b.min_cost
+FROM best b JOIN supp s USING (s_suppkey)
+WHERE b.rk = 1
+ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, b.p_partkey
+LIMIT 100
+"""
+
+ORACLES["important_part_stock"] = """
+WITH supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(round(l_quantity * l_extendedprice, 2) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+  GROUP BY 1
+),
+total AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM per_part)
+SELECT l_partkey, value_cents
+FROM per_part, total
+WHERE 10000 * value_cents > 15 * total_cents
+ORDER BY value_cents DESC, l_partkey
+"""
+
+ORACLES["supplier_count_by_part"] = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pts AS (
+  SELECT p_partkey, p_brand, p_type, p_size FROM part
+  WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs JOIN pts ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLES["excess_shipped_suppliers"] = """
+WITH pts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+shipped AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-01-01'
+                       THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_band,
+         CAST(sum(l_quantity) AS BIGINT) AS qty_total
+  FROM lineitem JOIN pts ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+hits AS (SELECT DISTINCT l_suppkey FROM shipped WHERE 2 * qty_band > qty_total)
+SELECT s.s_name, n.n_name
+FROM hits h
+JOIN supplier s ON h.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY s.s_name
+"""

@@ -816,6 +816,48 @@ def q_ccnet_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ccnet_mixture(load_table(spark, sf_dir, "documents"))
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier per part (decorrelated)."""
+    return tpch.min_cost_supplier(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock (integer-cents HAVING vs a
+    global scalar)."""
+    return tpch.important_part_stock(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped distinct-supplier count per part attributes
+    (NOT-IN exclusion as broadcast anti join)."""
+    return tpch.supplier_count_by_part(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def q_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped excess-movement suppliers (integer half-of-sum
+    test)."""
+    return tpch.excess_shipped_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped top customers by returned-item revenue."""
     return tpch.returned_item_ranking(
@@ -975,27 +1017,42 @@ QUERIES: dict[str, QueryFn] = {
     # window (line_dedup, quality_funnel, split_leakage_audit);
     # kpis_long / top_bigrams / tfidf_top_terms rotate out to the tail
     # (r4-certified, implementations untouched since)
+    # round-6 front: the four NEW TPC-H shapes (Q2/Q11/Q16/Q20), the
+    # r6-CHANGED queries (user_reach_rollup now KMV hash-oracled;
+    # corpus_funnel single-scan; customer_spend_distribution +
+    # customer_value_tiles de-windowed cuts; dedup_threshold_curve
+    # zero-threshold rows; join_size_estimate integer estimate; ivf_knn
+    # literal-SQL plan build; returned_item_ranking AQE join), then the
+    # r5-certified window remainder; rotated to the tail (ALL r5-green
+    # in CORRECTNESS_r05 and untouched since): packing_efficiency,
+    # decontaminated_corpus, skew_report, cluster_balance_audit,
+    # branded_quantity_revenue, cross_modal_prune, local_supplier_volume,
+    # ccnet_mixture, sole_return_suppliers, corpus_dup_ngrams,
+    # audio_dup_windows, semantic_prune, embedding_prototypes,
+    # length_buckets
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_part_stock": q_important_part_stock,
+    "supplier_count_by_part": q_supplier_count_by_part,
+    "excess_shipped_suppliers": q_excess_shipped_suppliers,
+    "user_reach_rollup": q_user_reach_rollup,
+    "corpus_funnel": q_corpus_funnel,
+    "customer_spend_distribution": q_customer_spend_distribution,
+    "customer_value_tiles": q_customer_value_tiles,
+    "dedup_threshold_curve": q_dedup_threshold_curve,
+    "join_size_estimate": q_join_size_estimate,
+    "ivf_knn": q_ivf_knn,
+    "returned_item_ranking": q_returned_item_ranking,
+    "gopher_quality": q_gopher_quality,
     "line_dedup": q_line_dedup,
     "quality_funnel": q_quality_funnel,
     "split_leakage_audit": q_split_leakage_audit,
     "dsir_weights": q_dsir_weights,
     "source_caps": q_source_caps,
-    "packing_efficiency": q_packing_efficiency,
     "bigram_lm_scores": q_bigram_lm_scores,
     "ccnet_buckets": q_ccnet_buckets,
     "oov_rate": q_oov_rate,
     "c4_clean": q_c4_clean,
-    "decontaminated_corpus": q_decontaminated_corpus,
-    "dedup_threshold_curve": q_dedup_threshold_curve,
-    "corpus_funnel": q_corpus_funnel,
-    "skew_report": q_skew_report,
-    "cluster_balance_audit": q_cluster_balance_audit,
-    "join_size_estimate": q_join_size_estimate,
-    "branded_quantity_revenue": q_branded_quantity_revenue,
-    "returned_item_ranking": q_returned_item_ranking,
     "cross_modal_prune": q_cross_modal_prune,
-    "local_supplier_volume": q_local_supplier_volume,
-    "ccnet_mixture": q_ccnet_mixture,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
@@ -1008,7 +1065,6 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_prune": q_semantic_prune,
     "embedding_prototypes": q_embedding_prototypes,
     "kmeans_embeddings": q_kmeans_embeddings,
-    "user_reach_rollup": q_user_reach_rollup,
     "length_buckets": q_length_buckets,
     # --- text analysis extensions ---
     # --- dedup extensions ---
@@ -1016,7 +1072,6 @@ QUERIES: dict[str, QueryFn] = {
     # --- similarity search extensions ---
     "embedding_centroids": q_embedding_centroids,
     "nearest_neighbor_blocked": q_nearest_neighbor_blocked,
-    "ivf_knn": q_ivf_knn,
     "project_embeddings": q_project_embeddings,
     "pq_codes": q_pq_codes,
     "ivfpq_knn": q_ivfpq_knn,
@@ -1056,6 +1111,13 @@ QUERIES: dict[str, QueryFn] = {
     # rotated out for returned_item_ranking + cross_modal_prune;
     # nearest_neighbor + quantize_embeddings rotated out for
     # local_supplier_volume + ccnet_mixture — same rule)
+    "packing_efficiency": q_packing_efficiency,
+    "decontaminated_corpus": q_decontaminated_corpus,
+    "skew_report": q_skew_report,
+    "cluster_balance_audit": q_cluster_balance_audit,
+    "branded_quantity_revenue": q_branded_quantity_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
+    "ccnet_mixture": q_ccnet_mixture,
     "kpis_long": q_kpis_long,
     "nearest_neighbor": q_nearest_neighbor,
     "quantize_embeddings": q_quantize_embeddings,
@@ -1091,7 +1153,6 @@ QUERIES: dict[str, QueryFn] = {
     "frame_samples": q_frame_samples,
     "tfidf_top_terms": q_tfidf_top_terms,
     "repetition_stats": q_repetition_stats,
-    "gopher_quality": q_gopher_quality,
     "c4_line_stats": q_c4_line_stats,
     "value_stats": q_value_stats,
     "chunk_documents": q_chunk_documents,
@@ -1160,11 +1221,9 @@ QUERIES: dict[str, QueryFn] = {
     "discount_eligible_revenue": q_discount_eligible_revenue,
     "shipment_delay_by_priority": q_shipment_delay_by_priority,
     "idle_rich_customers": q_idle_rich_customers,
-    "customer_value_tiles": q_customer_value_tiles,
     "first_last_order_value": q_first_last_order_value,
     "returns_cube": q_returns_cube,
     "priority_revenue_pivot": q_priority_revenue_pivot,
-    "customer_spend_distribution": q_customer_spend_distribution,
 }
 
 

@@ -476,3 +476,75 @@ def test_nation_actor_presence_full_outer_keeps_one_sided_nations(spark):
     assert rows["BETA"]["n_customers"] == 1 and rows["BETA"]["n_suppliers"] == 1
     assert rows["GAMMA"]["n_customers"] == 0 and rows["GAMMA"]["n_suppliers"] == 1
     assert rows["GAMMA"]["balance"] == -1  # supplier-only nation survives the join
+
+
+def test_new_tpch_shapes_semantics(spark):
+    """Q2/Q11/Q16/Q20-shaped ops on a hand-built micro-schema: argmin
+    tie-break, integer HAVING threshold, anti-join exclusion, and the
+    integer half-of-sum test."""
+    from data_pipeline_example_spark.operators import tpch
+
+    region = spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey long, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_7", 0), (1, "NATION_8", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "S1", 0, 100.0), (2, "S2", 0, 200.0), (3, "S3", 1, -5.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    part = spark.createDataFrame(
+        [(10, "red ring", "Brand#1", "SMALL", 5, 1.0),
+         (11, "red bolt", "Brand#2", "SMALL", 9, 1.0),
+         (12, "blue gear", "Brand#3", "PROMO", 5, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            # part 10: S1 and S2 tie on min cost 5.0 → argmin picks S1
+            (1, 10, 1, 1, 2.0, 5.0, 0.0, 0.0, "N", "O", "1996-03-01"),
+            (2, 10, 2, 1, 2.0, 5.0, 0.0, 0.0, "N", "O", "1995-03-01"),
+            # part 11: S2 cheaper; all its movement inside 1996 → Q20 hit
+            (3, 11, 2, 1, 3.0, 4.0, 0.0, 0.0, "N", "O", "1996-05-01"),
+            (4, 11, 1, 1, 1.0, 9.0, 0.0, 0.0, "N", "O", "1995-05-01"),
+            # part 12 handled by S3 (excluded everywhere: bad standing,
+            # PROMO type, non-EUROPE nation)
+            (5, 12, 3, 1, 4.0, 7.0, 0.0, 0.0, "N", "O", "1996-06-01"),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+
+    best = {r["p_partkey"]: r for r in tpch.min_cost_supplier(
+        part, supplier, nation, region, li).collect()}
+    assert best[10]["s_name"] == "S1" and best[10]["min_cost"] == 5.0  # tie → low key
+    assert best[11]["s_name"] == "S2" and best[11]["min_cost"] == 4.0
+    assert 12 not in best  # non-EUROPE supplier only
+
+    # Q11: values are cents longs; bp threshold is integer-exact.
+    # part 10: 2×(2*5.0) → 2000c; part 11: 3*4.0 + 1*9.0 → 2100c;
+    # part 12 excluded (S3 is NATION_8). total = 4100c.
+    stock_all = {r["l_partkey"]: r["value_cents"] for r in tpch.important_part_stock(
+        li, supplier, nation, n_name="NATION_7", bp=0).collect()}
+    assert stock_all == {10: 2000, 11: 2100}
+    # bp=5000 → keep v > 50% of 4100c = 2050c → only part 11
+    stock = {r["l_partkey"]: r["value_cents"] for r in tpch.important_part_stock(
+        li, supplier, nation, n_name="NATION_7", bp=5000).collect()}
+    assert stock == {11: 2100}
+
+    cnt = {(r["p_brand"], r["p_size"]): r["supplier_cnt"]
+           for r in tpch.supplier_count_by_part(li, part, supplier).collect()}
+    assert cnt[("Brand#1", 5)] == 2 and cnt[("Brand#2", 9)] == 2
+    assert ("Brand#3", 5) not in cnt  # PROMO excluded; S3 excluded anyway
+
+    hits = [tuple(r) for r in tpch.excess_shipped_suppliers(
+        li, part, supplier, nation).collect()]
+    # S2 shipped 3 of its 3 red-part units in 1996 (2*3 > 3) via part 11,
+    # and 2 of 4 for part 10 (2*2 > 4 false); S1's part-10 units were 1996
+    # (2*2 > 2) → S1 hits via part 10; S3 only ships non-red
+    assert ("S1", "NATION_7") in hits and ("S2", "NATION_7") in hits
+    assert not [h for h in hits if h[0] == "S3"]
