@@ -91,6 +91,16 @@ HEADLINE = [
     "returned_item_ranking",
     "join_size_estimate",
     "local_supplier_volume",
+    # round 6: the four new TPC-H shapes (Q2/Q11/Q16/Q20), the
+    # de-windowed customer ranking pair, and the KMV reach rollup that
+    # replaced the rows-only HLL entry
+    "min_cost_supplier",
+    "important_part_stock",
+    "supplier_count_by_part",
+    "excess_shipped_suppliers",
+    "customer_spend_distribution",
+    "customer_value_tiles",
+    "user_reach_rollup",
 ]
 
 
