@@ -101,6 +101,9 @@ HEADLINE = [
     "customer_spend_distribution",
     "customer_value_tiles",
     "user_reach_rollup",
+    # (containment_dup_pairs stays out of the headline: exact O(n²)
+    # baseline, same rule that demoted jaccard_pairs in r4)
+    "token_budget_caps",
 ]
 
 

@@ -748,3 +748,51 @@ def dedup_threshold_curve(
             F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
         )
     )
+
+
+def containment_dup_pairs(
+    documents: DataFrame, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT —
+    ``|A∩B| / min(|A|, |B|)`` (Broder's containment measure, the other
+    half of the resemblance paper): the score that catches EXCERPT
+    duplication — one document quoting or wholly containing another —
+    which symmetric Jaccard dilutes toward 0 as the containing document
+    grows. A curation pipeline runs both: Jaccard for mirror dedup,
+    containment for quote/boilerplate-inclusion scrubbing.
+
+    Same candidate machinery as ``jaccard_pairs`` (exact baseline; at
+    corpus scale the banded-LSH candidate generator feeds the same
+    scorer): one checkpointed shingle materialization, exploded
+    self-join keyed on the shingle, per-pair counts, sizes joined back.
+    The score is a SINGLE long/long division + 4-dp round — the
+    certified-safe float shape. Output: doc_a, doc_b, containment
+    (doc_a < doc_b; direction-free since min() picks the smaller set).
+    """
+    sh = shingled(documents, k).localCheckpoint()
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 4
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -1528,3 +1528,80 @@ def ccnet_mixture(
             F.min("rate").alias("rate"),
         )
     )
+
+
+def token_budget_caps(
+    documents: DataFrame, budget: int = 800, method: str = "cuts"
+) -> DataFrame:
+    """Per-source TOKEN-budget curation — the mixture op a pretraining
+    run actually uses (``source_caps`` limits document COUNT; corpora
+    are budgeted in tokens): within each source, documents rank by
+    (token count desc, doc_id) and survive while the source's running
+    token total stays within ``budget``.
+
+    ``method="cuts"`` (default, the scale path): the per-GROUP
+    generalization of the ``length_buckets`` histogram discipline. A
+    running sum windowed over ``partitionBy(source)`` sorts every
+    mega-source in one task; instead, the (source, n_tokens) histogram
+    (value-domain-bounded per source) is collected, the token mass of
+    strictly-longer documents is prefix-summed on the driver and
+    broadcast back, and a row's running total is
+    ``mass_before + row_number × n_tokens`` where the row_number window
+    is partitioned by (source, n_tokens) — a hash exchange, never a
+    per-source sort. Bit-identical to the ``method="window"`` running
+    sum (pinned by unit test; the window form is the SQL oracle).
+    Output: doc_id, source, n_tokens, kept (int).
+    """
+    toks = documents.select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    if method == "cuts":
+        spark = documents.sparkSession
+        hist = toks.groupBy("source", "n_tokens").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+        by_src: dict[str, list[tuple[int, int]]] = {}
+        for r in hist:
+            by_src.setdefault(r["source"], []).append((r["n_tokens"], r["cnt"]))
+        rows = []
+        for src, vals in by_src.items():
+            mass = 0
+            for v, c in sorted(vals, reverse=True):
+                rows.append((src, v, mass))
+                mass += v * c
+        if not rows:
+            return spark.createDataFrame(
+                [], "doc_id long, source string, n_tokens long, kept int"
+            )
+        cuts = F.broadcast(
+            spark.createDataFrame(
+                rows, "source string, n_tokens long, mass_before long"
+            )
+        )
+        wt = Window.partitionBy("source", "n_tokens").orderBy("doc_id")
+        return (
+            toks.join(cuts, ["source", "n_tokens"])
+            .withColumn("rn", F.row_number().over(wt))
+            .select(
+                "doc_id",
+                "source",
+                "n_tokens",
+                (
+                    (F.col("mass_before") + F.col("rn") * F.col("n_tokens"))
+                    <= budget
+                )
+                .cast("int")
+                .alias("kept"),
+            )
+        )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) <= budget).cast("int").alias("kept"),
+    )

@@ -3168,3 +3168,34 @@ JOIN supplier s ON h.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 ORDER BY s.s_name
 """
+
+
+ORACLES["containment_dup_pairs"] = f"""
+WITH {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / least(sa.sz, sb.sz), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter * 1.0 / least(sa.sz, sb.sz), 4) >= 0.8
+"""
+
+ORACLES["token_budget_caps"] = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CASE WHEN sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY n_tokens DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 800
+            THEN 1 ELSE 0 END AS kept
+FROM toks
+"""

@@ -816,6 +816,16 @@ def q_ccnet_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ccnet_mixture(load_table(spark, sf_dir, "documents"))
 
 
+def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric excerpt-duplication pairs (Broder containment)."""
+    return dedup.containment_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_budget_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget curation (group-wise histogram cuts)."""
+    return text.token_budget_caps(load_table(spark, sf_dir, "documents"))
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped minimum-cost supplier per part (decorrelated)."""
     return tpch.min_cost_supplier(
@@ -1030,6 +1040,8 @@ QUERIES: dict[str, QueryFn] = {
     # ccnet_mixture, sole_return_suppliers, corpus_dup_ngrams,
     # audio_dup_windows, semantic_prune, embedding_prototypes,
     # length_buckets
+    "containment_dup_pairs": q_containment_dup_pairs,
+    "token_budget_caps": q_token_budget_caps,
     "min_cost_supplier": q_min_cost_supplier,
     "important_part_stock": q_important_part_stock,
     "supplier_count_by_part": q_supplier_count_by_part,
@@ -1053,8 +1065,6 @@ QUERIES: dict[str, QueryFn] = {
     "oov_rate": q_oov_rate,
     "c4_clean": q_c4_clean,
     "cross_modal_prune": q_cross_modal_prune,
-    "sole_return_suppliers": q_sole_return_suppliers,
-    "decoded_image_stats": q_decoded_image_stats,
     "corpus_dup_ngrams": q_corpus_dup_ngrams,
     "image_phash_stats": q_image_phash_stats,
     "phash_dup_pairs": q_phash_dup_pairs,
@@ -1118,6 +1128,8 @@ QUERIES: dict[str, QueryFn] = {
     "branded_quantity_revenue": q_branded_quantity_revenue,
     "local_supplier_volume": q_local_supplier_volume,
     "ccnet_mixture": q_ccnet_mixture,
+    "sole_return_suppliers": q_sole_return_suppliers,
+    "decoded_image_stats": q_decoded_image_stats,
     "kpis_long": q_kpis_long,
     "nearest_neighbor": q_nearest_neighbor,
     "quantize_embeddings": q_quantize_embeddings,

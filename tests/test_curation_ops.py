@@ -417,3 +417,46 @@ def test_corpus_diff_statuses(spark, sf_dir):
 
     summary = {r["status"]: r["n_docs"] for r in corpus_diff_summary(old, new).collect()}
     assert summary == {k: len(v) for k, v in by_status.items()}
+
+
+def test_token_budget_caps_cuts_match_window(spark, sf_dir):
+    """Group-wise histogram-cuts budget keep-set must be bit-identical
+    to the running-sum window twin (the SQL-oracle form), including
+    heavy token-count ties straddling the budget line."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    texts = ["a b c", "a b c d e", "a"]
+    synth = spark.createDataFrame(
+        [(i, texts[i % 3], "en", f"s{i % 2}", 5) for i in range(23)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for docs, budget in ((synth, 7), (synth, 0), (real, 800)):
+        got = sorted(
+            tuple(r)
+            for r in tx.token_budget_caps(docs, budget=budget, method="cuts").collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in tx.token_budget_caps(docs, budget=budget, method="window").collect()
+        )
+        assert got == want, budget
+    # the budget actually bisects the real corpus (non-vacuous op)
+    kept = tx.token_budget_caps(real, budget=800).groupBy("kept").count().collect()
+    assert len(kept) == 2
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment 1.0 even
+    though Jaccard is far below any dedup threshold."""
+    from data_pipeline_example_spark.operators import dedup as dd
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = quote + " " + " ".join(f"filler{i} word{i} more{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote, "en", "s", 5), (2, long_doc, "en", "s", 5)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pairs = dd.containment_dup_pairs(docs, threshold=0.8).collect()
+    assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in pairs] == [(1, 2, 1.0)]
+    assert dd.jaccard_pairs(docs, threshold=0.5).count() == 0
