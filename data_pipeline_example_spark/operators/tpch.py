@@ -6,10 +6,15 @@ schema (TESTDATA.md) is where the engine's join surface gets exercised.
 These queries are TPC-H-shaped, adapted to the available columns.
 
 Scale notes (the point of this module):
-* Dimension tables (region, nation, supplier, part, customer at low SF)
-  are explicitly ``broadcast()`` — no shuffle of the fact table on dim
-  joins; at 100 TB only lineitem⋈orders needs a shuffle (AQE picks
-  sort-merge and handles skew).
+* Bounded dimension tables (region, nation, supplier, part — ≤|part| =
+  0.1% of lineitem at any TPC-H SF) are explicitly ``broadcast()`` —
+  no shuffle of the fact table on dim joins; at 100 TB only
+  lineitem⋈orders needs a shuffle (AQE picks sort-merge and handles
+  skew). CUSTOMER-derived frames are never hinted: |customers| scales
+  with the fact table (15M rows at sf100), so a forced broadcast pins
+  a driver-OOM plan at exactly the scale these queries target — AQE
+  broadcasts them at low SF and shuffles on c_custkey beyond (r6
+  sweep; the r5 verdict flagged the pattern on returned_item_ranking).
 * Filters are applied *before* joins so Catalyst pushes them into the
   parquet scans (verify with ``.explain``: PushedFilters on l_shipdate /
   c_mktsegment / r_name).
@@ -58,14 +63,18 @@ def top_revenue_orders(
 ) -> DataFrame:
     """TPC-H Q3-shaped: top unshipped orders by revenue for a segment.
 
-    customer is filtered then broadcast; orders⋈lineitem is the only
-    shuffle join. Revenue ordering uses the rounded value + orderkey
-    tie-break for determinism.
+    The segment-filtered customer side is left to AQE (no forced
+    broadcast: |customers| scales with the fact table, so a hint would
+    pin a driver-OOM plan at exactly the scale this query targets; AQE
+    broadcasts when the filtered side is actually small);
+    orders⋈lineitem is the only guaranteed shuffle join. Revenue
+    ordering uses the rounded value + orderkey tie-break for
+    determinism.
     """
     cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
     return (
         orders.filter(F.col("o_orderdate") < F.lit(date).cast("date"))
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(
             lineitem.filter(F.col("l_shipdate") > F.lit(date).cast("date")),
             orders["o_orderkey"] == F.col("l_orderkey"),
@@ -124,7 +133,9 @@ def customer_nation_revenue(
     region: DataFrame,
     region_name: str = "EUROPE",
 ) -> DataFrame:
-    """Order revenue by customer nation within a region (broadcast dims)."""
+    """Order revenue by customer nation within a region. nation/region
+    broadcast; the customer-derived side is left to AQE (module
+    docstring: customer scales with the fact table)."""
     dims = (
         customer.join(
             F.broadcast(
@@ -138,7 +149,7 @@ def customer_nation_revenue(
         .select("c_custkey", "n_name")
     )
     return (
-        orders.join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        orders.join(dims, orders["o_custkey"] == dims["c_custkey"])
         .groupBy("n_name")
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
@@ -456,10 +467,13 @@ def volume_shipping(
     """TPC-H Q7-shaped: shipping volume between two nations by year.
 
     The same ``nation`` dimension is joined twice under different roles
-    (supplier nation vs customer nation) — both sides broadcast; the
-    only shuffle is lineitem⋈orders plus the final 4-group aggregate.
-    The OR-of-nation-pairs predicate is applied post-join so Catalyst
-    can still push the date range into the lineitem scan.
+    (supplier nation vs customer nation); nation and the pruned
+    supplier side broadcast, while the nation-filtered CUSTOMER side is
+    left to AQE (it scales with the fact table — a forced broadcast is
+    the driver-OOM anti-pattern at 100×); the only guaranteed shuffle
+    is lineitem⋈orders plus the final 4-group aggregate. The
+    OR-of-nation-pairs predicate is applied post-join so Catalyst can
+    still push the date range into the lineitem scan.
     Output: supp_nation, cust_nation, l_year, revenue.
     """
     n1 = nation.select(
@@ -481,7 +495,7 @@ def volume_shipping(
         )
         .join(F.broadcast(supp), lineitem["l_suppkey"] == supp["s_suppkey"])
         .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .filter(
             ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
             | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
@@ -537,7 +551,9 @@ def market_share(
         lineitem.join(F.broadcast(target_parts), lineitem["l_partkey"] == F.col("p_partkey"))
         .join(F.broadcast(supp_nation), lineitem["l_suppkey"] == F.col("s_suppkey"))
         .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust_region), orders["o_custkey"] == F.col("c_custkey"))
+        # customer side to AQE — scales with the fact table (see module
+        # docstring)
+        .join(cust_region, orders["o_custkey"] == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -1173,9 +1189,10 @@ def local_supplier_volume(
     Scale shape: region→nation prune broadcasts down the dim chain
     (nation keeps only the region's rows before touching any fact);
     the o_orderdate band is pushed into the orders scan; the only
-    fact-fact shuffle is lineitem⋈orders; supplier and the pruned
-    customer side broadcast. Output: n_name, revenue (2 dp), ordered
-    by revenue desc (deterministic: nation names unique).
+    fact-fact shuffle is lineitem⋈orders; supplier broadcasts, the
+    customer side is left to AQE (it scales with the fact table).
+    Output: n_name, revenue (2 dp), ordered by revenue desc
+    (deterministic: nation names unique).
     """
     nations = nation.join(
         F.broadcast(region.filter(F.col("r_name") == r_name)),
@@ -1194,8 +1211,12 @@ def local_supplier_volume(
         )
         .join(ord_band, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # customer side left to AQE: the full 2-column customer
+        # projection scales with the fact table (15M rows at sf100) —
+        # a forced broadcast is the driver-OOM anti-pattern; AQE
+        # broadcasts at low SF and shuffles on c_custkey beyond
         .join(
-            F.broadcast(cust),
+            cust,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -1055,6 +1055,13 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_knn": q_ivf_knn,
     "returned_item_ranking": q_returned_item_ranking,
     "gopher_quality": q_gopher_quality,
+    # r6 AQE customer-join sweep (plan-only change, results identical;
+    # in-window per the rotation rule):
+    "top_revenue_orders": q_top_revenue_orders,
+    "customer_nation_revenue": q_customer_nation_revenue,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "local_supplier_volume": q_local_supplier_volume,
     "line_dedup": q_line_dedup,
     "quality_funnel": q_quality_funnel,
     "split_leakage_audit": q_split_leakage_audit,
@@ -1085,11 +1092,6 @@ QUERIES: dict[str, QueryFn] = {
     "project_embeddings": q_project_embeddings,
     "pq_codes": q_pq_codes,
     "ivfpq_knn": q_ivfpq_knn,
-    "ivfpq_recall": q_ivfpq_recall,
-    "srp_recall_summary": q_srp_recall_summary,
-    "corpus_diff": q_corpus_diff,
-    "corpus_diff_summary": q_corpus_diff_summary,
-    "pq_distortion": q_pq_distortion,
     "user_cardinality_kmv": q_user_cardinality_kmv,
     "user_cardinality_kmv_by_type": q_user_cardinality_kmv_by_type,
     "priority_sample": q_priority_sample,
@@ -1126,8 +1128,12 @@ QUERIES: dict[str, QueryFn] = {
     "skew_report": q_skew_report,
     "cluster_balance_audit": q_cluster_balance_audit,
     "branded_quantity_revenue": q_branded_quantity_revenue,
-    "local_supplier_volume": q_local_supplier_volume,
     "ccnet_mixture": q_ccnet_mixture,
+    "ivfpq_recall": q_ivfpq_recall,
+    "srp_recall_summary": q_srp_recall_summary,
+    "corpus_diff": q_corpus_diff,
+    "corpus_diff_summary": q_corpus_diff_summary,
+    "pq_distortion": q_pq_distortion,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "kpis_long": q_kpis_long,
@@ -1199,7 +1205,6 @@ QUERIES: dict[str, QueryFn] = {
     "user_sessions": q_user_sessions,
     "asof_last_view": q_asof_last_view,
     "pricing_summary": q_pricing_summary,
-    "market_share": q_market_share,
     "kpis": q_kpis,
     "events_json_conform": q_events_json_conform,
     "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -1210,9 +1215,7 @@ QUERIES: dict[str, QueryFn] = {
     "per_day_totals": q_per_day_totals,
     "top_products": q_top_products,
     "sample_rows": q_sample_rows,
-    "top_revenue_orders": q_top_revenue_orders,
     "supplier_nation_revenue": q_supplier_nation_revenue,
-    "customer_nation_revenue": q_customer_nation_revenue,
     "order_priority_count": q_order_priority_count,
     "brand_volume": q_brand_volume,
     "segment_stats": q_segment_stats,
@@ -1227,7 +1230,6 @@ QUERIES: dict[str, QueryFn] = {
     "high_value_retained": q_high_value_retained,
     "small_quantity_revenue": q_small_quantity_revenue,
     "forecast_revenue": q_forecast_revenue,
-    "volume_shipping": q_volume_shipping,
     "product_profit": q_product_profit,
     "top_supplier": q_top_supplier,
     "discount_eligible_revenue": q_discount_eligible_revenue,
