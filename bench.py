@@ -50,7 +50,10 @@ HEADLINE = [
     "doc_stats",
     "exact_dedup",
     "minhash_lsh_pairs",
-    "simhash_pairs",
+    "simhash_pairs_capped",  # r6: was simhash_pairs -- the full
+    # banded join's output is quadratic on clustered signatures
+    # (61.8M pairs / 50k docs measured); same demote-the-exact-
+    # baseline rule as r4
     # round 4: the exact O(n²) baselines (cosine_dup_pairs,
     # knn_bruteforce, nearest_neighbor) are demoted from the headline
     # set in favor of their certified scale twins — the headline number

@@ -3199,3 +3199,31 @@ SELECT doc_id, source, n_tokens,
             THEN 1 ELSE 0 END AS kept
 FROM toks
 """
+
+
+ORACLES["simhash_pairs_capped"] = f"""
+WITH {_SIMHASH},
+chunks AS (
+  SELECT doc_id, simhash, c.i AS chunk, substring(simhash, c.i * 4 + 1, 4) AS val
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS i) c
+),
+capped AS (
+  SELECT doc_id, simhash, chunk, val FROM (
+    SELECT doc_id, simhash, chunk, val,
+           row_number() OVER (PARTITION BY chunk, val ORDER BY doc_id) AS rk
+    FROM chunks
+  ) WHERE rk <= 256
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM capped a
+  JOIN capped b ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT doc_a, doc_b,
+         {_SIMHASH_HAMMING} AS hamming
+  FROM cand
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 8
+"""

@@ -816,6 +816,11 @@ def q_ccnet_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ccnet_mixture(load_table(spark, sf_dir, "documents"))
 
 
+def q_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-capped banded SimHash pairs (the 100 TB pair path)."""
+    return dedup.simhash_pairs_capped(load_table(spark, sf_dir, "documents"))
+
+
 def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric excerpt-duplication pairs (Broder containment)."""
     return dedup.containment_dup_pairs(load_table(spark, sf_dir, "documents"))
@@ -1040,6 +1045,7 @@ QUERIES: dict[str, QueryFn] = {
     # ccnet_mixture, sole_return_suppliers, corpus_dup_ngrams,
     # audio_dup_windows, semantic_prune, embedding_prototypes,
     # length_buckets
+    "simhash_pairs_capped": q_simhash_pairs_capped,
     "containment_dup_pairs": q_containment_dup_pairs,
     "token_budget_caps": q_token_budget_caps,
     "min_cost_supplier": q_min_cost_supplier,
@@ -1080,7 +1086,6 @@ QUERIES: dict[str, QueryFn] = {
     "nearest_neighbor_capped": q_nearest_neighbor_capped,
     "srp_dup_pairs": q_srp_dup_pairs,
     "semantic_prune": q_semantic_prune,
-    "embedding_prototypes": q_embedding_prototypes,
     "kmeans_embeddings": q_kmeans_embeddings,
     "length_buckets": q_length_buckets,
     # --- text analysis extensions ---
@@ -1129,6 +1134,7 @@ QUERIES: dict[str, QueryFn] = {
     "cluster_balance_audit": q_cluster_balance_audit,
     "branded_quantity_revenue": q_branded_quantity_revenue,
     "ccnet_mixture": q_ccnet_mixture,
+    "embedding_prototypes": q_embedding_prototypes,
     "ivfpq_recall": q_ivfpq_recall,
     "srp_recall_summary": q_srp_recall_summary,
     "corpus_diff": q_corpus_diff,

@@ -630,3 +630,24 @@ def test_pq_codes_codebook_override_matches_full_run(spark, sf_dir):
     part = {r["vec_id"]: tuple(r)[1:] for r in
             pq_codes(subset, codebook=emb).collect()}
     assert part and all(full[k] == v for k, v in part.items())
+
+
+def test_simhash_pairs_capped_subset_and_cap_semantics(spark, sf_dir):
+    """Capped pairs ⊆ full pairs with identical hamming values; equal
+    when the cap exceeds every bucket; under a binding cap, surviving
+    pairs are exactly those co-resident in some capped bucket."""
+    from data_pipeline_example_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {(r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dd.simhash_pairs(docs).collect()}
+    loose = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dd.simhash_pairs_capped(docs, cap=10**6).collect()}
+    assert loose == full  # non-binding cap → identical result
+    tight = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dd.simhash_pairs_capped(docs, cap=4).collect()}
+    assert set(tight) <= set(full)
+    assert all(full[p] == h for p, h in tight.items())
+    # the binding cap trims but never empties: candidate generation
+    # still surfaces pairs through each bucket's lowest members
+    assert 0 < len(tight) < len(full)
