@@ -45,12 +45,17 @@ def test_forecast_revenue_pushes_all_range_filters(spark):
         assert col in pushed, f"{col} not pushed to the lineitem scan"
 
 
-def test_market_share_broadcasts_all_dims(spark):
+def test_market_share_broadcasts_bounded_dims_only(spark):
     plan = _executed_plan(QUERIES["market_share"](spark, SF))
-    # part, supplier+nation, customer+nation+region all broadcast; the
-    # only shuffle joins involve the two fact tables
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    # bounded dims (part, supplier+nation, nation+region) broadcast;
+    # since the r6 sweep the CUSTOMER-derived side is deliberately
+    # unhinted (it scales with the fact table — forced broadcast is the
+    # driver-OOM anti-pattern), so the static plan may carry up to two
+    # SortMergeJoins: lineitem⋈orders and orders⋈customer (AQE converts
+    # the latter to broadcast at runtime when the filtered side is
+    # small)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 2
 
 
 def test_asof_join_single_shuffle_no_pairs_blowup(spark):
