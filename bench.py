@@ -107,6 +107,10 @@ HEADLINE = [
     # (containment_dup_pairs stays out of the headline: exact O(n²)
     # baseline, same rule that demoted jaccard_pairs in r4)
     "token_budget_caps",
+    # round 6: MOSS winnowing partial-overlap detection (df-capped
+    # fingerprint inverted index; the fingerprint op itself is
+    # corpus-sized output, the pairs op is the serving path)
+    "winnowing_overlap_pairs",
 ]
 
 

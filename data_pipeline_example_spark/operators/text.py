@@ -1605,3 +1605,128 @@ def token_budget_caps(
         "n_tokens",
         (F.sum("n_tokens").over(w) <= budget).cast("int").alias("kept"),
     )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 4, w: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
+    w-gram window, and select each window's MINIMUM hash (ties broken
+    to the RIGHTMOST position, the paper's robust-winnowing rule); the
+    union of selections is the fingerprint set. Guarantees: any shared
+    run of w+k-1 tokens between two documents yields ≥1 shared
+    fingerprint, and expected density is 2/(w+1) — a sparse,
+    position-aware sample that localizes PARTIAL overlap, which
+    whole-document hashing (`doc_fingerprints`) and set-shingling
+    (`jaccard_pairs`) both blur.
+
+    Plan: gram hashing is one array transform over one scan (the hash
+    array is referenced exactly once — by the posexplode — so Catalyst
+    cannot re-inline it; an earlier array-slice formulation evaluated
+    the gram transform once per WINDOW reference, O(n²·k) md5s per
+    document). Selection is relational: per-window minima come from a
+    ``rowsBetween(0, w-1)`` running window over the exploded gram rows
+    (partitioned by doc — state bounded by document length at any
+    corpus size), the rightmost-argmin is a ≤w-row-fanout self-join +
+    max(pos) rollup, and overlapping windows' repeated selections
+    collapse in one distinct. Hashes are 48-bit md5 prefixes
+    (portable, the dedup-family discipline). Output: doc_id, pos
+    (1-based gram position, int), fp (long).
+    """
+    toks_df = widen(documents).select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    grams = toks_df.selectExpr(
+        "doc_id",
+        f"CASE WHEN size(t) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size(t) - {k} + 1), "
+        f"i -> cast(conv(substring(md5(array_join(slice(t, i, {k}), ' ')), 1, 12), 16, 10) as long)) "
+        "END AS H",
+    )
+    rows = grams.select(
+        "doc_id", F.posexplode("H").alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    wspec = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    wn = Window.partitionBy("doc_id")
+    starts = (
+        rows.withColumn("wmin", F.min("h").over(wspec))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("pos") <= F.greatest(F.col("n") - w + 1, F.lit(1)))
+        .select(
+            F.col("doc_id").alias("s_doc"),
+            F.col("pos").alias("j"),
+            "wmin",
+        )
+    )
+    members = rows.select(
+        F.col("doc_id").alias("m_doc"),
+        F.col("pos").alias("m_pos"),
+        F.col("h").alias("m_h"),
+    )
+    return (
+        starts.join(
+            members,
+            (F.col("s_doc") == F.col("m_doc"))
+            & (F.col("m_pos") >= F.col("j"))
+            & (F.col("m_pos") < F.col("j") + w)
+            & (F.col("m_h") == F.col("wmin")),
+        )
+        .groupBy(F.col("s_doc").alias("doc_id"), F.col("j"))
+        .agg(
+            F.max("m_pos").cast("int").alias("pos"),
+            F.min("wmin").alias("fp"),
+        )
+        .select("doc_id", "pos", "fp")
+        .distinct()
+    )
+
+
+def winnowing_overlap_pairs(
+    documents: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    max_df: int = 32,
+    min_shared: int = 2,
+) -> DataFrame:
+    """MOSS-style partial-overlap detection over the winnowing
+    fingerprint index: document pairs sharing ≥ ``min_shared`` selected
+    fingerprints. Fingerprints appearing in more than ``max_df``
+    documents are dropped first — the standard common-phrase filter
+    (boilerplate idioms fingerprint half the corpus; they carry no
+    overlap signal and their inverted-index buckets are exactly the
+    quadratic pair blowup the simhash decade measured). With the df
+    cap, every bucket join emits ≤ max_df²/2 pairs per fingerprint —
+    linear in corpus size.
+
+    Plan: one fingerprint materialization (checkpointed — both the df
+    census and the index probe read it), a df-capped semi join, one
+    self-join keyed on fp, one pair rollup. Output: doc_a, doc_b,
+    n_shared (doc_a < doc_b).
+    """
+    fps = (
+        winnowing_fingerprints(documents, k, w)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint()
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    idx = fps.join(rare, "fp", "left_semi")
+    a, b = idx.alias("a"), idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -3227,3 +3227,51 @@ ham AS (
 )
 SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 8
 """
+
+
+_WINNOW = """
+wtoks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 4 THEN CAST([] AS BIGINT[])
+              ELSE list_transform(range(1, len(t) - 4 + 2),
+                   i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+                                            t[i+2] || ' ' || t[i+3]), 1, 12))::BIGINT)
+         END AS H
+  FROM wtoks
+),
+sel AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(H) - 5 + 1, 1) + 1),
+           j -> {'pos': j + least(5, len(H) - j + 1)
+                      - list_position(list_reverse(list_slice(H, j, j + 4)),
+                                      list_min(list_slice(H, j, j + 4))),
+                 'fp': list_min(list_slice(H, j, j + 4))})) AS s
+  FROM grams WHERE len(H) > 0
+),
+-- per-window selections repeat across overlapping windows; DuckDB 1.0
+-- cannot list_distinct structs, so the collapse happens after unnest
+wfp AS (SELECT DISTINCT doc_id, CAST(s.pos AS INTEGER) AS pos, s.fp AS fp FROM sel)
+"""
+
+ORACLES["winnowing_fingerprints"] = f"""
+WITH {_WINNOW}
+SELECT doc_id, pos, fp FROM wfp
+"""
+
+ORACLES["winnowing_overlap_pairs"] = f"""
+WITH {_WINNOW},
+idx AS (
+  SELECT DISTINCT doc_id, fp FROM wfp
+  WHERE fp IN (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df
+                               FROM wfp GROUP BY 1) WHERE df <= 32)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""

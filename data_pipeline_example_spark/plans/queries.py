@@ -816,6 +816,16 @@ def q_ccnet_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ccnet_mixture(load_table(spark, sf_dir, "documents"))
 
 
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprint selection (rightmost-min windows)."""
+    return text.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pairs over the df-capped winnowing index."""
+    return text.winnowing_overlap_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-capped banded SimHash pairs (the 100 TB pair path)."""
     return dedup.simhash_pairs_capped(load_table(spark, sf_dir, "documents"))
@@ -1045,6 +1055,8 @@ QUERIES: dict[str, QueryFn] = {
     # ccnet_mixture, sole_return_suppliers, corpus_dup_ngrams,
     # audio_dup_windows, semantic_prune, embedding_prototypes,
     # length_buckets
+    "winnowing_fingerprints": q_winnowing_fingerprints,
+    "winnowing_overlap_pairs": q_winnowing_overlap_pairs,
     "simhash_pairs_capped": q_simhash_pairs_capped,
     "containment_dup_pairs": q_containment_dup_pairs,
     "token_budget_caps": q_token_budget_caps,
@@ -1086,11 +1098,9 @@ QUERIES: dict[str, QueryFn] = {
     "nearest_neighbor_capped": q_nearest_neighbor_capped,
     "srp_dup_pairs": q_srp_dup_pairs,
     "semantic_prune": q_semantic_prune,
-    "kmeans_embeddings": q_kmeans_embeddings,
     "length_buckets": q_length_buckets,
     # --- text analysis extensions ---
     # --- dedup extensions ---
-    "cosine_dup_pairs_blocked": q_cosine_dup_pairs_blocked,
     # --- similarity search extensions ---
     "embedding_centroids": q_embedding_centroids,
     "nearest_neighbor_blocked": q_nearest_neighbor_blocked,
@@ -1134,6 +1144,8 @@ QUERIES: dict[str, QueryFn] = {
     "cluster_balance_audit": q_cluster_balance_audit,
     "branded_quantity_revenue": q_branded_quantity_revenue,
     "ccnet_mixture": q_ccnet_mixture,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "cosine_dup_pairs_blocked": q_cosine_dup_pairs_blocked,
     "embedding_prototypes": q_embedding_prototypes,
     "ivfpq_recall": q_ivfpq_recall,
     "srp_recall_summary": q_srp_recall_summary,

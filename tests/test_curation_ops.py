@@ -460,3 +460,57 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     pairs = dd.containment_dup_pairs(docs, threshold=0.8).collect()
     assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in pairs] == [(1, 2, 1.0)]
     assert dd.jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_winnowing_guarantee_density_and_ties(spark):
+    """MOSS invariants: (1) any shared w+k-1-token run yields >=1 shared
+    fingerprint; (2) selection density is far below one-per-gram;
+    (3) ties select the RIGHTMOST minimal position; (4) docs shorter
+    than one full window still fingerprint via the truncated window."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    k, w = 4, 5
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, "one unrelated prefix before " + shared + " and a long suffix tail here"),
+            (2, shared + " entirely different continuation words follow now"),
+            # doc 3: a 5-token doc → 2 grams < w → single truncated window
+            (3, "tiny doc of five tokens"),
+            # doc 4: the same 4-gram repeated → equal hashes tie in-window
+            (4, "x y z w x y z w x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = tx.winnowing_fingerprints(docs, k=k, w=w)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    # (1) guarantee: docs 1 and 2 share a fingerprint VALUE
+    assert {f for _, f in by_doc[1]} & {f for _, f in by_doc[2]}
+    # (2) density: selections ≪ gram count (doc 1 has ~14 grams)
+    assert 1 <= len(by_doc[1]) <= 8
+    # (3) truncated window: the 2-gram doc still yields exactly 1 fp
+    assert len(by_doc[3]) == 1
+    # (4) rightmost tie-break: doc 4's grams cycle with period 4, so
+    # every window of 5 contains a duplicated minimal hash; selected
+    # positions must be the RIGHTMOST occurrence — verify against a
+    # python reference implementation
+    import hashlib
+    toks = "x y z w x y z w x y z w".split()
+    H = []
+    for i in range(len(toks) - k + 1):
+        hx = hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+        H.append(int(hx[:12], 16))
+    want = set()
+    n = len(H)
+    for j in range(max(n - w + 1, 1)):
+        sl = H[j:j + w]
+        m = min(sl)
+        p = max(i for i, v in enumerate(sl) if v == m) + j
+        want.add((p + 1, m))
+    assert by_doc[4] == want
+    # pairs: the shared-run pair surfaces through the index
+    pairs = tx.winnowing_overlap_pairs(docs, min_shared=1).collect()
+    assert (1, 2) in {(r["doc_a"], r["doc_b"]) for r in pairs}
