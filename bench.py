@@ -111,6 +111,10 @@ HEADLINE = [
     # fingerprint inverted index; the fingerprint op itself is
     # corpus-sized output, the pairs op is the serving path)
     "winnowing_overlap_pairs",
+    # round 6: ExactSubstr span dedup (Lee et al. 2022) -- the
+    # suffix-array dedup re-expressed as keeper joins + one per-doc
+    # union-trick window
+    "substring_dedup",
 ]
 
 

@@ -1730,3 +1730,98 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def substring_dedup(documents: DataFrame, k: int = 50) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any ``k``-token span
+    that already occurred earlier in the corpus (ordered by (doc_id,
+    position)) is REMOVED from the text — the suffix-array dedup of
+    the paper, re-expressed relationally so it runs as joins +
+    bounded windows instead of a monolithic suffix array. `line_dedup`
+    removes repeated LINES; this removes repeated SPANS regardless of
+    line structure (licence boilerplate mid-paragraph, templated
+    sentences), operating on the normalized token stream.
+
+    Plan: gram hashes come from one array transform referenced once
+    (posexplode); the first-occurrence verdict is the `line_dedup`
+    keeper idiom — min(struct(doc_id, pos)) per gram hash, map-side
+    combined, joined back on the unique (h, doc_id, pos) composite so
+    a boilerplate span can't skew a task; span coverage ("is token t
+    inside any duplicated span start s ∈ [t−k+1, t]?") is the as-of
+    UNION trick — marker and token rows interleave in ONE per-doc
+    window (state bounded by document length) and a running max of
+    marker starts decides each token, no range join, no interval
+    explosion; reassembly is one groupBy(doc_id). Output: doc_id,
+    n_tokens, n_dropped, text_clean (kept tokens space-joined).
+    """
+    base = widen(documents).select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    grams = base.selectExpr(
+        "doc_id",
+        f"CASE WHEN size(t) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size(t) - {k} + 1), "
+        f"i -> md5(array_join(slice(t, i, {k}), ' '))) END AS H",
+    ).select("doc_id", F.posexplode("H").alias("p0", "h")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "h"
+    )
+    keepers = (
+        grams.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("keep"))
+        .select(
+            "h",
+            F.col("keep.doc_id").alias("doc_id"),
+            F.col("keep.pos").alias("pos"),
+        )
+    )
+    marked = grams.join(keepers, ["h", "doc_id", "pos"], "left_anti").select(
+        "doc_id", "pos"
+    )
+    tokens = base.select("doc_id", F.posexplode("t").alias("tp0", "tok")).select(
+        "doc_id", (F.col("tp0") + 1).alias("pos"), "tok"
+    )
+    events = tokens.withColumn("typ", F.lit(0)).unionByName(
+        marked.select("doc_id", "pos")
+        .withColumn("tok", F.lit(None).cast("string"))
+        .withColumn("typ", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.asc("pos"), F.desc("typ"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scanned = events.withColumn(
+        "last_s", F.max(F.when(F.col("typ") == 1, F.col("pos"))).over(w)
+    )
+    toks_out = scanned.filter(F.col("typ") == 0).select(
+        "doc_id",
+        "pos",
+        "tok",
+        (
+            F.col("last_s").isNull() | (F.col("last_s") + (k - 1) < F.col("pos"))
+        ).alias("kept"),
+    )
+    agg = toks_out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("pos", "tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

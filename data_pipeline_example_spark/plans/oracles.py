@@ -3275,3 +3275,58 @@ FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 2
 """
+
+
+ORACLES["substring_dedup"] = """
+WITH stoks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - 50 + 1, 0) + 1)) AS pos,
+         unnest(list_transform(range(1, greatest(len(t) - 50 + 1, 0) + 1),
+                i -> md5(list_aggregate(list_slice(t, i, i + 49),
+                                        'string_agg', ' ')))) AS h
+  FROM stoks
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+  FROM grams
+),
+marked AS (SELECT doc_id, pos FROM ranked WHERE rk > 1),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS tokn
+  FROM stoks WHERE len(t) > 0
+),
+events AS (
+  SELECT doc_id, pos, tokn, 0 AS typ FROM tok
+  UNION ALL
+  SELECT doc_id, pos, NULL, 1 FROM marked
+),
+scanned AS (
+  SELECT doc_id, pos, tokn, typ,
+         max(CASE WHEN typ = 1 THEN pos END) OVER (
+           PARTITION BY doc_id ORDER BY pos, typ DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_s
+  FROM events
+),
+kept AS (
+  SELECT doc_id, pos, tokn,
+         (last_s IS NULL OR last_s + 49 < pos) AS keep
+  FROM scanned WHERE typ = 0
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         coalesce(string_agg(CASE WHEN keep THEN tokn END, ' ' ORDER BY pos),
+                  '') AS text_clean
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+       coalesce(a.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

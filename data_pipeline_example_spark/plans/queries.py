@@ -816,6 +816,11 @@ def q_ccnet_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ccnet_mixture(load_table(spark, sf_dir, "documents"))
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (Lee et al. 2022), relational form."""
+    return text.substring_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing fingerprint selection (rightmost-min windows)."""
     return text.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
@@ -1055,6 +1060,7 @@ QUERIES: dict[str, QueryFn] = {
     # ccnet_mixture, sole_return_suppliers, corpus_dup_ngrams,
     # audio_dup_windows, semantic_prune, embedding_prototypes,
     # length_buckets
+    "substring_dedup": q_substring_dedup,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnowing_overlap_pairs": q_winnowing_overlap_pairs,
     "simhash_pairs_capped": q_simhash_pairs_capped,
@@ -1097,7 +1103,6 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_prune_capped": q_semantic_prune_capped,
     "nearest_neighbor_capped": q_nearest_neighbor_capped,
     "srp_dup_pairs": q_srp_dup_pairs,
-    "semantic_prune": q_semantic_prune,
     "length_buckets": q_length_buckets,
     # --- text analysis extensions ---
     # --- dedup extensions ---
@@ -1146,6 +1151,7 @@ QUERIES: dict[str, QueryFn] = {
     "ccnet_mixture": q_ccnet_mixture,
     "kmeans_embeddings": q_kmeans_embeddings,
     "cosine_dup_pairs_blocked": q_cosine_dup_pairs_blocked,
+    "semantic_prune": q_semantic_prune,
     "embedding_prototypes": q_embedding_prototypes,
     "ivfpq_recall": q_ivfpq_recall,
     "srp_recall_summary": q_srp_recall_summary,

@@ -480,3 +480,38 @@ def test_corpus_funnel_matches_member_composition(spark, sf_dir):
     got = {r["stage"]: r["n_surviving"]
            for r in curation.corpus_funnel(docs).collect()}
     assert [got[i] for i in range(1, 7)] == want
+
+
+def test_substring_dedup_exactsubstr_semantics(spark):
+    """ExactSubstr: a k-token span surviving at its FIRST (doc_id, pos)
+    occurrence and removed everywhere later, independent of line
+    structure; whole-span docs empty out; span-free docs untouched."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    span = " ".join(f"w{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            (1, "unique lead " + span + " unique tail one"),
+            (2, "other opening words " + span + " different ending entirely"),
+            (3, span),
+            (4, "no duplication in this document at all"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.substring_dedup(docs, k=6).collect()}
+    assert out[1]["n_dropped"] == 0 and span in out[1]["text_clean"]
+    assert out[2]["n_dropped"] == 6 and span not in out[2]["text_clean"]
+    assert out[2]["text_clean"] == "other opening words different ending entirely"
+    assert out[3]["n_dropped"] == 6 and out[3]["text_clean"] == ""
+    assert out[4]["n_dropped"] == 0
+    assert out[5]["n_tokens"] == 0 and out[5]["text_clean"] == ""
+    # overlapping duplicated spans merge: doc repeating a 7-token run
+    # has two overlapping duplicated 6-grams; all 7 tokens drop
+    run = " ".join(f"v{i}" for i in range(7))
+    docs2 = spark.createDataFrame(
+        [(1, run + " filler"), (2, "pre " + run + " post")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r for r in tx.substring_dedup(docs2, k=6).collect()}
+    assert out2[2]["n_dropped"] == 7 and out2[2]["text_clean"] == "pre post"
