@@ -1644,9 +1644,12 @@ def winnowing_fingerprints(
         f"i -> cast(conv(substring(md5(array_join(slice(t, i, {k}), ' ')), 1, 12), 16, 10) as long)) "
         "END AS H",
     )
+    # both the window-start frame and the argmin-join member frame read
+    # the exploded gram rows — materialize once (one scan + one gram
+    # hashing pass instead of one per branch)
     rows = grams.select(
         "doc_id", F.posexplode("H").alias("p0", "h")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h").localCheckpoint()
     wspec = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     )
@@ -1755,9 +1758,13 @@ def substring_dedup(documents: DataFrame, k: int = 50) -> DataFrame:
     explosion; reassembly is one groupBy(doc_id). Output: doc_id,
     n_tokens, n_dropped, text_clean (kept tokens space-joined).
     """
+    # tokenize ONCE and materialize: grams (twice — keeper census and
+    # anti-join probe), the token explode, and the reassembly all read
+    # this frame; without the checkpoint each branch re-scans and
+    # re-tokenizes the corpus (the plan showed 8 parquet scans)
     base = widen(documents).select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
-    )
+    ).localCheckpoint()
     grams = base.selectExpr(
         "doc_id",
         f"CASE WHEN size(t) < {k} THEN array() "
