@@ -396,3 +396,70 @@ def dedup_lines_stream(
         .dropDuplicatesWithinWatermark(["line_hash"])
         .select("doc_id", "pos", "line", "line_hash", "ingest_ts")
     )
+
+
+def budget_admission_stream(docs: DataFrame, budget: int = 800) -> DataFrame:
+    """Streaming per-source TOKEN-budget admission — the online twin of
+    batch ``text.token_budget_caps``: a greedy quota keyed on source.
+    State is ONE long per source (tokens admitted so far); an arriving
+    document is admitted iff the source's running total stays within
+    ``budget``. The batch op ranks the whole corpus by length before
+    cutting; a stream must decide per arrival, so the selection order
+    differs (documented) while the budget INVARIANT is identical:
+    admitted tokens never exceed ``budget`` per source. Rows process in
+    doc_id order within each micro-batch so checkpoint replays re-admit
+    identically. State is O(#sources) — NoTimeout is safe for bounded
+    source vocabularies; open domains should add a TTL timeout.
+
+    Input: a decoded doc stream with doc_id, text and (optionally)
+    source columns. Output stream (update mode): doc_id, source,
+    n_tokens, admitted (int).
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import IntegerType, LongType
+
+    cols = docs.columns
+    src = (
+        F.coalesce(F.col("source"), F.lit("unknown"))
+        if "source" in cols
+        else F.lit("unknown")
+    )
+    typed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        src.cast("string").alias("source"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("n_tokens", LongType()),
+            StructField("admitted", IntegerType()),
+        ]
+    )
+    state_schema = StructType([StructField("used", LongType())])
+
+    def update(key: tuple, pdfs, state: GroupState):
+        used = int(state.get[0]) if state.exists else 0
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        admitted = []
+        for nt in pdf["n_tokens"]:
+            ok = used + int(nt) <= budget
+            if ok:
+                used += int(nt)
+            admitted.append(1 if ok else 0)
+        state.update((used,))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "source": key[0],
+                "n_tokens": pdf["n_tokens"].astype("int64"),
+                "admitted": admitted,
+            }
+        )
+
+    return typed.groupBy("source").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -340,3 +340,63 @@ def test_dedup_lines_stream_suppresses_boilerplate_across_batches(spark, tmp_pat
     assert all(line != "Title" for _, line in rows)
     # line_hash is carried for downstream indexing
     assert out.filter("line_hash is null").count() == 0
+
+
+def test_budget_admission_stream_enforces_quota_across_batches(spark, tmp_path):
+    """Per-source token budget (budget=10): batch 1 admits 4+5 tokens
+    for s1; batch 2's 3-token doc must be REJECTED from the recovered
+    state (9+3>10) while a 1-token doc still fits (=10); a second
+    source's quota is independent; missing source falls back to
+    'unknown'."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from data_pipeline_example_spark.streaming import curation as sc
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    write("b1.json", [
+        {"doc_id": "1", "source": "s1", "text": "a b c d"},
+        {"doc_id": "2", "source": "s1", "text": "a b c d e"},
+        {"doc_id": "3", "source": "s2", "text": "x y z"},
+    ], now - 30)
+    write("b2.json", [
+        {"doc_id": "4", "source": "s1", "text": "p q r"},
+        {"doc_id": "5", "source": "s1", "text": "q"},
+        {"doc_id": "6", "text": "u v w"},
+    ], now)
+
+    schema = "doc_id string, source string, text string"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    out = sc.budget_admission_stream(raw, budget=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("budget_admission")
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql(
+        "SELECT * FROM budget_admission").collect()}
+    assert rows[1]["admitted"] == 1 and rows[1]["n_tokens"] == 4
+    assert rows[2]["admitted"] == 1  # 4+5 = 9 ≤ 10
+    assert rows[3]["admitted"] == 1 and rows[3]["source"] == "s2"
+    assert rows[4]["admitted"] == 0  # 9+3 > 10: state crossed batches
+    assert rows[5]["admitted"] == 1  # 9+1 = 10 exactly fits
+    assert rows[6]["source"] == "unknown" and rows[6]["admitted"] == 1
