@@ -322,3 +322,88 @@ def test_oov_rate_bounds_and_totals(spark, n_docs, vocab_size):
     for r in out:
         assert 0 <= r["n_oov"] <= r["n_tokens"]
         assert r["n_oov"] == 0  # whole vocabulary fits
+
+
+def _py_winnow(toks: list[str], k: int, w: int) -> set:
+    import hashlib
+
+    H = [
+        int(hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:12], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    out = set()
+    n = len(H)
+    for j in range(max(n - w + 1, 1) if n else 0):
+        sl = H[j:j + w]
+        m = min(sl)
+        p = max(i for i, v in enumerate(sl) if v == m) + j
+        out.add((p + 1, m))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=30),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_winnowing_matches_python_reference(spark, data):
+    """Spark winnowing selection == the literal MOSS reference on random
+    low-alphabet corpora (ties everywhere by construction)."""
+    k, w = 2, 3
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(data)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in text.winnowing_fingerprints(docs, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, toks in enumerate(data):
+        assert got.get(i, set()) == _py_winnow(toks, k, w), (i, toks)
+
+
+def _py_substring_dedup(corpus: list[list[str]], k: int):
+    seen = {}
+    marked = {}
+    for d, toks in enumerate(corpus):
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p:p + k])
+            if g in seen:
+                marked.setdefault(d, []).append(p)
+            else:
+                seen[g] = (d, p)
+    out = []
+    for d, toks in enumerate(corpus):
+        drop = set()
+        for s in marked.get(d, []):
+            drop.update(range(s, s + k))
+        kept = [t for i, t in enumerate(toks) if i not in drop]
+        out.append((len(toks), len(toks) - len(kept), " ".join(kept)))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=20),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_substring_dedup_matches_python_reference(spark, data):
+    """Spark ExactSubstr == a literal first-occurrence reference on
+    random 3-symbol corpora (heavy cross-doc and within-doc repeats)."""
+    k = 3
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(data)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["text_clean"])
+        for r in text.substring_dedup(docs, k=k).collect()
+    }
+    want = _py_substring_dedup(data, k)
+    for i in range(len(data)):
+        assert got[i] == want[i], (i, data[i])
