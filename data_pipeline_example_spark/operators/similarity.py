@@ -568,7 +568,10 @@ def cosine_dup_pairs_blocked(
     if assigned is None:
         assigned = assign_centroids(embeddings, n_centroids)
     assigned = assigned.select("vec_id", "centroid_id")
-    ea = e.join(assigned, "vec_id")
+    # both sides of the block self-join read the normed+assigned frame —
+    # materialize once so the corpus is scanned and assigned once, not
+    # once per side (PLANS.md scans column: 12 → 0 + 1 construction)
+    ea = e.join(assigned, "vec_id").localCheckpoint()
     a = ea.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "centroid_id",
