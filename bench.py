@@ -115,6 +115,8 @@ HEADLINE = [
     # suffix-array dedup re-expressed as keeper joins + one per-doc
     # union-trick window
     "substring_dedup",
+    # round 6: batched exact top-k (many queries, one corpus scan)
+    "knn_batch",
 ]
 
 

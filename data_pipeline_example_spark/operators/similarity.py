@@ -1776,3 +1776,34 @@ def cluster_balance_audit(embeddings: DataFrame, n_centroids: int = 16) -> DataF
         F.round(F.avg("n"), 4).alias("avg_bucket"),
         F.round(F.max("n") / F.avg("n"), 4).alias("balance_factor"),
     )
+
+
+def knn_batch(embeddings: DataFrame, n_queries: int = 4, k: int = 5) -> DataFrame:
+    """Batched exact top-k — the serving shape for scoring MANY queries
+    against the corpus in ONE scan (``knn``/``ivf_knn`` are
+    one-query-per-scan; a recommendation or retrieval batch is not).
+    The ``n_queries`` lowest vec_ids play the query batch: the query
+    matrix broadcasts, every corpus vector scores against all queries
+    in a single pass, and the per-query ``rank ≤ k`` window compiles to
+    WindowGroupLimit — map tasks pre-trim to k rows per query BEFORE
+    the exchange, so the shuffle carries O(k × queries × tasks) rows
+    regardless of corpus size. Self included at rank 1 (cos 1.0), the
+    ``knn`` contract. Output: query_id, vec_id, cos_sim (6 dp), rank.
+    """
+    e = _as_double(embeddings)
+    qs = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        e.crossJoin(F.broadcast(qs))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -3330,3 +3330,22 @@ SELECT d.doc_id,
        coalesce(a.text_clean, '') AS text_clean
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+ORACLES["knn_batch"] = f"""
+WITH {_VECS},
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+scored AS (
+  SELECT qs.query_id, e.vec_id,
+         round(list_cosine_similarity(e.v, qs.qv), 6) AS cos_sim
+  FROM e CROSS JOIN qs
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""

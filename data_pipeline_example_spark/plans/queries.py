@@ -816,6 +816,11 @@ def q_ccnet_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ccnet_mixture(load_table(spark, sf_dir, "documents"))
 
 
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact top-k: many queries, one corpus scan."""
+    return similarity.knn_batch(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span dedup (Lee et al. 2022), relational form."""
     return text.substring_dedup(load_table(spark, sf_dir, "documents"))
@@ -1060,6 +1065,7 @@ QUERIES: dict[str, QueryFn] = {
     # ccnet_mixture, sole_return_suppliers, corpus_dup_ngrams,
     # audio_dup_windows, semantic_prune, embedding_prototypes,
     # length_buckets
+    "knn_batch": q_knn_batch,
     "substring_dedup": q_substring_dedup,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnowing_overlap_pairs": q_winnowing_overlap_pairs,
@@ -1096,7 +1102,6 @@ QUERIES: dict[str, QueryFn] = {
     "oov_rate": q_oov_rate,
     "c4_clean": q_c4_clean,
     "cross_modal_prune": q_cross_modal_prune,
-    "corpus_dup_ngrams": q_corpus_dup_ngrams,
     "image_phash_stats": q_image_phash_stats,
     "phash_dup_pairs": q_phash_dup_pairs,
     "audio_dup_windows": q_audio_dup_windows,
@@ -1152,6 +1157,7 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "cosine_dup_pairs_blocked": q_cosine_dup_pairs_blocked,
     "semantic_prune": q_semantic_prune,
+    "corpus_dup_ngrams": q_corpus_dup_ngrams,
     "embedding_prototypes": q_embedding_prototypes,
     "ivfpq_recall": q_ivfpq_recall,
     "srp_recall_summary": q_srp_recall_summary,

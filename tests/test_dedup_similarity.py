@@ -651,3 +651,23 @@ def test_simhash_pairs_capped_subset_and_cap_semantics(spark, sf_dir):
     # the binding cap trims but never empties: candidate generation
     # still surfaces pairs through each bucket's lowest members
     assert 0 < len(tight) < len(full)
+
+
+def test_knn_batch_matches_per_query_knn_and_pretrims(spark, sf_dir):
+    """Each query's batch slice equals the single-query knn top-k, and
+    the per-query rank compiles to WindowGroupLimit (map-side k-row
+    pre-trim — the property that makes one scan serve the batch)."""
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = sim.knn_batch(emb, n_queries=3, k=4)
+    rows = {}
+    for r in batch.collect():
+        rows.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos_sim"]))
+    for q in range(3):
+        got = [(v, c) for _, v, c in sorted(rows[q])]
+        want = [(r["vec_id"], r["cos_sim"])
+                for r in sim.knn(emb, query_id=q, k=4).collect()]
+        assert got == want, q
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
