@@ -1634,7 +1634,7 @@ def winnowing_fingerprints(
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
     w-gram window, and select each window's MINIMUM hash (ties broken
-    to the RIGHTMOST position, the paper's robust-winnowing rule); the
+    to the RIGHTMOST position, the paper's winnowing tie rule); the
     union of selections is the fingerprint set. Guarantees: any shared
     run of w+k-1 tokens between two documents yields ≥1 shared
     fingerprint, and expected density is 2/(w+1) — a sparse,
@@ -1646,14 +1646,16 @@ def winnowing_fingerprints(
     array is referenced exactly once — by the posexplode — so Catalyst
     cannot re-inline it; an earlier array-slice formulation evaluated
     the gram transform once per WINDOW reference, O(n²·k) md5s per
-    document). Selection is relational: per-window minima come from a
-    ``rowsBetween(0, w-1)`` running window over the exploded gram rows
-    (partitioned by doc — state bounded by document length at any
-    corpus size), the rightmost-argmin is a ≤w-row-fanout self-join +
-    max(pos) rollup, and overlapping windows' repeated selections
-    collapse in one distinct. Hashes are 48-bit md5 prefixes
-    (portable, the dedup-family discipline). Output: doc_id, pos
-    (1-based gram position, int), fp (long).
+    document). Selection is ONE window expression: the per-window
+    rightmost-argmin is ``min(struct(h, -pos))`` over the same
+    ``rowsBetween(0, w-1)`` running window (struct ordering compares h
+    first, then -pos — so the smallest hash wins and ties resolve to
+    the largest position), partitioned by doc — state bounded by
+    document length at any corpus size, no self-join, no groupBy;
+    overlapping windows' repeated selections collapse in one distinct.
+    Hashes are 48-bit md5 prefixes (portable, the dedup-family
+    discipline). Output: doc_id, pos (1-based gram position, int),
+    fp (long).
     """
     toks_df = widen(documents).select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
@@ -1665,45 +1667,25 @@ def winnowing_fingerprints(
         f"i -> cast(conv(substring(md5(array_join(slice(t, i, {k}), ' ')), 1, 12), 16, 10) as long)) "
         "END AS H",
     )
-    # both the window-start frame and the argmin-join member frame read
-    # the exploded gram rows — materialize once (one scan + one gram
-    # hashing pass instead of one per branch)
     rows = grams.select(
         "doc_id", F.posexplode("H").alias("p0", "h")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h").localCheckpoint()
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
     wspec = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     )
     wn = Window.partitionBy("doc_id")
-    starts = (
-        rows.withColumn("wmin", F.min("h").over(wspec))
+    sel = F.min(
+        F.struct(F.col("h").alias("fp"), (-F.col("pos")).alias("negpos"))
+    ).over(wspec)
+    return (
+        rows.withColumn("sel", sel)
         .withColumn("n", F.count(F.lit(1)).over(wn))
         .filter(F.col("pos") <= F.greatest(F.col("n") - w + 1, F.lit(1)))
         .select(
-            F.col("doc_id").alias("s_doc"),
-            F.col("pos").alias("j"),
-            "wmin",
+            "doc_id",
+            (-F.col("sel.negpos")).cast("int").alias("pos"),
+            F.col("sel.fp").alias("fp"),
         )
-    )
-    members = rows.select(
-        F.col("doc_id").alias("m_doc"),
-        F.col("pos").alias("m_pos"),
-        F.col("h").alias("m_h"),
-    )
-    return (
-        starts.join(
-            members,
-            (F.col("s_doc") == F.col("m_doc"))
-            & (F.col("m_pos") >= F.col("j"))
-            & (F.col("m_pos") < F.col("j") + w)
-            & (F.col("m_h") == F.col("wmin")),
-        )
-        .groupBy(F.col("s_doc").alias("doc_id"), F.col("j"))
-        .agg(
-            F.max("m_pos").cast("int").alias("pos"),
-            F.min("wmin").alias("fp"),
-        )
-        .select("doc_id", "pos", "fp")
         .distinct()
     )
 
