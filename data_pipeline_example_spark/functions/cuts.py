@@ -1,0 +1,181 @@
+"""Distributed equal-frequency "cuts" — global (or per-group) order
+statistics with driver state O(#partitions + #groups), never
+Θ(distinct values).
+
+The cuts discipline replaces an unpartitioned ordered window (every
+row through ONE task) with per-VALUE prefix counts joined back onto
+the rows. Earlier rounds collected the whole value histogram to the
+driver — fine for genuinely bounded domains (token counts), but a
+2-dp money domain is near-unique per customer, so that collect was
+Θ(|customers|) at the 100× frame. This module computes the SAME
+per-value prefix sums distributedly:
+
+1. histogram: ``groupBy(group…, value).count()`` — map-side combined,
+   one row per distinct (group, value), stays on executors;
+2. ``repartitionByRange`` on (group asc…, value) — equal keys never
+   split across partitions, partition order follows value order, and
+   partition SIZES are balanced by sampling (no hot-value straggler);
+   the ranged frame is ``localCheckpoint``-ed so the partition ids the
+   offsets were collected from are the partition ids the final plan
+   reads (re-evaluating the range exchange under AQE could re-draw
+   boundaries between jobs);
+3. per-(partition, group) totals are collected — contiguity bounds
+   this at ≤ #partitions + #groups − 1 rows — prefix-summed on the
+   driver, and broadcast back as offsets;
+4. per-value ``cum_before`` (and optional weighted ``mass_before``) =
+   offset + intra-partition running sum over a window PARTITIONED BY
+   (partition id, group) — a hash exchange, never a global order.
+
+Eager-construction contract: step 2's ``localCheckpoint`` runs a Spark
+job at DataFrame-construction time, and checkpoint blocks are
+unreplicated executor storage — on a real cluster an executor loss
+after construction makes the frame unrecoverable (re-run the
+operator). Use a reliable checkpoint dir for long-lived plans.
+
+``LAST_DRIVER_ROWS`` records the size of the most recent step-3
+collect so tests can pin the O(#partitions + #groups) bound.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as ST
+from pyspark.sql.window import Window
+
+#: rows collected to the driver by the most recent value_cuts call.
+LAST_DRIVER_ROWS: int = 0
+
+
+def value_cuts(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: Sequence[str] = (),
+    weight_col: str | None = None,
+    descending: bool = False,
+    partitions: int | None = None,
+) -> tuple[DataFrame, dict[tuple, tuple[int, int | float]]]:
+    """Per-distinct-value prefix statistics, distributed.
+
+    Returns ``(cuts, totals)``:
+
+    * ``cuts`` — one row per distinct (group…, value):
+      ``group_cols + [value_col, cnt, cum_before(, mass_before)]``
+      where ``cnt`` is the row count at that value, ``cum_before`` the
+      number of rows in the same group strictly BEFORE it in the sort
+      order (ascending by default, descending when ``descending``),
+      and ``mass_before`` (when ``weight_col`` is given) the sum of
+      that weight over the strictly-preceding values. The frame is
+      DISTRIBUTED — join it back on (group…, value) with
+      :func:`join_cuts`; do not assume it broadcasts.
+    * ``totals`` — ``{group_tuple: (n_rows, weight_sum)}`` collected to
+      the driver; only sensible when the GROUP domain is bounded
+      (global cuts: one entry keyed ``()``).
+
+    NULL group values are kept as their own group (matching SQL
+    ``PARTITION BY`` semantics); NULL values sort first ascending.
+    """
+    global LAST_DRIVER_ROWS
+    spark = df.sparkSession
+    gcols = list(group_cols)
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("_w"))
+    hist = df.groupBy(*gcols, value_col).agg(*aggs)
+    n_parts = int(
+        partitions or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    order = [F.asc(c) for c in gcols] + [
+        F.desc(value_col) if descending else F.asc(value_col)
+    ]
+    ranged = (
+        hist.repartitionByRange(n_parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    part_aggs = [F.sum("cnt").alias("_c")]
+    if weight_col is not None:
+        part_aggs.append(F.sum("_w").alias("_ws"))
+    part_rows = ranged.groupBy("_pid", *gcols).agg(*part_aggs).collect()
+    LAST_DRIVER_ROWS = len(part_rows)
+
+    per_group: dict[tuple, list] = defaultdict(list)
+    for r in part_rows:
+        per_group[tuple(r[c] for c in gcols)].append(r)
+    off_rows: list[tuple] = []
+    totals: dict[tuple, tuple[int, int | float]] = {}
+    for g, rs in per_group.items():
+        rs.sort(key=lambda r: r["_pid"])
+        acc_c: int = 0
+        acc_w: int | float = 0
+        for r in rs:
+            off_rows.append(
+                (r["_pid"], *g, acc_c)
+                if weight_col is None
+                else (r["_pid"], *g, acc_c, acc_w)
+            )
+            acc_c += r["_c"]
+            if weight_col is not None:
+                acc_w += r["_ws"]
+        totals[g] = (acc_c, acc_w)
+
+    fields = [ST.StructField("_pid", ST.IntegerType(), False)]
+    for c in gcols:
+        fields.append(ranged.schema[c])
+    fields.append(ST.StructField("_off_c", ST.LongType(), False))
+    if weight_col is not None:
+        fields.append(ST.StructField("_off_w", ranged.schema["_w"].dataType, False))
+    off_df = spark.createDataFrame(off_rows, ST.StructType(fields))
+
+    cond = ranged["_pid"] == off_df["_pid"]
+    for c in gcols:
+        cond = cond & ranged[c].eqNullSafe(off_df[c])
+    joined = ranged.join(F.broadcast(off_df), cond).drop(off_df["_pid"])
+    for c in gcols:
+        joined = joined.drop(off_df[c])
+    wp = (
+        Window.partitionBy("_pid", *gcols)
+        .orderBy(F.desc(value_col) if descending else F.asc(value_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cuts = joined.withColumn(
+        "cum_before", F.col("_off_c") + F.sum("cnt").over(wp) - F.col("cnt")
+    )
+    out_cols = [*gcols, value_col, "cnt", "cum_before"]
+    if weight_col is not None:
+        cuts = cuts.withColumn(
+            "mass_before", F.col("_off_w") + F.sum("_w").over(wp) - F.col("_w")
+        )
+        out_cols.append("mass_before")
+    return cuts.select(*out_cols), totals
+
+
+def join_cuts(
+    df: DataFrame,
+    cuts: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Attach a :func:`value_cuts` frame back onto its source rows.
+
+    Null-safe equi-join on (group…, value) — NULL groups survive (the
+    window twins and SQL oracles keep NULL as a partition group; a
+    plain inner join would silently drop those rows). Every source row
+    matches exactly one cuts row, so no row multiplication. The cuts
+    side's key columns are renamed first: ``cuts`` shares attribute
+    lineage with ``df`` (it was derived from it), and a same-exprId
+    join condition leans on Spark's dataset-id disambiguation —
+    renaming mints fresh attribute ids instead."""
+    renamed = cuts.withColumnRenamed(value_col, "_cut_v")
+    for i, c in enumerate(group_cols):
+        renamed = renamed.withColumnRenamed(c, f"_cut_g{i}")
+    cond = df[value_col].eqNullSafe(renamed["_cut_v"])
+    for i, c in enumerate(group_cols):
+        cond = cond & df[c].eqNullSafe(renamed[f"_cut_g{i}"])
+    return df.join(renamed, cond).drop(
+        "_cut_v", *[f"_cut_g{i}" for i in range(len(group_cols))]
+    )

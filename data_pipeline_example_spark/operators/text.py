@@ -224,21 +224,24 @@ def length_buckets(
         rank = (# rows with a smaller n_tokens)          [cum_before]
              + (row_number among its own n_tokens value) [tie-break]
 
-    cum_before comes from a token-count histogram — a map-side-combined
-    ``groupBy(n_tokens).count()`` collected to the driver (distinct
-    token counts are bounded by max document length, ~10⁴-10⁵ values at
-    any corpus size — planning-stats-sized, same idea as AQE) — and is
-    broadcast back as a tiny join table that also carries each bucket's
-    boundary and max token count, both derived from the histogram by
-    pure prefix-sum arithmetic. The tie-break is a ``row_number`` over
-    a window PARTITIONED BY n_tokens — a hash exchange, not an ordered
-    one; no single reducer ever sees the corpus. The ntile formula
-    (first N mod n buckets get one extra row) is applied per-row as
-    arithmetic, so the result is bit-identical to ``ntile`` — the
-    ``method="ntile"`` twin IS the registered SQL oracle. Skew note: a
-    single hot n_tokens value (e.g. empty docs) concentrates its
-    tie-break window in one task; AQE skew-split handles the exchange,
-    and the window is two longs per row, never the text.
+    cum_before comes from the shared ``functions.cuts`` distributed
+    prefix sum (range-partitioned token-count histogram +
+    per-partition offsets; driver state O(#partitions) — the token
+    domain happens to be bounded, but the helper doesn't rely on
+    that). Each bucket's max token count is the value whose rank
+    interval contains the bucket's upper boundary — one broadcast
+    range-join of the cuts frame against the ≤n_buckets boundary rows.
+    The tie-break is a ``row_number`` over a window PARTITIONED BY
+    n_tokens — a hash exchange, not an ordered one; no single reducer
+    ever sees the corpus. The ntile formula (first N mod n buckets get
+    one extra row) is applied per-row as arithmetic, so the result is
+    bit-identical to ``ntile`` — the ``method="ntile"`` twin IS the
+    registered SQL oracle. Skew note: a single hot n_tokens value
+    (e.g. empty docs) concentrates its tie-break window in one task;
+    AQE skew-split handles the exchange, and the window is two longs
+    per row, never the text. Eager construction: ``value_cuts``
+    localCheckpoints its ranged histogram (see that module's contract
+    note).
 
     ``method="ntile"``: the textbook single-ordered-exchange shape —
     kept as the oracle twin and for tiny inputs.
@@ -246,16 +249,15 @@ def length_buckets(
     Output: doc_id, n_tokens, bucket, plus per-bucket padding
     diagnostics (bucket_max_tokens, pad_waste = bucket_max − n_tokens).
     """
+    from data_pipeline_example_spark.functions.cuts import join_cuts, value_cuts
+
     toks = documents.select(
         "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     if method == "cuts":
-        hist = sorted(
-            (r["n_tokens"], r["cnt"])
-            for r in toks.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        )
-        n_rows = sum(c for _, c in hist)
         spark = documents.sparkSession
+        cuts_df, totals = value_cuts(toks, "n_tokens")
+        n_rows = totals.get((), (0, 0))[0]
         if n_rows == 0:
             return spark.createDataFrame(
                 [],
@@ -263,35 +265,27 @@ def length_buckets(
                 "bucket_max_tokens long, pad_waste long",
             )
         q, r = divmod(n_rows, n_buckets)
-        # bucket b (1-based) covers ranks (lb(b), ub(b)]; ntile gives the
-        # first r buckets q+1 rows, the rest q
+        # bucket b (1-based) covers ranks (ub(b-1), ub(b)]; ntile gives
+        # the first r buckets q+1 rows, the rest q
         ub = [b * q + min(b, r) for b in range(n_buckets + 1)]
         # per-bucket max token count = value at sorted position ub(b):
-        # walk the histogram's prefix sums once
-        bucket_max: list[tuple[int, int]] = []
-        cum, hi = 0, 0
-        for b in range(1, n_buckets + 1):
-            if ub[b] <= ub[b - 1]:  # empty bucket (N < n_buckets)
-                continue
-            while cum < ub[b]:
-                t, c = hist[hi]
-                cum += c
-                hi += 1
-            bucket_max.append((b, hist[hi - 1][0]))
-        cuts = []  # (n_tokens, cum_before) pairs
-        acc = 0
-        for t, c in hist:
-            cuts.append((t, acc))
-            acc += c
-        cuts_df = F.broadcast(
-            spark.createDataFrame(cuts, "n_tokens long, cum_before long")
+        # the cuts row whose rank interval (cum_before, cum_before+cnt]
+        # contains ub(b) — a broadcast range-join against the
+        # ≤n_buckets boundary rows (empty buckets excluded)
+        ub_df = spark.createDataFrame(
+            [(b, ub[b]) for b in range(1, n_buckets + 1) if ub[b] > ub[b - 1]],
+            "bucket int, ub long",
         )
         bmax_df = F.broadcast(
-            spark.createDataFrame(bucket_max, "bucket int, bucket_max_tokens long")
+            cuts_df.join(
+                F.broadcast(ub_df),
+                (F.col("cum_before") < F.col("ub"))
+                & (F.col("ub") <= F.col("cum_before") + F.col("cnt")),
+            ).select("bucket", F.col("n_tokens").alias("bucket_max_tokens"))
         )
         wt = Window.partitionBy("n_tokens").orderBy("doc_id")
         ranked = (
-            toks.join(cuts_df, "n_tokens")
+            join_cuts(toks, cuts_df, "n_tokens")
             .withColumn("rank", F.col("cum_before") + F.row_number().over(wt))
         )
         # inline ntile formula: ranks 1..r(q+1) → ceil(rank/(q+1)),
@@ -1560,48 +1554,45 @@ def token_budget_caps(
     (token count desc, doc_id) and survive while the source's running
     token total stays within ``budget``.
 
-    ``method="cuts"`` (default, the scale path): the per-GROUP
-    generalization of the ``length_buckets`` histogram discipline. A
-    running sum windowed over ``partitionBy(source)`` sorts every
-    mega-source in one task; instead, the (source, n_tokens) histogram
-    (value-domain-bounded per source) is collected, the token mass of
-    strictly-longer documents is prefix-summed on the driver and
-    broadcast back, and a row's running total is
-    ``mass_before + row_number × n_tokens`` where the row_number window
-    is partitioned by (source, n_tokens) — a hash exchange, never a
-    per-source sort. Bit-identical to the ``method="window"`` running
-    sum (pinned by unit test; the window form is the SQL oracle).
+    ``method="cuts"`` (default, the scale path): the per-GROUP form of
+    the shared ``functions.cuts`` discipline. A running sum windowed
+    over ``partitionBy(source)`` sorts every mega-source in one task;
+    instead, ``value_cuts`` computes the token mass of strictly-longer
+    documents per (source, n_tokens) distributedly (range-partitioned
+    histogram + per-partition offsets; driver state
+    O(#partitions + #sources), never Θ(distinct values)), and a row's
+    running total is ``mass_before + row_number × n_tokens`` where the
+    row_number window is partitioned by (source, n_tokens) — a hash
+    exchange, never a per-source sort. NULL sources are one partition
+    group (null-safe join — matching the window twin and SQL-oracle
+    PARTITION BY semantics; an earlier revision's plain inner join
+    silently dropped them). Bit-identical to the ``method="window"``
+    running sum (pinned by unit test; the window form is the SQL
+    oracle). Eager construction: ``value_cuts`` localCheckpoints its
+    ranged histogram (see that module's contract note).
     Output: doc_id, source, n_tokens, kept (int).
     """
+    from data_pipeline_example_spark.functions.cuts import join_cuts, value_cuts
+
     toks = documents.select(
         "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     if method == "cuts":
         spark = documents.sparkSession
-        hist = toks.groupBy("source", "n_tokens").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ).collect()
-        by_src: dict[str, list[tuple[int, int]]] = {}
-        for r in hist:
-            by_src.setdefault(r["source"], []).append((r["n_tokens"], r["cnt"]))
-        rows = []
-        for src, vals in by_src.items():
-            mass = 0
-            for v, c in sorted(vals, reverse=True):
-                rows.append((src, v, mass))
-                mass += v * c
-        if not rows:
+        cuts, totals = value_cuts(
+            toks,
+            "n_tokens",
+            group_cols=("source",),
+            weight_col="n_tokens",
+            descending=True,
+        )
+        if not totals:
             return spark.createDataFrame(
                 [], "doc_id long, source string, n_tokens long, kept int"
             )
-        cuts = F.broadcast(
-            spark.createDataFrame(
-                rows, "source string, n_tokens long, mass_before long"
-            )
-        )
         wt = Window.partitionBy("source", "n_tokens").orderBy("doc_id")
         return (
-            toks.join(cuts, ["source", "n_tokens"])
+            join_cuts(toks, cuts, "n_tokens", ("source",))
             .withColumn("rn", F.row_number().over(wt))
             .select(
                 "doc_id",

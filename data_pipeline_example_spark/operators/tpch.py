@@ -834,20 +834,24 @@ def customer_spend_distribution(
     ``method="cuts"`` (default, the scale path): NO global ordered
     window. percent_rank and cume_dist depend only on a row's VALUE —
     pct_rank = cum_before/(N−1), cume_dist = cum_incl/N — so both come
-    from a spend-value histogram (map-side-combined
-    ``groupBy(total_spend).count()``, collected and broadcast back as
-    prefix sums; bounded by the 2-dp value DOMAIN, not by |customers| —
-    the ``length_buckets`` planning-stats discipline) joined onto the
+    from the distributed spend-value prefix sums of
+    ``functions.cuts.value_cuts`` (range-partitioned histogram +
+    per-partition offsets; driver state O(#partitions), NOT
+    Θ(distinct 2-dp spend values) ≈ |customers|) joined onto the
     aggregate, and the top-n is a TakeOrdered. A
     ``Window.orderBy(total_spend)`` here would move every per-customer
     row through ONE task (|customers| grows with the fact table —
     single-task sort of ~10⁹ rows at 100 TB); the cuts path has no
-    ordered exchange at all. Divisions + 6-dp rounds happen in Spark
+    global ordered exchange. Divisions + 6-dp rounds happen in Spark
     expressions (never in Python) so results are bit-identical to the
     window twin, which is retained as ``method="window"`` and pinned
-    equal by unit test; the SQL oracle is the window form.
+    equal by unit test; the SQL oracle is the window form. Eager
+    construction: ``value_cuts`` localCheckpoints its ranged histogram
+    (see that module's contract note).
     """
     from pyspark.sql.window import Window
+
+    from data_pipeline_example_spark.functions.cuts import join_cuts, value_cuts
 
     spend = (
         orders.groupBy("o_custkey")
@@ -855,40 +859,26 @@ def customer_spend_distribution(
     )
     if method == "cuts":
         spark = orders.sparkSession
-        hist = sorted(
-            (r["total_spend"], r["cnt"])
-            for r in spend.groupBy("total_spend")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        n_rows = sum(c for _, c in hist)
+        cuts, totals = value_cuts(spend, "total_spend")
+        n_rows = totals.get((), (0, 0))[0]
         if n_rows == 0:
             return spark.createDataFrame(
                 [],
                 "c_custkey long, total_spend double, "
                 "spend_pct_rank double, spend_cume_dist double",
             )
-        cuts, acc = [], 0
-        for v, c in hist:
-            cuts.append((v, acc, acc + c))  # (value, cum_before, cum_incl)
-            acc += c
-        cuts_df = F.broadcast(
-            spark.createDataFrame(
-                cuts, "total_spend double, cum_before long, cum_incl long"
-            )
-        )
         den = max(n_rows - 1, 1)  # percent_rank of a 1-row frame is 0
         return (
-            spend.join(cuts_df, "total_spend")
+            join_cuts(spend, cuts, "total_spend")
             .select(
                 F.col("o_custkey").alias("c_custkey"),
                 "total_spend",
                 F.round(F.col("cum_before") / F.lit(float(den)), 6).alias(
                     "spend_pct_rank"
                 ),
-                F.round(F.col("cum_incl") / F.lit(float(n_rows)), 6).alias(
-                    "spend_cume_dist"
-                ),
+                F.round(
+                    (F.col("cum_before") + F.col("cnt")) / F.lit(float(n_rows)), 6
+                ).alias("spend_cume_dist"),
             )
             .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
             .limit(n)
@@ -937,32 +927,32 @@ def customer_value_tiles(
     custkey) so bucket boundaries are engine-independent.
     Output: tile, n_customers, min_spend, max_spend.
 
-    ``method="cuts"`` (default, the scale path): the ``length_buckets``
-    broadcast-histogram discipline instead of an unpartitioned NTILE
+    ``method="cuts"`` (default, the scale path): the shared
+    ``functions.cuts`` discipline instead of an unpartitioned NTILE
     window (which would sort all |customers| per-customer rows in ONE
     task — the textbook 100× straggler). The global rank under ORDER BY
-    (total_spend, o_custkey) decomposes into a histogram prefix sum
-    (spend-value histogram, value-DOMAIN-bounded, broadcast back) plus
-    a ``row_number`` over a window PARTITIONED BY total_spend (hash
-    exchange, never a global order); the ntile formula is applied
-    per-row as integer arithmetic, bit-identical to ``ntile`` — the
-    ``method="window"`` twin is pinned equal by unit test and serves as
-    the SQL-oracle form.
+    (total_spend, o_custkey) decomposes into the distributed per-value
+    prefix sum of ``value_cuts`` (range-partitioned histogram +
+    per-partition offsets; driver state O(#partitions), not
+    Θ(distinct spend values)) plus a ``row_number`` over a window
+    PARTITIONED BY total_spend (hash exchange, never a global order);
+    the ntile formula is applied per-row as integer arithmetic,
+    bit-identical to ``ntile`` — the ``method="window"`` twin is pinned
+    equal by unit test and serves as the SQL-oracle form. Eager
+    construction: ``value_cuts`` localCheckpoints its ranged histogram
+    (see that module's contract note).
     """
     from pyspark.sql.window import Window
+
+    from data_pipeline_example_spark.functions.cuts import join_cuts, value_cuts
 
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("total_spend")
     )
     if method == "cuts":
         spark = orders.sparkSession
-        hist = sorted(
-            (r["total_spend"], r["cnt"])
-            for r in spend.groupBy("total_spend")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        n_rows = sum(c for _, c in hist)
+        cuts, totals = value_cuts(spend, "total_spend")
+        n_rows = totals.get((), (0, 0))[0]
         if n_rows == 0:
             return spark.createDataFrame(
                 [],
@@ -970,15 +960,8 @@ def customer_value_tiles(
                 "max_spend double",
             )
         q, r = divmod(n_rows, tiles)
-        cuts, acc = [], 0
-        for v, c in hist:
-            cuts.append((v, acc))
-            acc += c
-        cuts_df = F.broadcast(
-            spark.createDataFrame(cuts, "total_spend double, cum_before long")
-        )
         wt = Window.partitionBy("total_spend").orderBy("o_custkey")
-        ranked = spend.join(cuts_df, "total_spend").withColumn(
+        ranked = join_cuts(spend, cuts, "total_spend").withColumn(
             "rank", F.col("cum_before") + F.row_number().over(wt)
         )
         # inline ntile: first r tiles get q+1 rows (integer div only —

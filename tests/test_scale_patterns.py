@@ -216,3 +216,65 @@ def test_customer_ranking_cuts_match_window_and_plan(spark, sf_dir):
         .lower()
     )
     assert "rangepartitioning" not in plan
+
+
+def test_value_cuts_driver_state_bounded_and_equal(spark):
+    """The shared cuts helper collects O(#partitions + #groups) rows to
+    the driver even when the value domain is near-unique (the 2-dp
+    money case the r6 verdict flagged) — never the Θ(distinct-values)
+    histogram — and the operator built on it stays bit-identical to
+    its window twin."""
+    from data_pipeline_example_spark.functions import cuts as C
+    from data_pipeline_example_spark.operators import tpch
+
+    # near-unique value domain: 5000 orders, ~5000 distinct 2-dp spends
+    orders = spark.range(5000).select(
+        F.col("id").alias("o_orderkey"),
+        F.col("id").alias("o_custkey"),
+        F.round(F.col("id") * 1.37 + 0.01, 2).alias("o_totalprice"),
+    )
+    out = tpch.customer_spend_distribution(orders, n=5000, method="cuts")
+    got = sorted(tuple(r) for r in out.collect())
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # global cuts: one group → ≤ #partitions driver rows, NOT ~5000
+    assert 0 < C.LAST_DRIVER_ROWS <= parts
+    win = tpch.customer_spend_distribution(orders, n=5000, method="window")
+    assert got == sorted(tuple(r) for r in win.collect())
+
+    # grouped + weighted + descending: bound is #partitions + #groups
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("w"), (F.col("id") % 97 + 1).cast("int"))).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias("source"),
+        F.lit(1).alias("n_chars"),
+    )
+    from data_pipeline_example_spark.operators import text as tx
+
+    tx.token_budget_caps(docs, budget=100, method="cuts").count()
+    assert 0 < C.LAST_DRIVER_ROWS <= parts + 5
+
+
+def test_token_budget_caps_null_source_is_its_own_group(spark):
+    """NULL source must survive the cuts join as one partition group —
+    matching the window twin and SQL PARTITION BY semantics (a plain
+    inner join on the group key silently dropped those rows)."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", None, 5),
+            (2, "a b c d e", "en", None, 9),
+            (3, "a b", "en", "s0", 3),
+            (4, "a b c d", "en", "s0", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    got = sorted(
+        tuple(r) for r in tx.token_budget_caps(docs, budget=5, method="cuts").collect()
+    )
+    want = sorted(
+        tuple(r) for r in tx.token_budget_caps(docs, budget=5, method="window").collect()
+    )
+    assert got == want
+    assert len(got) == 4 and any(t[1] is None for t in got)
