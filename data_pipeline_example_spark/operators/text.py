@@ -5,6 +5,18 @@ quality scoring, token counting, fingerprinting. All built on the
 UDF-free expressions in ``functions/text.py`` — whole-stage codegen
 end-to-end, so per-document cost is a few regex evaluations and the
 operators scale linearly to 100 TB of text.
+
+Eager-construction contract (applies to every operator here that
+``localCheckpoint``s a shared frame — dsir_weights, bigram_lm_scores,
+ccnet_buckets, substring_dedup, and the ``functions.cuts``-backed
+ops): the checkpoint runs a Spark job at DataFrame-CONSTRUCTION time,
+and its blocks are UNREPLICATED executor storage — on a real cluster,
+losing an executor after construction makes the frame unrecoverable
+(re-run the operator), so long-lived plans should swap in a reliable
+checkpoint dir (``spark.sparkContext.setCheckpointDir`` +
+``.checkpoint()``). The trade is deliberate: each checkpointed frame
+feeds 2+ downstream branches, and re-deriving it per branch measured
+slower at every scale tested (see PLANS.md's scans column).
 """
 
 from __future__ import annotations

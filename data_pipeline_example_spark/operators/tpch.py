@@ -1384,9 +1384,14 @@ def excess_shipped_suppliers(
     correlated-half-of-sum shape (adapted: no partsupp availqty, so the
     all-time shipped quantity plays the stock level).
 
-    Exactness discipline: l_quantity is integral, so both quantity sums
-    cast to long and the half test is the integer cross-multiplication
-    ``2 × qty_band > qty_total`` — no 0.5× float compare. Scale shape:
+    Exactness discipline: l_quantity is cast to long PER ROW
+    (``round(q, 0).cast(long)`` — the ``important_part_stock``
+    integer-unit pattern; HALF_UP in both engines) and summed as longs,
+    so the result cannot depend on how each engine casts a float SUM
+    (Spark truncates toward zero, DuckDB rounds — a fractional quantity
+    would flip them apart); the half test is the integer
+    cross-multiplication ``2 × qty_band > qty_total`` — no 0.5× float
+    compare. Scale shape:
     the name-prefix part prune broadcasts into ONE lineitem scan that
     computes both sums as conditional aggregates per (supplier, part)
     (map-side combined, no second scan for the window-band sum); the
@@ -1394,6 +1399,7 @@ def excess_shipped_suppliers(
     Output: s_name, n_name, ordered by s_name.
     """
     pts = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
     shipped = (
         lineitem.select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
         .join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"))
@@ -1403,12 +1409,10 @@ def excess_shipped_suppliers(
                 F.when(
                     (F.col("l_shipdate") >= date_lo)
                     & (F.col("l_shipdate") < date_hi),
-                    F.col("l_quantity"),
-                ).otherwise(F.lit(0.0))
-            )
-            .cast("long")
-            .alias("qty_band"),
-            F.sum("l_quantity").cast("long").alias("qty_total"),
+                    qty,
+                ).otherwise(F.lit(0))
+            ).alias("qty_band"),
+            F.sum(qty).alias("qty_total"),
         )
     )
     hits = (

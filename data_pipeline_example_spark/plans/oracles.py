@@ -3153,11 +3153,14 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 ORACLES["excess_shipped_suppliers"] = """
 WITH pts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
 shipped AS (
+  -- per-row round+cast matches Spark's round(q,0).cast(long): a float
+  -- SUM cast would truncate in Spark but round in DuckDB
   SELECT l_suppkey, l_partkey,
          CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
                         AND l_shipdate < TIMESTAMP '1997-01-01'
-                       THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_band,
-         CAST(sum(l_quantity) AS BIGINT) AS qty_total
+                       THEN CAST(round(l_quantity, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS qty_band,
+         CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty_total
   FROM lineitem JOIN pts ON l_partkey = p_partkey
   GROUP BY 1, 2
 ),
