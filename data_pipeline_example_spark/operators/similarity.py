@@ -1807,3 +1807,131 @@ def knn_batch(embeddings: DataFrame, n_queries: int = 4, k: int = 5) -> DataFram
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+def ivfpq_knn_index_batch(
+    spark,
+    path: str,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    dims: int = 64,
+    rerank: int = 64,
+) -> DataFrame:
+    """Serve a QUERY BATCH from a materialized `write_ann_index` layout
+    — the production retrieval shape (`ivfpq_knn_indexed` serves one
+    query per pruned read; a retrieval batch would re-pay the index
+    open/prune overhead N times). The union of every query's probed
+    partitions is read ONCE with an explicit ``centroid_id IN (...)``
+    partition filter (pruning asserted by test); a per-query membership
+    join against the broadcast (query_id, centroid_id) probe table then
+    restricts each query's scoring to exactly the buckets IT probed —
+    so each query scores the same candidate set as its solo run.
+
+    Per-query work matches `ivfpq_knn_indexed` expression-for-
+    expression (6-dp LUT cosines summed and re-rounded, exact re-rank
+    of the rerank-shortlist against stored vectors), so the batch rows
+    are bit-identical to per-query serving — pinned by test against
+    `ivfpq_knn` itself. The per-query shortlist/top-k caps use
+    ``row_number() <= n`` windows that compile to WindowGroupLimit:
+    map tasks pre-trim BEFORE the exchange, so the shuffle carries
+    O(rerank × queries × tasks) rows regardless of corpus size (the
+    `knn_batch` discipline). Bounded documented collects: the
+    n_centroids-row probe scoring only.
+
+    Output: query_id, vec_id, approx_sim, cos_sim, rank (≤ k rows per
+    query, ranked by exact cosine desc).
+    """
+    assert dims % m == 0
+    sub_len = dims // m
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(qid), [float(x) for x in qv]) for qid, qv in query_vecs],
+            "query_id long, qv array<double>",
+        )
+    )
+    cents = spark.read.parquet(f"{path}/centroids")
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    probe_rows = (
+        cents.filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), "cv")
+        .crossJoin(qdf)
+        .select(
+            "query_id",
+            "centroid_id",
+            F.round(V.cosine(F.col("cv"), F.col("qv")), 6).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "centroid_id")
+        .collect()
+    )
+    probes_df = F.broadcast(
+        spark.createDataFrame(
+            [(r["query_id"], int(r["centroid_id"])) for r in probe_rows],
+            "query_id long, centroid_id int",
+        )
+    )
+    union_ids = sorted({int(r["centroid_id"]) for r in probe_rows})
+
+    idx = spark.read.parquet(f"{path}/index").filter(
+        F.col("centroid_id").isin(union_ids)
+    )
+    cparts = (
+        cents.filter(F.col("vec_id") < ks)
+        .select(F.col("vec_id").alias("cid"), "cv")
+        .select(
+            "cid",
+            F.posexplode(
+                F.array(*[F.slice("cv", g * sub_len + 1, sub_len) for g in range(m)])
+            ).alias("g", "scv"),
+        )
+    )
+    lut = cparts.crossJoin(qdf).select(
+        "query_id",
+        "g",
+        "cid",
+        F.round(
+            V.cosine(
+                F.col("scv"), F.expr(f"slice(qv, g * {sub_len} + 1, {sub_len})")
+            ),
+            6,
+        ).alias("l"),
+    )
+    melted = idx.select(
+        "vec_id",
+        "centroid_id",
+        F.posexplode(F.array(*[f"code_{g}" for g in range(m)])).alias("g", "cid"),
+    )
+    approx = (
+        melted.join(probes_df, "centroid_id")
+        .join(F.broadcast(lut), ["query_id", "g", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("l"), 6).alias("approx_sim"))
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("vec_id")
+    )
+    shortlist = (
+        approx.withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= rerank)
+        .select("query_id", "vec_id", "approx_sim")
+    )
+    kw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        idx.select("vec_id", "v")
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(qdf, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "approx_sim",
+            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(kw).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -3335,6 +3335,107 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _ivfpq_batch_oracle(
+    n_queries: int = 4,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    dims: int = 64,
+    rerank: int = 64,
+) -> str:
+    """Batched IVF-PQ serving oracle — `_ivfpq_oracle` generalized over
+    a query batch (the n_queries lowest vec_ids): per-query probes,
+    per-query LUT, per-query shortlist + exact re-rank. The Spark side
+    serves the batch from the written index in one pruned read; values
+    agree because the index materializes the same assign_centroids /
+    pq_codes the SQL rebuilds."""
+    sub_len = dims // m
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {n_centroids}),
+ascore AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+         ) AS rn
+  FROM e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, centroid_id FROM ascore WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries}),
+pscore AS (
+  SELECT q.query_id, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC, c.centroid_id ASC
+         ) AS rn
+  FROM cents c CROSS JOIN qs q
+),
+probes AS (SELECT query_id, centroid_id FROM pscore WHERE rn <= {n_probe}),
+parts AS (
+  SELECT vec_id, g, list_slice(v, g * {sub_len} + 1, (g + 1) * {sub_len}) AS sv
+  FROM e CROSS JOIN range({m}) t(g)
+),
+cparts AS (
+  SELECT vec_id AS cid, g, list_slice(v, g * {sub_len} + 1, (g + 1) * {sub_len}) AS cv
+  FROM e CROSS JOIN range({m}) t(g)
+  WHERE vec_id < {ks}
+),
+pqscore AS (
+  SELECT p.vec_id, p.g, c.cid,
+         row_number() OVER (
+           PARTITION BY p.vec_id, p.g
+           ORDER BY round(list_cosine_similarity(p.sv, c.cv), 6) DESC, c.cid ASC
+         ) AS rn
+  FROM parts p JOIN cparts c ON p.g = c.g
+),
+codes AS (SELECT vec_id, g, cid FROM pqscore WHERE rn = 1),
+lut AS (
+  SELECT q.query_id, c.g, c.cid,
+         round(list_cosine_similarity(
+           c.cv, list_slice(q.qv, c.g * {sub_len} + 1, (c.g + 1) * {sub_len})), 6) AS l
+  FROM cparts c CROSS JOIN qs q
+),
+cand AS (
+  SELECT p.query_id, a.vec_id FROM assigned a JOIN probes p USING (centroid_id)
+),
+approx AS (
+  SELECT cand.query_id, codes.vec_id, round(sum(l), 6) AS approx_sim
+  FROM codes
+  JOIN cand ON cand.vec_id = codes.vec_id
+  JOIN lut ON lut.query_id = cand.query_id AND lut.g = codes.g AND lut.cid = codes.cid
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, vec_id, approx_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_sim DESC, vec_id ASC) AS srn
+  FROM approx
+),
+rr AS (
+  SELECT s.query_id, s.vec_id, s.approx_sim,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+  FROM shortlist s
+  JOIN e ON e.vec_id = s.vec_id
+  JOIN qs q ON q.query_id = s.query_id
+  WHERE s.srn <= {rerank}
+),
+fin AS (
+  SELECT query_id, vec_id, approx_sim, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM rr
+)
+SELECT query_id, vec_id, approx_sim, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM fin WHERE rank <= {k}
+"""
+
+
+ORACLES["ivfpq_knn_index_batch"] = _ivfpq_batch_oracle()
+
+
 ORACLES["knn_batch"] = f"""
 WITH {_VECS},
 qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),

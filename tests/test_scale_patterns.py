@@ -278,3 +278,45 @@ def test_token_budget_caps_null_source_is_its_own_group(spark):
     )
     assert got == want
     assert len(got) == 4 and any(t[1] is None for t in got)
+
+
+def test_ann_index_batch_pruning_and_per_query_identity(spark, sf_dir, tmp_path):
+    """ivfpq_knn_index_batch: ONE pruned read serves the whole batch
+    (the union of probed partitions appears as a centroid_id PARTITION
+    filter), and each query's rows are bit-identical to its solo
+    ivfpq_knn run."""
+    from data_pipeline_example_spark.operators.similarity import (
+        ivfpq_knn,
+        ivfpq_knn_index_batch,
+        write_ann_index,
+    )
+    from data_pipeline_example_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path)
+    qvs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    batch = ivfpq_knn_index_batch(spark, path, qvs)
+
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(batch._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters", 1)[1][:200]
+    assert "centroid_id" in part_section
+
+    rows = batch.collect()
+    per_q = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        per_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["approx_sim"], r["cos_sim"])
+        )
+    assert sorted(per_q) == [0, 1, 2]
+    for qid, got in per_q.items():
+        direct = [
+            (r["vec_id"], r["approx_sim"], r["cos_sim"])
+            for r in ivfpq_knn(emb, query_id=qid).collect()
+        ]
+        assert got == direct, qid
