@@ -398,7 +398,9 @@ def dedup_lines_stream(
     )
 
 
-def budget_admission_stream(docs: DataFrame, budget: int = 800) -> DataFrame:
+def budget_admission_stream(
+    docs: DataFrame, budget: int = 800, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming per-source TOKEN-budget admission — the online twin of
     batch ``text.token_budget_caps``: a greedy quota keyed on source.
     State is ONE long per source (tokens admitted so far); an arriving
@@ -408,8 +410,17 @@ def budget_admission_stream(docs: DataFrame, budget: int = 800) -> DataFrame:
     differs (documented) while the budget INVARIANT is identical:
     admitted tokens never exceed ``budget`` per source. Rows process in
     doc_id order within each micro-batch so checkpoint replays re-admit
-    identically. State is O(#sources) — NoTimeout is safe for bounded
-    source vocabularies; open domains should add a TTL timeout.
+    identically. The state store checkpoints exactly like built-in
+    aggregations — a stop-and-restart from the same checkpoint resumes
+    each source's spent total (asserted by restart test).
+
+    State is O(#sources) — NoTimeout (the default) is safe for bounded
+    source vocabularies. For OPEN source domains pass ``state_ttl_ms``:
+    a source idle longer than the TTL has its quota entry dropped via a
+    ProcessingTimeTimeout (its budget resets on next arrival —
+    admission becomes per-activity-epoch, the standard quota-TTL
+    semantics), which bounds state to sources active within the TTL
+    horizon.
 
     Input: a decoded doc stream with doc_id, text and (optionally)
     source columns. Output stream (update mode): doc_id, source,
@@ -442,6 +453,17 @@ def budget_admission_stream(docs: DataFrame, budget: int = 800) -> DataFrame:
     state_schema = StructType([StructField("used", LongType())])
 
     def update(key: tuple, pdfs, state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "source": pd.Series([], dtype="object"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "admitted": pd.Series([], dtype="int64"),
+                }
+            )
+            return
         used = int(state.get[0]) if state.exists else 0
         pdf = pd.concat(list(pdfs)).sort_values("doc_id")
         admitted = []
@@ -451,6 +473,8 @@ def budget_admission_stream(docs: DataFrame, budget: int = 800) -> DataFrame:
                 used += int(nt)
             admitted.append(1 if ok else 0)
         state.update((used,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -460,6 +484,11 @@ def budget_admission_stream(docs: DataFrame, budget: int = 800) -> DataFrame:
             }
         )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return typed.groupBy("source").applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, "update", timeout
     )

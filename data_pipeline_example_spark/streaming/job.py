@@ -218,9 +218,12 @@ def running_product_totals(df: DataFrame) -> DataFrame:
 
     State: one double per product. Each micro-batch updates the running
     total and emits (product, total, batch_rows). Arrow-batched; state
-    store checkpointed exactly like built-in aggregations. NoTimeout:
-    totals are cumulative forever (state is O(#products), which is small
-    by definition here — for unbounded key spaces add a TTL timeout).
+    store checkpointed exactly like built-in aggregations — a
+    stop-and-restart from the same checkpoint resumes the totals
+    (asserted by restart test). NoTimeout: totals are cumulative
+    forever (state is O(#products), which is small by definition here —
+    for unbounded key spaces use the ``state_ttl_ms`` pattern of
+    ``streaming.curation.budget_admission_stream``).
     """
     import pandas as pd  # local import: worker-side dependency
 

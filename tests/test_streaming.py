@@ -418,3 +418,49 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
         [f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")]
     )
     assert n_commits_2 > n_commits_1
+
+
+def test_running_totals_state_survives_checkpoint_restart(spark, tmp_path):
+    """applyInPandasWithState restart recovery for running_product_totals:
+    run to completion, STOP, append input, restart from the same
+    checkpoint. The restarted query must resume the per-product running
+    total from the recovered state store (emit 15.0, not 5.0) and must
+    not re-emit batch-1 output."""
+    in_dir, out_dir, ckpt = tmp_path / "in", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    in_dir.mkdir()
+    now = time.time()
+
+    def run_once():
+        raw = job.read_stream(spark, "json", path=str(in_dir), max_files_per_trigger=1)
+        totals = job.running_product_totals(job.transform_orders(raw))
+        q = (
+            totals.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_events(
+        str(in_dir / "b1.json"),
+        [{"product": "A", "event_time": "2025-01-01 10:00:00", "total_price": "10.0"}],
+        now - 30,
+    )
+    run_once()
+    assert [
+        (r["total"], r["batch_rows"]) for r in spark.read.parquet(out_dir).collect()
+    ] == [(10.0, 1)]
+
+    _write_events(
+        str(in_dir / "b2.json"),
+        [{"product": "A", "event_time": "2025-01-01 11:00:00", "total_price": "5.0"}],
+        now,
+    )
+    run_once()  # restart: recovered state total=10 → emits 15, once
+    rows = sorted(
+        (r["total"], r["batch_rows"]) for r in spark.read.parquet(out_dir).collect()
+    )
+    assert rows == [(10.0, 1), (15.0, 1)]
