@@ -1838,3 +1838,283 @@ def substring_dedup(documents: DataFrame, k: int = 50) -> DataFrame:
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def gopher_repetition(documents: DataFrame) -> DataFrame:
+    """The Gopher REPETITION rule set (Rae et al. 2021, §A1.1 — the
+    companion gate to :func:`gopher_quality`'s document rules): per
+    document, the duplicate-line fraction, duplicate-line CHARACTER
+    fraction, and the fraction of normalized-stream characters covered
+    by the single most frequent {2,3,4}-gram. Gopher drops documents
+    with dup_line_frac > 0.30, dup_line_char_frac > 0.20, or top-n-gram
+    char fractions above 0.20/0.18/0.16 — templated/looping boilerplate
+    that per-document quality rules miss.
+
+    Contract notes: lines are trimmed, empty lines dropped; the
+    top-gram denominators use the normalized token stream's character
+    length (deterministic cross-engine, unlike raw-text char counts
+    with \\r/zero-width variance); the most-frequent gram tie-breaks
+    (count desc, gram length desc, gram desc) so the covered-char
+    figure is engine-independent.
+
+    Plan: ONE corpus scan materializes the per-doc line + token arrays
+    (localCheckpoint — the line metrics and the gram branch both read
+    it; module docstring's eager-construction contract applies). Line
+    metrics are pure per-row array arithmetic (each array pass linear,
+    constant passes per doc). The gram branch explodes (doc, n, gram)
+    rows — narrow strings, never text — through two map-side-combined
+    aggregates: (doc, n, gram) counts, then a per-(doc, n) struct-max
+    (no window, no sort). Output: doc_id, n_lines, dup_line_frac,
+    dup_line_char_frac, top2_char_frac, top3_char_frac,
+    top4_char_frac, passes (int) — all fractions 4 dp.
+    """
+    lines_col = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != F.lit(""),
+    )
+    base = (
+        widen(documents)
+        .select(
+            "doc_id",
+            lines_col.alias("l"),
+            T.tokens(F.lower(F.col("text"))).alias("t"),
+        )
+        .localCheckpoint()
+    )
+    zero = F.lit(0).cast("long")
+    per_doc = base.select(
+        "doc_id",
+        F.size("l").cast("long").alias("n_lines"),
+        F.size(F.array_distinct("l")).cast("long").alias("n_dist"),
+        F.aggregate("l", zero, lambda a, x: a + F.length(x)).alias("lchars"),
+        F.aggregate(F.array_distinct("l"), zero, lambda a, x: a + F.length(x)).alias(
+            "dchars"
+        ),
+        F.length(F.array_join("t", " ")).cast("long").alias("tchars"),
+    )
+    gram_rows = (
+        base.select(
+            "doc_id",
+            "t",
+            F.explode(F.array(F.lit(2), F.lit(3), F.lit(4))).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - n + 1, 0)), "
+                    "(x, i) -> array_join(slice(t, i + 1, n), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+    cnts = gram_rows.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        cnts.groupBy("doc_id", "n")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c"), F.length("gram").alias("glen"), F.col("gram")
+                )
+            ).alias("top")
+        )
+        .select(
+            "doc_id",
+            "n",
+            (F.col("top.c") * F.col("top.glen")).cast("long").alias("top_chars"),
+        )
+    )
+    topw = top.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"t{n}")
+            for n in (2, 3, 4)
+        ]
+    )
+
+    def frac(num, den):
+        return F.when(den > 0, F.round(num / den, 4)).otherwise(F.lit(0.0))
+
+    def topfrac(c):
+        return F.when(
+            (F.col("tchars") > 0) & F.col(c).isNotNull(),
+            F.round(F.col(c) / F.col("tchars"), 4),
+        ).otherwise(F.lit(0.0))
+
+    dup_line = frac(F.col("n_lines") - F.col("n_dist"), F.col("n_lines"))
+    dup_char = frac(F.col("lchars") - F.col("dchars"), F.col("lchars"))
+    scored = per_doc.join(topw, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        dup_line.alias("dup_line_frac"),
+        dup_char.alias("dup_line_char_frac"),
+        topfrac("t2").alias("top2_char_frac"),
+        topfrac("t3").alias("top3_char_frac"),
+        topfrac("t4").alias("top4_char_frac"),
+    )
+    passes = (
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (F.col("top2_char_frac") <= 0.20)
+        & (F.col("top3_char_frac") <= 0.18)
+        & (F.col("top4_char_frac") <= 0.16)
+    )
+    return scored.withColumn("passes", passes.cast("int"))
+
+
+#: PII detector patterns — deliberately RE2-compatible (no lookaround,
+#: no backrefs) so the Spark (Java regex) and DuckDB (RE2) engines
+#: match identically; shared by operator and oracle.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def pii_scan(documents: DataFrame) -> DataFrame:
+    """PII pre-redaction scan — the census a curation pipeline runs
+    before deciding redaction policy (C4/Dolma both gate on it):
+    per-document counts of email addresses, NNN-NNN-NNNN phone
+    numbers, and dotted-quad IPv4 literals, from ``PII_PATTERNS``
+    (one pattern table drives operator, oracle, and any downstream
+    redactor — the GOPHER_RULE_SQL discipline).
+
+    Pure scan-local regexp_count expressions — zero shuffle at any
+    corpus size; the patterns avoid lookaround so Java regex and RE2
+    agree. Output: doc_id, n_emails, n_phones, n_ipv4, n_pii,
+    has_pii (int).
+    """
+    counts = [
+        F.regexp_count(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(pat)
+        ).cast("long").alias(f"n_{name}s" if name != "ipv4" else "n_ipv4")
+        for name, pat in PII_PATTERNS
+    ]
+    scored = widen(documents).select("doc_id", *counts)
+    n_pii = F.col("n_emails") + F.col("n_phones") + F.col("n_ipv4")
+    return scored.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ipv4",
+        n_pii.alias("n_pii"),
+        (n_pii > 0).cast("int").alias("has_pii"),
+    )
+
+
+def source_temperature_weights(documents: DataFrame) -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual-LM
+    alpha-sampling recipe (sample source s with probability
+    ∝ count_s^α, α < 1 upweights small sources): the mixture knob that
+    turns raw source counts into an actual sampling distribution.
+
+    α is FIXED at 0.5: sqrt is a correctly-rounded IEEE-754 operation
+    in every engine, so the powered weights are bit-identical across
+    Spark and DuckDB — a general pow() is not correctly rounded and
+    can straddle the rounding boundary (the operator's documented
+    exactness contract; other temperatures belong behind a
+    deliberately weaker rows-only gate). Weights follow the integer
+    micro-unit discipline: 6-dp-rounded sqrt scaled to exact longs,
+    summed as longs; the final rate is one long/long division rounded
+    to 4 dp (certified single-division precedent).
+
+    Plan: one map-side-combined groupBy(source) (bounded domain), a
+    1-row total broadcast back — no corpus-sized shuffle. Output:
+    source, n_docs, weight_micro, sample_rate, ordered by source.
+    """
+    cnt = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wc = cnt.withColumn(
+        "weight_micro",
+        F.round(F.round(F.sqrt(F.col("n_docs")), 6) * 1e6, 0).cast("long"),
+    )
+    tot = wc.agg(F.sum("weight_micro").alias("wt"))
+    return (
+        wc.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "weight_micro",
+            F.round(F.col("weight_micro") / F.col("wt"), 4).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def bm25_search(
+    documents: DataFrame,
+    query: tuple[str, ...] = ("spark", "window", "hash"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    n: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (Robertson-Spärck Jones,
+    the Okapi formula) — the standard lexical-search scorer, here as a
+    top-n query over the documents table.
+
+    Exactness: per-(doc, term) scores are a chain of individually
+    correctly-rounded IEEE ops on identical inputs (avgdl is the exact
+    long token total divided by the exact doc count — never a float
+    AVG, whose accumulation order varies); the only transcendental
+    (ln) is 6-dp-rounded before use, and each term score is
+    6-dp-rounded then scaled to integer MICRO units so the per-doc sum
+    is order-independent long arithmetic (the dsir/bigram discipline).
+
+    Plan: one tokenize scan; the explode is filtered to the query
+    terms BEFORE any exchange (scan-local isin), so only matching
+    (doc, term) rows shuffle — O(matches), never O(tokens); df and
+    corpus stats are planning-sized broadcasts; the top-n is a
+    TakeOrdered. Output: doc_id, n_terms, bm25_micro (micro-units;
+    divide by 1e6 for the score), top n by score.
+    """
+    toks = widen(documents).select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.size("t")), F.lit(0)).cast("long").alias("sum_dl"),
+    )
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("t").cast("long").alias("dl"),
+            F.explode("t").alias("term"),
+        )
+        .filter(F.col("term").isin(*query))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
+    )
+    score6 = F.round(
+        idf * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(score6 * 1e6, 0).cast("long").alias("s_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("s_micro").cast("long").alias("bm25_micro"),
+        )
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(n)
+    )

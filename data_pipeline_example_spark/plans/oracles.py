@@ -3453,3 +3453,142 @@ ranked AS (
 SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 5
 """
+
+
+ORACLES["gopher_repetition"] = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS l,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(len(l) AS BIGINT) AS n_lines,
+         CAST(len(list_distinct(l)) AS BIGINT) AS n_dist,
+         CAST(coalesce(list_sum(list_transform(l, x -> length(x))), 0) AS BIGINT) AS lchars,
+         CAST(coalesce(list_sum(list_transform(list_distinct(l), x -> length(x))), 0) AS BIGINT) AS dchars,
+         CAST(length(array_to_string(t, ' ')) AS BIGINT) AS tchars
+  FROM base
+),
+grams AS (
+  SELECT doc_id, ns.n AS n,
+         unnest(list_transform(range(1, greatest(len(t) - ns.n + 1, 0) + 1),
+                i -> array_to_string(t[i:i+ns.n-1], ' '))) AS gram
+  FROM base CROSS JOIN (VALUES (2), (3), (4)) ns(n)
+),
+cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+top AS (
+  SELECT doc_id, n, CAST(c * length(gram) AS BIGINT) AS top_chars,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY c DESC, length(gram) DESC, gram DESC) AS rn
+  FROM cnt
+),
+topw AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN top_chars END) AS t2,
+         max(CASE WHEN n = 3 THEN top_chars END) AS t3,
+         max(CASE WHEN n = 4 THEN top_chars END) AS t4
+  FROM top WHERE rn = 1 GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id, p.n_lines,
+         CASE WHEN n_lines > 0 THEN round((n_lines - n_dist) * 1.0 / n_lines, 4) ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN lchars > 0 THEN round((lchars - dchars) * 1.0 / lchars, 4) ELSE 0.0 END AS dup_line_char_frac,
+         CASE WHEN tchars > 0 AND t2 IS NOT NULL THEN round(t2 * 1.0 / tchars, 4) ELSE 0.0 END AS top2_char_frac,
+         CASE WHEN tchars > 0 AND t3 IS NOT NULL THEN round(t3 * 1.0 / tchars, 4) ELSE 0.0 END AS top3_char_frac,
+         CASE WHEN tchars > 0 AND t4 IS NOT NULL THEN round(t4 * 1.0 / tchars, 4) ELSE 0.0 END AS top4_char_frac
+  FROM per_doc p LEFT JOIN topw USING (doc_id)
+)
+SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       top2_char_frac, top3_char_frac, top4_char_frac,
+       CAST((dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+             AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+             AND top4_char_frac <= 0.16) AS INTEGER) AS passes
+FROM scored
+"""
+
+
+def _pii_oracle() -> str:
+    from data_pipeline_example_spark.operators.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '{pats["email"]}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '{pats["phone"]}')) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '{pats["ipv4"]}')) AS BIGINT) AS n_ipv4
+  FROM documents
+)
+SELECT doc_id, n_emails, n_phones, n_ipv4,
+       n_emails + n_phones + n_ipv4 AS n_pii,
+       CAST(n_emails + n_phones + n_ipv4 > 0 AS INTEGER) AS has_pii
+FROM c
+"""
+
+
+ORACLES["pii_scan"] = _pii_oracle()
+
+
+ORACLES["source_temperature_weights"] = """
+WITH cnt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(round(round(sqrt(n_docs), 6) * 1e6, 0) AS BIGINT) AS weight_micro
+  FROM cnt
+),
+tot AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS wt FROM w)
+SELECT source, n_docs, weight_micro,
+       round(weight_micro * 1.0 / wt, 4) AS sample_rate
+FROM w CROSS JOIN tot
+ORDER BY source
+"""
+
+
+def _bm25_oracle(
+    query: tuple[str, ...] = ("spark", "window", "hash"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    n: int = 20,
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in query)
+    return f"""
+WITH toksb AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS sum_dl
+  FROM toksb
+),
+tf AS (
+  SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toksb)
+  WHERE term IN ({terms})
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+           * (tf * ({k1} + 1.0))
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+         , 6) * 1e6 AS BIGINT) AS s_micro
+  FROM tf JOIN dfs USING (term) CROSS JOIN stats
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+FROM scored GROUP BY 1
+ORDER BY bm25_micro DESC, doc_id ASC
+LIMIT {n}
+"""
+
+
+ORACLES["bm25_search"] = _bm25_oracle()

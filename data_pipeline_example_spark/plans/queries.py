@@ -821,6 +821,26 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_batch(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rule set (dup lines + top-n-gram coverage)."""
+    return text.gopher_repetition(load_table(spark, sf_dir, "documents"))
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII census: email/phone/IPv4 counts per document."""
+    return text.pii_scan(load_table(spark, sf_dir, "documents"))
+
+
+def q_source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature sampling weights per source."""
+    return text.source_temperature_weights(load_table(spark, sf_dir, "documents"))
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 lexical retrieval over the documents table."""
+    return text.bm25_search(load_table(spark, sf_dir, "documents"))
+
+
 _ANN_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -1097,6 +1117,10 @@ QUERIES: dict[str, QueryFn] = {
     # excess_shipped_suppliers per-row integer cast), then the r6 front
     # remainder
     "ivfpq_knn_index_batch": q_ivfpq_knn_index_batch,
+    "gopher_repetition": q_gopher_repetition,
+    "pii_scan": q_pii_scan,
+    "source_temperature_weights": q_source_temperature_weights,
+    "bm25_search": q_bm25_search,
     "knn_batch": q_knn_batch,
     "substring_dedup": q_substring_dedup,
     "winnowing_fingerprints": q_winnowing_fingerprints,

@@ -514,3 +514,113 @@ def test_winnowing_guarantee_density_and_ties(spark):
     # pairs: the shared-run pair surfaces through the index
     pairs = tx.winnowing_overlap_pairs(docs, min_shared=1).collect()
     assert (1, 2) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+
+
+def test_gopher_repetition_metrics_and_ties(spark):
+    """Hand-computed repetition metrics: duplicate lines, duplicate-line
+    chars, top-2-gram coverage; empty doc yields zeros and passes."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world\nhello world\nunique line", "en", "s", 35),
+            (2, "", "en", "s", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["doc_id"]: r for r in tx.gopher_repetition(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == round(1 / 3, 4)
+    # 2×"hello world" (11 ch) + "unique line" (11 ch): 11/33 duplicated
+    assert r1["dup_line_char_frac"] == round(11 / 33, 4)
+    # top 2-gram "hello world" ×2 → 22 chars over the 35-char stream
+    assert r1["top2_char_frac"] == round(22 / 35, 4)
+    assert r1["passes"] == 0
+    r2 = rows[2]
+    assert (
+        r2["n_lines"],
+        r2["dup_line_frac"],
+        r2["top2_char_frac"],
+        r2["passes"],
+    ) == (0, 0.0, 0.0, 1)
+
+
+def test_pii_scan_counts(spark):
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact a@b.com or c.d@e.org, call 555-123-4567, host 10.0.0.1", "en", "s", 60),
+            (2, "no pii here at all", "en", "s", 18),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["doc_id"]: r for r in tx.pii_scan(docs).collect()}
+    assert (
+        rows[1]["n_emails"],
+        rows[1]["n_phones"],
+        rows[1]["n_ipv4"],
+        rows[1]["n_pii"],
+        rows[1]["has_pii"],
+    ) == (2, 1, 1, 4, 1)
+    assert rows[2]["n_pii"] == 0 and rows[2]["has_pii"] == 0
+
+
+def test_source_temperature_weights_sqrt_exact(spark):
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "a" if i < 4 else "b", 1) for i in range(20)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["source"]: r for r in tx.source_temperature_weights(docs).collect()}
+    # counts 4 and 16 → sqrt 2 and 4 → micro 2e6 / 4e6 → rates 1/3, 2/3
+    assert rows["a"]["weight_micro"] == 2_000_000
+    assert rows["b"]["weight_micro"] == 4_000_000
+    assert rows["a"]["sample_rate"] == round(1 / 3, 4)
+    assert rows["b"]["sample_rate"] == round(2 / 3, 4)
+
+
+def test_bm25_search_matches_python_reference(spark):
+    """BM25 micro-scores equal a literal Python implementation of the
+    documented formula (same rounding schedule) on a small corpus."""
+    import math
+
+    from data_pipeline_example_spark.operators import text as tx
+
+    texts = {
+        1: "spark window spark hash join",
+        2: "spark table scan",
+        3: "window window window hash",
+        4: "no matching terms here",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {
+        r["doc_id"]: (r["n_terms"], r["bm25_micro"])
+        for r in tx.bm25_search(docs).collect()
+    }
+    # literal reference
+    query, k1, b = ("spark", "window", "hash"), 1.2, 0.75
+    toks = {i: t.split() for i, t in texts.items()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    dfs = {q: sum(1 for t in toks.values() if q in t) for q in query}
+    want = {}
+    for i, t in toks.items():
+        total, n_terms = 0, 0
+        for q in query:
+            tf = t.count(q)
+            if not tf:
+                continue
+            n_terms += 1
+            idf = round(math.log((n_docs - dfs[q] + 0.5) / (dfs[q] + 0.5) + 1.0), 6)
+            s = round(idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(t) / avgdl)), 6)
+            total += round(s * 1e6)
+        if n_terms:
+            want[i] = (n_terms, total)
+    assert got == want
+    assert 4 not in got
