@@ -117,6 +117,15 @@ HEADLINE = [
     "substring_dedup",
     # round 6: batched exact top-k (many queries, one corpus scan)
     "knn_batch",
+    # round 7: the new curation + retrieval legs — full Gopher
+    # repetition rules, PII census, mixture temperature weights, BM25
+    # lexical retrieval, and batched serving from the materialized
+    # IVF-PQ index (index write amortized across the session cache)
+    "gopher_repetition",
+    "pii_scan",
+    "source_temperature_weights",
+    "bm25_search",
+    "ivfpq_knn_index_batch",
 ]
 
 

@@ -846,17 +846,26 @@ _ANN_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 def q_ivfpq_knn_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query batch served from the materialized IVF-PQ index: writes
-    ``write_ann_index``'s centroid-partitioned layout to a temp dir
-    (once per session × sf_dir — cached, so repeat bench runs pay only
-    the serve) and serves the 4 lowest vec_ids from it in ONE
-    partition-pruned read."""
-    import tempfile
+    ``write_ann_index``'s centroid-partitioned layout to a repo-local
+    scratch dir (once per session × sf_dir — cached, so repeat bench
+    runs pay only the serve) and serves the 4 lowest vec_ids from it
+    in ONE partition-pruned read."""
+    import hashlib
+    import os
 
     emb = load_table(spark, sf_dir, "embeddings")
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _ANN_INDEX_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="spark_graft_ann_")
+        tag = hashlib.md5(
+            f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+        ).hexdigest()[:12]
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            ".localdata",
+            "ann_cache",
+            tag,
+        )
         similarity.write_ann_index(emb, path)
         _ANN_INDEX_CACHE[key] = path
     qvs = [
