@@ -853,3 +853,51 @@ def simhash_pairs_capped(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def cluster_representatives(
+    documents: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Quality-aware canonical-document selection per near-dup cluster
+    — the dedup DECISION a production pipeline actually ships:
+    ``dedup_clusters``/``exact_dedup`` keep the min doc_id, but
+    RefinedWeb-style curation keeps the BEST cluster member. Each
+    cluster's representative is its highest-``doc_stats``-quality
+    member (ties → min doc_id); documents in no pair are singleton
+    clusters and appear with themselves as representative, so the
+    output is a complete keep-decision table.
+
+    Plan: connected components from the supplied pair frame (the
+    ``dedup_clusters`` iterative min-label machinery, O(diameter)
+    rounds), a left-anti union for singletons (id-only rows), one
+    quality join, and a per-cluster struct-max — an aggregate, never a
+    window sort. Output: cluster_id, rep_doc_id, n_members,
+    rep_quality, ordered by cluster_id.
+    """
+    from data_pipeline_example_spark.operators.text import doc_stats
+
+    clusters = dedup_clusters(pairs)
+    singles = (
+        documents.select("doc_id")
+        .join(clusters.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    members = clusters.unionByName(singles)
+    qual = doc_stats(documents).select("doc_id", "quality")
+    return (
+        members.join(qual, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(
+                F.struct(F.col("quality"), (-F.col("doc_id")).alias("nd"))
+            ).alias("top"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("top.nd")).alias("rep_doc_id"),
+            "n_members",
+            F.col("top.quality").alias("rep_quality"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -2065,10 +2065,15 @@ def bm25_search(
     6-dp-rounded then scaled to integer MICRO units so the per-doc sum
     is order-independent long arithmetic (the dsir/bigram discipline).
 
-    Plan: one tokenize scan; the explode is filtered to the query
-    terms BEFORE any exchange (scan-local isin), so only matching
-    (doc, term) rows shuffle — O(matches), never O(tokens); df and
-    corpus stats are planning-sized broadcasts; the top-n is a
+    Plan: two column-pruned tokenize scans (the corpus length stats
+    and the term-matched explode — re-tokenizing beats checkpointing
+    the full corpus token arrays, the oov_rate measurement); the
+    explode is filtered to the query terms BEFORE any exchange
+    (scan-local isin), so only matching (doc, term) rows shuffle —
+    O(matches), never O(tokens) — and the tiny matched frame is
+    localCheckpoint-ed once (module eager-construction contract) so
+    the df census and the scoring read it without a third scan; df
+    and corpus stats are planning-sized broadcasts; the top-n is a
     TakeOrdered. Output: doc_id, n_terms, bm25_micro (micro-units;
     divide by 1e6 for the score), top n by score.
     """
@@ -2088,6 +2093,7 @@ def bm25_search(
         .filter(F.col("term").isin(*query))
         .groupBy("doc_id", "term", "dl")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
     )
     dfs = tf.groupBy("term").agg(
         F.countDistinct("doc_id").cast("long").alias("df")
@@ -2118,3 +2124,71 @@ def bm25_search(
         .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
         .limit(n)
     )
+
+
+def lang_source_mix(documents: DataFrame) -> DataFrame:
+    """Corpus-composition audit: document and token mass per
+    (lang, source) cell with corpus shares — the mixture table a data
+    card reports and a sampling plan starts from.
+
+    One map-side-combined aggregate over a bounded (lang × source)
+    domain, a 1-row total broadcast back; token totals are exact long
+    sums, shares are single 4-dp divisions (certified precedent).
+    Output: lang, source, n_docs, n_tokens, doc_share, token_share.
+    """
+    cell = widen(documents).groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = cell.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_tokens").alias("tt")
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("td"), 4).alias("doc_share"),
+            F.round(F.col("n_tokens") / F.col("tt"), 4).alias("token_share"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def token_fertility(documents: DataFrame) -> DataFrame:
+    """Tokenizer-fertility audit per source: characters and BYTES per
+    token — the encoding-efficiency number that decides whether a
+    source is worth its storage/compute at training time (high
+    bytes/token = markup-heavy or non-linguistic payload).
+
+    One aggregate over the bounded source domain; char/byte totals are
+    exact long sums (octet_length for bytes — DuckDB twin strlen);
+    ratios are single 4-dp divisions with a greatest(,1) floor.
+    Output: source, n_docs, n_tokens, n_chars, n_bytes,
+    chars_per_token, bytes_per_token, tokens_per_doc.
+    """
+    g = widen(documents).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_chars"),
+        F.sum(F.octet_length(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_bytes"),
+    )
+    floor_t = F.greatest(F.col("n_tokens"), F.lit(1))
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        F.round(F.col("n_chars") / floor_t, 4).alias("chars_per_token"),
+        F.round(F.col("n_bytes") / floor_t, 4).alias("bytes_per_token"),
+        F.round(F.col("n_tokens") / F.greatest(F.col("n_docs"), F.lit(1)), 4).alias(
+            "tokens_per_doc"
+        ),
+    ).orderBy("source")

@@ -3592,3 +3592,93 @@ LIMIT {n}
 
 
 ORACLES["bm25_search"] = _bm25_oracle()
+
+
+ORACLES["cluster_representatives"] = f"""
+WITH RECURSIVE {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT DISTINCT a AS doc_id, a AS label FROM edges
+  UNION
+  SELECT e.a, cc.label FROM edges e JOIN cc ON cc.doc_id = e.b
+),
+clusters AS (SELECT doc_id, min(label) AS cluster_id FROM cc GROUP BY 1),
+{_DOC_EXPRS.strip().lstrip()},
+qual AS (
+  SELECT doc_id,
+         round(least(n_tokens_raw / 100.0, 1.0)
+               * (1.0 - n_punct_raw * 1.0 / greatest(n_chars_raw, 1))
+               * (0.5 + 0.5 * (c_en * 1.0 / greatest(n_tokens_raw, 1))), 4) AS quality
+  FROM docx
+),
+members AS (
+  SELECT doc_id, cluster_id FROM clusters
+  UNION ALL
+  SELECT d.doc_id, d.doc_id AS cluster_id
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters)
+),
+ranked AS (
+  SELECT m.cluster_id, m.doc_id, q.quality,
+         row_number() OVER (PARTITION BY m.cluster_id
+                            ORDER BY q.quality DESC, m.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY m.cluster_id) AS n_members
+  FROM members m JOIN qual q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members, quality AS rep_quality
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+ORACLES["lang_source_mix"] = """
+WITH cell AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))), 0) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+         CAST(sum(n_tokens) AS BIGINT) AS tt
+  FROM cell
+)
+SELECT lang, source, n_docs, n_tokens,
+       round(n_docs * 1.0 / td, 4) AS doc_share,
+       round(n_tokens * 1.0 / tt, 4) AS token_share
+FROM cell CROSS JOIN tot
+ORDER BY lang, source
+"""
+
+
+ORACLES["token_fertility"] = """
+WITH g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))), 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(length(coalesce(text, ''))), 0) AS BIGINT) AS n_chars,
+         CAST(coalesce(sum(strlen(coalesce(text, ''))), 0) AS BIGINT) AS n_bytes
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, n_tokens, n_chars, n_bytes,
+       round(n_chars * 1.0 / greatest(n_tokens, 1), 4) AS chars_per_token,
+       round(n_bytes * 1.0 / greatest(n_tokens, 1), 4) AS bytes_per_token,
+       round(n_tokens * 1.0 / greatest(n_docs, 1), 4) AS tokens_per_doc
+FROM g
+ORDER BY source
+"""

@@ -841,6 +841,24 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_search(load_table(spark, sf_dir, "documents"))
 
 
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality representative per near-dup cluster (+ singletons)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cluster_representatives(
+        docs, dedup.jaccard_pairs(docs, threshold=0.1)
+    )
+
+
+def q_lang_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang × source) doc/token mass with corpus shares."""
+    return text.lang_source_mix(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chars/bytes per token per source (encoding-efficiency audit)."""
+    return text.token_fertility(load_table(spark, sf_dir, "documents"))
+
+
 _ANN_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -1130,6 +1148,9 @@ QUERIES: dict[str, QueryFn] = {
     "pii_scan": q_pii_scan,
     "source_temperature_weights": q_source_temperature_weights,
     "bm25_search": q_bm25_search,
+    "cluster_representatives": q_cluster_representatives,
+    "lang_source_mix": q_lang_source_mix,
+    "token_fertility": q_token_fertility,
     "knn_batch": q_knn_batch,
     "substring_dedup": q_substring_dedup,
     "winnowing_fingerprints": q_winnowing_fingerprints,

@@ -624,3 +624,52 @@ def test_bm25_search_matches_python_reference(spark):
             want[i] = (n_terms, total)
     assert got == want
     assert 4 not in got
+
+
+def test_cluster_representatives_quality_argmax_and_singletons(spark):
+    """The representative is the highest-quality cluster member (ties →
+    min doc_id), and docs in no pair appear as their own singleton."""
+    from data_pipeline_example_spark.operators import dedup as dd
+    from data_pipeline_example_spark.operators import text as tx
+
+    near = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, near, "en", "s", 10),
+            (2, near + " extra words here make this one longer and better", "en", "s", 10),
+            (3, "totally different content entirely", "en", "s", 10),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pairs = dd.jaccard_pairs(docs, threshold=0.1)
+    reps = {r["cluster_id"]: r for r in dd.cluster_representatives(docs, pairs).collect()}
+    qual = {r["doc_id"]: r["quality"] for r in tx.doc_stats(docs).collect()}
+    # docs 1+2 cluster (id 1); the representative is the higher-quality one
+    best = max((qual[1], -1), (qual[2], -2))
+    assert reps[1]["rep_doc_id"] == -best[1] and reps[1]["n_members"] == 2
+    assert reps[1]["rep_quality"] == best[0]
+    # doc 3 is a singleton cluster of itself
+    assert reps[3]["rep_doc_id"] == 3 and reps[3]["n_members"] == 1
+
+
+def test_lang_source_mix_and_token_fertility_shares(spark):
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "s1", 7),
+            (2, "e f", "en", "s1", 3),
+            (3, "g h i j k l", "de", "s2", 11),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    mix = {(r["lang"], r["source"]): r for r in tx.lang_source_mix(docs).collect()}
+    assert mix[("en", "s1")]["n_docs"] == 2
+    assert mix[("en", "s1")]["n_tokens"] == 6
+    assert mix[("en", "s1")]["doc_share"] == round(2 / 3, 4)
+    assert mix[("en", "s1")]["token_share"] == 0.5
+    fert = {r["source"]: r for r in tx.token_fertility(docs).collect()}
+    # "a b c d" + "e f": 10 chars (ASCII → bytes == chars), 6 tokens
+    assert fert["s1"]["n_chars"] == 10 and fert["s1"]["n_bytes"] == 10
+    assert fert["s1"]["chars_per_token"] == round(10 / 6, 4)
+    assert fert["s1"]["tokens_per_doc"] == 3.0
