@@ -407,3 +407,53 @@ def test_substring_dedup_matches_python_reference(spark, data):
     want = _py_substring_dedup(data, k)
     for i in range(len(data)):
         assert got[i] == want[i], (i, data[i])
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", None]),          # group (incl. NULL)
+            st.integers(min_value=0, max_value=9),        # value (heavy ties)
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    descending=st.booleans(),
+)
+def test_value_cuts_matches_bruteforce(spark, data, descending):
+    """value_cuts' distributed per-value prefix stats equal the literal
+    Python brute force on random grouped data with ties and NULL
+    groups, both sort directions, counts AND weighted mass."""
+    from data_pipeline_example_spark.functions.cuts import value_cuts
+
+    rows = [(i, g, v) for i, (g, v) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows, "row_id long, grp string, val long"
+    ) if rows else spark.createDataFrame([], "row_id long, grp string, val long")
+    cuts, totals = value_cuts(
+        df, "val", group_cols=("grp",), weight_col="val", descending=descending
+    )
+    got = {
+        (r["grp"], r["val"]): (r["cnt"], r["cum_before"], r["mass_before"])
+        for r in cuts.collect()
+    }
+    # brute force
+    want = {}
+    want_totals = {}
+    groups = {}
+    for _, g, v in rows:
+        groups.setdefault(g, []).append(v)
+    for g, vals in groups.items():
+        want_totals[(g,)] = (len(vals), sum(vals))
+        for v in set(vals):
+            before = [
+                x for x in vals if (x > v if descending else x < v)
+            ]
+            want[(g, v)] = (
+                vals.count(v),
+                len(before),
+                sum(before),
+            )
+    assert got == want
+    assert totals == want_totals
