@@ -126,6 +126,11 @@ HEADLINE = [
     "source_temperature_weights",
     "bm25_search",
     "ivfpq_knn_index_batch",
+    # round 7 continuation: corpus-composition audits
+    # (cluster_representatives stays out: it composes the exact O(n²)
+    # jaccard_pairs baseline — the demote-exact-baselines rule)
+    "lang_source_mix",
+    "token_fertility",
 ]
 
 

@@ -1935,3 +1935,67 @@ def ivfpq_knn_index_batch(
         .withColumn("rank", F.row_number().over(kw).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_density_outliers(
+    embeddings: DataFrame,
+    k: int = 5,
+    target_bucket: int = 64,
+    cap: int = 96,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """kNN-density scoring for embedding-space data pruning (the
+    SemDeDup/D4 family's ranking signal): each vector's mean cosine to
+    its ``k`` nearest neighbors WITHIN its capped centroid sub-bucket.
+    Low density = isolated/noisy sample; high density = redundant
+    dense region — both ends are what curation prunes first.
+
+    Same bounded machinery as :func:`nearest_neighbor_capped`: hard
+    ≤cap sub-buckets, so every cosine matrix is ≤ cap×cap and total
+    work is O(n·cap) at any corpus size; recall is bucket-approximate,
+    precision exact. Exactness: per-neighbor cosines are the 6-dp
+    fold-order values, scaled to integer MICRO units and summed as
+    longs (order-independent; a float top-k mean would depend on
+    accumulation order), with ONE 4-dp division at the end (certified
+    single-division precedent). Vectors with fewer than k in-bucket
+    neighbors average over what exists; singleton sub-buckets emit no
+    row (capped-family precedent). Output: vec_id, n_nbrs,
+    knn_sum_micro, density (4 dp).
+    """
+    import pandas as pd
+
+    bucketed = assign_centroids_capped(embeddings, target_bucket, cap, n_rows)
+
+    def bucket_density(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "n_nbrs": [], "knn_sum_micro": []}
+            )
+        M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        S = _cos_matrix(M, M)  # 6-dp, fold-order bit-exact with the oracle
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, len(pdf) - 1)
+        top = -np.sort(-S, axis=1)[:, :kk]
+        micro = np.rint(top * 1e6).astype(np.int64).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "n_nbrs": np.full(len(pdf), kk, dtype=np.int64),
+                "knn_sum_micro": micro,
+            }
+        )
+
+    out = bucketed.groupBy("centroid_id", "sub_id").applyInPandas(
+        bucket_density, "vec_id long, n_nbrs long, knn_sum_micro long"
+    )
+    return out.select(
+        "vec_id",
+        "n_nbrs",
+        "knn_sum_micro",
+        F.round(F.col("knn_sum_micro") / (F.col("n_nbrs") * F.lit(1e6)), 4).alias(
+            "density"
+        ),
+    )

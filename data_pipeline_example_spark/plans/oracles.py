@@ -3682,3 +3682,50 @@ SELECT source, n_docs, n_tokens, n_chars, n_bytes,
 FROM g
 ORDER BY source
 """
+
+
+ORACLES["knn_density_outliers"] = f"""
+WITH {_VECS},
+params AS (
+  SELECT CAST(greatest(1, least(65536, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS BIGINT) AS k
+  FROM e
+),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e, params WHERE vec_id < k),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+subbed AS (
+  SELECT vec_id, centroid_id,
+         CAST((row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) - 1) // 96
+              AS INTEGER) AS sub_id
+  FROM assigned
+),
+scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+  FROM subbed a
+  JOIN subbed b ON a.centroid_id = b.centroid_id AND a.sub_id = b.sub_id
+               AND a.vec_id != b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+),
+ranked AS (
+  SELECT vec_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_nbrs,
+       CAST(sum(CAST(round(cos_sim * 1e6, 0) AS BIGINT)) AS BIGINT) AS knn_sum_micro,
+       round(sum(CAST(round(cos_sim * 1e6, 0) AS BIGINT)) * 1.0
+             / (count(*) * 1e6), 4) AS density
+FROM ranked WHERE rn <= 5
+GROUP BY 1
+"""

@@ -841,6 +841,11 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_search(load_table(spark, sf_dir, "documents"))
 
 
+def q_knn_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-density pruning signal within capped centroid buckets."""
+    return similarity.knn_density_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-quality representative per near-dup cluster (+ singletons)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1151,6 +1156,7 @@ QUERIES: dict[str, QueryFn] = {
     "cluster_representatives": q_cluster_representatives,
     "lang_source_mix": q_lang_source_mix,
     "token_fertility": q_token_fertility,
+    "knn_density_outliers": q_knn_density_outliers,
     "knn_batch": q_knn_batch,
     "substring_dedup": q_substring_dedup,
     "winnowing_fingerprints": q_winnowing_fingerprints,

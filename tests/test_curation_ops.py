@@ -673,3 +673,22 @@ def test_lang_source_mix_and_token_fertility_shares(spark):
     assert fert["s1"]["n_chars"] == 10 and fert["s1"]["n_bytes"] == 10
     assert fert["s1"]["chars_per_token"] == round(10 / 6, 4)
     assert fert["s1"]["tokens_per_doc"] == 3.0
+
+
+def test_knn_density_outliers_planted_clique(spark):
+    """A planted 4-clique of identical vectors + one orthogonal outlier:
+    clique members average their top-4 in-bucket cosines (three 1.0s and
+    the outlier's 0.0 → 0.75); the outlier's density is 0.0."""
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(4)] + [
+        (4, [0.0, 1.0, 0.0, 0.0])
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in sim.knn_density_outliers(emb, k=5).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    for i in range(4):
+        assert got[i]["n_nbrs"] == 4
+        assert got[i]["knn_sum_micro"] == 3_000_000
+        assert got[i]["density"] == 0.75
+    assert got[4]["density"] == 0.0
