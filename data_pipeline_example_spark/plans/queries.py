@@ -1157,6 +1157,10 @@ QUERIES: dict[str, QueryFn] = {
     "lang_source_mix": q_lang_source_mix,
     "token_fertility": q_token_fertility,
     "knn_density_outliers": q_knn_density_outliers,
+    # length_buckets moved up from the tail: its cuts path was
+    # rewritten onto the bounded range-offset helper this round,
+    # so it must sit inside the 50-entry window
+    "length_buckets": q_length_buckets,
     "knn_batch": q_knn_batch,
     "substring_dedup": q_substring_dedup,
     "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -1200,7 +1204,6 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_prune_capped": q_semantic_prune_capped,
     "nearest_neighbor_capped": q_nearest_neighbor_capped,
     "srp_dup_pairs": q_srp_dup_pairs,
-    "length_buckets": q_length_buckets,
     # --- text analysis extensions ---
     # --- dedup extensions ---
     # --- similarity search extensions ---
