@@ -3729,3 +3729,73 @@ SELECT vec_id,
 FROM ranked WHERE rn <= 5
 GROUP BY 1
 """
+
+
+ORACLES["cluster_representatives_lsh"] = f"""
+WITH RECURSIVE {_SHINGLES},
+hashes AS (
+  SELECT doc_id, r.i AS i,
+         min(substring(md5(CAST(r.i // 4 AS VARCHAR) || ':' || sh),
+                       (r.i % 4) * 8 + 1, 8)) AS h
+  FROM sh, range(0, 16) r(i)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bucket
+  FROM hashes GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT DISTINCT a AS doc_id, a AS label FROM edges
+  UNION
+  SELECT e.a, cc.label FROM edges e JOIN cc ON cc.doc_id = e.b
+),
+clusters AS (SELECT doc_id, min(label) AS cluster_id FROM cc GROUP BY 1),
+{_DOC_EXPRS.strip().lstrip()},
+qual AS (
+  SELECT doc_id,
+         round(least(n_tokens_raw / 100.0, 1.0)
+               * (1.0 - n_punct_raw * 1.0 / greatest(n_chars_raw, 1))
+               * (0.5 + 0.5 * (c_en * 1.0 / greatest(n_tokens_raw, 1))), 4) AS quality
+  FROM docx
+),
+members AS (
+  SELECT doc_id, cluster_id FROM clusters
+  UNION ALL
+  SELECT d.doc_id, d.doc_id AS cluster_id
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters)
+),
+ranked AS (
+  SELECT m.cluster_id, m.doc_id, q.quality,
+         row_number() OVER (PARTITION BY m.cluster_id
+                            ORDER BY q.quality DESC, m.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY m.cluster_id) AS n_members
+  FROM members m JOIN qual q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members, quality AS rep_quality
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""

@@ -854,6 +854,17 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_representatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection over banded-LSH candidate pairs — the
+    scale path: the exact-jaccard twin's shingle self-join is
+    output-quadratic and blew a 128 GB JVM at the 5M-doc decade, while
+    the banded index bounds candidates per bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cluster_representatives(
+        docs, dedup.minhash_lsh_pairs(docs, threshold=0.1)
+    )
+
+
 def q_lang_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang × source) doc/token mass with corpus shares."""
     return text.lang_source_mix(load_table(spark, sf_dir, "documents"))
@@ -1154,6 +1165,7 @@ QUERIES: dict[str, QueryFn] = {
     "source_temperature_weights": q_source_temperature_weights,
     "bm25_search": q_bm25_search,
     "cluster_representatives": q_cluster_representatives,
+    "cluster_representatives_lsh": q_cluster_representatives_lsh,
     "lang_source_mix": q_lang_source_mix,
     "token_fertility": q_token_fertility,
     "knn_density_outliers": q_knn_density_outliers,
