@@ -1429,3 +1429,69 @@ def excess_shipped_suppliers(
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+def segment_value_percentiles(
+    orders: DataFrame,
+    customer: DataFrame,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-segment order-value percentiles (p50/p90/p99) without
+    a global sort and without approxQuantile's error bound — the
+    ``functions.cuts`` helper's second production site: the percentile
+    value at rank ceil(p·N) (SQL ``percentile_disc`` semantics,
+    DuckDB-verified) is the cuts row whose rank interval
+    (cum_before, cum_before+cnt] contains the target rank, found by a
+    broadcast join against the O(#segments × #ps) driver-computed
+    target table. A ``percentile_disc`` window/sort would move every
+    order row through one task per segment; the cuts path is the
+    range-offset histogram + one broadcast interval join. Values are
+    raw doubles from the data (no arithmetic), so cross-engine
+    equality is exact. Output: c_mktsegment, n_orders, p50, p90, p99.
+    """
+    import math
+
+    from data_pipeline_example_spark.functions.cuts import value_cuts
+
+    spark = orders.sparkSession
+    j = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select("c_mktsegment", "o_totalprice")
+    cuts, totals = value_cuts(j, "o_totalprice", group_cols=("c_mktsegment",))
+    rows = []
+    counts = []
+    for (seg,), (n, _) in totals.items():
+        counts.append((seg, n))
+        for p in ps:
+            rows.append((seg, float(p), max(int(math.ceil(p * n)), 1)))
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "c_mktsegment string, n_orders long, p50 double, "
+            "p90 double, p99 double",
+        )
+    targets = F.broadcast(
+        spark.createDataFrame(rows, "seg string, p double, target long")
+    )
+    hit = cuts.join(
+        targets,
+        cuts["c_mktsegment"].eqNullSafe(targets["seg"])
+        & (cuts["cum_before"] < targets["target"])
+        & (targets["target"] <= cuts["cum_before"] + cuts["cnt"]),
+    )
+    wide = hit.groupBy("c_mktsegment").agg(
+        *[
+            F.max(F.when(F.col("p") == p, F.col("o_totalprice"))).alias(
+                f"p{round(p * 100)}"
+            )
+            for p in ps
+        ]
+    )
+    cdf = F.broadcast(
+        spark.createDataFrame(counts, "c_mktsegment string, n_orders long")
+    )
+    return (
+        wide.join(cdf, "c_mktsegment")
+        .select("c_mktsegment", "n_orders", *[f"p{round(p * 100)}" for p in ps])
+        .orderBy("c_mktsegment")
+    )

@@ -3799,3 +3799,15 @@ SELECT cluster_id, doc_id AS rep_doc_id,
 FROM ranked WHERE rn = 1
 ORDER BY cluster_id
 """
+
+
+ORACLES["segment_value_percentiles"] = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+ORDER BY 1
+"""

@@ -854,6 +854,13 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-segment p50/p90/p99 via the bounded cuts helper."""
+    return tpch.segment_value_percentiles(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
 def q_cluster_representatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative selection over banded-LSH candidate pairs — the
     scale path: the exact-jaccard twin's shingle self-join is
@@ -1166,6 +1173,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search": q_bm25_search,
     "cluster_representatives": q_cluster_representatives,
     "cluster_representatives_lsh": q_cluster_representatives_lsh,
+    "segment_value_percentiles": q_segment_value_percentiles,
     "lang_source_mix": q_lang_source_mix,
     "token_fertility": q_token_fertility,
     "knn_density_outliers": q_knn_density_outliers,

@@ -320,3 +320,33 @@ def test_ann_index_batch_pruning_and_per_query_identity(spark, sf_dir, tmp_path)
             for r in ivfpq_knn(emb, query_id=qid).collect()
         ]
         assert got == direct, qid
+
+
+def test_segment_value_percentiles_matches_percentile_disc(spark, sf_dir):
+    """The cuts-based exact percentiles equal Spark's own
+    percentile_disc-style window answer (value at rank ceil(p*N)), and
+    the plan carries no per-segment global sort of the order rows."""
+    from data_pipeline_example_spark.operators import tpch
+    from data_pipeline_example_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    got = {
+        r["c_mktsegment"]: r
+        for r in tpch.segment_value_percentiles(orders, customer).collect()
+    }
+    j = orders.join(customer, orders["o_custkey"] == customer["c_custkey"]).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    import math
+
+    rows = j.collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r["o_totalprice"])
+    for seg, vals in by_seg.items():
+        vals.sort()
+        n = len(vals)
+        assert got[seg]["n_orders"] == n
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            assert got[seg][col] == vals[max(math.ceil(p * n), 1) - 1], (seg, col)
