@@ -864,8 +864,11 @@ def q_segment_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cluster_representatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative selection over banded-LSH candidate pairs — the
     scale path: the exact-jaccard twin's shingle self-join is
-    output-quadratic and blew a 128 GB JVM at the 5M-doc decade, while
-    the banded index bounds candidates per bucket."""
+    output-quadratic and OOM'd the scaling harness's 8 GB single-JVM
+    heap at the 5M-doc decade, while the banded index bounds
+    candidates per bucket (the CC label-propagation graph is the
+    remaining memory load at that scale — size the heap to the pair
+    graph, or raise the jaccard threshold)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.cluster_representatives(
         docs, dedup.minhash_lsh_pairs(docs, threshold=0.1)
