@@ -153,3 +153,48 @@ def rolling_revenue_7d(daily: DataFrame) -> DataFrame:
         "total_amount",
         F.round(F.sum("total_amount").over(w), 2).alias("rolling_7d"),
     )
+
+
+def daily_revenue_ma7(df: DataFrame) -> DataFrame:
+    """Gap-filled daily revenue with a 7-day trailing moving average —
+    the dashboard time series done right: missing days are zero-filled
+    from a generated date spine (``sequence(min, max)``), so the MA
+    window is a true calendar week, not "last 7 days with sales".
+
+    Exactness: per-event amounts are 2-dp-rounded and scaled to integer
+    CENTS before summing (float daily sums re-summed by a window would
+    double the rounding hazards); revenue and the MA are each ONE
+    division + 2-dp round (certified single-division precedent), with
+    the MA denominator the actual rows in frame (series head averages
+    over the days that exist). Scale: the windowed frame is the
+    AGGREGATED day spine — calendar-bounded (≤ a few thousand rows at
+    any corpus size), so the single ordered window is planning-sized,
+    never corpus-sized. Input: a conformed retail frame (order_date,
+    amount). Output: order_date, revenue, ma7.
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.round(F.col("amount"), 2) * 100, 0).cast("long")
+    day = df.groupBy("order_date").agg(F.sum(cents).alias("c"))
+    spine = (
+        day.agg(
+            F.min("order_date").alias("lo"), F.max("order_date").alias("hi")
+        )
+        .select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("order_date")
+        )
+    )
+    z = spine.join(day, "order_date", "left").select(
+        "order_date", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w = Window.orderBy("order_date").rowsBetween(-6, 0)
+    return (
+        z.select(
+            "order_date",
+            F.round(F.col("c") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.sum("c").over(w) / (F.count(F.lit(1)).over(w) * 100.0), 2
+            ).alias("ma7"),
+        )
+        .orderBy("order_date")
+    )

@@ -666,3 +666,65 @@ def join_size_estimate(
             4,
         ).alias("rel_err"),
     )
+
+
+def event_cooccurrence(events: DataFrame) -> DataFrame:
+    """Event-type co-occurrence across users — the item-item affinity
+    table (market-basket / collaborative-filter shape): for every pair
+    of event types, how many users did BOTH, with Jaccard overlap and
+    lift vs independence.
+
+    Scale shape: the (user, type) frame is de-duplicated FIRST, so the
+    per-user self-join fan-out is bounded by the type-domain size
+    (never events²); per-type and total counts are bounded-domain
+    broadcasts. All counts are exact longs; jaccard and lift are each
+    one 4-dp division over pre-multiplied long operands. Output:
+    type_a, type_b, n_both, jaccard, lift, ordered by the pair.
+    """
+    u = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a, b = u.alias("a"), u.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    per = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    tot = u.agg(F.countDistinct("user_id").cast("long").alias("n_total"))
+    pa = per.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    pb = per.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+            F.round(
+                (F.col("n_both") * F.col("n_total")) / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

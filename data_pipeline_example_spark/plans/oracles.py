@@ -3811,3 +3811,55 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 ORDER BY 1
 """
+
+
+ORACLES["daily_revenue_ma7"] = f"""
+WITH {_RETAIL},
+cents AS (
+  SELECT order_date,
+         CAST(sum(CAST(round(round(amount, 2) * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM retail GROUP BY 1
+),
+bounds AS (SELECT min(order_date) AS lo, max(order_date) AS hi FROM cents),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS order_date
+  FROM bounds
+),
+z AS (
+  SELECT s.order_date, coalesce(c.c, 0) AS c
+  FROM spine s LEFT JOIN cents c USING (order_date)
+),
+w AS (
+  SELECT order_date, c,
+         sum(c) OVER (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sc,
+         count(*) OVER (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cw
+  FROM z
+)
+SELECT order_date,
+       round(c / 100.0, 2) AS revenue,
+       round(sc / (cw * 100.0), 2) AS ma7
+FROM w ORDER BY order_date
+"""
+
+
+ORACLES["event_cooccurrence"] = """
+WITH u AS (
+  SELECT DISTINCT user_id, event_type FROM events WHERE user_id IS NOT NULL
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM u GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total FROM u)
+SELECT p.type_a, p.type_b, p.n_both,
+       round(p.n_both * 1.0 / (pa.n_users + pb.n_users - p.n_both), 4) AS jaccard,
+       round((p.n_both * n_total) * 1.0 / (pa.n_users * pb.n_users), 4) AS lift
+FROM pairs p
+JOIN per pa ON pa.event_type = p.type_a
+JOIN per pb ON pb.event_type = p.type_b
+CROSS JOIN tot
+ORDER BY type_a, type_b
+"""

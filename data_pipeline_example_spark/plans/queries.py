@@ -854,6 +854,16 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_revenue_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily revenue + 7-day trailing MA over the date spine."""
+    return retail.daily_revenue_ma7(_events_retail(spark, sf_dir))
+
+
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user event-type co-occurrence (jaccard + lift)."""
+    return users.event_cooccurrence(load_table(spark, sf_dir, "events"))
+
+
 def q_segment_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-segment p50/p90/p99 via the bounded cuts helper."""
     return tpch.segment_value_percentiles(
@@ -1177,6 +1187,8 @@ QUERIES: dict[str, QueryFn] = {
     "cluster_representatives": q_cluster_representatives,
     "cluster_representatives_lsh": q_cluster_representatives_lsh,
     "segment_value_percentiles": q_segment_value_percentiles,
+    "daily_revenue_ma7": q_daily_revenue_ma7,
+    "event_cooccurrence": q_event_cooccurrence,
     "lang_source_mix": q_lang_source_mix,
     "token_fertility": q_token_fertility,
     "knn_density_outliers": q_knn_density_outliers,

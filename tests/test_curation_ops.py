@@ -692,3 +692,45 @@ def test_knn_density_outliers_planted_clique(spark):
         assert got[i]["knn_sum_micro"] == 3_000_000
         assert got[i]["density"] == 0.75
     assert got[4]["density"] == 0.0
+
+
+def test_daily_revenue_ma7_gap_fill_and_average(spark):
+    """A missing calendar day is zero-filled and the MA averages over
+    the true week, not the days-with-sales."""
+    from data_pipeline_example_spark.operators import retail as rt
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "A", 100.0),
+            (2, "2024-01-03", "A", 50.0),   # Jan 2 missing → zero-filled
+        ],
+        "event_id long, order_date string, product string, amount double",
+    ).select(
+        "event_id", F.to_date("order_date").alias("order_date"), "product", "amount"
+    )
+    rows = {str(r["order_date"]): r for r in rt.daily_revenue_ma7(df).collect()}
+    assert set(rows) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert rows["2024-01-02"]["revenue"] == 0.0
+    assert rows["2024-01-01"]["ma7"] == 100.0
+    assert rows["2024-01-02"]["ma7"] == 50.0     # (100+0)/2
+    assert rows["2024-01-03"]["ma7"] == 50.0     # (100+0+50)/3
+
+
+def test_event_cooccurrence_counts_and_lift(spark):
+    from data_pipeline_example_spark.operators import users as us
+
+    rows = [
+        (1, 10, "view"), (2, 10, "click"),
+        (3, 11, "view"), (4, 11, "click"),
+        (5, 12, "view"),
+        (6, 13, "click"), (7, 13, "click"),  # duplicate event de-dups
+        (8, None, "view"),                    # null user ignored
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    out = us.event_cooccurrence(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 4 users total; view={10,11,12}, click={10,11,13}, both={10,11}
+    assert (r["type_a"], r["type_b"], r["n_both"]) == ("click", "view", 2)
+    assert r["jaccard"] == 0.5            # 2 / (3+3-2)
+    assert r["lift"] == round(2 * 4 / 9, 4)
