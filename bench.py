@@ -128,9 +128,20 @@ HEADLINE = [
     "ivfpq_knn_index_batch",
     # round 7 continuation: corpus-composition audits
     # (cluster_representatives stays out: it composes the exact O(n²)
-    # jaccard_pairs baseline — the demote-exact-baselines rule)
+    # jaccard_pairs baseline — the demote-exact-baselines rule; the
+    # LSH twin is the registered scale path but its CC graph still
+    # needs heap sized to the pair graph, so it also stays out)
     "lang_source_mix",
     "token_fertility",
+    "knn_density_outliers",
+    "segment_value_percentiles",
+    "daily_revenue_ma7",
+    "event_cooccurrence",
+    # round 7 continuation: retail-analytics trio (association rules,
+    # RFM cuts tiles, inter-order gap percentiles)
+    "basket_affinity",
+    "customer_rfm",
+    "order_gap_percentiles",
 ]
 
 

@@ -154,6 +154,28 @@ def value_cuts(
     return cuts.select(*out_cols), totals
 
 
+def ntile_expr(rank_col: str, n_rows: int, tiles: int) -> F.Column:
+    """The SQL ``NTILE(tiles)`` bucket for a 1-based global ``rank``
+    column, as pure integer arithmetic (1-based bucket id).
+
+    NTILE gives the first ``r = n_rows mod tiles`` buckets ``q+1`` rows
+    (``q = n_rows div tiles``) and the rest ``q``; the closed form is
+    ``ceil(rank/(q+1))`` inside the first ``r(q+1)`` ranks and
+    ``r + ceil((rank - r(q+1))/q)`` after. Integer ``div`` only — a
+    double division could misround the ceil at exact multiples once
+    ranks exceed 2^53. Shared by ``length_buckets``,
+    ``customer_value_tiles`` and ``customer_rfm`` (one formula, one
+    drift surface — the Gopher-threshold-table discipline)."""
+    q, r = divmod(n_rows, tiles)
+    qd = max(q, 1)  # q=0 → the else branch is unreachable; avoid div 0
+    return F.when(
+        F.col(rank_col) <= r * (q + 1),
+        F.expr(f"({rank_col} + {q}) div {q + 1}"),
+    ).otherwise(
+        F.expr(f"{r} + ({rank_col} - {r * (q + 1)} + {qd - 1}) div {qd}")
+    )
+
+
 def join_cuts(
     df: DataFrame,
     cuts: DataFrame,

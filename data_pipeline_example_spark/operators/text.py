@@ -261,7 +261,11 @@ def length_buckets(
     Output: doc_id, n_tokens, bucket, plus per-bucket padding
     diagnostics (bucket_max_tokens, pad_waste = bucket_max − n_tokens).
     """
-    from data_pipeline_example_spark.functions.cuts import join_cuts, value_cuts
+    from data_pipeline_example_spark.functions.cuts import (
+        join_cuts,
+        ntile_expr,
+        value_cuts,
+    )
 
     toks = documents.select(
         "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tokens")
@@ -300,15 +304,8 @@ def length_buckets(
             join_cuts(toks, cuts_df, "n_tokens")
             .withColumn("rank", F.col("cum_before") + F.row_number().over(wt))
         )
-        # inline ntile formula: ranks 1..r(q+1) → ceil(rank/(q+1)),
-        # later ranks → r + ceil((rank - r(q+1))/q); integer `div` only —
-        # double division could misround ceil at exact multiples once
-        # ranks exceed 2^53
-        qd = max(q, 1)  # q=0 → else branch is unreachable; avoid div 0
-        bucket = F.when(
-            F.col("rank") <= r * (q + 1),
-            F.expr(f"(rank + {q}) div {q + 1}"),
-        ).otherwise(F.expr(f"{r} + (rank - {r * (q + 1)} + {qd - 1}) div {qd}"))
+        # shared inline-ntile formula (functions.cuts.ntile_expr)
+        bucket = ntile_expr("rank", n_rows, n_buckets)
         return (
             ranked.withColumn("bucket", bucket.cast("int"))
             .join(bmax_df, "bucket")

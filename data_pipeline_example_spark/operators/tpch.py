@@ -944,7 +944,11 @@ def customer_value_tiles(
     """
     from pyspark.sql.window import Window
 
-    from data_pipeline_example_spark.functions.cuts import join_cuts, value_cuts
+    from data_pipeline_example_spark.functions.cuts import (
+        join_cuts,
+        ntile_expr,
+        value_cuts,
+    )
 
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("total_spend")
@@ -959,18 +963,12 @@ def customer_value_tiles(
                 "tile int, n_customers long, min_spend double, "
                 "max_spend double",
             )
-        q, r = divmod(n_rows, tiles)
         wt = Window.partitionBy("total_spend").orderBy("o_custkey")
         ranked = join_cuts(spend, cuts, "total_spend").withColumn(
             "rank", F.col("cum_before") + F.row_number().over(wt)
         )
-        # inline ntile: first r tiles get q+1 rows (integer div only —
-        # the length_buckets formula verbatim)
-        qd = max(q, 1)
-        tile = F.when(
-            F.col("rank") <= r * (q + 1),
-            F.expr(f"(rank + {q}) div {q + 1}"),
-        ).otherwise(F.expr(f"{r} + (rank - {r * (q + 1)} + {qd - 1}) div {qd}"))
+        # shared inline-ntile formula (functions.cuts.ntile_expr)
+        tile = ntile_expr("rank", n_rows, tiles)
         return (
             ranked.withColumn("tile", tile.cast("int"))
             .groupBy("tile")
@@ -1494,4 +1492,243 @@ def segment_value_percentiles(
         wide.join(cdf, "c_mktsegment")
         .select("c_mktsegment", "n_orders", *[f"p{round(p * 100)}" for p in ps])
         .orderBy("c_mktsegment")
+    )
+
+
+def basket_affinity(
+    lineitem: DataFrame, min_support: int = 2, top_n: int = 50
+) -> DataFrame:
+    """Market-basket pair association over order line items — the
+    classic association-rules table (pair support + lift vs
+    independence), the lineitem-scale twin of
+    ``users.event_cooccurrence``.
+
+    Scale shape: the (order, part) basket frame is de-duplicated
+    FIRST, so the per-order self-join fan-out is bounded by
+    C(basket_size, 2) — basket sizes are bounded (≤7 lines in TPC-H;
+    an order, not a corpus), so pair instances are LINEAR in lineitem.
+    The pair aggregate's output domain is unbounded (distinct part
+    pairs), so the op follows the capped-output discipline
+    (``simhash_pairs_capped`` precedent): a ``min_support`` filter
+    shrinks the frame before any enrichment, and the top-n by support
+    is a TakeOrdered (never a full sort) taken BEFORE the per-item
+    count joins — the ≤top_n winners broadcast against the |parts|
+    count frame, so the expensive side never shuffles for losers.
+    Exactness: all counts exact longs; lift is one 4-dp division over
+    pre-multiplied long operands (the event_cooccurrence precedent).
+    Ties at the cap break on (part_a, part_b) — deterministic in both
+    engines. Output: part_a, part_b, pair_orders, a_orders, b_orders,
+    lift; top_n by (pair_orders desc, part_a, part_b).
+    """
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= int(min_support))
+        .orderBy(F.desc("pair_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(int(top_n))
+    )
+    items = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    tot = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    wa = items.join(
+        F.broadcast(pairs), items["l_partkey"] == pairs["part_a"]
+    ).select(
+        "part_a",
+        "part_b",
+        "pair_orders",
+        F.col("n_item").alias("a_orders"),
+    )
+    wb = items.join(
+        F.broadcast(wa), items["l_partkey"] == wa["part_b"]
+    ).select(
+        "part_a",
+        "part_b",
+        "pair_orders",
+        "a_orders",
+        F.col("n_item").alias("b_orders"),
+    )
+    return (
+        wb.crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            "a_orders",
+            "b_orders",
+            F.round(
+                (F.col("pair_orders") * F.col("n_orders"))
+                / (F.col("a_orders") * F.col("b_orders")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_orders"), F.asc("part_a"), F.asc("part_b"))
+    )
+
+
+def customer_rfm(orders: DataFrame, tiles: int = 4) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — every
+    customer scored 1..tiles on each dimension by equal-frequency
+    NTILE, rolled up to the tiles³ segment grid.
+
+    Each dimension's tile uses the shared ``functions.cuts``
+    discipline (its third production site): global rank under ORDER BY
+    (metric, o_custkey) from the range-offset prefix sums + a
+    value-partitioned row_number, then the shared ``ntile_expr``
+    integer formula — NO unpartitioned NTILE window (the textbook 100×
+    single-task straggler, three times over). The per-customer frame
+    is localCheckpoint-ed once (narrow, |customers| rows) so the three
+    cuts passes and the final rollup read one materialization (module
+    eager-construction contract). Exactness: recency is whole days vs
+    the corpus max order date, frequency an exact count, monetary
+    exact integer CENTS (per-row 2-dp→×100 cast, the
+    daily_revenue_ma7 discipline); segment averages use the HALF_UP
+    integral-division identity ((2a+b) div 2b) — no float arithmetic
+    anywhere. Output: r_tile, f_tile, m_tile, n_customers,
+    avg_recency_days, total_orders, total_spend_cents.
+    """
+    from data_pipeline_example_spark.functions.cuts import (
+        join_cuts,
+        ntile_expr,
+        value_cuts,
+    )
+    from pyspark.sql.window import Window
+
+    spark = orders.sparkSession
+    cents = F.round(F.round(F.col("o_totalprice"), 2) * 100, 0).cast("long")
+    maxd = orders.agg(F.max("o_orderdate").alias("max_d"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("f_v"),
+            F.sum(cents).cast("long").alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("max_d"), F.col("last_d"))
+            .cast("long")
+            .alias("r_v"),
+            "f_v",
+            "m_cents",
+        )
+        .localCheckpoint()
+    )
+    cur = rfm
+    n_rows = None
+    for dim, tile_col in (("r_v", "r_tile"), ("f_v", "f_tile"), ("m_cents", "m_tile")):
+        cuts, totals = value_cuts(cur.select("o_custkey", dim), dim)
+        n_rows = totals.get((), (0, 0))[0]
+        if n_rows == 0:
+            return spark.createDataFrame(
+                [],
+                "r_tile int, f_tile int, m_tile int, n_customers long, "
+                "avg_recency_days long, total_orders long, "
+                "total_spend_cents long",
+            )
+        wt = Window.partitionBy(dim).orderBy("o_custkey")
+        ranked = join_cuts(cur, cuts, dim).withColumn(
+            "rank", F.col("cum_before") + F.row_number().over(wt)
+        )
+        cur = ranked.withColumn(
+            tile_col, ntile_expr("rank", n_rows, tiles).cast("int")
+        ).drop("cnt", "cum_before", "rank")
+    return (
+        cur.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr(
+                "cast((2 * sum(r_v) + count(1)) div (2 * count(1)) as long)"
+            ).alias("avg_recency_days"),
+            F.sum("f_v").cast("long").alias("total_orders"),
+            F.sum("m_cents").cast("long").alias("total_spend_cents"),
+        )
+        .orderBy("r_tile", "f_tile", "m_tile")
+    )
+
+
+def order_gap_percentiles(
+    orders: DataFrame, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Inter-purchase timing: EXACT percentiles (p50/p90/p99) and the
+    HALF_UP mean of the day gaps between each customer's consecutive
+    orders — the re-order cadence a replenishment model trains on.
+
+    The lag window is PARTITIONED by customer (hash exchange, per-key
+    frames are order counts per customer — bounded, never a global
+    sort), ordered (o_orderdate, o_orderkey) so same-day ties are
+    engine-independent. Gap percentiles then use the
+    ``functions.cuts`` percentile pattern (``segment_value_percentiles``
+    precedent) over the small integer day-gap domain: rank
+    ceil(p·N) located in the cuts row whose interval contains it
+    (SQL ``percentile_disc`` semantics) — driver state
+    O(#partitions). Exactness: gaps are whole-day longs; the mean is
+    the integral HALF_UP identity; percentile values are raw longs.
+    Output: one row — n_gaps, avg_gap_days, p50, p90, p99.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    from data_pipeline_example_spark.functions.cuts import value_cuts
+
+    spark = orders.sparkSession
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev_d", F.lag("o_orderdate").over(wc))
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            F.datediff(F.col("o_orderdate"), F.col("prev_d"))
+            .cast("long")
+            .alias("gap")
+        )
+    )
+    cuts, totals = value_cuts(gaps, "gap")
+    n = totals.get((), (0, 0))[0]
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "n_gaps long, avg_gap_days long, p50 long, p90 long, p99 long",
+        )
+    targets = F.broadcast(
+        spark.createDataFrame(
+            [(float(p), max(int(math.ceil(p * n)), 1)) for p in ps],
+            "p double, target long",
+        )
+    )
+    hit = cuts.join(
+        targets,
+        (F.col("cum_before") < F.col("target"))
+        & (F.col("target") <= F.col("cum_before") + F.col("cnt")),
+    )
+    pvals = hit.agg(
+        *[
+            F.max(F.when(F.col("p") == p, F.col("gap"))).alias(
+                f"p{round(p * 100)}"
+            )
+            for p in ps
+        ]
+    )
+    stats = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.expr("cast((2 * sum(gap) + count(1)) div (2 * count(1)) as long)").alias(
+            "avg_gap_days"
+        ),
+    )
+    return stats.crossJoin(F.broadcast(pvals)).select(
+        "n_gaps", "avg_gap_days", *[f"p{round(p * 100)}" for p in ps]
     )

@@ -3863,3 +3863,87 @@ JOIN per pb ON pb.event_type = p.type_b
 CROSS JOIN tot
 ORDER BY type_a, type_b
 """
+
+ORACLES["basket_affinity"] = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_orders
+  FROM b a JOIN b b2
+    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT * FROM pairs WHERE pair_orders >= 2
+  ORDER BY pair_orders DESC, part_a, part_b
+  LIMIT 50
+),
+items AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b
+)
+SELECT t.part_a, t.part_b, t.pair_orders,
+       ia.n_item AS a_orders, ib.n_item AS b_orders,
+       round((t.pair_orders * n_orders) * 1.0 / (ia.n_item * ib.n_item), 4)
+         AS lift
+FROM top t
+JOIN items ia ON ia.l_partkey = t.part_a
+JOIN items ib ON ib.l_partkey = t.part_b
+CROSS JOIN tot
+ORDER BY pair_orders DESC, part_a, part_b
+"""
+
+ORACLES["customer_rfm"] = """
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(datediff('day', max(o_orderdate),
+              (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS r_v,
+         CAST(count(*) AS BIGINT) AS f_v,
+         CAST(sum(CAST(round(round(o_totalprice, 2) * 100, 0) AS BIGINT))
+              AS BIGINT) AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT r_v, f_v, m_cents,
+         NTILE(4) OVER (ORDER BY r_v, o_custkey) AS r_tile,
+         NTILE(4) OVER (ORDER BY f_v, o_custkey) AS f_tile,
+         NTILE(4) OVER (ORDER BY m_cents, o_custkey) AS m_tile
+  FROM rfm
+)
+SELECT r_tile, f_tile, m_tile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST((2 * sum(r_v) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS avg_recency_days,
+       CAST(sum(f_v) AS BIGINT) AS total_orders,
+       CAST(sum(m_cents) AS BIGINT) AS total_spend_cents
+FROM tiled
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+ORACLES["order_gap_percentiles"] = """
+WITH g AS (
+  SELECT CAST(datediff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS BIGINT) AS gap
+  FROM orders
+  QUALIFY lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+          IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST((2 * sum(gap) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS avg_gap_days,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+         AS p50,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+         AS p90,
+       CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+         AS p99
+FROM g
+"""

@@ -871,6 +871,21 @@ def q_segment_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket part-pair support + lift (capped top-50)."""
+    return tpch.basket_affinity(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation rolled up to the 4³ segment grid."""
+    return tpch.customer_rfm(load_table(spark, sf_dir, "orders"))
+
+
+def q_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 + HALF_UP mean of inter-order day gaps."""
+    return tpch.order_gap_percentiles(load_table(spark, sf_dir, "orders"))
+
+
 def q_cluster_representatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative selection over banded-LSH candidate pairs — the
     scale path: the exact-jaccard twin's shingle self-join is
@@ -1179,6 +1194,14 @@ QUERIES: dict[str, QueryFn] = {
     # token_budget_caps, length_buckets; winnowing de-joined argmin;
     # excess_shipped_suppliers per-row integer cast), then the r6 front
     # remainder
+    # round-7 continuation front: the three NEW retail-analytics ops
+    # (association rules, RFM via the third cuts production site, exact
+    # inter-order gap percentiles), then the r7-CHANGED queries
+    # (length_buckets + customer_value_tiles migrated onto the shared
+    # ntile_expr formula — already in-window below)
+    "basket_affinity": q_basket_affinity,
+    "customer_rfm": q_customer_rfm,
+    "order_gap_percentiles": q_order_gap_percentiles,
     "ivfpq_knn_index_batch": q_ivfpq_knn_index_batch,
     "gopher_repetition": q_gopher_repetition,
     "pii_scan": q_pii_scan,

@@ -350,3 +350,137 @@ def test_segment_value_percentiles_matches_percentile_disc(spark, sf_dir):
         assert got[seg]["n_orders"] == n
         for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             assert got[seg][col] == vals[max(math.ceil(p * n), 1) - 1], (seg, col)
+
+
+def _manual_ntile(ranked_vals, tiles):
+    """SQL NTILE bucket per 1-based rank for a pre-sorted list."""
+    n = len(ranked_vals)
+    q, r = divmod(n, tiles)
+    out = []
+    for rank in range(1, n + 1):
+        if r and rank <= r * (q + 1):
+            out.append((rank + q) // (q + 1))
+        else:
+            qd = max(q, 1)
+            out.append(r + (rank - r * (q + 1) + qd - 1) // qd)
+    return out
+
+
+def test_basket_affinity_matches_bruteforce(spark, sf_dir):
+    """Pair support / item counts / lift equal a driver-side brute
+    force over the distinct (order, part) baskets, and the cap +
+    tie-break ordering is deterministic."""
+    from collections import Counter
+
+    from data_pipeline_example_spark.operators import tpch
+    from data_pipeline_example_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = tpch.basket_affinity(li, min_support=2, top_n=20).collect()
+    assert len(got) <= 20
+
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pair_n: Counter = Counter()
+    item_n: Counter = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for p in ps:
+            item_n[p] += 1
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    n_orders = len(baskets)
+    expect = sorted(
+        ((c, a, b) for (a, b), c in pair_n.items() if c >= 2),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    assert [(r["pair_orders"], r["part_a"], r["part_b"]) for r in got] == expect
+    for r in got:
+        a, b = r["part_a"], r["part_b"]
+        assert r["a_orders"] == item_n[a]
+        assert r["b_orders"] == item_n[b]
+        lift = round(r["pair_orders"] * n_orders / (item_n[a] * item_n[b]), 4)
+        assert abs(r["lift"] - lift) < 1e-9
+
+
+def test_customer_rfm_matches_bruteforce(spark, sf_dir):
+    """The three cuts-based tile assignments and the segment rollup
+    equal a driver-side NTILE brute force (rank under (value,
+    custkey)), and the cuts driver state stays partition-bounded."""
+    from data_pipeline_example_spark.functions import cuts as cuts_mod
+    from data_pipeline_example_spark.operators import tpch
+    from data_pipeline_example_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = {
+        (r["r_tile"], r["f_tile"], r["m_tile"]): r
+        for r in tpch.customer_rfm(orders, tiles=4).collect()
+    }
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert cuts_mod.LAST_DRIVER_ROWS <= n_parts
+
+    rows = orders.collect()
+    per = {}
+    max_d = max(r["o_orderdate"] for r in rows)
+    for r in rows:
+        c = per.setdefault(r["o_custkey"], {"last": r["o_orderdate"], "f": 0, "m": 0})
+        c["last"] = max(c["last"], r["o_orderdate"])
+        c["f"] += 1
+        c["m"] += int(round(round(r["o_totalprice"], 2) * 100))
+    custs = sorted(per)
+    metrics = {
+        "r": {k: (max_d.date() - per[k]["last"].date()).days for k in custs},
+        "f": {k: per[k]["f"] for k in custs},
+        "m": {k: per[k]["m"] for k in custs},
+    }
+    tiles = {}
+    for dim in ("r", "f", "m"):
+        order = sorted(custs, key=lambda k: (metrics[dim][k], k))
+        tl = _manual_ntile(order, 4)
+        tiles[dim] = dict(zip(order, tl))
+    seg = {}
+    for k in custs:
+        key = (tiles["r"][k], tiles["f"][k], tiles["m"][k])
+        s = seg.setdefault(key, [0, 0, 0, 0])
+        s[0] += 1
+        s[1] += metrics["r"][k]
+        s[2] += metrics["f"][k]
+        s[3] += metrics["m"][k]
+    assert set(got) == set(seg)
+    for key, (n, sr, sf_, sm) in seg.items():
+        g = got[key]
+        assert g["n_customers"] == n
+        assert g["avg_recency_days"] == (2 * sr + n) // (2 * n)
+        assert g["total_orders"] == sf_
+        assert g["total_spend_cents"] == sm
+
+
+def test_order_gap_percentiles_matches_bruteforce(spark, sf_dir):
+    """Exact gap percentiles (rank ceil(p*N)) and the HALF_UP mean
+    equal a driver-side brute force over lag-ordered orders."""
+    import math
+
+    from data_pipeline_example_spark.operators import tpch
+    from data_pipeline_example_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    [got] = tpch.order_gap_percentiles(orders).collect()
+
+    per = {}
+    for r in orders.select("o_custkey", "o_orderdate", "o_orderkey").collect():
+        per.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"], r["o_orderkey"])
+        )
+    gaps = []
+    for v in per.values():
+        v.sort()
+        for (d1, _), (d2, _) in zip(v, v[1:]):
+            gaps.append((d2.date() - d1.date()).days)
+    gaps.sort()
+    n = len(gaps)
+    assert got["n_gaps"] == n
+    assert got["avg_gap_days"] == (2 * sum(gaps) + n) // (2 * n)
+    for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        assert got[col] == gaps[max(int(math.ceil(p * n)), 1) - 1], col
