@@ -142,6 +142,11 @@ HEADLINE = [
     "basket_affinity",
     "customer_rfm",
     "order_gap_percentiles",
+    # cross-source dup matrix (LSH composition), exact-moment Pearson,
+    # descending-cuts Pareto deciles
+    "source_overlap_matrix",
+    "corr_length_diversity",
+    "revenue_pareto",
 ]
 
 

@@ -901,3 +901,50 @@ def cluster_representatives(
         )
         .orderBy("cluster_id")
     )
+
+
+def source_overlap_matrix(
+    documents: DataFrame, threshold: float = 0.1
+) -> DataFrame:
+    """Cross-source duplication matrix: for every (source, source)
+    cell, how many verified near-dup pairs straddle it — the
+    contamination audit run before mixing corpora (is source B a
+    scrape of source A?).
+
+    Composes :func:`minhash_lsh_pairs` (banded candidates, exact
+    Jaccard verification — the registered scale path, never all-pairs)
+    and aggregates the pair stream to the bounded #sources² grid, so
+    the OUTPUT is planning-sized even though the pair stream isn't
+    (the capped-output discipline at the aggregation level). The
+    doc→source enrichment joins are left to AQE (pairs is small at low
+    SF, unbounded-ish at 100 TB — the returned_item_ranking
+    no-forced-broadcast precedent). Cells are unordered source pairs
+    (least/greatest) so A→B and B→A collapse. Exactness: counts exact
+    longs; max_jaccard is a MAX over already-4-dp values
+    (order-independent — never an AVG of floats, whose accumulation
+    order differs across engines). Output: source_a, source_b,
+    dup_pairs, max_jaccard.
+    """
+    pairs = minhash_lsh_pairs(documents, threshold=threshold)
+    src = documents.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("s_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("s_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("s_a", "s_b").alias("source_a"),
+            F.greatest("s_a", "s_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

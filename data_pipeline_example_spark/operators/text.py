@@ -2189,3 +2189,63 @@ def token_fertility(documents: DataFrame) -> DataFrame:
             "tokens_per_doc"
         ),
     ).orderBy("source")
+
+
+def corr_length_diversity(documents: DataFrame) -> DataFrame:
+    """Per-source Pearson correlation between document length (tokens)
+    and lexical diversity (distinct tokens) — the length-vs-vocabulary
+    audit (long docs repeat themselves; a strongly sub-linear distinct
+    curve flags boilerplate).
+
+    Exactness across engines: Pearson r is computed from the closed
+    form over EXACT integer moments — per-doc x = n_tokens and
+    y = n_distinct_tokens are longs, and Sx, Sy, Sxx, Syy, Sxy are
+    exact long sums (order-independent; never a float accumulation,
+    and never the engines' built-in ``corr``, whose streaming
+    accumulation order differs). The moments are then cast to DOUBLE
+    (exact below 2^53 — n·Sxy ≤ ~1e14 at sf10) in an expression shape
+    mirrored verbatim in the oracle: each product/subtraction/sqrt is
+    one correctly-rounded IEEE op on identical operands. Zero-variance
+    groups yield NULL via a nullif-guarded denominator in both
+    engines. One tokenize scan, one map-side-combined aggregate to the
+    bounded #sources domain. Output: source, n_docs, corr_len_distinct.
+    """
+    xy = widen(documents).select(
+        "source",
+        T.tokens(F.lower(F.col("text"))).alias("t"),
+    ).select(
+        "source",
+        F.size("t").cast("long").alias("x"),
+        F.size(F.array_distinct("t")).cast("long").alias("y"),
+    )
+    m = xy.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    vx = F.col("n").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    vy = F.col("n").cast("double") * F.col("syy").cast("double") - F.col(
+        "sy"
+    ).cast("double") * F.col("sy").cast("double")
+    # clamp: the rounded-double moment difference can land a hair
+    # below 0 when the true variance is ~0 (DuckDB's sqrt ERRORS on
+    # negatives; Spark returns NaN) — GREATEST(·, 0) in both engines
+    # maps that edge to a 0 denominator → NULL r
+    denom = F.sqrt(F.greatest(vx, F.lit(0.0))) * F.sqrt(
+        F.greatest(vy, F.lit(0.0))
+    )
+    return m.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(num / F.nullif(denom, F.lit(0.0)), 4).alias(
+            "corr_len_distinct"
+        ),
+    ).orderBy("source")

@@ -1732,3 +1732,72 @@ def order_gap_percentiles(
     return stats.crossJoin(F.broadcast(pvals)).select(
         "n_gaps", "avg_gap_days", *[f"p{round(p * 100)}" for p in ps]
     )
+
+
+def revenue_pareto(orders: DataFrame, tiles: int = 10) -> DataFrame:
+    """Pareto / cumulative-share table: customers ranked by spend
+    (descending) into deciles, with each decile's revenue and the
+    running share of total revenue — "the top 10% of customers carry
+    X% of revenue".
+
+    The descending rank uses the shared ``functions.cuts`` discipline
+    (its first descending production site outside token_budget_caps):
+    range-offset prefix counts under ORDER BY (spend DESC, custkey) —
+    no global sort, driver state O(#partitions) — then the shared
+    ``ntile_expr`` integer formula. The cumulative share is a window
+    over the AGGREGATED decile frame (``tiles`` rows — planning-sized,
+    the daily_revenue_ma7 spine precedent), never over customers.
+    Exactness: spend is exact integer CENTS; the share is one 4-dp
+    division of exact longs. Output: decile, n_customers,
+    decile_spend_cents, cum_share.
+    """
+    from pyspark.sql.window import Window
+
+    from data_pipeline_example_spark.functions.cuts import (
+        join_cuts,
+        ntile_expr,
+        value_cuts,
+    )
+
+    spark = orders.sparkSession
+    cents = F.round(F.round(F.col("o_totalprice"), 2) * 100, 0).cast("long")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(cents).cast("long").alias("m_cents")
+    )
+    cuts, totals = value_cuts(spend, "m_cents", descending=True)
+    n_rows, _ = totals.get((), (0, 0))
+    if n_rows == 0:
+        return spark.createDataFrame(
+            [],
+            "decile int, n_customers long, decile_spend_cents long, "
+            "cum_share double",
+        )
+    wt = Window.partitionBy("m_cents").orderBy("o_custkey")
+    ranked = join_cuts(spend, cuts, "m_cents").withColumn(
+        "rank", F.col("cum_before") + F.row_number().over(wt)
+    )
+    dec = (
+        ranked.withColumn("decile", ntile_expr("rank", n_rows, tiles).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("m_cents").cast("long").alias("decile_spend_cents"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = dec.agg(F.sum("decile_spend_cents").cast("long").alias("t_cents"))
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_cents", F.sum("decile_spend_cents").over(wcum).cast("long")
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "decile_spend_cents",
+            F.round(F.col("cum_cents") / F.col("t_cents"), 4).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("decile")
+    )

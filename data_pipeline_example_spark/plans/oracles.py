@@ -3947,3 +3947,81 @@ SELECT CAST(count(*) AS BIGINT) AS n_gaps,
          AS p99
 FROM g
 """
+
+ORACLES["source_overlap_matrix"] = f"""
+WITH pairs AS ({ORACLES["minhash_lsh_pairs"]})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS dup_pairs,
+       max(p.jaccard) AS max_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+ORACLES["corr_length_diversity"] = """
+WITH xy AS (
+  SELECT source,
+         CAST(len(t) AS BIGINT) AS x,
+         CAST(len(list_distinct(t)) AS BIGINT) AS y
+  FROM (
+    SELECT source,
+           regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+    FROM documents
+  )
+),
+m AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM xy GROUP BY source
+)
+SELECT source, n AS n_docs,
+       round(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / nullif(
+             sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
+             * sqrt(greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0)),
+             0),
+         4) AS corr_len_distinct
+FROM m
+ORDER BY source
+"""
+
+ORACLES["revenue_pareto"] = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(round(o_totalprice, 2) * 100, 0) AS BIGINT))
+              AS BIGINT) AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT m_cents,
+         NTILE(10) OVER (ORDER BY m_cents DESC, o_custkey) AS decile
+  FROM spend
+),
+dec AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(m_cents) AS BIGINT) AS decile_spend_cents
+  FROM tiled GROUP BY decile
+)
+SELECT decile, n_customers, decile_spend_cents,
+       round(CAST(sum(decile_spend_cents)
+                  OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) * 1.0
+             / (SELECT CAST(sum(decile_spend_cents) AS BIGINT) FROM dec),
+             4) AS cum_share
+FROM dec
+ORDER BY decile
+"""

@@ -871,6 +871,21 @@ def q_segment_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup pair counts over LSH-verified pairs."""
+    return dedup.source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+
+
+def q_corr_length_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson r of (tokens, distinct tokens) — exact moments."""
+    return text.corr_length_diversity(load_table(spark, sf_dir, "documents"))
+
+
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Descending spend deciles with cumulative revenue share."""
+    return tpch.revenue_pareto(load_table(spark, sf_dir, "orders"))
+
+
 def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket part-pair support + lift (capped top-50)."""
     return tpch.basket_affinity(load_table(spark, sf_dir, "lineitem"))
@@ -1202,6 +1217,9 @@ QUERIES: dict[str, QueryFn] = {
     "basket_affinity": q_basket_affinity,
     "customer_rfm": q_customer_rfm,
     "order_gap_percentiles": q_order_gap_percentiles,
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "corr_length_diversity": q_corr_length_diversity,
+    "revenue_pareto": q_revenue_pareto,
     "ivfpq_knn_index_batch": q_ivfpq_knn_index_batch,
     "gopher_repetition": q_gopher_repetition,
     "pii_scan": q_pii_scan,

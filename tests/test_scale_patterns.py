@@ -484,3 +484,94 @@ def test_order_gap_percentiles_matches_bruteforce(spark, sf_dir):
     assert got["avg_gap_days"] == (2 * sum(gaps) + n) // (2 * n)
     for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
         assert got[col] == gaps[max(int(math.ceil(p * n)), 1) - 1], col
+
+
+def test_source_overlap_matrix_composes_lsh_pairs(spark, sf_dir):
+    """The matrix equals a driver-side rollup of the registered
+    minhash_lsh_pairs output joined to doc sources."""
+    from collections import defaultdict
+
+    from data_pipeline_example_spark.operators import dedup
+    from data_pipeline_example_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["source_a"], r["source_b"]): (r["dup_pairs"], r["max_jaccard"])
+        for r in dedup.source_overlap_matrix(docs, threshold=0.1).collect()
+    }
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    agg = defaultdict(lambda: [0, 0.0])
+    for r in dedup.minhash_lsh_pairs(docs, threshold=0.1).collect():
+        key = tuple(sorted((src[r["doc_a"]], src[r["doc_b"]])))
+        agg[key][0] += 1
+        agg[key][1] = max(agg[key][1], r["jaccard"])
+    assert got == {k: (c, mj) for k, (c, mj) in agg.items()}
+
+
+def test_corr_length_diversity_matches_numpy(spark, sf_dir):
+    """The exact-moment Pearson r agrees with numpy's corrcoef to the
+    4-dp rounding, per source."""
+    import numpy as np
+
+    from data_pipeline_example_spark.functions import text as TF
+    from data_pipeline_example_spark.operators import text as tx
+    from data_pipeline_example_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["source"]: (r["n_docs"], r["corr_len_distinct"])
+        for r in tx.corr_length_diversity(docs).collect()
+    }
+    raw = docs.select(
+        "source", TF.tokens(F.lower(F.col("text"))).alias("t")
+    ).select(
+        "source",
+        F.size("t").alias("x"),
+        F.size(F.array_distinct("t")).alias("y"),
+    ).collect()
+    per = {}
+    for r in raw:
+        per.setdefault(r["source"], []).append((r["x"], r["y"]))
+    assert set(got) == set(per)
+    for s, pts in per.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        n, r_got = got[s]
+        assert n == len(pts)
+        if xs.std() == 0 or ys.std() == 0:
+            assert r_got is None
+        else:
+            assert abs(r_got - np.corrcoef(xs, ys)[0, 1]) < 5e-4, s
+
+
+def test_revenue_pareto_matches_bruteforce(spark, sf_dir):
+    """Decile membership, spend sums and cumulative shares equal a
+    driver-side descending-ntile brute force; cum_share ends at 1."""
+    from data_pipeline_example_spark.operators import tpch
+    from data_pipeline_example_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = {r["decile"]: r for r in tpch.revenue_pareto(orders).collect()}
+    per = {}
+    for r in orders.collect():
+        per[r["o_custkey"]] = per.get(r["o_custkey"], 0) + int(
+            round(round(r["o_totalprice"], 2) * 100)
+        )
+    order = sorted(per, key=lambda k: (-per[k], k))
+    tl = _manual_ntile(order, 10)
+    seg = {}
+    for k, d in zip(order, tl):
+        s = seg.setdefault(d, [0, 0])
+        s[0] += 1
+        s[1] += per[k]
+    total = sum(v[1] for v in seg.values())
+    cum = 0
+    for d in sorted(seg):
+        n, cents = seg[d]
+        cum += cents
+        g = got[d]
+        assert g["n_customers"] == n
+        assert g["decile_spend_cents"] == cents
+        assert abs(g["cum_share"] - round(cum / total, 4)) < 1e-9
+    assert abs(got[max(seg)]["cum_share"] - 1.0) < 1e-9
