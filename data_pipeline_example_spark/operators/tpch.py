@@ -1520,7 +1520,15 @@ def basket_affinity(
     engines. Output: part_a, part_b, pair_orders, a_orders, b_orders,
     lift; top_n by (pair_orders desc, part_a, part_b).
     """
-    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # one materialization feeds BOTH self-join sides, both per-item
+    # count probes and the order total — without it the distinct
+    # aggregate re-runs five times (plan-audited). Eager construction:
+    # localCheckpoint blocks are unreplicated executor storage (module
+    # contract note in operators/text.py) — use a reliable checkpoint
+    # dir for long-lived plans.
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    )
     a, b = baskets.alias("a"), baskets.alias("b")
     pairs = (
         a.join(
