@@ -2249,3 +2249,80 @@ def corr_length_diversity(documents: DataFrame) -> DataFrame:
             "corr_len_distinct"
         ),
     ).orderBy("source")
+
+
+def countmin_term_error(
+    documents: DataFrame, depth: int = 4, width: int = 256, top: int = 20
+) -> DataFrame:
+    """Count-Min sketch accuracy audit: build a CM sketch of the term
+    frequencies (the mergeable bounded-memory counter a 100 TB stream
+    would keep instead of a vocabulary-sized hash map), probe it for
+    the true top-``top`` terms, and report the sketch's guaranteed
+    one-sided overcount against the exact counts.
+
+    Why this is exactly reproducible cross-engine (unlike most
+    sketches): a CM cell is a pure SUM — cell(i, b) = Σ count(term)
+    over terms with h_i(term) = b — so the sketch is independent of
+    partitioning and merge order (the KMV-rollup property, additive
+    instead of order-statistic). Hashes are the certified md5-hex →
+    integer idiom (``conv``/``'0x'||…::BIGINT``); all arithmetic is
+    exact longs. Plan: one tokenize scan into a checkpointed term
+    census (feeds sketch build AND probe — module eager-construction
+    contract); cells are a bounded depth×width frame, broadcast to the
+    ≤ top·depth probe rows; the top-terms cap is a TakeOrdered.
+    Output: term, exact_n, cm_est, overcount (≥ 0 by construction),
+    by exact_n desc.
+    """
+    tf = (
+        widen(documents)
+        .select(F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+
+    def _bucket(i: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("term"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"), _bucket(i).alias("bucket")
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("rb")
+    cells = (
+        tf.select("n", rb)
+        .select("n", "rb.i", "rb.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.sum("n").cast("long").alias("cell"))
+    )
+    top_terms = tf.orderBy(F.desc("n"), F.asc("term")).limit(int(top))
+    probe = (
+        top_terms.select("term", "n", rb)
+        .select("term", "n", "rb.i", "rb.bucket")
+        .join(F.broadcast(cells), ["i", "bucket"])
+    )
+    return (
+        probe.groupBy("term", "n")
+        .agg(F.min("cell").cast("long").alias("cm_est"))
+        .select(
+            "term",
+            F.col("n").alias("exact_n"),
+            "cm_est",
+            (F.col("cm_est") - F.col("n")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+    )

@@ -4025,3 +4025,38 @@ SELECT decile, n_customers, decile_spend_cents,
 FROM dec
 ORDER BY decile
 """
+
+ORACLES["countmin_term_error"] = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+    AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+),
+cells AS (
+  SELECT r.i AS i,
+         ('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || term), 1, 8))
+           ::BIGINT % 256 AS bucket,
+         CAST(sum(n) AS BIGINT) AS cell
+  FROM tf, range(0, 4) r(i)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT * FROM tf ORDER BY n DESC, term LIMIT 20
+),
+probe AS (
+  SELECT t.term, t.n, r.i AS i,
+         ('0x' || substring(md5(CAST(r.i AS VARCHAR) || ':' || t.term), 1, 8))
+           ::BIGINT % 256 AS bucket
+  FROM top t, range(0, 4) r(i)
+)
+SELECT p.term, p.n AS exact_n,
+       CAST(min(c.cell) AS BIGINT) AS cm_est,
+       CAST(min(c.cell) - p.n AS BIGINT) AS overcount
+FROM probe p
+JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+GROUP BY 1, 2
+ORDER BY exact_n DESC, term
+"""

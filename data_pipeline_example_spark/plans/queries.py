@@ -871,6 +871,11 @@ def q_segment_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_countmin_term_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch overcount audit for the top-20 terms."""
+    return text.countmin_term_error(load_table(spark, sf_dir, "documents"))
+
+
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-dup pair counts over LSH-verified pairs."""
     return dedup.source_overlap_matrix(load_table(spark, sf_dir, "documents"))
@@ -1218,6 +1223,7 @@ QUERIES: dict[str, QueryFn] = {
     "customer_rfm": q_customer_rfm,
     "order_gap_percentiles": q_order_gap_percentiles,
     "source_overlap_matrix": q_source_overlap_matrix,
+    "countmin_term_error": q_countmin_term_error,
     "corr_length_diversity": q_corr_length_diversity,
     "revenue_pareto": q_revenue_pareto,
     "ivfpq_knn_index_batch": q_ivfpq_knn_index_batch,

@@ -575,3 +575,39 @@ def test_revenue_pareto_matches_bruteforce(spark, sf_dir):
         assert g["decile_spend_cents"] == cents
         assert abs(g["cum_share"] - round(cum / total, 4)) < 1e-9
     assert abs(got[max(seg)]["cum_share"] - 1.0) < 1e-9
+
+
+def test_countmin_term_error_matches_bruteforce(spark, sf_dir):
+    """CM cells/estimates equal a driver-side sketch over the exact
+    term census; the overcount is one-sided (cm_est >= exact)."""
+    import hashlib
+    from collections import Counter
+
+    from data_pipeline_example_spark.functions import text as TF
+    from data_pipeline_example_spark.operators import text as tx
+    from data_pipeline_example_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = tx.countmin_term_error(docs, depth=4, width=64, top=10).collect()
+    assert len(got) == 10
+
+    counts: Counter = Counter()
+    for r in docs.select(
+        F.explode(TF.tokens(F.lower(F.col("text")))).alias("t")
+    ).collect():
+        counts[r["t"]] += 1
+
+    def bucket(i, term):
+        return int(hashlib.md5(f"{i}:{term}".encode()).hexdigest()[:8], 16) % 64
+
+    cells: Counter = Counter()
+    for term, n in counts.items():
+        for i in range(4):
+            cells[(i, bucket(i, term))] += n
+    expect_top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["term"], r["exact_n"]) for r in got] == expect_top
+    for r in got:
+        est = min(cells[(i, bucket(i, r["term"]))] for i in range(4))
+        assert r["cm_est"] == est
+        assert r["overcount"] == est - r["exact_n"] >= 0
