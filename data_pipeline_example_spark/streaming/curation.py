@@ -492,3 +492,106 @@ def budget_admission_stream(
     return typed.groupBy("source").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def countmin_stream(
+    docs: DataFrame, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Streaming Count-Min sketch of the term stream — the
+    bounded-memory frequency counter kept online while a corpus
+    ingests, the streaming twin of batch
+    ``text.countmin_term_error``'s sketch build.
+
+    State is one width-long cell array per sketch row: O(depth·width)
+    TOTAL, input-INDEPENDENT — the strongest bounded-state guarantee
+    in the streaming module (the other custom-state ops are
+    O(#keys)). Because CM cells are pure sums, the sketch is additive
+    across micro-batches and across a checkpoint stop/restart: the
+    recovered-and-resumed state equals the one-shot batch sketch
+    REGARDLESS of batch boundaries (the restart test pins the final
+    cells against a brute-force batch sketch — the
+    exactly-mergeable-KMV certification idea applied to streaming
+    state). Term→(row, bucket) fan-out happens relationally BEFORE
+    the stateful op (JVM-side md5, the certified conv idiom shared
+    with the batch op); the Arrow-batched update function only adds
+    value_counts into the cell array.
+
+    Input: a doc stream with a text column. Output stream (update
+    mode), one row per sketch row per batch: i, mass (total
+    increments absorbed so far), nonzero_cells, max_cell, cells.
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+    terms = docs.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    incs = terms.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{i}:"), F.col("term")
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    ).select(F.col("rb.i").alias("i"), F.col("rb.bucket").alias("bucket"))
+
+    out_schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("mass", LongType()),
+            StructField("nonzero_cells", IntegerType()),
+            StructField("max_cell", LongType()),
+            StructField("cells", ArrayType(LongType())),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("cells", ArrayType(LongType()))]
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        cells = list(state.get[0]) if state.exists else [0] * width
+        for pdf in pdfs:
+            for b, c in pdf["bucket"].value_counts().items():
+                cells[int(b)] += int(c)
+        state.update((cells,))
+        yield pd.DataFrame(
+            {
+                "i": pd.Series([key[0]], dtype="int32"),
+                "mass": pd.Series([sum(cells)], dtype="int64"),
+                "nonzero_cells": pd.Series(
+                    [sum(1 for c in cells if c > 0)], dtype="int32"
+                ),
+                "max_cell": pd.Series([max(cells)], dtype="int64"),
+                "cells": [cells],
+            }
+        )
+
+    return incs.groupBy("i").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -515,3 +515,95 @@ def test_budget_admission_ttl_expires_idle_source_quota(spark, tmp_path):
         "SELECT * FROM budget_ttl").collect()}
     assert rows[1] == 1        # 10 tokens exactly fill the budget
     assert rows[2] == 1        # would be rejected (10+3>10) had state survived the TTL
+
+
+def test_countmin_stream_state_survives_restart_and_equals_batch(spark, tmp_path):
+    """The streamed CM sketch is additive across micro-batches AND
+    across a checkpoint stop/restart: after feeding two batches in two
+    separate query runs, the final cells equal a brute-force one-shot
+    sketch of ALL docs (merge-order independence — the property that
+    makes CM the right streaming counter), and state stays
+    O(depth*width)."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import re as _re
+    import time as _time
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_example_spark.streaming import curation as sc
+
+    in_dir, out_dir, ckpt = (
+        tmp_path / "in",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    in_dir.mkdir()
+    now = _time.time()
+    depth, width = 3, 16
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    def run_once():
+        raw = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = sc.countmin_stream(raw, depth=depth, width=width)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: df.withColumn(
+                    "eid", F.lit(eid)
+                ).write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        {"doc_id": "1", "text": "alpha beta beta gamma"},
+        {"doc_id": "2", "text": "alpha delta"},
+    ]
+    b2 = [{"doc_id": "3", "text": "beta gamma gamma epsilon alpha"}]
+    write("b1.json", b1, now - 30)
+    run_once()
+    write("b2.json", b2, now)
+    run_once()  # restart from checkpoint — cells must resume, not reset
+
+    rows = spark.read.parquet(out_dir).collect()
+    last = {}
+    for r in rows:
+        if r["i"] not in last or r["eid"] > last[r["i"]]["eid"]:
+            last[r["i"]] = r
+    assert set(last) == set(range(depth))
+
+    counts = Counter(
+        t
+        for d in b1 + b2
+        for t in _re.findall(r"[a-z0-9]+", d["text"].lower())
+    )
+    for i in range(depth):
+        cells = [0] * width
+        for term, n in counts.items():
+            b = (
+                int(hashlib.md5(f"{i}:{term}".encode()).hexdigest()[:8], 16)
+                % width
+            )
+            cells[b] += n
+        got = last[i]
+        assert list(got["cells"]) == cells, i
+        assert got["mass"] == sum(cells)
+        assert got["max_cell"] == max(cells)
+        assert got["nonzero_cells"] == sum(1 for c in cells if c > 0)
+        assert len(got["cells"]) == width  # state bound: width longs/row
