@@ -147,6 +147,10 @@ HEADLINE = [
     "source_overlap_matrix",
     "corr_length_diversity",
     "revenue_pareto",
+    # CM sketch audit, robust MAD anomalies, YoY trend
+    "countmin_term_error",
+    "event_rate_mad",
+    "orders_yoy_growth",
 ]
 
 

@@ -1809,3 +1809,34 @@ def revenue_pareto(orders: DataFrame, tiles: int = 10) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def orders_yoy_growth(orders: DataFrame) -> DataFrame:
+    """Year-over-year revenue growth per order priority — the trend
+    table every finance dashboard opens with.
+
+    One map-side-combined aggregate to the bounded
+    (#priorities × #years) grid; the lag window runs on that
+    planning-sized frame, PARTITIONED by priority. Exactness: revenue
+    is exact integer CENTS; growth is (Δ · 1.0) / prev — one exact
+    long subtraction, one exact double conversion, one rounded
+    division, mirrored verbatim in the oracle (first year NULL in
+    both engines). Output: o_orderpriority, year, revenue_cents,
+    yoy_growth.
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.round(F.col("o_totalprice"), 2) * 100, 0).cast("long")
+    yearly = orders.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("year")
+    ).agg(F.sum(cents).cast("long").alias("revenue_cents"))
+    w = Window.partitionBy("o_orderpriority").orderBy("year")
+    prev = F.lag("revenue_cents").over(w)
+    return yearly.select(
+        "o_orderpriority",
+        "year",
+        "revenue_cents",
+        F.round(
+            (F.col("revenue_cents") - prev) * F.lit(1.0) / prev, 4
+        ).alias("yoy_growth"),
+    ).orderBy("o_orderpriority", "year")

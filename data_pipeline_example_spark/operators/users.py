@@ -728,3 +728,64 @@ def event_cooccurrence(events: DataFrame) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def event_rate_mad(events: DataFrame, k: int = 3) -> DataFrame:
+    """Robust daily event-RATE anomalies per type: median / MAD screen
+    over the (type, day) count frame — the robust twin of
+    :func:`value_anomalies` (z-scores break when the outlier itself
+    inflates the mean and stddev; median/MAD have a 50% breakdown
+    point).
+
+    Exactness: daily counts are integers, so the WHOLE screen is exact
+    long arithmetic — |n − median| > k·MAD compares integers (the
+    z-score twin needs the round-before-threshold discipline; MAD
+    needs nothing). Medians are SQL ``percentile_disc`` semantics
+    (value at rank ceil(n/2) — the segment_value_percentiles mapping),
+    computed with a rank window over the AGGREGATED frame:
+    #types × #days rows, calendar-bounded at any corpus scale, and the
+    windows are PARTITIONED by type (each partition ≤ #days rows —
+    never the single-task global sort). Output: anomalous days only —
+    event_type, day, n_events, med_n, mad_n.
+    """
+    from pyspark.sql.window import Window
+
+    daily = events.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def _group_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        wr = Window.partitionBy("event_type").orderBy(F.asc(val), F.asc("day"))
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("_r", F.row_number().over(wr))
+            .withColumn("_n", F.count(F.lit(1)).over(wc))
+            .groupBy("event_type")
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("_r") == F.expr("(_n + 1) div 2"), F.col(val)
+                    )
+                )
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    med = _group_median(daily, "n", "med_n")
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med_n"))
+    )
+    mad = _group_median(dev, "dev", "mad_n")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("n") - F.col("med_n")) > k * F.col("mad_n"))
+        .select(
+            "event_type",
+            "day",
+            F.col("n").alias("n_events"),
+            "med_n",
+            "mad_n",
+        )
+        .orderBy("event_type", "day")
+    )

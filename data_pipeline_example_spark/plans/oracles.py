@@ -4060,3 +4060,50 @@ JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
 GROUP BY 1, 2
 ORDER BY exact_n DESC, term
 """
+
+ORACLES["event_rate_mad"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT)
+           AS med_n
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.day, d.n, m.med_n, abs(d.n - m.med_n) AS dv
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dv) AS BIGINT)
+           AS mad_n
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n AS n_events, d.med_n, m.mad_n
+FROM dev d JOIN mad m USING (event_type)
+WHERE abs(d.n - d.med_n) > 3 * m.mad_n
+ORDER BY 1, 2
+"""
+
+ORACLES["orders_yoy_growth"] = """
+WITH yearly AS (
+  SELECT o_orderpriority,
+         CAST(year(o_orderdate) AS INTEGER) AS year,
+         CAST(sum(CAST(round(round(o_totalprice, 2) * 100, 0) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, year, revenue_cents,
+       round(
+         (revenue_cents - lag(revenue_cents)
+            OVER (PARTITION BY o_orderpriority ORDER BY year)) * 1.0
+         / lag(revenue_cents)
+            OVER (PARTITION BY o_orderpriority ORDER BY year),
+         4) AS yoy_growth
+FROM yearly
+ORDER BY o_orderpriority, year
+"""

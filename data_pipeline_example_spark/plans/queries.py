@@ -876,6 +876,16 @@ def q_countmin_term_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.countmin_term_error(load_table(spark, sf_dir, "documents"))
 
 
+def q_event_rate_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust daily event-rate anomalies (exact integers)."""
+    return users.event_rate_mad(load_table(spark, sf_dir, "events"))
+
+
+def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YoY revenue growth per priority over the bounded year grid."""
+    return tpch.orders_yoy_growth(load_table(spark, sf_dir, "orders"))
+
+
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-dup pair counts over LSH-verified pairs."""
     return dedup.source_overlap_matrix(load_table(spark, sf_dir, "documents"))
@@ -1224,6 +1234,8 @@ QUERIES: dict[str, QueryFn] = {
     "order_gap_percentiles": q_order_gap_percentiles,
     "source_overlap_matrix": q_source_overlap_matrix,
     "countmin_term_error": q_countmin_term_error,
+    "event_rate_mad": q_event_rate_mad,
+    "orders_yoy_growth": q_orders_yoy_growth,
     "corr_length_diversity": q_corr_length_diversity,
     "revenue_pareto": q_revenue_pareto,
     "ivfpq_knn_index_batch": q_ivfpq_knn_index_batch,

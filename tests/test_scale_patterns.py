@@ -611,3 +611,64 @@ def test_countmin_term_error_matches_bruteforce(spark, sf_dir):
         est = min(cells[(i, bucket(i, r["term"]))] for i in range(4))
         assert r["cm_est"] == est
         assert r["overcount"] == est - r["exact_n"] >= 0
+
+
+def test_event_rate_mad_matches_bruteforce(spark, sf_dir):
+    """Median/MAD flags equal a driver-side brute force (percentile_disc
+    median = value at rank ceil(n/2)); all-integer screen."""
+    from collections import Counter
+
+    from data_pipeline_example_spark.operators import users as us
+    from data_pipeline_example_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["med_n"], r["mad_n"])
+        for r in us.event_rate_mad(events, k=3).collect()
+    }
+    daily = Counter()
+    for r in events.select("event_type", F.to_date("ts").alias("day")).collect():
+        daily[(r["event_type"], r["day"])] += 1
+    per = {}
+    for (t, d), n in daily.items():
+        per.setdefault(t, []).append((d, n))
+
+    def disc_median(vals):
+        vals = sorted(vals)
+        return vals[(len(vals) + 1) // 2 - 1]
+
+    expect = {}
+    for t, dn in per.items():
+        med = disc_median([n for _, n in dn])
+        mad = disc_median([abs(n - med) for _, n in dn])
+        for d, n in dn:
+            if abs(n - med) > 3 * mad:
+                expect[(t, d)] = (n, med, mad)
+    assert got == expect
+
+
+def test_orders_yoy_growth_matches_bruteforce(spark, sf_dir):
+    """Yearly cent sums and lag-based growth equal a driver brute
+    force; first year per priority is NULL."""
+    from data_pipeline_example_spark.operators import tpch
+    from data_pipeline_example_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = {
+        (r["o_orderpriority"], r["year"]): (r["revenue_cents"], r["yoy_growth"])
+        for r in tpch.orders_yoy_growth(orders).collect()
+    }
+    agg = {}
+    for r in orders.collect():
+        key = (r["o_orderpriority"], r["o_orderdate"].year)
+        agg[key] = agg.get(key, 0) + int(round(round(r["o_totalprice"], 2) * 100))
+    assert set(got) == set(agg)
+    for (p, y), cents in agg.items():
+        g = got[(p, y)]
+        assert g[0] == cents
+        prev = agg.get((p, y - 1))
+        if prev is None:
+            assert g[1] is None
+        else:
+            assert abs(g[1] - round((cents - prev) / prev, 4)) < 1e-9
