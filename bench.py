@@ -151,6 +151,7 @@ HEADLINE = [
     "countmin_term_error",
     "event_rate_mad",
     "orders_yoy_growth",
+    "customer_migration",
 ]
 
 

@@ -1840,3 +1840,76 @@ def orders_yoy_growth(orders: DataFrame) -> DataFrame:
             (F.col("revenue_cents") - prev) * F.lit(1.0) / prev, 4
         ).alias("yoy_growth"),
     ).orderBy("o_orderpriority", "year")
+
+
+def customer_migration(orders: DataFrame, tiles: int = 4) -> DataFrame:
+    """Customer value-migration matrix: spend-quartile transitions
+    between the first and second half of the order history — the
+    upgrade/downgrade/churn/acquisition grid a lifecycle team reads.
+
+    The date midpoint is lo + (hi−lo) div 2 whole days (integer
+    arithmetic, mirrored in the oracle). Each half's quartiles rank
+    only the customers ACTIVE in that half, via the shared
+    ``functions.cuts`` + ``ntile_expr`` discipline (two more
+    production sites — never an unpartitioned NTILE); a customer
+    absent from a half lands in tile 0 of that axis (FULL OUTER join +
+    coalesce), so row/column 0 are the acquisition and churn margins.
+    Output: the bounded (tiles+1)² grid minus the impossible (0,0)
+    cell — tile_h1, tile_h2, n_customers. All counts exact longs.
+    """
+    from pyspark.sql.window import Window
+
+    from data_pipeline_example_spark.functions.cuts import (
+        join_cuts,
+        ntile_expr,
+        value_cuts,
+    )
+
+    spark = orders.sparkSession
+    cents = F.round(F.round(F.col("o_totalprice"), 2) * 100, 0).cast("long")
+    d = F.to_date("o_orderdate")
+    bounds = orders.agg(
+        F.min(d).alias("lo"), F.max(d).alias("hi")
+    )
+    base = (
+        orders.select(
+            "o_custkey", d.alias("d"), cents.alias("cents")
+        )
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "mid",
+            F.expr("date_add(lo, cast(datediff(hi, lo) div 2 as int))"),
+        )
+    )
+
+    def _half_tiles(cond, out_col: str) -> DataFrame:
+        spend = (
+            base.filter(cond)
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").cast("long").alias("m_cents"))
+        )
+        cuts, totals = value_cuts(spend, "m_cents")
+        n_rows = totals.get((), (0, 0))[0]
+        if n_rows == 0:
+            return spark.createDataFrame([], f"o_custkey long, {out_col} int")
+        wt = Window.partitionBy("m_cents").orderBy("o_custkey")
+        ranked = join_cuts(spend, cuts, "m_cents").withColumn(
+            "rank", F.col("cum_before") + F.row_number().over(wt)
+        )
+        return ranked.select(
+            "o_custkey",
+            ntile_expr("rank", n_rows, tiles).cast("int").alias(out_col),
+        )
+
+    h1 = _half_tiles(F.col("d") < F.col("mid"), "tile_h1")
+    h2 = _half_tiles(F.col("d") >= F.col("mid"), "tile_h2")
+    return (
+        h1.join(h2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("tile_h1", F.lit(0)).alias("tile_h1"),
+            F.coalesce("tile_h2", F.lit(0)).alias("tile_h2"),
+        )
+        .groupBy("tile_h1", "tile_h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("tile_h1", "tile_h2")
+    )

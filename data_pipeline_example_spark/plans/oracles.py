@@ -4107,3 +4107,35 @@ SELECT o_orderpriority, year, revenue_cents,
 FROM yearly
 ORDER BY o_orderpriority, year
 """
+
+ORACLES["customer_migration"] = """
+WITH b AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(round(round(o_totalprice, 2) * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+bounds AS (
+  SELECT lo, hi, CAST(lo + to_days(CAST((hi - lo) // 2 AS INTEGER)) AS DATE) AS mid
+  FROM (SELECT min(d) AS lo, max(d) AS hi FROM b)
+),
+h1 AS (
+  SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS m
+  FROM b, bounds WHERE d < mid GROUP BY 1
+),
+h2 AS (
+  SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS m
+  FROM b, bounds WHERE d >= mid GROUP BY 1
+),
+t1 AS (
+  SELECT o_custkey, NTILE(4) OVER (ORDER BY m, o_custkey) AS tile_h1 FROM h1
+),
+t2 AS (
+  SELECT o_custkey, NTILE(4) OVER (ORDER BY m, o_custkey) AS tile_h2 FROM h2
+)
+SELECT coalesce(t1.tile_h1, 0) AS tile_h1,
+       coalesce(t2.tile_h2, 0) AS tile_h2,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM t1 FULL OUTER JOIN t2 USING (o_custkey)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -886,6 +886,11 @@ def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.orders_yoy_growth(load_table(spark, sf_dir, "orders"))
 
 
+def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-quartile transition matrix between the two time halves."""
+    return tpch.customer_migration(load_table(spark, sf_dir, "orders"))
+
+
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-dup pair counts over LSH-verified pairs."""
     return dedup.source_overlap_matrix(load_table(spark, sf_dir, "documents"))
@@ -1236,6 +1241,7 @@ QUERIES: dict[str, QueryFn] = {
     "countmin_term_error": q_countmin_term_error,
     "event_rate_mad": q_event_rate_mad,
     "orders_yoy_growth": q_orders_yoy_growth,
+    "customer_migration": q_customer_migration,
     "corr_length_diversity": q_corr_length_diversity,
     "revenue_pareto": q_revenue_pareto,
     "ivfpq_knn_index_batch": q_ivfpq_knn_index_batch,

@@ -672,3 +672,41 @@ def test_orders_yoy_growth_matches_bruteforce(spark, sf_dir):
             assert g[1] is None
         else:
             assert abs(g[1] - round((cents - prev) / prev, 4)) < 1e-9
+
+
+def test_customer_migration_matches_bruteforce(spark, sf_dir):
+    """Half-split, per-half quartiles (rank under (cents, custkey)) and
+    the transition grid equal a driver brute force; margins 0 are the
+    churn/acquisition rows and (0,0) is impossible."""
+    from data_pipeline_example_spark.operators import tpch
+    from data_pipeline_example_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = {
+        (r["tile_h1"], r["tile_h2"]): r["n_customers"]
+        for r in tpch.customer_migration(orders).collect()
+    }
+    assert (0, 0) not in got
+
+    rows = [
+        (r["o_custkey"], r["o_orderdate"].date(), int(round(round(r["o_totalprice"], 2) * 100)))
+        for r in orders.collect()
+    ]
+    lo = min(r[1] for r in rows)
+    hi = max(r[1] for r in rows)
+    import datetime
+
+    mid = lo + datetime.timedelta(days=(hi - lo).days // 2)
+    halves = [{}, {}]
+    for c, d, cents in rows:
+        h = halves[0] if d < mid else halves[1]
+        h[c] = h.get(c, 0) + cents
+    tiles = []
+    for h in halves:
+        order = sorted(h, key=lambda k: (h[k], k))
+        tiles.append(dict(zip(order, _manual_ntile(order, 4))))
+    expect = {}
+    for c in set(halves[0]) | set(halves[1]):
+        key = (tiles[0].get(c, 0), tiles[1].get(c, 0))
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
