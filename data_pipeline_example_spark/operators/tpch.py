@@ -1913,3 +1913,61 @@ def customer_migration(orders: DataFrame, tiles: int = 4) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("tile_h1", "tile_h2")
     )
+
+
+def basket_communities(
+    lineitem: DataFrame, min_support: int = 2
+) -> DataFrame:
+    """Product communities: connected components over the co-purchase
+    pair graph — "families" of parts that recur together in baskets
+    (the categoryless taxonomy a recommender bootstraps from).
+
+    Composes the :func:`basket_affinity` edge construction
+    (dedup-first baskets, bounded per-order fan-out, ``min_support``
+    pruning the long random-cooccurrence tail BEFORE any graph work)
+    with :func:`operators.dedup.dedup_clusters`' min-label
+    propagation — one keyed join + aggregate per round, no driver-side
+    graph, the same machinery GraphX uses for CC (that op's
+    heap-sized-to-the-pair-graph caveat applies; raise ``min_support``
+    to shrink the graph). Output: one row per community —
+    community_id (min part id), n_parts, n_edges — exact longs,
+    ordered by size desc then id.
+    """
+    from data_pipeline_example_spark.operators.dedup import dedup_clusters
+
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("doc_a"),
+            F.col("b.l_partkey").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= int(min_support))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    cc = dedup_clusters(edges)
+    sizes = cc.groupBy(F.col("cluster_id").alias("community_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    lab_a = cc.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("community_id")
+    )
+    edge_counts = (
+        edges.join(lab_a, "doc_a")
+        .groupBy("community_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    return (
+        sizes.join(edge_counts, "community_id")
+        .select("community_id", "n_parts", "n_edges")
+        .orderBy(F.desc("n_parts"), F.asc("community_id"))
+    )

@@ -4139,3 +4139,38 @@ FROM t1 FULL OUTER JOIN t2 USING (o_custkey)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+ORACLES["basket_communities"] = """
+WITH RECURSIVE bk AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+p AS (
+  SELECT a.l_partkey AS doc_a, b2.l_partkey AS doc_b
+  FROM bk a JOIN bk b2
+    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+),
+cc AS (
+  SELECT DISTINCT a AS doc_id, a AS label FROM edges
+  UNION
+  SELECT e.a, cc.label FROM edges e JOIN cc ON cc.doc_id = e.b
+),
+clusters AS (SELECT doc_id, min(label) AS community_id FROM cc GROUP BY 1),
+sizes AS (
+  SELECT community_id, CAST(count(*) AS BIGINT) AS n_parts
+  FROM clusters GROUP BY 1
+),
+ec AS (
+  SELECT c.community_id, CAST(count(*) AS BIGINT) AS n_edges
+  FROM p JOIN clusters c ON c.doc_id = p.doc_a
+  GROUP BY 1
+)
+SELECT s.community_id, s.n_parts, ec.n_edges
+FROM sizes s JOIN ec USING (community_id)
+ORDER BY n_parts DESC, community_id
+"""

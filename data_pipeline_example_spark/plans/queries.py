@@ -891,6 +891,11 @@ def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.customer_migration(load_table(spark, sf_dir, "orders"))
 
 
+def q_basket_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC product communities over the min-support co-purchase graph."""
+    return tpch.basket_communities(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-dup pair counts over LSH-verified pairs."""
     return dedup.source_overlap_matrix(load_table(spark, sf_dir, "documents"))
@@ -1242,6 +1247,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_rate_mad": q_event_rate_mad,
     "orders_yoy_growth": q_orders_yoy_growth,
     "customer_migration": q_customer_migration,
+    "basket_communities": q_basket_communities,
     "corr_length_diversity": q_corr_length_diversity,
     "revenue_pareto": q_revenue_pareto,
     "ivfpq_knn_index_batch": q_ivfpq_knn_index_batch,

@@ -710,3 +710,50 @@ def test_customer_migration_matches_bruteforce(spark, sf_dir):
         key = (tiles[0].get(c, 0), tiles[1].get(c, 0))
         expect[key] = expect.get(key, 0) + 1
     assert got == expect
+
+
+def test_basket_communities_matches_bruteforce(spark, sf_dir):
+    """Community membership (union-find over min-support pairs),
+    sizes and edge counts equal a driver-side brute force."""
+    from collections import Counter
+
+    from data_pipeline_example_spark.operators import tpch
+    from data_pipeline_example_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r["community_id"]: (r["n_parts"], r["n_edges"])
+        for r in tpch.basket_communities(li, min_support=2).collect()
+    }
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pair_n: Counter = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    edges = [p for p, c in pair_n.items() if c >= 2]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comm = {}
+    for x in parent:
+        comm.setdefault(find(x), set()).add(x)
+    expect = {}
+    for root, members in comm.items():
+        cid = min(members)
+        n_edges = sum(1 for a, b in edges if find(a) == root)
+        expect[cid] = (len(members), n_edges)
+    assert got == expect
