@@ -2062,35 +2062,36 @@ def bm25_search(
     6-dp-rounded then scaled to integer MICRO units so the per-doc sum
     is order-independent long arithmetic (the dsir/bigram discipline).
 
-    Plan: two column-pruned tokenize scans (the corpus length stats
-    and the term-matched explode — re-tokenizing beats checkpointing
-    the full corpus token arrays, the oov_rate measurement); the
-    explode is filtered to the query terms BEFORE any exchange
-    (scan-local isin), so only matching (doc, term) rows shuffle —
-    O(matches), never O(tokens) — and the tiny matched frame is
-    localCheckpoint-ed once (module eager-construction contract) so
-    the df census and the scoring read it without a third scan; df
-    and corpus stats are planning-sized broadcasts; the top-n is a
-    TakeOrdered. Output: doc_id, n_terms, bm25_micro (micro-units;
-    divide by 1e6 for the score), top n by score.
+    Plan: ONE column-pruned tokenize scan. The scan projects each doc
+    to (doc_id, dl, matched-terms array) — the token arrays are
+    reduced scan-side to a length and a query-filtered array (array
+    ``filter``, no exchange), so the localCheckpoint materializes
+    ~three longs per doc, not the corpus token arrays (the blow-up
+    the oov_rate note warns about). Corpus length stats, the df
+    census, and the tf scoring all derive from that checkpointed
+    narrow frame — no re-tokenize; only matching (doc, term) rows
+    ever shuffle, O(matches), never O(tokens). df and corpus stats
+    are planning-sized broadcasts; the top-n is a TakeOrdered.
+    Output: doc_id, n_terms, bm25_micro (micro-units; divide by 1e6
+    for the score), top n by score.
     """
     toks = widen(documents).select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
     )
-    stats = toks.agg(
+    per_doc = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("dl"),
+        F.filter("t", lambda x: x.isin(*query)).alias("m"),
+    ).localCheckpoint()
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum(F.size("t")), F.lit(0)).cast("long").alias("sum_dl"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
     )
     tf = (
-        toks.select(
-            "doc_id",
-            F.size("t").cast("long").alias("dl"),
-            F.explode("t").alias("term"),
-        )
-        .filter(F.col("term").isin(*query))
+        per_doc.filter(F.size("m") > 0)
+        .select("doc_id", "dl", F.explode("m").alias("term"))
         .groupBy("doc_id", "term", "dl")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint()
     )
     dfs = tf.groupBy("term").agg(
         F.countDistinct("doc_id").cast("long").alias("df")
