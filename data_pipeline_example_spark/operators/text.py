@@ -2327,3 +2327,82 @@ def countmin_term_error(
         )
         .orderBy(F.desc("exact_n"), F.asc("term"))
     )
+
+
+def sequence_pack(documents: DataFrame, capacity: int = 2048) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style batching step
+    that concatenates a source's documents in doc_id order and slices
+    the stream into fixed ``capacity``-token training blocks (each
+    source is its own packing stream, the per-shard layout a mixture
+    loader consumes).
+
+    A per-source running token offset is the whole computation, and a
+    ``partitionBy(source)`` window sort would drag every mega-source
+    through ONE task — so the offset comes from the shared
+    ``functions.cuts`` discipline instead: ``doc_id`` is unique, hence
+    ``value_cuts(value=doc_id, weight=n_tokens)``'s per-value
+    ``mass_before`` IS the exact per-row prefix sum, computed via
+    range-partitioned per-partition offsets (driver state
+    O(#partitions + #sources), no global sort, no Θ(rows) collect).
+    Block arithmetic is pure nonnegative long ``div``. Eager
+    construction: ``value_cuts`` localCheckpoints its ranged histogram
+    (module contract note). Output per doc: source, doc_id, n_tokens,
+    tok_offset, block_id (block the doc STARTS in), blocks_spanned
+    (0 for empty docs), splits_boundary (1 when the doc straddles a
+    block edge — the attention-mask discontinuity packing audits
+    count), ordered by (source, doc_id).
+    """
+    from data_pipeline_example_spark.functions.cuts import join_cuts, value_cuts
+
+    cap = int(capacity)
+    toks = documents.select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    cuts, _ = value_cuts(
+        toks.select("doc_id", "source", "n_tokens"),
+        "doc_id",
+        group_cols=("source",),
+        weight_col="n_tokens",
+    )
+    packed = join_cuts(
+        toks, cuts.select("source", "doc_id", "mass_before"), "doc_id", ("source",)
+    )
+    first = F.expr(f"mass_before div {cap}")
+    last = F.expr(f"(mass_before + n_tokens - 1) div {cap}")
+    return packed.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.col("mass_before").cast("long").alias("tok_offset"),
+        first.cast("long").alias("block_id"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(last - first + 1)
+        .cast("long")
+        .alias("blocks_spanned"),
+        F.when((F.col("n_tokens") > 0) & (last > first), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("splits_boundary"),
+    ).orderBy("source", "doc_id")
+
+
+def pack_block_stats(documents: DataFrame, capacity: int = 2048) -> DataFrame:
+    """Packing-layout audit over :func:`sequence_pack`: per
+    (source, block_id) — documents STARTING in the block, their token
+    mass, and how many straddle the block edge (each straddler is one
+    truncated attention span; a packing QA dashboard plots this rate
+    per shard). Narrow groupBy over the packed frame — the cuts
+    machinery runs once. Output: source, block_id, n_docs, n_tokens,
+    n_splits, ordered by (source, block_id)."""
+    return (
+        sequence_pack(documents, capacity)
+        .groupBy("source", "block_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("splits_boundary").cast("long").alias("n_splits"),
+        )
+        .orderBy("source", "block_id")
+    )

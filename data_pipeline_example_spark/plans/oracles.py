@@ -4174,3 +4174,52 @@ SELECT s.community_id, s.n_parts, ec.n_edges
 FROM sizes s JOIN ec USING (community_id)
 ORDER BY n_parts DESC, community_id
 """
+
+_PACK_OFFSETS = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+  FROM t
+),
+packed AS (
+  SELECT source, doc_id, n_tokens, tok_offset,
+         tok_offset // 2048 AS block_id,
+         CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+              ELSE (tok_offset + n_tokens - 1) // 2048 - tok_offset // 2048 + 1
+         END AS blocks_spanned,
+         CASE WHEN n_tokens > 0
+                   AND (tok_offset + n_tokens - 1) // 2048 > tok_offset // 2048
+              THEN 1 ELSE 0 END AS splits_boundary
+  FROM o
+)
+"""
+
+ORACLES["sequence_pack"] = (
+    _PACK_OFFSETS
+    + """
+SELECT source, doc_id, n_tokens, tok_offset, block_id, blocks_spanned,
+       CAST(splits_boundary AS INTEGER) AS splits_boundary
+FROM packed
+ORDER BY source, doc_id
+"""
+)
+
+ORACLES["pack_block_stats"] = (
+    _PACK_OFFSETS
+    + """
+SELECT source, block_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(splits_boundary) AS BIGINT) AS n_splits
+FROM packed
+GROUP BY 1, 2
+ORDER BY source, block_id
+"""
+)

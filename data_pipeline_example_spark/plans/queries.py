@@ -896,6 +896,16 @@ def q_basket_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.basket_communities(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into fixed-capacity token blocks."""
+    return text.sequence_pack(load_table(spark, sf_dir, "documents"))
+
+
+def q_pack_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block packing audit (docs started, token mass, splits)."""
+    return text.pack_block_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-dup pair counts over LSH-verified pairs."""
     return dedup.source_overlap_matrix(load_table(spark, sf_dir, "documents"))
@@ -1248,6 +1258,8 @@ QUERIES: dict[str, QueryFn] = {
     "orders_yoy_growth": q_orders_yoy_growth,
     "customer_migration": q_customer_migration,
     "basket_communities": q_basket_communities,
+    "sequence_pack": q_sequence_pack,
+    "pack_block_stats": q_pack_block_stats,
     "corr_length_diversity": q_corr_length_diversity,
     "revenue_pareto": q_revenue_pareto,
     "ivfpq_knn_index_batch": q_ivfpq_knn_index_batch,

@@ -757,3 +757,46 @@ def test_basket_communities_matches_bruteforce(spark, sf_dir):
         n_edges = sum(1 for a, b in edges if find(a) == root)
         expect[cid] = (len(members), n_edges)
     assert got == expect
+
+
+def test_sequence_pack_matches_bruteforce_and_bounds_driver(spark, sf_dir):
+    """Packing offsets/blocks equal a driver-side concat-and-chunk
+    replay per source, and the cuts collect stays O(#partitions +
+    #sources) even though doc_id is a near-unique value domain."""
+    import re
+
+    from data_pipeline_example_spark.functions import cuts as C
+    from data_pipeline_example_spark.operators import text as tx
+    from data_pipeline_example_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 64  # small capacity → plenty of blocks/splits at tiny sf
+    got = {
+        r["doc_id"]: (
+            r["source"], r["n_tokens"], r["tok_offset"], r["block_id"],
+            r["blocks_spanned"], r["splits_boundary"],
+        )
+        for r in tx.sequence_pack(docs, capacity=cap).collect()
+    }
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_sources = docs.select("source").distinct().count()
+    assert 0 < C.LAST_DRIVER_ROWS <= parts + n_sources
+
+    rows = docs.select("doc_id", "source", "text").collect()
+    per_src: dict = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    expect = {}
+    for src, rs in per_src.items():
+        off = 0
+        for r in sorted(rs, key=lambda x: x["doc_id"]):
+            n = len(re.findall(r"[A-Za-z0-9]+", r["text"] or ""))
+            first = off // cap
+            last = (off + n - 1) // cap if n > 0 else first
+            expect[r["doc_id"]] = (
+                src, n, off, first,
+                (last - first + 1) if n > 0 else 0,
+                1 if n > 0 and last > first else 0,
+            )
+            off += n
+    assert got == expect
