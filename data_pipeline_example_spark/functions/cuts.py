@@ -47,7 +47,31 @@ from pyspark.sql import types as ST
 from pyspark.sql.window import Window
 
 #: rows collected to the driver by the most recent value_cuts call.
+#: Convenience alias for single-threaded tests ONLY — operators that
+#: call value_cuts more than once overwrite it, and concurrent query
+#: threads interleave writes. The authoritative per-call figure is
+#: ``totals.driver_rows`` on the returned :class:`CutsTotals`.
 LAST_DRIVER_ROWS: int = 0
+
+
+class CutsTotals(dict):
+    """``{group_tuple: (n_rows, weight_sum)}`` plus per-call driver
+    diagnostics: ``driver_rows`` is the exact number of rows THIS
+    :func:`value_cuts` call collected to the driver (the
+    O(#partitions + #groups) bound the tests pin), immune to the
+    module-global's overwrite/interleave hazards."""
+
+    driver_rows: int = 0
+
+
+def _conf_partitions(raw, default: int = 200) -> int:
+    """Partition count from ``spark.sql.shuffle.partitions``, tolerant
+    of non-numeric values: AQE auto shuffle partitions (e.g.
+    Databricks) sets the conf to the string ``"auto"``, and a bare
+    ``int()`` would raise at operator CONSTRUCTION time, failing every
+    cuts-backed query on such deployments."""
+    s = str(raw) if raw is not None else ""
+    return int(s) if s.isdigit() else default
 
 
 def value_cuts(
@@ -58,7 +82,7 @@ def value_cuts(
     weight_col: str | None = None,
     descending: bool = False,
     partitions: int | None = None,
-) -> tuple[DataFrame, dict[tuple, tuple[int, int | float]]]:
+) -> tuple[DataFrame, "CutsTotals"]:
     """Per-distinct-value prefix statistics, distributed.
 
     Returns ``(cuts, totals)``:
@@ -72,9 +96,11 @@ def value_cuts(
       that weight over the strictly-preceding values. The frame is
       DISTRIBUTED — join it back on (group…, value) with
       :func:`join_cuts`; do not assume it broadcasts.
-    * ``totals`` — ``{group_tuple: (n_rows, weight_sum)}`` collected to
-      the driver; only sensible when the GROUP domain is bounded
-      (global cuts: one entry keyed ``()``).
+    * ``totals`` — :class:`CutsTotals`: ``{group_tuple: (n_rows,
+      weight_sum)}`` collected to the driver (only sensible when the
+      GROUP domain is bounded; global cuts: one entry keyed ``()``),
+      with ``totals.driver_rows`` carrying this call's exact driver
+      collect size.
 
     NULL group values are kept as their own group (matching SQL
     ``PARTITION BY`` semantics); NULL values sort first ascending.
@@ -86,9 +112,12 @@ def value_cuts(
     if weight_col is not None:
         aggs.append(F.sum(weight_col).alias("_w"))
     hist = df.groupBy(*gcols, value_col).agg(*aggs)
-    n_parts = int(
-        partitions or spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    if partitions is not None:
+        n_parts = int(partitions)
+    else:
+        n_parts = _conf_partitions(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     order = [F.asc(c) for c in gcols] + [
         F.desc(value_col) if descending else F.asc(value_col)
     ]
@@ -107,7 +136,8 @@ def value_cuts(
     for r in part_rows:
         per_group[tuple(r[c] for c in gcols)].append(r)
     off_rows: list[tuple] = []
-    totals: dict[tuple, tuple[int, int | float]] = {}
+    totals: CutsTotals = CutsTotals()
+    totals.driver_rows = len(part_rows)
     for g, rs in per_group.items():
         rs.sort(key=lambda r: r["_pid"])
         acc_c: int = 0

@@ -1853,6 +1853,15 @@ def ivfpq_knn_index_batch(
         )
     )
     cents = spark.read.parquet(f"{path}/centroids")
+    # the PQ LUT is built from the stored centroids file filtered by
+    # vec_id < ks — if the writer stored fewer rows the codebook would
+    # silently truncate and approx_sim diverge from the ivfpq_knn twin;
+    # the file is planning-sized (coalesce(1)), so counting it is cheap
+    stored = cents.count()
+    assert max(ks, n_centroids) <= stored, (
+        f"index at {path} stores {stored} centroid rows; serving needs "
+        f"ks={ks}, n_centroids={n_centroids} — rebuild with write_ann_index"
+    )
     pw = Window.partitionBy("query_id").orderBy(
         F.desc("c_sim"), F.asc("centroid_id")
     )

@@ -973,20 +973,24 @@ def q_ivfpq_knn_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _ANN_INDEX_CACHE.get(key)
+    path = _ANN_INDEX_CACHE.get(sf_dir)
     if path is None:
-        tag = hashlib.md5(
-            f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
-        ).hexdigest()[:12]
+        # keyed by (sf_dir, index-format version) ONLY — never the
+        # applicationId: an appId-derived tag minted a fresh full index
+        # copy per session and no layout was ever reused or evicted
+        tag = hashlib.md5(f"{sf_dir}:v1".encode()).hexdigest()[:12]
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
             ".localdata",
             "ann_cache",
             tag,
         )
-        similarity.write_ann_index(emb, path)
-        _ANN_INDEX_CACHE[key] = path
+        if not (
+            os.path.isfile(os.path.join(path, "index", "_SUCCESS"))
+            and os.path.isfile(os.path.join(path, "centroids", "_SUCCESS"))
+        ):
+            similarity.write_ann_index(emb, path)
+        _ANN_INDEX_CACHE[sf_dir] = path
     qvs = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < 4).collect()

@@ -255,6 +255,50 @@ def test_value_cuts_driver_state_bounded_and_equal(spark):
     assert 0 < C.LAST_DRIVER_ROWS <= parts + 5
 
 
+def test_value_cuts_returns_driver_rows_and_tolerates_auto_conf(spark):
+    """The per-call driver-collect size rides the RETURNED totals
+    (``CutsTotals.driver_rows``) — immune to the module-global's
+    overwrite/interleave hazards — and the shuffle-partition conf
+    parse tolerates AQE's non-numeric ``"auto"`` value instead of
+    raising ValueError at operator construction."""
+    from data_pipeline_example_spark.functions import cuts as C
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") % 131).alias("v")
+    )
+    cuts, totals = C.value_cuts(df, "v", group_cols=["g"])
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert 0 < totals.driver_rows <= parts + 7
+    assert totals.driver_rows == C.LAST_DRIVER_ROWS
+    assert sum(n for n, _ in totals.values()) == 1000
+    cuts.count()
+
+    # Databricks AQE auto shuffle partitions: conf value is "auto"
+    assert C._conf_partitions("auto") == 200
+    assert C._conf_partitions("64") == 64
+    assert C._conf_partitions(None) == 200
+    assert C._conf_partitions("-5") == 200  # "-5".isdigit() is False
+
+
+def test_ivfpq_index_batch_rejects_truncated_codebook(spark, sf_dir, tmp_path):
+    """Serving with ks (or n_centroids) larger than the rows the index
+    writer stored must fail loudly — a silently truncated PQ codebook
+    diverges approx_sim from the ivfpq_knn twin."""
+    import pytest
+
+    from data_pipeline_example_spark.operators import similarity
+    from data_pipeline_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_trunc")
+    similarity.write_ann_index(emb, path, n_centroids=8, m=4, ks=8)
+    q = [r["embedding"] for r in emb.limit(1).collect()]
+    with pytest.raises(AssertionError, match="stores 8 centroid rows"):
+        similarity.ivfpq_knn_index_batch(
+            spark, path, [(0, q[0])], n_centroids=8, ks=16
+        )
+
+
 def test_token_budget_caps_null_source_is_its_own_group(spark):
     """NULL source must survive the cuts join as one partition group —
     matching the window twin and SQL PARTITION BY semantics (a plain
