@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_example_spark.functions.materialize import materialize
+
 from data_pipeline_example_spark.functions import text as T
 from data_pipeline_example_spark.operators import dedup, text
 
@@ -59,7 +61,7 @@ def curation_stages(
             (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
         )
         .select("doc_id")
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     fp = documents.join(s1, "doc_id", "left_semi").select(
@@ -69,12 +71,12 @@ def curation_stages(
         fp.groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     # one shingle materialization feeds BOTH the LSH near-dup stage and
     # the decontamination stage (shingling is their dominant CPU)
-    sh = dedup.shingled(documents, 3).localCheckpoint()
+    sh = dedup.shingled(documents, 3).transform(materialize)
 
     pairs = dedup.minhash_lsh_pairs(
         documents, threshold=lsh_threshold, shingle_df=sh
@@ -85,7 +87,7 @@ def curation_stages(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s3 = s2.join(drop_b, "doc_id", "left_anti").localCheckpoint()
+    s3 = s2.join(drop_b, "doc_id", "left_anti").transform(materialize)
 
     contam = (
         dedup.contamination_pairs(documents, eval_max_id, shingle_df=sh)
@@ -97,7 +99,7 @@ def curation_stages(
     s4 = (
         s3.filter(F.col("doc_id") >= eval_max_id)
         .join(contam, "doc_id", "left_anti")
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     survivors = documents.join(s4, "doc_id", "left_semi")
@@ -208,7 +210,7 @@ def update_dedup_index(spark, documents: DataFrame, index_path: str) -> DataFram
         .agg(F.min("doc_id").alias("keep_doc_id"))
         # materialize BEFORE the append: the plan reads the same path it
         # is about to extend
-        .localCheckpoint()
+        .transform(materialize)
     )
     admitted.write.mode("append").parquet(index_path)
     return admitted
@@ -302,7 +304,7 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
             "shingles",
             text.gopher_passes().cast("int").alias("f6"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     # corpus-wide line-dedup winners: a doc survives iff it owns the
     # min (doc_id, pos) of ≥1 line hash (or has a structural line)

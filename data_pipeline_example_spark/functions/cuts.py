@@ -26,11 +26,13 @@ per-value prefix sums distributedly:
    offset + intra-partition running sum over a window PARTITIONED BY
    (partition id, group) — a hash exchange, never a global order.
 
-Eager-construction contract: step 2's ``localCheckpoint`` runs a Spark
-job at DataFrame-construction time, and checkpoint blocks are
-unreplicated executor storage — on a real cluster an executor loss
-after construction makes the frame unrecoverable (re-run the
-operator). Use a reliable checkpoint dir for long-lived plans.
+Eager-construction contract: step 2's materialization (the shared
+:mod:`~data_pipeline_example_spark.functions.materialize` seam) runs a
+Spark job at DataFrame-construction time. Default is a
+``localCheckpoint`` (unreplicated executor blocks — an executor loss
+makes the frame unrecoverable); set a reliable checkpoint dir (or
+``spark.data_pipeline_example.checkpoint.mode=reliable``) to switch
+every site to replicated ``checkpoint()`` for long-lived plans.
 
 ``LAST_DRIVER_ROWS`` records the size of the most recent step-3
 collect so tests can pin the O(#partitions + #groups) bound.
@@ -45,6 +47,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as ST
 from pyspark.sql.window import Window
+
+from data_pipeline_example_spark.functions.materialize import materialize
 
 #: rows collected to the driver by the most recent value_cuts call.
 #: Convenience alias for single-threaded tests ONLY — operators that
@@ -124,7 +128,7 @@ def value_cuts(
     ranged = (
         hist.repartitionByRange(n_parts, *order)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(materialize)
     )
     part_aggs = [F.sum("cnt").alias("_c")]
     if weight_col is not None:

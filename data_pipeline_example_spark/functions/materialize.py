@@ -1,0 +1,65 @@
+"""The one checkpoint seam for every eager-construction site.
+
+Many operators cut lineage on a narrow intermediate frame (shingle
+tables, signature frames, cuts histograms) — both for the measured
+plan-dedup wins and, in some cases, for CORRECTNESS of the plan shape
+(`functions/cuts.py` must pin partition ids; Catalyst CollapseProject
+re-inlines derived arrays into every lambda reference otherwise).
+Historically every such site called ``DataFrame.localCheckpoint()``
+literally, which stores blocks in UNREPLICATED executor storage: fine
+on a single-JVM bench box, but on a real (preemptible / churning)
+cluster an executor loss mid-query makes the frame unrecoverable and
+the module docstrings' advice — "swap in a reliable checkpoint dir" —
+had no code seam to act on.
+
+:func:`materialize` is that seam. Call sites use the postfix
+``df.transform(materialize)`` form (drop-in for ``.localCheckpoint()``
+at the end of a builder chain), and the behavior is chosen per
+session:
+
+* ``spark.data_pipeline_example.checkpoint.mode = reliable`` — use
+  ``DataFrame.checkpoint()`` (HDFS/object-store replicated blocks;
+  requires ``sparkContext.setCheckpointDir`` and survives executor
+  loss). This is the 100 TB / production setting.
+* ``... = local`` — force ``localCheckpoint()`` even when a checkpoint
+  dir is set (e.g. the dir was configured for GraphX/streaming use
+  only).
+* unset (default) — ``checkpoint()`` when the session has a checkpoint
+  dir configured, else ``localCheckpoint()``; setting the dir IS the
+  opt-in.
+
+Both paths are eager (run a job at construction time) — the
+eager-construction contract in ``operators/text.py`` is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: session conf consulted by :func:`materialize`
+MODE_CONF = "spark.data_pipeline_example.checkpoint.mode"
+
+
+def _checkpoint_dir(spark) -> str | None:
+    try:
+        d = spark.sparkContext.getCheckpointDir()
+    except Exception:  # pragma: no cover - connect-mode sessions
+        return None
+    return d
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage on ``df`` eagerly, reliably when the session asks.
+
+    Drop-in for ``.localCheckpoint()`` via ``df.transform(materialize)``
+    — see the module docstring for the mode selection rules.
+    """
+    spark = df.sparkSession
+    mode = (spark.conf.get(MODE_CONF, "") or "").strip().lower()
+    if mode not in ("", "local", "reliable"):
+        raise ValueError(
+            f"{MODE_CONF} must be 'local' or 'reliable', got {mode!r}"
+        )
+    if mode == "reliable" or (mode == "" and _checkpoint_dir(spark)):
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_pipeline_example_spark.functions.materialize import materialize
+
 from data_pipeline_example_spark.functions import text as T
 from data_pipeline_example_spark.functions.parallel import widen
 
@@ -92,7 +94,7 @@ def jaccard_pairs(
     """
     # materialize the shingle table once — explode and sizes both read it,
     # and regexp shingling is the dominant CPU of this operator
-    sh = shingled(documents, k).localCheckpoint()
+    sh = shingled(documents, k).transform(materialize)
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -212,13 +214,13 @@ def minhash_lsh_pairs(
     # Callers composing several shingle consumers (curation.py) pass an
     # already-materialized frame instead.
     sh_mat = (
-        shingled(documents, k).localCheckpoint() if shingle_df is None else shingle_df
+        shingled(documents, k).transform(materialize) if shingle_df is None else shingle_df
     )
     # signatures are also referenced on BOTH sides of the band self-join
     # below — checkpoint them too (|docs| × num_hashes 8-char strings,
     # tiny) or the explode+md5+min aggregate runs twice (~25% of the
     # operator's wall-clock, measured at sf0.1)
-    sigs = minhash_signatures(documents, k, num_hashes, shingle_df=sh_mat).localCheckpoint()
+    sigs = minhash_signatures(documents, k, num_hashes, shingle_df=sh_mat).transform(materialize)
     # slim band rows: (doc_id, all band keys, exploded band) — the
     # shingle arrays stay out of the LSH join entirely. Carrying the
     # band-key array on both sides lets the join emit each colliding
@@ -318,7 +320,7 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     """
     # the signature aggregate feeds both chunk-join sides — materialize
     # it once; |docs| rows of 16 chars
-    sigs = simhash_signatures(documents).localCheckpoint()
+    sigs = simhash_signatures(documents).transform(materialize)
     # chunk rows carry the signature pre-parsed into two 32-bit longs so
     # hamming (2 xor + 2 bit_count) AND every chunk value (shift + mask)
     # are computable inside the chunk join itself — no signature lookup
@@ -392,7 +394,7 @@ def minhash_jaccard_estimates(
     emission (see ``_band_match``) yields each colliding pair exactly
     once with no dropDuplicates shuffle.
     """
-    sigs = minhash_signatures(documents, k, num_hashes).localCheckpoint()
+    sigs = minhash_signatures(documents, k, num_hashes).transform(materialize)
     banded = _banded(sigs, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     matches = sum(
@@ -432,7 +434,7 @@ def contamination_pairs(
     # both the broadcast eval build and the streamed train probe read
     # the shingle frame — materialize once (same reasoning as
     # minhash_lsh_pairs: shingling dominates this operator's CPU)
-    sh = shingled(documents, k).localCheckpoint() if shingle_df is None else shingle_df
+    sh = shingled(documents, k).transform(materialize) if shingle_df is None else shingle_df
     ev = sh.filter(F.col("doc_id") < eval_max_id).select(
         F.col("doc_id").alias("eval_doc"), F.explode("shingles").alias("sh")
     )
@@ -467,12 +469,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    ).transform(materialize)
     labels = (
         sym.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     for _ in range(max_iter):
         nbr = (
@@ -488,7 +490,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
         changed = (
             new_labels.alias("n")
@@ -770,7 +772,7 @@ def containment_dup_pairs(
     certified-safe float shape. Output: doc_a, doc_b, containment
     (doc_a < doc_b; direction-free since min() picks the smaller set).
     """
-    sh = shingled(documents, k).localCheckpoint()
+    sh = shingled(documents, k).transform(materialize)
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -822,7 +824,7 @@ def simhash_pairs_capped(
     cap lowest members, which is what a keeper-style dedup consumes.
     Output: doc_a, doc_b, hamming (int).
     """
-    sigs = simhash_signatures(documents).localCheckpoint()
+    sigs = simhash_signatures(documents).transform(materialize)
     chunk_structs = ", ".join(
         f"struct({c} AS chunk, cast(conv(substring(simhash, {4 * c + 1}, 4), 16, 10) as int) AS val)"
         for c in range(4)

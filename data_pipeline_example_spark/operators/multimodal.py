@@ -35,6 +35,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from data_pipeline_example_spark.functions.materialize import materialize
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -594,7 +596,7 @@ def phash_dup_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
     groups = (
         hashed.groupBy("phash")
         .agg(F.min("doc_id").alias("rep_doc"), F.count(F.lit(1)).alias("n_members"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     chunk_structs = ", ".join(
         f"struct({c} AS chunk, substring(phash, {16 * c + 1}, 16) AS val)"

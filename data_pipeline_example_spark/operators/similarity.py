@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_pipeline_example_spark.functions.materialize import materialize
+
 from data_pipeline_example_spark.functions import vectors as V
 
 
@@ -571,7 +573,7 @@ def cosine_dup_pairs_blocked(
     # both sides of the block self-join read the normed+assigned frame —
     # materialize once so the corpus is scanned and assigned once, not
     # once per side (PLANS.md scans column: 12 → 0 + 1 construction)
-    ea = e.join(assigned, "vec_id").localCheckpoint()
+    ea = e.join(assigned, "vec_id").transform(materialize)
     a = ea.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "centroid_id",
@@ -988,7 +990,7 @@ def kmeans_embeddings(
     unit test asserts inertia is monotonically non-increasing.
     Output: cluster, n_vecs, inertia (2 dp).
     """
-    vecs = _as_double(embeddings).localCheckpoint()
+    vecs = _as_double(embeddings).transform(materialize)
     centroids = (
         vecs.orderBy("vec_id")
         .limit(k)
@@ -996,7 +998,7 @@ def kmeans_embeddings(
             F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
             F.col("v").alias("c"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     # 6-dp rounding on BOTH the distance and the updated component
     # means makes every iteration's argmin/average engine-deterministic
@@ -1023,7 +1025,7 @@ def kmeans_embeddings(
                 F.min("d2").alias("d2"),
             )
             .join(vecs, "vec_id")
-            .localCheckpoint()
+            .transform(materialize)
         )
         comp = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
@@ -1037,7 +1039,7 @@ def kmeans_embeddings(
                 "cluster",
                 F.expr("transform(pm, x -> x.m)").alias("c"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
     return (
         assigned.groupBy("cluster")

@@ -7,14 +7,18 @@ end-to-end, so per-document cost is a few regex evaluations and the
 operators scale linearly to 100 TB of text.
 
 Eager-construction contract (applies to every operator here that
-``localCheckpoint``s a shared frame — dsir_weights, bigram_lm_scores,
+materializes a shared frame — dsir_weights, bigram_lm_scores,
 ccnet_buckets, substring_dedup, and the ``functions.cuts``-backed
-ops): the checkpoint runs a Spark job at DataFrame-CONSTRUCTION time,
-and its blocks are UNREPLICATED executor storage — on a real cluster,
-losing an executor after construction makes the frame unrecoverable
-(re-run the operator), so long-lived plans should swap in a reliable
-checkpoint dir (``spark.sparkContext.setCheckpointDir`` +
-``.checkpoint()``). The trade is deliberate: each checkpointed frame
+ops): the materialization runs a Spark job at DataFrame-CONSTRUCTION
+time. Every site goes through the ONE checkpoint seam,
+``functions.materialize.materialize`` (postfix
+``.transform(materialize)``): by default it is a ``localCheckpoint``
+— UNREPLICATED executor storage, fine single-JVM but unrecoverable on
+executor loss — and on a real (preemptible/churning) cluster setting
+``spark.sparkContext.setCheckpointDir`` (or conf
+``spark.data_pipeline_example.checkpoint.mode=reliable``) switches
+ALL sites to replicated ``DataFrame.checkpoint()`` with no library
+edits. The eager trade itself is deliberate: each materialized frame
 feeds 2+ downstream branches, and re-deriving it per branch measured
 slower at every scale tested (see PLANS.md's scans column).
 """
@@ -26,6 +30,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from data_pipeline_example_spark.functions.materialize import materialize
 
 from data_pipeline_example_spark.functions import text as T
 from data_pipeline_example_spark.functions.parallel import widen
@@ -1179,7 +1185,7 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 1024) -> DataFrame:
     # the quality frame feeds the mean aggregate AND the flag join;
     # materialize it (narrow doc_id+quality) so the text column is
     # scanned once for quality, not once per branch
-    scored = doc_stats(documents).select("doc_id", "quality").localCheckpoint()
+    scored = doc_stats(documents).select("doc_id", "quality").transform(materialize)
     mean_q = scored.agg(F.round(F.avg("quality"), 6).alias("mq"))
     flags = scored.crossJoin(F.broadcast(mean_q)).select(
         "doc_id", (F.col("quality") >= F.col("mq")).cast("int").alias("is_t")
@@ -1205,7 +1211,7 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 1024) -> DataFrame:
     # the flagged count frame feeds the bucket model AND the final
     # per-doc scoring — materialize once (narrow count rows, no text)
     # so the tokenize scan runs once, not once per consumer
-    withflag = cnt.join(flags, "doc_id").localCheckpoint()
+    withflag = cnt.join(flags, "doc_id").transform(materialize)
     btab = withflag.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_t") == 1, F.col("c")).otherwise(0)).alias("ct"),
         F.sum("c").alias("cr"),
@@ -1325,7 +1331,7 @@ def bigram_lm_scores(documents: DataFrame) -> DataFrame:
     # tokenize ONCE: the bigram explode, the unigram explode, and both
     # scoring joins all derive from this frame (previously 4 re-tokenize
     # text scans through branch lineage)
-    toked = widen(documents).select("doc_id", t.alias("t")).localCheckpoint()
+    toked = widen(documents).select("doc_id", t.alias("t")).transform(materialize)
     pairs = toked.select(
         "doc_id",
         F.explode(
@@ -1391,7 +1397,7 @@ def ccnet_buckets(documents: DataFrame) -> DataFrame:
     scores = (
         unigram_scores(documents)
         .select("doc_id", "avg_neg_log2p")
-        .localCheckpoint()
+        .transform(materialize)
     )
     hist = scores.groupBy("avg_neg_log2p").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("avg_neg_log2p").rowsBetween(
@@ -1716,7 +1722,7 @@ def winnowing_overlap_pairs(
         winnowing_fingerprints(documents, k, w)
         .select("doc_id", "fp")
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     rare = (
         fps.groupBy("fp")
@@ -1767,7 +1773,7 @@ def substring_dedup(documents: DataFrame, k: int = 50) -> DataFrame:
     # re-tokenizes the corpus (the plan showed 8 parquet scans)
     base = widen(documents).select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
-    ).localCheckpoint()
+    ).transform(materialize)
     grams = base.selectExpr(
         "doc_id",
         f"CASE WHEN size(t) < {k} THEN array() "
@@ -1879,7 +1885,7 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
             lines_col.alias("l"),
             T.tokens(F.lower(F.col("text"))).alias("t"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     zero = F.lit(0).cast("long")
     per_doc = base.select(
@@ -2082,7 +2088,7 @@ def bm25_search(
         "doc_id",
         F.size("t").cast("long").alias("dl"),
         F.filter("t", lambda x: x.isin(*query)).alias("m"),
-    ).localCheckpoint()
+    ).transform(materialize)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
@@ -2279,7 +2285,7 @@ def countmin_term_error(
         .select(F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     def _bucket(i: int) -> F.Column:

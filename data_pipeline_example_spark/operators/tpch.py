@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_example_spark.functions.materialize import materialize
+
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem only.
@@ -1527,7 +1529,7 @@ def basket_affinity(
     # contract note in operators/text.py) — use a reliable checkpoint
     # dir for long-lived plans.
     baskets = (
-        lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+        lineitem.select("l_orderkey", "l_partkey").distinct().transform(materialize)
     )
     a, b = baskets.alias("a"), baskets.alias("b")
     pairs = (
@@ -1633,7 +1635,7 @@ def customer_rfm(orders: DataFrame, tiles: int = 4) -> DataFrame:
             "f_v",
             "m_cents",
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     cur = rfm
     n_rows = None
@@ -1936,7 +1938,7 @@ def basket_communities(
     from data_pipeline_example_spark.operators.dedup import dedup_clusters
 
     baskets = (
-        lineitem.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+        lineitem.select("l_orderkey", "l_partkey").distinct().transform(materialize)
     )
     a, b = baskets.alias("a"), baskets.alias("b")
     edges = (
@@ -1952,7 +1954,7 @@ def basket_communities(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= int(min_support))
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .transform(materialize)
     )
     cc = dedup_clusters(edges)
     sizes = cc.groupBy(F.col("cluster_id").alias("community_id")).agg(

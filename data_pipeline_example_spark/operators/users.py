@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_example_spark.functions.materialize import materialize
+
 
 def _half_users(
     events: DataFrame, split: str, threshold: float, first: bool
@@ -610,8 +612,8 @@ def join_size_estimate(
     # sketch, union sketch, membership semi-joins, exact intersection);
     # materialize once so the fact tables are scanned once per side,
     # not once per consumer (PLANS.md scans column: 20 → 2)
-    ha = hashes(left, left_key).localCheckpoint()
-    hb = hashes(right, right_key).localCheckpoint()
+    ha = hashes(left, left_key).transform(materialize)
+    hb = hashes(right, right_key).transform(materialize)
     est_a_col, sk_a = kmv_est(ha)
     est_b_col, sk_b = kmv_est(hb)
     hu = ha.select("hv").unionByName(hb.select("hv")).distinct()

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from data_pipeline_example_spark.functions.materialize import materialize
+
 
 def write_partitioned_parquet(
     df: DataFrame,
@@ -125,7 +127,7 @@ def compact_partitions(
     # localCheckpoint materializes the input before the overwrite —
     # Spark (correctly) refuses to overwrite a path it is still reading;
     # a production job at scale writes to a temp dir and swaps instead.
-    df = spark.read.parquet(path).localCheckpoint()
+    df = spark.read.parquet(path).transform(materialize)
     # NULL partition values (Hive's __HIVE_DEFAULT_PARTITION__ directory)
     # must compact too: a plain equi-join on the casted column would
     # silently drop them, so both the count key and the join key map NULL
@@ -241,7 +243,7 @@ def upsert_partitioned(
         tagged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__is_update", "__rn")
-        .localCheckpoint()  # see compact_partitions: can't overwrite a read path
+        .transform(materialize)  # see compact_partitions: can't overwrite a read path
     )
     if keys_may_move:
         # a move can empty a touched partition; dynamic overwrite would
