@@ -278,14 +278,51 @@ def _cos_matrix(M, C):
     return R
 
 
+def _fine_to_coarse(C_fine, fine_ids, C_coarse, coarse_ids, kc):
+    """The deterministic two-level routing table: each FINE centroid's
+    coarse group. Fine centroids that ARE coarse centroids (vec_id <
+    kc — the coarse set is a prefix of the fine set under the shared
+    vec_id rule) route to THEMSELVES (cosine-to-self is 1.0 up to a
+    final-ulp wobble; pinning the identity removes the one knife edge
+    that could leave a coarse group empty); the rest route to their
+    argmax-cosine coarse centroid, 6-dp rounded, lowest coarse_id on
+    ties — the exact rule vectors use, so the SQL oracle replays it
+    verbatim. Returns ``{coarse_id: (fine_matrix, fine_ids_asc)}``.
+    """
+    import numpy as np
+
+    routed = np.empty(len(fine_ids), dtype="int64")
+    is_self = fine_ids < kc
+    routed[is_self] = fine_ids[is_self]
+    rest = ~is_self
+    if rest.any():
+        S = _cos_matrix(C_fine[rest], C_coarse)
+        # coarse_ids ascending → argmax first-max = lowest coarse_id
+        routed[rest] = coarse_ids[np.argmax(S, axis=1)]
+    groups = {}
+    for cid in np.unique(routed):
+        m = routed == cid
+        # fine_ids is ascending, so each group's id list stays ascending
+        groups[int(cid)] = (C_fine[m], fine_ids[m])
+    return groups
+
+
 def _capped_assigner(bc_cents):
     """Build the ``mapInPandas`` assigner for
-    :func:`assign_centroids_capped` around a BROADCAST handle.
+    :func:`assign_centroids_capped` around a BROADCAST handle holding
+    ``(C_coarse, coarse_ids, groups)`` — the two-level routing state.
 
-    The centroid matrix rides a torrent broadcast (deserialized once
-    per executor), NOT the task closure: at the documented 65536-
-    centroid clamp a closure-captured matrix is a multi-hundred-MB
-    pickle shipped with every task — a driver-memory and task-dispatch
+    Per batch: one (batch × kc) cosine matrix routes every vector to
+    its coarse group (argmax, 6-dp rounded, lowest-id ties), then one
+    (rows × |group|) matrix per coarse group present in the batch
+    picks the fine centroid within that group — ~2·√k cosines per row
+    instead of the flat path's k (the r7 verdict's measured quadratic:
+    k grows with n pre-clamp, so flat assignment was O(n²/target)).
+
+    The matrices ride a torrent broadcast (deserialized once per
+    executor), NOT the task closure: at the documented 65536-centroid
+    clamp a closure-captured matrix is a multi-hundred-MB pickle
+    shipped with every task — a driver-memory and task-dispatch
     bottleneck at exactly the scale the operator targets. The returned
     function's own pickled payload is a few KB regardless of centroid
     count (asserted by test).
@@ -295,20 +332,27 @@ def _capped_assigner(bc_cents):
     def assign(batches):
         import numpy as np
 
-        C, cent_ids = bc_cents.value
+        C_coarse, coarse_ids, groups = bc_cents.value
         for pdf in batches:
             if pdf.empty:
                 continue
             M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-            S = _cos_matrix(M, C)
-            # cent_ids ascending by construction → np.argmax's
-            # first-max rule = lowest centroid_id on rounded-cosine
+            S1 = _cos_matrix(M, C_coarse)
+            # coarse_ids ascending by construction → np.argmax's
+            # first-max rule = lowest coarse_id on rounded-cosine
             # ties, same as the oracle's ORDER BY cos DESC, id ASC
+            routed = coarse_ids[np.argmax(S1, axis=1)]
+            cent = np.empty(len(pdf), dtype="int64")
+            for cid in np.unique(routed):
+                rows = np.where(routed == cid)[0]
+                Fm, fids = groups[int(cid)]
+                S2 = _cos_matrix(M[rows], Fm)
+                cent[rows] = fids[np.argmax(S2, axis=1)]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "v": pdf["v"],
-                    "centroid_id": cent_ids[np.argmax(S, axis=1)],
+                    "centroid_id": cent,
                 }
             )
 
@@ -329,17 +373,30 @@ def assign_centroids_capped(
       corpus row count is one collected scalar (planning-stats-sized,
       the same adaptive idea as AQE), so expected bucket size is
       constant at any corpus scale.
-    * **Zero-shuffle assignment** — the k centroids (vec_id < k, the
-      same deterministic rule as the fixed-k path) are collected once,
-      **broadcast** (torrent, deserialized once per executor — never
-      shipped in the task closure), and scored inside an Arrow-batched
-      ``mapInPandas``: per batch, a (batch × k) cosine matrix computed
-      with the strict left-to-right fold order (:func:`_cos_matrix`, so
-      assignment ties and knife-edge cosines match the SQL oracle
-      bit-exactly), argmax with lowest-centroid-id tie-break (identical
-      to the oracle's ``ORDER BY cos DESC, centroid_id``). No n×k row
-      blow-up, no per-vector window — the fixed-k path shuffles n·k
-      rows through a window; this shuffles nothing.
+    * **Zero-shuffle, two-level assignment** — the k fine centroids
+      (vec_id < k, the same deterministic rule as the fixed-k path)
+      are collected once and routed on the driver to kc = ceil(√k)
+      COARSE centroids (vec_id < kc — a prefix of the fine set;
+      coarse-resident fine centroids route to themselves, the rest to
+      their argmax-cosine coarse, 6-dp rounded, lowest-id ties — see
+      :func:`_fine_to_coarse`). The coarse matrix plus the per-group
+      fine matrices ride ONE torrent **broadcast** (never the task
+      closure), and scoring runs inside an Arrow-batched
+      ``mapInPandas``: per row, kc coarse cosines pick the group, then
+      |group| fine cosines pick the centroid — all with the strict
+      left-to-right fold order (:func:`_cos_matrix`), argmax with
+      lowest-id tie-break, so every decision matches the SQL oracle
+      bit-exactly. **Assignment work per row is kc + |group| ≈ 2·√k
+      cosines — sub-linear in n everywhere** (≤ 2·256 at the 65536
+      clamp); the r7-measured flat argmax was k = ceil(n/64) cosines
+      per row, O(n²·dims/64) total pre-clamp (`knn_density_outliers`
+      ×11.6 on ×10 data). Skew caveat: a coarse group can hold more
+      than √k fine centroids (routing is data-dependent), so the
+      per-row bound is kc + max-group, worst-case kc + k if every fine
+      centroid routes to one coarse — the expected cost is √k, the
+      hard cap is still ≤ the old flat cost. No n×k row blow-up, no
+      per-vector window — the fixed-k path shuffles n·k rows through a
+      window; this shuffles nothing.
 
     Oversized buckets (skewed corpora — many vectors near one centroid)
     are then re-split: ``sub_id = (row_number within bucket − 1) div
@@ -355,6 +412,8 @@ def assign_centroids_capped(
 
     Output: vec_id, v (double array), centroid_id, sub_id.
     """
+    import math
+
     import numpy as np
 
     n = embeddings.count() if n_rows is None else n_rows
@@ -363,11 +422,17 @@ def assign_centroids_capped(
     if n == 0:
         return spark.createDataFrame([], out_schema + ", sub_id int")
     k = n_centroids_for(n, target_bucket)
+    kc = math.ceil(math.sqrt(k))  # sqrt is correctly-rounded IEEE in
+    # both engines, so the oracle's ceil(sqrt(k)) lands on the same kc
     e = _as_double(embeddings)
     cents = e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    C = np.vstack([r["v"] for r in cents]).astype(np.float64)
-    cent_ids = np.array([r["vec_id"] for r in cents], dtype="int64")
-    bc_cents = spark.sparkContext.broadcast((C, cent_ids))
+    C_fine = np.vstack([r["v"] for r in cents]).astype(np.float64)
+    fine_ids = np.array([r["vec_id"] for r in cents], dtype="int64")
+    is_coarse = fine_ids < kc
+    C_coarse = C_fine[is_coarse]
+    coarse_ids = fine_ids[is_coarse]
+    groups = _fine_to_coarse(C_fine, fine_ids, C_coarse, coarse_ids, kc)
+    bc_cents = spark.sparkContext.broadcast((C_coarse, coarse_ids, groups))
 
     assigned = e.mapInPandas(_capped_assigner(bc_cents), out_schema)
     w = Window.partitionBy("centroid_id").orderBy("vec_id")
@@ -392,7 +457,10 @@ def semantic_prune_capped(
     shape. Centroid count adapts to corpus size and every similarity
     matrix is at most cap×cap (see :func:`assign_centroids_capped`), so
     per-task time AND memory are constant in corpus size; total work is
-    O(n·cap) — linear — instead of fixed-k's O(n²/k). Recall tradeoff:
+    O(n·(√k + cap)·dims) — the two-level assignment term (≈2√k cosines
+    per row, ≤512 at the 65536-centroid clamp) plus the capped
+    per-bucket dedup — instead of fixed-k's O(n²/k) bucket blow-up or
+    the r7 flat assignment's O(n·k) scoring. Recall tradeoff:
     a near-dup pair straddling two sub-buckets of the same centroid is
     missed (exactly the tradeoff the fixed-k operator already makes
     across centroid buckets, applied one level down).
@@ -446,8 +514,9 @@ def nearest_neighbor_capped(
 ) -> DataFrame:
     """:func:`nearest_neighbor_blocked` with adaptive centroid count and
     a hard per-bucket cap (see :func:`assign_centroids_capped`): every
-    per-bucket cosine matrix is at most cap×cap, total work O(n·cap) at
-    any corpus size. Recall approximate (neighbor must share the
+    per-bucket cosine matrix is at most cap×cap, total work
+    O(n·(√k + cap)·dims) — two-level assignment plus the capped
+    per-bucket scan — at any corpus size. Recall approximate (neighbor must share the
     sub-bucket), precision exact; singleton sub-buckets emit no row,
     matching the SQL oracle. ``n_rows``: pass when known to skip the
     planning ``count()`` job. Output: vec_id, nn_id, cos_sim (6 dp).
@@ -1963,8 +2032,10 @@ def knn_density_outliers(
 
     Same bounded machinery as :func:`nearest_neighbor_capped`: hard
     ≤cap sub-buckets, so every cosine matrix is ≤ cap×cap and total
-    work is O(n·cap) at any corpus size; recall is bucket-approximate,
-    precision exact. Exactness: per-neighbor cosines are the 6-dp
+    work is O(n·(√k + cap)·dims) — two-level assignment plus the
+    capped per-bucket scan — at any corpus size (the r7-measured ×11.6
+    blow-up was the old FLAT assignment's O(n·k) term, k ∝ n
+    pre-clamp); recall is bucket-approximate, precision exact. Exactness: per-neighbor cosines are the 6-dp
     fold-order values, scaled to integer MICRO units and summed as
     longs (order-independent; a float top-k mean would depend on
     accumulation order), with ONE 4-dp division at the end (certified

@@ -65,6 +65,67 @@ e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
 """
 
+# The adaptive-k, HARD-capped, TWO-LEVEL bucket assignment shared by
+# every *_capped twin (semantic_prune_capped, nearest_neighbor_capped,
+# knn_density_outliers). Replays assign_centroids_capped exactly:
+# k = clamp(ceil(n/64), 1, 65536) fine centroids (vec_id < k),
+# kc = ceil(sqrt(k)) coarse centroids (vec_id < kc); fine centroids
+# route to themselves when coarse-resident else to their argmax-cosine
+# coarse (6 dp, lowest-id ties); each vector picks its coarse group by
+# the same rule, then its fine centroid WITHIN that group; a rank
+# re-split bounds every (centroid_id, sub_id) bucket at 96 rows.
+_CAPPED_SUBBED = """
+params AS (
+  SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS kc FROM (
+    SELECT CAST(greatest(1, least(65536, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS BIGINT) AS k
+    FROM e
+  )
+),
+fine AS (SELECT vec_id AS centroid_id, v AS cv FROM e, params WHERE vec_id < k),
+coarse AS (SELECT vec_id AS coarse_id, v AS ccv FROM e, params WHERE vec_id < kc),
+f2c AS (
+  SELECT centroid_id, centroid_id AS coarse_id FROM fine, params WHERE centroid_id < kc
+  UNION ALL
+  SELECT centroid_id, coarse_id FROM (
+    SELECT f.centroid_id, c.coarse_id,
+           row_number() OVER (
+             PARTITION BY f.centroid_id
+             ORDER BY round(list_cosine_similarity(f.cv, c.ccv), 6) DESC, c.coarse_id ASC
+           ) AS rn
+    FROM fine f, coarse c, params WHERE f.centroid_id >= kc
+  ) WHERE rn = 1
+),
+v2c AS (
+  SELECT vec_id, coarse_id FROM (
+    SELECT e.vec_id, c.coarse_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.ccv), 6) DESC, c.coarse_id ASC
+           ) AS rn
+    FROM e, coarse c
+  ) WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vc.vec_id, f.centroid_id,
+           row_number() OVER (
+             PARTITION BY vc.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, f.cv), 6) DESC, f.centroid_id ASC
+           ) AS rn
+    FROM v2c vc
+    JOIN e ON e.vec_id = vc.vec_id
+    JOIN f2c m ON m.coarse_id = vc.coarse_id
+    JOIN fine f ON f.centroid_id = m.centroid_id
+  ) WHERE rn = 1
+),
+subbed AS (
+  SELECT vec_id, centroid_id,
+         CAST((row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) - 1) // 96
+              AS INTEGER) AS sub_id
+  FROM assigned
+)
+"""
+
 _STOP = {
     "en": r"\b(the|a|and|of|to|is|in|it)\b",
     "de": r"\b(der|die|das|und|ist|ein|nicht)\b",
@@ -1523,33 +1584,11 @@ ranked AS (
 )
 SELECT vec_id, nn_id, cos_sim FROM ranked WHERE rn = 1
 """,
-    # adaptive-k + hard-capped bucket assignment shared by the *_capped
-    # twins: k = clamp(ceil(n/64), 1, 65536) derived from count(*) (the
-    # Spark side collects the same scalar), then a rank re-split bounds
-    # every (centroid_id, sub_id) bucket at 96 rows
+    # adaptive-k + hard-capped + two-level bucket assignment shared by
+    # the *_capped twins — see _CAPPED_SUBBED above
     "semantic_prune_capped": f"""
 WITH {_VECS},
-params AS (
-  SELECT CAST(greatest(1, least(65536, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS BIGINT) AS k
-  FROM e
-),
-cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e, params WHERE vec_id < k),
-assigned AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT e.vec_id, c.centroid_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
-           ) AS rn
-    FROM e, cents c
-  ) WHERE rn = 1
-),
-subbed AS (
-  SELECT vec_id, centroid_id,
-         CAST((row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) - 1) // 96
-              AS INTEGER) AS sub_id
-  FROM assigned
-),
+{_CAPPED_SUBBED},
 dropped AS (
   SELECT b.vec_id,
          CAST(count(*) AS BIGINT) AS n_earlier_dups,
@@ -1570,27 +1609,7 @@ FROM subbed s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 """,
     "nearest_neighbor_capped": f"""
 WITH {_VECS},
-params AS (
-  SELECT CAST(greatest(1, least(65536, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS BIGINT) AS k
-  FROM e
-),
-cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e, params WHERE vec_id < k),
-assigned AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT e.vec_id, c.centroid_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
-           ) AS rn
-    FROM e, cents c
-  ) WHERE rn = 1
-),
-subbed AS (
-  SELECT vec_id, centroid_id,
-         CAST((row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) - 1) // 96
-              AS INTEGER) AS sub_id
-  FROM assigned
-),
+{_CAPPED_SUBBED},
 scored AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
          round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
@@ -3686,27 +3705,7 @@ ORDER BY source
 
 ORACLES["knn_density_outliers"] = f"""
 WITH {_VECS},
-params AS (
-  SELECT CAST(greatest(1, least(65536, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS BIGINT) AS k
-  FROM e
-),
-cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e, params WHERE vec_id < k),
-assigned AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT e.vec_id, c.centroid_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
-           ) AS rn
-    FROM e, cents c
-  ) WHERE rn = 1
-),
-subbed AS (
-  SELECT vec_id, centroid_id,
-         CAST((row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) - 1) // 96
-              AS INTEGER) AS sub_id
-  FROM assigned
-),
+{_CAPPED_SUBBED},
 scored AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
          round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim

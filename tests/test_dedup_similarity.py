@@ -332,6 +332,55 @@ def test_capped_assignment_bounds_buckets_on_skew(spark):
     assert assigned.count() == n
 
 
+def test_capped_two_level_assignment_matches_bruteforce_replay(spark):
+    """assign_centroids_capped's hierarchical coarse→fine routing must
+    equal a from-scratch numpy replay of the documented rule — k =
+    ceil(n/64) fine centroids, kc = ceil(sqrt(k)) coarse, self-routing
+    for coarse-resident fines, argmax-cosine (6 dp, lowest-id ties)
+    everywhere — at a size where k and kc are non-trivial and the
+    two-level answer genuinely DIFFERS from the old flat argmax (the
+    approximation is the point: ~2·sqrt(k) cosines per row, not k)."""
+    import math
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    n, d = 1500, 8
+    V = np.array(
+        [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(n)],
+        dtype=np.float64,
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.assign_centroids_capped(emb).collect()
+    }
+
+    k = similarity.n_centroids_for(n, 64)
+    kc = math.ceil(math.sqrt(k))
+    assert k > kc > 1  # non-trivial hierarchy: n=1500 → k=24, kc=5
+    Cf, Cc = V[:k], V[:kc]
+    f2c = np.arange(k)
+    Sf = similarity._cos_matrix(Cf[kc:], Cc)
+    f2c[kc:] = np.argmax(Sf, axis=1)
+    Sv = similarity._cos_matrix(V, Cc)
+    v_coarse = np.argmax(Sv, axis=1)
+    want = {}
+    Sall = similarity._cos_matrix(V, Cf)
+    flat = np.argmax(Sall, axis=1)
+    for i in range(n):
+        fids = np.where(f2c == v_coarse[i])[0]
+        want[i] = int(fids[np.argmax(Sall[i, fids])])
+    assert got == want
+    # and the hierarchy is a real approximation at this size, not a
+    # disguised flat argmax
+    assert any(want[i] != int(flat[i]) for i in range(n))
+
+
 def test_capped_assigner_payload_is_broadcast_backed(spark):
     """The centroid matrix must ride a Spark broadcast, not the task
     closure: at the documented 65536-centroid clamp a closure-captured
@@ -343,9 +392,11 @@ def test_capped_assigner_payload_is_broadcast_backed(spark):
 
     # 2000 x 256 float64 = ~4 MB — two orders of magnitude above the
     # payload bound below, so closure capture would fail the assert
+    # (payload shape: the two-level (C_coarse, coarse_ids, groups))
     C = np.ones((2000, 256), dtype=np.float64)
     ids = np.arange(2000, dtype="int64")
-    bc = spark.sparkContext.broadcast((C, ids))
+    groups = {0: (C, ids)}
+    bc = spark.sparkContext.broadcast((C, ids, groups))
     try:
         fn = similarity._capped_assigner(bc)
         payload = CloudPickleSerializer().dumps(fn)
