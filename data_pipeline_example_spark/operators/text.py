@@ -2130,6 +2130,102 @@ def bm25_search(
     )
 
 
+def bm25_batch(
+    documents: DataFrame,
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = (
+        (0, ("spark", "window", "hash")),
+        (1, ("data", "join", "merge")),
+        (2, ("customer", "stream", "vector", "scan")),
+    ),
+    k1: float = 1.2,
+    b: float = 0.75,
+    n: int = 20,
+) -> DataFrame:
+    """Batched BM25 retrieval — the production serving shape
+    (:func:`bm25_search` scores ONE hardcoded query tuple; real
+    retrieval arrives in batches, and re-running the solo operator
+    per query re-pays the corpus tokenize N times — the
+    ``knn_batch``/``ivfpq_knn_index_batch`` precedent).
+
+    Plan: ONE column-pruned tokenize scan for the whole batch. Docs
+    are projected scan-side to (doc_id, dl, tokens ∩ union-vocabulary)
+    and materialized narrow (the :func:`bm25_search` discipline);
+    per-(doc, term) tf and per-term df are computed ONCE over the
+    union vocabulary, then a broadcast (query_id, term) table fans
+    matched terms out to the queries that asked for them — each
+    (doc, term) pair is tokenized and counted once no matter how many
+    queries share the term. Scores are expression-for-expression the
+    solo operator's (6-dp-rounded ln + per-term micro-unit longs, so
+    per-(query, doc) sums are order-independent), which makes each
+    query's rows BIT-IDENTICAL to its :func:`bm25_search` run
+    (test-pinned). The per-query top-n is a ``row_number() <= n``
+    window that compiles to WindowGroupLimit — map tasks pre-trim
+    before the exchange, so the shuffle carries O(n × queries × tasks)
+    rows, never O(matches).
+
+    Output: query_id, doc_id, n_terms, bm25_micro, rank (1-based by
+    score desc, doc_id asc; ≤ n rows per query).
+    """
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    qrows = [(int(qid), t) for qid, ts in queries for t in set(ts)]
+    spark = documents.sparkSession
+    qterms = F.broadcast(
+        spark.createDataFrame(qrows, "query_id long, term string")
+    )
+    toks = widen(documents).select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    per_doc = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("dl"),
+        F.filter("t", lambda x: x.isin(*all_terms)).alias("m"),
+    ).transform(materialize)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    )
+    tf = (
+        per_doc.filter(F.size("m") > 0)
+        .select("doc_id", "dl", F.explode("m").alias("term"))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
+    )
+    score6 = F.round(
+        idf * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .join(qterms, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(score6 * 1e6, 0).cast("long").alias("s_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("s_micro").cast("long").alias("bm25_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= n)
+    )
+
+
 def lang_source_mix(documents: DataFrame) -> DataFrame:
     """Corpus-composition audit: document and token mass per
     (lang, source) cell with corpus shares — the mixture table a data

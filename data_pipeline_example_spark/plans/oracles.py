@@ -3613,6 +3613,62 @@ LIMIT {n}
 ORACLES["bm25_search"] = _bm25_oracle()
 
 
+def _bm25_batch_oracle(
+    queries: tuple[tuple[int, tuple[str, ...]], ...] = (
+        (0, ("spark", "window", "hash")),
+        (1, ("data", "join", "merge")),
+        (2, ("customer", "stream", "vector", "scan")),
+    ),
+    k1: float = 1.2,
+    b: float = 0.75,
+    n: int = 20,
+) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in queries for t in sorted(set(ts))
+    )
+    return f"""
+WITH toksb AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS sum_dl
+  FROM toksb
+),
+qterms AS (SELECT CAST(q AS BIGINT) AS query_id, term FROM (VALUES {vals}) v(q, term)),
+tf AS (
+  SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toksb)
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round(
+           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+           * (tf * ({k1} + 1.0))
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+         , 6) * 1e6 AS BIGINT) AS s_micro
+  FROM tf JOIN dfs USING (term) JOIN qterms q USING (term) CROSS JOIN stats
+),
+agg AS (
+  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+  FROM scored GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_terms, bm25_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY bm25_micro DESC, doc_id ASC) AS INTEGER) AS rank
+FROM agg
+QUALIFY rank <= {n}
+"""
+
+
+ORACLES["bm25_batch"] = _bm25_batch_oracle()
+
+
 ORACLES["cluster_representatives"] = f"""
 WITH RECURSIVE {_SHINGLES},
 inter AS (

@@ -841,6 +841,11 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_search(load_table(spark, sf_dir, "documents"))
 
 
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25: three queries served from ONE tokenize scan."""
+    return text.bm25_batch(load_table(spark, sf_dir, "documents"))
+
+
 def q_knn_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-density pruning signal within capped centroid buckets."""
     return similarity.knn_density_outliers(load_table(spark, sf_dir, "embeddings"))
@@ -1253,6 +1258,10 @@ QUERIES: dict[str, QueryFn] = {
     # inter-order gap percentiles), then the r7-CHANGED queries
     # (length_buckets + customer_value_tiles migrated onto the shared
     # ntile_expr formula — already in-window below)
+    # round-8 front: NEW ops (batched BM25, packed-block audit), then
+    # the r8-CHANGED queries (capped embedding family on hierarchical
+    # two-level assignment)
+    "bm25_batch": q_bm25_batch,
     "basket_affinity": q_basket_affinity,
     "customer_rfm": q_customer_rfm,
     "order_gap_percentiles": q_order_gap_percentiles,

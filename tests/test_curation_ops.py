@@ -626,6 +626,39 @@ def test_bm25_search_matches_python_reference(spark):
     assert 4 not in got
 
 
+def test_bm25_batch_per_query_bit_identical_to_solo(spark, sf_dir):
+    """Every query's rows in bm25_batch must be BIT-IDENTICAL to its
+    own bm25_search run (scores, n_terms, order) even though the batch
+    computes tf/df once over the union vocabulary — terms shared
+    between queries (e.g. 'scan' overlapping doc content) must not
+    perturb per-query scoring. Also pins that the per-query cap is a
+    WindowGroupLimit (map-side pre-trim before the exchange)."""
+    from data_pipeline_example_spark.operators import text as tx
+    from data_pipeline_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    qsets = (
+        (0, ("spark", "window", "hash")),
+        (1, ("data", "join", "merge")),
+        (2, ("customer", "stream", "vector", "scan")),
+    )
+    batch = tx.bm25_batch(docs, queries=qsets, n=15)
+    assert "WindowGroupLimit" in batch._jdf.queryExecution().toString()
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["n_terms"], r["bm25_micro"])
+        )
+    for qid, terms in qsets:
+        solo = [
+            (i + 1, r["doc_id"], r["n_terms"], r["bm25_micro"])
+            for i, r in enumerate(
+                tx.bm25_search(docs, query=terms, n=15).collect()
+            )
+        ]
+        assert sorted(got.get(qid, [])) == solo, f"query {qid} diverged"
+
+
 def test_cluster_representatives_quality_argmax_and_singletons(spark):
     """The representative is the highest-quality cluster member (ties →
     min doc_id), and docs in no pair appear as their own singleton."""
