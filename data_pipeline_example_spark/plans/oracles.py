@@ -4266,6 +4266,44 @@ ORDER BY source, doc_id
 """
 )
 
+# Replays the MATERIALIZED packing layout (sinks.write_packed_blocks,
+# capacity 512) directly from the documents table: token-level global
+# positions per source (doc_id-ordered prefix offsets + in-doc
+# position), block = gpos // 512, then per-block counts and the
+# boundary tokens — what the Spark side reads back from the written
+# parquet shards. A match certifies the on-disk blocks at block-
+# boundary granularity.
+ORACLES["packed_block_audit"] = """
+WITH tk0 AS (
+  SELECT doc_id, source, regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+') AS t
+  FROM documents
+),
+off AS (
+  SELECT doc_id, source, t,
+         CAST(coalesce(SUM(CAST(len(t) AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_off
+  FROM tk0
+),
+tok AS (
+  SELECT source, doc_id, tok_off + CAST(pos AS BIGINT) AS gpos, tkn
+  FROM (
+    SELECT source, doc_id, tok_off,
+           unnest(range(len(t))) AS pos, unnest(t) AS tkn
+    FROM off
+  )
+)
+SELECT CAST(source AS VARCHAR) AS source,
+       CAST(gpos // 512 AS BIGINT) AS block_id,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       arg_min(tkn, gpos) AS first_token,
+       arg_max(tkn, gpos) AS last_token
+FROM tok
+GROUP BY 1, 2
+ORDER BY source, block_id
+"""
+
 ORACLES["pack_block_stats"] = (
     _PACK_OFFSETS
     + """

@@ -846,6 +846,51 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_batch(load_table(spark, sf_dir, "documents"))
 
 
+_PACKED_CACHE: dict[str, str] = {}
+
+
+def q_packed_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the MATERIALIZED packing layout: writes
+    ``sinks.write_packed_blocks`` (capacity 512) to a repo-local
+    scratch dir — cached per sf_dir, the ANN-index precedent — then
+    reads the written shards back and reports per (source, block_id)
+    the stored token count, contributing docs, and the first/last
+    token strings. The DuckDB oracle recomputes the same facts
+    DIRECTLY from the documents table (token-level positions → block
+    arithmetic), so a green row certifies the on-disk blocks byte-for-
+    byte at the block-boundary granularity."""
+    import hashlib
+    import os
+
+    from data_pipeline_example_spark import sinks
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _PACKED_CACHE.get(sf_dir)
+    if path is None:
+        tag = hashlib.md5(f"{sf_dir}:pack512:v1".encode()).hexdigest()[:12]
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            ".localdata",
+            "packed_cache",
+            tag,
+        )
+        if not (
+            os.path.isfile(os.path.join(path, "blocks", "_SUCCESS"))
+            and os.path.isfile(os.path.join(path, "manifest", "_SUCCESS"))
+        ):
+            sinks.write_packed_blocks(docs, path, capacity=512)
+        _PACKED_CACHE[sf_dir] = path
+    blocks = spark.read.parquet(f"{path}/blocks")
+    return blocks.select(
+        F.col("source").cast("string").alias("source"),
+        "block_id",
+        "n_docs",
+        "n_tokens",
+        F.element_at("tokens", 1).alias("first_token"),
+        F.element_at("tokens", -1).alias("last_token"),
+    ).orderBy("source", "block_id")
+
+
 def q_knn_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-density pruning signal within capped centroid buckets."""
     return similarity.knn_density_outliers(load_table(spark, sf_dir, "embeddings"))
@@ -1262,6 +1307,7 @@ QUERIES: dict[str, QueryFn] = {
     # the r8-CHANGED queries (capped embedding family on hierarchical
     # two-level assignment)
     "bm25_batch": q_bm25_batch,
+    "packed_block_audit": q_packed_block_audit,
     "basket_affinity": q_basket_affinity,
     "customer_rfm": q_customer_rfm,
     "order_gap_percentiles": q_order_gap_percentiles,

@@ -337,3 +337,100 @@ def write_zordered_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_packed_blocks(
+    documents: DataFrame, path: str, capacity: int = 2048
+) -> None:
+    """Materialize :func:`~data_pipeline_example_spark.operators.text.
+    sequence_pack`'s layout as ACTUAL training shards — the step the
+    offsets alone leave undone (a dataloader consumes token blocks,
+    not prefix sums).
+
+    Layout written:
+
+    * ``{path}/blocks`` — parquet PARTITIONED BY source (one shard dir
+      per packing stream): ``block_id, n_docs, tokens (array<string>),
+      n_tokens``. Every block holds exactly ``capacity`` tokens except
+      each source's final partial block — the concat-and-chunk
+      invariant, asserted by test via concat-replay equality.
+    * ``{path}/manifest`` — one small parquet: per-source block/token/
+      doc totals + the capacity, aggregated from the WRITTEN files
+      (read-back, not the plan), so the manifest always describes what
+      is actually on disk.
+
+    Plan: ``sequence_pack`` computes per-doc offsets via the bounded
+    cuts discipline (no per-source window sort); each doc explodes to
+    its ``blocks_spanned`` (block_id, token-slice) rows — fanout
+    Σ(blocks_spanned) ≈ total_blocks + n_docs, never token-level — and
+    one hash aggregation per (source, block_id) assembles the block:
+    ``array_sort`` on (doc_id, slice) structs then ``flatten``, all
+    JVM-side, per-group memory hard-bounded by ``capacity`` tokens.
+    Empty docs carry no tokens and are excluded (sequence_pack's
+    ``blocks_spanned = 0`` contract).
+    """
+    from data_pipeline_example_spark.functions import text as T
+    from data_pipeline_example_spark.operators.text import sequence_pack
+
+    cap = int(capacity)
+    packed = sequence_pack(documents, cap)
+    toks = documents.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    last = F.expr(f"(tok_offset + n_tokens - 1) div {cap}")
+    lo = F.expr(f"greatest(blk * {cap}, tok_offset)")
+    hi = F.expr(f"least((blk + 1) * {cap}, tok_offset + n_tokens)")
+    slices = (
+        packed.filter(F.col("n_tokens") > 0)
+        .join(toks, "doc_id")
+        .select(
+            "source",
+            "doc_id",
+            "tok_offset",
+            "n_tokens",
+            "t",
+            F.explode(F.sequence(F.col("block_id"), last)).alias("blk"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.col("blk").alias("block_id"),
+            F.slice(
+                "t",
+                (lo - F.col("tok_offset") + 1).cast("int"),
+                (hi - lo).cast("int"),
+            ).alias("toks"),
+        )
+    )
+    blocks = (
+        slices.groupBy("source", "block_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("toks")))
+                    ),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+    )
+    blocks.repartition("source").write.mode("overwrite").partitionBy(
+        "source"
+    ).parquet(f"{path}/blocks")
+    written = documents.sparkSession.read.parquet(f"{path}/blocks")
+    (
+        written.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum((F.col("n_tokens") == cap).cast("int"))
+            .cast("long")
+            .alias("n_full_blocks"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_docs").cast("long").alias("n_doc_slices"),
+        )
+        .withColumn("capacity", F.lit(cap).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/manifest")
+    )

@@ -860,6 +860,59 @@ def test_basket_communities_matches_bruteforce(spark, sf_dir):
     assert got == expect
 
 
+def test_write_packed_blocks_concat_replay_and_manifest(spark, sf_dir, tmp_path):
+    """The materialized packing shards must satisfy the concat-and-chunk
+    invariant: per source, flattening the written blocks in block_id
+    order reproduces EXACTLY the tokens of the source's documents
+    concatenated in doc_id order (stream coverage — nothing dropped,
+    duplicated, or reordered across doc-straddling block boundaries);
+    every block except the final partial holds exactly `capacity`
+    tokens; and the manifest read back from disk matches the layout."""
+    import re
+
+    from data_pipeline_example_spark import sinks
+    from data_pipeline_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 64  # small capacity -> many blocks + straddlers at tiny sf
+    path = str(tmp_path / "packed")
+    sinks.write_packed_blocks(docs, path, capacity=cap)
+
+    blocks = spark.read.parquet(f"{path}/blocks").collect()
+    per_src: dict = {}
+    for r in blocks:
+        per_src.setdefault(r["source"], []).append(r)
+
+    raw = docs.select("doc_id", "source", "text").collect()
+    want_stream: dict = {}
+    for r in sorted(raw, key=lambda x: x["doc_id"]):
+        want_stream.setdefault(r["source"], []).extend(
+            re.findall(r"[A-Za-z0-9]+", r["text"] or "")
+        )
+
+    assert set(per_src) == {s for s, t in want_stream.items() if t}
+    for src, rows in per_src.items():
+        rows.sort(key=lambda r: r["block_id"])
+        # contiguous block ids from 0
+        assert [r["block_id"] for r in rows] == list(range(len(rows)))
+        # capacity invariant: all full except the last
+        for r in rows[:-1]:
+            assert r["n_tokens"] == cap and len(r["tokens"]) == cap
+        assert 0 < rows[-1]["n_tokens"] <= cap
+        # concat-replay equality, token for token
+        got_stream = [t for r in rows for t in r["tokens"]]
+        assert got_stream == want_stream[src], f"stream diverged for {src}"
+
+    man = {r["source"]: r for r in spark.read.parquet(f"{path}/manifest").collect()}
+    assert set(man) == set(per_src)
+    for src, rows in per_src.items():
+        m = man[src]
+        assert m["n_blocks"] == len(rows)
+        assert m["n_tokens"] == sum(r["n_tokens"] for r in rows)
+        assert m["n_full_blocks"] == sum(1 for r in rows if r["n_tokens"] == cap)
+        assert m["capacity"] == cap
+
+
 def test_sequence_pack_matches_bruteforce_and_bounds_driver(spark, sf_dir):
     """Packing offsets/blocks equal a driver-side concat-and-chunk
     replay per source, and the cuts collect stays O(#partitions +
