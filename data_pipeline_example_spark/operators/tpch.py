@@ -1497,6 +1497,44 @@ def segment_value_percentiles(
     )
 
 
+def _basket_frames(lineitem: DataFrame):
+    """Shared basket/pair construction for :func:`basket_affinity` and
+    :func:`basket_communities`.
+
+    One ``groupBy(l_orderkey).collect_set`` shuffle builds the basket
+    arrays (collect_set dedups in the partial aggregate, map-side —
+    the old ``distinct()`` pre-pass was a second full-lineitem
+    shuffle), and pairs are generated IN-ARRAY with a sorted
+    ``transform × slice`` comprehension instead of a basket×basket
+    self-join — the r8 scaling run measured the join formulation at
+    ×16.8 on ×10 data (sf1→sf10): three ~|lineitem|-row exchanges
+    (distinct + both join sides) competing with the pair aggregate for
+    execution memory. Now exactly ONE lineitem-sized exchange happens
+    before the unavoidable pair shuffle. Per-order fan-out is still
+    C(basket, 2) with TPC-H-bounded baskets (≤7 distinct parts), and
+    the sorted array gives part_a < part_b by construction.
+
+    Returns ``(baskets, pairs)``: baskets — one materialized row per
+    order with the sorted distinct part array (feeds the per-item and
+    total counts without re-scanning lineitem); pairs — exploded
+    (part_a, part_b) pair instances, one per (order, unordered pair).
+    """
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .transform(materialize)
+    )
+    pair_struct = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS part_a, y AS part_b))))"
+    )
+    pairs = baskets.select(F.explode(pair_struct).alias("p")).select(
+        "p.part_a", "p.part_b"
+    )
+    return baskets, pairs
+
+
 def basket_affinity(
     lineitem: DataFrame, min_support: int = 2, top_n: int = 50
 ) -> DataFrame:
@@ -1505,54 +1543,41 @@ def basket_affinity(
     independence), the lineitem-scale twin of
     ``users.event_cooccurrence``.
 
-    Scale shape: the (order, part) basket frame is de-duplicated
-    FIRST, so the per-order self-join fan-out is bounded by
-    C(basket_size, 2) — basket sizes are bounded (≤7 lines in TPC-H;
-    an order, not a corpus), so pair instances are LINEAR in lineitem.
-    The pair aggregate's output domain is unbounded (distinct part
-    pairs), so the op follows the capped-output discipline
-    (``simhash_pairs_capped`` precedent): a ``min_support`` filter
-    shrinks the frame before any enrichment, and the top-n by support
-    is a TakeOrdered (never a full sort) taken BEFORE the per-item
-    count joins — the ≤top_n winners broadcast against the |parts|
-    count frame, so the expensive side never shuffles for losers.
+    Scale shape: basket arrays are built in ONE map-combined
+    ``collect_set`` shuffle and pairs generated in-array (see
+    :func:`_basket_frames` — the self-join formulation measured ×16.8
+    on ×10 data before the rewrite), so pair instances are LINEAR in
+    lineitem with C(basket, 2)-bounded per-order fan-out. The pair
+    aggregate's output domain is unbounded (distinct part pairs), so
+    the op follows the capped-output discipline (``simhash_pairs_
+    capped`` precedent): a ``min_support`` filter shrinks the frame
+    before any enrichment, and the top-n by support is a TakeOrdered
+    (never a full sort) taken BEFORE the per-item count joins — the
+    ≤top_n winners broadcast against the |parts| count frame, so the
+    expensive side never shuffles for losers.
     Exactness: all counts exact longs; lift is one 4-dp division over
     pre-multiplied long operands (the event_cooccurrence precedent).
     Ties at the cap break on (part_a, part_b) — deterministic in both
     engines. Output: part_a, part_b, pair_orders, a_orders, b_orders,
     lift; top_n by (pair_orders desc, part_a, part_b).
     """
-    # one materialization feeds BOTH self-join sides, both per-item
-    # count probes and the order total — without it the distinct
-    # aggregate re-runs five times (plan-audited). Eager construction:
-    # localCheckpoint blocks are unreplicated executor storage (module
-    # contract note in operators/text.py) — use a reliable checkpoint
-    # dir for long-lived plans.
-    baskets = (
-        lineitem.select("l_orderkey", "l_partkey").distinct().transform(materialize)
-    )
-    a, b = baskets.alias("a"), baskets.alias("b")
+    # the materialized basket arrays feed the pair stream, both
+    # per-item count probes and the order total — one lineitem scan,
+    # one exchange (eager construction: module contract note in
+    # operators/text.py; the materialize seam upgrades to a reliable
+    # checkpoint when the session configures one)
+    baskets, pair_stream = _basket_frames(lineitem)
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        pair_stream.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
         .filter(F.col("pair_orders") >= int(min_support))
         .orderBy(F.desc("pair_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(int(top_n))
     )
-    items = baskets.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_item")
-    )
-    tot = baskets.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
-    )
+    items = baskets.select(
+        F.explode("parts").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    tot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     wa = items.join(
         F.broadcast(pairs), items["l_partkey"] == pairs["part_a"]
     ).select(
@@ -1925,8 +1950,9 @@ def basket_communities(
     (the categoryless taxonomy a recommender bootstraps from).
 
     Composes the :func:`basket_affinity` edge construction
-    (dedup-first baskets, bounded per-order fan-out, ``min_support``
-    pruning the long random-cooccurrence tail BEFORE any graph work)
+    (:func:`_basket_frames`: one collect_set shuffle, in-array pair
+    generation, ``min_support`` pruning the long random-cooccurrence
+    tail BEFORE any graph work)
     with :func:`operators.dedup.dedup_clusters`' min-label
     propagation — one keyed join + aggregate per round, no driver-side
     graph, the same machinery GraphX uses for CC (that op's
@@ -1937,19 +1963,10 @@ def basket_communities(
     """
     from data_pipeline_example_spark.operators.dedup import dedup_clusters
 
-    baskets = (
-        lineitem.select("l_orderkey", "l_partkey").distinct().transform(materialize)
-    )
-    a, b = baskets.alias("a"), baskets.alias("b")
+    _, pair_stream = _basket_frames(lineitem)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("doc_a"),
-            F.col("b.l_partkey").alias("doc_b"),
+        pair_stream.groupBy(
+            F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= int(min_support))
