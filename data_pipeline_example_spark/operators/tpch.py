@@ -1497,7 +1497,7 @@ def segment_value_percentiles(
     )
 
 
-def _basket_frames(lineitem: DataFrame):
+def _basket_frames(lineitem: DataFrame, materialize_baskets: bool = True):
     """Shared basket/pair construction for :func:`basket_affinity` and
     :func:`basket_communities`.
 
@@ -1514,16 +1514,23 @@ def _basket_frames(lineitem: DataFrame):
     C(basket, 2) with TPC-H-bounded baskets (≤7 distinct parts), and
     the sorted array gives part_a < part_b by construction.
 
-    Returns ``(baskets, pairs)``: baskets — one materialized row per
-    order with the sorted distinct part array (feeds the per-item and
-    total counts without re-scanning lineitem); pairs — exploded
-    (part_a, part_b) pair instances, one per (order, unordered pair).
+    Returns ``(baskets, pairs)``: baskets — one row per order with the
+    sorted distinct part array (feeds the per-item and total counts
+    without re-scanning lineitem); pairs — exploded (part_a, part_b)
+    pair instances, one per (order, unordered pair).
+
+    ``materialize_baskets``: pass True only when the basket frame has
+    MULTIPLE consumers (basket_affinity reads it three times). A
+    single-consumer caller (basket_communities: pairs only) must pass
+    False — an eager checkpoint of |orders| array rows that nothing
+    reads twice is pure block-storage pressure, and at sf10 it was a
+    measured contributor to the 8 GB harness heap exhaustion.
     """
-    baskets = (
-        lineitem.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .transform(materialize)
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
+    if materialize_baskets:
+        baskets = baskets.transform(materialize)
     pair_struct = F.expr(
         "flatten(transform(parts, (x, i) -> "
         "transform(slice(parts, i + 2, size(parts)), "
@@ -1963,7 +1970,7 @@ def basket_communities(
     """
     from data_pipeline_example_spark.operators.dedup import dedup_clusters
 
-    _, pair_stream = _basket_frames(lineitem)
+    _, pair_stream = _basket_frames(lineitem, materialize_baskets=False)
     edges = (
         pair_stream.groupBy(
             F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")

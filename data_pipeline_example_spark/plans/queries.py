@@ -1334,6 +1334,11 @@ QUERIES: dict[str, QueryFn] = {
     "lang_source_mix": q_lang_source_mix,
     "token_fertility": q_token_fertility,
     "knn_density_outliers": q_knn_density_outliers,
+    # moved up from the embedding tail: the whole capped family's
+    # centroid assignment went hierarchical (two-level) this round, so
+    # their OUTPUT changed and all three must re-certify in-window
+    "semantic_prune_capped": q_semantic_prune_capped,
+    "nearest_neighbor_capped": q_nearest_neighbor_capped,
     # length_buckets moved up from the tail: its cuts path was
     # rewritten onto the bounded range-offset helper this round,
     # so it must sit inside the 50-entry window
@@ -1378,8 +1383,6 @@ QUERIES: dict[str, QueryFn] = {
     "image_phash_stats": q_image_phash_stats,
     "phash_dup_pairs": q_phash_dup_pairs,
     "audio_dup_windows": q_audio_dup_windows,
-    "semantic_prune_capped": q_semantic_prune_capped,
-    "nearest_neighbor_capped": q_nearest_neighbor_capped,
     "srp_dup_pairs": q_srp_dup_pairs,
     # --- text analysis extensions ---
     # --- dedup extensions ---

@@ -38,16 +38,36 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _drop_persisted(spark) -> None:
+    """Unpersist every RDD the last timed run left behind. Operators
+    that materialize intermediates (the `.transform(materialize)`
+    sites: basket arrays, signature frames, CC label rounds) register
+    localCheckpoint blocks that live until the session dies; each
+    timed run builds a FRESH DataFrame, so the previous run's blocks
+    are garbage — but Spark doesn't know that, and at sf10 four
+    retained basket frames plus CC rounds exhausted the 8 GB harness
+    heap (r8 run log). Safe between runs: the prior run's frames are
+    never referenced again."""
+    try:
+        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass
+
+
 def time_query(fn, spark, sf_dir) -> float:
     runs = []
     for _ in range(2):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)
+        _drop_persisted(spark)
     if min(runs) > 0.5 and abs(runs[0] - runs[1]) / min(runs) > 0.4:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)
+        _drop_persisted(spark)
     return round(min(runs), 3)
 
 
