@@ -152,6 +152,15 @@ HEADLINE = [
     "event_rate_mad",
     "orders_yoy_growth",
     "customer_migration",
+    # round 8: batched BM25 (one tokenize scan for the whole query
+    # batch), sequence packing + the materialized-shard audit
+    # (packed_block_audit amortizes its write across the session
+    # cache, the ivfpq_knn_index_batch precedent), and basket
+    # communities on the array-based pair generation
+    "bm25_batch",
+    "sequence_pack",
+    "packed_block_audit",
+    "basket_communities",
 ]
 
 
