@@ -697,7 +697,8 @@ def semantic_prune(
 
     Fixed ``n_centroids`` keeps this entry oracle-stable; the 100 TB
     path is :func:`semantic_prune_capped` — adaptive k + a hard
-    per-bucket cap, total work O(n·cap) instead of O(n²/k).
+    per-bucket cap + two-level assignment, total work
+    O(n·(√k + cap)·dims) instead of O(n²/k).
     """
     assigned = assign_centroids(embeddings, n_centroids)
     if method == "blocked":

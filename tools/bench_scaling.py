@@ -49,9 +49,9 @@ def _drop_persisted(spark) -> None:
     heap (r8 run log). Safe between runs: the prior run's frames are
     never referenced again."""
     try:
-        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
+        # py4j auto-converts the java.util.Map to a dict-like view
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(False)
     except Exception:
         pass
 
