@@ -246,6 +246,77 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_incremental(
+    documents_new: DataFrame,
+    documents_old: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (one-sided) MinHash dedup — the production INGESTION
+    shape: a new batch of documents is admitted against the EXISTING
+    corpus, never against itself and never corpus-vs-corpus
+    (:func:`minhash_lsh_pairs` is the full symmetric pass; re-running
+    it per ingest re-pays the whole corpus × corpus candidate join for
+    a batch that is a sliver of it).
+
+    Pipeline: both sides get signatures via the shared machinery, the
+    banded join runs NEW × OLD only (first-match band emission — the
+    ``_band_match`` discipline, so a multi-band collision surfaces
+    once with no dropDuplicates pass), candidates verify with exact
+    Jaccard on the carried shingle sets, and each new doc keeps its
+    BEST corpus match (max jaccard, lowest old doc_id on ties — a
+    struct-min aggregate, no window). At 100 TB the old side's
+    banded frame is the persisted index (write once, the
+    ``write_ann_index`` precedent) and the join is one-sided: cost
+    scales with the BATCH, not the corpus².
+
+    Output: one row per NEW doc — doc_id, admit (1 = no corpus match
+    ≥ threshold), dup_of (best matching old doc_id, NULL when
+    admitted), jaccard (4 dp, NULL when admitted). New docs with no
+    shingles (short/empty text) admit trivially — consistent with the
+    shingle-based operators.
+    """
+    sh_new = shingled(documents_new, k).transform(materialize)
+    sh_old = shingled(documents_old, k).transform(materialize)
+    sigs_new = minhash_signatures(documents_new, k, num_hashes, shingle_df=sh_new)
+    sigs_old = minhash_signatures(documents_old, k, num_hashes, shingle_df=sh_old)
+    a = _banded(sigs_new, num_hashes, bands).alias("a")
+    b = _banded(sigs_old, num_hashes, bands).alias("b")
+    candidates = a.join(b, _band_match(bands)).select(
+        F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("dup_of")
+    )
+    sa = sh_new.select("doc_id", F.col("shingles").alias("sh_a"))
+    sb = sh_old.select(
+        F.col("doc_id").alias("dup_of"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        candidates.join(sa, "doc_id")
+        .join(sb, "dup_of")
+        .select(
+            "doc_id",
+            "dup_of",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = verified.groupBy("doc_id").agg(
+        F.min(
+            F.struct((-F.col("jaccard")).alias("nj"), F.col("dup_of").alias("d"))
+        ).alias("b")
+    )
+    return documents_new.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("b").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("admit"),
+        F.col("b.d").alias("dup_of"),
+        (-F.col("b.nj")).alias("jaccard"),
+    )
+
+
 # --- SimHash ------------------------------------------------------------
 
 _HEX = "0123456789abcdef"

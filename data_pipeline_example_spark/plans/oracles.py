@@ -1329,6 +1329,58 @@ JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
 """,
+    # one-sided ingestion dedup: new batch (doc_id%10==3) vs the rest
+    # of the corpus; banded candidates NEW x OLD only, exact-jaccard
+    # verification, best match (jaccard desc, dup_of asc) per new doc
+    "minhash_incremental": f"""
+WITH {_SHINGLES},
+hashes AS (
+  SELECT doc_id, r.i AS i,
+         min(substring(md5(CAST(r.i // 4 AS VARCHAR) || ':' || sh),
+                       (r.i % 4) * 8 + 1, 8)) AS h
+  FROM sh, range(0, 16) r(i)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bucket
+  FROM hashes GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 10 = 3 AND b.doc_id % 10 != 3
+),
+inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS dup_of, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE a.doc_id % 10 = 3 AND b.doc_id % 10 != 3
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.doc_id, c.dup_of,
+         round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+  FROM cand c
+  JOIN inter i ON i.doc_id = c.doc_id AND i.dup_of = c.dup_of
+  JOIN sizes sa ON sa.doc_id = c.doc_id
+  JOIN sizes sb ON sb.doc_id = c.dup_of
+  WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
+),
+best AS (
+  SELECT doc_id, dup_of, jaccard FROM (
+    SELECT doc_id, dup_of, jaccard,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY jaccard DESC, dup_of ASC) AS rn
+    FROM verified
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN best.doc_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS admit,
+       CAST(best.dup_of AS BIGINT) AS dup_of,
+       best.jaccard AS jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 3) d
+LEFT JOIN best ON best.doc_id = d.doc_id
+""",
     "minhash_jaccard_estimates": f"""
 WITH {_SHINGLES},
 hashes AS (

@@ -846,6 +846,17 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_batch(load_table(spark, sf_dir, "documents"))
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the doc_id%10==3 slice arrives as
+    the new batch and is admitted against the rest of the corpus (the
+    existing index side) — one-sided banded join, best-match verdict
+    per new doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 3)
+    old = docs.filter(F.col("doc_id") % 10 != 3)
+    return dedup.minhash_incremental(new, old, threshold=0.1)
+
+
 _PACKED_CACHE: dict[str, str] = {}
 
 
@@ -1308,6 +1319,7 @@ QUERIES: dict[str, QueryFn] = {
     # two-level assignment)
     "bm25_batch": q_bm25_batch,
     "packed_block_audit": q_packed_block_audit,
+    "minhash_incremental": q_minhash_incremental,
     "basket_affinity": q_basket_affinity,
     "customer_rfm": q_customer_rfm,
     "order_gap_percentiles": q_order_gap_percentiles,

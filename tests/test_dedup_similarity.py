@@ -722,3 +722,43 @@ def test_knn_batch_matches_per_query_knn_and_pretrims(spark, sf_dir):
         assert got == want, q
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_minhash_incremental_one_sided_best_match(spark):
+    """Ingestion dedup is strictly NEW-vs-OLD: two near-identical docs
+    inside the new batch must BOTH admit (no new-new pair), a new doc
+    matching two old docs keeps the higher-jaccard one, and an exact
+    tie breaks to the lowest old doc_id. Every new doc gets exactly one
+    verdict row, including unshinglable short docs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mk = lambda i, t: (i, t, "en", "s", len(t))
+    old = spark.createDataFrame(
+        [
+            mk(1, base),                             # near-dup target
+            mk(2, base + " lambda"),                 # slightly different
+            mk(4, base),                             # exact twin of 1 (tie case)
+            mk(5, "completely different content about other things entirely ok"),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    new = spark.createDataFrame(
+        [
+            mk(10, base),            # matches old 1/4 (tied exact) and 2
+            mk(11, "unrelated brand new material nothing shared with corpus docs"),
+            mk(12, "unrelated brand new material nothing shared with corpus doc"),
+            mk(13, "xy"),            # < k tokens: unshinglable
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.minhash_incremental(new, old, threshold=0.3).collect()
+    }
+    assert set(rows) == {10, 11, 12, 13}
+    # best match: jaccard 1.0 against both 1 and 4 -> tie to lowest id 1
+    assert rows[10]["admit"] == 0 and rows[10]["dup_of"] == 1
+    assert rows[10]["jaccard"] == 1.0
+    # 11 and 12 are near-dups of EACH OTHER but both new -> both admit
+    assert rows[11]["admit"] == 1 and rows[11]["dup_of"] is None
+    assert rows[12]["admit"] == 1 and rows[12]["jaccard"] is None
+    assert rows[13]["admit"] == 1
