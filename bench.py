@@ -161,6 +161,8 @@ HEADLINE = [
     "sequence_pack",
     "packed_block_audit",
     "basket_communities",
+    "minhash_incremental",
+    "product_pagerank",
 ]
 
 

@@ -1997,3 +1997,102 @@ def basket_communities(
         .select("community_id", "n_parts", "n_edges")
         .orderBy(F.desc("n_parts"), F.asc("community_id"))
     )
+
+
+def product_pagerank(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    iters: int = 5,
+    top_n: int = 40,
+) -> DataFrame:
+    """PageRank centrality over the co-purchase product graph — the
+    "anchor products" a recommender or merchandiser ranks by, and the
+    engine's fixed-iteration *value*-propagation twin of
+    :func:`basket_communities`' label propagation (reference analogue:
+    the top-products leaderboard, ``sales_batch_report.py`` top-10 —
+    this is its graph-aware generalization).
+
+    Algorithm: the classic damped power iteration, run a FIXED
+    ``iters`` rounds (deterministic output, no convergence test) over
+    the symmetrized min-support pair graph from :func:`_basket_frames`
+    (one collect_set shuffle, in-array pair generation). Each round is
+    one keyed join + map-side-combined sum — the dedup_clusters /
+    GraphX round shape; per-round lineage is cut through the
+    ``materialize`` seam so round N never replays rounds 1..N-1.
+
+    Exactness (cross-engine, the integer-micro discipline): ranks live
+    in micro-units of 1e12. Every step is integer arithmetic —
+    ``share = rank div degree`` (positive integral division: Spark
+    ``div`` == DuckDB ``//`` on non-negatives), incoming mass is an
+    order-free exact BIGINT sum, and the damping update is
+    ``(15*base + 85*mass) div 100`` with ``base = SCALE div n_nodes``.
+    No floats anywhere, so the DuckDB oracle replays the iteration
+    bit-for-bit as an unrolled CTE chain.
+
+    Scale shape: the graph frame (edges+degree) materializes ONCE and
+    every round shuffles only |V|-sized rank rows on the node key; the
+    ``min_support`` filter prunes the random-cooccurrence tail before
+    any graph work. ``n_nodes`` is a planning-sized 1-row aggregate
+    (the ivf_knn precedent). Output: top_n by (rank_micro desc,
+    l_partkey) — TakeOrdered, never a full sort of ranks.
+    """
+    SCALE = 10**12
+    _, pair_stream = _basket_frames(lineitem, materialize_baskets=False)
+    pairs = (
+        pair_stream.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= int(min_support))
+        .select("part_a", "part_b")
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).union(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    # degree attaches to the edge list once — each iteration reads one
+    # materialized (src, dst, d) frame and shuffles only rank rows
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    sym_deg = sym.join(deg, "src").transform(materialize)
+    nodes = deg.select(F.col("src").alias("node"), "d").transform(materialize)
+    n_nodes = nodes.count()  # planning-sized driver aggregate
+    if n_nodes == 0:
+        return nodes.select(
+            F.col("node").alias("l_partkey"),
+            F.col("d").alias("degree"),
+            F.lit(0).cast("long").alias("rank_micro"),
+        )
+    base = SCALE // n_nodes
+    ranks = nodes.select(
+        "node", F.lit(base).cast("long").alias("r")
+    ).transform(materialize)
+    for _ in range(int(iters)):
+        mass = (
+            sym_deg.join(ranks, sym_deg["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("cast(r div d as long)").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").cast("long").alias("mass"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(mass, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"cast(({15 * base} + 85 * coalesce(mass, 0L)) div 100 as long)"
+                ).alias("r"),
+            )
+            .transform(materialize)
+        )
+    return (
+        nodes.join(ranks, "node")
+        .select(
+            F.col("node").alias("l_partkey"),
+            F.col("d").alias("degree"),
+            F.col("r").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), F.asc("l_partkey"))
+        .limit(int(top_n))
+    )

@@ -4368,3 +4368,50 @@ GROUP BY 1, 2
 ORDER BY source, block_id
 """
 )
+
+
+def _pagerank_sql(iters: int = 5, min_support: int = 2, top_n: int = 40) -> str:
+    """Unrolled-CTE replay of tpch.product_pagerank: every round of the
+    damped power iteration is a literal CTE (m{i} incoming mass, r{i}
+    new ranks), all arithmetic BIGINT with DuckDB ``//`` floor division
+    matching Spark ``div`` on the all-positive operands."""
+    base = "(1000000000000 // (SELECT n_nodes FROM n))"
+    cte = [
+        "WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        f"""p AS (
+  SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b
+  FROM bk a JOIN bk b2
+    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_support}
+)""",
+        "sym AS (SELECT part_a AS src, part_b AS dst FROM p"
+        " UNION ALL SELECT part_b, part_a FROM p)",
+        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d"
+        " FROM sym GROUP BY 1)",
+        "n AS (SELECT count(*) AS n_nodes FROM deg)",
+        f"r0 AS (SELECT node, d, CAST({base} AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        cte.append(
+            f"m{i} AS (SELECT s.dst AS node,"
+            f" CAST(SUM(r{i - 1}.r // r{i - 1}.d) AS BIGINT) AS mass"
+            f" FROM sym s JOIN r{i - 1} ON r{i - 1}.node = s.src GROUP BY 1)"
+        )
+        cte.append(
+            f"r{i} AS (SELECT deg.node, deg.d,"
+            f" CAST((15 * {base} + 85 * COALESCE(m{i}.mass, 0)) // 100"
+            f" AS BIGINT) AS r FROM deg LEFT JOIN m{i} ON m{i}.node = deg.node)"
+        )
+    return (
+        ",\n".join(cte)
+        + f"""
+SELECT node AS l_partkey, d AS degree, r AS rank_micro
+FROM r{iters}
+ORDER BY rank_micro DESC, l_partkey
+LIMIT {top_n}
+"""
+    )
+
+
+ORACLES["product_pagerank"] = _pagerank_sql()

@@ -957,6 +957,12 @@ def q_basket_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.basket_communities(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_product_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer-micro PageRank over the co-purchase
+    graph; the oracle replays all 5 rounds as an unrolled CTE chain."""
+    return tpch.product_pagerank(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing into fixed-capacity token blocks."""
     return text.sequence_pack(load_table(spark, sf_dir, "documents"))
@@ -1317,6 +1323,7 @@ QUERIES: dict[str, QueryFn] = {
     # round-8 front: NEW ops (batched BM25, packed-block audit), then
     # the r8-CHANGED queries (capped embedding family on hierarchical
     # two-level assignment)
+    "product_pagerank": q_product_pagerank,
     "bm25_batch": q_bm25_batch,
     "packed_block_audit": q_packed_block_audit,
     "minhash_incremental": q_minhash_incremental,

@@ -954,3 +954,50 @@ def test_sequence_pack_matches_bruteforce_and_bounds_driver(spark, sf_dir):
             )
             off += n
     assert got == expect
+
+
+def test_product_pagerank_matches_bruteforce(spark, sf_dir):
+    """The fixed-iteration integer-micro PageRank equals a driver-side
+    pure-Python replay of the same damped power iteration (same floor
+    divisions, same 15/85/100 integer damping, same tie-break)."""
+    from collections import Counter
+
+    from data_pipeline_example_spark.operators import tpch
+    from data_pipeline_example_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = [
+        (r["l_partkey"], r["degree"], r["rank_micro"])
+        for r in tpch.product_pagerank(li, min_support=2, iters=5, top_n=40).collect()
+    ]
+
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pair_n: Counter = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    edges = [p for p, c in pair_n.items() if c >= 2]
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+        out.setdefault(b, []).append(a)
+    deg = {x: len(nbrs) for x, nbrs in out.items()}
+    n = len(deg)
+    assert n > 0, "sf fixture must yield a non-empty min-support graph"
+    base = 10**12 // n
+    rank = {x: base for x in deg}
+    for _ in range(5):
+        mass = {x: 0 for x in deg}
+        for x, nbrs in out.items():
+            share = rank[x] // deg[x]
+            for y in nbrs:
+                mass[y] += share
+        rank = {x: (15 * base + 85 * mass[x]) // 100 for x in deg}
+    expect = sorted(
+        ((x, deg[x], rank[x]) for x in deg), key=lambda t: (-t[2], t[0])
+    )[:40]
+    assert got == expect
