@@ -163,6 +163,7 @@ HEADLINE = [
     "basket_communities",
     "minhash_incremental",
     "product_pagerank",
+    "bpe_merges",
 ]
 
 

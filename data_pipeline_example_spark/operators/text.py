@@ -2508,3 +2508,88 @@ def pack_block_stats(documents: DataFrame, capacity: int = 2048) -> DataFrame:
         )
         .orderBy("source", "block_id")
     )
+
+
+def bpe_merges(
+    documents: DataFrame,
+    n_merges: int = 4,
+    top_words: int = 1500,
+) -> DataFrame:
+    """BPE tokenizer merge induction — the first ``n_merges`` byte-pair
+    merges learned from the corpus, the training half of the tokenizer
+    whose inference side :func:`functions.text.bpe_token_count` and the
+    packing ops consume. (Reference analogue: none — LLM-pipeline
+    extension; the algorithm is Sennrich et al. 2016's greedy pair
+    merging.)
+
+    Scale shape — the only corpus-sized pass is the word count (one
+    tokenize scan, map-side-combined groupBy); everything after runs on
+    the TakeOrdered ``top_words`` vocabulary slice (count desc, word
+    asc — deterministic cap, the ``simhash_pairs_capped`` discipline),
+    which is how production tokenizer trainers bound merge cost too.
+    Each merge round on the capped vocab is: adjacent-pair explode →
+    weighted count (exact long sum) → 1-row argmax collect (planning-
+    sized, the ivf_knn precedent) → in-array greedy left-to-right merge
+    fold (``aggregate``, whole-symbol string equality — no substring
+    ambiguity). Work per round is O(top_words · max_word_len), corpus-
+    independent.
+
+    Exactness: pair weights are exact BIGINT sums of word counts; the
+    per-round argmax breaks ties (count desc, sym_a, sym_b) — the
+    DuckDB oracle replays every round with the same ``list_reduce``
+    greedy fold. Output: one row per merge — round, sym_a, sym_b,
+    merged, pair_count; ordered by round.
+    """
+    spark = documents.sparkSession
+    words = (
+        documents.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(int(top_words))
+    )
+    syms = words.select(
+        "word",
+        "cnt",
+        F.expr("filter(split(word, ''), c -> c <> '')").alias("syms"),
+    ).transform(materialize)
+    merges = []
+    for rnd in range(1, int(n_merges) + 1):
+        top = (
+            syms.filter(F.expr("size(syms) >= 2"))
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i -> "
+                        "struct(element_at(syms, i) AS a, "
+                        "element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
+        merges.append((rnd, a, b, a + b, c))
+        # symbols are corpus alphanumerics ([A-Za-z0-9]+ tokens), so
+        # embedding them as SQL string literals needs no escaping
+        syms = syms.withColumn(
+            "syms",
+            F.expr(
+                f"aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+                f"case when size(acc) > 0 and element_at(acc, -1) = '{a}' "
+                f"and x = '{b}' "
+                f"then concat(slice(acc, 1, size(acc) - 1), array('{a}{b}')) "
+                f"else concat(acc, array(x)) end)"
+            ),
+        ).transform(materialize)
+    schema = (
+        "round int, sym_a string, sym_b string, merged string, pair_count long"
+    )
+    return spark.createDataFrame(merges, schema).orderBy("round")

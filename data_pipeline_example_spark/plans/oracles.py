@@ -4415,3 +4415,54 @@ LIMIT {top_n}
 
 
 ORACLES["product_pagerank"] = _pagerank_sql()
+
+
+def _bpe_sql(n_merges: int = 4, top_words: int = 1500) -> str:
+    """Unrolled replay of text.bpe_merges: each merge round is three
+    CTEs — pc{r} weighted adjacent-pair counts, tp{r} the 1-row argmax
+    (count desc, a, b), s{r} the greedy left-to-right merge applied via
+    a list_reduce fold on a space-joined symbol string (symbols are
+    alphanumeric, so ' ' never collides). Whole-symbol string equality
+    throughout — identical semantics to the Spark aggregate fold."""
+    cte = [
+        f"""WITH wc AS (
+  SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(coalesce(text, ''),
+                      '[A-Za-z0-9]+')) AS t FROM documents)
+  GROUP BY 1 ORDER BY cnt DESC, word LIMIT {top_words}
+)""",
+        "s0 AS (SELECT word, cnt, list_transform(range(1, len(word) + 1),"
+        " i -> word[i:i]) AS syms FROM wc)",
+    ]
+    for r in range(1, n_merges + 1):
+        cte.append(
+            f"""pc{r} AS (
+  SELECT p.a AS a, p.b AS b, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+               i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS p
+        FROM s{r - 1})
+  GROUP BY 1, 2
+)"""
+        )
+        cte.append(
+            f"tp{r} AS (SELECT a, b, c FROM pc{r}"
+            f" ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        cte.append(
+            f"""s{r} AS (
+  SELECT word, cnt, string_split(list_reduce(syms, (acc, x) ->
+    CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = t.a AND x = t.b
+         THEN regexp_replace(acc, '[^ ]+$', t.a || t.b)
+         ELSE acc || ' ' || x END), ' ') AS syms
+  FROM s{r - 1} CROSS JOIN tp{r} t
+)"""
+        )
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS round, a AS sym_a, b AS sym_b,"
+        f" a || b AS merged, c AS pair_count FROM tp{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return ",\n".join(cte) + f"\nSELECT * FROM ({rows})\nORDER BY round\n"
+
+
+ORACLES["bpe_merges"] = _bpe_sql()

@@ -963,6 +963,13 @@ def q_product_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.product_pagerank(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer merge induction: first 4 merges learned from the
+    corpus word counts; oracle replays each round's argmax + greedy
+    fold."""
+    return text.bpe_merges(load_table(spark, sf_dir, "documents"))
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing into fixed-capacity token blocks."""
     return text.sequence_pack(load_table(spark, sf_dir, "documents"))
@@ -1324,6 +1331,7 @@ QUERIES: dict[str, QueryFn] = {
     # the r8-CHANGED queries (capped embedding family on hierarchical
     # two-level assignment)
     "product_pagerank": q_product_pagerank,
+    "bpe_merges": q_bpe_merges,
     "bm25_batch": q_bm25_batch,
     "packed_block_audit": q_packed_block_audit,
     "minhash_incremental": q_minhash_incremental,

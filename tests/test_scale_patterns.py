@@ -1001,3 +1001,50 @@ def test_product_pagerank_matches_bruteforce(spark, sf_dir):
         ((x, deg[x], rank[x]) for x in deg), key=lambda t: (-t[2], t[0])
     )[:40]
     assert got == expect
+
+
+def test_bpe_merges_matches_bruteforce(spark, sf_dir):
+    """The learned merge table equals a pure-Python Sennrich-style BPE
+    trainer on the same capped vocabulary (same tokenization, same cap
+    tie-break, same greedy left-to-right merge application)."""
+    import re
+    from collections import Counter
+
+    from data_pipeline_example_spark.operators import text as text_ops
+    from data_pipeline_example_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [
+        (r["round"], r["sym_a"], r["sym_b"], r["merged"], r["pair_count"])
+        for r in text_ops.bpe_merges(docs, n_merges=4, top_words=1500).collect()
+    ]
+
+    wc: Counter = Counter()
+    for r in docs.select("text").collect():
+        wc.update(re.findall(r"[A-Za-z0-9]+", r["text"] or ""))
+    vocab = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:1500]
+    words = [(list(w), c) for w, c in vocab]
+    expect = []
+    for rnd in range(1, 5):
+        pairs: Counter = Counter()
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rnd, a, b, a + b, c))
+        merged = []
+        for syms, cnt in words:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged.append((out, cnt))
+        words = merged
+    assert got == expect
