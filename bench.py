@@ -164,6 +164,7 @@ HEADLINE = [
     "minhash_incremental",
     "product_pagerank",
     "bpe_merges",
+    "bpe_encode_stats",
 ]
 
 

@@ -2541,6 +2541,33 @@ def bpe_merges(
     merged, pair_count; ordered by round.
     """
     spark = documents.sparkSession
+    merges = _learn_bpe(documents, n_merges=n_merges, top_words=top_words)
+    schema = (
+        "round int, sym_a string, sym_b string, merged string, pair_count long"
+    )
+    return spark.createDataFrame(merges, schema).orderBy("round")
+
+
+def _merge_fold_expr(col: str, a: str, b: str) -> str:
+    """Greedy left-to-right application of merge (a, b) to a symbol
+    array — whole-symbol string equality, so no substring ambiguity.
+    Symbols are corpus alphanumerics ([A-Za-z0-9]+ tokens): embedding
+    them as SQL string literals needs no escaping."""
+    return (
+        f"aggregate({col}, cast(array() as array<string>), (acc, x) -> "
+        f"case when size(acc) > 0 and element_at(acc, -1) = '{a}' "
+        f"and x = '{b}' "
+        f"then concat(slice(acc, 1, size(acc) - 1), array('{a}{b}')) "
+        f"else concat(acc, array(x)) end)"
+    )
+
+
+def _learn_bpe(
+    documents: DataFrame, n_merges: int, top_words: int
+) -> list[tuple]:
+    """Shared BPE trainer: returns [(round, sym_a, sym_b, merged,
+    pair_count)] learned on the capped vocabulary (see
+    :func:`bpe_merges` for the scale/exactness contract)."""
     words = (
         documents.select(F.explode(T.tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -2553,7 +2580,7 @@ def bpe_merges(
         "cnt",
         F.expr("filter(split(word, ''), c -> c <> '')").alias("syms"),
     ).transform(materialize)
-    merges = []
+    merges: list[tuple] = []
     for rnd in range(1, int(n_merges) + 1):
         top = (
             syms.filter(F.expr("size(syms) >= 2"))
@@ -2577,19 +2604,72 @@ def bpe_merges(
             break
         a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
         merges.append((rnd, a, b, a + b, c))
-        # symbols are corpus alphanumerics ([A-Za-z0-9]+ tokens), so
-        # embedding them as SQL string literals needs no escaping
         syms = syms.withColumn(
-            "syms",
-            F.expr(
-                f"aggregate(syms, cast(array() as array<string>), (acc, x) -> "
-                f"case when size(acc) > 0 and element_at(acc, -1) = '{a}' "
-                f"and x = '{b}' "
-                f"then concat(slice(acc, 1, size(acc) - 1), array('{a}{b}')) "
-                f"else concat(acc, array(x)) end)"
-            ),
+            "syms", F.expr(_merge_fold_expr("syms", a, b))
         ).transform(materialize)
-    schema = (
-        "round int, sym_a string, sym_b string, merged string, pair_count long"
+    return merges
+
+
+def bpe_encode_stats(
+    documents: DataFrame,
+    n_merges: int = 4,
+    top_words: int = 1500,
+) -> DataFrame:
+    """Apply the learned BPE merge table corpus-wide and report the
+    per-source compression it buys — the trainer's evaluation half
+    (token-budget planners read exactly this table to convert char
+    budgets into post-merge token budgets).
+
+    Scale shape: learning reuses :func:`_learn_bpe` (one corpus scan +
+    capped-vocab rounds). Application never touches full documents a
+    second time: ONE tokenize scan builds per-(source, word) occurrence
+    counts (map-side-combined), the ``n_merges`` folds run over the
+    DISTINCT-word frame only (narrow, vocabulary-sized), and the two
+    frames join co-keyed on word before a per-source rollup — so
+    per-row merge work is paid once per distinct word, not once per
+    occurrence. All counts exact BIGINTs; the compression ratio is the
+    integer-micro division discipline. Output: source, n_words
+    (occurrences), chars_alnum (pre-merge symbol count), tokens_bpe
+    (post-merge), compression_micro = tokens_bpe*1e6 div chars_alnum;
+    ordered by source.
+    """
+    merges = _learn_bpe(documents, n_merges=n_merges, top_words=top_words)
+    sw = (
+        documents.select(
+            "source", F.explode(T.tokens(F.col("text"))).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .transform(materialize)
     )
-    return spark.createDataFrame(merges, schema).orderBy("round")
+    vocab = sw.select("word").distinct().withColumn(
+        "syms", F.expr("filter(split(word, ''), c -> c <> '')")
+    )
+    for _, a, b, _, _ in merges:
+        vocab = vocab.withColumn("syms", F.expr(_merge_fold_expr("syms", a, b)))
+    vocab = vocab.select(
+        "word", F.size("syms").cast("long").alias("n_after")
+    )
+    return (
+        sw.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("word")).cast("long").alias(
+                "chars_alnum"
+            ),
+            F.sum(F.col("cnt") * F.col("n_after")).cast("long").alias(
+                "tokens_bpe"
+            ),
+        )
+        .select(
+            "source",
+            "n_words",
+            "chars_alnum",
+            "tokens_bpe",
+            F.expr(
+                "cast((tokens_bpe * 1000000) div chars_alnum as long)"
+            ).alias("compression_micro"),
+        )
+        .orderBy("source")
+    )

@@ -4466,3 +4466,56 @@ def _bpe_sql(n_merges: int = 4, top_words: int = 1500) -> str:
 
 
 ORACLES["bpe_merges"] = _bpe_sql()
+
+
+def _bpe_encode_sql(n_merges: int = 4, top_words: int = 1500) -> str:
+    """Replay of text.bpe_encode_stats: the full _bpe_sql training
+    chain (pc/tp/s rounds on the capped vocab), then the learned tp1..
+    tp{n} merges applied to EVERY distinct corpus word via the same
+    list_reduce greedy fold, joined back to per-(source, word)
+    occurrence counts for the per-source rollup. Integer-micro
+    compression division, BIGINT casts before '//' (DuckDB sum
+    widening)."""
+    chain = _bpe_sql(n_merges, top_words)
+    # reuse the training CTE chain; drop its final SELECT
+    chain_ctes = chain[: chain.rindex("\nSELECT * FROM (")]
+    cte = [
+        chain_ctes,
+        """aw AS (
+  SELECT source, t AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest(regexp_extract_all(coalesce(text, ''),
+                      '[A-Za-z0-9]+')) AS t FROM documents)
+  GROUP BY 1, 2
+)""",
+        "w0 AS (SELECT word, list_transform(range(1, len(word) + 1),"
+        " i -> word[i:i]) AS syms FROM (SELECT DISTINCT word FROM aw))",
+    ]
+    for r in range(1, n_merges + 1):
+        cte.append(
+            f"""w{r} AS (
+  SELECT word, string_split(list_reduce(syms, (acc, x) ->
+    CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = t.a AND x = t.b
+         THEN regexp_replace(acc, '[^ ]+$', t.a || t.b)
+         ELSE acc || ' ' || x END), ' ') AS syms
+  FROM w{r - 1} CROSS JOIN tp{r} t
+)"""
+        )
+    return (
+        ",\n".join(cte)
+        + f""",
+wn AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_after FROM w{n_merges})
+SELECT aw.source,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * len(word)) AS BIGINT) AS chars_alnum,
+       CAST(SUM(cnt * n_after) AS BIGINT) AS tokens_bpe,
+       CAST((CAST(SUM(cnt * n_after) AS BIGINT) * 1000000)
+            // CAST(SUM(cnt * len(word)) AS BIGINT) AS BIGINT)
+         AS compression_micro
+FROM aw JOIN wn USING (word)
+GROUP BY 1
+ORDER BY source
+"""
+    )
+
+
+ORACLES["bpe_encode_stats"] = _bpe_encode_sql()

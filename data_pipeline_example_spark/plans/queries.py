@@ -970,6 +970,12 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merges(load_table(spark, sf_dir, "documents"))
 
 
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merges applied corpus-wide: per-source token
+    compression (folds run on the distinct-word frame only)."""
+    return text.bpe_encode_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing into fixed-capacity token blocks."""
     return text.sequence_pack(load_table(spark, sf_dir, "documents"))
@@ -1332,6 +1338,7 @@ QUERIES: dict[str, QueryFn] = {
     # two-level assignment)
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode_stats": q_bpe_encode_stats,
     "bm25_batch": q_bm25_batch,
     "packed_block_audit": q_packed_block_audit,
     "minhash_incremental": q_minhash_incremental,

@@ -1048,3 +1048,81 @@ def test_bpe_merges_matches_bruteforce(spark, sf_dir):
             merged.append((out, cnt))
         words = merged
     assert got == expect
+
+
+def test_bpe_encode_stats_matches_bruteforce(spark, sf_dir):
+    """Corpus-wide merge application equals the pure-Python replay:
+    train on the capped vocab, apply the merges to every word
+    occurrence, roll up per source."""
+    import re
+    from collections import Counter
+
+    from data_pipeline_example_spark.operators import text as text_ops
+    from data_pipeline_example_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [
+        tuple(r)
+        for r in text_ops.bpe_encode_stats(
+            docs, n_merges=4, top_words=1500
+        ).collect()
+    ]
+
+    rows = docs.select("source", "text").collect()
+    wc: Counter = Counter()
+    for r in rows:
+        wc.update(re.findall(r"[A-Za-z0-9]+", r["text"] or ""))
+    vocab = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:1500]
+    words = [(list(w), c) for w, c in vocab]
+    learned = []
+    for _ in range(4):
+        pairs: Counter = Counter()
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), _c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        learned.append((a, b))
+
+        def apply(syms, a=a, b=b):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        words = [(apply(s), c) for s, c in words]
+
+    def encode_len(word):
+        syms = list(word)
+        for a, b in learned:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    cache = {}
+    per_source = {}
+    for r in rows:
+        src = r["source"]
+        for w in re.findall(r"[A-Za-z0-9]+", r["text"] or ""):
+            if w not in cache:
+                cache[w] = encode_len(w)
+            n_words, chars, toks = per_source.get(src, (0, 0, 0))
+            per_source[src] = (n_words + 1, chars + len(w), toks + cache[w])
+    expect = [
+        (src, n, ch, tk, tk * 1000000 // ch)
+        for src, (n, ch, tk) in sorted(per_source.items())
+    ]
+    assert got == expect
