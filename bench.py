@@ -165,6 +165,7 @@ HEADLINE = [
     "product_pagerank",
     "bpe_merges",
     "bpe_encode_stats",
+    "basket_graph_stats",
 ]
 
 

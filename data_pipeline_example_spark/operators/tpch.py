@@ -2096,3 +2096,108 @@ def product_pagerank(
         .orderBy(F.desc("rank_micro"), F.asc("l_partkey"))
         .limit(int(top_n))
     )
+
+
+def basket_graph_stats(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
+    """Co-purchase graph topology summary — node/edge counts, exact
+    triangle count, wedge count, and the global clustering coefficient
+    (how "cliquey" co-purchasing is; the health metric read before
+    trusting :func:`basket_communities`' families or
+    :func:`product_pagerank`'s centrality).
+
+    Scale shape — triangle counting uses the degree-ORIENTED
+    node-iterator join (Suri & Vassilvitskii's MR-friendly variant):
+    every undirected edge is directed from its (degree, id)-smaller
+    endpoint to the larger, which bounds the per-node out-fanout by
+    O(sqrt(E)) and total wedge-join work by O(E^1.5) — the standard
+    way triangle enumeration survives skewed degree distributions,
+    vs the naive undirected wedge join's O(Σ deg²) blow-up on hub
+    nodes. Two equi-joins total: oriented⋈oriented on the wedge
+    apex, then the (v, w) candidate list probes the oriented edge
+    set. The ``min_support`` filter prunes the graph before any of
+    this (the basket_communities precedent).
+
+    Exactness: all counts exact BIGINTs; wedges = Σ d(d−1)/2 in
+    integer arithmetic (d(d−1) is always even); clustering coefficient
+    is the integer-micro division 3·triangles·1e6 div wedges. Output:
+    one row — n_nodes, n_edges, n_triangles, n_wedges,
+    clustering_micro.
+    """
+    _, pair_stream = _basket_frames(lineitem, materialize_baskets=False)
+    edges = (
+        pair_stream.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= int(min_support))
+        .select("part_a", "part_b")
+        .transform(materialize)
+    )
+    sym = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).union(
+        edges.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.select(F.col("node").alias("part_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("part_b"), F.col("d").alias("db"))
+    oriented = (
+        edges.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("part_a") < F.col("part_b"))),
+                F.struct(
+                    F.col("part_a").alias("u"),
+                    F.col("part_b").alias("v"),
+                    F.col("db").alias("dv"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("part_b").alias("u"),
+                    F.col("part_a").alias("v"),
+                    F.col("da").alias("dv"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v", "e.dv")
+        .transform(materialize)
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+    )
+    wedge = e1.join(e2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedge.join(closing, ["v1", "v2"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("cast(sum(d * (d - 1) div 2) as long)").alias("n_wedges"),
+    )
+    edge_stats = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        node_stats.crossJoin(F.broadcast(edge_stats))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.expr(
+                "cast(case when n_wedges = 0 then 0 else "
+                "(3 * n_triangles * 1000000) div n_wedges end as long)"
+            ).alias("clustering_micro"),
+        )
+    )

@@ -4519,3 +4519,50 @@ ORDER BY source
 
 
 ORACLES["bpe_encode_stats"] = _bpe_encode_sql()
+
+
+# Replays tpch.basket_graph_stats: same min-support co-purchase graph,
+# same (degree, id) edge orientation, same oriented wedge join + edge
+# probe for the exact triangle count; wedges in even-product integer
+# arithmetic and the clustering coefficient via integer-micro division.
+ORACLES["basket_graph_stats"] = """
+WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b
+  FROM bk a JOIN bk b2
+    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sym AS (SELECT part_a AS src FROM p UNION ALL SELECT part_b FROM p),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.part_a < p.part_b)
+              THEN p.part_a ELSE p.part_b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.part_a < p.part_b)
+              THEN p.part_b ELSE p.part_a END AS v,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.part_a < p.part_b)
+              THEN db.d ELSE da.d END AS dv
+  FROM p
+  JOIN deg da ON da.node = p.part_a
+  JOIN deg db ON db.node = p.part_b
+),
+w AS (
+  SELECT e1.v AS v1, e2.v AS v2
+  FROM o e1 JOIN o e2 ON e1.u = e2.u
+  WHERE (e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v)
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM w JOIN o ON o.u = w.v1 AND o.v = w.v2
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+es AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM p)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CAST(CASE WHEN n_wedges = 0 THEN 0
+                 ELSE (3 * n_triangles * 1000000) // n_wedges END AS BIGINT)
+         AS clustering_micro
+FROM ns, es, tri
+"""

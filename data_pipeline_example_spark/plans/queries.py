@@ -976,6 +976,12 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_encode_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_basket_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph topology: exact triangles via degree-oriented
+    wedge join, wedges, integer-micro clustering coefficient."""
+    return tpch.basket_graph_stats(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing into fixed-capacity token blocks."""
     return text.sequence_pack(load_table(spark, sf_dir, "documents"))
@@ -1339,6 +1345,7 @@ QUERIES: dict[str, QueryFn] = {
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
+    "basket_graph_stats": q_basket_graph_stats,
     "bm25_batch": q_bm25_batch,
     "packed_block_audit": q_packed_block_audit,
     "minhash_incremental": q_minhash_incremental,

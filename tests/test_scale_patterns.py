@@ -1126,3 +1126,46 @@ def test_bpe_encode_stats_matches_bruteforce(spark, sf_dir):
         for src, (n, ch, tk) in sorted(per_source.items())
     ]
     assert got == expect
+
+
+def test_basket_graph_stats_matches_bruteforce(spark, sf_dir):
+    """Exact triangle/wedge counts and the clustering coefficient
+    equal a driver-side brute force over the same min-support graph."""
+    from collections import Counter
+    from itertools import combinations
+
+    from data_pipeline_example_spark.operators import tpch
+    from data_pipeline_example_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = tuple(tpch.basket_graph_stats(li, min_support=2).collect()[0])
+
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pair_n: Counter = Counter()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_n[(a, b)] += 1
+    edges = {p for p, c in pair_n.items() if c >= 2}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = (
+        sum(
+            1
+            for a, b in edges
+            for c in adj[a] & adj[b]
+        )
+        // 3
+    ) if edges else 0
+    wedges = sum(d * (d - 1) // 2 for d in map(len, adj.values()))
+    expect = (
+        len(adj),
+        len(edges),
+        tri,
+        wedges,
+        (3 * tri * 1000000) // wedges if wedges else 0,
+    )
+    assert got == expect
