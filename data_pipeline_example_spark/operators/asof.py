@@ -127,3 +127,97 @@ def range_join_counts(
     return matched.groupBy("purchase_id", "user_id").agg(
         F.count("r_id").alias("n_nearby")
     )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    lookback_s: int = 7 * 86400,
+) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value is
+    credited to the channel (event_type) of the same user's most
+    recent NON-purchase event at-or-before it, provided that touch is
+    within ``lookback_s`` seconds; purchases with no touch in the
+    window (or no user identity) credit the sentinel ``unattributed``
+    channel. The channel-level revenue rollup built on
+    :func:`asof_join_events`' union trick — same one-shuffle as-of
+    mechanics, but carrying a (ts, event_id, event_type) struct so ANY
+    touch type can win, and folding the result to |channels| rows.
+
+    Determinism: window order is (ts, is_purchase, event_id) — equal-
+    timestamp touches ARE visible (<= semantics) and ties resolve to
+    the highest touch event_id, the module's standard rule.
+
+    Exactness: purchase values are 2-dp-rounded to integer CENTS
+    before the sum; revenue is ONE division + 2-dp round;
+    revenue_share is integer micro-units ``cents*1e6 div total_cents``
+    (guarded for a zero total). Scale: one (user-keyed) shuffle over
+    touch+purchase events, one |channels|-sized aggregate — no pair
+    blow-up regardless of touches-per-user. NULL-user purchases skip
+    the window via a per-row unique key (no shared-NULL partition).
+    Output: channel, n_purchases, revenue, share_micro.
+    """
+    ukey = F.coalesce(
+        F.col("user_id").cast("string"),
+        F.concat(F.lit("\x00null\x00"), F.col("event_id").cast("string")),
+    )
+    is_purchase = (F.col("event_type") == purchase_type).cast("int")
+    touch = F.when(
+        F.col("event_type") != purchase_type,
+        F.struct(
+            F.col("ts").alias("t_ts"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("t_type"),
+        ),
+    )
+    tagged = events.select(
+        ukey.alias("ukey"),
+        "ts",
+        "event_id",
+        "user_id",
+        "value",
+        is_purchase.alias("is_left"),
+        touch.alias("touch"),
+    )
+    w = (
+        Window.partitionBy("ukey")
+        .orderBy(F.asc("ts"), F.asc("is_left"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.round(F.col("value"), 2) * 100, 0).cast("long")
+    attributed = (
+        tagged.withColumn("last_touch", F.last("touch", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select(
+            F.when(
+                F.col("last_touch").isNotNull()
+                & (
+                    F.unix_timestamp("ts")
+                    - F.unix_timestamp("last_touch.t_ts")
+                    <= F.lit(int(lookback_s))
+                ),
+                F.col("last_touch.t_type"),
+            )
+            .otherwise(F.lit("unattributed"))
+            .alias("channel"),
+            F.coalesce(cents, F.lit(0)).alias("c"),
+        )
+    )
+    per = attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("c").alias("cents"),
+    )
+    total = per.agg(F.sum("cents").alias("total_cents"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "n_purchases",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.expr(
+                "CASE WHEN total_cents = 0 THEN 0 "
+                "ELSE (cents * 1000000) div total_cents END"
+            ).alias("share_micro"),
+        )
+        .orderBy("channel")
+    )

@@ -198,3 +198,80 @@ def daily_revenue_ma7(df: DataFrame) -> DataFrame:
         )
         .orderBy("order_date")
     )
+
+
+def revenue_streaks(df: DataFrame) -> DataFrame:
+    """Gaps-and-islands: per-product runs of CONSECUTIVE calendar days
+    with at least one sale — the "momentum" readout behind streak
+    badges and stock-out detection (a product whose longest streak
+    dwarfs its current one has gone quiet). Generalizes the reference's
+    daily-revenue table (`sales_batch_report.py` daily rollup) from
+    per-day totals to run-length structure.
+
+    Algorithm — the classic islands trick, fully relational: number
+    each product's active days (``row_number`` over date), subtract
+    the row number from the date; consecutive days share the resulting
+    anchor date, so one ``groupBy (product, anchor)`` materializes the
+    runs, and a second per-product aggregate folds them into the
+    summary. The longest run is picked with a struct-max (length,
+    then EARLIEST start on ties — the negated epoch-day makes max()
+    prefer earlier dates), so the output is deterministic without a
+    second window pass.
+
+    Exactness: per-event amounts are 2-dp-rounded to integer CENTS
+    before any sum (the MA7 discipline); the streak revenue is ONE
+    division + 2-dp round at the end. All counts BIGINT.
+
+    Scale: the windowed frame is the per-(product, day) AGGREGATE —
+    calendar-bounded per product, never event-sized — and the window
+    is partitioned by product, so no global ordering exists anywhere.
+    Input: conformed retail frame. Output: product, active_days,
+    n_streaks, longest_streak, streak_start, streak_end,
+    streak_revenue.
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.round(F.col("amount"), 2) * 100, 0).cast("long")
+    daily = df.groupBy("product", "order_date").agg(F.sum(cents).alias("c"))
+    w = Window.partitionBy("product").orderBy("order_date")
+    runs = daily.select(
+        "product",
+        "order_date",
+        "c",
+        F.date_sub(F.col("order_date"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = runs.groupBy("product", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("order_date").alias("start"),
+        F.max("order_date").alias("end"),
+        F.sum("c").alias("streak_c"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("len"),
+            (-F.datediff(F.col("start"), F.lit("1970-01-01").cast("date"))).alias(
+                "neg_epoch"
+            ),
+            F.col("start"),
+            F.col("end"),
+            F.col("streak_c"),
+        )
+    ).alias("best")
+    return (
+        streaks.groupBy("product")
+        .agg(
+            F.sum("len").cast("long").alias("active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            best,
+        )
+        .select(
+            "product",
+            "active_days",
+            "n_streaks",
+            F.col("best.len").alias("longest_streak"),
+            F.col("best.start").alias("streak_start"),
+            F.col("best.end").alias("streak_end"),
+            F.round(F.col("best.streak_c") / 100.0, 2).alias("streak_revenue"),
+        )
+        .orderBy("product")
+    )

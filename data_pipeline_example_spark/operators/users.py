@@ -791,3 +791,64 @@ def event_rate_mad(events: DataFrame, k: int = 3) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def event_debounce(events: DataFrame, gap_s: int = 60) -> DataFrame:
+    """Rapid-repeat suppression audit — how much of each event stream
+    is the same user firing the same event type within ``gap_s``
+    seconds of the previous one (double-clicks, retry storms, webhook
+    replays). The ingestion-hygiene twin of :func:`user_sessions`:
+    sessions group on inactivity gaps, debounce flags ACTIVITY bursts.
+
+    Semantics — lag-based chain collapse: an event is *dropped* when
+    the same user's previous event of the SAME type (ordered by
+    ``(ts, event_id)``) is ≤ ``gap_s`` seconds earlier. A burst of n
+    rapid repeats keeps only its first event; this is deliberately the
+    lag-to-predecessor rule (every inter-event gap ≤ threshold), not
+    the anchored-timer debounce, so it stays a pure window expression
+    — one shuffle, no iteration — and the oracle replays it exactly.
+    NULL-user events are never dropped (no identity to debounce
+    against) and are excluded from the lag partition so they cannot
+    collapse against each other through the shared NULL key.
+
+    Scale: one window over (user_id, event_type) — per-user-per-type
+    partitions, no global sort, no skew beyond a genuinely hyperactive
+    user (AQE skew split absorbs). Output: event_type, n_events,
+    n_dropped, n_kept, drop_micro (dropped fraction in integer
+    micro-units: ``n_dropped*1e6 div n_events``).
+    """
+    from pyspark.sql.window import Window
+
+    # NULL users get a per-row unique partition key: alone in their
+    # window they have no lag predecessor (never dropped), and the
+    # shared-NULL hot partition (memory'd skew hazard) never forms.
+    ukey = F.coalesce(
+        F.col("user_id").cast("string"),
+        F.concat(F.lit("\x00null\x00"), F.col("event_id").cast("string")),
+    )
+    w = Window.partitionBy(ukey, "event_type").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    dropped = (
+        F.col("user_id").isNotNull()
+        & prev_ts.isNotNull()
+        & (
+            F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+            <= F.lit(int(gap_s))
+        )
+    ).cast("long")
+    flagged = events.select("event_type", dropped.alias("is_dropped"))
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("is_dropped").cast("long").alias("n_dropped"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_dropped",
+            (F.col("n_events") - F.col("n_dropped")).alias("n_kept"),
+            F.expr("(n_dropped * 1000000) div n_events").alias("drop_micro"),
+        )
+        .orderBy("event_type")
+    )

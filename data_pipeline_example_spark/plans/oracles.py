@@ -4566,3 +4566,104 @@ SELECT n_nodes, n_edges, n_triangles, n_wedges,
          AS clustering_micro
 FROM ns, es, tri
 """
+
+
+ORACLES["revenue_streaks"] = f"""
+WITH {_RETAIL},
+daily AS (
+  SELECT product, order_date,
+         CAST(sum(CAST(round(round(amount, 2) * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM retail GROUP BY 1, 2
+),
+runs AS (
+  SELECT product, order_date, c,
+         order_date - CAST(row_number() OVER (
+             PARTITION BY product ORDER BY order_date) AS INTEGER) AS anchor
+  FROM daily
+),
+streaks AS (
+  SELECT product, anchor,
+         CAST(count(*) AS BIGINT) AS len,
+         min(order_date) AS s_d, max(order_date) AS e_d,
+         CAST(sum(c) AS BIGINT) AS streak_c
+  FROM runs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY product
+                            ORDER BY len DESC, s_d ASC) AS rn,
+         CAST(sum(len) OVER (PARTITION BY product) AS BIGINT) AS active_days,
+         CAST(count(*) OVER (PARTITION BY product) AS BIGINT) AS n_streaks
+  FROM streaks
+)
+SELECT product, active_days, n_streaks,
+       len AS longest_streak, s_d AS streak_start, e_d AS streak_end,
+       round(streak_c / 100.0, 2) AS streak_revenue
+FROM ranked WHERE rn = 1
+ORDER BY product
+"""
+
+
+ORACLES["event_debounce"] = """
+WITH lagged AS (
+  SELECT event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE user_id IS NOT NULL
+),
+d AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (WHERE prev_ts IS NOT NULL
+              AND date_diff('second', prev_ts, ts) <= 60) AS BIGINT) AS nd
+  FROM lagged GROUP BY 1
+),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT t.event_type, t.n_events,
+       CAST(coalesce(d.nd, 0) AS BIGINT) AS n_dropped,
+       CAST(t.n_events - coalesce(d.nd, 0) AS BIGINT) AS n_kept,
+       CAST((coalesce(d.nd, 0) * 1000000) // t.n_events AS BIGINT) AS drop_micro
+FROM tot t LEFT JOIN d ON t.event_type = d.event_type
+ORDER BY 1
+"""
+
+
+ORACLES["attribution_last_touch"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         coalesce(CAST(round(round(value, 2) * 100, 0) AS BIGINT), 0) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type <> 'purchase'
+),
+m AS (
+  SELECT p.event_id AS pid, t.event_type AS t_type,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM p JOIN t
+    ON p.user_id = t.user_id AND t.ts <= p.ts
+   AND date_diff('second', t.ts, p.ts) <= 604800
+),
+att AS (
+  SELECT coalesce(m.t_type, 'unattributed') AS channel, p.c
+  FROM p LEFT JOIN (SELECT pid, t_type FROM m WHERE rn = 1) m
+    ON m.pid = p.event_id
+),
+per AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(sum(c) AS BIGINT) AS cents
+  FROM att GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM per)
+SELECT channel, n_purchases,
+       round(cents / 100.0, 2) AS revenue,
+       CAST(CASE WHEN total_cents = 0 THEN 0
+                 ELSE (cents * 1000000) // total_cents END AS BIGINT)
+         AS share_micro
+FROM per CROSS JOIN tot
+ORDER BY channel
+"""

@@ -963,6 +963,21 @@ def q_product_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.product_pagerank(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands consecutive-sale-day runs per product."""
+    return retail.revenue_streaks(_events_retail(spark, sf_dir))
+
+
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-repeat (same user+type within 60 s) suppression audit."""
+    return users.event_debounce(load_table(spark, sf_dir, "events"))
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution per channel (7-day lookback)."""
+    return asof.attribution_last_touch(load_table(spark, sf_dir, "events"))
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer merge induction: first 4 merges learned from the
     corpus word counts; oracle replays each round's argmax + greedy
@@ -1342,6 +1357,11 @@ QUERIES: dict[str, QueryFn] = {
     # round-8 front: NEW ops (batched BM25, packed-block audit), then
     # the r8-CHANGED queries (capped embedding family on hierarchical
     # two-level assignment)
+    # round-8 continuation front: the three NEW event/retail-analytics
+    # ops (islands streaks, debounce audit, last-touch attribution)
+    "revenue_streaks": q_revenue_streaks,
+    "event_debounce": q_event_debounce,
+    "attribution_last_touch": q_attribution_last_touch,
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,

@@ -767,3 +767,82 @@ def test_event_cooccurrence_counts_and_lift(spark):
     assert (r["type_a"], r["type_b"], r["n_both"]) == ("click", "view", 2)
     assert r["jaccard"] == 0.5            # 2 / (3+3-2)
     assert r["lift"] == round(2 * 4 / 9, 4)
+
+
+def test_revenue_streaks_islands_and_tiebreak(spark):
+    """Consecutive-day islands: A has a 3-day run + an isolated day;
+    B has two equal-length runs and the EARLIEST must win the tie."""
+    from data_pipeline_example_spark.operators import retail as rt
+
+    rows = [
+        (1, "2024-01-01", "A", 10.0),
+        (2, "2024-01-02", "A", 20.0),
+        (3, "2024-01-03", "A", 30.0),
+        (4, "2024-01-05", "A", 5.0),     # gap → new island
+        (5, "2024-01-01", "B", 1.0),
+        (6, "2024-01-02", "B", 1.0),
+        (7, "2024-01-05", "B", 2.0),
+        (8, "2024-01-06", "B", 2.0),     # same length as B's first run
+        (9, "2024-01-02", "A", 0.5),     # second sale same day, same island
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, order_date string, product string, amount double"
+    ).select(
+        "event_id", F.to_date("order_date").alias("order_date"), "product", "amount"
+    )
+    got = {r["product"]: r for r in rt.revenue_streaks(df).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["active_days"], a["n_streaks"], a["longest_streak"]) == (4, 2, 3)
+    assert str(a["streak_start"]) == "2024-01-01"
+    assert str(a["streak_end"]) == "2024-01-03"
+    assert a["streak_revenue"] == 60.5   # 10 + 20 + 0.5 + 30
+    assert (b["longest_streak"], str(b["streak_start"])) == (2, "2024-01-01")
+    assert b["streak_revenue"] == 2.0
+
+
+def test_event_debounce_chain_and_null_user(spark):
+    """Lag-to-predecessor collapse: 0/30/120 s drops only the 30 s
+    repeat; other types untouched; NULL users never dropped."""
+    from data_pipeline_example_spark.operators import users as us
+
+    base = "2024-01-01 00:00:"
+    rows = [
+        (1, base + "00", 1, "click", 0.0),
+        (2, base + "30", 1, "click", 0.0),   # 30s after #1 → dropped
+        (3, "2024-01-01 00:02:00", 1, "click", 0.0),  # 90s after #2 → kept
+        (4, base + "10", 1, "view", 0.0),    # different type → kept
+        (5, base + "00", None, "click", 0.0),
+        (6, base + "01", None, "click", 0.0),  # NULL user → kept
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "user_id", "event_type", "value")
+    got = {r["event_type"]: r for r in us.event_debounce(ev, gap_s=60).collect()}
+    assert (got["click"]["n_events"], got["click"]["n_dropped"]) == (5, 1)
+    assert got["click"]["n_kept"] == 4
+    assert got["click"]["drop_micro"] == 200_000
+    assert got["view"]["n_dropped"] == 0
+
+
+def test_attribution_last_touch_window_and_fallback(spark):
+    """Last preceding touch wins; stale (> lookback) and missing
+    touches credit 'unattributed'; shares are integer micro-units."""
+    from data_pipeline_example_spark.operators import asof as ao
+
+    rows = [
+        (1, "2024-01-10 00:00:00", 1, "view", 0.0),
+        (2, "2024-01-10 00:00:10", 1, "click", 0.0),
+        (3, "2024-01-10 00:00:20", 1, "purchase", 10.0),  # → click
+        (4, "2024-01-10 00:00:00", 2, "purchase", 30.0),  # no touch
+        (5, "2024-01-01 00:00:00", 3, "view", 0.0),
+        (6, "2024-01-09 00:00:01", 3, "purchase", 60.0),  # 8d+1s stale
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "user_id", "event_type", "value")
+    got = {r["channel"]: r for r in ao.attribution_last_touch(ev).collect()}
+    assert set(got) == {"click", "unattributed"}
+    assert (got["click"]["n_purchases"], got["click"]["revenue"]) == (1, 10.0)
+    assert (got["unattributed"]["n_purchases"], got["unattributed"]["revenue"]) == (2, 90.0)
+    assert got["click"]["share_micro"] == 100_000
+    assert got["unattributed"]["share_micro"] == 900_000
