@@ -2082,3 +2082,69 @@ def knn_density_outliers(
             "density"
         ),
     )
+
+
+def label_separation_matrix(embeddings: DataFrame) -> DataFrame:
+    """Pairwise cosine between LABEL centroids — the class-separation
+    audit an embedding pipeline reads next to
+    :func:`embedding_profile`'s norm drift: two labels whose centroids
+    sit at cosine ≈ 1 are indistinguishable to any downstream
+    classifier/router, and a label whose centroid drifts toward
+    another's shows up here before accuracy drops.
+
+    Mechanics — the :func:`embedding_centroids` aggregate-a-vector
+    pattern: posexplode → per-(label, pos) component mean rounded to
+    6 dp (cross-engine float-sum order can't flip the value), then the
+    pairwise dot/norms are computed on the CENTROID frame only —
+    |labels| × dims rows, planning-sized at any corpus scale, so the
+    pos-equijoined self-join is trivially broadcastable and no
+    vector-sized shuffle exists beyond the one component aggregate.
+
+    Exactness: component means 6-dp-rounded before any product
+    (embedding_centroids precedent); norms and the cosine are each one
+    sqrt/division + 6-dp round. Output: label_a, label_b, n_a, n_b,
+    centroid_cos — one row per unordered label pair.
+    """
+    base = embeddings.select(
+        "label", V.to_double_array(F.col("embedding")).alias("v")
+    )
+    ex = base.select("label", F.posexplode("v").alias("pos", "val"))
+    comp = ex.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("m"))
+    norms = comp.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("nrm")
+    )
+    counts = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.m") * F.col("b.m")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nrm_b"))
+    ca = counts.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .join(F.broadcast(ca), "label_a")
+        .join(F.broadcast(cb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -852,3 +852,92 @@ def event_debounce(events: DataFrame, gap_s: int = 60) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def funnel_dropoff_time(
+    events: DataFrame, ps: tuple[float, ...] = (0.5, 0.9)
+) -> DataFrame:
+    """How LONG each funnel transition takes — exact p50/p90 of the
+    seconds between a user's stage-(N−1) completion and their first
+    stage-N event after it, for the :func:`event_funnel` chain
+    signup → view → click → purchase. The funnel counts say WHERE
+    users drop; this says how long the survivors linger — the latency
+    a nurture campaign or session-timeout is tuned against.
+
+    Stage timestamps reuse the funnel's chained conditional-min
+    windows (ONE user_id exchange, order-sensitive semantics
+    identical to :func:`event_funnel` by construction). The per-user
+    frame then stacks to (stage, gap_s) rows and the percentiles use
+    the ``functions.cuts`` pattern (``order_gap_percentiles``
+    precedent): rank ceil(p·N) located in a range-offset prefix
+    histogram — SQL ``percentile_disc`` semantics, no per-stage sort,
+    driver state O(#partitions + #stages). Gaps are whole-second
+    BIGINTs (`unix_timestamp` floors; DuckDB ``date_diff('second')``
+    matches). Output: stage_idx, stage, n_users, p50_gap_s,
+    p90_gap_s.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    from data_pipeline_example_spark.functions.cuts import value_cuts
+
+    spark = events.sparkSession
+    w = Window.partitionBy("user_id")
+    stages = ["signup", "view", "click", "purchase"]
+    df = events.select("user_id", "event_type", "ts").withColumn(
+        "t0", F.min(F.when(F.col("event_type") == stages[0], F.col("ts"))).over(w)
+    )
+    for i, stage in enumerate(stages[1:], start=1):
+        df = df.withColumn(
+            f"t{i}",
+            F.min(
+                F.when(
+                    (F.col("event_type") == stage)
+                    & (F.col("ts") > F.col(f"t{i-1}")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    per_user = df.groupBy("user_id").agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(len(stages))]
+    )
+    stack = ", ".join(
+        f"{i}, '{stages[i]}', unix_timestamp(t{i}) - unix_timestamp(t{i-1})"
+        for i in range(1, len(stages))
+    )
+    gaps = per_user.selectExpr(
+        f"stack({len(stages) - 1}, {stack}) as (stage_idx, stage, gap_s)"
+    ).filter(F.col("gap_s").isNotNull())
+    cuts, totals = value_cuts(gaps, "gap_s", group_cols=("stage_idx", "stage"))
+    rows = []
+    for (idx, st), (n, _) in totals.items():
+        for p in ps:
+            rows.append((int(idx), str(st), float(p), max(int(math.ceil(p * n)), 1)))
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "stage_idx int, stage string, n_users long, "
+            + ", ".join(f"p{round(p * 100)}_gap_s long" for p in ps),
+        )
+    targets = F.broadcast(
+        spark.createDataFrame(rows, "idx int, st string, p double, target long")
+    )
+    hit = cuts.join(
+        targets,
+        (cuts["stage_idx"] == targets["idx"])
+        & (F.col("cum_before") < F.col("target"))
+        & (F.col("target") <= F.col("cum_before") + F.col("cnt")),
+    )
+    pvals = hit.groupBy("stage_idx", "stage").agg(
+        *[
+            F.max(F.when(F.col("p") == p, F.col("gap_s"))).alias(
+                f"p{round(p * 100)}_gap_s"
+            )
+            for p in ps
+        ]
+    )
+    counts = gaps.groupBy("stage_idx", "stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return counts.join(pvals, ["stage_idx", "stage"]).orderBy("stage_idx")

@@ -4667,3 +4667,83 @@ SELECT channel, n_purchases,
 FROM per CROSS JOIN tot
 ORDER BY channel
 """
+
+
+ORACLES["funnel_dropoff_time"] = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+              OVER (PARTITION BY user_id) AS t0
+  FROM e
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND ts > t0 THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s2
+),
+s4 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s3
+),
+pu AS (
+  SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM s4 GROUP BY 1
+),
+g AS (
+  SELECT 1 AS stage_idx, 'view' AS stage,
+         date_diff('second', t0, t1) AS gap_s FROM pu WHERE t1 IS NOT NULL
+  UNION ALL
+  SELECT 2, 'click', date_diff('second', t1, t2) FROM pu WHERE t2 IS NOT NULL
+  UNION ALL
+  SELECT 3, 'purchase', date_diff('second', t2, t3) FROM pu WHERE t3 IS NOT NULL
+)
+SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s) AS BIGINT)
+         AS p50_gap_s,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s) AS BIGINT)
+         AS p90_gap_s
+FROM g GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+ORACLES["label_separation_matrix"] = """
+WITH base AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ex AS (
+  SELECT label,
+         unnest(range(1, len(v) + 1)) AS pos,
+         unnest(v) AS val
+  FROM base
+),
+comp AS (
+  SELECT label, pos, round(avg(val), 6) AS m FROM ex GROUP BY 1, 2
+),
+norms AS (
+  SELECT label, round(sqrt(sum(m * m)), 6) AS nrm FROM comp GROUP BY 1
+),
+counts AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
+  FROM comp a JOIN comp b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b, ca.n AS n_a, cb.n AS n_b,
+       round(d.dot / (na.nrm * nb.nrm), 6) AS centroid_cos
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+JOIN counts ca ON ca.label = d.label_a
+JOIN counts cb ON cb.label = d.label_b
+ORDER BY d.label_a, d.label_b
+"""

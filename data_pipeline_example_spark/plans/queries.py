@@ -978,6 +978,18 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.attribution_last_touch(load_table(spark, sf_dir, "events"))
 
 
+def q_funnel_dropoff_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 seconds between funnel stage completions."""
+    return users.funnel_dropoff_time(load_table(spark, sf_dir, "events"))
+
+
+def q_label_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise label-centroid cosines — class-separation audit."""
+    return similarity.label_separation_matrix(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer merge induction: first 4 merges learned from the
     corpus word counts; oracle replays each round's argmax + greedy
@@ -1362,6 +1374,8 @@ QUERIES: dict[str, QueryFn] = {
     "revenue_streaks": q_revenue_streaks,
     "event_debounce": q_event_debounce,
     "attribution_last_touch": q_attribution_last_touch,
+    "funnel_dropoff_time": q_funnel_dropoff_time,
+    "label_separation_matrix": q_label_separation_matrix,
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,

@@ -846,3 +846,56 @@ def test_attribution_last_touch_window_and_fallback(spark):
     assert (got["unattributed"]["n_purchases"], got["unattributed"]["revenue"]) == (2, 90.0)
     assert got["click"]["share_micro"] == 100_000
     assert got["unattributed"]["share_micro"] == 900_000
+
+
+def test_funnel_dropoff_time_order_sensitive_gaps(spark):
+    """Stage gaps are measured from the ORDER-SENSITIVE chain (view
+    after signup, etc.); percentile_disc rank semantics on the gaps."""
+    from data_pipeline_example_spark.operators import users as us
+
+    def ev(eid, t, uid, typ):
+        return (eid, f"2024-01-01 00:{t}", uid, typ, 0.0)
+
+    rows = [
+        # user 1: signup @0s, view @10s (gap 10), click @40s (gap 30)
+        ev(1, "00:00", 1, "signup"), ev(2, "00:10", 1, "view"),
+        ev(3, "00:40", 1, "click"),
+        # user 2: view BEFORE signup (ignored), then view @30s (gap 20)
+        ev(4, "00:05", 2, "view"), ev(5, "00:10", 2, "signup"),
+        ev(6, "00:30", 2, "view"),
+        # user 3: signup only → contributes nothing
+        ev(7, "00:00", 3, "signup"),
+    ]
+    evdf = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "user_id", "event_type", "value")
+    got = {r["stage"]: r for r in us.funnel_dropoff_time(evdf).collect()}
+    assert set(got) == {"view", "click"}
+    v = got["view"]
+    # gaps {10, 20}: p50 = value at rank ceil(0.5*2)=1 → 10; p90 rank 2 → 20
+    assert (v["n_users"], v["p50_gap_s"], v["p90_gap_s"]) == (2, 10, 20)
+    c = got["click"]
+    assert (c["n_users"], c["p50_gap_s"], c["p90_gap_s"]) == (1, 30, 30)
+
+
+def test_label_separation_matrix_orthogonal_and_identical(spark):
+    """Orthogonal label centroids → cos 0; identical → cos 1; the
+    centroid is the component-wise mean."""
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [2.0, 0.0, 0.0, 0.0], 2),   # parallel to label 0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {(r["label_a"], r["label_b"]): r for r in
+           sim.label_separation_matrix(emb).collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert got[(0, 1)]["centroid_cos"] == 0.0
+    assert got[(0, 2)]["centroid_cos"] == 1.0
+    assert got[(1, 2)]["centroid_cos"] == 0.0
+    assert (got[(0, 1)]["n_a"], got[(0, 1)]["n_b"]) == (2, 1)
