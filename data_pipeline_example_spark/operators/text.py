@@ -2673,3 +2673,162 @@ def bpe_encode_stats(
         )
         .orderBy("source")
     )
+
+
+def benchmark_decontamination(
+    documents: DataFrame, k: int = 8, modulus: int = 50
+) -> DataFrame:
+    """Train/eval contamination audit (the GPT-3 appendix-C n-gram
+    decontamination, Brown et al. 2020): hold out every document with
+    ``doc_id % modulus == 0`` as the "benchmark" split, then measure —
+    per source — how much of the remaining training corpus shares a
+    ``k``-token n-gram with ANY benchmark document. A training doc
+    whose text overlaps the eval set inflates benchmark scores; this
+    is the audit a data pipeline runs before every pretraining cut.
+
+    Semantics: gram sets are per-doc DISTINCT ``k``-token md5 hashes
+    (lowercased alnum tokens, the :func:`substring_dedup` gram rule);
+    a training doc is *contaminated* when ≥1 of its grams occurs in
+    the benchmark gram census. Only docs with ≥1 gram (≥ ``k``
+    tokens) participate.
+
+    Plan: ONE tokenize scan builds the gram array and dedups it
+    SCAN-SIDE (``array_distinct`` — per-doc distinctness costs no
+    exchange); the materialized frame is (doc_id, source, is_bench,
+    H). The benchmark census is a gram-keyed distinct over ~1/modulus
+    of the corpus; the probe is a left-semi equi-join on the gram
+    hash — O(grams) shuffle, no broadcast assumption (the census is
+    corpus-sized at 100 TB, so it must shuffle, not ship). Rates are
+    integer micro-units over exact BIGINT gram counts (``(1e6*hit)
+    div total``) — no float accumulation anywhere. Output: source,
+    n_docs, n_contaminated, total_grams, hit_grams, doc_rate_micro
+    (contaminated-doc fraction), gram_rate_micro (hit-gram fraction).
+    """
+    base = (
+        widen(documents)
+        .select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % modulus == 0).alias("is_bench"),
+            T.tokens(F.lower(F.col("text"))).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "is_bench",
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(t) < {k} THEN array() "
+                    f"ELSE transform(sequence(1, size(t) - {k} + 1), "
+                    f"i -> md5(array_join(slice(t, i, {k}), ' '))) END"
+                )
+            ).alias("H"),
+        )
+        .filter(F.size("H") > 0)
+        .transform(materialize)
+    )
+    bench = (
+        base.filter("is_bench")
+        .select(F.explode("H").alias("h"))
+        .distinct()
+    )
+    train = base.filter(~F.col("is_bench")).select(
+        "doc_id", "source", F.size("H").cast("long").alias("n_grams"), "H"
+    )
+    hits = (
+        train.select("doc_id", F.explode("H").alias("h"))
+        .join(bench, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    per_doc = train.select("doc_id", "source", "n_grams").join(
+        hits, "doc_id", "left"
+    ).select(
+        "source",
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_hit") > 0).cast("long")).cast("long").alias(
+                "n_contaminated"
+            ),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum("n_hit").cast("long").alias("hit_grams"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            "total_grams",
+            "hit_grams",
+            F.expr("(n_contaminated * 1000000) div n_docs").alias(
+                "doc_rate_micro"
+            ),
+            F.expr("(hit_grams * 1000000) div total_grams").alias(
+                "gram_rate_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def tfidf_keywords(documents: DataFrame, top_n: int = 5) -> DataFrame:
+    """Per-source characteristic terms by TF-IDF — the corpus-triage
+    view a curation run reads to see WHAT each source actually
+    contains (and to spot template/boilerplate sources whose top
+    terms are navigation chrome). tf = term occurrences within the
+    source; idf = ln(n_sources / source-frequency) over the source
+    axis, so a term every source shares scores exactly 0.
+
+    Exactness (the :func:`bm25_search` discipline): the only
+    transcendental (ln) is 6-dp-rounded, the score is 6-dp-rounded
+    then scaled to integer micro-units, and the ranking orders by
+    (score_micro DESC, term ASC) — pure BIGINT/string comparison, no
+    float ties can flip ranks across engines.
+
+    Plan: ONE tokenize scan → map-side-combined (source, term)
+    counts; the idf census aggregates THAT frame (vocabulary-sized,
+    Heaps-law sub-linear) and joins back on term; the per-source
+    top-n is a row_number window over ≤|vocabulary| rows per source.
+    Output: source, rk, term, cnt, score_micro.
+    """
+    from pyspark.sql.window import Window
+
+    tc = (
+        widen(documents)
+        .select("source", F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .transform(materialize)
+    )
+    n_sources = tc.select(
+        F.countDistinct("source").cast("long").alias("n_sources")
+    )
+    sf_t = tc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("sf")
+    )
+    idf6 = F.round(F.log(F.col("n_sources").cast("double") / F.col("sf")), 6)
+    scored = (
+        tc.join(sf_t, "term")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "term",
+            "cnt",
+            F.round(F.col("cnt") * idf6 * 1e6, 0).cast("long").alias(
+                "score_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= top_n)
+        .select("source", "rk", "term", "cnt", "score_micro")
+        .orderBy("source", "rk")
+    )

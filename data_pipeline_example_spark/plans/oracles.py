@@ -4747,3 +4747,81 @@ JOIN counts ca ON ca.label = d.label_a
 JOIN counts cb ON cb.label = d.label_b
 ORDER BY d.label_a, d.label_b
 """
+
+
+ORACLES["benchmark_decontamination"] = """
+WITH toksd AS (
+  SELECT doc_id, source,
+         (doc_id % 50 = 0) AS is_bench,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+gsets AS (
+  SELECT doc_id, source, is_bench,
+         list_distinct(
+           CASE WHEN len(t) < 8 THEN []
+                ELSE list_transform(range(1, len(t) - 8 + 2),
+                     i -> md5(list_aggregate(list_slice(t, i, i + 7),
+                                             'string_agg', ' ')))
+           END) AS H
+  FROM toksd
+),
+ok AS (SELECT * FROM gsets WHERE len(H) > 0),
+bench AS (
+  SELECT DISTINCT unnest(H) AS h FROM ok WHERE is_bench
+),
+train AS (
+  SELECT doc_id, source, CAST(len(H) AS BIGINT) AS n_grams, H
+  FROM ok WHERE NOT is_bench
+),
+hits AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM (SELECT doc_id, unnest(H) AS h FROM train) g
+  JOIN bench b ON g.h = b.h
+  GROUP BY 1
+),
+per_doc AS (
+  SELECT t.source, t.n_grams, coalesce(h.n_hit, 0) AS n_hit
+  FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(n_grams) AS BIGINT) AS total_grams,
+       CAST(sum(n_hit) AS BIGINT) AS hit_grams,
+       CAST((sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS doc_rate_micro,
+       CAST((sum(n_hit) * 1000000) // sum(n_grams) AS BIGINT)
+         AS gram_rate_micro
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["tfidf_keywords"] = """
+WITH tct AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+           AS term
+  FROM documents
+),
+cnts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM tct GROUP BY 1, 2
+),
+ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM cnts),
+sfr AS (SELECT term, CAST(count(*) AS BIGINT) AS sf FROM cnts GROUP BY 1),
+scored AS (
+  SELECT c.source, c.term, c.cnt,
+         CAST(round(c.cnt * round(ln(CAST(n.n_sources AS DOUBLE) / s.sf), 6)
+                    * 1e6, 0) AS BIGINT) AS score_micro
+  FROM cnts c JOIN sfr s USING (term) CROSS JOIN ns n
+),
+ranked AS (
+  SELECT source, term, cnt, score_micro,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score_micro DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT source, CAST(rk AS INTEGER) AS rk, term, cnt, score_micro
+FROM ranked WHERE rk <= 5 ORDER BY source, rk
+"""

@@ -990,6 +990,17 @@ def q_label_separation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination audit: per-source overlap of
+    the training split against the held-out benchmark split."""
+    return text.benchmark_decontamination(load_table(spark, sf_dir, "documents"))
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 characteristic terms by TF-IDF (micro-units)."""
+    return text.tfidf_keywords(load_table(spark, sf_dir, "documents"))
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer merge induction: first 4 merges learned from the
     corpus word counts; oracle replays each round's argmax + greedy
@@ -1376,6 +1387,8 @@ QUERIES: dict[str, QueryFn] = {
     "attribution_last_touch": q_attribution_last_touch,
     "funnel_dropoff_time": q_funnel_dropoff_time,
     "label_separation_matrix": q_label_separation_matrix,
+    "benchmark_decontamination": q_benchmark_decontamination,
+    "tfidf_keywords": q_tfidf_keywords,
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,

@@ -899,3 +899,51 @@ def test_label_separation_matrix_orthogonal_and_identical(spark):
     assert got[(0, 2)]["centroid_cos"] == 1.0
     assert got[(1, 2)]["centroid_cos"] == 0.0
     assert (got[(0, 1)]["n_a"], got[(0, 1)]["n_b"]) == (2, 1)
+
+
+def test_benchmark_decontamination_overlap_and_short_doc(spark):
+    """doc 0 (id%50==0) is benchmark; doc 51 copies one of its 8-gram
+    spans (contaminated), doc 52 is disjoint, doc 53 is <8 tokens
+    (excluded entirely)."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, span + " tail0 tail1", "en", "bench_src", 1),
+            (51, "lead0 " + span + " other", "en", "src_a", 1),
+            (52, "one two three four five six seven eight nine", "en", "src_b", 1),
+            (53, "too short", "en", "src_c", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["source"]: r for r in text.benchmark_decontamination(docs).collect()}
+    assert set(got) == {"src_a", "src_b"}  # benchmark + short doc excluded
+    a = got["src_a"]
+    # doc 51 has 8 tokens of overlap => exactly 1 matching 8-gram
+    assert (a["n_docs"], a["n_contaminated"], a["hit_grams"]) == (1, 1, 1)
+    assert a["doc_rate_micro"] == 1_000_000
+    assert a["gram_rate_micro"] == (1 * 1_000_000) // a["total_grams"]
+    b = got["src_b"]
+    assert (b["n_contaminated"], b["hit_grams"], b["doc_rate_micro"]) == (0, 0, 0)
+
+
+def test_tfidf_keywords_shared_term_zero_unique_term_ranked(spark):
+    """A term both sources share gets idf ln(2/2)=0 -> score 0; unique
+    terms score cnt*round(ln(2),6)*1e6; ties break on term ASC."""
+    docs = spark.createDataFrame(
+        [
+            (1, "shared shared apple apple apple banana", "en", "s1", 1),
+            (2, "shared cherry cherry", "en", "s2", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = text.tfidf_keywords(docs, top_n=2).collect()
+    by = {(r["source"], r["rk"]): r for r in rows}
+    ln2_micro = 693147  # round(ln(2), 6) * 1e6
+    r11 = by[("s1", 1)]
+    assert (r11["term"], r11["cnt"], r11["score_micro"]) == ("apple", 3, 3 * ln2_micro)
+    r12 = by[("s1", 2)]
+    assert (r12["term"], r12["score_micro"]) == ("banana", ln2_micro)
+    r21 = by[("s2", 1)]
+    assert (r21["term"], r21["score_micro"]) == ("cherry", 2 * ln2_micro)
+    # rank 2 in s2 is the shared zero-idf term
+    assert (by[("s2", 2)]["term"], by[("s2", 2)]["score_micro"]) == ("shared", 0)
