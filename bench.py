@@ -166,6 +166,16 @@ HEADLINE = [
     "bpe_merges",
     "bpe_encode_stats",
     "basket_graph_stats",
+    # r8 wave 3-4: islands/debounce/attribution event analytics,
+    # funnel latency percentiles, label-centroid separation,
+    # eval-split decontamination, per-source TF-IDF terms
+    "revenue_streaks",
+    "event_debounce",
+    "attribution_last_touch",
+    "funnel_dropoff_time",
+    "label_separation_matrix",
+    "benchmark_decontamination",
+    "tfidf_keywords",
 ]
 
 
