@@ -2103,19 +2103,29 @@ def label_separation_matrix(embeddings: DataFrame) -> DataFrame:
     Exactness: component means 6-dp-rounded before any product
     (embedding_centroids precedent); norms and the cosine are each one
     sqrt/division + 6-dp round. Output: label_a, label_b, n_a, n_b,
-    centroid_cos — one row per unordered label pair.
+    centroid_cos — one row per unordered label pair (labels counted
+    over rows with a non-empty embedding — the rows the centroid is
+    actually the mean of).
+
+    Single-scan: the component aggregate is materialized once
+    (|labels|×dims rows) and EVERY downstream branch — norms, label
+    counts (max per-pos row count == rows with len ≥ 1), and both
+    sides of the pairwise self-join — reads that frame; without it
+    the plan re-scanned the corpus and re-ran the posexplode
+    aggregate per branch (the r6 single-scan-sweep hazard).
     """
     base = embeddings.select(
         "label", V.to_double_array(F.col("embedding")).alias("v")
     )
     ex = base.select("label", F.posexplode("v").alias("pos", "val"))
-    comp = ex.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("m"))
+    comp = ex.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 6).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    ).transform(materialize)
     norms = comp.groupBy("label").agg(
         F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("nrm")
     )
-    counts = base.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
+    counts = comp.groupBy("label").agg(F.max("cnt").alias("n"))
     a, b = comp.alias("a"), comp.alias("b")
     dots = (
         a.join(

@@ -4731,7 +4731,8 @@ norms AS (
   SELECT label, round(sqrt(sum(m * m)), 6) AS nrm FROM comp GROUP BY 1
 ),
 counts AS (
-  SELECT label, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
+  SELECT label, CAST(count(*) AS BIGINT) AS n
+  FROM base WHERE len(v) > 0 GROUP BY 1
 ),
 dots AS (
   SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
