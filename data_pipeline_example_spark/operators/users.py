@@ -906,9 +906,15 @@ def funnel_dropoff_time(
         f"{i}, '{stages[i]}', unix_timestamp(t{i}) - unix_timestamp(t{i-1})"
         for i in range(1, len(stages))
     )
+    # materialize: value_cuts AND the per-stage counts both consume
+    # this frame — without the checkpoint each branch re-scans events
+    # and replays the four chained stage windows (≤3 narrow rows per
+    # user, so the materialized frame is per-user-sized)
+    from data_pipeline_example_spark.functions.materialize import materialize
+
     gaps = per_user.selectExpr(
         f"stack({len(stages) - 1}, {stack}) as (stage_idx, stage, gap_s)"
-    ).filter(F.col("gap_s").isNotNull())
+    ).filter(F.col("gap_s").isNotNull()).transform(materialize)
     cuts, totals = value_cuts(gaps, "gap_s", group_cols=("stage_idx", "stage"))
     rows = []
     for (idx, st), (n, _) in totals.items():
