@@ -176,6 +176,7 @@ HEADLINE = [
     "label_separation_matrix",
     "benchmark_decontamination",
     "tfidf_keywords",
+    "stratified_split_audit",
 ]
 
 

@@ -2832,3 +2832,66 @@ def tfidf_keywords(documents: DataFrame, top_n: int = 5) -> DataFrame:
         .select("source", "rk", "term", "cnt", "score_micro")
         .orderBy("source", "rk")
     )
+
+
+def stratified_split_audit(
+    documents: DataFrame, val_pct: int = 5, test_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test split assignment + the per-source
+    audit a pipeline publishes with every pretraining cut. Assignment
+    is content-independent and reproducible anywhere: bucket =
+    first-8-hex-chars of md5(doc_id) mod 100; bucket < ``test_pct`` →
+    test, next ``val_pct`` buckets → val, rest → train — the standard
+    hash-mod split, so re-running on a grown corpus never reassigns an
+    existing document (no split leakage across snapshots, the property
+    random sampling lacks).
+
+    The audit answers "did stratification hold?": per (source, split)
+    document and token counts plus each split's within-source document
+    share in integer micro-units (``(n_docs*1e6) div source_total``) —
+    a source whose test share drifts far from ``test_pct`` % signals a
+    doc_id↔source correlation worth investigating.
+
+    Plan: ONE column-pruned scan computes the bucket expression and
+    token count row-wise (no exchange); everything after the
+    (source, split) aggregate runs on a ≤3·|sources|-row frame, and
+    the per-source totals join is a broadcast of an aggregate of that
+    same tiny frame. Output: source, split, n_docs, n_tokens,
+    doc_share_micro.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    per = widen(documents).select(
+        "source",
+        split.alias("split"),
+        T.token_count(F.col("text")).cast("long").alias("nt"),
+    )
+    # materialize: the totals branch and the join left side both read
+    # the (source, split) aggregate — without the checkpoint each
+    # branch re-scans and re-tokenizes the corpus; the materialized
+    # frame is ≤3·|sources| rows
+    agg = per.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    ).transform(materialize)
+    tot = agg.groupBy("source").agg(F.sum("n_docs").cast("long").alias("tot"))
+    return (
+        agg.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.expr("(n_docs * 1000000) div tot").alias("doc_share_micro"),
+        )
+        .orderBy("source", "split")
+    )

@@ -4826,3 +4826,30 @@ ranked AS (
 SELECT source, CAST(rk AS INTEGER) AS rk, term, cnt, score_micro
 FROM ranked WHERE rk <= 5 ORDER BY source, rk
 """
+
+
+ORACLES["stratified_split_audit"] = """
+WITH perq AS (
+  SELECT source,
+         CASE
+           WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 100 < 5 THEN 'test'
+           WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 100 < 10 THEN 'val'
+           ELSE 'train'
+         END AS split,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))
+              AS BIGINT) AS nt
+  FROM documents
+),
+agg AS (
+  SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM perq GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS tot FROM agg GROUP BY 1)
+SELECT a.source, a.split, a.n_docs, a.n_tokens,
+       CAST((a.n_docs * 1000000) // t.tot AS BIGINT) AS doc_share_micro
+FROM agg a JOIN tot t ON a.source = t.source
+ORDER BY a.source, a.split
+"""

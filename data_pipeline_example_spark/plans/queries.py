@@ -1001,6 +1001,11 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_keywords(load_table(spark, sf_dir, "documents"))
 
 
+def q_stratified_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-mod-100 train/val/test split + per-source audit."""
+    return text.stratified_split_audit(load_table(spark, sf_dir, "documents"))
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer merge induction: first 4 merges learned from the
     corpus word counts; oracle replays each round's argmax + greedy
@@ -1389,6 +1394,7 @@ QUERIES: dict[str, QueryFn] = {
     "label_separation_matrix": q_label_separation_matrix,
     "benchmark_decontamination": q_benchmark_decontamination,
     "tfidf_keywords": q_tfidf_keywords,
+    "stratified_split_audit": q_stratified_split_audit,
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,

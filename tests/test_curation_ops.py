@@ -947,3 +947,29 @@ def test_tfidf_keywords_shared_term_zero_unique_term_ranked(spark):
     assert (r21["term"], r21["score_micro"]) == ("cherry", 2 * ln2_micro)
     # rank 2 in s2 is the shared zero-idf term
     assert (by[("s2", 2)]["term"], by[("s2", 2)]["score_micro"]) == ("shared", 0)
+
+
+def test_stratified_split_audit_hash_rule_and_shares(spark):
+    """Split assignment replays the md5-mod-100 rule exactly and the
+    within-source shares are integral micro divisions."""
+    import hashlib
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    rows = [(i, f"tok{i} alpha beta", "en", "s1", 1) for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    expected = {"test": 0, "val": 0, "train": 0}
+    for i in range(40):
+        b = bucket(i)
+        expected["test" if b < 5 else "val" if b < 10 else "train"] += 1
+    got = {r["split"]: r for r in text.stratified_split_audit(docs).collect()}
+    for split, n in expected.items():
+        if n == 0:
+            assert split not in got
+        else:
+            assert got[split]["n_docs"] == n
+            assert got[split]["doc_share_micro"] == (n * 1_000_000) // 40
+            assert got[split]["n_tokens"] == 3 * n  # 3 tokens per doc
