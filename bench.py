@@ -177,6 +177,7 @@ HEADLINE = [
     "benchmark_decontamination",
     "tfidf_keywords",
     "stratified_split_audit",
+    "lang_confusion",
 ]
 
 

@@ -2895,3 +2895,40 @@ def stratified_split_audit(
         )
         .orderBy("source", "split")
     )
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID confusion matrix: declared ``lang`` label vs the
+    stopword-vote prediction (:func:`lang_predict`'s heuristic),
+    aggregated to the audit view a curation run actually reads — which
+    labels the detector misroutes, and where 'und' (no votes) mass
+    concentrates. Per-doc agreement is ``lang_predict``; this is the
+    matrix that tells you whether to trust the label or the detector
+    per language before routing documents by either.
+
+    Plan: one column-pruned scan evaluates the pure-regex vote ladder
+    row-wise (zero shuffle), then ONE map-side-combined aggregate over
+    the ≤|langs|·(|langs|+1) cell domain; the per-declared-language
+    totals derive from the materialized cell frame (no corpus
+    re-scan — the branch-reuse discipline). Shares are integer
+    micro-units over exact BIGINTs. Output: lang, lang_pred, n_docs,
+    row_share_micro (cell share within the declared language).
+    """
+    pred = T.lang_id(F.col("text"))
+    cell = (
+        widen(documents)
+        .groupBy(F.col("lang"), pred.alias("lang_pred"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .transform(materialize)
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("tot"))
+    return (
+        cell.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div tot").alias("row_share_micro"),
+        )
+        .orderBy("lang", "lang_pred")
+    )

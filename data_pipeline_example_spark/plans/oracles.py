@@ -4853,3 +4853,25 @@ SELECT a.source, a.split, a.n_docs, a.n_tokens,
 FROM agg a JOIN tot t ON a.source = t.source
 ORDER BY a.source, a.split
 """
+
+
+ORACLES["lang_confusion"] = f"""
+WITH {_DOC_EXPRS},
+cells AS (
+  SELECT lang,
+         CASE
+           WHEN c_en > 0 AND c_en >= greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+           WHEN c_de > 0 AND c_de >= greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+           WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+           WHEN c_es > 0 AND c_es >= greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+           ELSE 'und'
+         END AS lang_pred,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM docx GROUP BY 1, 2
+),
+tots AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS tot FROM cells GROUP BY 1)
+SELECT c.lang, c.lang_pred, c.n_docs,
+       CAST((c.n_docs * 1000000) // t.tot AS BIGINT) AS row_share_micro
+FROM cells c JOIN tots t ON c.lang = t.lang
+ORDER BY c.lang, c.lang_pred
+"""

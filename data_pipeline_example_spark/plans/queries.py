@@ -1006,6 +1006,11 @@ def q_stratified_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.stratified_split_audit(load_table(spark, sf_dir, "documents"))
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix with micro shares."""
+    return text.lang_confusion(load_table(spark, sf_dir, "documents"))
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer merge induction: first 4 merges learned from the
     corpus word counts; oracle replays each round's argmax + greedy
@@ -1395,6 +1400,7 @@ QUERIES: dict[str, QueryFn] = {
     "benchmark_decontamination": q_benchmark_decontamination,
     "tfidf_keywords": q_tfidf_keywords,
     "stratified_split_audit": q_stratified_split_audit,
+    "lang_confusion": q_lang_confusion,
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,

@@ -973,3 +973,24 @@ def test_stratified_split_audit_hash_rule_and_shares(spark):
             assert got[split]["n_docs"] == n
             assert got[split]["doc_share_micro"] == (n * 1_000_000) // 40
             assert got[split]["n_tokens"] == 3 * n  # 3 tokens per doc
+
+
+def test_lang_confusion_ladder_and_row_shares(spark):
+    """Tie-break ladder en>de>fr>es; zero votes -> 'und'; row shares
+    are within-declared-language integral micro divisions."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the and is of", "en", "s", 1),      # en votes -> en
+            (2, "der und ist", "en", "s", 1),        # de votes ('und' is a de stopword too... pure de words)
+            (3, "zzz qqq", "en", "s", 1),            # no votes -> und
+            (4, "the der", "de", "s", 1),            # tie en/de -> en (ladder)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {(r["lang"], r["lang_pred"]): r for r in text.lang_confusion(docs).collect()}
+    assert got[("en", "en")]["n_docs"] == 1
+    assert got[("en", "de")]["n_docs"] == 1
+    assert got[("en", "und")]["n_docs"] == 1
+    assert got[("de", "en")]["n_docs"] == 1  # tie resolved to en
+    assert got[("en", "en")]["row_share_micro"] == 1_000_000 // 3
+    assert got[("de", "en")]["row_share_micro"] == 1_000_000
