@@ -274,7 +274,37 @@ def main() -> None:
             "agg": "min",
         }
 
-    print(json.dumps(result))
+    # Artifact-not-transcription (r9 ADVICE + r8/r9 verdicts): the full
+    # per-query record outgrew the driver's 2,000-char stdout tail two
+    # rounds running ("parsed": null in BENCH_r08/r09), so the driver got
+    # no machine-readable bench record. Dump the FULL record to
+    # artifacts/ via json.dump (never redirected mixed stdout — the
+    # corrupted-artifact lesson), then print a compact summary as the
+    # FINAL stdout line: totals, count, sf, scaling ratio, the artifact
+    # path, and only the slowest queries (bounded so the line stays
+    # well inside the tail capture).
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts"), exist_ok=True)
+    artifact = os.path.join(
+        "artifacts",
+        f"bench_headline{len(timings)}_{time.strftime('%Y%m%dT%H%M%S')}.json",
+    )
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact), "w") as fh:
+        json.dump(result, fh, indent=1)
+    slowest = dict(sorted(timings.items(), key=lambda t: -t[1])[:12])
+    compact = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_note": f"slowest 12 of {len(timings)}; full per-query record in artifact",
+        "artifact": artifact,
+    }
+    if "scaling" in result:
+        compact["scaling_total_ratio"] = result["scaling"]["total_ratio"]
+        compact["scaling_sf1_total"] = result["scaling"]["sf1_total"]
+    print(json.dumps(compact))
     spark.stop()
 
 

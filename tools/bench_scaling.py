@@ -144,6 +144,11 @@ def main() -> None:
 
     argv = sys.argv[1:]
     subset = None
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     if "--queries" in argv:
         i = argv.index("--queries")
         subset = argv[i + 1].split(",")
@@ -178,18 +183,23 @@ def main() -> None:
         "big_total": round(sum(v["big"] for v in out.values()), 3),
     }
     totals["total_ratio"] = round(totals["big_total"] / totals["small_total"], 2)
-    print(
-        json.dumps(
-            {
-                "metric": "scaling_sf0.1_to_sf1",
-                "data_factor": 10,
-                "small_dir": small,
-                "big_dir": big,
-                "queries": out,
-                **totals,
-            }
-        )
-    )
+    rec = {
+        "metric": "scaling_sf0.1_to_sf1",
+        "data_factor": 10,
+        "small_dir": small,
+        "big_dir": big,
+        "queries": out,
+        **totals,
+    }
+    if out_path:
+        # json.dump straight to the artifact file — NEVER via redirected
+        # stdout, which interleaves JVM GC warnings into the byte stream
+        # (the r8 corrupted-artifact defect: scaling_r8_capped_retail_*
+        # failed json.load because gc,alloc lines landed mid-record)
+        with open(out_path, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(f"artifact written: {out_path}", file=sys.stderr)
+    print(json.dumps(rec))
     spark.stop()
 
 
