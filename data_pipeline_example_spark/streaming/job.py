@@ -255,6 +255,130 @@ def running_product_totals(df: DataFrame) -> DataFrame:
     )
 
 
+def attribution_stream(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    lookback_s: int = 7 * 86400,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """T8 extension — STREAMING last-touch attribution, the continuous
+    twin of batch :func:`operators.asof.attribution_last_touch` (the
+    oracle anchor; the reference's streaming half exists for exactly
+    this class of event-time analytics,
+    `streaming_sales_aggregator.py:266-286`).
+
+    State per user: the single most-recent non-purchase touch
+    ``(t_sec, t_id, t_type)`` — O(#active users) longs, NOT an event
+    buffer. Each arriving purchase is credited to the stored touch iff
+    it is within ``lookback_s`` seconds, else to ``unattributed``.
+    Rows are processed in the batch op's exact window order
+    ``(ts, is_purchase, event_id)`` inside every micro-batch, so a
+    same-timestamp touch IS visible to its purchase and ties resolve
+    to the highest touch event_id — feeding the same events through
+    batch and stream yields identical per-purchase attributions
+    (asserted, including across a checkpoint restart). Cross-batch the
+    stream assumes per-user event-time-ordered arrival (the replay
+    producer's guarantee); a touch arriving AFTER its purchase's batch
+    is attribution the batch op can see but a stream, by definition,
+    cannot.
+
+    NULL-user purchases get a per-row unique key (the batch op's
+    no-shared-NULL-partition rule) so they emit ``unattributed``
+    without ever creating shared state. For unbounded user domains
+    pass ``state_ttl_ms`` — an idle user's touch is dropped by a
+    ProcessingTimeTimeout; since any touch older than ``lookback_s``
+    can never win, a TTL at or above the lookback horizon changes
+    nothing semantically while bounding state to active users.
+
+    Exactness: purchase values are 2-dp-rounded to integer CENTS
+    (the batch op's discipline); channel rollups downstream stay
+    integer-exact. Output stream (update mode): purchase_id, user_id,
+    channel, cents.
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType
+
+    ukey = F.coalesce(
+        F.col("user_id").cast("string"),
+        F.concat(F.lit("\x00null\x00"), F.col("event_id").cast("string")),
+    )
+    typed = events.select(
+        ukey.alias("ukey"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.unix_timestamp("ts").alias("sec"),
+        (F.col("event_type") == purchase_type).cast("int").alias("is_purchase"),
+        F.round(F.round(F.col("value"), 2) * 100, 0).cast("long").alias("cents"),
+    )
+    out_schema = StructType(
+        [
+            StructField("purchase_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("channel", StringType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("t_sec", LongType()),
+            StructField("t_id", LongType()),
+            StructField("t_type", StringType()),
+        ]
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "purchase_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="float64"),
+                    "channel": pd.Series([], dtype="object"),
+                    "cents": pd.Series([], dtype="int64"),
+                }
+            )
+            return
+        touch = tuple(state.get) if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values(
+            ["ts", "is_purchase", "event_id"], kind="mergesort"
+        )
+        out: dict[str, list] = {
+            "purchase_id": [], "user_id": [], "channel": [], "cents": []
+        }
+        for row in pdf.itertuples(index=False):
+            if row.is_purchase:
+                within = (
+                    touch is not None
+                    and int(row.sec) - int(touch[0]) <= int(lookback_s)
+                )
+                out["purchase_id"].append(int(row.event_id))
+                out["user_id"].append(
+                    None if pd.isna(row.user_id) else int(row.user_id)
+                )
+                out["channel"].append(touch[2] if within else "unattributed")
+                out["cents"].append(0 if pd.isna(row.cents) else int(row.cents))
+            else:
+                touch = (int(row.sec), int(row.event_id), str(row.event_type))
+        if touch is not None:
+            state.update(touch)
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(out)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return typed.groupBy("ukey").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 def enrich_stream(df: DataFrame, dim: DataFrame, on: str = "product") -> DataFrame:
     """Stream-static broadcast join: every micro-batch joins against the
     (re-read) static dimension — no state store, no watermark required;

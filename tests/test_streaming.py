@@ -464,3 +464,136 @@ def test_running_totals_state_survives_checkpoint_restart(spark, tmp_path):
         (r["total"], r["batch_rows"]) for r in spark.read.parquet(out_dir).collect()
     )
     assert rows == [(10.0, 1), (15.0, 1)]
+
+
+def test_attribution_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """Streaming last-touch attribution (job.attribution_stream) pinned
+    to its batch oracle anchor (asof.attribution_last_touch) across a
+    checkpoint stop/restart:
+
+    - batch 1: user 7 click→purchase (attributed), user 8 purchase with
+      no prior touch (unattributed), a trailing email touch for user 7
+      that must SURVIVE the restart as state;
+    - batch 2 (after restart): user 7's purchase credits the RECOVERED
+      email touch; a later user-7 purchase beyond lookback_s goes
+      unattributed; user 8 gets a same-batch touch→purchase including
+      the same-timestamp tie rule (two touches at the purchase's exact
+      ts — the HIGHEST touch event_id wins, <= visibility);
+    - a NULL-user purchase emits unattributed;
+    - exactly-once: batch-1 rows are not re-emitted after the restart;
+    - channel rollup of the stream's per-purchase output equals the
+      batch operator run over the SAME events (n_purchases + revenue).
+    """
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from data_pipeline_example_spark.operators.asof import attribution_last_touch
+    from data_pipeline_example_spark.streaming import job
+
+    in_dir, out_dir, ckpt = tmp_path / "in", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    in_dir.mkdir()
+    now = _time.time()
+    LOOKBACK = 1000  # seconds
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    def run_once():
+        schema = "event_id long, ts string, user_id long, event_type string, value double"
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = job.attribution_stream(raw, lookback_s=LOOKBACK)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    T = "2024-01-01 00:{:02d}:{:02d}"
+    b1 = [
+        {"event_id": 1, "ts": T.format(0, 0), "user_id": 7, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": T.format(5, 0), "user_id": 7, "event_type": "purchase", "value": 10.0},
+        {"event_id": 3, "ts": T.format(2, 0), "user_id": 8, "event_type": "purchase", "value": 3.5},
+        {"event_id": 4, "ts": T.format(8, 0), "user_id": 7, "event_type": "email", "value": 1.0},
+    ]
+    write("b1.json", b1, now - 30)
+    run_once()
+    first = {
+        r["purchase_id"]: (r["channel"], r["cents"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # click at 00:00 is 300s before the 00:05 purchase (within 1000s)
+    assert first == {2: ("click", 1000), 3: ("unattributed", 350)}
+
+    b2 = [
+        # user 7 purchase at 00:10 — email touch at 00:08 recovered from
+        # the CHECKPOINTED state (120s <= lookback)
+        {"event_id": 5, "ts": T.format(10, 0), "user_id": 7, "event_type": "purchase", "value": 5.5},
+        # user 7 purchase at 00:30 — 1320s since the email touch > 1000s
+        {"event_id": 6, "ts": T.format(30, 0), "user_id": 7, "event_type": "purchase", "value": 2.0},
+        # user 8: two touches at the purchase's EXACT timestamp — the
+        # higher touch event_id (8) wins under the (ts, is_purchase,
+        # event_id) order, and same-ts touches ARE visible
+        {"event_id": 7, "ts": T.format(12, 0), "user_id": 8, "event_type": "ad", "value": 1.0},
+        {"event_id": 8, "ts": T.format(12, 0), "user_id": 8, "event_type": "referral", "value": 1.0},
+        {"event_id": 9, "ts": T.format(12, 0), "user_id": 8, "event_type": "purchase", "value": 7.25},
+        # NULL-user purchase: per-row unique key, never attributed
+        {"event_id": 10, "ts": T.format(13, 0), "user_id": None, "event_type": "purchase", "value": 4.0},
+    ]
+    write("b2.json", b2, now)
+    run_once()  # restart from the same checkpoint
+    rows = {
+        r["purchase_id"]: (r["channel"], r["cents"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert rows == {
+        2: ("click", 1000),
+        3: ("unattributed", 350),
+        5: ("email", 550),
+        6: ("unattributed", 200),
+        9: ("referral", 725),
+        10: ("unattributed", 400),
+    }
+    # exactly-once across the restart: 6 rows total, no re-emission
+    assert spark.read.parquet(out_dir).count() == 6
+
+    # channel rollup == the batch operator over the same events
+    static = spark.createDataFrame(
+        [
+            (
+                r["event_id"],
+                r["ts"],
+                r["user_id"],
+                r["event_type"],
+                r["value"],
+            )
+            for r in b1 + b2
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type", "value"
+    )
+    batch = {
+        r["channel"]: (r["n_purchases"], r["revenue"])
+        for r in attribution_last_touch(static, lookback_s=LOOKBACK).collect()
+    }
+    stream_rollup = {}
+    for pid, (ch, cents) in rows.items():
+        n, c = stream_rollup.get(ch, (0, 0))
+        stream_rollup[ch] = (n + 1, c + cents)
+    assert batch == {
+        ch: (n, round(c / 100.0, 2)) for ch, (n, c) in stream_rollup.items()
+    }
