@@ -1645,6 +1645,43 @@ QUERIES: dict[str, QueryFn] = {
     "priority_revenue_pivot": q_priority_revenue_pivot,
 }
 
+# round-10 window rotation — MECHANICAL this round (the r9 ADVICE found
+# hand-edited ordering drifts): the front 50 is computed from the
+# CORRECTNESS_r*.json history as the 49 least-recently-certified
+# entries (the 43 r1-certified reference-parity queries + the 6 stalest
+# r2 entries — none has had a driver-green row since) plus
+# basket_affinity, whose r10 brief item 1 requires a fresh driver-green
+# row alongside the scaling re-measurement. Every name is asserted
+# present so a typo fails at import, not silently shrinks the window.
+_R10_FRONT = [
+    "daily_revenue", "kpis", "per_day_totals", "top_products",
+    "sample_rows", "events_json_conform", "sliding_window_revenue",
+    "latest_window_leaderboard", "window_health", "timeline_points",
+    "window_summary_stats", "user_sessions", "pricing_summary",
+    "supplier_nation_revenue", "order_priority_count", "brand_volume",
+    "segment_stats", "customer_order_distribution",
+    "promo_revenue_share", "lapsed_customers",
+    "fulfilled_customers_by_nation", "large_orders",
+    "top_supplier_per_nation", "revenue_rollup", "high_value_churn",
+    "high_value_retained", "user_cardinality_exact",
+    "small_quantity_revenue", "forecast_revenue", "product_profit",
+    "top_supplier", "discount_eligible_revenue",
+    "shipment_delay_by_priority", "idle_rich_customers",
+    "first_last_order_value", "salted_event_totals",
+    "rolling_revenue_7d", "returns_cube", "asof_last_view",
+    "priority_revenue_pivot", "value_histogram", "hash_split_summary",
+    "events_profile", "stratified_sample", "reservoir_sample",
+    "value_quantile_sketch", "bloom_pruned_brand_volume",
+    "value_anomalies", "retention_cohorts", "basket_affinity",
+]
+assert len(_R10_FRONT) == 50 and all(n in QUERIES for n in _R10_FRONT), (
+    "window rotation list must name 50 registered queries"
+)
+QUERIES = {
+    **{n: QUERIES[n] for n in _R10_FRONT},
+    **{n: f for n, f in QUERIES.items() if n not in frozenset(_R10_FRONT)},
+}
+
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The flagship query (SURVEY.md §7.1): daily revenue per product."""
