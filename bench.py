@@ -178,6 +178,8 @@ HEADLINE = [
     "tfidf_keywords",
     "stratified_split_audit",
     "lang_confusion",
+    "ngram_novelty",
+    "vocab_drift",
 ]
 
 

@@ -2932,3 +2932,178 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang", "lang_pred")
     )
+
+
+def ngram_novelty(
+    documents: DataFrame, k: int = 3, n_epochs: int = 10
+) -> DataFrame:
+    """Corpus novelty curve over ingestion order — the saturation
+    signal a continuously-fed pretraining pipeline watches: split the
+    corpus into ``n_epochs`` equal ``doc_id`` (ingestion-order) ranges
+    and measure, per epoch, how many of its distinct ``k``-token grams
+    appear for the FIRST time. A collapsing new-gram share says the
+    source is exhausted (more data, no new content); a flat one says
+    the stream is still productive. The dedup-adjacent twin of
+    ``benchmark_decontamination``'s gram census, pointed at time
+    instead of at an eval split.
+
+    Semantics: gram sets are per-doc DISTINCT ``k``-token md5 hashes
+    (lowercased alnum tokens — the :func:`substring_dedup` gram rule);
+    docs with < ``k`` tokens don't participate. Epoch assignment is
+    ``(doc_id * n_epochs) div (max_doc_id + 1)`` — purely positional,
+    sf-independent, and always in ``[0, n_epochs)``.
+
+    Plan: ONE tokenize scan builds the per-doc distinct gram array
+    scan-side; the (epoch, gram) frame is deduped in a single exchange
+    and BOTH aggregates derive from it (first-epoch per gram = a
+    gram-keyed min; per-epoch distinct counts = an epoch-keyed count) —
+    the branch-reuse discipline, no corpus re-scan. The per-epoch
+    frames are ≤ ``n_epochs`` rows, broadcast-joined. Rates are
+    integer micro-units over exact BIGINTs. Output: epoch, n_docs,
+    distinct_grams, new_grams, novelty_micro (new/distinct share).
+    """
+    n = documents.filter(F.col("doc_id").isNotNull()).agg(
+        (F.max("doc_id") + 1).alias("n")
+    )
+    base = (
+        widen(documents)
+        .filter(F.col("doc_id").isNotNull())
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(f"(doc_id * {int(n_epochs)}) div n").alias("epoch"),
+            T.tokens(F.lower(F.col("text"))).alias("t"),
+        )
+        .select(
+            "epoch",
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(t) < {k} THEN array() "
+                    f"ELSE transform(sequence(1, size(t) - {k} + 1), "
+                    f"i -> md5(array_join(slice(t, i, {k}), ' '))) END"
+                )
+            ).alias("H"),
+        )
+        .filter(F.size("H") > 0)
+        # base feeds TWO branches (the gram pairs and the per-epoch doc
+        # counts) — without this the second branch re-tokenizes the
+        # corpus (the r8 branch-reuse lesson)
+        .transform(materialize)
+    )
+    pairs = (
+        base.select("epoch", F.explode("H").alias("h"))
+        .distinct()
+        .transform(materialize)
+    )
+    firsts = pairs.groupBy("h").agg(F.min("epoch").alias("first_epoch"))
+    per_new = firsts.groupBy(F.col("first_epoch").alias("epoch")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_grams")
+    )
+    per_distinct = pairs.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_grams")
+    )
+    per_docs = base.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        per_docs.join(per_distinct, "epoch")
+        # LEFT: an epoch whose every gram was already seen still belongs
+        # on the curve — its zero is the saturation signal itself
+        .join(F.broadcast(per_new), "epoch", "left")
+        .select(
+            "epoch",
+            "n_docs",
+            "distinct_grams",
+            F.coalesce("new_grams", F.lit(0)).cast("long").alias("new_grams"),
+            F.expr(
+                "(coalesce(new_grams, 0) * 1000000) div distinct_grams"
+            ).alias("novelty_micro"),
+        )
+        .orderBy("epoch")
+    )
+
+
+def vocab_drift(documents: DataFrame, n_epochs: int = 10) -> DataFrame:
+    """Vocabulary drift between consecutive ingestion epochs — the
+    distribution-shift monitor a pretraining pipeline runs on every
+    new data cut: per adjacent epoch pair, the total-variation
+    distance between unigram term distributions plus the vocabulary
+    churn (terms entering / leaving). A drifting TV says the source
+    mix changed under you; churn localizes it to new vs dropped
+    vocabulary.
+
+    Semantics: epochs are the :func:`ngram_novelty` positional ranges;
+    each epoch's term distribution assigns term i the integer micro
+    share ``cnt_i * 1e6 div epoch_total`` (exact longs end-to-end —
+    the cross-engine float-sum rule), and
+    ``tv_micro = sum(|p_i − q_i|)`` over the UNION vocabulary, i.e.
+    (up to integral-truncation granularity) 2e6 × the classic
+    total-variation distance.
+
+    Plan: ONE tokenize scan feeds a single (epoch, term) count
+    aggregate; epoch totals derive from the materialized count frame
+    (≤ ``n_epochs`` rows, broadcast back); the drift is a term-keyed
+    FULL OUTER self-join of adjacent epochs — an O(vocab) shuffle,
+    never a corpus re-scan — folded to ≤ ``n_epochs − 1`` rows.
+    Output: epoch_from, epoch_to, union_terms, new_terms,
+    dropped_terms, tv_micro.
+    """
+    n = documents.filter(F.col("doc_id").isNotNull()).agg(
+        (F.max("doc_id") + 1).alias("n")
+    )
+    counts = (
+        widen(documents)
+        .filter(F.col("doc_id").isNotNull())
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(f"(doc_id * {int(n_epochs)}) div n").alias("epoch"),
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("epoch", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .transform(materialize)
+    )
+    totals = counts.groupBy("epoch").agg(F.sum("cnt").cast("long").alias("tot"))
+    shares = counts.join(F.broadcast(totals), "epoch").select(
+        "epoch", "term", F.expr("(cnt * 1000000) div tot").alias("share")
+    )
+    cur = shares.select(
+        F.col("epoch").alias("epoch_to"),
+        "term",
+        F.col("share").alias("p"),
+    )
+    prev = shares.select(
+        (F.col("epoch") + 1).alias("epoch_to"),
+        "term",
+        F.col("share").alias("q"),
+    ).filter(F.col("epoch_to") < int(n_epochs))
+    joined = cur.join(prev, ["epoch_to", "term"], "full_outer").filter(
+        # only boundaries where BOTH epochs exist in the data: a cur-only
+        # epoch 0 row (no epoch -1) and a prev-only phantom are excluded
+        F.col("epoch_to") >= 1
+    )
+    return (
+        joined.groupBy("epoch_to")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("union_terms"),
+            F.sum(F.when(F.col("q").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("new_terms"),
+            F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("dropped_terms"),
+            F.sum(
+                F.abs(F.coalesce(F.col("p"), F.lit(0)) - F.coalesce(F.col("q"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("tv_micro"),
+        )
+        .select(
+            (F.col("epoch_to") - 1).alias("epoch_from"),
+            "epoch_to",
+            "union_terms",
+            "new_terms",
+            "dropped_terms",
+            "tv_micro",
+        )
+        .orderBy("epoch_to")
+    )

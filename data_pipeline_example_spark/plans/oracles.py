@@ -4875,3 +4875,94 @@ SELECT c.lang, c.lang_pred, c.n_docs,
 FROM cells c JOIN tots t ON c.lang = t.lang
 ORDER BY c.lang, c.lang_pred
 """
+
+# Corpus-saturation novelty curve: per positional ingestion epoch, the
+# share of distinct 3-gram hashes seen for the first time. Gram rule
+# mirrors benchmark_decontamination (lowercased alnum tokens, md5 of
+# the space-joined k-slice, per-doc list_distinct).
+ORACLES["ngram_novelty"] = """
+WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents WHERE doc_id IS NOT NULL),
+toksn AS (
+  SELECT (doc_id * 10) // n AS epoch,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents, nn
+  WHERE doc_id IS NOT NULL
+),
+gsetsn AS (
+  SELECT epoch,
+         list_distinct(
+           CASE WHEN len(t) < 3 THEN []
+                ELSE list_transform(range(1, len(t) - 3 + 2),
+                     i -> md5(list_aggregate(list_slice(t, i, i + 2),
+                                             'string_agg', ' ')))
+           END) AS H
+  FROM toksn
+),
+okn AS (SELECT * FROM gsetsn WHERE len(H) > 0),
+pairsn AS (
+  SELECT DISTINCT epoch, h
+  FROM (SELECT epoch, unnest(H) AS h FROM okn)
+),
+firstsn AS (SELECT h, min(epoch) AS first_epoch FROM pairsn GROUP BY 1),
+per_new AS (
+  SELECT first_epoch AS epoch, CAST(count(*) AS BIGINT) AS new_grams
+  FROM firstsn GROUP BY 1
+),
+per_distinct AS (
+  SELECT epoch, CAST(count(*) AS BIGINT) AS distinct_grams
+  FROM pairsn GROUP BY 1
+),
+per_docs AS (
+  SELECT epoch, CAST(count(*) AS BIGINT) AS n_docs FROM okn GROUP BY 1
+)
+SELECT d.epoch, n_docs, distinct_grams,
+       CAST(coalesce(new_grams, 0) AS BIGINT) AS new_grams,
+       CAST((coalesce(new_grams, 0) * 1000000) // distinct_grams AS BIGINT)
+         AS novelty_micro
+FROM per_docs d
+JOIN per_distinct USING (epoch)
+LEFT JOIN per_new USING (epoch)
+ORDER BY d.epoch
+"""
+
+# Adjacent-epoch unigram total-variation drift + vocabulary churn, all
+# in exact integer micro-units (cnt*1e6 // epoch_total per term, the
+# cross-engine float-sum rule).
+ORACLES["vocab_drift"] = """
+WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents WHERE doc_id IS NOT NULL),
+toksv AS (
+  SELECT (doc_id * 10) // n AS epoch,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+  FROM documents, nn
+  WHERE doc_id IS NOT NULL
+),
+countsv AS (
+  SELECT epoch, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM toksv GROUP BY 1, 2
+),
+totalsv AS (SELECT epoch, CAST(sum(cnt) AS BIGINT) AS tot FROM countsv GROUP BY 1),
+sharesv AS (
+  SELECT c.epoch, c.term, CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS share
+  FROM countsv c JOIN totalsv t ON c.epoch = t.epoch
+),
+curv AS (SELECT epoch AS epoch_to, term, share AS p FROM sharesv),
+prevv AS (
+  SELECT epoch + 1 AS epoch_to, term, share AS q
+  FROM sharesv WHERE epoch + 1 < 10
+),
+jv AS (
+  SELECT coalesce(curv.epoch_to, prevv.epoch_to) AS epoch_to, p, q
+  FROM curv FULL OUTER JOIN prevv
+    ON curv.epoch_to = prevv.epoch_to AND curv.term = prevv.term
+)
+SELECT CAST(epoch_to - 1 AS BIGINT) AS epoch_from,
+       epoch_to,
+       CAST(count(*) AS BIGINT) AS union_terms,
+       CAST(sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_terms,
+       CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_terms,
+       CAST(sum(abs(coalesce(p, 0) - coalesce(q, 0))) AS BIGINT) AS tv_micro
+FROM jv
+WHERE epoch_to >= 1
+GROUP BY epoch_to
+ORDER BY epoch_to
+"""

@@ -1011,6 +1011,18 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(load_table(spark, sf_dir, "documents"))
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingestion-epoch first-occurrence share of distinct 3-gram
+    hashes: the corpus-saturation curve."""
+    return text.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-epoch unigram-distribution total-variation distance
+    plus vocabulary churn, in exact integer micro-units."""
+    return text.vocab_drift(load_table(spark, sf_dir, "documents"))
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer merge induction: first 4 merges learned from the
     corpus word counts; oracle replays each round's argmax + greedy
@@ -1401,6 +1413,8 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_keywords": q_tfidf_keywords,
     "stratified_split_audit": q_stratified_split_audit,
     "lang_confusion": q_lang_confusion,
+    "ngram_novelty": q_ngram_novelty,
+    "vocab_drift": q_vocab_drift,
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
@@ -1647,12 +1661,14 @@ QUERIES: dict[str, QueryFn] = {
 
 # round-10 window rotation — MECHANICAL this round (the r9 ADVICE found
 # hand-edited ordering drifts): the front 50 is computed from the
-# CORRECTNESS_r*.json history as the 49 least-recently-certified
-# entries (the 43 r1-certified reference-parity queries + the 6 stalest
-# r2 entries — none has had a driver-green row since) plus
-# basket_affinity, whose r10 brief item 1 requires a fresh driver-green
-# row alongside the scaling re-measurement. Every name is asserted
-# present so a typo fails at import, not silently shrinks the window.
+# CORRECTNESS_r*.json history as the 47 least-recently-certified
+# entries (the 43 r1-certified reference-parity queries + the 4 stalest
+# r2 entries — none has had a driver-green row since), plus
+# basket_affinity (the r10 brief item 1 requires a fresh driver-green
+# row alongside the scaling re-measurement), plus the two NEW r10 ops
+# (ngram_novelty, vocab_drift — never driver-certified). Every name is
+# asserted present so a typo fails at import, not silently shrinks the
+# window.
 _R10_FRONT = [
     "daily_revenue", "kpis", "per_day_totals", "top_products",
     "sample_rows", "events_json_conform", "sliding_window_revenue",
@@ -1672,7 +1688,7 @@ _R10_FRONT = [
     "priority_revenue_pivot", "value_histogram", "hash_split_summary",
     "events_profile", "stratified_sample", "reservoir_sample",
     "value_quantile_sketch", "bloom_pruned_brand_volume",
-    "value_anomalies", "retention_cohorts", "basket_affinity",
+    "basket_affinity", "ngram_novelty", "vocab_drift",
 ]
 assert len(_R10_FRONT) == 50 and all(n in QUERIES for n in _R10_FRONT), (
     "window rotation list must name 50 registered queries"

@@ -994,3 +994,52 @@ def test_lang_confusion_ladder_and_row_shares(spark):
     assert got[("de", "en")]["n_docs"] == 1  # tie resolved to en
     assert got[("en", "en")]["row_share_micro"] == 1_000_000 // 3
     assert got[("de", "en")]["row_share_micro"] == 1_000_000
+
+
+def test_ngram_novelty_first_occurrence_curve(spark):
+    """Epoch 0 gram sets are 100% novel by definition; a later epoch
+    repeating them contributes zero new grams; docs under k tokens
+    don't participate. Epoch = (doc_id * 10) div (max_id + 1)."""
+    docs = spark.createDataFrame(
+        [
+            # max_id+1 = 10 -> epoch == doc_id
+            (0, "a b c d", "en", "s", 1),     # grams: abc, bcd (epoch 0)
+            (1, "a b c", "en", "s", 1),       # gram abc again (epoch 1) — 0 new
+            (2, "x y z w", "en", "s", 1),     # grams xyz, yzw (epoch 2) — all new
+            (3, "a b", "en", "s", 1),         # < 3 tokens: no participation
+            (9, "b c d", "en", "s", 1),       # gram bcd again (epoch 9) — 0 new
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["epoch"]: r for r in text.ngram_novelty(docs).collect()}
+    # every participating epoch appears, including the zero-novelty ones
+    assert set(got) == {0, 1, 2, 9}
+    assert got[0]["n_docs"] == 1 and got[0]["distinct_grams"] == 2
+    assert got[0]["new_grams"] == 2 and got[0]["novelty_micro"] == 1_000_000
+    assert got[1]["new_grams"] == 0 and got[1]["novelty_micro"] == 0
+    assert got[2]["distinct_grams"] == 2 and got[2]["novelty_micro"] == 1_000_000
+    assert got[9]["new_grams"] == 0 and got[9]["distinct_grams"] == 1
+
+
+def test_vocab_drift_tv_and_churn(spark):
+    """Identical adjacent distributions -> tv 0, no churn; a full
+    vocabulary swap -> tv 2e6 (both sides' mass), all new+dropped."""
+    docs = spark.createDataFrame(
+        [
+            # n_epochs=3, max_id+1 = 3 -> epoch = doc_id
+            (0, "a a b", "en", "s", 1),   # epoch 0: a:2/3, b:1/3
+            (1, "a a b", "en", "s", 1),   # epoch 1: identical dist
+            (2, "x y", "en", "s", 1),     # epoch 2: disjoint vocab
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["epoch_to"]: r for r in text.vocab_drift(docs, n_epochs=3).collect()}
+    b1 = got[1]
+    assert b1["epoch_from"] == 0 and b1["union_terms"] == 2
+    assert b1["new_terms"] == 0 and b1["dropped_terms"] == 0
+    assert b1["tv_micro"] == 0
+    b2 = got[2]
+    assert b2["union_terms"] == 4
+    assert b2["new_terms"] == 2 and b2["dropped_terms"] == 2
+    # epoch 1 mass: a=666666, b=333333; epoch 2: x=500000, y=500000
+    assert b2["tv_micro"] == 666666 + 333333 + 500000 + 500000
