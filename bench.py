@@ -180,6 +180,8 @@ HEADLINE = [
     "lang_confusion",
     "ngram_novelty",
     "vocab_drift",
+    "length_pareto",
+    "source_gram_containment",
 ]
 
 

@@ -3107,3 +3107,141 @@ def vocab_drift(documents: DataFrame, n_epochs: int = 10) -> DataFrame:
         )
         .orderBy("epoch_to")
     )
+
+
+def length_pareto(documents: DataFrame) -> DataFrame:
+    """Token-length Pareto curve at log2-bucket granularity — the "what
+    share of the token budget do the longest documents carry" question
+    every corpus cut starts with, answered without a corpus-wide sort:
+    docs fold into ≤64 log2(length) buckets in one map-combined
+    aggregate, and the cumulative-from-longest shares are a window over
+    that TINY bucket frame (never over rows — the classic ntile-over-
+    corpus formulation is a single-partition sort at 100 TB, this
+    isn't).
+
+    Semantics: bucket = floor(log2(n_tokens)) over lowercased alnum
+    tokens; zero-token docs don't participate (no length to rank).
+    Cumulative direction is LONGEST-first (bucket desc) — cum_share
+    answers "docs this long or longer carry X of all tokens". Shares
+    are integer micro-units over exact BIGINTs. Output: bucket, n_docs,
+    bucket_tokens, cum_docs, cum_tokens, cum_token_share_micro.
+    """
+    per_bucket = (
+        documents.select(T.token_count(F.lower(F.col("text"))).alias("n"))
+        .filter(F.col("n") >= 1)
+        .select(F.floor(F.log2("n")).cast("long").alias("bucket"), "n")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("bucket_tokens"),
+        )
+    )
+    w = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_bucket.select(
+            "bucket",
+            "n_docs",
+            "bucket_tokens",
+            F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+            F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("bucket_tokens").over(tot).cast("long").alias("_t"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "bucket_tokens",
+            "cum_docs",
+            "cum_tokens",
+            F.expr("(cum_tokens * 1000000) div _t").alias(
+                "cum_token_share_micro"
+            ),
+        )
+        .orderBy(F.desc("bucket"))
+    )
+
+
+def source_gram_containment(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Pairwise source-vocabulary containment over ``k``-token gram
+    hashes — which sources substantially contain each other's content
+    space. The exact-census complement of the LSH-pair
+    ``source_overlap_matrix`` (that one finds near-dup DOC pairs; this
+    measures gram-VOCABULARY overlap, which survives doc-level
+    paraphrase).
+
+    Plan shape is the :func:`~data_pipeline_example_spark.operators.
+    tpch._basket_frames` discipline pointed at grams: the (source,
+    gram) frame dedups scan-side per doc and exchange-side globally,
+    then ONE gram-keyed ``collect_set(source)`` aggregate bounds
+    per-gram fan-out at C(|sources|, 2) in-array pair expansion — the
+    pair stream is linear in gram vocabulary with an |sources|²
+    multiplier, NEVER a gram-frame self-join (whose skewed hot grams
+    would square). Per-source vocab sizes derive from the same deduped
+    frame (branch-reuse: it is materialized once). Shares are integer
+    micro-units. Output per (source_a < source_b): shared_grams,
+    a_grams, b_grams, containment_micro (shared / min vocab),
+    jaccard_micro.
+    """
+    pairs_frame = (
+        widen(documents)
+        .select(
+            "source",
+            T.tokens(F.lower(F.col("text"))).alias("t"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"CASE WHEN size(t) < {k} THEN array() "
+                        f"ELSE transform(sequence(1, size(t) - {k} + 1), "
+                        f"i -> md5(array_join(slice(t, i, {k}), ' '))) END"
+                    )
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    vocab = pairs_frame.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    grouped = pairs_frame.groupBy("h").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    pair_struct = F.expr(
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "y -> struct(x AS source_a, y AS source_b))))"
+    )
+    shared = (
+        grouped.filter(F.size("ss") >= 2)
+        .select(F.explode(pair_struct).alias("p"))
+        .groupBy("p.source_a", "p.source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    va = vocab.select(F.col("source").alias("source_a"), F.col("v").alias("a_grams"))
+    vb = vocab.select(F.col("source").alias("source_b"), F.col("v").alias("b_grams"))
+    return (
+        shared.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "a_grams",
+            "b_grams",
+            F.expr(
+                "(shared_grams * 1000000) div least(a_grams, b_grams)"
+            ).alias("containment_micro"),
+            F.expr(
+                "(shared_grams * 1000000) div (a_grams + b_grams - shared_grams)"
+            ).alias("jaccard_micro"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -4966,3 +4966,68 @@ WHERE epoch_to >= 1
 GROUP BY epoch_to
 ORDER BY epoch_to
 """
+
+# Token-length Pareto curve: ≤64 log2 buckets, cumulative from the
+# longest bucket down, integer-micro cumulative token share.
+ORACLES["length_pareto"] = """
+WITH lp AS (
+  SELECT len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS n
+  FROM documents
+),
+pb AS (
+  SELECT CAST(floor(log2(n)) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS bucket_tokens
+  FROM lp WHERE n >= 1 GROUP BY 1
+)
+SELECT bucket, n_docs, bucket_tokens,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(sum(bucket_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST((sum(bucket_tokens) OVER w * 1000000)
+            // (sum(bucket_tokens) OVER ()) AS BIGINT)
+         AS cum_token_share_micro
+FROM pb
+WINDOW w AS (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY bucket DESC
+"""
+
+# Pairwise source gram-vocabulary containment: exact census over
+# per-source DISTINCT 3-gram hashes; the oracle's self-join is the
+# semantic spec (the engine's collect_set pair expansion is the scale
+# path — identical output).
+ORACLES["source_gram_containment"] = """
+WITH tg AS (
+  SELECT source,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+sg AS (
+  SELECT DISTINCT source, h
+  FROM (
+    SELECT source,
+           unnest(CASE WHEN len(t) < 3 THEN []
+                       ELSE list_transform(range(1, len(t) - 3 + 2),
+                            i -> md5(list_aggregate(list_slice(t, i, i + 2),
+                                                    'string_agg', ' ')))
+                  END) AS h
+    FROM tg
+  )
+),
+v AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM sg GROUP BY 1),
+sh AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_grams
+  FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared_grams,
+       va.v AS a_grams, vb.v AS b_grams,
+       CAST((shared_grams * 1000000) // least(va.v, vb.v) AS BIGINT)
+         AS containment_micro,
+       CAST((shared_grams * 1000000) // (va.v + vb.v - shared_grams) AS BIGINT)
+         AS jaccard_micro
+FROM sh
+JOIN v va ON sh.source_a = va.source
+JOIN v vb ON sh.source_b = vb.source
+ORDER BY source_a, source_b
+"""

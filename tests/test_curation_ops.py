@@ -1043,3 +1043,53 @@ def test_vocab_drift_tv_and_churn(spark):
     assert b2["new_terms"] == 2 and b2["dropped_terms"] == 2
     # epoch 1 mass: a=666666, b=333333; epoch 2: x=500000, y=500000
     assert b2["tv_micro"] == 666666 + 333333 + 500000 + 500000
+
+
+def test_length_pareto_buckets_and_cumulative_shares(spark):
+    """log2 buckets; cumulative from the LONGEST bucket down; zero-token
+    docs don't participate; micro share is integral."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h", "en", "s", 1),  # 8 tokens -> bucket 3
+            (1, "a b c d", "en", "s", 1),          # 4 tokens -> bucket 2
+            (2, "a b c d e", "en", "s", 1),        # 5 tokens -> bucket 2
+            (3, "a", "en", "s", 1),                # 1 token  -> bucket 0
+            (4, "", "en", "s", 1),                 # 0 tokens -> excluded
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = text.length_pareto(docs).collect()
+    assert [r["bucket"] for r in rows] == [3, 2, 0]
+    b3, b2, b0 = rows
+    assert (b3["n_docs"], b3["bucket_tokens"]) == (1, 8)
+    assert (b2["n_docs"], b2["bucket_tokens"]) == (2, 9)
+    assert (b0["cum_docs"], b0["cum_tokens"]) == (4, 18)
+    assert b3["cum_token_share_micro"] == 8 * 1_000_000 // 18
+    assert b0["cum_token_share_micro"] == 1_000_000
+
+
+def test_source_gram_containment_pair_counts(spark):
+    """Vocab overlap between source pairs: shared 3-gram hashes, with
+    containment over the smaller vocab and jaccard over the union; a
+    gram present in 3 sources contributes to all 3 pairs (in-array
+    expansion == the oracle's self-join)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d", "en", "s1", 1),  # grams: abc, bcd
+            (1, "a b c", "en", "s2", 1),    # gram:  abc
+            (2, "a b c x", "en", "s3", 1),  # grams: abc, bcx
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in text.source_gram_containment(docs).collect()
+    }
+    assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = got[("s1", "s2")]
+    assert (r12["shared_grams"], r12["a_grams"], r12["b_grams"]) == (1, 2, 1)
+    assert r12["containment_micro"] == 1_000_000  # s2's whole vocab
+    assert r12["jaccard_micro"] == 1_000_000 // 2
+    r13 = got[("s1", "s3")]
+    assert (r13["shared_grams"], r13["a_grams"], r13["b_grams"]) == (1, 2, 2)
+    assert r13["jaccard_micro"] == 1_000_000 // 3
