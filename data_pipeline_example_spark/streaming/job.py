@@ -379,6 +379,108 @@ def attribution_stream(
     )
 
 
+def debounce_stream(
+    events: DataFrame,
+    gap_s: int = 60,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """T8 extension — STREAMING rapid-repeat suppression, the
+    continuous twin of batch
+    :func:`operators.users.event_debounce` (the oracle anchor): an
+    event is dropped when the same user's previous event of the same
+    type is ≤ ``gap_s`` seconds earlier (the lag-to-predecessor rule —
+    the predecessor counts whether or not IT was kept, exactly the
+    batch op's ``lag`` semantics).
+
+    State per (user, event_type): ONE long — the last event's epoch
+    second. Rows process in the batch window order ``(ts, event_id)``
+    within each micro-batch; cross-batch the stream assumes per-user
+    event-time-ordered arrival (the :func:`attribution_stream`
+    contract). NULL-user events get a per-row unique key: alone in
+    their group they have no predecessor, are never dropped, and the
+    shared-NULL hot key never forms. A ``state_ttl_ms`` at or above
+    ``gap_s`` × 1000 bounds state to active (user, type) pairs with
+    unchanged semantics — an entry older than the gap can never
+    suppress anything.
+
+    Output stream (update mode): event_id, user_id, event_type, kept.
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import IntegerType, LongType
+
+    ukey = F.coalesce(
+        F.col("user_id").cast("string"),
+        F.concat(F.lit("\x00null\x00"), F.col("event_id").cast("string")),
+    )
+    typed = events.select(
+        ukey.alias("ukey"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+        F.col("user_id").isNotNull().alias("has_user"),
+    )
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("kept", IntegerType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_sec", LongType())])
+
+    def update(key: tuple, pdfs, state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype="object"),
+                    "kept": pd.Series([], dtype="int64"),
+                }
+            )
+            return
+        last = int(state.get[0]) if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        out: dict[str, list] = {
+            "event_id": [], "user_id": [], "event_type": [], "kept": []
+        }
+        for row in pdf.itertuples(index=False):
+            dropped = (
+                bool(row.has_user)
+                and last is not None
+                and int(row.sec) - last <= int(gap_s)
+            )
+            out["event_id"].append(int(row.event_id))
+            out["user_id"].append(
+                None if pd.isna(row.user_id) else int(row.user_id)
+            )
+            out["event_type"].append(str(row.event_type))
+            out["kept"].append(0 if dropped else 1)
+            last = int(row.sec)
+        if last is not None:
+            state.update((last,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(out)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return typed.groupBy("ukey", "event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 def enrich_stream(df: DataFrame, dim: DataFrame, on: str = "product") -> DataFrame:
     """Stream-static broadcast join: every micro-batch joins against the
     (re-read) static dimension — no state store, no watermark required;

@@ -597,3 +597,94 @@ def test_attribution_stream_matches_batch_and_survives_restart(spark, tmp_path):
     assert batch == {
         ch: (n, round(c / 100.0, 2)) for ch, (n, c) in stream_rollup.items()
     }
+
+
+def test_debounce_stream_matches_batch_across_restart(spark, tmp_path):
+    """Streaming debounce (job.debounce_stream) pinned to the batch
+    oracle anchor (users.event_debounce): chain-collapse semantics
+    (predecessor counts even when it was itself dropped), per-type
+    independence, NULL users never dropped, and the last-event-second
+    state must survive a checkpoint restart (batch-2's first event
+    debounces against batch-1's last). Rollup equals the batch op."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from data_pipeline_example_spark.operators.users import event_debounce
+    from data_pipeline_example_spark.streaming import job
+
+    in_dir, out_dir, ckpt = tmp_path / "in", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    in_dir.mkdir()
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    def run_once():
+        schema = "event_id long, ts string, user_id long, event_type string"
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = job.debounce_stream(raw, gap_s=60)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 7, "event_type": "click"},
+        # 30s after #1 -> dropped; still advances the chain
+        {"event_id": 2, "ts": "2024-01-01 00:00:30", "user_id": 7, "event_type": "click"},
+        # 45s after #2 (but 75s after #1) -> dropped under chain collapse
+        {"event_id": 3, "ts": "2024-01-01 00:01:15", "user_id": 7, "event_type": "click"},
+        # other type: independent chain -> kept
+        {"event_id": 4, "ts": "2024-01-01 00:00:10", "user_id": 7, "event_type": "view"},
+        # NULL user -> never dropped even 1s apart
+        {"event_id": 5, "ts": "2024-01-01 00:00:00", "user_id": None, "event_type": "click"},
+        {"event_id": 6, "ts": "2024-01-01 00:00:01", "user_id": None, "event_type": "click"},
+    ]
+    write("b1.json", b1, now - 30)
+    run_once()
+
+    b2 = [
+        # 20s after batch-1's last click (#3 at 00:01:15) — the RECOVERED
+        # state must drop it
+        {"event_id": 7, "ts": "2024-01-01 00:01:35", "user_id": 7, "event_type": "click"},
+        # 5 minutes later -> kept
+        {"event_id": 8, "ts": "2024-01-01 00:06:35", "user_id": 7, "event_type": "click"},
+    ]
+    write("b2.json", b2, now)
+    run_once()  # restart from the same checkpoint
+
+    rows = {r["event_id"]: r["kept"] for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {1: 1, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1, 7: 0, 8: 1}
+
+    # per-type rollup == the batch operator over the same events
+    static = spark.createDataFrame(
+        [
+            (r["event_id"], r["ts"], r["user_id"], r["event_type"])
+            for r in b1 + b2
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id", "event_type")
+    batch = {
+        r["event_type"]: (r["n_events"], r["n_dropped"])
+        for r in event_debounce(static, gap_s=60).collect()
+    }
+    stream_rollup: dict = {}
+    for r in spark.read.parquet(out_dir).collect():
+        n, d = stream_rollup.get(r["event_type"], (0, 0))
+        stream_rollup[r["event_type"]] = (n + 1, d + (1 - r["kept"]))
+    assert batch == stream_rollup
