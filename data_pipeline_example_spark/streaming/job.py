@@ -481,6 +481,142 @@ def debounce_stream(
     )
 
 
+def streaks_stream(df: DataFrame) -> DataFrame:
+    """T8 extension — STREAMING consecutive-day revenue streaks, the
+    continuous twin of batch :func:`operators.retail.revenue_streaks`
+    (the oracle anchor). The batch op is gaps-and-islands over the
+    per-(product, day) aggregate; a stream cannot renumber history, so
+    the island structure lives in O(1) state per product instead:
+    (last day seen, current run [start/length/cents], best run
+    [length/start/end/cents], active-day and streak counters) — eleven
+    longs, never an event buffer.
+
+    Each micro-batch processes a product's rows in ``order_date``
+    order: same day accumulates cents, day+1 extends the run, a gap
+    closes it and opens a new one. The best-run comparator is the
+    batch op's struct-max exactly — longer wins, ties prefer the
+    EARLIER start. Every batch emits the product's current summary
+    (update mode), so after the stream drains the latest row per
+    product equals the batch output on the same events. Cross-batch
+    ordered arrival is assumed (the :func:`attribution_stream`
+    contract); days never straddle backwards.
+
+    Input: conformed retail stream (product, order_date, amount).
+    Output stream: product, active_days, n_streaks, longest_streak,
+    streak_start (date), streak_end (date), streak_revenue.
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DateType, DoubleType, LongType
+
+    typed = df.select(
+        F.col("product").cast("string").alias("product"),
+        F.datediff(
+            F.col("order_date").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.round(F.col("amount"), 2) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    ).filter(F.col("day").isNotNull())
+    out_schema = StructType(
+        [
+            StructField("product", StringType()),
+            StructField("active_days", LongType()),
+            StructField("n_streaks", LongType()),
+            StructField("longest_streak", LongType()),
+            StructField("streak_start", DateType()),
+            StructField("streak_end", DateType()),
+            StructField("streak_revenue", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_day", LongType()),
+            StructField("cur_start", LongType()),
+            StructField("cur_len", LongType()),
+            StructField("cur_cents", LongType()),
+            StructField("best_len", LongType()),
+            StructField("best_start", LongType()),
+            StructField("best_end", LongType()),
+            StructField("best_cents", LongType()),
+            StructField("active_days", LongType()),
+            StructField("n_streaks", LongType()),
+        ]
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        import datetime as _dt
+
+        if state.exists:
+            (last_day, cur_start, cur_len, cur_cents, best_len, best_start,
+             best_end, best_cents, active_days, n_streaks) = (
+                int(v) for v in state.get
+            )
+        else:
+            last_day = 0
+            cur_start = cur_len = cur_cents = 0
+            best_len, best_start, best_end, best_cents = 0, 0, 0, 0
+            active_days = n_streaks = 0
+        seen = state.exists
+
+        def fold_best():
+            # batch comparator: longer wins; ties prefer EARLIER start.
+            # <= (not <) on the tie: equal start means cur IS the best
+            # run (runs are disjoint day ranges, starts are unique per
+            # product), whose cents may have grown via a same-day
+            # accumulate — refresh, don't keep the stale snapshot
+            nonlocal best_len, best_start, best_end, best_cents
+            if cur_len > best_len or (
+                cur_len == best_len and cur_start <= best_start
+            ):
+                best_len, best_start, best_cents = cur_len, cur_start, cur_cents
+                best_end = cur_start + cur_len - 1
+
+        pdf = pd.concat(list(pdfs)).sort_values(["day"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            day, cents = int(row.day), 0 if pd.isna(row.cents) else int(row.cents)
+            if not seen:
+                cur_start, cur_len, cur_cents = day, 1, cents
+                active_days, n_streaks = 1, 1
+                seen = True
+            elif day == last_day:
+                cur_cents += cents
+            elif day == last_day + 1:
+                cur_len += 1
+                cur_cents += cents
+                active_days += 1
+            else:
+                fold_best()
+                cur_start, cur_len, cur_cents = day, 1, cents
+                active_days += 1
+                n_streaks += 1
+            last_day = day
+        fold_best()
+        state.update(
+            (last_day, cur_start, cur_len, cur_cents, best_len, best_start,
+             best_end, best_cents, active_days, n_streaks)
+        )
+        epoch = _dt.date(1970, 1, 1)
+        yield pd.DataFrame(
+            {
+                "product": [key[0]],
+                "active_days": [active_days],
+                "n_streaks": [n_streaks],
+                "longest_streak": [best_len],
+                "streak_start": [epoch + _dt.timedelta(days=best_start)],
+                "streak_end": [epoch + _dt.timedelta(days=best_end)],
+                "streak_revenue": [round(best_cents / 100.0, 2)],
+            }
+        )
+
+    return typed.groupBy("product").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def enrich_stream(df: DataFrame, dim: DataFrame, on: str = "product") -> DataFrame:
     """Stream-static broadcast join: every micro-batch joins against the
     (re-read) static dimension — no state store, no watermark required;

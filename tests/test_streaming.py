@@ -688,3 +688,90 @@ def test_debounce_stream_matches_batch_across_restart(spark, tmp_path):
         n, d = stream_rollup.get(r["event_type"], (0, 0))
         stream_rollup[r["event_type"]] = (n + 1, d + (1 - r["kept"]))
     assert batch == stream_rollup
+
+
+def test_streaks_stream_matches_batch_across_restart(spark, tmp_path):
+    """Streaming revenue streaks (job.streaks_stream) pinned to the
+    batch oracle anchor (retail.revenue_streaks): same-day accumulation
+    must refresh the best-run revenue (the tie-comparator path), a
+    day+1 arrival after the restart extends the CHECKPOINTED run, a
+    gap opens a second streak, and the final per-product snapshot
+    equals the batch operator over the same events."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from data_pipeline_example_spark.operators.retail import revenue_streaks
+    from data_pipeline_example_spark.streaming import job
+
+    in_dir, out_dir, ckpt = tmp_path / "in", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    in_dir.mkdir()
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    def run_once():
+        schema = "product string, order_date string, amount double"
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = job.streaks_stream(raw)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        {"product": "A", "order_date": "2024-01-01", "amount": 10.0},
+        {"product": "A", "order_date": "2024-01-02", "amount": 5.0},
+        {"product": "B", "order_date": "2024-01-05", "amount": 3.0},
+    ]
+    write("b1.json", b1, now - 30)
+    run_once()
+    snap1 = {r["product"]: r for r in spark.read.parquet(out_dir).collect()}
+    a1 = snap1["A"]
+    assert (a1["active_days"], a1["n_streaks"], a1["longest_streak"]) == (2, 1, 2)
+    assert a1["streak_revenue"] == 15.0
+
+    b2 = [
+        # same day as the checkpointed run's last day: cents accumulate,
+        # length unchanged — the stale-best-revenue regression case
+        {"product": "A", "order_date": "2024-01-02", "amount": 2.5},
+        # day+1: extends the RECOVERED 2-day run to 3
+        {"product": "A", "order_date": "2024-01-03", "amount": 1.0},
+        # gap: second streak opens
+        {"product": "A", "order_date": "2024-01-07", "amount": 9.99},
+        {"product": "B", "order_date": "2024-01-05", "amount": 4.0},
+    ]
+    write("b2.json", b2, now)
+    run_once()  # restart from the same checkpoint
+
+    rows = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in rows:  # snapshots are monotone in active_days per product
+        if r["product"] not in latest or r["active_days"] >= latest[r["product"]]["active_days"]:
+            latest[r["product"]] = r
+
+    static = spark.createDataFrame(
+        [(r["product"], r["order_date"], r["amount"]) for r in b1 + b2],
+        "product string, order_date string, amount double",
+    ).selectExpr("product", "cast(order_date as date) order_date", "amount")
+    batch = {r["product"]: r for r in revenue_streaks(static).collect()}
+    for p in ("A", "B"):
+        got, want = latest[p], batch[p]
+        for c in ("active_days", "n_streaks", "longest_streak",
+                  "streak_start", "streak_end", "streak_revenue"):
+            assert got[c] == want[c], (p, c, got[c], want[c])
