@@ -182,6 +182,7 @@ HEADLINE = [
     "vocab_drift",
     "length_pareto",
     "source_gram_containment",
+    "embedding_drift",
 ]
 
 

@@ -2158,3 +2158,89 @@ def label_separation_matrix(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def embedding_drift(
+    embeddings: DataFrame,
+    n_epochs: int = 10,
+    n_bits: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding-space distribution drift across ingestion epochs — the
+    vector twin of ``text.vocab_drift``: per adjacent epoch pair, the
+    total-variation distance between SRP-bucket occupancy distributions
+    plus bucket churn. A drifting TV says the embedding distribution
+    (upstream model, content mix, or preprocessing) changed between
+    cuts; the fixed 2^n_bits bucket domain makes epochs comparable
+    without any fitted artifact.
+
+    Scale: the SRP signature is a PURE per-row expression over
+    md5-derived hyperplanes (:func:`srp_signature_expr` — no corpus
+    statistics, no centroids, no state), so the whole op is one scan,
+    one (epoch, bucket) count aggregate over a ≤ n_epochs × 2^n_bits
+    domain, and a bucket-keyed fold to ≤ n_epochs − 1 rows. Epochs are
+    the positional ``(vec_id * n_epochs) div (max_id + 1)`` ranges
+    (the ``text.ngram_novelty`` rule). Shares are integer micro-units
+    over exact BIGINTs. Output: epoch_from, epoch_to, union_buckets,
+    new_buckets, dropped_buckets, tv_micro.
+    """
+    n = embeddings.filter(F.col("vec_id").isNotNull()).agg(
+        (F.max("vec_id") + 1).alias("n")
+    )
+    counts = (
+        embeddings.filter(F.col("vec_id").isNotNull())
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(f"(vec_id * {int(n_epochs)}) div n").alias("epoch"),
+            F.expr(
+                srp_signature_expr("embedding", n_bits=n_bits, dims=dims)
+            ).alias("bucket"),
+        )
+        .groupBy("epoch", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .transform(materialize)
+    )
+    totals = counts.groupBy("epoch").agg(F.sum("cnt").cast("long").alias("tot"))
+    shares = counts.join(F.broadcast(totals), "epoch").select(
+        "epoch", "bucket", F.expr("(cnt * 1000000) div tot").alias("share")
+    )
+    cur = shares.select(
+        F.col("epoch").alias("epoch_to"), "bucket", F.col("share").alias("p")
+    )
+    prev = shares.select(
+        (F.col("epoch") + 1).alias("epoch_to"),
+        "bucket",
+        F.col("share").alias("q"),
+    ).filter(F.col("epoch_to") < int(n_epochs))
+    joined = cur.join(prev, ["epoch_to", "bucket"], "full_outer").filter(
+        F.col("epoch_to") >= 1
+    )
+    return (
+        joined.groupBy("epoch_to")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("union_buckets"),
+            F.sum(F.when(F.col("q").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("new_buckets"),
+            F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("dropped_buckets"),
+            F.sum(
+                F.abs(
+                    F.coalesce(F.col("p"), F.lit(0))
+                    - F.coalesce(F.col("q"), F.lit(0))
+                )
+            )
+            .cast("long")
+            .alias("tv_micro"),
+        )
+        .select(
+            (F.col("epoch_to") - 1).alias("epoch_from"),
+            "epoch_to",
+            "union_buckets",
+            "new_buckets",
+            "dropped_buckets",
+            "tv_micro",
+        )
+        .orderBy("epoch_to")
+    )

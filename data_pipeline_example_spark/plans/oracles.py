@@ -5031,3 +5031,60 @@ JOIN v va ON sh.source_a = va.source
 JOIN v vb ON sh.source_b = vb.source
 ORDER BY source_a, source_b
 """
+
+
+def _embedding_drift_oracle(
+    n_epochs: int = 10, n_bits: int = 8, dims: int = 64
+) -> str:
+    """Adjacent-epoch SRP-bucket TV drift over embeddings — built from
+    the SAME deterministic hyperplane matrix the Spark operator embeds
+    (operators/similarity._srp_signs), the srp_dup_pairs no-drift
+    discipline: both sides bucket on round(dot(v, ±1-plane), 6) >= 0
+    sign bits."""
+    from data_pipeline_example_spark.operators.similarity import _srp_signs
+
+    signs = _srp_signs(n_bits, dims)
+    bit_terms = " + ".join(
+        "(CASE WHEN round(list_dot_product(v, CAST(["
+        + ",".join(f"{s:.1f}" for s in signs[j])
+        + f"] AS DOUBLE[])), 6) >= 0 THEN 1 ELSE 0 END) * {1 << j}"
+        for j in range(n_bits)
+    )
+    return f"""
+WITH nn AS (SELECT max(vec_id) + 1 AS n FROM embeddings WHERE vec_id IS NOT NULL),
+ed AS (
+  SELECT (vec_id * {n_epochs}) // n AS epoch,
+         CAST({bit_terms} AS BIGINT) AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id IS NOT NULL), nn
+),
+cnts AS (SELECT epoch, bucket, CAST(count(*) AS BIGINT) AS cnt FROM ed GROUP BY 1, 2),
+tots AS (SELECT epoch, CAST(sum(cnt) AS BIGINT) AS tot FROM cnts GROUP BY 1),
+shr AS (
+  SELECT c.epoch, c.bucket, CAST((c.cnt * 1000000) // t.tot AS BIGINT) AS share
+  FROM cnts c JOIN tots t ON c.epoch = t.epoch
+),
+cure AS (SELECT epoch AS epoch_to, bucket, share AS p FROM shr),
+preve AS (
+  SELECT epoch + 1 AS epoch_to, bucket, share AS q
+  FROM shr WHERE epoch + 1 < {n_epochs}
+),
+je AS (
+  SELECT coalesce(cure.epoch_to, preve.epoch_to) AS epoch_to, p, q
+  FROM cure FULL OUTER JOIN preve
+    ON cure.epoch_to = preve.epoch_to AND cure.bucket = preve.bucket
+)
+SELECT CAST(epoch_to - 1 AS BIGINT) AS epoch_from,
+       epoch_to,
+       CAST(count(*) AS BIGINT) AS union_buckets,
+       CAST(sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_buckets,
+       CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets,
+       CAST(sum(abs(coalesce(p, 0) - coalesce(q, 0))) AS BIGINT) AS tv_micro
+FROM je
+WHERE epoch_to >= 1
+GROUP BY epoch_to
+ORDER BY epoch_to
+"""
+
+
+ORACLES["embedding_drift"] = _embedding_drift_oracle()

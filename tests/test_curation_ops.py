@@ -1093,3 +1093,29 @@ def test_source_gram_containment_pair_counts(spark):
     r13 = got[("s1", "s3")]
     assert (r13["shared_grams"], r13["a_grams"], r13["b_grams"]) == (1, 2, 2)
     assert r13["jaccard_micro"] == 1_000_000 // 3
+
+
+def test_embedding_drift_identical_vs_swapped_distributions(spark):
+    """Same vectors in adjacent epochs -> tv 0 and no churn; a fully
+    moved population -> tv = both sides' mass with churn counted."""
+    v1 = [1.0] + [0.0] * 63
+    v2 = [-1.0] + [0.0] * 63  # lands in a different SRP bucket than v1
+    vecs = spark.createDataFrame(
+        [
+            # n_epochs=3, max_id+1 = 3 -> epoch = vec_id
+            (0, v1, 0),
+            (1, v1, 0),   # epoch 1 identical to epoch 0
+            (2, v2, 0),   # epoch 2: all mass moved
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["epoch_to"]: r
+        for r in similarity.embedding_drift(vecs, n_epochs=3).collect()
+    }
+    b1 = got[1]
+    assert (b1["new_buckets"], b1["dropped_buckets"], b1["tv_micro"]) == (0, 0, 0)
+    b2 = got[2]
+    assert b2["union_buckets"] == 2
+    assert (b2["new_buckets"], b2["dropped_buckets"]) == (1, 1)
+    assert b2["tv_micro"] == 2_000_000
