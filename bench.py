@@ -183,6 +183,7 @@ HEADLINE = [
     "length_pareto",
     "source_gram_containment",
     "embedding_drift",
+    "incremental_daily_revenue",
 ]
 
 

@@ -275,3 +275,62 @@ def revenue_streaks(df: DataFrame) -> DataFrame:
         )
         .orderBy("product")
     )
+
+
+def incremental_daily_revenue(df) -> "DataFrame":
+    """Incremental view maintenance for the flagship daily-revenue
+    rollup — the nightly pattern of a partitioned warehouse: history
+    partials stay materialized, only the NEWEST day's partials are
+    computed fresh, and the serving table is the re-aggregation of the
+    partial frames. This op demonstrates the merge is EXACT: it splits
+    the input at its max order_date, aggregates each side separately,
+    merges, and the registered oracle is the direct single-pass GROUP
+    BY over everything — hash-equal output proves partial-merge
+    associativity.
+
+    That associativity is exactly why revenue lives in integer CENTS
+    here (``round(round(amount, 2) * 100)`` per row, then BIGINT sums):
+    float partial sums are NOT associative — ``sum(A ∪ B)`` and
+    ``sum(A) + sum(B)`` can differ in the last ulp and a 2-dp round
+    can split them. A float-revenue IVM table silently drifts from its
+    recompute; a cents one never does.
+
+    Scale: ONE scan (the cents frame is materialized and feeds both
+    the history and delta branches — the branch-reuse discipline);
+    each branch is a map-side-combined partial aggregate; the merge
+    re-aggregates the |days × products|-sized partial frames, never
+    the events. Output: order_date, product, n_rows, total_cents.
+    """
+    from data_pipeline_example_spark.functions.materialize import materialize
+
+    mx = df.agg(F.max("order_date").alias("mx"))
+    cents = (
+        df.crossJoin(F.broadcast(mx))
+        .select(
+            "order_date",
+            "product",
+            "mx",
+            F.round(F.round(F.col("amount"), 2) * 100, 0)
+            .cast("long")
+            .alias("c"),
+        )
+        .transform(materialize)
+    )
+
+    def partials(frame):
+        return frame.groupBy("order_date", "product").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c").cast("long").alias("total_cents"),
+        )
+
+    base = partials(cents.filter(F.col("order_date") < F.col("mx")))
+    delta = partials(cents.filter(F.col("order_date") == F.col("mx")))
+    return (
+        base.unionByName(delta)
+        .groupBy("order_date", "product")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("order_date", "product")
+    )

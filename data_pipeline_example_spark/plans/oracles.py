@@ -5088,3 +5088,19 @@ ORDER BY epoch_to
 
 
 ORACLES["embedding_drift"] = _embedding_drift_oracle()
+
+
+# IVM twin of the flagship rollup: the oracle is the DIRECT single-pass
+# GROUP BY in integer cents — hash-equality with the engine's
+# history+delta partial merge proves the merge is exact (the reason the
+# op refuses float revenue: float partial sums are not associative).
+ORACLES["incremental_daily_revenue"] = f"""
+WITH {_RETAIL}
+SELECT order_date, product,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(round(amount, 2) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM retail
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

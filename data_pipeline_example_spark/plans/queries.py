@@ -1023,6 +1023,12 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_drift(load_table(spark, sf_dir, "documents"))
 
 
+def q_incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM twin of the flagship: history+delta partial aggregates merged
+    in integer cents; oracle is the direct single-pass GROUP BY."""
+    return retail.incremental_daily_revenue(_events_retail(spark, sf_dir))
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-epoch SRP-bucket occupancy TV drift over embeddings —
     the vector twin of vocab_drift; pure per-row bucketing."""
@@ -1437,6 +1443,7 @@ QUERIES: dict[str, QueryFn] = {
     "length_pareto": q_length_pareto,
     "source_gram_containment": q_source_gram_containment,
     "embedding_drift": q_embedding_drift,
+    "incremental_daily_revenue": q_incremental_daily_revenue,
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
@@ -1683,14 +1690,15 @@ QUERIES: dict[str, QueryFn] = {
 
 # round-10 window rotation — MECHANICAL this round (the r9 ADVICE found
 # hand-edited ordering drifts): the front 50 is computed from the
-# CORRECTNESS_r*.json history as the 44 least-recently-certified
-# entries (the 43 r1-certified reference-parity queries + the stalest
-# r2 entry — none has had a driver-green row since), plus
-# basket_affinity (the r10 brief item 1 requires a fresh driver-green
-# row alongside the scaling re-measurement), plus the five NEW r10 ops
-# (ngram_novelty, vocab_drift, length_pareto, source_gram_containment,
-# embedding_drift — never driver-certified). Every name is asserted
-# present so a typo fails at import, not silently shrinks the window.
+# CORRECTNESS_r*.json history as the 43 least-recently-certified
+# entries (the r1-certified reference-parity queries — none has had a
+# driver-green row since round 1), plus basket_affinity (the r10 brief
+# item 1 requires a fresh driver-green row alongside the scaling
+# re-measurement), plus the six NEW r10 ops (ngram_novelty,
+# vocab_drift, length_pareto, source_gram_containment,
+# embedding_drift, incremental_daily_revenue — never
+# driver-certified). Every name is asserted present so a typo fails at
+# import, not silently shrinks the window.
 _R10_FRONT = [
     "daily_revenue", "kpis", "per_day_totals", "top_products",
     "sample_rows", "events_json_conform", "sliding_window_revenue",
@@ -1708,9 +1716,10 @@ _R10_FRONT = [
     "first_last_order_value", "salted_event_totals",
     "rolling_revenue_7d", "returns_cube", "asof_last_view",
     "priority_revenue_pivot", "value_histogram", "hash_split_summary",
-    "events_profile", "stratified_sample",
+    "events_profile",
     "basket_affinity", "ngram_novelty", "vocab_drift",
     "length_pareto", "source_gram_containment", "embedding_drift",
+    "incremental_daily_revenue",
 ]
 assert len(_R10_FRONT) == 50 and all(n in QUERIES for n in _R10_FRONT), (
     "window rotation list must name 50 registered queries"

@@ -1119,3 +1119,31 @@ def test_embedding_drift_identical_vs_swapped_distributions(spark):
     assert b2["union_buckets"] == 2
     assert (b2["new_buckets"], b2["dropped_buckets"]) == (1, 1)
     assert b2["tv_micro"] == 2_000_000
+
+
+def test_incremental_daily_revenue_merge_equals_direct(spark):
+    """The history+delta partial merge must equal a direct GROUP BY —
+    including a product that exists ONLY in the delta day and the
+    history/delta overlap on the same (day, product)."""
+    from data_pipeline_example_spark.operators import retail as rt
+
+    rows = [
+        ("2024-01-01", "a", 1.25),
+        ("2024-01-01", "a", 2.50),
+        ("2024-01-01", "b", 0.99),
+        ("2024-01-02", "a", 4.00),   # max date = the delta partition
+        ("2024-01-02", "c", 10.01),  # delta-only product
+    ]
+    df = spark.createDataFrame(
+        rows, "order_date string, product string, amount double"
+    ).selectExpr("cast(order_date as date) order_date", "product", "amount")
+    got = {
+        (str(r["order_date"]), r["product"]): (r["n_rows"], r["total_cents"])
+        for r in rt.incremental_daily_revenue(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", "a"): (2, 375),
+        ("2024-01-01", "b"): (1, 99),
+        ("2024-01-02", "a"): (1, 400),
+        ("2024-01-02", "c"): (1, 1001),
+    }
