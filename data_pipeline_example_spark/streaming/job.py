@@ -617,6 +617,79 @@ def streaks_stream(df: DataFrame) -> DataFrame:
     )
 
 
+def funnel_stream(
+    events: DataFrame,
+    stages: tuple = ("signup", "view", "click", "purchase"),
+) -> DataFrame:
+    """T8 extension — STREAMING ordered-conversion funnel, the
+    continuous twin of batch :func:`operators.users.event_funnel` (the
+    oracle anchor): stage N completes at the earliest event of that
+    type strictly AFTER the user's stage-(N−1) completion.
+
+    State per user: one long per stage — the completion timestamp in
+    MICROseconds (the batch op compares full-precision timestamps, so
+    second-truncated state would resolve same-second orderings
+    differently). Within a micro-batch rows process in ``(ts,
+    event_id)`` order; because arrival is per-user event-time ordered
+    (the :func:`attribution_stream` contract), the first qualifying
+    event for a stage IS the batch op's min — sequential update and
+    the windowed min agree, asserted across a checkpoint restart.
+
+    Every batch emits the user's current funnel depth (update mode);
+    the final snapshot per user rolls up to the batch op's stage
+    counts: ``users(stage i) = #users with depth > i``. Output stream:
+    user_id, depth.
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType
+
+    n_stages = len(stages)
+    typed = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("depth", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField(f"t{i}", LongType()) for i in range(n_stages)]
+    )
+    stage_idx = {s: i for i, s in enumerate(stages)}
+
+    def update(key: tuple, pdfs, state: GroupState):
+        ts = list(state.get) if state.exists else [None] * n_stages
+        pdf = pd.concat(list(pdfs)).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        for row in pdf.itertuples(index=False):
+            i = stage_idx.get(str(row.event_type))
+            if i is None or ts[i] is not None:
+                continue
+            if i == 0:
+                ts[0] = int(row.us)
+            elif ts[i - 1] is not None and int(row.us) > ts[i - 1]:
+                ts[i] = int(row.us)
+        state.update(tuple(ts))
+        depth = 0
+        for t in ts:
+            if t is None:
+                break
+            depth += 1
+        yield pd.DataFrame({"user_id": [int(key[0])], "depth": [depth]})
+
+    return typed.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def enrich_stream(df: DataFrame, dim: DataFrame, on: str = "product") -> DataFrame:
     """Stream-static broadcast join: every micro-batch joins against the
     (re-read) static dimension — no state store, no watermark required;

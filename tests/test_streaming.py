@@ -775,3 +775,88 @@ def test_streaks_stream_matches_batch_across_restart(spark, tmp_path):
         for c in ("active_days", "n_streaks", "longest_streak",
                   "streak_start", "streak_end", "streak_revenue"):
             assert got[c] == want[c], (p, c, got[c], want[c])
+
+
+def test_funnel_stream_matches_batch_across_restart(spark, tmp_path):
+    """Streaming ordered funnel (job.funnel_stream) pinned to the batch
+    anchor (users.event_funnel): out-of-order stage events don't count
+    (a view BEFORE signup), stage completion must use the recovered
+    prior-stage timestamp after a checkpoint restart, and the final
+    depth snapshot rolls up to the batch op's stage counts."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from data_pipeline_example_spark.operators.users import event_funnel
+    from data_pipeline_example_spark.streaming import job
+
+    in_dir, out_dir, ckpt = tmp_path / "in", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    in_dir.mkdir()
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    def run_once():
+        schema = "event_id long, ts string, user_id long, event_type string"
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = job.funnel_stream(raw)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        # user 1: view BEFORE signup must NOT count as stage 2
+        {"event_id": 1, "ts": "2024-01-01 00:00:05", "user_id": 1, "event_type": "view"},
+        {"event_id": 2, "ts": "2024-01-01 00:00:10", "user_id": 1, "event_type": "signup"},
+        # user 2 completes signup+view in batch 1
+        {"event_id": 3, "ts": "2024-01-01 00:00:00", "user_id": 2, "event_type": "signup"},
+        {"event_id": 4, "ts": "2024-01-01 00:00:01", "user_id": 2, "event_type": "view"},
+    ]
+    write("b1.json", b1, now - 30)
+    run_once()
+    snap = {r["user_id"]: r["depth"] for r in spark.read.parquet(out_dir).collect()}
+    assert snap == {1: 1, 2: 2}
+
+    b2 = [
+        # user 1's view AFTER the recovered signup ts -> stage 2
+        {"event_id": 5, "ts": "2024-01-01 00:00:20", "user_id": 1, "event_type": "view"},
+        # user 2: click then purchase, full funnel off recovered state
+        {"event_id": 6, "ts": "2024-01-01 00:00:30", "user_id": 2, "event_type": "click"},
+        {"event_id": 7, "ts": "2024-01-01 00:00:31", "user_id": 2, "event_type": "purchase"},
+        # user 3: purchase with no funnel prefix -> depth 0
+        {"event_id": 8, "ts": "2024-01-01 00:00:40", "user_id": 3, "event_type": "purchase"},
+    ]
+    write("b2.json", b2, now)
+    run_once()  # restart from the same checkpoint
+
+    latest: dict = {}
+    for r in spark.read.parquet(out_dir).collect():
+        cur = latest.get(r["user_id"], -1)
+        latest[r["user_id"]] = max(cur, r["depth"])
+    assert latest == {1: 2, 2: 4, 3: 0}
+
+    static = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["event_type"]) for r in b1 + b2],
+        "event_id long, ts string, user_id long, event_type string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id", "event_type")
+    batch = {r["stage_idx"]: r["users"] for r in event_funnel(static).collect()}
+    stream_counts = {
+        i: sum(1 for d in latest.values() if d > i) for i in range(4)
+    }
+    assert batch == stream_counts
