@@ -184,6 +184,8 @@ HEADLINE = [
     "source_gram_containment",
     "embedding_drift",
     "incremental_daily_revenue",
+    "revenue_seasonality",
+    "token_gini",
 ]
 
 

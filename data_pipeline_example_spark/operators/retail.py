@@ -334,3 +334,52 @@ def incremental_daily_revenue(df) -> "DataFrame":
         )
         .orderBy("order_date", "product")
     )
+
+
+def revenue_seasonality(df) -> "DataFrame":
+    """Monthly seasonality index per product — each (product, month)'s
+    share of the product's annual revenue against a flat-month
+    baseline, the classic seasonality diagnostic behind inventory
+    planning (an index near 1e6/12 ≈ flat; a December spike shows as a
+    high month_share_micro). The time-series class the MA7/rolling
+    ops don't cover: calendar re-bucketing with per-group baselines.
+
+    Exactness: cents per row (the IVM discipline), BIGINT sums,
+    integer-micro shares — ``month_cents*1e6 div year_cents``. One
+    scan, one (product, year, month) aggregate, a per-(product, year)
+    rollup derived from the materialized month frame (branch-reuse —
+    never a second scan), broadcast back. Output: product, year,
+    month, month_cents, year_cents, month_share_micro.
+    """
+    from data_pipeline_example_spark.functions.materialize import materialize
+
+    cents = F.round(F.round(F.col("amount"), 2) * 100, 0).cast("long")
+    monthly = (
+        df.select(
+            "product",
+            F.year("order_date").alias("year"),
+            F.month("order_date").alias("month"),
+            cents.alias("c"),
+        )
+        .groupBy("product", "year", "month")
+        .agg(F.sum("c").cast("long").alias("month_cents"))
+        .transform(materialize)
+    )
+    yearly = monthly.groupBy("product", "year").agg(
+        F.sum("month_cents").cast("long").alias("year_cents")
+    )
+    return (
+        monthly.join(yearly, ["product", "year"])
+        .select(
+            "product",
+            "year",
+            "month",
+            "month_cents",
+            "year_cents",
+            F.expr(
+                "CASE WHEN year_cents = 0 THEN 0 "
+                "ELSE (month_cents * 1000000) div year_cents END"
+            ).alias("month_share_micro"),
+        )
+        .orderBy("product", "year", "month")
+    )

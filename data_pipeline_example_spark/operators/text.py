@@ -3245,3 +3245,38 @@ def source_gram_containment(documents: DataFrame, k: int = 3) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def token_gini(documents: DataFrame) -> DataFrame:
+    """Gini coefficient of token mass across sources — the one-number
+    answer to "is the corpus dominated by a few sources?" that mixture
+    planning starts from. Integer-exact via the rank formulation over
+    the TINY per-source frame: with source token masses sorted
+    ascending (ties broken by source name for cross-engine
+    determinism), ``G = (2·Σ(i·m_i) − (n+1)·Σm_i) / (n·Σm_i)`` —
+    emitted in micro-units with a single integral division, so both
+    engines hash-match without any float accumulation.
+
+    Scale: one tokenize scan folds to ≤|sources| rows map-side; the
+    rank window runs over that tiny frame (never over docs). Output
+    (single row): n_sources, total_tokens, gini_micro.
+    """
+    masses = (
+        documents.select(
+            F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+            T.token_count(F.lower(F.col("text"))).cast("long").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("m"))
+    )
+    w = Window.orderBy(F.asc("m"), F.asc("source"))
+    ranked = masses.select("m", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("m").cast("long").alias("total_tokens"),
+        F.expr(
+            "CASE WHEN sum(m) = 0 THEN 0 ELSE "
+            "((2 * sum(i * m) - (count(1) + 1) * sum(m)) * 1000000) "
+            "div (count(1) * sum(m)) END"
+        ).alias("gini_micro"),
+    )

@@ -5104,3 +5104,50 @@ FROM retail
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# Monthly seasonality index per product — integer cents, integral
+# micro shares; year()/month() CAST AS INTEGER for cross-engine schema
+# parity (the orders_yoy_growth precedent).
+ORACLES["revenue_seasonality"] = f"""
+WITH {_RETAIL},
+ms AS (
+  SELECT product,
+         CAST(year(order_date) AS INTEGER) AS year,
+         CAST(month(order_date) AS INTEGER) AS month,
+         CAST(sum(CAST(round(round(amount, 2) * 100, 0) AS BIGINT)) AS BIGINT)
+           AS month_cents
+  FROM retail GROUP BY 1, 2, 3
+),
+ys AS (
+  SELECT product, year, CAST(sum(month_cents) AS BIGINT) AS year_cents
+  FROM ms GROUP BY 1, 2
+)
+SELECT ms.product, ms.year, ms.month, month_cents, year_cents,
+       CAST(CASE WHEN year_cents = 0 THEN 0
+            ELSE (month_cents * 1000000) // year_cents END AS BIGINT)
+         AS month_share_micro
+FROM ms JOIN ys ON ms.product = ys.product AND ms.year = ys.year
+ORDER BY ms.product, ms.year, ms.month
+"""
+
+# Gini of token mass across sources: the exact rank formulation over
+# the tiny per-source frame, single integral division.
+ORACLES["token_gini"] = """
+WITH masses AS (
+  SELECT coalesce(source, 'unknown') AS source,
+         CAST(sum(len(regexp_extract_all(lower(coalesce(text, '')),
+                                         '[a-z0-9]+'))) AS BIGINT) AS m
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT m, CAST(row_number() OVER (ORDER BY m ASC, source ASC) AS BIGINT) AS i
+  FROM masses
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(m) AS BIGINT) AS total_tokens,
+       CAST(CASE WHEN sum(m) = 0 THEN 0
+            ELSE ((2 * sum(i * m) - (count(*) + 1) * sum(m)) * 1000000)
+                 // (count(*) * sum(m)) END AS BIGINT) AS gini_micro
+FROM ranked
+"""

@@ -1023,6 +1023,18 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_drift(load_table(spark, sf_dir, "documents"))
 
 
+def q_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality index per product: integer-cents month share
+    of the product-year revenue."""
+    return retail.revenue_seasonality(_events_retail(spark, sf_dir))
+
+
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token mass across sources — exact rank
+    formulation over the per-source frame."""
+    return text.token_gini(load_table(spark, sf_dir, "documents"))
+
+
 def q_incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVM twin of the flagship: history+delta partial aggregates merged
     in integer cents; oracle is the direct single-pass GROUP BY."""
@@ -1444,6 +1456,8 @@ QUERIES: dict[str, QueryFn] = {
     "source_gram_containment": q_source_gram_containment,
     "embedding_drift": q_embedding_drift,
     "incremental_daily_revenue": q_incremental_daily_revenue,
+    "revenue_seasonality": q_revenue_seasonality,
+    "token_gini": q_token_gini,
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
@@ -1690,15 +1704,17 @@ QUERIES: dict[str, QueryFn] = {
 
 # round-10 window rotation — MECHANICAL this round (the r9 ADVICE found
 # hand-edited ordering drifts): the front 50 is computed from the
-# CORRECTNESS_r*.json history as the 43 least-recently-certified
-# entries (the r1-certified reference-parity queries — none has had a
-# driver-green row since round 1), plus basket_affinity (the r10 brief
-# item 1 requires a fresh driver-green row alongside the scaling
-# re-measurement), plus the six NEW r10 ops (ngram_novelty,
-# vocab_drift, length_pareto, source_gram_containment,
-# embedding_drift, incremental_daily_revenue — never
-# driver-certified). Every name is asserted present so a typo fails at
-# import, not silently shrinks the window.
+# CORRECTNESS_r*.json history as the 41 least-recently-certified
+# entries (r1-certified reference-parity queries — none has had a
+# driver-green row since round 1; hash_split_summary/events_profile
+# yield their slots to this round's new ops and rotate next), plus
+# basket_affinity (the r10 brief item 1 requires a fresh driver-green
+# row alongside the scaling re-measurement), plus the eight NEW r10
+# ops (ngram_novelty, vocab_drift, length_pareto,
+# source_gram_containment, embedding_drift, incremental_daily_revenue,
+# revenue_seasonality, token_gini — never driver-certified). Every
+# name is asserted present so a typo fails at import, not silently
+# shrinks the window.
 _R10_FRONT = [
     "daily_revenue", "kpis", "per_day_totals", "top_products",
     "sample_rows", "events_json_conform", "sliding_window_revenue",
@@ -1715,11 +1731,10 @@ _R10_FRONT = [
     "shipment_delay_by_priority", "idle_rich_customers",
     "first_last_order_value", "salted_event_totals",
     "rolling_revenue_7d", "returns_cube", "asof_last_view",
-    "priority_revenue_pivot", "value_histogram", "hash_split_summary",
-    "events_profile",
+    "priority_revenue_pivot", "value_histogram",
     "basket_affinity", "ngram_novelty", "vocab_drift",
     "length_pareto", "source_gram_containment", "embedding_drift",
-    "incremental_daily_revenue",
+    "incremental_daily_revenue", "revenue_seasonality", "token_gini",
 ]
 assert len(_R10_FRONT) == 50 and all(n in QUERIES for n in _R10_FRONT), (
     "window rotation list must name 50 registered queries"

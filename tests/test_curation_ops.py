@@ -1147,3 +1147,49 @@ def test_incremental_daily_revenue_merge_equals_direct(spark):
         ("2024-01-02", "a"): (1, 400),
         ("2024-01-02", "c"): (1, 1001),
     }
+
+
+def test_token_gini_equal_and_skewed_masses(spark):
+    """Equal source masses -> gini 0; a fully-concentrated corpus with
+    n sources -> (n-1)/n in micro-units; determinism under ties comes
+    from the source-name tiebreak."""
+    eq = spark.createDataFrame(
+        [(0, "a b", "en", "s1", 1), (1, "c d", "en", "s2", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = text.token_gini(eq).collect()[0]
+    assert (r["n_sources"], r["total_tokens"], r["gini_micro"]) == (2, 4, 0)
+    skew = spark.createDataFrame(
+        [(0, "a b c d e f g h", "en", "s1", 1), (1, "", "en", "s2", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = text.token_gini(skew).collect()[0]
+    # masses (0, 8): G = (2*(1*0+2*8) - 3*8) / (2*8) = 8/16 = 0.5
+    assert (r["n_sources"], r["gini_micro"]) == (2, 500_000)
+
+
+def test_revenue_seasonality_shares_sum_and_index(spark):
+    """Month shares are integral micros of the product-year total; a
+    single-month product gets the full 1e6."""
+    from data_pipeline_example_spark.operators import retail as rt
+
+    rows = [
+        ("2024-01-15", "a", 10.0),
+        ("2024-01-20", "a", 20.0),
+        ("2024-07-01", "a", 10.0),
+        ("2025-02-01", "a", 5.0),   # separate year: its own baseline
+        ("2024-03-01", "b", 9.99),
+    ]
+    df = spark.createDataFrame(
+        rows, "order_date string, product string, amount double"
+    ).selectExpr("cast(order_date as date) order_date", "product", "amount")
+    got = {
+        (r["product"], r["year"], r["month"]): r
+        for r in rt.revenue_seasonality(df).collect()
+    }
+    a_jan = got[("a", 2024, 1)]
+    assert (a_jan["month_cents"], a_jan["year_cents"]) == (3000, 4000)
+    assert a_jan["month_share_micro"] == 750_000
+    assert got[("a", 2024, 7)]["month_share_micro"] == 250_000
+    assert got[("a", 2025, 2)]["month_share_micro"] == 1_000_000
+    assert got[("b", 2024, 3)]["month_share_micro"] == 1_000_000
