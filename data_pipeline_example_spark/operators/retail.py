@@ -323,7 +323,16 @@ def incremental_daily_revenue(df) -> "DataFrame":
             F.sum("c").cast("long").alias("total_cents"),
         )
 
-    base = partials(cents.filter(F.col("order_date") < F.col("mx")))
+    # NULL order_date rows fail BOTH < mx and == mx (three-valued
+    # logic) and would silently vanish from the maintained table while
+    # the direct GROUP BY oracle keeps a NULL-date group — route them
+    # explicitly into the history branch so the merge covers the full
+    # domain on nullable dates.
+    base = partials(
+        cents.filter(
+            (F.col("order_date") < F.col("mx")) | F.col("order_date").isNull()
+        )
+    )
     delta = partials(cents.filter(F.col("order_date") == F.col("mx")))
     return (
         base.unionByName(delta)

@@ -284,7 +284,11 @@ def attribution_stream(
 
     NULL-user purchases get a per-row unique key (the batch op's
     no-shared-NULL-partition rule) so they emit ``unattributed``
-    without ever creating shared state. For unbounded user domains
+    without ever creating shared state — and synthetic keys NEVER
+    persist state at all (a per-row-unique key can never be read
+    again, so a ``state.update`` for it would be a permanent leak in
+    the state store under null-user traffic). For unbounded user
+    domains
     pass ``state_ttl_ms`` — an idle user's touch is dropped by a
     ProcessingTimeTimeout; since any touch older than ``lookback_s``
     can never win, a TTL at or above the lookback horizon changes
@@ -363,10 +367,13 @@ def attribution_stream(
                 out["cents"].append(0 if pd.isna(row.cents) else int(row.cents))
             else:
                 touch = (int(row.sec), int(row.event_id), str(row.event_type))
-        if touch is not None:
+        # A synthetic per-row null-user key is never grouped with a
+        # later row, so persisting its touch would leak one state-store
+        # entry per null-user event forever. Only real users keep state.
+        if touch is not None and not str(key[0]).startswith("\x00null\x00"):
             state.update(touch)
-        if state_ttl_ms is not None:
-            state.setTimeoutDuration(state_ttl_ms)
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(out)
 
     timeout = (
@@ -397,8 +404,11 @@ def debounce_stream(
     within each micro-batch; cross-batch the stream assumes per-user
     event-time-ordered arrival (the :func:`attribution_stream`
     contract). NULL-user events get a per-row unique key: alone in
-    their group they have no predecessor, are never dropped, and the
-    shared-NULL hot key never forms. A ``state_ttl_ms`` at or above
+    their group they have no predecessor, are never dropped, the
+    shared-NULL hot key never forms, and NO state is persisted for
+    them (a per-row-unique key is never read again — storing it would
+    leak one state entry per null-user event). A ``state_ttl_ms`` at
+    or above
     ``gap_s`` × 1000 bounds state to active (user, type) pairs with
     unchanged semantics — an entry older than the gap can never
     suppress anything.
@@ -465,10 +475,12 @@ def debounce_stream(
             out["event_type"].append(str(row.event_type))
             out["kept"].append(0 if dropped else 1)
             last = int(row.sec)
-        if last is not None:
+        # Synthetic per-row null-user keys never recur — persisting
+        # their timestamp would leak state per null-user event.
+        if last is not None and not str(key[0]).startswith("\x00null\x00"):
             state.update((last,))
-        if state_ttl_ms is not None:
-            state.setTimeoutDuration(state_ttl_ms)
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(out)
 
     timeout = (

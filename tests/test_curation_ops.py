@@ -1149,6 +1149,34 @@ def test_incremental_daily_revenue_merge_equals_direct(spark):
     }
 
 
+def test_incremental_daily_revenue_keeps_null_dates(spark):
+    """NULL order_date fails both the < mx history filter and the
+    == mx delta filter under three-valued logic; the op must route
+    those rows explicitly so its output matches a direct GROUP BY
+    (which keeps a NULL-date group) on nullable dates."""
+    from data_pipeline_example_spark.operators import retail as rt
+
+    rows = [
+        ("2024-01-01", "a", 1.00),
+        ("2024-01-02", "a", 2.00),   # max date
+        (None, "a", 3.50),           # unparseable-date row
+        (None, "b", 0.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "order_date string, product string, amount double"
+    ).selectExpr("cast(order_date as date) order_date", "product", "amount")
+    got = {
+        (str(r["order_date"]), r["product"]): (r["n_rows"], r["total_cents"])
+        for r in rt.incremental_daily_revenue(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", "a"): (1, 100),
+        ("2024-01-02", "a"): (1, 200),
+        ("None", "a"): (1, 350),
+        ("None", "b"): (1, 25),
+    }
+
+
 def test_token_gini_equal_and_skewed_masses(spark):
     """Equal source masses -> gini 0; a fully-concentrated corpus with
     n sources -> (n-1)/n in micro-units; determinism under ties comes

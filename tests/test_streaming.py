@@ -725,7 +725,12 @@ def test_streaks_stream_matches_batch_across_restart(spark, tmp_path):
         out = job.streaks_stream(raw)
         q = (
             out.writeStream.foreachBatch(
-                lambda df, eid: df.write.mode("append").parquet(out_dir)
+                # stamp the micro-batch epoch: equal-active_days snapshots
+                # (same-day revenue refresh) are otherwise indistinguishable
+                # and parquet file order is not a tiebreak
+                lambda df, eid: df.withColumn("epoch", F.lit(eid))
+                .write.mode("append")
+                .parquet(out_dir)
             )
             .outputMode("update")
             .option("checkpointLocation", ckpt)
@@ -761,8 +766,8 @@ def test_streaks_stream_matches_batch_across_restart(spark, tmp_path):
 
     rows = spark.read.parquet(out_dir).collect()
     latest = {}
-    for r in rows:  # snapshots are monotone in active_days per product
-        if r["product"] not in latest or r["active_days"] >= latest[r["product"]]["active_days"]:
+    for r in rows:  # snapshots are monotone in (epoch) per product
+        if r["product"] not in latest or r["epoch"] > latest[r["product"]]["epoch"]:
             latest[r["product"]] = r
 
     static = spark.createDataFrame(
