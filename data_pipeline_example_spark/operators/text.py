@@ -3280,3 +3280,162 @@ def token_gini(documents: DataFrame) -> DataFrame:
             "div (count(1) * sum(m)) END"
         ).alias("gini_micro"),
     )
+
+
+def quality_classifier(documents: DataFrame, n_buckets: int = 4096) -> DataFrame:
+    """fastText-style LINEAR quality classifier — the model-based gate
+    of the CCNet/LLaMA curation pipelines (a linear model over hashed
+    bag-of-n-gram features; Joulin et al. 2016, public) that
+    complements the rule-based Gopher/C4 gates and the
+    importance-sampling :func:`dsir_weights`. Labels are the corpus's
+    own high/low-quality split (``doc_stats`` quality ≥ the corpus
+    mean — the DSIR target-slice rule), so the operator distills the
+    hand rule into a generalizing model with no external weights.
+
+    Model: binarized multinomial naive Bayes — the closed form of a
+    linear classifier whose training is fully distributed (no
+    driver-side gradient loop): features are hashed word UNIGRAMS and
+    BIGRAMS in one ``n_buckets`` space (the fastText feature union,
+    presence not counts), per-bucket weight is the smoothed
+    document-frequency log-odds
+    ``log((df_hi+1)/(n_hi+2)) − log((df_lo+1)/(n_lo+2))`` and the bias
+    is the class-prior log-odds; a document's logit is
+    ``bias + Σ w_b`` over its DISTINCT buckets. The sigmoid is
+    monotone in the logit, so the gate ``logit > 0`` is the published
+    ``score > 0.5`` rule — the logit is emitted instead of the sigmoid
+    because ``exp`` is not correctly rounded and a cross-engine ulp at
+    a .5 rounding boundary would break hash-exactness (the
+    ``dsir_weights`` micro-unit discipline: per-bucket 6-dp log-odds
+    scaled to integer micro-nats, per-doc sums pure long arithmetic).
+
+    Plan: ONE tokenize/explode scan feeds distinct (doc, bucket) rows
+    (map-side combined); the weight table is ≤ ``n_buckets`` rows —
+    broadcast back for per-doc scoring, so the corpus shuffles only
+    narrow feature rows, never text. At 100 TB the model fits in one
+    broadcast regardless of corpus size; scoring is a single
+    broadcast-join aggregate.
+
+    Output (docs with ≥ 1 token): doc_id, n_feats (distinct buckets),
+    logit_micro, pred (logit>0), label (the rule's 0/1).
+    """
+    scored = doc_stats(documents).select("doc_id", "quality").transform(materialize)
+    mean_q = scored.agg(F.round(F.avg("quality"), 6).alias("mq"))
+    flags = scored.crossJoin(F.broadcast(mean_q)).select(
+        "doc_id", (F.col("quality") >= F.col("mq")).cast("int").alias("label")
+    )
+    t = T.tokens(F.lower(F.col("text")))
+    bigrams = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+    )
+    feats = (
+        widen(documents)
+        .select("doc_id", t.alias("t"))
+        .select(
+            "doc_id", F.explode(F.concat(F.col("t"), bigrams)).alias("feat")
+        )
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
+                % n_buckets
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    # the flagged presence frame feeds the weight table AND the final
+    # per-doc scoring — materialize once so the tokenize scan runs
+    # once, not once per consumer (narrow rows, no text)
+    withflag = feats.join(flags, "doc_id").transform(materialize)
+    cls = flags.agg(
+        F.sum("label").cast("long").alias("n_hi"),
+        F.sum(1 - F.col("label")).cast("long").alias("n_lo"),
+    )
+    dfreq = withflag.groupBy("bucket").agg(
+        F.sum("label").cast("long").alias("df_hi"),
+        F.sum(1 - F.col("label")).cast("long").alias("df_lo"),
+    )
+    weights = dfreq.crossJoin(F.broadcast(cls)).select(
+        "bucket",
+        F.round(
+            F.round(
+                F.log((F.col("df_hi") + 1.0) / (F.col("n_hi") + 2.0))
+                - F.log((F.col("df_lo") + 1.0) / (F.col("n_lo") + 2.0)),
+                6,
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    bias = cls.select(
+        F.round(
+            F.round(
+                F.log((F.col("n_hi") + 1.0) / (F.col("n_lo") + 1.0)), 6
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("bias_micro")
+    )
+    logits = (
+        withflag.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("w_micro").cast("long").alias("w_sum"),
+        )
+        .crossJoin(F.broadcast(bias))
+    )
+    return logits.select(
+        "doc_id",
+        "n_feats",
+        (F.col("bias_micro") + F.col("w_sum")).alias("logit_micro"),
+        ((F.col("bias_micro") + F.col("w_sum")) > 0).cast("int").alias("pred"),
+        "label",
+    )
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """PII redaction TRANSFORM — the cleaning twin of the
+    :func:`pii_scan` census, the way :func:`c4_clean` is the transform
+    twin of :func:`c4_line_stats`: every ``PII_PATTERNS`` match is
+    replaced with its typed placeholder (``<EMAIL>`` / ``<PHONE>`` /
+    ``<IP>``), the Dolma-style anonymization pass a corpus runs after
+    the scan says the PII rate warrants it. The SAME pattern table
+    drives scan, redactor, and oracle, so the census and the transform
+    can never disagree about what counts as PII. (Distinct from the
+    earlier :func:`redact_pii`, which uses its own email/long-number
+    patterns and emits a fixed-width md5 fingerprint for auditing;
+    THIS op returns the redacted corpus itself, keyed to the
+    ``pii_scan`` census.)
+
+    Chain order is fixed email → phone → ipv4: emails are replaced
+    before the phone/IP patterns run, so a digit run inside an
+    address can't be double-redacted; the placeholders themselves
+    contain no digits or ``@`` and are fixed points of all three
+    patterns. ``n_redactions`` counts each pattern against the text
+    state it actually replaced into (post-prior-patterns), so it is
+    the TRUE number of substitutions — ``pii_scan``'s raw-text census
+    can exceed it exactly when patterns overlap.
+
+    Pure scan-local ``regexp_replace`` chain — zero shuffle at any
+    corpus size, whole-stage codegen, one pass over the corpus.
+    Output (ALL docs, redacted or not): doc_id, n_redactions,
+    text_redacted.
+    """
+    placeholders = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    n_red = None
+    red = txt
+    for name, pat in PII_PATTERNS:
+        cnt = F.regexp_count(red, F.lit(pat)).cast("long")
+        n_red = cnt if n_red is None else n_red + cnt
+        red = F.regexp_replace(red, pat, placeholders[name])
+    return widen(documents).select(
+        "doc_id",
+        n_red.alias("n_redactions"),
+        red.alias("text_redacted"),
+    )

@@ -5151,3 +5151,95 @@ SELECT CAST(count(*) AS BIGINT) AS n_sources,
                  // (count(*) * sum(m)) END AS BIGINT) AS gini_micro
 FROM ranked
 """
+
+# fastText-style linear quality classifier (operators/text.py
+# quality_classifier): binarized hashed unigram+bigram features,
+# smoothed document-frequency log-odds weights, class-prior bias —
+# integer micro-nat logits end to end (the dsir_weights discipline).
+ORACLES["quality_classifier"] = f"""
+WITH {_DOC_EXPRS},
+{_QUALITY_SQL},
+m AS (SELECT round(avg(quality), 6) AS mq FROM q),
+flags AS (
+  SELECT doc_id, CASE WHEN quality >= (SELECT mq FROM m) THEN 1 ELSE 0 END AS label
+  FROM q
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(t) AS feat FROM toks),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i + 1])) AS feat
+  FROM toks
+),
+feats AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substring(md5(feat), 1, 8))::BIGINT % 4096 AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)
+),
+withflag AS (SELECT feats.*, f.label FROM feats JOIN flags f USING (doc_id)),
+cls AS (
+  SELECT CAST(sum(label) AS BIGINT) AS n_hi,
+         CAST(sum(1 - label) AS BIGINT) AS n_lo
+  FROM flags
+),
+dfreq AS (
+  SELECT bucket,
+         CAST(sum(label) AS BIGINT) AS df_hi,
+         CAST(sum(1 - label) AS BIGINT) AS df_lo
+  FROM withflag GROUP BY 1
+),
+weights AS (
+  SELECT bucket,
+         CAST(round(round(ln((df_hi + 1.0) / (n_hi + 2.0))
+               - ln((df_lo + 1.0) / (n_lo + 2.0)), 6) * 1e6) AS BIGINT) AS w_micro
+  FROM dfreq, cls
+),
+bias AS (
+  SELECT CAST(round(round(ln((n_hi + 1.0) / (n_lo + 1.0)), 6) * 1e6) AS BIGINT)
+           AS bias_micro
+  FROM cls
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(any_value(bias_micro) + sum(wt.w_micro) AS BIGINT) AS logit_micro,
+       CAST(any_value(bias_micro) + sum(wt.w_micro) > 0 AS INTEGER) AS pred,
+       CAST(any_value(w.label) AS INTEGER) AS label
+FROM withflag w JOIN weights wt USING (bucket) CROSS JOIN bias
+GROUP BY w.doc_id
+"""
+
+
+def _pii_redact_oracle() -> str:
+    """PII redaction transform (operators/text.py pii_redact): the same
+    PII_PATTERNS table as pii_scan, applied as a sequential
+    count-then-replace chain (email -> phone -> ipv4) so n_redactions
+    is the true substitution count even when patterns overlap."""
+    from data_pipeline_example_spark.operators.text import PII_PATTERNS
+
+    placeholders = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
+    steps, prev, counts = [], "t0", []
+    for i, (name, pat) in enumerate(PII_PATTERNS, start=1):
+        carry = ", ".join(["doc_id"] + counts)
+        steps.append(
+            f"s{i} AS (\n"
+            f"  SELECT {carry},\n"
+            f"         CAST(len(regexp_extract_all({prev}, '{pat}')) AS BIGINT) AS c{i},\n"
+            f"         regexp_replace({prev}, '{pat}', '{placeholders[name]}', 'g') AS t{i}\n"
+            f"  FROM s{i - 1}\n)"
+        )
+        counts.append(f"c{i}")
+        prev = f"t{i}"
+    chain = ",\n".join(steps)
+    total = " + ".join(counts)
+    return (
+        "WITH s0 AS (SELECT doc_id, coalesce(text, '') AS t0 FROM documents),\n"
+        f"{chain}\n"
+        f"SELECT doc_id, {total} AS n_redactions, {prev} AS text_redacted FROM s{len(counts)}\n"
+    )
+
+
+ORACLES["pii_redact"] = _pii_redact_oracle()

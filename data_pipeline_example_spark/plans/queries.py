@@ -1060,6 +1060,19 @@ def q_source_gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_gram_containment(load_table(spark, sf_dir, "documents"))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-unigram+bigram log-odds linear classifier
+    distilled from the corpus's own quality split; exact integer
+    micro-nat logits."""
+    return text.quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction transform — typed-placeholder regexp_replace chain
+    over the shared PII_PATTERNS table; zero shuffle."""
+    return text.pii_redact(load_table(spark, sf_dir, "documents"))
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer merge induction: first 4 merges learned from the
     corpus word counts; oracle replays each round's argmax + greedy
@@ -1458,6 +1471,10 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_daily_revenue": q_incremental_daily_revenue,
     "revenue_seasonality": q_revenue_seasonality,
     "token_gini": q_token_gini,
+    # round-11 new ops: the model-based quality gate and the PII
+    # redaction transform twin
+    "quality_classifier": q_quality_classifier,
+    "pii_redact": q_pii_redact,
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
@@ -1715,33 +1732,44 @@ QUERIES: dict[str, QueryFn] = {
 # revenue_seasonality, token_gini — never driver-certified). Every
 # name is asserted present so a typo fails at import, not silently
 # shrinks the window.
-_R10_FRONT = [
-    "daily_revenue", "kpis", "per_day_totals", "top_products",
-    "sample_rows", "events_json_conform", "sliding_window_revenue",
-    "latest_window_leaderboard", "window_health", "timeline_points",
-    "window_summary_stats", "user_sessions", "pricing_summary",
-    "supplier_nation_revenue", "order_priority_count", "brand_volume",
-    "segment_stats", "customer_order_distribution",
-    "promo_revenue_share", "lapsed_customers",
-    "fulfilled_customers_by_nation", "large_orders",
-    "top_supplier_per_nation", "revenue_rollup", "high_value_churn",
-    "high_value_retained", "user_cardinality_exact",
-    "small_quantity_revenue", "forecast_revenue", "product_profit",
-    "top_supplier", "discount_eligible_revenue",
-    "shipment_delay_by_priority", "idle_rich_customers",
-    "first_last_order_value", "salted_event_totals",
-    "rolling_revenue_7d", "returns_cube", "asof_last_view",
-    "priority_revenue_pivot", "value_histogram",
-    "basket_affinity", "ngram_novelty", "vocab_drift",
-    "length_pareto", "source_gram_containment", "embedding_drift",
-    "incremental_daily_revenue", "revenue_seasonality", "token_gini",
+# round-11 window rotation — mechanical again: the two NEW r11 ops
+# (quality_classifier, pii_redact — never driver-certified) front the
+# window, followed by the 48 least-recently-certified entries per the
+# CORRECTNESS_r*.json hash_match history (r1: 2, r2: 14, r3: 4, then
+# the oldest 28 of the r4 cohort in registry order). The r10 front
+# rotated out wholesale — all 50 were driver-certified in r10.
+# Derivation: for each name take the max round with hash_match=true,
+# sort ascending (ties by registry position), take 48.
+_R11_FRONT = [
+    "quality_classifier", "pii_redact",
+    # r1-certified, untouched since
+    "hash_split_summary", "events_profile",
+    # r2 cohort
+    "stratified_sample", "reservoir_sample", "value_quantile_sketch",
+    "bloom_pruned_brand_volume", "value_anomalies", "retention_cohorts",
+    "event_funnel", "range_join_counts", "frequent_terms",
+    "unigram_scores", "curation_summary", "props_key_stats",
+    "day_over_day_revenue", "value_percentiles",
+    # r3 cohort
+    "chunk_documents", "chunk_dedup_stats", "source_blocklist_summary",
+    "mixture_sample",
+    # oldest 28 of the r4 cohort, registry order
+    "kpis_long", "nearest_neighbor", "quantize_embeddings",
+    "minhash_lsh_pairs", "simhash_pairs", "cosine_dup_pairs",
+    "lsh_recall_summary", "dedup_clusters", "dedup_summary",
+    "minhash_jaccard_estimates", "jaccard_pairs", "simhash_signatures",
+    "knn_bruteforce", "top_bigrams", "nation_actor_presence",
+    "contamination_pairs", "exact_dedup", "dup_ngram_fraction",
+    "props_variant_stats", "audio_windows", "embedding_profile",
+    "lang_mixture", "doc_stats", "corpus_stats", "lang_predict",
+    "doc_fingerprints", "token_counts", "curated_corpus",
 ]
-assert len(_R10_FRONT) == 50 and all(n in QUERIES for n in _R10_FRONT), (
+assert len(_R11_FRONT) == 50 and all(n in QUERIES for n in _R11_FRONT), (
     "window rotation list must name 50 registered queries"
 )
 QUERIES = {
-    **{n: QUERIES[n] for n in _R10_FRONT},
-    **{n: f for n, f in QUERIES.items() if n not in frozenset(_R10_FRONT)},
+    **{n: QUERIES[n] for n in _R11_FRONT},
+    **{n: f for n, f in QUERIES.items() if n not in frozenset(_R11_FRONT)},
 }
 
 

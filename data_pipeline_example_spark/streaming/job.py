@@ -789,6 +789,89 @@ def write_stream_upsert(
     )
 
 
+def _write_ivm_epoch_partials(batch_df: DataFrame, epoch_id: int, path: str) -> None:
+    """One micro-batch of the daily-revenue IVM: fold the batch to
+    per-(order_date, product) integer-cents partials and overwrite the
+    ``epoch=<id>`` partition of the partials table. Exposed at module
+    level so the replay-idempotence property is directly testable:
+    foreachBatch is at-least-once, and a re-delivered epoch must
+    REPLACE its own partition, never add to it."""
+    if batch_df.isEmpty():
+        return
+    partials = (
+        batch_df.select(
+            "order_date",
+            "product",
+            F.round(F.round(F.col("amount"), 2) * 100, 0)
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("order_date", "product")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c").cast("long").alias("total_cents"),
+        )
+        .withColumn("epoch", F.lit(int(epoch_id)))
+    )
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        partials.write.mode("overwrite").partitionBy("epoch").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_stream_ivm_daily_revenue(
+    df: DataFrame, path: str, checkpoint: str
+):
+    """T8 extension — STREAMING incremental view maintenance of the
+    flagship daily-revenue rollup, the continuous twin of batch
+    :func:`operators.retail.incremental_daily_revenue` (the oracle
+    anchor). The reference splits this exact workload batch/stream
+    (`pipeline_batch.py:205-207` vs
+    `streaming_sales_aggregator.py:266-286`); the batch op's integer
+    CENTS discipline exists precisely so this merge is exact — float
+    partials are non-associative and an IVM table maintained in floats
+    silently drifts from its recompute.
+
+    Mechanics: each micro-batch folds to |days × products| partial
+    rows (map-side combined; events never accumulate) and OVERWRITES
+    its own ``epoch=<id>`` partition of a partitioned partials table —
+    foreachBatch replays after a crash rewrite the same partition, so
+    the sink is idempotent and the end-to-end contract exactly-once.
+    The serving view (:func:`read_ivm_daily_revenue`) re-aggregates
+    the partials — long-sum associativity makes it EQUAL to the batch
+    GROUP BY over all events ever streamed, pinned by a restart test.
+    At 100 TB the partials table grows one tiny partition per epoch;
+    compaction is one ``read → re-aggregate → rewrite`` batch job that
+    the same associativity makes safe at any time.
+    """
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        _write_ivm_epoch_partials(batch_df, epoch_id, path)
+
+    return (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ivm_daily_revenue(spark, path: str) -> DataFrame:
+    """Serving view over the IVM partials table: the partial-merge
+    re-aggregation (the batch op's merge step, verbatim). Output:
+    order_date, product, n_rows, total_cents."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("order_date", "product")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
 def build_arg_parser():
     """spark-submit CLI for the streaming job — the DEPLOY.md twin of
     the reference's `spark-streaming` compose service

@@ -1221,3 +1221,83 @@ def test_revenue_seasonality_shares_sum_and_index(spark):
     assert got[("a", 2024, 7)]["month_share_micro"] == 250_000
     assert got[("a", 2025, 2)]["month_share_micro"] == 1_000_000
     assert got[("b", 2024, 3)]["month_share_micro"] == 1_000_000
+
+
+def test_pii_redact_replaces_with_typed_placeholders(spark):
+    """Every PII_PATTERNS match becomes its typed placeholder; the
+    count reflects TRUE substitutions — a phone-like digit run inside
+    an email is consumed by the email replacement (chain order) and
+    must not double-count the way pii_scan's raw-text census does."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.com call 555-123-4567 host 10.0.0.1", "en", "s", 44),
+            (2, "reach 555-123-4567@mail.com today", "en", "s", 33),
+            (3, "clean text", "en", "s", 10),
+            (4, None, "en", "s", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["doc_id"]: r for r in tx.pii_redact(docs).collect()}
+    assert rows[1]["text_redacted"] == "mail <EMAIL> call <PHONE> host <IP>"
+    assert rows[1]["n_redactions"] == 3
+    # overlap: the raw-text census sees an email AND a phone, but only
+    # ONE substitution happens — the email consumes the digits
+    assert rows[2]["text_redacted"] == "reach <EMAIL> today"
+    assert rows[2]["n_redactions"] == 1
+    scan = {r["doc_id"]: r for r in tx.pii_scan(docs).collect()}
+    assert scan[2]["n_pii"] == 2  # the documented census-vs-transform gap
+    assert rows[3]["n_redactions"] == 0 and rows[3]["text_redacted"] == "clean text"
+    assert rows[4]["n_redactions"] == 0 and rows[4]["text_redacted"] == ""
+
+
+def test_quality_classifier_distills_the_rule(spark):
+    """On a corpus with a clean vocabulary split between the quality
+    classes, the log-odds weights must separate them: every doc's pred
+    equals its rule label, the bias is the exact prior log-odds, and
+    n_feats counts DISTINCT hashed features (presence, not counts)."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    hi = "the and for with this that from they have been more will about"
+    lo = "zz"
+    docs = spark.createDataFrame(
+        [
+            (1, hi, "en", "s", len(hi)),
+            (2, hi + " extra words here too", "en", "s", len(hi) + 22),
+            (3, lo, "en", "s", len(lo)),
+            (4, lo + " qq", "en", "s", len(lo) + 3),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["doc_id"]: r for r in tx.quality_classifier(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    labels = {d: rows[d]["label"] for d in rows}
+    # long stopword-rich docs score above the mean, short ones below
+    assert labels[1] == 1 and labels[2] == 1
+    assert labels[3] == 0 and labels[4] == 0
+    for d in rows:
+        assert rows[d]["pred"] == labels[d], (d, rows[d])
+        assert (rows[d]["logit_micro"] > 0) == bool(labels[d])
+    # presence features: doc 3 has ONE distinct unigram, zero bigrams
+    assert rows[3]["n_feats"] == 1
+    # doc 4: unigrams {zz, qq} + bigram {"zz qq"} -> 3 distinct feats
+    assert rows[4]["n_feats"] == 3
+
+
+def test_quality_classifier_n_feats_is_presence_not_counts(spark):
+    """Repeating a token must not change its feature contribution —
+    the binarized (Bernoulli-style) scoring contract."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha alpha", "en", "s", 23),
+            (2, "beta beta beta beta beta beta beta beta", "en", "s", 39),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["doc_id"]: r for r in tx.quality_classifier(docs).collect()}
+    # unigram {alpha} + bigram {"alpha alpha"} regardless of repetition
+    assert rows[1]["n_feats"] == 2
+    assert rows[2]["n_feats"] == 2

@@ -865,3 +865,83 @@ def test_funnel_stream_matches_batch_across_restart(spark, tmp_path):
         i: sum(1 for d in latest.values() if d > i) for i in range(4)
     }
     assert batch == stream_counts
+
+
+def test_ivm_daily_revenue_stream_matches_batch_across_restart(spark, tmp_path):
+    """Streaming IVM of the flagship rollup (job.write_stream_ivm_daily_
+    revenue) pinned to both anchors: after a checkpoint restart with
+    late rows for an EXISTING (day, product) cell, the re-aggregated
+    partials table equals the direct batch GROUP BY in integer cents —
+    and a replayed epoch (foreachBatch at-least-once) overwrites its
+    own partition instead of double-counting."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from data_pipeline_example_spark.streaming import job
+
+    in_dir, out_dir, ckpt = tmp_path / "in", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    in_dir.mkdir()
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    def run_once():
+        schema = "product string, order_date string, amount double"
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+            .selectExpr("product", "cast(order_date as date) order_date", "amount")
+        )
+        q = job.write_stream_ivm_daily_revenue(raw, out_dir, ckpt)
+        q.awaitTermination(120)
+
+    b1 = [
+        {"product": "A", "order_date": "2024-01-01", "amount": 10.10},
+        {"product": "A", "order_date": "2024-01-01", "amount": 0.05},
+        {"product": "B", "order_date": "2024-01-01", "amount": 3.00},
+    ]
+    b2 = [
+        {"product": "A", "order_date": "2024-01-02", "amount": 7.77},
+    ]
+    write("b1.json", b1, now - 30)
+    write("b2.json", b2, now - 20)
+    run_once()  # two epochs (maxFilesPerTrigger=1)
+
+    b3 = [
+        # late row for an ALREADY-MAINTAINED cell: the merge must add
+        # cents partials, not replace the day
+        {"product": "A", "order_date": "2024-01-01", "amount": 1.01},
+        {"product": "C", "order_date": "2024-01-02", "amount": 0.01},
+    ]
+    write("b3.json", b3, now)
+    run_once()  # restart from the same checkpoint
+
+    def served():
+        return {
+            (str(r["order_date"]), r["product"]): (r["n_rows"], r["total_cents"])
+            for r in job.read_ivm_daily_revenue(spark, out_dir).collect()
+        }
+
+    want = {
+        ("2024-01-01", "A"): (3, 1116),  # 1010 + 5 + 101
+        ("2024-01-01", "B"): (1, 300),
+        ("2024-01-02", "A"): (1, 777),
+        ("2024-01-02", "C"): (1, 1),
+    }
+    assert served() == want
+
+    # replay idempotence: re-deliver epoch 0's batch through the same
+    # partial writer — its partition is OVERWRITTEN, totals unchanged
+    replay = spark.createDataFrame(
+        [(r["product"], r["order_date"], r["amount"]) for r in b1],
+        "product string, order_date string, amount double",
+    ).selectExpr("product", "cast(order_date as date) order_date", "amount")
+    job._write_ivm_epoch_partials(replay, 0, out_dir)
+    assert served() == want
