@@ -186,6 +186,18 @@ HEADLINE = [
     "incremental_daily_revenue",
     "revenue_seasonality",
     "token_gini",
+    # round 11: batch anchors for the four streaming behavioral twins
+    # (attribution/debounce/streaks were already headline; event_funnel
+    # completes the set), plus the two new curation transforms — the
+    # model-based quality gate and the pii_scan cleaning twin
+    "event_funnel",
+    "quality_classifier",
+    "pii_redact",
+    # round 11 continuation: Zipf head fit, classifier calibration
+    # audit, token-budget mixture planning
+    "zipf_fit",
+    "quality_calibration",
+    "domain_epoch_plan",
 ]
 
 

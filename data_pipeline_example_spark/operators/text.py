@@ -3439,3 +3439,186 @@ def pii_redact(documents: DataFrame) -> DataFrame:
         n_red.alias("n_redactions"),
         red.alias("text_redacted"),
     )
+
+
+def zipf_fit(documents: DataFrame, top_k: int = 256) -> DataFrame:
+    """Per-source Zipf-law fit — the rank-frequency power-law slope
+    (Zipf 1949; standard corpus-health diagnostic: natural prose sits
+    near slope −1, templated/boilerplate text flattens, spammy token
+    soup steepens) via least squares on ``(ln rank, ln freq)`` over
+    each source's ``top_k`` most frequent terms. Fitting the HEAD of
+    the distribution is the published practice (the tail is
+    Heaps-censored), and it also bounds the regression frame to
+    ``|sources| · top_k`` rows regardless of corpus size.
+
+    Exactness: ln values are 3-dp-rounded and scaled to exact MILLI
+    longs (3 dp, not the usual 6, so every moment product stays within
+    long range even at 100 TB term frequencies), all moments are pure
+    long sums, and the closed-form slope
+    ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` is emitted negated (ranks
+    descend in frequency, so the numerator is nonnegative) with the
+    schoolbook two-step division ``(q·1e6 + (r·1e6) div den)`` — floor
+    division on nonnegative longs in both engines, no wide multiply.
+
+    Plan: one tokenize scan folds to (source, term) counts map-side;
+    the rank window partitions by source over the vocab-sized count
+    frame (same class as ``tfidf_keywords``); the regression aggregate
+    sees ≤ ``top_k`` rows per source. Output: source, n_terms,
+    head_freq, neg_zipf_slope_micro (ordered by source).
+    """
+    counts = (
+        widen(documents)
+        .select(
+            F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("term"))
+    ranked = counts.select(
+        "source", "freq", F.row_number().over(w).alias("r")
+    ).filter(F.col("r") <= top_k)
+    xy = ranked.select(
+        "source",
+        "freq",
+        F.round(F.round(F.log("r"), 3) * 1e3, 0).cast("long").alias("x"),
+        F.round(F.round(F.log("freq"), 3) * 1e3, 0).cast("long").alias("y"),
+    )
+    return (
+        xy.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.max("freq").cast("long").alias("head_freq"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_terms"),
+            "head_freq",
+            F.expr(
+                "CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE "
+                "((sx * sy - n * sxy) div (n * sxx - sx * sx)) * 1000000 "
+                "+ (((sx * sy - n * sxy) % (n * sxx - sx * sx)) * 1000000) "
+                "div (n * sxx - sx * sx) END"
+            ).alias("neg_zipf_slope_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_calibration(documents: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Calibration / confusion audit of :func:`quality_classifier` —
+    the reliability-diagram companion every model-based gate ships
+    with: logits are bucketed into ``n_bins`` equal-width bins over
+    the OBSERVED logit range (absolute cutpoints would be useless —
+    a many-feature document's logit is a sum of hundreds of log-odds,
+    so the interesting spread sits far from 0) and each bin reports
+    its document count, predicted positives, gold positives, correct
+    predictions, and logit mass. A calibrated gate shows monotone
+    gold-rate across bins; divergence localizes where the distilled
+    model disagrees with the hand rule.
+
+    Exactness: the range is a 1-row min/max aggregate broadcast back
+    (the ``mean_q`` pattern) and the bin index is one integral
+    division on nonnegative longs,
+    ``((logit − min) · n_bins) div (max − min + 1)`` — counts and
+    long sums everywhere else, nothing to round. No corpus-sized
+    ntile window: the cutpoints cost one extra pass over the narrow
+    scored frame, not a global sort.
+
+    Plan: everything of :func:`quality_classifier` (one tokenize scan,
+    broadcast model), the scored frame materialized once feeding the
+    1-row range and the final aggregate. Output: bin, n_docs,
+    n_pred_hi, n_label_hi, n_correct, sum_logit_micro (ordered by
+    bin).
+    """
+    scored = quality_classifier(documents).transform(materialize)
+    rng = scored.agg(
+        F.min("logit_micro").alias("mn"), F.max("logit_micro").alias("mx")
+    )
+    binned = scored.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"CAST(((logit_micro - mn) * {int(n_bins)}) "
+            f"div (mx - mn + 1) AS INT)"
+        ).alias("bin"),
+        "pred",
+        "label",
+        "logit_micro",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pred").cast("long").alias("n_pred_hi"),
+            F.sum("label").cast("long").alias("n_label_hi"),
+            F.sum((F.col("pred") == F.col("label")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+            F.sum("logit_micro").cast("long").alias("sum_logit_micro"),
+        )
+        .orderBy("bin")
+    )
+
+
+def domain_epoch_plan(documents: DataFrame, budget_tokens: int = 10_000_000) -> DataFrame:
+    """Token-budget mixture plan — the per-domain repeat schedule an
+    LLM training run derives from its data recipe (the LLaMA/GPT
+    "epochs over each source" table): temperature-weighted
+    (α = 0.5 on TOKEN MASS — :func:`source_temperature_weights` is the
+    doc-count variant) target token allocations under a fixed budget,
+    and the repeat factor (epochs) each source needs to meet its
+    target. Epochs > 1e6 micro means upsampling (repeating) the
+    source; < 1e6 means subsampling.
+
+    Exactness: the weight is the INTEGER-rounded sqrt of the exact
+    token mass (sqrt is correctly rounded IEEE; the integral weight
+    keeps ``budget · weight`` inside long range at any corpus size),
+    targets and epochs are single integral divisions on nonnegative
+    longs — no float accumulation anywhere.
+
+    Plan: one tokenize scan folds to ≤|sources| rows map-side, a 1-row
+    weight-total broadcast back — no corpus-sized shuffle at 100 TB.
+    Output: source, tokens, weight, target_tokens, epochs_micro
+    (ordered by source).
+    """
+    masses = (
+        documents.select(
+            F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+            T.token_count(F.lower(F.col("text"))).cast("long").alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("tokens"))
+        .select(
+            "source",
+            "tokens",
+            F.round(F.sqrt(F.col("tokens")), 0).cast("long").alias("weight"),
+        )
+    )
+    tot = masses.agg(F.sum("weight").cast("long").alias("wt"))
+    return (
+        masses.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            "weight",
+            F.expr(
+                f"CASE WHEN wt = 0 THEN 0 ELSE "
+                f"(weight * {int(budget_tokens)}) div wt END"
+            ).alias("target_tokens"),
+        )
+        .select(
+            "source",
+            "tokens",
+            "weight",
+            "target_tokens",
+            F.expr(
+                "CASE WHEN tokens = 0 THEN 0 ELSE "
+                "(target_tokens * 1000000) div tokens END"
+            ).alias("epochs_micro"),
+        )
+        .orderBy("source")
+    )

@@ -5243,3 +5243,93 @@ def _pii_redact_oracle() -> str:
 
 
 ORACLES["pii_redact"] = _pii_redact_oracle()
+
+
+# Per-source Zipf rank-frequency slope (operators/text.py zipf_fit):
+# least squares on (ln rank, ln freq) over the top-256 head, MILLI-
+# scaled log inputs (3 dp keeps every moment product in long range),
+# negated-numerator schoolbook division — floor division on
+# nonnegative integers in both engines (Chebyshev: y nonincreasing in
+# rank => the plain numerator is <= 0, so its negation is exact here).
+ORACLES["zipf_fit"] = """
+WITH toks AS (
+  SELECT coalesce(source, 'unknown') AS source,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, term, freq,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY freq DESC, term ASC)
+              AS BIGINT) AS r
+  FROM counts
+),
+xy AS (
+  SELECT source, freq,
+         CAST(round(round(ln(r), 3) * 1000, 0) AS BIGINT) AS x,
+         CAST(round(round(ln(freq), 3) * 1000, 0) AS BIGINT) AS y
+  FROM ranked WHERE r <= 256
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(max(freq) AS BIGINT) AS head_freq
+  FROM xy GROUP BY 1
+)
+SELECT source, n AS n_terms, head_freq,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE
+            ((sx * sy - n * sxy) // (n * sxx - sx * sx)) * 1000000
+            + (((sx * sy - n * sxy) % (n * sxx - sx * sx)) * 1000000)
+              // (n * sxx - sx * sx) END AS BIGINT) AS neg_zipf_slope_micro
+FROM agg ORDER BY source
+"""
+
+# Calibration/confusion audit of the quality classifier
+# (operators/text.py quality_calibration): 8 equal-width bins over
+# the observed logit range (1-row min/max broadcast); the bin index is
+# one integral division on nonnegative longs, counts/sums elsewhere.
+ORACLES["quality_calibration"] = f"""
+WITH qc AS ({ORACLES["quality_classifier"]}),
+rng AS (SELECT min(logit_micro) AS mn, max(logit_micro) AS mx FROM qc)
+SELECT CAST(((logit_micro - mn) * 8) // (mx - mn + 1) AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pred) AS BIGINT) AS n_pred_hi,
+       CAST(sum(label) AS BIGINT) AS n_label_hi,
+       CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(sum(logit_micro) AS BIGINT) AS sum_logit_micro
+FROM qc, rng GROUP BY 1 ORDER BY 1
+"""
+
+# Token-budget mixture plan (operators/text.py domain_epoch_plan):
+# sqrt-temperature targets on exact token masses, integer-rounded
+# sqrt weights (keeps budget*weight in long range), single integral
+# divisions on nonnegative values.
+ORACLES["domain_epoch_plan"] = """
+WITH masses AS (
+  SELECT coalesce(source, 'unknown') AS source,
+         CAST(sum(len(regexp_extract_all(lower(coalesce(text, '')),
+                                         '[a-z0-9]+'))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+wm AS (
+  SELECT source, tokens, CAST(round(sqrt(tokens), 0) AS BIGINT) AS weight
+  FROM masses
+),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wt FROM wm),
+tt AS (
+  SELECT source, tokens, weight,
+         CAST(CASE WHEN wt = 0 THEN 0
+              ELSE (weight * 10000000) // wt END AS BIGINT) AS target_tokens
+  FROM wm, tot
+)
+SELECT source, tokens, weight, target_tokens,
+       CAST(CASE WHEN tokens = 0 THEN 0
+            ELSE (target_tokens * 1000000) // tokens END AS BIGINT) AS epochs_micro
+FROM tt ORDER BY source
+"""

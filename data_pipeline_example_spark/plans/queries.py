@@ -1073,6 +1073,24 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_redact(load_table(spark, sf_dir, "documents"))
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency slope over the top-256 term head;
+    integer-exact least squares on milli-scaled logs."""
+    return text.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability/confusion audit of the quality classifier: fixed
+    2-nat logit bins, pure count/sum columns (division-free)."""
+    return text.quality_calibration(load_table(spark, sf_dir, "documents"))
+
+
+def q_domain_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture plan: sqrt-temperature targets and per-source
+    repeat factors (epochs) in integer micro-units."""
+    return text.domain_epoch_plan(load_table(spark, sf_dir, "documents"))
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer merge induction: first 4 merges learned from the
     corpus word counts; oracle replays each round's argmax + greedy
@@ -1475,6 +1493,9 @@ QUERIES: dict[str, QueryFn] = {
     # redaction transform twin
     "quality_classifier": q_quality_classifier,
     "pii_redact": q_pii_redact,
+    "zipf_fit": q_zipf_fit,
+    "quality_calibration": q_quality_calibration,
+    "domain_epoch_plan": q_domain_epoch_plan,
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
@@ -1732,16 +1753,18 @@ QUERIES: dict[str, QueryFn] = {
 # revenue_seasonality, token_gini — never driver-certified). Every
 # name is asserted present so a typo fails at import, not silently
 # shrinks the window.
-# round-11 window rotation — mechanical again: the two NEW r11 ops
-# (quality_classifier, pii_redact — never driver-certified) front the
-# window, followed by the 48 least-recently-certified entries per the
+# round-11 window rotation — mechanical again: the five NEW r11 ops
+# (quality_classifier, pii_redact, zipf_fit, quality_calibration,
+# domain_epoch_plan — never driver-certified) front the window,
+# followed by the 45 least-recently-certified entries per the
 # CORRECTNESS_r*.json hash_match history (r1: 2, r2: 14, r3: 4, then
-# the oldest 28 of the r4 cohort in registry order). The r10 front
+# the oldest 25 of the r4 cohort in registry order). The r10 front
 # rotated out wholesale — all 50 were driver-certified in r10.
 # Derivation: for each name take the max round with hash_match=true,
-# sort ascending (ties by registry position), take 48.
+# sort ascending (ties by registry position), take 45.
 _R11_FRONT = [
     "quality_classifier", "pii_redact",
+    "zipf_fit", "quality_calibration", "domain_epoch_plan",
     # r1-certified, untouched since
     "hash_split_summary", "events_profile",
     # r2 cohort
@@ -1760,9 +1783,11 @@ _R11_FRONT = [
     "minhash_jaccard_estimates", "jaccard_pairs", "simhash_signatures",
     "knn_bruteforce", "top_bigrams", "nation_actor_presence",
     "contamination_pairs", "exact_dedup", "dup_ngram_fraction",
-    "props_variant_stats", "audio_windows", "embedding_profile",
+    "audio_windows", "embedding_profile",
     "lang_mixture", "doc_stats", "corpus_stats", "lang_predict",
-    "doc_fingerprints", "token_counts", "curated_corpus",
+    "doc_fingerprints",
+    # token_counts + curated_corpus + props_variant_stats yield their
+    # slots to the three extra r11 ops and head next round's rotation
 ]
 assert len(_R11_FRONT) == 50 and all(n in QUERIES for n in _R11_FRONT), (
     "window rotation list must name 50 registered queries"

@@ -1301,3 +1301,129 @@ def test_quality_classifier_n_feats_is_presence_not_counts(spark):
     # unigram {alpha} + bigram {"alpha alpha"} regardless of repetition
     assert rows[1]["n_feats"] == 2
     assert rows[2]["n_feats"] == 2
+
+
+def test_zipf_fit_recovers_exact_power_law(spark):
+    """freq = 12/rank is an exact Zipf line of slope -1 in log-log
+    space: the integer-exact regression must recover it to within the
+    3-dp log rounding, and a single-term source (zero x-variance) must
+    yield the guarded 0 slope."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    body = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    docs = spark.createDataFrame(
+        [(1, body, "en", "s1", len(body)), (2, "only", "en", "s2", 4)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["source"]: r for r in tx.zipf_fit(docs).collect()}
+    assert rows["s1"]["n_terms"] == 4 and rows["s1"]["head_freq"] == 12
+    assert abs(rows["s1"]["neg_zipf_slope_micro"] - 1_000_000) < 5_000
+    assert rows["s2"]["n_terms"] == 1
+    assert rows["s2"]["neg_zipf_slope_micro"] == 0
+
+
+def test_zipf_fit_top_k_caps_the_regression_frame(spark):
+    """top_k bounds n_terms (the 100 TB frame-size guarantee) and the
+    fit then uses only the head ranks."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    body = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    docs = spark.createDataFrame(
+        [(1, body, "en", "s1", len(body))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    row = tx.zipf_fit(docs, top_k=2).collect()[0]
+    assert row["n_terms"] == 2
+    # two points (ln1, ln12), (ln2, ln6): slope exactly -1 in exact
+    # arithmetic; 3-dp rounding keeps it within the same tolerance
+    assert abs(row["neg_zipf_slope_micro"] - 1_000_000) < 5_000
+
+
+def test_quality_calibration_counts_reconcile_with_classifier(spark):
+    """The calibration bins must partition the scored docs exactly:
+    per-bin counts/sums re-derived from the classifier output row set
+    match, bins stay in [0, n_bins), and the extreme-logit docs land
+    in the first/last occupied bins."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    hi = "the and for with this that from they have been more will about"
+    docs = spark.createDataFrame(
+        [
+            (1, hi, "en", "s", len(hi)),
+            (2, hi + " extra words here too", "en", "s", len(hi) + 22),
+            (3, "zz", "en", "s", 2),
+            (4, "zz qq", "en", "s", 5),
+            (5, "mid sized text with some words", "en", "s", 30),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    scored = tx.quality_classifier(docs).collect()
+    mn = min(r["logit_micro"] for r in scored)
+    mx = max(r["logit_micro"] for r in scored)
+    expect = {}
+    for r in scored:
+        b = ((r["logit_micro"] - mn) * 8) // (mx - mn + 1)
+        e = expect.setdefault(b, [0, 0, 0, 0, 0])
+        e[0] += 1
+        e[1] += r["pred"]
+        e[2] += r["label"]
+        e[3] += int(r["pred"] == r["label"])
+        e[4] += r["logit_micro"]
+    got = {
+        r["bin"]: [
+            r["n_docs"],
+            r["n_pred_hi"],
+            r["n_label_hi"],
+            r["n_correct"],
+            r["sum_logit_micro"],
+        ]
+        for r in tx.quality_calibration(docs).collect()
+    }
+    assert got == expect
+    assert all(0 <= b < 8 for b in got)
+    assert sum(v[0] for v in got.values()) == len(scored)
+
+
+def test_domain_epoch_plan_exact_integral_allocation(spark):
+    """Token masses 16 vs 4 give integer sqrt weights 4 vs 2; with a
+    600-token budget the sqrt-temperature targets are 400/200 and the
+    repeat factors 25x/50x in exact micro-units."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 16), "en", "big", 31),
+            (2, " ".join(["w"] * 4), "en", "small", 7),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {
+        r["source"]: r
+        for r in tx.domain_epoch_plan(docs, budget_tokens=600).collect()
+    }
+    big, small = rows["big"], rows["small"]
+    assert (big["tokens"], big["weight"]) == (16, 4)
+    assert (small["tokens"], small["weight"]) == (4, 2)
+    assert big["target_tokens"] == 400 and small["target_tokens"] == 200
+    assert big["epochs_micro"] == 25_000_000
+    assert small["epochs_micro"] == 50_000_000
+
+
+def test_domain_epoch_plan_zero_token_source_is_guarded(spark):
+    """A source with no alphanumeric tokens gets weight 0, target 0,
+    epochs 0 — no division blows up."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 9), "en", "real", 17),
+            (2, "!!! ...", "en", "empty", 7),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["source"]: r for r in tx.domain_epoch_plan(docs).collect()}
+    assert rows["empty"]["tokens"] == 0
+    assert rows["empty"]["weight"] == 0
+    assert rows["empty"]["target_tokens"] == 0
+    assert rows["empty"]["epochs_micro"] == 0
+    assert rows["real"]["weight"] == 3
