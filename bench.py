@@ -198,6 +198,8 @@ HEADLINE = [
     "zipf_fit",
     "quality_calibration",
     "domain_epoch_plan",
+    "readability_scores",
+    "unigram_entropy",
 ]
 
 

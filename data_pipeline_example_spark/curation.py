@@ -427,3 +427,60 @@ def cross_modal_prune(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
         F.sum(1 - F.col("sk")).cast("long").alias("n_sem_dropped"),
         F.sum(F.col("tk") * F.col("sk")).cast("long").alias("n_kept"),
     )
+
+
+def dedup_agreement(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    jaccard_threshold: float = 0.1,
+    cosine_threshold: float = 0.35,
+) -> DataFrame:
+    """Lexical-vs-semantic near-dup AGREEMENT audit — the calibration
+    check a curation team runs before trusting either dedup family
+    alone: the MinHash-LSH verified pair set (lexical; aligned ids,
+    the :func:`cross_modal_prune` contract doc_id = vec_id) is
+    full-outer-joined against the centroid-blocked cosine pair set
+    (semantic), and the single-row rollup reports each cell of the
+    2×2 verdict table plus the JACCARD OF THE TWO VERDICT SETS —
+    high agreement means the cheap lexical pass is a safe proxy for
+    the expensive embedding pass on this corpus; low agreement means
+    the families catch genuinely different duplicates (verbatim
+    mirrors vs paraphrases) and both must run.
+
+    Both member ops are the certified SCALE paths (banded LSH /
+    centroid blocking — never the O(n²) exact baselines), and the
+    join runs on narrow (id, id) pair rows, so the audit adds one
+    pair-keyed shuffle on top of work the pipeline already does.
+    Counts and one integral division — nothing to round. Output
+    (single row): n_lexical, n_semantic, n_both, n_lexical_only,
+    n_semantic_only, agreement_micro.
+    """
+    from data_pipeline_example_spark.operators import similarity
+
+    lex = dedup.minhash_lsh_pairs(documents, threshold=jaccard_threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("lex")
+    )
+    sem = similarity.cosine_dup_pairs_blocked(
+        embeddings, threshold=cosine_threshold
+    ).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.lit(1).alias("sem"),
+    )
+    cells = lex.join(sem, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("lex", F.lit(0)).alias("lex"),
+        F.coalesce("sem", F.lit(0)).alias("sem"),
+    )
+    return cells.agg(
+        F.sum("lex").cast("long").alias("n_lexical"),
+        F.sum("sem").cast("long").alias("n_semantic"),
+        F.sum(F.col("lex") * F.col("sem")).cast("long").alias("n_both"),
+        F.sum(F.col("lex") * (1 - F.col("sem"))).cast("long").alias("n_lexical_only"),
+        F.sum((1 - F.col("lex")) * F.col("sem")).cast("long").alias("n_semantic_only"),
+        F.expr(
+            "CASE WHEN count(1) = 0 THEN 0 ELSE "
+            "(sum(lex * sem) * 1000000) div count(1) END"
+        )
+        .cast("long")
+        .alias("agreement_micro"),
+    )

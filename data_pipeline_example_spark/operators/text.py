@@ -3441,6 +3441,140 @@ def pii_redact(documents: DataFrame) -> DataFrame:
     )
 
 
+def readability_scores(documents: DataFrame) -> DataFrame:
+    """Per-source readability rollup — the Flesch reading-ease family
+    (Flesch 1948, public domain) with the standard corpus-scale
+    syllable heuristic (vowel-group counting): the curation signal
+    that separates prose from boilerplate/code soup in a way the
+    length/punctuation gates (:func:`c4_line_stats`,
+    :func:`gopher_quality`) don't measure.
+
+    Counts per doc are pure scan-local regexes — words (the shared
+    token pattern), sentence terminators (``[.!?]+`` runs, floored at
+    one per non-empty doc), vowel groups (``[aeiou]+`` over the
+    lowered text, the classic syllable proxy). The rollup aggregates
+    the RAW COUNTS per source and derives the ratios and the Flesch
+    score from source-level sums with single integral divisions —
+    ``FRE_micro = 206_835_000 − (1015·words·1e3) div sentences −
+    (84_600·syllables·1e3) div words`` — every operand an exact
+    nonnegative long, so both engines hash-match with no float
+    accumulation anywhere. (FRE itself may be negative; only the
+    subtraction is, never a division operand.)
+
+    Plan: one scan folds to ≤|sources| rows map-side; zero joins.
+    Output: source, n_docs, n_words, n_sentences, n_syllables,
+    words_per_sentence_micro, syllables_per_word_micro, fre_micro
+    (ordered by source).
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    per_doc = documents.select(
+        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+        T.token_count(txt).cast("long").alias("w"),
+        F.when(F.length(txt) == 0, F.lit(0))
+        .otherwise(F.greatest(F.regexp_count(txt, F.lit(r"[.!?]+")), F.lit(1)))
+        .cast("long")
+        .alias("s"),
+        F.regexp_count(F.lower(txt), F.lit(r"[aeiou]+")).cast("long").alias("y"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("s").cast("long").alias("n_sentences"),
+            F.sum("y").cast("long").alias("n_syllables"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.expr(
+                "CASE WHEN n_sentences = 0 THEN 0 ELSE "
+                "(n_words * 1000000) div n_sentences END"
+            ).alias("words_per_sentence_micro"),
+            F.expr(
+                "CASE WHEN n_words = 0 THEN 0 ELSE "
+                "(n_syllables * 1000000) div n_words END"
+            ).alias("syllables_per_word_micro"),
+            F.expr(
+                "CASE WHEN n_words = 0 OR n_sentences = 0 THEN 0 ELSE "
+                "206835000 - (1015 * n_words * 1000) div n_sentences "
+                "- (84600 * n_syllables * 1000) div n_words END"
+            ).alias("fre_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+def unigram_entropy(documents: DataFrame) -> DataFrame:
+    """Per-source unigram Shannon entropy — the token-DIVERSITY
+    number (templated/boilerplate sources collapse toward low
+    entropy; :func:`token_gini` measures inequality BETWEEN sources,
+    this measures diversity WITHIN one) plus its vocab-normalized
+    form, the redundancy-free efficiency in [0, 1].
+
+    Identity used: ``H = ln N − (Σ f·ln f) / N`` over term
+    frequencies f — one pass over the (source, term) count frame, no
+    per-term probability floats. Exactness: ``ln f`` is 3-dp-rounded
+    to milli longs (the :func:`zipf_fit` discipline — milli keeps
+    ``f · ln f`` products within long range up to ~10^14 tokens per
+    source), ``ln N`` / ``ln V`` are 6-dp micro, and the two integral
+    divisions run on nonnegative longs.
+
+    Plan: one tokenize scan folds to (source, term) counts map-side,
+    then to ≤|sources| rows; the vocab count rides the same
+    aggregate. Output: source, n_tokens, vocab, entropy_micro,
+    norm_entropy_micro (ordered by source).
+    """
+    counts = (
+        widen(documents)
+        .select(
+            F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(
+            F.col("f") * F.round(F.round(F.log("f"), 3) * 1e3, 0).cast("long")
+        )
+        .cast("long")
+        .alias("flf_milli"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.expr(
+            # clamped at 0: true entropy is nonnegative, but the
+            # 3-dp ln rounding can dip a few hundred micro below zero
+            # for extreme-skew sources, and negative integral
+            # division semantics differ across engines
+            # schoolbook (q*1000 + (r*1000) div N) keeps every product
+            # in long range even at 10^14 tokens/source
+            "GREATEST(CASE WHEN n_tokens = 0 THEN 0 ELSE "
+            "CAST(round(round(ln(n_tokens), 6) * 1000000, 0) AS BIGINT) "
+            "- ((flf_milli div n_tokens) * 1000 "
+            "+ ((flf_milli % n_tokens) * 1000) div n_tokens) END, 0)"
+        ).alias("entropy_micro"),
+    ).select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "entropy_micro",
+        F.expr(
+            "CASE WHEN vocab <= 1 THEN 0 ELSE "
+            "(entropy_micro * 1000000) div "
+            "CAST(round(round(ln(vocab), 6) * 1000000, 0) AS BIGINT) END"
+        ).alias("norm_entropy_micro"),
+    ).orderBy("source")
+
+
 def zipf_fit(documents: DataFrame, top_k: int = 256) -> DataFrame:
     """Per-source Zipf-law fit — the rank-frequency power-law slope
     (Zipf 1949; standard corpus-health diagnostic: natural prose sits

@@ -5333,3 +5333,104 @@ SELECT source, tokens, weight, target_tokens,
             ELSE (target_tokens * 1000000) // tokens END AS BIGINT) AS epochs_micro
 FROM tt ORDER BY source
 """
+
+
+# Per-source readability rollup (operators/text.py readability_scores):
+# Flesch reading-ease from source-level count sums; every division an
+# integral div on nonnegative longs, raw counts otherwise.
+ORACLES["readability_scores"] = """
+WITH per_doc AS (
+  SELECT coalesce(source, 'unknown') AS source,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+              AS BIGINT) AS w,
+         CAST(CASE WHEN len(coalesce(text, '')) = 0 THEN 0
+              ELSE greatest(len(regexp_extract_all(coalesce(text, ''),
+                                                   '[.!?]+')), 1)
+              END AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiou]+'))
+              AS BIGINT) AS y
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(s) AS BIGINT) AS n_sentences,
+         CAST(sum(y) AS BIGINT) AS n_syllables
+  FROM per_doc GROUP BY 1
+)
+SELECT source, n_docs, n_words, n_sentences, n_syllables,
+       CAST(CASE WHEN n_sentences = 0 THEN 0
+            ELSE (n_words * 1000000) // n_sentences END AS BIGINT)
+         AS words_per_sentence_micro,
+       CAST(CASE WHEN n_words = 0 THEN 0
+            ELSE (n_syllables * 1000000) // n_words END AS BIGINT)
+         AS syllables_per_word_micro,
+       CAST(CASE WHEN n_words = 0 OR n_sentences = 0 THEN 0 ELSE
+            206835000 - (1015 * n_words * 1000) // n_sentences
+            - (84600 * n_syllables * 1000) // n_words END AS BIGINT)
+         AS fre_micro
+FROM agg ORDER BY source
+"""
+
+# Per-source unigram Shannon entropy (operators/text.py
+# unigram_entropy): H = ln N - (sum f*ln f)/N with milli-log f terms
+# and schoolbook nonnegative floor division; clamped at 0.
+ORACLES["unigram_entropy"] = """
+WITH toks AS (
+  SELECT coalesce(source, 'unknown') AS source,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(f * CAST(round(round(ln(f), 3) * 1000, 0) AS BIGINT))
+              AS BIGINT) AS flf_milli
+  FROM counts GROUP BY 1
+),
+ent AS (
+  SELECT source, n_tokens, vocab,
+         CAST(greatest(CASE WHEN n_tokens = 0 THEN 0 ELSE
+              CAST(round(round(ln(n_tokens), 6) * 1000000, 0) AS BIGINT)
+              - ((flf_milli // n_tokens) * 1000
+                 + ((flf_milli % n_tokens) * 1000) // n_tokens) END, 0)
+           AS BIGINT) AS entropy_micro
+  FROM agg
+)
+SELECT source, n_tokens, vocab, entropy_micro,
+       CAST(CASE WHEN vocab <= 1 THEN 0 ELSE
+            (entropy_micro * 1000000)
+            // CAST(round(round(ln(vocab), 6) * 1000000, 0) AS BIGINT)
+            END AS BIGINT) AS norm_entropy_micro
+FROM ent ORDER BY source
+"""
+
+
+# Lexical-vs-semantic near-dup agreement (curation.py dedup_agreement):
+# the two member scale-path oracles composed verbatim (aligned ids,
+# doc_id = vec_id), full-outer pair join, 2x2 verdict cells + the
+# Jaccard of the verdict sets — counts and one integral division.
+ORACLES["dedup_agreement"] = f"""
+WITH lex AS (SELECT doc_a, doc_b FROM ({ORACLES["minhash_lsh_pairs"]})),
+sem AS (SELECT vec_a AS doc_a, vec_b AS doc_b
+        FROM ({ORACLES["cosine_dup_pairs_blocked"]})),
+cells AS (
+  SELECT CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS lex,
+         CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS sem
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+)
+SELECT CAST(sum(lex) AS BIGINT) AS n_lexical,
+       CAST(sum(sem) AS BIGINT) AS n_semantic,
+       CAST(sum(lex * sem) AS BIGINT) AS n_both,
+       CAST(sum(lex * (1 - sem)) AS BIGINT) AS n_lexical_only,
+       CAST(sum((1 - lex) * sem) AS BIGINT) AS n_semantic_only,
+       CAST(CASE WHEN count(*) = 0 THEN 0 ELSE
+            (sum(lex * sem) * 1000000) // count(*) END AS BIGINT)
+         AS agreement_micro
+FROM cells
+"""

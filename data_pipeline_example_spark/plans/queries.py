@@ -1091,6 +1091,29 @@ def q_domain_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.domain_epoch_plan(load_table(spark, sf_dir, "documents"))
 
 
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease rollup from exact count sums;
+    vowel-group syllable heuristic, integral divisions only."""
+    return text.readability_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy + vocab-normalized form;
+    milli-log f terms, schoolbook integral division."""
+    return text.unigram_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical (banded LSH) vs semantic (centroid-blocked cosine)
+    near-dup verdict agreement — 2x2 cells + verdict-set Jaccard."""
+    from data_pipeline_example_spark import curation
+
+    return curation.dedup_agreement(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer merge induction: first 4 merges learned from the
     corpus word counts; oracle replays each round's argmax + greedy
@@ -1496,6 +1519,9 @@ QUERIES: dict[str, QueryFn] = {
     "zipf_fit": q_zipf_fit,
     "quality_calibration": q_quality_calibration,
     "domain_epoch_plan": q_domain_epoch_plan,
+    "readability_scores": q_readability_scores,
+    "unigram_entropy": q_unigram_entropy,
+    "dedup_agreement": q_dedup_agreement,
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
@@ -1753,18 +1779,20 @@ QUERIES: dict[str, QueryFn] = {
 # revenue_seasonality, token_gini — never driver-certified). Every
 # name is asserted present so a typo fails at import, not silently
 # shrinks the window.
-# round-11 window rotation — mechanical again: the five NEW r11 ops
+# round-11 window rotation — mechanical again: the eight NEW r11 ops
 # (quality_classifier, pii_redact, zipf_fit, quality_calibration,
-# domain_epoch_plan — never driver-certified) front the window,
-# followed by the 45 least-recently-certified entries per the
+# domain_epoch_plan, readability_scores, unigram_entropy,
+# dedup_agreement — never driver-certified) front the window,
+# followed by the 42 least-recently-certified entries per the
 # CORRECTNESS_r*.json hash_match history (r1: 2, r2: 14, r3: 4, then
-# the oldest 25 of the r4 cohort in registry order). The r10 front
+# the oldest 22 of the r4 cohort in registry order). The r10 front
 # rotated out wholesale — all 50 were driver-certified in r10.
 # Derivation: for each name take the max round with hash_match=true,
-# sort ascending (ties by registry position), take 45.
+# sort ascending (ties by registry position), take 42.
 _R11_FRONT = [
     "quality_classifier", "pii_redact",
     "zipf_fit", "quality_calibration", "domain_epoch_plan",
+    "readability_scores", "unigram_entropy", "dedup_agreement",
     # r1-certified, untouched since
     "hash_split_summary", "events_profile",
     # r2 cohort
@@ -1784,10 +1812,10 @@ _R11_FRONT = [
     "knn_bruteforce", "top_bigrams", "nation_actor_presence",
     "contamination_pairs", "exact_dedup", "dup_ngram_fraction",
     "audio_windows", "embedding_profile",
-    "lang_mixture", "doc_stats", "corpus_stats", "lang_predict",
-    "doc_fingerprints",
-    # token_counts + curated_corpus + props_variant_stats yield their
-    # slots to the three extra r11 ops and head next round's rotation
+    "lang_mixture", "doc_stats",
+    # corpus_stats/lang_predict/doc_fingerprints/token_counts/
+    # curated_corpus/props_variant_stats yield their slots to the six
+    # extra r11 ops and head next round's rotation
 ]
 assert len(_R11_FRONT) == 50 and all(n in QUERIES for n in _R11_FRONT), (
     "window rotation list must name 50 registered queries"

@@ -1427,3 +1427,130 @@ def test_domain_epoch_plan_zero_token_source_is_guarded(spark):
     assert rows["empty"]["target_tokens"] == 0
     assert rows["empty"]["epochs_micro"] == 0
     assert rows["real"]["weight"] == 3
+
+
+def test_readability_scores_exact_counts_and_fre(spark):
+    """Hand corpus with known word/sentence/vowel-group counts: the
+    rollup must reproduce them and the Flesch score must equal the
+    integral-division formula exactly; empty-text docs contribute
+    zero sentences (no floor-at-one for empty docs)."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    # "go on. go far! now?" -> 5 words, 3 sentence runs,
+    # vowel groups: go(1) on(1) go(1) far(1) now(1) = 5
+    docs = spark.createDataFrame(
+        [
+            (1, "go on. go far! now?", "en", "s1", 19),
+            (2, "", "en", "s1", 0),
+            (3, "no stops here", "en", "s2", 13),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["source"]: r for r in tx.readability_scores(docs).collect()}
+    s1 = rows["s1"]
+    assert (s1["n_docs"], s1["n_words"], s1["n_sentences"]) == (2, 5, 3)
+    assert s1["n_syllables"] == 5
+    assert s1["words_per_sentence_micro"] == (5 * 1_000_000) // 3
+    assert s1["syllables_per_word_micro"] == 1_000_000
+    assert s1["fre_micro"] == (
+        206_835_000 - (1015 * 5 * 1000) // 3 - (84_600 * 5 * 1000) // 5
+    )
+    # no terminator at all -> floored to one sentence
+    s2 = rows["s2"]
+    assert (s2["n_words"], s2["n_sentences"]) == (3, 1)
+
+
+def test_unigram_entropy_uniform_and_degenerate(spark):
+    """A 4-term uniform source has H = ln 4 (norm = ln4/ln4 = 1 up to
+    milli rounding); a single-term source has H = 0 and norm 0."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c d", "en", "uni", 15),
+            (2, "w w w w w w", "en", "mono", 11),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["source"]: r for r in tx.unigram_entropy(docs).collect()}
+    uni = rows["uni"]
+    assert (uni["n_tokens"], uni["vocab"]) == (8, 4)
+    import math
+
+    # H = ln8 - (4 * 2 * ln2)/8 = ln8 - ln2 = ln4
+    assert abs(uni["entropy_micro"] - round(math.log(4) * 1e6)) < 3_000
+    assert abs(uni["norm_entropy_micro"] - 1_000_000) < 3_000
+    mono = rows["mono"]
+    assert (mono["n_tokens"], mono["vocab"]) == (6, 1)
+    assert mono["entropy_micro"] == 0 and mono["norm_entropy_micro"] == 0
+
+
+def test_unigram_entropy_skew_is_below_uniform(spark):
+    """Entropy orders sources by diversity: a heavily skewed source
+    scores strictly below a uniform one on the same vocab size."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["x"] * 14 + ["y", "z"]), "en", "skew", 40),
+            (2, " ".join(["x", "y", "z"] * 5 + ["x"]), "en", "flat", 40),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["source"]: r for r in tx.unigram_entropy(docs).collect()}
+    assert rows["skew"]["entropy_micro"] < rows["flat"]["entropy_micro"]
+    assert 0 < rows["skew"]["norm_entropy_micro"] < 1_000_000
+
+
+def _agreement_docs(spark, text3):
+    body = "spark rows batch columns data table query join window hash"
+    return spark.createDataFrame(
+        [
+            (1, body, "en", "s", len(body)),
+            (2, body, "en", "s", len(body)),
+            (3, text3, "en", "s", len(text3)),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def _agreement_vecs(spark, v3):
+    rows = [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0), (3, v3, 0)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_dedup_agreement_disjoint_verdicts(spark):
+    """Docs 1,2 are verbatim lexical dups but embedded orthogonally;
+    vec 3 duplicates vec 1 (ties break to the lower centroid, so they
+    share a bucket) while doc 3's text is unrelated — the two
+    families each find exactly one pair, with zero overlap."""
+    from data_pipeline_example_spark import curation
+
+    docs = _agreement_docs(
+        spark, "totally different unrelated words about nothing shared here at all"
+    )
+    vecs = _agreement_vecs(spark, [1.0, 0.0])
+    row = curation.dedup_agreement(docs, vecs).collect()[0]
+    assert row["n_lexical"] == 1 and row["n_semantic"] == 1
+    assert row["n_both"] == 0
+    assert row["n_lexical_only"] == 1 and row["n_semantic_only"] == 1
+    assert row["agreement_micro"] == 0
+
+
+def test_dedup_agreement_full_overlap(spark):
+    """When the SAME pair (1,2) is both a verbatim text dup and a
+    cosine dup, the verdict sets coincide: agreement_micro = 1e6."""
+    from data_pipeline_example_spark import curation
+
+    docs = _agreement_docs(
+        spark, "totally different unrelated words about nothing shared here at all"
+    )
+    # vec 2 duplicates vec 1 -> same bucket via tie-break, cos = 1.0;
+    # vec 3 orthogonal to both
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 0)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    row = curation.dedup_agreement(docs, vecs).collect()[0]
+    assert row["n_lexical"] == 1 and row["n_semantic"] == 1
+    assert row["n_both"] == 1
+    assert row["n_lexical_only"] == 0 and row["n_semantic_only"] == 0
+    assert row["agreement_micro"] == 1_000_000

@@ -173,14 +173,31 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name in subset if subset else HEADLINE:
         fn = QUERIES[name]
-        s = time_query(fn, spark, small)
-        b = time_query(fn, spark, big)
+        # per-query fault isolation: an sf-infeasible exact anchor (the
+        # r11 sweep hit nearest_neighbor's documented O(n²·d) Arrow
+        # batch OOMing at sf10) records an error row instead of sinking
+        # the remaining queries of the run
+        try:
+            s = time_query(fn, spark, small)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            _drop_persisted(spark)
+            out[name] = {"error": f"small: {type(exc).__name__}"}
+            print(f"  {name:32s} ERROR at small ({type(exc).__name__})", file=sys.stderr)
+            continue
+        try:
+            b = time_query(fn, spark, big)
+        except Exception as exc:  # noqa: BLE001
+            _drop_persisted(spark)
+            out[name] = {"small": s, "big": None, "error": f"big: {type(exc).__name__}"}
+            print(f"  {name:32s} {s:7.3f}s -> ERROR at big ({type(exc).__name__})", file=sys.stderr)
+            continue
         out[name] = {"small": s, "big": b, "ratio": round(b / s, 2) if s else None}
         print(f"  {name:32s} {s:7.3f}s -> {b:7.3f}s  x{out[name]['ratio']}", file=sys.stderr)
 
+    timed = [v for v in out.values() if v.get("big") is not None]
     totals = {
-        "small_total": round(sum(v["small"] for v in out.values()), 3),
-        "big_total": round(sum(v["big"] for v in out.values()), 3),
+        "small_total": round(sum(v["small"] for v in timed), 3),
+        "big_total": round(sum(v["big"] for v in timed), 3),
     }
     totals["total_ratio"] = round(totals["big_total"] / totals["small_total"], 2)
     rec = {
