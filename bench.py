@@ -200,6 +200,7 @@ HEADLINE = [
     "domain_epoch_plan",
     "readability_scores",
     "unigram_entropy",
+    "heaps_law",
 ]
 
 

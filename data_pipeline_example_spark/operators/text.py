@@ -3575,6 +3575,77 @@ def unigram_entropy(documents: DataFrame) -> DataFrame:
     ).orderBy("source")
 
 
+def heaps_law(documents: DataFrame) -> DataFrame:
+    """Corpus-level Heaps'-law fit — the vocabulary-growth exponent β
+    in ``V = K·N^β`` (Heaps 1978; β ≈ 0.4–0.6 for natural language),
+    estimated by least squares on ``(ln N_s, ln V_s)`` across the
+    per-source (token count, vocab size) points. Together with
+    :func:`zipf_fit` (rank-frequency slope) and
+    :func:`unigram_entropy` (within-source diversity) this completes
+    the classical corpus-statistics triad; a β far from the natural
+    band flags synthetic/templated text the same way a flat Zipf
+    slope does.
+
+    Exactness: the same milli-log / schoolbook-division discipline as
+    :func:`zipf_fit`; the numerator here CAN be negative (nothing
+    orders V against N a priori), which is safe because both engines
+    truncate integer division toward zero and the two-step identity
+    ``(num·1e6) div den = (num div den)·1e6 + ((num mod den)·1e6) div
+    den`` holds sign-consistently under truncation.
+
+    Plan: one tokenize scan folds to (source, term) then to
+    ≤|sources| (N, V) rows map-side; the regression aggregate runs on
+    that tiny frame. Output (single row): n_sources, total_tokens,
+    beta_micro.
+    """
+    points = (
+        widen(documents)
+        .select(
+            F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .groupBy("source")
+        .agg(
+            F.sum("f").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+        .select(
+            "n",
+            F.round(F.round(F.log("n"), 3) * 1e3, 0).cast("long").alias("x"),
+            F.round(F.round(F.log("v"), 3) * 1e3, 0).cast("long").alias("y"),
+        )
+    )
+    moments = points.agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).select(
+        "ns",
+        "total_tokens",
+        (F.col("ns") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("ns") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    # schoolbook applied twice (1e6 = 1e3 · 1e3): every intermediate
+    # product stays far inside long range even for very large den
+    return moments.select(
+        F.col("ns").alias("n_sources"),
+        "total_tokens",
+        F.expr(
+            "CASE WHEN den = 0 THEN 0 ELSE "
+            "(num div den) * 1000000 "
+            "+ ((num % den) * 1000 div den) * 1000 "
+            "+ (((num % den) * 1000 % den) * 1000) div den END"
+        )
+        .cast("long")
+        .alias("beta_micro"),
+    )
+
+
 def zipf_fit(documents: DataFrame, top_k: int = 256) -> DataFrame:
     """Per-source Zipf-law fit — the rank-frequency power-law slope
     (Zipf 1949; standard corpus-health diagnostic: natural prose sits

@@ -5434,3 +5434,52 @@ SELECT CAST(sum(lex) AS BIGINT) AS n_lexical,
          AS agreement_micro
 FROM cells
 """
+
+
+# Corpus-level Heaps'-law exponent (operators/text.py heaps_law):
+# least squares on per-source (ln N, ln V) milli-log points; the
+# numerator may be negative, safe because both engines truncate
+# integer division toward zero and every schoolbook component shares
+# the numerator's sign (den > 0 by Cauchy-Schwarz).
+ORACLES["heaps_law"] = """
+WITH toks AS (
+  SELECT coalesce(source, 'unknown') AS source,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1, 2
+),
+points AS (
+  SELECT source, CAST(sum(f) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+  FROM counts GROUP BY 1
+),
+xy AS (
+  SELECT n,
+         CAST(round(round(ln(n), 3) * 1000, 0) AS BIGINT) AS x,
+         CAST(round(round(ln(v), 3) * 1000, 0) AS BIGINT) AS y
+  FROM points
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS ns,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy
+),
+nd AS (
+  SELECT ns, total_tokens,
+         CAST(ns * sxy - sx * sy AS BIGINT) AS num,
+         CAST(ns * sxx - sx * sx AS BIGINT) AS den
+  FROM m
+)
+SELECT ns AS n_sources, total_tokens,
+       CAST(CASE WHEN den = 0 THEN 0 ELSE
+            (num // den) * 1000000
+            + ((num % den) * 1000 // den) * 1000
+            + (((num % den) * 1000 % den) * 1000) // den END AS BIGINT)
+         AS beta_micro
+FROM nd
+"""

@@ -1103,6 +1103,12 @@ def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent across per-source
+    (ln N, ln V) points; milli-log schoolbook regression."""
+    return text.heaps_law(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical (banded LSH) vs semantic (centroid-blocked cosine)
     near-dup verdict agreement — 2x2 cells + verdict-set Jaccard."""
@@ -1522,6 +1528,7 @@ QUERIES: dict[str, QueryFn] = {
     "readability_scores": q_readability_scores,
     "unigram_entropy": q_unigram_entropy,
     "dedup_agreement": q_dedup_agreement,
+    "heaps_law": q_heaps_law,
     "product_pagerank": q_product_pagerank,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
@@ -1779,20 +1786,21 @@ QUERIES: dict[str, QueryFn] = {
 # revenue_seasonality, token_gini — never driver-certified). Every
 # name is asserted present so a typo fails at import, not silently
 # shrinks the window.
-# round-11 window rotation — mechanical again: the eight NEW r11 ops
+# round-11 window rotation — mechanical again: the nine NEW r11 ops
 # (quality_classifier, pii_redact, zipf_fit, quality_calibration,
 # domain_epoch_plan, readability_scores, unigram_entropy,
-# dedup_agreement — never driver-certified) front the window,
-# followed by the 42 least-recently-certified entries per the
+# dedup_agreement, heaps_law — never driver-certified) front the
+# window, followed by the 41 least-recently-certified entries per the
 # CORRECTNESS_r*.json hash_match history (r1: 2, r2: 14, r3: 4, then
-# the oldest 22 of the r4 cohort in registry order). The r10 front
+# the oldest 21 of the r4 cohort in registry order). The r10 front
 # rotated out wholesale — all 50 were driver-certified in r10.
 # Derivation: for each name take the max round with hash_match=true,
-# sort ascending (ties by registry position), take 42.
+# sort ascending (ties by registry position), take 41.
 _R11_FRONT = [
     "quality_classifier", "pii_redact",
     "zipf_fit", "quality_calibration", "domain_epoch_plan",
     "readability_scores", "unigram_entropy", "dedup_agreement",
+    "heaps_law",
     # r1-certified, untouched since
     "hash_split_summary", "events_profile",
     # r2 cohort
@@ -1812,10 +1820,10 @@ _R11_FRONT = [
     "knn_bruteforce", "top_bigrams", "nation_actor_presence",
     "contamination_pairs", "exact_dedup", "dup_ngram_fraction",
     "audio_windows", "embedding_profile",
-    "lang_mixture", "doc_stats",
-    # corpus_stats/lang_predict/doc_fingerprints/token_counts/
-    # curated_corpus/props_variant_stats yield their slots to the six
-    # extra r11 ops and head next round's rotation
+    "lang_mixture",
+    # doc_stats/corpus_stats/lang_predict/doc_fingerprints/
+    # token_counts/curated_corpus/props_variant_stats yield their
+    # slots to the seven extra r11 ops and head next round's rotation
 ]
 assert len(_R11_FRONT) == 50 and all(n in QUERIES for n in _R11_FRONT), (
     "window rotation list must name 50 registered queries"

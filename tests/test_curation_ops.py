@@ -1554,3 +1554,38 @@ def test_dedup_agreement_full_overlap(spark):
     assert row["n_both"] == 1
     assert row["n_lexical_only"] == 0 and row["n_semantic_only"] == 0
     assert row["agreement_micro"] == 1_000_000
+
+
+def test_heaps_law_recovers_planted_exponent(spark):
+    """Sources built so that ln V is exactly 0.5 * ln N + c: vocab
+    sizes 2/4/8 at token counts 4/16/64 (V = N^0.5 * 1) — the fit
+    must recover beta = 0.5 within the milli-log rounding; a
+    single-source corpus (zero x-variance) yields the guarded 0."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    def body(vocab, total):
+        terms = [f"t{i}" for i in range(vocab)]
+        out = list(terms)  # each term at least once
+        while len(out) < total:
+            out.append(terms[0])
+        return " ".join(out)
+
+    docs = spark.createDataFrame(
+        [
+            (1, body(2, 4), "en", "sA", 1),
+            (2, body(4, 16), "en", "sB", 1),
+            (3, body(8, 64), "en", "sC", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    row = tx.heaps_law(docs).collect()[0]
+    assert row["n_sources"] == 3
+    assert row["total_tokens"] == 4 + 16 + 64
+    assert abs(row["beta_micro"] - 500_000) < 3_000
+
+    solo = spark.createDataFrame(
+        [(1, "a b c", "en", "only", 5)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    srow = tx.heaps_law(solo).collect()[0]
+    assert srow["n_sources"] == 1 and srow["beta_micro"] == 0
