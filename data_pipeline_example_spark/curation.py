@@ -434,12 +434,13 @@ def dedup_agreement(
     embeddings: DataFrame,
     jaccard_threshold: float = 0.1,
     cosine_threshold: float = 0.35,
+    dims: int = 64,
 ) -> DataFrame:
     """Lexical-vs-semantic near-dup AGREEMENT audit — the calibration
     check a curation team runs before trusting either dedup family
     alone: the MinHash-LSH verified pair set (lexical; aligned ids,
     the :func:`cross_modal_prune` contract doc_id = vec_id) is
-    full-outer-joined against the centroid-blocked cosine pair set
+    full-outer-joined against the SRP-bucketed cosine pair set
     (semantic), and the single-row rollup reports each cell of the
     2×2 verdict table plus the JACCARD OF THE TWO VERDICT SETS —
     high agreement means the cheap lexical pass is a safe proxy for
@@ -447,21 +448,26 @@ def dedup_agreement(
     the families catch genuinely different duplicates (verbatim
     mirrors vs paraphrases) and both must run.
 
-    Both member ops are the certified SCALE paths (banded LSH /
-    centroid blocking — never the O(n²) exact baselines), and the
-    join runs on narrow (id, id) pair rows, so the audit adds one
-    pair-keyed shuffle on top of work the pipeline already does.
-    Counts and one integral division — nothing to round. Output
-    (single row): n_lexical, n_semantic, n_both, n_lexical_only,
-    n_semantic_only, agreement_micro.
+    Both member ops are the certified SCALE paths with
+    corpus-ADAPTIVE bucketing — banded MinHash LSH and Charikar SRP
+    (``srp_dup_pairs``: bits per band grow with ln n, expected bucket
+    occupancy ~constant, measured ×1.25 on ×10 data). The first
+    version composed ``cosine_dup_pairs_blocked`` instead and the r11
+    sweep measured its fixed-16-centroid buckets going quadratic at
+    sf10 (×11 first decade; a single sf10 timing ran >30 min) — the
+    audit inherits whatever scaling its members have, so it must
+    compose the adaptive paths. The join runs on narrow (id, id) pair
+    rows; counts and one integral division — nothing to round.
+    Output (single row): n_lexical, n_semantic, n_both,
+    n_lexical_only, n_semantic_only, agreement_micro.
     """
     from data_pipeline_example_spark.operators import similarity
 
     lex = dedup.minhash_lsh_pairs(documents, threshold=jaccard_threshold).select(
         "doc_a", "doc_b", F.lit(1).alias("lex")
     )
-    sem = similarity.cosine_dup_pairs_blocked(
-        embeddings, threshold=cosine_threshold
+    sem = similarity.srp_dup_pairs(
+        embeddings, threshold=cosine_threshold, dims=dims
     ).select(
         F.col("vec_a").alias("doc_a"),
         F.col("vec_b").alias("doc_b"),

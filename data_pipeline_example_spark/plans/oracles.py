@@ -5411,13 +5411,15 @@ FROM ent ORDER BY source
 
 
 # Lexical-vs-semantic near-dup agreement (curation.py dedup_agreement):
-# the two member scale-path oracles composed verbatim (aligned ids,
-# doc_id = vec_id), full-outer pair join, 2x2 verdict cells + the
-# Jaccard of the verdict sets — counts and one integral division.
+# the two member ADAPTIVE scale-path oracles composed verbatim
+# (aligned ids, doc_id = vec_id; semantic side is srp_dup_pairs — the
+# fixed-centroid blocked oracle went quadratic at sf10), full-outer
+# pair join, 2x2 verdict cells + the Jaccard of the verdict sets —
+# counts and one integral division.
 ORACLES["dedup_agreement"] = f"""
 WITH lex AS (SELECT doc_a, doc_b FROM ({ORACLES["minhash_lsh_pairs"]})),
 sem AS (SELECT vec_a AS doc_a, vec_b AS doc_b
-        FROM ({ORACLES["cosine_dup_pairs_blocked"]})),
+        FROM ({ORACLES["srp_dup_pairs"]})),
 cells AS (
   SELECT CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS lex,
          CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS sem

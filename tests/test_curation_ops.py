@@ -1521,8 +1521,8 @@ def _agreement_vecs(spark, v3):
 
 def test_dedup_agreement_disjoint_verdicts(spark):
     """Docs 1,2 are verbatim lexical dups but embedded orthogonally;
-    vec 3 duplicates vec 1 (ties break to the lower centroid, so they
-    share a bucket) while doc 3's text is unrelated — the two
+    vec 3 duplicates vec 1 (identical vectors share every SRP band
+    bucket) while doc 3's text is unrelated — the two
     families each find exactly one pair, with zero overlap."""
     from data_pipeline_example_spark import curation
 
@@ -1530,7 +1530,7 @@ def test_dedup_agreement_disjoint_verdicts(spark):
         spark, "totally different unrelated words about nothing shared here at all"
     )
     vecs = _agreement_vecs(spark, [1.0, 0.0])
-    row = curation.dedup_agreement(docs, vecs).collect()[0]
+    row = curation.dedup_agreement(docs, vecs, dims=2).collect()[0]
     assert row["n_lexical"] == 1 and row["n_semantic"] == 1
     assert row["n_both"] == 0
     assert row["n_lexical_only"] == 1 and row["n_semantic_only"] == 1
@@ -1545,11 +1545,11 @@ def test_dedup_agreement_full_overlap(spark):
     docs = _agreement_docs(
         spark, "totally different unrelated words about nothing shared here at all"
     )
-    # vec 2 duplicates vec 1 -> same bucket via tie-break, cos = 1.0;
+    # vec 2 duplicates vec 1 -> identical SRP signature, cos = 1.0;
     # vec 3 orthogonal to both
     rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 0)]
     vecs = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
-    row = curation.dedup_agreement(docs, vecs).collect()[0]
+    row = curation.dedup_agreement(docs, vecs, dims=2).collect()[0]
     assert row["n_lexical"] == 1 and row["n_semantic"] == 1
     assert row["n_both"] == 1
     assert row["n_lexical_only"] == 0 and row["n_semantic_only"] == 0

@@ -61,6 +61,9 @@ HEAVY = [
     "nearest_neighbor_blocked",
     "cosine_dup_pairs",
     "semantic_prune",
+    # composes cosine_dup_pairs_blocked (heavy above) + banded LSH —
+    # the r11 sweep measured it dominating its chunk at sf10
+    "dedup_agreement",
 ]
 CHUNK = 40
 TIMEOUT_HEAVY = 2400  # hard cap per heavy query (both decades + 2 runs)
