@@ -3454,12 +3454,17 @@ def readability_scores(documents: DataFrame) -> DataFrame:
     one per non-empty doc), vowel groups (``[aeiou]+`` over the
     lowered text, the classic syllable proxy). The rollup aggregates
     the RAW COUNTS per source and derives the ratios and the Flesch
-    score from source-level sums with single integral divisions —
+    score from source-level sums with integral divisions —
     ``FRE_micro = 206_835_000 − (1015·words·1e3) div sentences −
-    (84_600·syllables·1e3) div words`` — every operand an exact
-    nonnegative long, so both engines hash-match with no float
-    accumulation anywhere. (FRE itself may be negative; only the
-    subtraction is, never a division operand.)
+    (84_600·syllables·1e3) div words``, each ·1e3 div applied via the
+    schoolbook two-step ``(q·1e3 + (r·1e3) div den)`` so every
+    intermediate product stays in long range up to ~9·10^12 words per
+    source (the raw triple product would wrap above that, and Spark's
+    non-ANSI wraparound vs DuckDB's overflow error would break the
+    hash match; the split is value-identical for nonnegative longs) —
+    so both engines hash-match with no float accumulation anywhere.
+    (FRE itself may be negative; only the subtraction is, never a
+    division operand.)
 
     Plan: one scan folds to ≤|sources| rows map-side; zero joins.
     Output: source, n_docs, n_words, n_sentences, n_syllables,
@@ -3500,8 +3505,11 @@ def readability_scores(documents: DataFrame) -> DataFrame:
             ).alias("syllables_per_word_micro"),
             F.expr(
                 "CASE WHEN n_words = 0 OR n_sentences = 0 THEN 0 ELSE "
-                "206835000 - (1015 * n_words * 1000) div n_sentences "
-                "- (84600 * n_syllables * 1000) div n_words END"
+                "206835000 "
+                "- (((1015 * n_words) div n_sentences) * 1000 "
+                "   + ((1015 * n_words) % n_sentences) * 1000 div n_sentences) "
+                "- (((84600 * n_syllables) div n_words) * 1000 "
+                "   + ((84600 * n_syllables) % n_words) * 1000 div n_words) END"
             ).alias("fre_micro"),
         )
         .orderBy("source")

@@ -5366,8 +5366,12 @@ SELECT source, n_docs, n_words, n_sentences, n_syllables,
             ELSE (n_syllables * 1000000) // n_words END AS BIGINT)
          AS syllables_per_word_micro,
        CAST(CASE WHEN n_words = 0 OR n_sentences = 0 THEN 0 ELSE
-            206835000 - (1015 * n_words * 1000) // n_sentences
-            - (84600 * n_syllables * 1000) // n_words END AS BIGINT)
+            206835000
+            - (((1015 * n_words) // n_sentences) * 1000
+               + ((1015 * n_words) % n_sentences) * 1000 // n_sentences)
+            - (((84600 * n_syllables) // n_words) * 1000
+               + ((84600 * n_syllables) % n_words) * 1000 // n_words)
+            END AS BIGINT)
          AS fre_micro
 FROM agg ORDER BY source
 """

@@ -1080,8 +1080,9 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability/confusion audit of the quality classifier: fixed
-    2-nat logit bins, pure count/sum columns (division-free)."""
+    """Reliability/confusion audit of the quality classifier:
+    equal-width bins over the observed logit range; one integral
+    division for the bin index, pure count/sum columns otherwise."""
     return text.quality_calibration(load_table(spark, sf_dir, "documents"))
 
 
@@ -1110,7 +1111,7 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexical (banded LSH) vs semantic (centroid-blocked cosine)
+    """Lexical (banded LSH) vs semantic (adaptive SRP, srp_dup_pairs)
     near-dup verdict agreement — 2x2 cells + verdict-set Jaccard."""
     from data_pipeline_example_spark import curation
 

@@ -199,7 +199,13 @@ def main() -> None:
         "small_total": round(sum(v["small"] for v in timed), 3),
         "big_total": round(sum(v["big"] for v in timed), 3),
     }
-    totals["total_ratio"] = round(totals["big_total"] / totals["small_total"], 2)
+    # per-query fault isolation can leave zero timed queries (every one
+    # errored at the small decade) — report null instead of raising
+    totals["total_ratio"] = (
+        round(totals["big_total"] / totals["small_total"], 2)
+        if totals["small_total"]
+        else None
+    )
     rec = {
         "metric": "scaling_sf0.1_to_sf1",
         "data_factor": 10,

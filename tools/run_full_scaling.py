@@ -61,8 +61,9 @@ HEAVY = [
     "nearest_neighbor_blocked",
     "cosine_dup_pairs",
     "semantic_prune",
-    # composes cosine_dup_pairs_blocked (heavy above) + banded LSH —
-    # the r11 sweep measured it dominating its chunk at sf10
+    # composes srp_dup_pairs (adaptive SRP; rewritten off the blocked
+    # variant in r11) + banded LSH — both members' pair output grows
+    # with corpus dup density, so it still dominates its chunk at sf10
     "dedup_agreement",
 ]
 CHUNK = 40
