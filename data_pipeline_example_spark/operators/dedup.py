@@ -575,6 +575,105 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def dedup_clusters_scalable(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond" — public) — the scale-out twin of :func:`dedup_clusters`
+    with round count O(log² n) INDEPENDENT of cluster diameter.
+
+    Min-label propagation converges in O(diameter) rounds: fine for
+    the dense, shallow clusters near-dup graphs usually produce, but a
+    chain of pairwise-similar documents (template drift, serialized
+    crawls) makes diameter O(cluster size) and the label front crawls
+    one hop per round. The star operations instead contract greedily:
+
+    * large-star(u): every neighbor v > u re-points to
+      m = min(Γ(u) ∪ {u}) — strictly-larger neighbors hop to the
+      locally best-known root.
+    * small-star(u): orient edges large→small, then u and all its
+      smaller neighbors re-point to m = min(Γ⁻(u) ∪ {u}) — partial
+      path compression toward the minimum.
+
+    Both preserve connectivity and the component minimum; the unique
+    fixpoint of the alternation is the star graph rooted at each
+    component's min node. Each round is two (groupBy + join +
+    distinct) passes over an edge frame that only shrinks — no
+    per-node state, no driver-side graph, every shuffle keyed on node
+    ids. ``localCheckpoint`` truncates lineage per round exactly as in
+    :func:`dedup_clusters`; at cluster scale swap in a reliable
+    checkpoint dir. Raises if the fixpoint is not reached within
+    ``max_iter`` rounds (30 covers any graph below 2^30 nodes by a
+    wide margin — unreachable in practice): the label read-off below
+    assumes the converged star shape, so a silent cap would be wrong,
+    not slow.
+
+    Output contract is :func:`dedup_clusters`' exactly: doc_id,
+    cluster_id (= min doc_id reachable) for every doc appearing in at
+    least one pair — the two operators are interchangeable and share
+    one oracle.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .transform(materialize)
+    )
+    nodes = (
+        edges.select(F.col("a").alias("doc_id"))
+        .union(edges.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .transform(materialize)
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", "a").alias("m"))
+        )
+        return (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        orient = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        mins = orient.groupBy("a").agg(F.min("b").alias("m"))
+        nbrs = orient.join(mins, "a").select(F.col("b").alias("v"), F.col("m"))
+        selfs = mins.select(F.col("a").alias("v"), F.col("m"))
+        return (
+            nbrs.union(selfs)
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).transform(materialize)
+        # both frames are distinct sets: equal counts + empty new\old
+        # means fixpoint (old ⊆ new is then forced by cardinality)
+        same_size = new_edges.count() == edges.count()
+        if same_size and new_edges.join(edges, ["a", "b"], "left_anti").isEmpty():
+            break
+        edges = new_edges
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds"
+        )
+    # converged star: every non-root has exactly one out-edge (a → root)
+    roots = edges.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("cluster_id")
+    )
+    return nodes.join(roots, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+
+
 def dedup_summary(documents: DataFrame, clusters: DataFrame) -> DataFrame:
     """Corpus-level dedup outcome: keep the cluster representative
     (min doc_id) from every near-dup cluster plus all unclustered docs.

@@ -1298,6 +1298,53 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
        coalesce(CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_removed
 FROM clusters
 """,
+    # same recursive-CTE CC read-off as dedup_clusters, but over the
+    # banded-LSH verified pair set (the minhash_lsh_pairs oracle's
+    # CTEs verbatim) — the engine side runs large-star/small-star star
+    # contraction instead of min-label propagation; both compute
+    # min-reachable-id per component, so one oracle covers both.
+    "dedup_clusters_scalable": f"""
+WITH RECURSIVE {_SHINGLES},
+hashes AS (
+  SELECT doc_id, r.i AS i,
+         min(substring(md5(CAST(r.i // 4 AS VARCHAR) || ':' || sh),
+                       (r.i % 4) * 8 + 1, 8)) AS h
+  FROM sh, range(0, 16) r(i)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bucket
+  FROM hashes GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT DISTINCT a AS doc_id, a AS label FROM edges
+  UNION
+  SELECT e.a, cc.label FROM edges e JOIN cc ON cc.doc_id = e.b
+)
+SELECT doc_id, min(label) AS cluster_id FROM cc GROUP BY 1
+""",
     "minhash_lsh_pairs": f"""
 WITH {_SHINGLES},
 hashes AS (

@@ -598,6 +598,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the banded-LSH verified pair graph via
+    alternating large-star/small-star contraction (Kiveris et al. 2014)
+    — O(log² n) rounds independent of cluster diameter, the scale path
+    for chain-shaped dup graphs where min-label propagation crawls."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters_scalable(
+        dedup.minhash_lsh_pairs(docs, threshold=0.1)
+    )
+
+
 def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dedup_summary(
@@ -1678,6 +1689,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "lsh_recall_summary": q_lsh_recall_summary,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_scalable": q_dedup_clusters_scalable,
     "dedup_summary": q_dedup_summary,
     "minhash_jaccard_estimates": q_minhash_jaccard_estimates,
     "jaccard_pairs": q_jaccard_pairs,

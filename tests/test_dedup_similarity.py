@@ -160,6 +160,47 @@ def test_dedup_clusters_chain_and_summary(spark):
     assert (row["n_docs"], row["n_kept"], row["n_removed"]) == (20, 16, 4)
 
 
+def test_dedup_clusters_scalable_matches_min_label(spark):
+    """Large-star/small-star CC equals min-label propagation on planted
+    clusters — including a diameter-63 path that min-label needs 63
+    rounds for, solved here within 12 star rounds (the O(log n)
+    property is the assertion: max_iter=12 raises if contraction ever
+    needed diameter-many rounds)."""
+    from data_pipeline_example_spark.operators import dedup as dd
+
+    rows = [(i, i + 1) for i in range(63)]  # path 0-1-...-63
+    rows += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+    rows += [(200, 201), (300, 201)]  # shared endpoint merges 200/201/300
+    pairs = spark.createDataFrame(rows, ["doc_a", "doc_b"])
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.dedup_clusters(pairs, max_iter=80).collect()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.dedup_clusters_scalable(pairs, max_iter=12).collect()
+    }
+    assert got == want
+    assert {c for _, c in got} == {0, 100, 200}
+
+
+def test_dedup_clusters_scalable_empty_and_self_pairs(spark):
+    from data_pipeline_example_spark.operators import dedup as dd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("doc_a", LongType()), StructField("doc_b", LongType())])
+    )
+    assert dd.dedup_clusters_scalable(empty).count() == 0
+    # self-pairs are dropped, not propagated
+    selfs = spark.createDataFrame([(5, 5), (5, 6)], ["doc_a", "doc_b"])
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.dedup_clusters_scalable(selfs).collect()
+    }
+    assert got == {(5, 5), (6, 5)}
+
+
 def test_dedup_clusters_empty_graph(spark):
     from data_pipeline_example_spark.operators import dedup as dd
     from pyspark.sql.types import LongType, StructField, StructType
