@@ -224,13 +224,17 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
     per-doc funnel can't express:
 
       1. raw                — corpus size
-      2. c4_page            — C4 page gate (relaxed line rule, the
+      2. url_canonical      — keeper of its canonicalized-URL group
+                              (``operators.urls``; the CCNet-style
+                              provenance dedup that needs NO text, so
+                              it runs first at metadata cost)
+      3. c4_page            — C4 page gate (relaxed line rule, the
                               registered ``c4_clean`` configuration)
-      3. unique_lines       — still has ≥1 line after corpus-wide
+      4. unique_lines       — still has ≥1 line after corpus-wide
                               first-occurrence line dedup
-      4. exact_keeper       — canonical survivor of its exact-dup class
-      5. decontaminated     — shares < 2 shingles with the eval slice
-      6. gopher             — the full strict Gopher document gate last
+      5. exact_keeper       — canonical survivor of its exact-dup class
+      6. decontaminated     — shares < 2 shingles with the eval slice
+      7. gopher             — the full strict Gopher document gate last
                               (its published thresholds fail the whole
                               synthetic corpus, so running it late
                               keeps the cross-doc stages informative)
@@ -248,10 +252,11 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
     checkpointed columns, never the text; the conjunction is doc-keyed
     joins plus a constant-size aggregate unpivoted with ``stack``.
     Flag semantics are pinned to the standalone operators by unit test
-    and by the unchanged composed oracle. Output: stage, rule,
-    n_surviving (6 rows).
+    and by the composed oracle (each member's oracle SQL reused
+    verbatim). Output: stage, rule, n_surviving (7 rows).
     """
     from data_pipeline_example_spark.functions.parallel import widen
+    from data_pipeline_example_spark.operators import urls
 
     txt = F.coalesce(F.col("text"), F.lit(""))
     lines = F.split(txt, "\n")
@@ -286,8 +291,15 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
         ),
         lambda s: s["nw"] >= 4,
     )
+    # URL synthesis needs only (doc_id, source); unit fixtures without
+    # a source column fall back to a constant host
+    src = (
+        F.col("source") if "source" in documents.columns else F.lit("unknown")
+    )
+    canon = urls.canonical_url(urls.synthetic_url(F.col("doc_id"), src))
     extras = (
-        ("f2", f2),
+        ("canon", canon),
+        ("f3", f2),
         ("fingerprint", T.fingerprint(F.col("text"))),
         ("has_short", has_short),
         ("keyed", keyed),
@@ -297,14 +309,23 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
         text._gopher_scored(widen(documents), extras)
         .select(
             "doc_id",
-            "f2",
+            "canon",
+            "f3",
             "has_short",
             "fingerprint",
             "keyed",
             "shingles",
-            text.gopher_passes().cast("int").alias("f6"),
+            text.gopher_passes().cast("int").alias("f7"),
         )
         .transform(materialize)
+    )
+    # canonical-URL keepers: min doc_id per canonical key (urls.
+    # url_canonical_dedup's verdict, over the metadata-only columns)
+    url_keepers = (
+        enriched.groupBy("canon")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("f2u", F.lit(1))
     )
     # corpus-wide line-dedup winners: a doc survives iff it owns the
     # min (doc_id, pos) of ≥1 line hash (or has a structural line)
@@ -318,13 +339,13 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
         )
         .select(F.col("keep.doc_id").alias("doc_id"))
         .distinct()
-        .withColumn("f3w", F.lit(1))
+        .withColumn("f4w", F.lit(1))
     )
     keepers = (
         enriched.groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .withColumn("f4", F.lit(1))
+        .withColumn("f5", F.lit(1))
     )
     # contamination_pairs(eval_max_id=10, k=3) over the shared shingles
     ev = enriched.filter(F.col("doc_id") < 10).select(
@@ -343,24 +364,27 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
         .withColumn("contaminated", F.lit(1))
     )
     flags = (
-        enriched.select("doc_id", "f2", "has_short", "f6")
+        enriched.select("doc_id", "f3", "has_short", "f7")
+        .join(url_keepers, "doc_id", "left")
         .join(winners, "doc_id", "left")
         .join(keepers, "doc_id", "left")
         .join(F.broadcast(cont), "doc_id", "left")
         .select(
             F.lit(1).alias("f1"),
-            F.col("f2"),
+            F.when(F.col("f2u").isNotNull(), 1).otherwise(0).alias("f2"),
+            F.col("f3"),
             F.greatest(
                 "has_short",
-                F.when(F.col("f3w").isNotNull(), 1).otherwise(0),
-            ).alias("f3"),
-            F.when(F.col("f4").isNotNull(), 1).otherwise(0).alias("f4"),
-            F.when(F.col("contaminated").isNull(), 1).otherwise(0).alias("f5"),
-            F.col("f6"),
+                F.when(F.col("f4w").isNotNull(), 1).otherwise(0),
+            ).alias("f4"),
+            F.when(F.col("f5").isNotNull(), 1).otherwise(0).alias("f5"),
+            F.when(F.col("contaminated").isNull(), 1).otherwise(0).alias("f6"),
+            F.col("f7"),
         )
     )
     rules = [
         "raw",
+        "url_canonical",
         "c4_page",
         "unique_lines",
         "exact_keeper",

@@ -20,6 +20,9 @@ reproduces this by cross-joining offsets 0..3 against the row's
 from __future__ import annotations
 
 from data_pipeline_example_spark.operators import text as _text_ops
+from data_pipeline_example_spark.operators.urls import (
+    URL_CANON_ORACLE as _URL_CANON_ORACLE,
+)
 
 # events → conformed retail mapping (FIXTURES.md F-D)
 _RETAIL = """
@@ -2979,7 +2982,8 @@ LEFT JOIN (SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
 """
 
 ORACLES["corpus_funnel"] = f"""
-WITH c4 AS (SELECT doc_id FROM ({ORACLES["c4_clean"]})),
+WITH uk AS (SELECT doc_id FROM ({_URL_CANON_ORACLE}) WHERE is_keeper = 1),
+c4 AS (SELECT doc_id FROM ({ORACLES["c4_clean"]})),
 ld AS (SELECT doc_id, n_kept FROM ({ORACLES["line_dedup"]})),
 gq AS (SELECT doc_id, passes FROM ({ORACLES["gopher_quality"]})),
 keep AS (SELECT min(doc_id) AS doc_id
@@ -2989,12 +2993,14 @@ cont AS (SELECT DISTINCT doc_id FROM ({ORACLES["contamination_pairs"]})
          WHERE n_shared >= 2),
 flags AS (
   SELECT 1 AS f1,
-         CASE WHEN c4.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f2,
-         CASE WHEN ld.n_kept > 0 THEN 1 ELSE 0 END AS f3,
-         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f4,
-         CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END AS f5,
-         gq.passes AS f6
+         CASE WHEN uk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f2,
+         CASE WHEN c4.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f3,
+         CASE WHEN ld.n_kept > 0 THEN 1 ELSE 0 END AS f4,
+         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f5,
+         CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END AS f6,
+         gq.passes AS f7
   FROM documents d
+  LEFT JOIN uk ON uk.doc_id = d.doc_id
   LEFT JOIN c4 ON c4.doc_id = d.doc_id
   LEFT JOIN ld ON ld.doc_id = d.doc_id
   LEFT JOIN gq ON gq.doc_id = d.doc_id
@@ -3006,15 +3012,17 @@ s AS (SELECT CAST(sum(f1) AS BIGINT) AS sv1,
              CAST(sum(f1 * f2 * f3) AS BIGINT) AS sv3,
              CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS sv4,
              CAST(sum(f1 * f2 * f3 * f4 * f5) AS BIGINT) AS sv5,
-             CAST(sum(f1 * f2 * f3 * f4 * f5 * f6) AS BIGINT) AS sv6
+             CAST(sum(f1 * f2 * f3 * f4 * f5 * f6) AS BIGINT) AS sv6,
+             CAST(sum(f1 * f2 * f3 * f4 * f5 * f6 * f7) AS BIGINT) AS sv7
       FROM flags)
 SELECT stage, rule, n_surviving FROM (
   SELECT 1 AS stage, 'raw' AS rule, sv1 AS n_surviving FROM s
-  UNION ALL SELECT 2, 'c4_page', sv2 FROM s
-  UNION ALL SELECT 3, 'unique_lines', sv3 FROM s
-  UNION ALL SELECT 4, 'exact_keeper', sv4 FROM s
-  UNION ALL SELECT 5, 'decontaminated', sv5 FROM s
-  UNION ALL SELECT 6, 'gopher', sv6 FROM s
+  UNION ALL SELECT 2, 'url_canonical', sv2 FROM s
+  UNION ALL SELECT 3, 'c4_page', sv3 FROM s
+  UNION ALL SELECT 4, 'unique_lines', sv4 FROM s
+  UNION ALL SELECT 5, 'exact_keeper', sv5 FROM s
+  UNION ALL SELECT 6, 'decontaminated', sv6 FROM s
+  UNION ALL SELECT 7, 'gopher', sv7 FROM s
 )
 """
 
@@ -5536,3 +5544,8 @@ SELECT ns AS n_sources, total_tokens,
          AS beta_micro
 FROM nd
 """
+
+# URL canonicalization dedup (operators/urls.py): the oracle SQL is
+# BUILT by the operator module from the same synthesis + pattern
+# tables the Spark side uses — one table drives both engines.
+ORACLES["url_canonical_dedup"] = _URL_CANON_ORACLE

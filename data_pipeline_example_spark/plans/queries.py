@@ -609,6 +609,15 @@ def q_dedup_clusters_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (CCNet/RefinedWeb first stage):
+    deterministic synthetic raw URLs → scheme/www/fragment/query strip
+    + host lowercasing → canonical-key keeper verdict. Text never read."""
+    from data_pipeline_example_spark.operators import urls
+
+    return urls.url_canonical_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dedup_summary(
@@ -1378,7 +1387,8 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document curation funnel: survivors after each stage of
-    page gate → line dedup → exact dedup → decontamination → gopher."""
+    URL-canonical dedup → page gate → line dedup → exact dedup →
+    decontamination → gopher."""
     from data_pipeline_example_spark import curation
 
     return curation.corpus_funnel(load_table(spark, sf_dir, "documents"))
@@ -1690,6 +1700,7 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_recall_summary": q_lsh_recall_summary,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_scalable": q_dedup_clusters_scalable,
+    "url_canonical_dedup": q_url_canonical_dedup,
     "dedup_summary": q_dedup_summary,
     "minhash_jaccard_estimates": q_minhash_jaccard_estimates,
     "jaccard_pairs": q_jaccard_pairs,

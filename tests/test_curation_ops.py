@@ -1589,3 +1589,35 @@ def test_heaps_law_recovers_planted_exponent(spark):
     )
     srow = tx.heaps_law(solo).collect()[0]
     assert srow["n_sources"] == 1 and srow["beta_micro"] == 0
+
+
+def test_url_canonical_dedup_collapses_variants(spark):
+    """Canonicalization must collapse exactly the synthesized noise
+    axes: scheme / www / host case / trailing slash / query / fragment
+    all vanish, the host is lowercased, the path keeps its case, and
+    the keeper is the min doc_id of each canonical group."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_example_spark.operators import urls
+
+    # ids 0 and 40 share source (doc_id%20) and path (doc_id%8) under
+    # the driver corpus convention — plant that shape explicitly
+    docs = spark.createDataFrame(
+        [(0, "s0"), (40, "s0"), (1, "s1"), (2, "s2")],
+        ["doc_id", "source"],
+    )
+    rows = {r["doc_id"]: r for r in urls.url_canonical_dedup(docs).collect()}
+    # doc 0: http:// + UPPER host + /doc/0 + trailing slash + #ref
+    assert rows[0]["url"] == "http://S0.Example.COM/doc/0/#ref"
+    assert rows[0]["canonical_url"] == "s0.example.com/doc/0"
+    # doc 40 (40%3=1): https:// + UPPER host + /doc/0 + slash + #ref
+    assert rows[40]["url"] == "https://S0.Example.COM/doc/0/#ref"
+    assert rows[40]["canonical_url"] == "s0.example.com/doc/0"
+    # doc 1: https:// + lower host + tracking query, no slash/fragment
+    assert rows[1]["url"] == "https://s1.Example.COM/doc/1?utm_source=feed&fbclid=1"
+    assert rows[1]["canonical_url"] == "s1.example.com/doc/1"
+    # group {0, 40} collapses to keeper 0; 1 and 8 stand alone
+    assert (rows[0]["keep_doc_id"], rows[0]["n_dups"], rows[0]["is_keeper"]) == (0, 2, 1)
+    assert (rows[40]["keep_doc_id"], rows[40]["is_keeper"]) == (0, 0)
+    assert rows[2]["canonical_url"] == "s2.example.com/doc/2"
+    assert (rows[2]["n_dups"], rows[2]["is_keeper"]) == (1, 1)

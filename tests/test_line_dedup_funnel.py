@@ -281,28 +281,41 @@ def test_corpus_funnel_stage_semantics(spark):
     #     at unique_lines. 21/22: exact dups whose unique surviving
     #     line is the SHORT one (< 4 words, never a dedup key) → 22
     #     reaches and falls at exact_keeper. 23: clean solo.
+    # distinct per-doc sources → no URL-canonical collisions, so the
+    # url stage passes everything through and the text-stage semantics
+    # stay exactly as designed
     docs = spark.createDataFrame(
         [
-            (1, base),                         # eval doc (id < 10)
-            (20, base + " and a few extra trailing words too"),
-            (30, base),
-            (21, "w1 w2 w3\nfive plain words are here"),
-            (22, "w1 w2 w3\nfive plain words are here"),
-            (23, "solo words entirely distinct from anything else around"),
+            (1, base, "sA"),                   # eval doc (id < 10)
+            (20, base + " and a few extra trailing words too", "sB"),
+            (30, base, "sC"),
+            (21, "w1 w2 w3\nfive plain words are here", "sD"),
+            (22, "w1 w2 w3\nfive plain words are here", "sE"),
+            (23, "solo words entirely distinct from anything else around", "sF"),
         ],
-        "doc_id long, text string",
+        "doc_id long, text string, source string",
     )
     out = {r["rule"]: r["n_surviving"] for r in curation.corpus_funnel(docs).collect()}
     assert out["raw"] == 6
     # funnel is monotone non-increasing in stage order
-    order = ["raw", "c4_page", "unique_lines", "exact_keeper",
-             "decontaminated", "gopher"]
+    order = ["raw", "url_canonical", "c4_page", "unique_lines",
+             "exact_keeper", "decontaminated", "gopher"]
     vals = [out[r] for r in order]
     assert vals == sorted(vals, reverse=True)
+    assert out["url_canonical"] == 6   # distinct hosts: nothing collides
     assert out["unique_lines"] == 5    # 30 falls (its one line is a dup)
     assert out["exact_keeper"] == 4    # 22 falls (exact dup of 21)
     assert out["decontaminated"] == 3  # 20 falls (shingle overlap w/ eval)
     assert out["gopher"] == 0          # word-count rule fails the fixtures
+
+    # same corpus under ONE source: doc_id%8 collisions (30↔22) make the
+    # url stage itself bite — 30 falls there as the larger id of its
+    # canonical group, before any text stage sees it
+    docs_one_src = docs.drop("source")
+    out1 = {r["rule"]: r["n_surviving"]
+            for r in curation.corpus_funnel(docs_one_src).collect()}
+    assert out1["raw"] == 6
+    assert out1["url_canonical"] == 5  # 30 falls (/doc/6 dup of 22)
 
 
 def test_skew_report_heavy_hitters(spark):
@@ -463,6 +476,10 @@ def test_corpus_funnel_matches_member_composition(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # member composition (the pre-single-scan formulation)
     ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    from data_pipeline_example_spark.operators import urls as urls_ops
+
+    uk = {r["doc_id"] for r in urls_ops.url_canonical_dedup(docs)
+          .filter(F.col("is_keeper") == 1).select("doc_id").collect()}
     c4 = {r["doc_id"] for r in tx.c4_clean(
         docs, require_terminal=False, min_kept_lines=1).select("doc_id").collect()}
     uni = {r["doc_id"] for r in tx.line_dedup(docs)
@@ -472,14 +489,14 @@ def test_corpus_funnel_matches_member_composition(spark, sf_dir):
           .filter(F.col("passes") == 1).collect()}
     cont = {r["doc_id"] for r in dedup.contamination_pairs(docs)
             .filter(F.col("n_shared") >= 2).select("doc_id").distinct().collect()}
-    sets = [set(ids), c4, uni, keep, set(ids) - cont, gq]
+    sets = [set(ids), uk, c4, uni, keep, set(ids) - cont, gq]
     want, cum = [], set(ids)
     for s in sets:
         cum &= s
         want.append(len(cum))
     got = {r["stage"]: r["n_surviving"]
            for r in curation.corpus_funnel(docs).collect()}
-    assert [got[i] for i in range(1, 7)] == want
+    assert [got[i] for i in range(1, 8)] == want
 
 
 def test_substring_dedup_exactsubstr_semantics(spark):
