@@ -3109,6 +3109,90 @@ def vocab_drift(documents: DataFrame, n_epochs: int = 10) -> DataFrame:
     )
 
 
+def token_fertility_drift(documents: DataFrame, n_epochs: int = 10) -> DataFrame:
+    """Tokenizer-fertility drift across ingestion epochs — the vocab
+    AGING monitor: :func:`token_fertility` measures chars/bytes per
+    token per source; this composes the same fertility numbers with
+    :func:`vocab_drift`'s epoch axis. A fixed tokenizer vocabulary
+    degrades as the source mix shifts (new domains, new scripts, new
+    jargon fragment into more, shorter tokens → chars-per-token FALLS;
+    markup-heavier payloads push bytes-per-token UP) — rising fertility
+    drift is the retraining trigger real pretraining pipelines watch.
+
+    Semantics: epochs are :func:`vocab_drift`'s positional doc_id
+    ranges; per epoch the rollup is exact long sums (tokens, chars,
+    bytes), fertility ratios are integer micro-units via the certified
+    triple-schoolbook division (heaps_law's (q·1e6 + ...) identity —
+    exact for any corpus below ~9e15 chars/epoch), and the drift is the
+    signed micro delta vs the previous epoch from a self-join on
+    epoch+1 — never a window, never a float.
+
+    Plan: one tokenize scan folds map-side to ≤ ``n_epochs`` rows; the
+    adjacent-epoch join runs on that constant-size frame. Output:
+    epoch, n_docs, n_tokens, cpt_micro, bpt_micro, delta_cpt_micro,
+    delta_bpt_micro (nulls for epoch 0 — no predecessor), ordered by
+    epoch.
+    """
+    n = documents.filter(F.col("doc_id").isNotNull()).agg(
+        (F.max("doc_id") + 1).alias("n")
+    )
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    per_epoch = (
+        widen(documents)
+        .filter(F.col("doc_id").isNotNull())
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(f"(doc_id * {int(n_epochs)}) div n").alias("epoch"),
+            T.token_count(txt).cast("long").alias("t"),
+            F.length(txt).cast("long").alias("c"),
+            F.octet_length(txt).cast("long").alias("b"),
+        )
+        .groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("n_chars"),
+            F.sum("b").cast("long").alias("n_bytes"),
+        )
+    )
+
+    def _micro(num: str) -> str:
+        # (num * 1e6) div n_tokens without the 1e6 product: the
+        # heaps_law triple-schoolbook identity, long-safe to ~9e15
+        return (
+            f"CASE WHEN n_tokens = 0 THEN 0 ELSE "
+            f"({num} div n_tokens) * 1000000 "
+            f"+ (({num} % n_tokens) * 1000 div n_tokens) * 1000 "
+            f"+ ((({num} % n_tokens) * 1000 % n_tokens) * 1000) div n_tokens END"
+        )
+
+    rates = per_epoch.select(
+        "epoch",
+        "n_docs",
+        "n_tokens",
+        F.expr(_micro("n_chars")).cast("long").alias("cpt_micro"),
+        F.expr(_micro("n_bytes")).cast("long").alias("bpt_micro"),
+    ).transform(materialize)
+    prev = rates.select(
+        (F.col("epoch") + 1).alias("epoch"),
+        F.col("cpt_micro").alias("prev_cpt"),
+        F.col("bpt_micro").alias("prev_bpt"),
+    )
+    return (
+        rates.join(prev, "epoch", "left")
+        .select(
+            "epoch",
+            "n_docs",
+            "n_tokens",
+            "cpt_micro",
+            "bpt_micro",
+            (F.col("cpt_micro") - F.col("prev_cpt")).alias("delta_cpt_micro"),
+            (F.col("bpt_micro") - F.col("prev_bpt")).alias("delta_bpt_micro"),
+        )
+        .orderBy("epoch")
+    )
+
+
 def length_pareto(documents: DataFrame) -> DataFrame:
     """Token-length Pareto curve at log2-bucket granularity — the "what
     share of the token budget do the longest documents carry" question

@@ -5549,3 +5549,37 @@ FROM nd
 # BUILT by the operator module from the same synthesis + pattern
 # tables the Spark side uses — one table drives both engines.
 ORACLES["url_canonical_dedup"] = _URL_CANON_ORACLE
+
+# Tokenizer-fertility drift across positional epochs (operators/text.py
+# token_fertility_drift): per-epoch micro fertility via the heaps_law
+# triple-schoolbook division, signed deltas from an epoch+1 self-join.
+ORACLES["token_fertility_drift"] = """
+WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents WHERE doc_id IS NOT NULL),
+per AS (
+  SELECT (doc_id * 10) // n.n AS epoch,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+'))), 0) AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(length(coalesce(text, ''))), 0) AS BIGINT) AS n_chars,
+         CAST(coalesce(sum(strlen(coalesce(text, ''))), 0) AS BIGINT) AS n_bytes
+  FROM documents, n WHERE doc_id IS NOT NULL GROUP BY 1
+),
+rates AS (
+  SELECT epoch, n_docs, n_tokens,
+         CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
+              (n_chars // n_tokens) * 1000000
+              + ((n_chars % n_tokens) * 1000 // n_tokens) * 1000
+              + (((n_chars % n_tokens) * 1000 % n_tokens) * 1000) // n_tokens
+              END AS BIGINT) AS cpt_micro,
+         CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
+              (n_bytes // n_tokens) * 1000000
+              + ((n_bytes % n_tokens) * 1000 // n_tokens) * 1000
+              + (((n_bytes % n_tokens) * 1000 % n_tokens) * 1000) // n_tokens
+              END AS BIGINT) AS bpt_micro
+  FROM per
+)
+SELECT r.epoch, r.n_docs, r.n_tokens, r.cpt_micro, r.bpt_micro,
+       CAST(r.cpt_micro - p.cpt_micro AS BIGINT) AS delta_cpt_micro,
+       CAST(r.bpt_micro - p.bpt_micro AS BIGINT) AS delta_bpt_micro
+FROM rates r LEFT JOIN rates p ON p.epoch = r.epoch - 1
+ORDER BY r.epoch
+"""

@@ -1219,6 +1219,13 @@ def q_lang_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_source_mix(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility drift across ingestion epochs: per-epoch
+    chars/bytes-per-token micro rates + signed deltas vs the previous
+    epoch (the fixed-vocab aging / retraining trigger)."""
+    return text.token_fertility_drift(load_table(spark, sf_dir, "documents"))
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chars/bytes per token per source (encoding-efficiency audit)."""
     return text.token_fertility(load_table(spark, sf_dir, "documents"))
@@ -1583,6 +1590,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_cooccurrence": q_event_cooccurrence,
     "lang_source_mix": q_lang_source_mix,
     "token_fertility": q_token_fertility,
+    "token_fertility_drift": q_token_fertility_drift,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so

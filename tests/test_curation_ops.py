@@ -1621,3 +1621,26 @@ def test_url_canonical_dedup_collapses_variants(spark):
     assert (rows[40]["keep_doc_id"], rows[40]["is_keeper"]) == (0, 0)
     assert rows[2]["canonical_url"] == "s2.example.com/doc/2"
     assert (rows[2]["n_dups"], rows[2]["is_keeper"]) == (1, 1)
+
+
+def test_token_fertility_drift_planted_epochs(spark):
+    """Fertility micro rates and signed adjacent-epoch deltas over
+    planted positional epochs (3 docs, n_epochs=3 → one per epoch);
+    bytes == chars on pure-ASCII fixtures, epoch 0 has null deltas."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    texts = ["aa bb", "aaaa bbbb", "aaaaaa bb"]  # cpt: 5/2, 9/2, 9/2
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["epoch"]: r for r in tx.token_fertility_drift(docs, n_epochs=3).collect()}
+    assert set(rows) == {0, 1, 2}
+    want_cpt = [5 * 1_000_000 // 2, 9 * 1_000_000 // 2, 9 * 1_000_000 // 2]
+    for e in range(3):
+        assert rows[e]["n_docs"] == 1 and rows[e]["n_tokens"] == 2
+        assert rows[e]["cpt_micro"] == want_cpt[e]
+        assert rows[e]["bpt_micro"] == want_cpt[e]  # ASCII: bytes == chars
+    assert rows[0]["delta_cpt_micro"] is None
+    assert rows[1]["delta_cpt_micro"] == want_cpt[1] - want_cpt[0]  # rising
+    assert rows[2]["delta_cpt_micro"] == 0  # flat
