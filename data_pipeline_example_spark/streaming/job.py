@@ -28,6 +28,9 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StringType, StructField, StructType
 
 from data_pipeline_example_spark.conform import STREAMING_SPEC, conform
+from data_pipeline_example_spark.functions.materialize import (
+    materialize as _materialize,
+)
 
 # streaming_sales_aggregator.py:187-200 — every field a nullable string
 EVENT_FIELDS = (
@@ -844,8 +847,10 @@ def write_stream_ivm_daily_revenue(
     the partials — long-sum associativity makes it EQUAL to the batch
     GROUP BY over all events ever streamed, pinned by a restart test.
     At 100 TB the partials table grows one tiny partition per epoch;
-    compaction is one ``read → re-aggregate → rewrite`` batch job that
-    the same associativity makes safe at any time.
+    :func:`compact_ivm_partials` is the standing maintenance job that
+    folds old epochs into one base partition — the same associativity
+    makes it safe at any time, and its single dynamic-overwrite job
+    keeps the exactly-once contract across a crash.
     """
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         _write_ivm_epoch_partials(batch_df, epoch_id, path)
@@ -870,6 +875,108 @@ def read_ivm_daily_revenue(spark, path: str) -> DataFrame:
             F.sum("total_cents").cast("long").alias("total_cents"),
         )
     )
+
+
+def compact_ivm_partials(
+    spark, path: str, upto_epoch: int | None = None
+) -> dict[str, int]:
+    """Compact the IVM partials table: fold every epoch partition
+    ≤ ``upto_epoch`` into a single consolidated base partition — the
+    standing maintenance job for :func:`write_stream_ivm_daily_revenue`,
+    whose partials table otherwise grows one tiny partition per
+    micro-batch forever (at 100 TB/day that is thousands of partitions
+    a week, and the serving re-aggregate pays file-open cost for each;
+    the same problem :func:`sinks.compact_partitions` solves for row
+    files, solved here at the PARTITION level).
+
+    Exactly-once discipline, mirrored from the epoch writer itself
+    (one dynamic-overwrite job is the atomicity unit):
+
+    * the merged base lands in the LOWEST compacted epoch's partition;
+    * every other compacted epoch is rewritten IN THE SAME WRITE JOB
+      to a single zero-contribution row (n_rows = 0, total_cents = 0,
+      keyed on the merged frame's min (order_date, product) — an
+      existing group, so the serving re-aggregate is bit-identical);
+      a dynamic overwrite can only replace partitions PRESENT in the
+      output, so the zero row is what makes "merged into base" and
+      "cleared everywhere else" one atomic commit instead of a
+      merge-then-delete pair a crash can split;
+    * long-sum associativity makes the operation idempotent: re-running
+      it (at-least-once replay, a crash before the commit) re-merges
+      the same partitions to the same result.
+
+    The in-flight epoch is protected structurally: only epochs
+    STRICTLY below the maximum epoch on disk are ever compacted, so a
+    foreachBatch replay of the latest epoch (the only one the
+    checkpoint can re-deliver) still overwrites its own partition,
+    never a compacted one. Returns {"epochs_compacted": k,
+    "base_epoch": b} ({"epochs_compacted": 0} when nothing to do).
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        return {"epochs_compacted": 0}
+    epochs = sorted(
+        r["epoch"] for r in df.select("epoch").distinct().collect()
+    )
+    if not epochs:
+        return {"epochs_compacted": 0}
+    ceiling = epochs[-1] - 1 if upto_epoch is None else min(upto_epoch, epochs[-1] - 1)
+    eligible = [e for e in epochs if e <= ceiling]
+    if len(eligible) < 2:
+        return {"epochs_compacted": 0}
+    base = eligible[0]
+    # already-compacted short-circuit: dynamic overwrite cannot delete a
+    # partition, so compacted epochs persist as zero sentinels — if every
+    # eligible non-base partition is already all-zero there is nothing to
+    # fold and the scheduled maintenance run skips the rewrite
+    already_compacted = (
+        df.filter((F.col("epoch") <= ceiling) & (F.col("epoch") != base))
+        .filter(F.col("n_rows") != 0)
+        .isEmpty()
+    )
+    if already_compacted:
+        return {"epochs_compacted": 0}
+    # materialize before the overwrite — the plan reads the path it is
+    # about to rewrite (the compact_partitions / update_dedup_index rule)
+    merged = (
+        df.filter(F.col("epoch") <= ceiling)
+        .groupBy("order_date", "product")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+        .withColumn("epoch", F.lit(int(base)))
+        .transform(_materialize)
+    )
+    anchor = (
+        merged.orderBy("order_date", "product")
+        .limit(1)
+        .select("order_date", "product")
+    )
+    sentinels = anchor.crossJoin(
+        spark.createDataFrame(
+            [(int(e),) for e in eligible[1:]], "epoch int"
+        )
+    ).select(
+        "order_date",
+        "product",
+        F.lit(0).cast("long").alias("n_rows"),
+        F.lit(0).cast("long").alias("total_cents"),
+        "epoch",
+    )
+    out = merged.select(
+        "order_date", "product", "n_rows", "total_cents", "epoch"
+    ).union(sentinels)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("epoch").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"epochs_compacted": len(eligible), "base_epoch": int(base)}
 
 
 def build_arg_parser():

@@ -945,3 +945,44 @@ def test_ivm_daily_revenue_stream_matches_batch_across_restart(spark, tmp_path):
     ).selectExpr("product", "cast(order_date as date) order_date", "amount")
     job._write_ivm_epoch_partials(replay, 0, out_dir)
     assert served() == want
+
+    # --- compaction: fold epochs < max into one base partition -----
+    def epochs_on_disk():
+        return sorted(
+            r["epoch"]
+            for r in spark.read.parquet(out_dir).select("epoch").distinct().collect()
+        )
+
+    before = epochs_on_disk()
+    assert len(before) == 3  # three micro-batches landed
+    stats = job.compact_ivm_partials(spark, out_dir)
+    # in-flight protection: the max epoch is never compacted
+    assert stats == {"epochs_compacted": 2, "base_epoch": before[0]}
+    assert epochs_on_disk() == before  # partitions swapped, not deleted
+    assert served() == want  # the maintained view is untouched
+    # the non-base compacted epoch now holds only a zero sentinel
+    sent = spark.read.parquet(out_dir).filter(F.col("epoch") == before[1])
+    srow = sent.agg(
+        F.sum("n_rows").alias("nr"), F.sum("total_cents").alias("tc"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert (srow["nr"], srow["tc"], srow["n"]) == (0, 0, 1)
+
+    # rerun after a SUCCESSFUL commit (the scheduler's next tick, or a
+    # crash after commit): the all-zero sentinel short-circuit makes it
+    # a no-op; a crash BEFORE commit leaves non-zero eligible rows, so
+    # the rerun would redo the full fold — either way served() holds
+    assert job.compact_ivm_partials(spark, out_dir) == {"epochs_compacted": 0}
+    assert served() == want
+
+    # a foreachBatch replay of the PROTECTED (latest) epoch after
+    # compaction still overwrites its own partition — totals unchanged
+    replay3 = spark.createDataFrame(
+        [(r["product"], r["order_date"], r["amount"]) for r in b3],
+        "product string, order_date string, amount double",
+    ).selectExpr("product", "cast(order_date as date) order_date", "amount")
+    job._write_ivm_epoch_partials(replay3, before[-1], out_dir)
+    assert served() == want
+
+    # nothing left to compact below the in-flight epoch → no-op
+    assert job.compact_ivm_partials(spark, out_dir) == {"epochs_compacted": 0}
