@@ -398,6 +398,120 @@ def dedup_lines_stream(
     )
 
 
+def bloom_admission_stream(
+    docs: DataFrame,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Bounded-state APPROXIMATE admission for streaming exact dedup —
+    the state-size escape hatch for :func:`gate_and_dedup`'s
+    ``dropDuplicatesWithinWatermark``, whose store holds one fingerprint
+    per distinct document inside the watermark horizon: at 100 TB/day
+    that is billions of 128-bit keys per horizon, unbounded in corpus
+    terms. A Bloom filter replaces it with a HARD bound: ``m_bits``
+    TOTAL bits of state, input-independent (the countmin_stream
+    guarantee applied to membership instead of frequency).
+
+    Error direction is one-sided and curation-safe: a re-arriving
+    fingerprint always finds its own bits set (NO false negatives — a
+    true duplicate is never admitted while state lives), while a novel
+    document colliding on all ``k_hashes`` positions is wrongly dropped
+    at the classic rate p ≈ (1 − e^(−kn/m))^k. Losing ~p of novel docs
+    is the acceptable direction for training-data dedup; admitting
+    duplicates is not. Size m_bits ≈ 10 × expected distinct docs per
+    horizon for p < 1%.
+
+    Determinism contract (what makes the FP rate TESTABLE): the hash
+    family is the repo's md5 discipline — bit i of document fp is
+    ``conv(substr(md5(i || ':' || fp), 1, 8), 16, 10) % (m/buckets)``,
+    the exact family :func:`operators.dedup.minhash_signatures` uses —
+    so the FP SET (not just the rate) is reproducible run-to-run and
+    replayable in pure Python by the test against the batch
+    ``exact_dedup`` ground truth. Bit positions and the bucket key are
+    computed relationally (JVM-side md5) BEFORE the stateful op; the
+    Arrow-batched update only tests/sets bits.
+
+    Partitioning: the filter is sharded into ``n_buckets`` independent
+    slices keyed on the fingerprint's first 32 bits — each state key
+    owns m/n_buckets bits, so the filter scales out across executors
+    instead of serializing on one state row. Rows process in doc_id
+    order within each (bucket, micro-batch) so checkpoint replays
+    re-admit identically.
+
+    Output stream (update mode): doc_id, fingerprint, admitted (int).
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BinaryType, IntegerType, LongType
+
+    assert m_bits % (n_buckets * 8) == 0, "m_bits must be bytes per bucket"
+    m_local = m_bits // n_buckets
+
+    fp = T.fingerprint(F.col("text"))
+    pos = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("fingerprint"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_local
+            ).cast("int")
+            for i in range(k_hashes)
+        ]
+    )
+    typed = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), fp.alias("fingerprint"))
+        .withColumn(
+            "bucket",
+            (
+                F.conv(F.substring("fingerprint", 1, 8), 16, 10).cast("long")
+                % n_buckets
+            ).cast("int"),
+        )
+        .withColumn("pos", pos)
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("fingerprint", StringType()),
+            StructField("admitted", IntegerType()),
+        ]
+    )
+    state_schema = StructType([StructField("bits", BinaryType())])
+
+    def update(key: tuple, pdfs, state: GroupState):
+        bits = (
+            bytearray(state.get[0]) if state.exists else bytearray(m_local // 8)
+        )
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        admitted = []
+        for plist in pdf["pos"]:
+            seen = all(bits[p // 8] & (1 << (p % 8)) for p in plist)
+            if not seen:
+                for p in plist:
+                    bits[p // 8] |= 1 << (p % 8)
+            admitted.append(0 if seen else 1)
+        state.update((bytes(bits),))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "fingerprint": pdf["fingerprint"].astype("object"),
+                "admitted": pd.Series(admitted, dtype="int32"),
+            }
+        )
+
+    return typed.groupBy("bucket").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def budget_admission_stream(
     docs: DataFrame, budget: int = 800, state_ttl_ms: int | None = None
 ) -> DataFrame:

@@ -607,3 +607,163 @@ def test_countmin_stream_state_survives_restart_and_equals_batch(spark, tmp_path
         assert got["max_cell"] == max(cells)
         assert got["nonzero_cells"] == sum(1 for c in cells if c > 0)
         assert len(got["cells"]) == width  # state bound: width longs/row
+
+
+def _bloom_replay(texts_in_order, k_hashes, m_local):
+    """Pure-Python replay of bloom_admission_stream's md5 bit
+    arithmetic — the determinism oracle: same fingerprint, same
+    positions, same test-then-set order."""
+    import hashlib
+
+    def fp(text):
+        return hashlib.md5(" ".join(text.lower().strip().split()).encode()).hexdigest()
+
+    def positions(f):
+        return [
+            int(hashlib.md5(f"{i}:{f}".encode()).hexdigest()[:8], 16) % m_local
+            for i in range(k_hashes)
+        ]
+
+    bits = bytearray(m_local // 8)
+    admitted = []
+    for t in texts_in_order:
+        ps = positions(fp(t))
+        seen = all(bits[p // 8] & (1 << (p % 8)) for p in ps)
+        if not seen:
+            for p in ps:
+                bits[p // 8] |= 1 << (p % 8)
+        admitted.append(0 if seen else 1)
+    return admitted
+
+
+def test_bloom_admission_no_false_negatives_and_pinned_fp_set(spark, tmp_path):
+    """Bloom admission with a DELIBERATELY tiny filter (m=128 bits,
+    k=2, one bucket) over 40 distinct docs + 2 exact dups: every true
+    duplicate is dropped (one-sided error — no false negatives), and
+    the full admitted/dropped vector equals the pure-Python replay of
+    the same md5 arithmetic, pinning the false-positive SET, not just
+    its rate."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from data_pipeline_example_spark.streaming import curation as sc
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    texts = [f"word{i} body{i}" for i in range(40)]
+    b1 = [{"doc_id": str(i), "text": texts[i]} for i in range(20)]
+    # batch 2: rest of the novels + exact dups of docs 0 and 5
+    b2 = [{"doc_id": str(i), "text": texts[i]} for i in range(20, 40)]
+    b2 += [
+        {"doc_id": "100", "text": texts[0]},
+        {"doc_id": "101", "text": "  " + texts[5].upper() + "  "},  # normalizes equal
+    ]
+    write("b1.json", b1, now - 30)
+    write("b2.json", b2, now)
+
+    raw = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    out = sc.bloom_admission_stream(raw, m_bits=128, k_hashes=2, n_buckets=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_admission")
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["doc_id"]: r["admitted"]
+        for r in spark.sql("SELECT * FROM bloom_admission").collect()
+    }
+    # replay order: batch 1 doc_id-sorted, then batch 2 doc_id-sorted
+    # (doc ids 100/101 sort after 20..39 numerically — doc_id is long)
+    order = [texts[i] for i in range(20)]
+    order += [texts[i] for i in range(20, 40)] + [texts[0], texts[5]]
+    want = _bloom_replay(order, k_hashes=2, m_local=128)
+    got = [rows[i] for i in range(20)]
+    got += [rows[i] for i in range(20, 40)] + [rows[100], rows[101]]
+    assert got == want
+    # one-sided error: the true dups can never be admitted
+    assert rows[100] == 0 and rows[101] == 0
+    # the tiny filter must actually be exercising collisions: at this
+    # load (40 keys x 2 bits into 128 slots) the deterministic md5
+    # family produces exactly 4 false positives among the 40 novels
+    assert sum(want) == 36
+
+
+def test_bloom_admission_state_survives_checkpoint_restart(spark, tmp_path):
+    """Restart recovery: a duplicate arriving AFTER a stop/restart is
+    still dropped from the recovered bit array (T5 for the bloom
+    state), and batch-1 rows are not re-emitted."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from data_pipeline_example_spark.streaming import curation as sc
+
+    in_dir, out_dir, ckpt = (
+        tmp_path / "in", str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    in_dir.mkdir()
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    def run_once():
+        raw = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = sc.bloom_admission_stream(raw, m_bits=65536, k_hashes=3, n_buckets=8)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("b1.json", [
+        {"doc_id": "1", "text": "alpha beta gamma"},
+        {"doc_id": "2", "text": "delta epsilon zeta"},
+    ], now - 30)
+    run_once()
+    r1 = {r["doc_id"]: r["admitted"]
+          for r in spark.read.parquet(out_dir).collect()}
+    assert r1 == {1: 1, 2: 1}
+
+    write("b2.json", [
+        {"doc_id": "3", "text": "ALPHA  beta   gamma"},  # dup of 1 normalized
+        {"doc_id": "4", "text": "eta theta iota"},       # novel
+    ], now)
+    run_once()  # restart from checkpoint: bits must be recovered
+    rows = sorted(
+        (r["doc_id"], r["admitted"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # recovered bits drop the dup; batch-1 rows emitted exactly once
+    assert rows == [(1, 1), (2, 1), (3, 0), (4, 1)]
