@@ -201,6 +201,12 @@ HEADLINE = [
     "readability_scores",
     "unigram_entropy",
     "heaps_law",
+    # round 12: star-contraction CC over the LSH pair graph (the
+    # diameter-independent scale path), metadata-only URL dedup, and
+    # per-epoch tokenizer-fertility drift
+    "dedup_clusters_scalable",
+    "url_canonical_dedup",
+    "token_fertility_drift",
 ]
 
 

@@ -1819,50 +1819,45 @@ QUERIES: dict[str, QueryFn] = {
 # name is asserted present so a typo fails at import, not silently
 # shrinks the window.
 # round-11 window rotation — mechanical again: the nine NEW r11 ops
-# (quality_classifier, pii_redact, zipf_fit, quality_calibration,
-# domain_epoch_plan, readability_scores, unigram_entropy,
-# dedup_agreement, heaps_law — never driver-certified) front the
-# window, followed by the 41 least-recently-certified entries per the
-# CORRECTNESS_r*.json hash_match history (r1: 2, r2: 14, r3: 4, then
-# the oldest 21 of the r4 cohort in registry order). The r10 front
-# rotated out wholesale — all 50 were driver-certified in r10.
-# Derivation: for each name take the max round with hash_match=true,
-# sort ascending (ties by registry position), take 41.
-_R11_FRONT = [
-    "quality_classifier", "pii_redact",
-    "zipf_fit", "quality_calibration", "domain_epoch_plan",
-    "readability_scores", "unigram_entropy", "dedup_agreement",
-    "heaps_law",
-    # r1-certified, untouched since
-    "hash_split_summary", "events_profile",
-    # r2 cohort
-    "stratified_sample", "reservoir_sample", "value_quantile_sketch",
-    "bloom_pruned_brand_volume", "value_anomalies", "retention_cohorts",
-    "event_funnel", "range_join_counts", "frequent_terms",
-    "unigram_scores", "curation_summary", "props_key_stats",
-    "day_over_day_revenue", "value_percentiles",
-    # r3 cohort
-    "chunk_documents", "chunk_dedup_stats", "source_blocklist_summary",
-    "mixture_sample",
-    # oldest 28 of the r4 cohort, registry order
-    "kpis_long", "nearest_neighbor", "quantize_embeddings",
-    "minhash_lsh_pairs", "simhash_pairs", "cosine_dup_pairs",
-    "lsh_recall_summary", "dedup_clusters", "dedup_summary",
-    "minhash_jaccard_estimates", "jaccard_pairs", "simhash_signatures",
-    "knn_bruteforce", "top_bigrams", "nation_actor_presence",
-    "contamination_pairs", "exact_dedup", "dup_ngram_fraction",
-    "audio_windows", "embedding_profile",
-    "lang_mixture",
-    # doc_stats/corpus_stats/lang_predict/doc_fingerprints/
-    # token_counts/curated_corpus/props_variant_stats yield their
-    # slots to the seven extra r11 ops and head next round's rotation
+# round-12 front: the three NEW r12 ops (never driver-certified), the
+# r12-CHANGED corpus_funnel (url_canonical is now its stage 2 — output
+# grew to 7 rows, so the r6 certification no longer covers it), then
+# the 46 least-recently-certified entries per the CORRECTNESS_r*.json
+# hash_match history: the full r4 cohort remainder (16), the full r5
+# cohort (18), and the oldest 12 of the r6 cohort in registry order.
+# Derivation (mechanical): for each name take the max round with
+# hash_match=true across CORRECTNESS_r01..r11, sort ascending with
+# ties by registry position, take 46. readability_scores' r12 overflow
+# fix is value-identical (schoolbook split), so its r11 row stands.
+_R12_FRONT = [
+    "token_fertility_drift", "dedup_clusters_scalable",
+    "url_canonical_dedup",
+    "corpus_funnel",
+    # r4-certified, untouched since
+    "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
+    "doc_fingerprints", "token_counts", "curated_corpus",
+    "pack_documents", "redact_pii", "mixture_rates", "media_features",
+    "frame_samples", "tfidf_top_terms", "repetition_stats",
+    "c4_line_stats", "value_stats",
+    # r5 cohort
+    "packing_efficiency", "decontaminated_corpus", "skew_report",
+    "cluster_balance_audit", "branded_quantity_revenue", "ccnet_mixture",
+    "kmeans_embeddings", "cosine_dup_pairs_blocked", "semantic_prune",
+    "corpus_dup_ngrams", "embedding_prototypes", "ivfpq_recall",
+    "srp_recall_summary", "corpus_diff", "corpus_diff_summary",
+    "pq_distortion", "sole_return_suppliers", "decoded_image_stats",
+    # oldest 12 of the r6 cohort, registry order
+    "market_share", "local_supplier_volume", "line_dedup",
+    "quality_funnel", "split_leakage_audit", "dsir_weights",
+    "source_caps", "bigram_lm_scores", "ccnet_buckets", "oov_rate",
+    "c4_clean", "cross_modal_prune",
 ]
-assert len(_R11_FRONT) == 50 and all(n in QUERIES for n in _R11_FRONT), (
+assert len(_R12_FRONT) == 50 and all(n in QUERIES for n in _R12_FRONT), (
     "window rotation list must name 50 registered queries"
 )
 QUERIES = {
-    **{n: QUERIES[n] for n in _R11_FRONT},
-    **{n: f for n, f in QUERIES.items() if n not in frozenset(_R11_FRONT)},
+    **{n: QUERIES[n] for n in _R12_FRONT},
+    **{n: f for n, f in QUERIES.items() if n not in frozenset(_R12_FRONT)},
 }
 
 
