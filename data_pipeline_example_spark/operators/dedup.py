@@ -1120,3 +1120,52 @@ def source_overlap_matrix(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def dup_distance_profile(
+    documents: DataFrame, n_epochs: int = 10, threshold: float = 0.1
+) -> DataFrame:
+    """Near-dup pairs by ingestion-EPOCH distance — the re-crawl
+    cadence profile: Common-Crawl-scale corpora duplicate mostly
+    across snapshots (the same page re-fetched each crawl), and the
+    distance histogram tells the pipeline how many epochs of history
+    the dedup horizon must span before marginal pairs vanish (the
+    number that sizes ``minhash_incremental``'s index retention and
+    the streaming watermark).
+
+    Composes the certified banded-LSH pair stream with
+    :func:`text.vocab_drift`'s positional epoch axis: epoch =
+    (doc_id · n_epochs) div (max doc_id + 1), distance =
+    |epoch_a − epoch_b|. Pure arithmetic over the (id, id) pair rows —
+    the profile adds one bounded aggregate (≤ ``n_epochs`` rows) and a
+    1-row total broadcast on top of the pair generator's cost.
+    Output: epoch_distance, n_pairs, share_micro (of all verified
+    pairs), ordered by distance.
+    """
+    pairs = minhash_lsh_pairs(documents, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    n = documents.filter(F.col("doc_id").isNotNull()).agg(
+        (F.max("doc_id") + 1).alias("n")
+    )
+    dist = pairs.crossJoin(F.broadcast(n)).select(
+        F.abs(
+            F.expr(f"(doc_a * {int(n_epochs)}) div n")
+            - F.expr(f"(doc_b * {int(n_epochs)}) div n")
+        ).alias("epoch_distance")
+    )
+    hist = dist.groupBy("epoch_distance").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    tot = hist.agg(F.sum("n_pairs").cast("long").alias("t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "epoch_distance",
+            "n_pairs",
+            F.expr("CASE WHEN t = 0 THEN 0 ELSE (n_pairs * 1000000) div t END")
+            .cast("long")
+            .alias("share_micro"),
+        )
+        .orderBy("epoch_distance")
+    )

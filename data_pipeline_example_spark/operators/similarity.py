@@ -2244,3 +2244,78 @@ def embedding_drift(
         )
         .orderBy("epoch_to")
     )
+
+
+def clustering_silhouette(
+    embeddings: DataFrame, n_centroids: int = 16
+) -> DataFrame:
+    """Per-cluster cosine silhouette — the clustering-QUALITY audit the
+    balance audit can't give (:func:`cluster_balance_audit` says buckets
+    are evenly sized; silhouette says vectors actually BELONG to their
+    bucket): s = (b − a) / max(a, b) with a = cosine distance to the
+    assigned centroid and b = distance to the best OTHER centroid
+    (the standard simplified/centroid silhouette — full pairwise
+    silhouette is O(n²) by definition and stays out).
+
+    Exactness: cosines are the certified 6-dp rounds; a and b become
+    exact micro longs, and both the per-vector ratio and the per-cluster
+    mean are sign-split integral divisions (negative ``div`` truncates
+    differently across engines, so the sign is factored out first).
+
+    Plan shape: one broadcast-centroid cross score (n × k narrow rows,
+    never materialized wide), then a rank ≤ 2 window partitioned by
+    vec_id — Spark compiles the filter to WindowGroupLimit, so map
+    tasks pre-trim to two rows per vector BEFORE the exchange (the
+    :func:`knn_batch` precedent); the rollup is one map-side-combined
+    aggregate over the bounded cluster domain. Fixed ``n_centroids`` is
+    the oracle-anchor family (assign_centroids); at corpus scale the
+    same silhouette composes over ``assign_centroids_capped``'s
+    adaptive buckets with b restricted to probed centroids.
+    Output: cluster_id, n_vecs, mean_silhouette_micro, ordered by
+    cluster_id.
+    """
+    assert n_centroids >= 2, "silhouette needs a second-best centroid"
+    e = _as_double(embeddings)
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(V.cosine(F.col("v"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("centroid_id")
+    )
+    top2 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    micro = F.round((1 - F.col("cos_sim")) * 1e6, 0).cast("long")
+    per_vec = top2.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("centroid_id"))).alias("cluster_id"),
+        F.max(F.when(F.col("rn") == 1, micro)).alias("a_micro"),
+        F.max(F.when(F.col("rn") == 2, micro)).alias("b_micro"),
+    )
+    s_micro = F.expr(
+        "CASE WHEN b_micro - a_micro >= 0 THEN "
+        "((b_micro - a_micro) * 1000000) div greatest(greatest(a_micro, b_micro), 1) "
+        "ELSE -(((a_micro - b_micro) * 1000000) "
+        "div greatest(greatest(a_micro, b_micro), 1)) END"
+    )
+    return (
+        per_vec.select("cluster_id", s_micro.cast("long").alias("s_micro"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("s_micro").cast("long").alias("ssum"),
+        )
+        .select(
+            "cluster_id",
+            "n_vecs",
+            F.expr(
+                "CASE WHEN ssum >= 0 THEN ssum div n_vecs "
+                "ELSE -((-ssum) div n_vecs) END"
+            )
+            .cast("long")
+            .alias("mean_silhouette_micro"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -3919,3 +3919,50 @@ def domain_epoch_plan(documents: DataFrame, budget_tokens: int = 10_000_000) -> 
         )
         .orderBy("source")
     )
+
+
+def boilerplate_prefixes(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-source template detection via the dominant document PREFIX —
+    the boilerplate signal RefinedWeb/C4-style pipelines act on before
+    line dedup gets a chance: a source where a large share of documents
+    open with the same k tokens is emitting a template (cookie banner,
+    nav header, license preamble), and the stripper wants the prefix
+    string itself, not just a flag.
+
+    Semantics: prefix = first ``k`` lowercased alnum tokens joined by
+    a space (docs with < k tokens contribute no prefix); per source the
+    winner is the most frequent prefix, ties broken lexicographically;
+    share is integer micro-units of the source's PREFIX-BEARING docs.
+
+    Plan: one tokenize scan folds to a (source, prefix) count frame —
+    at most one row per distinct opening per source, map-side combined;
+    the winner is a max_by over the bounded source domain (one tiny
+    aggregate — no corpus-sized window, no sort). Output: source,
+    n_docs, top_prefix, n_with_prefix, share_micro, ordered by source.
+    """
+    toks = T.tokens(F.lower(F.col("text")))
+    pref = documents.select(
+        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+        F.when(
+            F.size(toks) >= k, F.array_join(F.slice(toks, 1, k), " ")
+        ).alias("prefix"),
+    ).filter(F.col("prefix").isNotNull())
+    counts = pref.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # deterministic winner: max (cnt, reversed-prefix order) — max_by
+    # with a struct orders by cnt first, then prefix DESC; invert by
+    # taking min over (−cnt, prefix)
+    winners = counts.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("prefix"))).alias("w"),
+    )
+    return winners.select(
+        "source",
+        "n_docs",
+        F.col("w.prefix").alias("top_prefix"),
+        (-F.col("w.neg")).cast("long").alias("n_with_prefix"),
+        F.expr("CASE WHEN n_docs = 0 THEN 0 ELSE (-w.neg * 1000000) div n_docs END")
+        .cast("long")
+        .alias("share_micro"),
+    ).orderBy("source")

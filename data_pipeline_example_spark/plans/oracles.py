@@ -5583,3 +5583,122 @@ SELECT r.epoch, r.n_docs, r.n_tokens, r.cpt_micro, r.bpt_micro,
 FROM rates r LEFT JOIN rates p ON p.epoch = r.epoch - 1
 ORDER BY r.epoch
 """
+
+# Per-source dominant document prefix (operators/text.py
+# boilerplate_prefixes): winner = (count DESC, prefix ASC); DuckDB
+# replays the max_by via a row_number window over the bounded
+# (source, prefix) count frame.
+ORACLES["boilerplate_prefixes"] = """
+WITH pref AS (
+  SELECT coalesce(source, 'unknown') AS source,
+         CASE WHEN len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) >= 3
+              THEN array_to_string(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')[1:3], ' ')
+         END AS prefix
+  FROM documents
+),
+counts AS (
+  SELECT source, prefix, CAST(count(*) AS BIGINT) AS cnt
+  FROM pref WHERE prefix IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, prefix, cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, prefix ASC) AS rn,
+         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+  FROM counts
+)
+SELECT source, n_docs, prefix AS top_prefix, cnt AS n_with_prefix,
+       CAST(CASE WHEN n_docs = 0 THEN 0 ELSE (cnt * 1000000) // n_docs END AS BIGINT)
+         AS share_micro
+FROM ranked WHERE rn = 1 ORDER BY source
+"""
+
+
+# Near-dup pairs by epoch distance (operators/dedup.py
+# dup_distance_profile): the minhash_lsh_pairs CTEs verbatim + the
+# vocab_drift positional epoch axis folded to a bounded histogram.
+ORACLES["dup_distance_profile"] = f"""
+WITH {_SHINGLES},
+hashes AS (
+  SELECT doc_id, r.i AS i,
+         min(substring(md5(CAST(r.i // 4 AS VARCHAR) || ':' || sh),
+                       (r.i % 4) * 8 + 1, 8)) AS h
+  FROM sh, range(0, 16) r(i)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bucket
+  FROM hashes GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
+),
+n AS (SELECT max(doc_id) + 1 AS n FROM documents WHERE doc_id IS NOT NULL),
+hist AS (
+  SELECT abs((doc_a * 10) // n.n - (doc_b * 10) // n.n) AS epoch_distance,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs, n GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM hist)
+SELECT epoch_distance, n_pairs,
+       CAST(CASE WHEN t = 0 THEN 0 ELSE (n_pairs * 1000000) // t END AS BIGINT)
+         AS share_micro
+FROM hist, tot ORDER BY epoch_distance
+"""
+
+# Per-cluster simplified cosine silhouette (operators/similarity.py
+# clustering_silhouette): rank<=2 per vector over the fixed-16
+# broadcast centroids, sign-split integral micro divisions.
+ORACLES["clustering_silhouette"] = f"""
+WITH {_VECS},
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.v, c.cv), 6) AS cos_sim
+  FROM e, cents c
+),
+top2 AS (
+  SELECT vec_id, centroid_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, centroid_id ASC) AS rn
+  FROM scored
+),
+per_vec AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN centroid_id END) AS cluster_id,
+         max(CASE WHEN rn = 1
+             THEN CAST(round((1 - cos_sim) * 1000000, 0) AS BIGINT) END) AS a_micro,
+         max(CASE WHEN rn = 2
+             THEN CAST(round((1 - cos_sim) * 1000000, 0) AS BIGINT) END) AS b_micro
+  FROM top2 WHERE rn <= 2 GROUP BY 1
+),
+s AS (
+  SELECT cluster_id,
+         CASE WHEN b_micro - a_micro >= 0
+              THEN ((b_micro - a_micro) * 1000000)
+                   // greatest(greatest(a_micro, b_micro), 1)
+              ELSE -(((a_micro - b_micro) * 1000000)
+                     // greatest(greatest(a_micro, b_micro), 1))
+         END AS s_micro
+  FROM per_vec
+)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(CASE WHEN sum(s_micro) >= 0 THEN sum(s_micro) // count(*)
+            ELSE -((-sum(s_micro)) // count(*)) END AS BIGINT)
+         AS mean_silhouette_micro
+FROM s GROUP BY 1 ORDER BY 1
+"""

@@ -1219,6 +1219,19 @@ def q_lang_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_source_mix(load_table(spark, sf_dir, "documents"))
 
 
+def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dominant document prefix + share — template/boilerplate
+    detection; one tokenize scan, bounded-domain max_by, no window."""
+    return text.boilerplate_prefixes(load_table(spark, sf_dir, "documents"))
+
+
+def q_dup_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by ingestion-epoch distance (banded LSH pairs x
+    the positional epoch axis) — the re-crawl cadence profile that
+    sizes the dedup horizon."""
+    return dedup.dup_distance_profile(load_table(spark, sf_dir, "documents"))
+
+
 def q_token_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-fertility drift across ingestion epochs: per-epoch
     chars/bytes-per-token micro rates + signed deltas vs the previous
@@ -1372,6 +1385,15 @@ def q_branded_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cluster_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF bucket-size health: balance factor over assign_centroids."""
     return similarity.cluster_balance_audit(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def q_clustering_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified cosine silhouette over the fixed-centroid
+    assignment — sign-split integer-micro ratios, WindowGroupLimit
+    pre-trimmed top-2 ranks."""
+    return similarity.clustering_silhouette(
         load_table(spark, sf_dir, "embeddings")
     )
 
@@ -1591,6 +1613,9 @@ QUERIES: dict[str, QueryFn] = {
     "lang_source_mix": q_lang_source_mix,
     "token_fertility": q_token_fertility,
     "token_fertility_drift": q_token_fertility_drift,
+    "boilerplate_prefixes": q_boilerplate_prefixes,
+    "dup_distance_profile": q_dup_distance_profile,
+    "clustering_silhouette": q_clustering_silhouette,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -1819,19 +1844,21 @@ QUERIES: dict[str, QueryFn] = {
 # name is asserted present so a typo fails at import, not silently
 # shrinks the window.
 # round-11 window rotation — mechanical again: the nine NEW r11 ops
-# round-12 front: the three NEW r12 ops (never driver-certified), the
+# round-12 front: the five NEW r12 ops (never driver-certified), the
 # r12-CHANGED corpus_funnel (url_canonical is now its stage 2 — output
 # grew to 7 rows, so the r6 certification no longer covers it), then
-# the 46 least-recently-certified entries per the CORRECTNESS_r*.json
+# the 44 least-recently-certified entries per the CORRECTNESS_r*.json
 # hash_match history: the full r4 cohort remainder (16), the full r5
-# cohort (18), and the oldest 12 of the r6 cohort in registry order.
-# Derivation (mechanical): for each name take the max round with
-# hash_match=true across CORRECTNESS_r01..r11, sort ascending with
-# ties by registry position, take 46. readability_scores' r12 overflow
-# fix is value-identical (schoolbook split), so its r11 row stands.
+# cohort (18), and the oldest 10 of the r6 cohort in registry order
+# (c4_clean + cross_modal_prune yield their slots to the two extra r12
+# ops and head next round's rotation). Derivation (mechanical): for
+# each name take the max round with hash_match=true across
+# CORRECTNESS_r01..r11, sort ascending with ties by registry position.
+# readability_scores' r12 overflow fix is value-identical (schoolbook
+# split), so its r11 row stands.
 _R12_FRONT = [
     "token_fertility_drift", "dedup_clusters_scalable",
-    "url_canonical_dedup",
+    "url_canonical_dedup", "boilerplate_prefixes", "dup_distance_profile",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -1846,11 +1873,10 @@ _R12_FRONT = [
     "corpus_dup_ngrams", "embedding_prototypes", "ivfpq_recall",
     "srp_recall_summary", "corpus_diff", "corpus_diff_summary",
     "pq_distortion", "sole_return_suppliers", "decoded_image_stats",
-    # oldest 12 of the r6 cohort, registry order
+    # oldest 10 of the r6 cohort, registry order
     "market_share", "local_supplier_volume", "line_dedup",
     "quality_funnel", "split_leakage_audit", "dsir_weights",
     "source_caps", "bigram_lm_scores", "ccnet_buckets", "oov_rate",
-    "c4_clean", "cross_modal_prune",
 ]
 assert len(_R12_FRONT) == 50 and all(n in QUERIES for n in _R12_FRONT), (
     "window rotation list must name 50 registered queries"

@@ -1644,3 +1644,54 @@ def test_token_fertility_drift_planted_epochs(spark):
     assert rows[0]["delta_cpt_micro"] is None
     assert rows[1]["delta_cpt_micro"] == want_cpt[1] - want_cpt[0]  # rising
     assert rows[2]["delta_cpt_micro"] == 0  # flat
+
+
+def test_boilerplate_prefixes_winner_and_share(spark):
+    """Dominant prefix per source with deterministic tie-break
+    (count desc, prefix asc); docs with < k tokens contribute no
+    prefix; share is micro-units of prefix-bearing docs."""
+    from data_pipeline_example_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Cookie banner here - article one", "s1"),
+            (2, "cookie banner here again, other article", "s1"),
+            (3, "totally organic opening text", "s1"),
+            (4, "tiny", "s1"),                   # < 3 tokens: no prefix
+            (5, "alpha beta gamma", "s2"),
+            (6, "delta epsilon zeta", "s2"),     # tie 1-1 → 'alpha…' wins (asc)
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["source"]: r for r in tx.boilerplate_prefixes(docs).collect()}
+    assert rows["s1"]["top_prefix"] == "cookie banner here"
+    assert rows["s1"]["n_docs"] == 3          # doc 4 bears no prefix
+    assert rows["s1"]["n_with_prefix"] == 2
+    assert rows["s1"]["share_micro"] == 2 * 1_000_000 // 3
+    assert rows["s2"]["top_prefix"] == "alpha beta gamma"
+    assert rows["s2"]["n_with_prefix"] == 1
+
+
+def test_dup_distance_profile_planted_epochs(spark):
+    """Epoch-distance histogram over planted near-dup pairs: two
+    same-epoch dups and one cross-corpus dup land in the right
+    distance buckets, shares sum to 1e6 (up to truncation)."""
+    from data_pipeline_example_spark.operators import dedup as dd
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    filler = [
+        f"unique filler document number {i} with its own words entirely"
+        for i in range(16)
+    ]
+    # ids 0..19 → epochs = doc_id div 2 (n_epochs=10): dups (0,1) are
+    # epoch distance 0; dup (2,19) spans distance |1-9| = 8
+    texts = {0: body, 1: body + " tail", 2: body + " other", 19: body + " other end"}
+    rows_in = [(i, texts.get(i, filler[i % 16]), "s") for i in range(20)]
+    docs = spark.createDataFrame(rows_in, ["doc_id", "text", "source"])
+    prof = {r["epoch_distance"]: r for r in dd.dup_distance_profile(docs).collect()}
+    assert 0 in prof and prof[0]["n_pairs"] >= 1
+    assert sum(r["n_pairs"] for r in prof.values()) >= 2
+    total = sum(r["n_pairs"] for r in prof.values())
+    assert all(
+        r["share_micro"] == r["n_pairs"] * 1_000_000 // total for r in prof.values()
+    )

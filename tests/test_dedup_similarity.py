@@ -803,3 +803,31 @@ def test_minhash_incremental_one_sided_best_match(spark):
     assert rows[11]["admit"] == 1 and rows[11]["dup_of"] is None
     assert rows[12]["admit"] == 1 and rows[12]["jaccard"] is None
     assert rows[13]["admit"] == 1
+
+
+def test_clustering_silhouette_planted_geometry(spark):
+    """Sign-split micro silhouette on planted 2-D geometry: vectors on
+    their centroid's axis score near +1e6; a vector exactly between the
+    two centroids scores 0; output domain is the assigned clusters."""
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # centroid 0
+        (1, [0.0, 1.0], 0),   # centroid 1
+        (2, [1.0, 0.001], 0),  # tight on axis 0
+        (3, [0.001, 1.0], 0),  # tight on axis 1
+        (4, [1.0, 1.0], 0),   # equidistant: cos .7071 to both
+    ]
+    docs = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["cluster_id"]: r for r in
+           sim.clustering_silhouette(docs, n_centroids=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_vecs"] + out[1]["n_vecs"] == 5
+    # equidistant vec 4 ties to centroid 0 (id asc) with s = 0; the
+    # axis-tight members have a ~0, b ~0.29 → s near +1e6, so both
+    # cluster means are strongly positive but below 1e6
+    for c in (0, 1):
+        assert 0 < out[c]["mean_silhouette_micro"] <= 1_000_000
+    # perfect-fit members dominate: cluster 1 (centroid + tight member,
+    # no tie-absorbed middle vector) sits above cluster 0's mean
+    assert out[1]["mean_silhouette_micro"] >= out[0]["mean_silhouette_micro"]

@@ -65,6 +65,11 @@ HEAVY = [
     # variant in r11) + banded LSH — both members' pair output grows
     # with corpus dup density, so it still dominates its chunk at sf10
     "dedup_agreement",
+    # r12: both compose the banded-LSH pair stream (dup_distance folds
+    # it to a histogram; the star-contraction CC iterates over it) —
+    # pair-graph-sized intermediates, isolate like their LSH siblings
+    "dedup_clusters_scalable",
+    "dup_distance_profile",
 ]
 CHUNK = 40
 TIMEOUT_HEAVY = 2400  # hard cap per heavy query (both decades + 2 runs)
