@@ -207,6 +207,11 @@ HEADLINE = [
     "dedup_clusters_scalable",
     "url_canonical_dedup",
     "token_fertility_drift",
+    # round 12 continuation: template-prefix detection, re-crawl
+    # cadence profile over the LSH pair stream, per-cluster silhouette
+    "boilerplate_prefixes",
+    "dup_distance_profile",
+    "clustering_silhouette",
 ]
 
 
