@@ -610,7 +610,11 @@ def dedup_clusters_scalable(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     Output contract is :func:`dedup_clusters`' exactly: doc_id,
     cluster_id (= min doc_id reachable) for every doc appearing in at
     least one pair — the two operators are interchangeable and share
-    one oracle.
+    one oracle. One deliberate edge deviation, pinned by the
+    random-graph property test: a node whose ONLY pairs are self-pairs
+    (doc_a = doc_b) is dropped here (self-pairs carry no connectivity),
+    while min-label emits it labeled with itself; near-dup pair
+    generators emit doc_a < doc_b, so the case never arises upstream.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))

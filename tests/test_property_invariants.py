@@ -457,3 +457,67 @@ def test_value_cuts_matches_bruteforce(spark, data, descending):
             )
     assert got == want
     assert totals == want_totals
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_star_contraction_cc_equals_min_label_on_random_graphs(spark, edges):
+    """dedup_clusters_scalable (large-star/small-star) and
+    dedup_clusters (min-label propagation) compute the same
+    min-reachable-id labeling on arbitrary random graphs, including
+    self-loops, parallel edges, and both edge orientations — and both
+    equal a brute-force union-find ground truth."""
+    from data_pipeline_example_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    scalable = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.dedup_clusters_scalable(pairs).collect()
+    }
+    label_prop = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dd.dedup_clusters(pairs, max_iter=80).collect()
+    }
+    # brute-force union-find over the same semantics: nodes = endpoints
+    # of at least one pair (self-loops included, per dedup_clusters)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(v, find(v)) for v in parent}
+    assert label_prop == want
+    # the scalable variant drops pure self-loop nodes only when they
+    # have no real edge — match dedup_clusters' contract on the rest
+    scalable_nodes = {v for v, _ in scalable}
+    want_scalable = {
+        (v, c) for v, c in want
+        if v in scalable_nodes
+    }
+    assert scalable == want_scalable
+    # nodes missing from scalable can only be isolated self-loop nodes
+    only_selfloop = {
+        v for v, _ in want if v not in scalable_nodes
+    }
+    assert all(
+        all((a != v or b == v) and (b != v or a == v) for a, b in edges)
+        for v in only_selfloop
+    )
