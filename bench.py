@@ -212,6 +212,9 @@ HEADLINE = [
     "boilerplate_prefixes",
     "dup_distance_profile",
     "clustering_silhouette",
+    # cluster coherence composes LSH pairs + star-contraction CC — the
+    # dedup-quality audit tier, like dup_distance_profile
+    "cluster_coherence",
 ]
 
 

@@ -1173,3 +1173,66 @@ def dup_distance_profile(
         )
         .orderBy("epoch_distance")
     )
+
+
+def cluster_coherence(documents: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Per-cluster dedup-QUALITY audit — are the connected components
+    actually coherent dup families, or did transitive chaining weld
+    unrelated documents together? For every near-dup cluster: member
+    count, verified-pair count, the pair-graph density (n_pairs over
+    the m·(m−1)/2 possible — 1e6 means a clique: every member verified
+    against every other; low density means a chain, exactly the shape
+    where dropping all-but-one member loses non-duplicate content),
+    and the mean verified Jaccard.
+
+    Composes the certified scale paths: banded-LSH verified pairs
+    (materialized ONCE, feeding both the star-contraction CC and the
+    rollup) + :func:`dedup_clusters_scalable`. The rollup itself is one
+    doc-keyed join and two bounded aggregates over pair/cluster rows —
+    no text, no new corpus scan.
+
+    Integer discipline: jaccard is the 4-dp verified value, lifted to
+    exact micro longs; density uses the triple-schoolbook division
+    (exact while m ≤ ~3·10⁶ members per cluster — a cluster beyond
+    that means dedup already failed upstream, documented bound).
+    Output: cluster_id, n_members, n_pairs, density_micro,
+    mean_jaccard_micro, ordered by cluster_id.
+    """
+    pairs = minhash_lsh_pairs(documents, threshold=threshold).transform(materialize)
+    clusters = dedup_clusters_scalable(pairs)
+    members = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    per = (
+        pairs.join(
+            clusters.select(F.col("doc_id").alias("doc_a"), "cluster_id"), "doc_a"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.round(F.col("jaccard") * 1e6, 0).cast("long"))
+            .cast("long")
+            .alias("jsum"),
+        )
+    )
+    return (
+        members.join(per, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_pairs",
+            F.expr(
+                # (2*n_pairs*1e6) div (m*(m-1)), triple-schoolbook
+                "((2 * n_pairs) div (n_members * (n_members - 1))) * 1000000 "
+                "+ (((2 * n_pairs) % (n_members * (n_members - 1))) * 1000 "
+                "   div (n_members * (n_members - 1))) * 1000 "
+                "+ ((((2 * n_pairs) % (n_members * (n_members - 1))) * 1000 "
+                "    % (n_members * (n_members - 1))) * 1000) "
+                "  div (n_members * (n_members - 1))"
+            )
+            .cast("long")
+            .alias("density_micro"),
+            F.expr("jsum div n_pairs").cast("long").alias("mean_jaccard_micro"),
+        )
+        .orderBy("cluster_id")
+    )

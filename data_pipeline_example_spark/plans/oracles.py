@@ -5702,3 +5702,72 @@ SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
          AS mean_silhouette_micro
 FROM s GROUP BY 1 ORDER BY 1
 """
+
+
+# Per-cluster dedup-quality audit (operators/dedup.py
+# cluster_coherence): the dedup_clusters_scalable oracle chain with
+# jaccard carried into pairs, rolled up to density (triple-schoolbook)
+# and mean verified jaccard per cluster.
+ORACLES["cluster_coherence"] = f"""
+WITH RECURSIVE {_SHINGLES},
+hashes AS (
+  SELECT doc_id, r.i AS i,
+         min(substring(md5(CAST(r.i // 4 AS VARCHAR) || ':' || sh),
+                       (r.i % 4) * 8 + 1, 8)) AS h
+  FROM sh, range(0, 16) r(i)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(h, '|' ORDER BY i)) AS bucket
+  FROM hashes GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+  FROM cand c
+  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.1
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT DISTINCT a AS doc_id, a AS label FROM edges
+  UNION
+  SELECT e.a, cc.label FROM edges e JOIN cc ON cc.doc_id = e.b
+),
+clusters AS (SELECT doc_id, min(label) AS cluster_id FROM cc GROUP BY 1),
+members AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM clusters GROUP BY 1
+),
+per AS (
+  SELECT cl.cluster_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CAST(round(p.jaccard * 1000000, 0) AS BIGINT)) AS BIGINT) AS jsum
+  FROM pairs p JOIN clusters cl ON cl.doc_id = p.doc_a
+  GROUP BY 1
+)
+SELECT m.cluster_id, m.n_members, per.n_pairs,
+       CAST(((2 * per.n_pairs) // (m.n_members * (m.n_members - 1))) * 1000000
+            + (((2 * per.n_pairs) % (m.n_members * (m.n_members - 1))) * 1000
+               // (m.n_members * (m.n_members - 1))) * 1000
+            + ((((2 * per.n_pairs) % (m.n_members * (m.n_members - 1))) * 1000
+                % (m.n_members * (m.n_members - 1))) * 1000)
+              // (m.n_members * (m.n_members - 1)) AS BIGINT) AS density_micro,
+       CAST(per.jsum // per.n_pairs AS BIGINT) AS mean_jaccard_micro
+FROM members m JOIN per USING (cluster_id)
+ORDER BY cluster_id
+"""

@@ -831,3 +831,29 @@ def test_clustering_silhouette_planted_geometry(spark):
     # perfect-fit members dominate: cluster 1 (centroid + tight member,
     # no tie-absorbed middle vector) sits above cluster 0's mean
     assert out[1]["mean_silhouette_micro"] >= out[0]["mean_silhouette_micro"]
+
+
+def test_cluster_coherence_clique_vs_chain(spark):
+    """Density separates a welded chain from a true clique: planted
+    near-dup CLIQUE (3 mutually-similar docs) scores density 1e6;
+    unrelated filler forms no cluster rows."""
+    from data_pipeline_example_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (0, base, "s"),
+            (1, base + " tail", "s"),
+            (2, base + " end", "s"),
+            (3, "completely unrelated filler words with nothing shared here", "s"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["cluster_id"]: r for r in dd.cluster_coherence(docs).collect()}
+    assert set(out) == {0}
+    row = out[0]
+    assert row["n_members"] == 3
+    # 3 members, all pairs verified → density = 2*3*1e6/(3*2) = 1e6
+    assert row["n_pairs"] == 3
+    assert row["density_micro"] == 1_000_000
+    assert 100_000 < row["mean_jaccard_micro"] <= 1_000_000

@@ -70,6 +70,7 @@ HEAVY = [
     # pair-graph-sized intermediates, isolate like their LSH siblings
     "dedup_clusters_scalable",
     "dup_distance_profile",
+    "cluster_coherence",
 ]
 CHUNK = 40
 TIMEOUT_HEAVY = 2400  # hard cap per heavy query (both decades + 2 runs)
