@@ -90,6 +90,41 @@ def gate_and_dedup(
     )
 
 
+def gate_and_dedup_bloom(
+    docs: DataFrame,
+    min_quality: float = 0.05,
+    min_tokens: int = 10,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """:func:`gate_and_dedup` with the BLOOM admission stage in place of
+    ``dropDuplicatesWithinWatermark`` — same quality gate, same output
+    shape (doc_id, text, ingest_ts, fingerprint), different state
+    contract: the exact path holds one key per distinct doc inside the
+    watermark horizon (unbounded in corpus terms); this path holds
+    ``m_bits`` TOTAL, never evicts (duplicates are caught forever, not
+    just inside the horizon), and wrongly drops novel docs at the
+    measured FP rate. Pick by corpus size vs loss tolerance; the
+    downstream index gate in :func:`run_doc_ingest` is exact either
+    way."""
+    n_tok = T.token_count(F.col("text"))
+    gated = docs.filter(
+        (T.quality_score(F.col("text")) >= min_quality) & (n_tok >= min_tokens)
+    )
+    return (
+        bloom_admission_stream(
+            gated,
+            m_bits=m_bits,
+            k_hashes=k_hashes,
+            n_buckets=n_buckets,
+            carry=("text", "ingest_ts"),
+        )
+        .filter(F.col("admitted") == 1)
+        .select("doc_id", "text", "ingest_ts", "fingerprint")
+    )
+
+
 def curate_doc_stream(
     docs: DataFrame,
     min_quality: float = 0.05,
@@ -214,10 +249,21 @@ def run_doc_ingest(
     stride: int = 48,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    admission: str = "exact",
 ):
     """The wired lambda pipeline: landing zone → quality gate →
     watermarked in-horizon dedup → **foreachBatch** {persistent
     fingerprint-index gate → chunk fan-out → corpus append}.
+
+    ``admission`` picks the streaming dedup stage: ``"exact"`` (default,
+    ``dropDuplicatesWithinWatermark`` — one state key per distinct doc
+    inside the horizon) or ``"bloom"``
+    (:func:`gate_and_dedup_bloom` — ``m_bits`` TOTAL state, never
+    evicts, wrongly drops novel docs at the measured FP rate). The
+    index gate below is exact in both modes, so the corpus itself never
+    gains a duplicate either way; the bloom mode only changes which
+    novel docs might be lost upstream and how much state the stream
+    carries.
 
     The stream's ``dropDuplicatesWithinWatermark`` state catches
     duplicates inside the horizon; ``curation.update_dedup_index``
@@ -237,7 +283,10 @@ def run_doc_ingest(
     docs = decode_doc_stream(
         read_doc_stream(spark, input_path, max_files_per_trigger)
     )
-    admitted_stream = gate_and_dedup(docs, min_quality, min_tokens, watermark)
+    if admission == "bloom":
+        admitted_stream = gate_and_dedup_bloom(docs, min_quality, min_tokens)
+    else:
+        admitted_stream = gate_and_dedup(docs, min_quality, min_tokens, watermark)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         admitted = batch_curation.update_dedup_index(spark, batch, index_path)
@@ -260,7 +309,10 @@ def run_doc_ingest(
     writer = (
         admitted_stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint)
-        .outputMode("append")
+        # the bloom stage is an update-mode stateful op; the exact path
+        # is append (dropDuplicates emits once). foreachBatch consumes
+        # either — the mode just has to match the plan's stateful ops.
+        .outputMode("update" if admission == "bloom" else "append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -403,6 +455,7 @@ def bloom_admission_stream(
     m_bits: int = 65536,
     k_hashes: int = 3,
     n_buckets: int = 8,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Bounded-state APPROXIMATE admission for streaming exact dedup —
     the state-size escape hatch for :func:`gate_and_dedup`'s
@@ -439,7 +492,11 @@ def bloom_admission_stream(
     order within each (bucket, micro-batch) so checkpoint replays
     re-admit identically.
 
-    Output stream (update mode): doc_id, fingerprint, admitted (int).
+    Output stream (update mode): doc_id, fingerprint, admitted (int),
+    plus any ``carry`` columns passed through the stateful op verbatim
+    (their types copied from the input schema) — what lets
+    :func:`run_doc_ingest` compose this stage in place of the exact
+    dedup while the sink still sees text and event time.
     """
     import pandas as pd  # local import: worker-side dependency
 
@@ -465,8 +522,13 @@ def bloom_admission_stream(
             for i in range(k_hashes)
         ]
     )
+    in_fields = {f.name: f for f in docs.schema.fields}
     typed = (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), fp.alias("fingerprint"))
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            fp.alias("fingerprint"),
+            *[F.col(c) for c in carry],
+        )
         .withColumn(
             "bucket",
             (
@@ -483,6 +545,7 @@ def bloom_admission_stream(
             StructField("fingerprint", StringType()),
             StructField("admitted", IntegerType()),
         ]
+        + [StructField(c, in_fields[c].dataType) for c in carry]
     )
     state_schema = StructType([StructField("bits", BinaryType())])
 
@@ -499,13 +562,14 @@ def bloom_admission_stream(
                     bits[p // 8] |= 1 << (p % 8)
             admitted.append(0 if seen else 1)
         state.update((bytes(bits),))
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "fingerprint": pdf["fingerprint"].astype("object"),
-                "admitted": pd.Series(admitted, dtype="int32"),
-            }
-        )
+        out = {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "fingerprint": pdf["fingerprint"].astype("object"),
+            "admitted": pd.Series(admitted, dtype="int32", index=pdf.index),
+        }
+        for c in carry:
+            out[c] = pdf[c]
+        yield pd.DataFrame(out)
 
     return typed.groupBy("bucket").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
