@@ -46,8 +46,18 @@ from pyspark.sql import functions as F
 # The lowercase-host step is positional (between 4 and 6), handled
 # structurally in both engines, not by regex.
 URL_CANON_PATTERNS: tuple[tuple[str, str], ...] = (
-    ("(?i)^https?://", ""),
-    (r"^www\.", ""),
+    # the + groups make the whole canonicalization IDEMPOTENT
+    # (canonical(canonical(u)) == canonical(u), pinned by property
+    # test): misconfigured hosts like www.www.example.com and nested
+    # scheme prefixes collapse in ONE pass instead of leaving a
+    # re-strippable remainder — still a single anchored match, so
+    # Spark/DuckDB replace semantics stay aligned
+    ("(?i)^(https?://)+", ""),
+    # (?i): the www strip runs BEFORE host lowercasing, so an
+    # upper-cased WWW. host must match too (property-test finding —
+    # case-sensitive stripping left 'WWW.' to be lowered into a
+    # re-strippable 'www.', breaking idempotence)
+    (r"(?i)^(www\.)+", ""),
     ("#.*$", ""),
     (r"\?.*$", ""),
 )

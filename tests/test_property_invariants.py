@@ -521,3 +521,39 @@ def test_star_contraction_cc_equals_min_label_on_random_graphs(spark, edges):
         all((a != v or b == v) and (b != v or a == v) for a, b in edges)
         for v in only_selfloop
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    sources=st.lists(
+        st.from_regex(r"(www\.)*[a-zA-Z][a-zA-Z0-9.\-]{0,10}", fullmatch=True),
+        min_size=1,
+        max_size=6,
+    ),
+    base_id=st.integers(min_value=0, max_value=997),
+)
+def test_url_canonicalization_idempotent_and_clean(spark, sources, base_id):
+    """canonical(canonical(u)) == canonical(u) over the synthesis space
+    including misconfigured multi-www hosts (the (www\\.)+ group strips
+    them in one pass), plus structural postconditions: no scheme, no
+    leading www., no fragment/query, no trailing slash, lowercase
+    host."""
+    from data_pipeline_example_spark.operators import urls
+
+    docs = spark.createDataFrame(
+        [(base_id + i, s) for i, s in enumerate(sources)],
+        ["doc_id", "source"],
+    )
+    u = urls.synthetic_url(F.col("doc_id"), F.col("source"))
+    out = docs.select(
+        u.alias("url"),
+        urls.canonical_url(u).alias("c1"),
+        urls.canonical_url(urls.canonical_url(u)).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], (r["url"], r["c1"], r["c2"])
+        host = r["c1"].split("/", 1)[0]
+        assert host == host.lower()
+        assert not r["c1"].startswith(("http://", "https://", "www."))
+        assert "#" not in r["c1"] and "?" not in r["c1"]
+        assert not r["c1"].endswith("/")
