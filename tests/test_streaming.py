@@ -986,3 +986,48 @@ def test_ivm_daily_revenue_stream_matches_batch_across_restart(spark, tmp_path):
 
     # nothing left to compact below the in-flight epoch → no-op
     assert job.compact_ivm_partials(spark, out_dir) == {"epochs_compacted": 0}
+
+
+def test_ivm_compaction_survives_pre_commit_crash_debris(spark, tmp_path):
+    """A compaction killed BEFORE job commit leaves exactly two traces:
+    parquet _temporary debris and the untouched old partitions (the
+    FileOutputCommitter contract — partition swaps happen at commit).
+    The serving view must read through that state unchanged, and a
+    rerun must complete the fold."""
+    import os as _os
+
+    from data_pipeline_example_spark.streaming import job
+
+    out_dir = str(tmp_path / "out")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "product string, order_date string, amount double"
+        ).selectExpr("product", "cast(order_date as date) order_date", "amount")
+
+    job._write_ivm_epoch_partials(batch([("A", "2024-01-01", 1.00)]), 0, out_dir)
+    job._write_ivm_epoch_partials(batch([("A", "2024-01-01", 2.00)]), 1, out_dir)
+    job._write_ivm_epoch_partials(batch([("B", "2024-01-02", 5.00)]), 2, out_dir)
+
+    def served():
+        return {
+            (str(r["order_date"]), r["product"]): (r["n_rows"], r["total_cents"])
+            for r in job.read_ivm_daily_revenue(spark, out_dir).collect()
+        }
+
+    want = {("2024-01-01", "A"): (2, 300), ("2024-01-02", "B"): (1, 500)}
+    assert served() == want
+
+    # simulate the pre-commit crash state: _temporary junk alongside
+    # the intact old partitions (underscore paths are invisible to the
+    # parquet reader by protocol)
+    debris = _os.path.join(out_dir, "_temporary", "0", "task_000")
+    _os.makedirs(debris)
+    with open(_os.path.join(debris, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"\x00garbage not parquet")
+    assert served() == want  # view reads through the debris
+
+    # the crashed run's rerun completes the fold over the same state
+    stats = job.compact_ivm_partials(spark, out_dir)
+    assert stats == {"epochs_compacted": 2, "base_epoch": 0}
+    assert served() == want
