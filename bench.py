@@ -215,6 +215,8 @@ HEADLINE = [
     # cluster coherence composes LSH pairs + star-contraction CC — the
     # dedup-quality audit tier, like dup_distance_profile
     "cluster_coherence",
+    # contrastive-training pair mining over the capped buckets
+    "hard_negatives",
 ]
 
 

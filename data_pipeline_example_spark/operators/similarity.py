@@ -2319,3 +2319,69 @@ def clustering_silhouette(
         )
         .orderBy("cluster_id")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    target_bucket: int = 64,
+    cap: int = 96,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training — per anchor, the
+    most-similar vector with a DIFFERENT label: the pair-construction
+    step every embedding-model training pipeline runs (hard negatives
+    carry the gradient signal; random negatives are trivially
+    separable). Same approximate-recall/exact-precision contract as
+    :func:`nearest_neighbor_capped`: candidates are restricted to the
+    anchor's hard-capped sub-bucket (two-level assignment, ≈2·√k
+    cosines per row + one ≤cap×cap matrix per bucket), so the mined
+    negative is the hardest LOCAL one — exactly the trade ANN-based
+    miners (FAISS-backed) make at production scale.
+
+    Anchors whose bucket holds no other-label vector emit no row
+    (mirrored by the oracle); null labels group under -1. Cosines are
+    the boundary-verified 6-dp ``_cos_matrix`` values, ties break to
+    the lowest neg_id (ascending-sorted buckets + argmax). Output:
+    vec_id, label, neg_id, neg_label, cos_sim.
+    """
+    import pandas as pd
+
+    bucketed = assign_centroids_capped(embeddings, target_bucket, cap, n_rows)
+    lab = embeddings.select(
+        "vec_id", F.coalesce(F.col("label"), F.lit(-1)).cast("long").alias("label")
+    )
+    joined = bucketed.join(lab, "vec_id")
+
+    out_schema = (
+        "vec_id long, label long, neg_id long, neg_label long, cos_sim double"
+    )
+
+    def bucket_neg(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")  # asc → argmax = lowest neg_id on ties
+        labels = pdf["label"].to_numpy()
+        if len(pdf) < 2 or (labels == labels[0]).all():
+            return pd.DataFrame(
+                {c.split(" ")[0]: [] for c in out_schema.split(", ")}
+            )
+        M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        S = _cos_matrix(M, M)
+        S[labels[:, None] == labels[None, :]] = -np.inf  # self included
+        ids = pdf["vec_id"].to_numpy()
+        j = np.argmax(S, axis=1)
+        rows = np.arange(len(ids))
+        ok = np.isfinite(S[rows, j])
+        return pd.DataFrame(
+            {
+                "vec_id": ids[ok],
+                "label": labels[ok],
+                "neg_id": ids[j[ok]],
+                "neg_label": labels[j[ok]],
+                "cos_sim": S[rows[ok], j[ok]],
+            }
+        )
+
+    return joined.groupBy("centroid_id", "sub_id").applyInPandas(
+        bucket_neg, out_schema
+    )

@@ -5771,3 +5771,33 @@ SELECT m.cluster_id, m.n_members, per.n_pairs,
 FROM members m JOIN per USING (cluster_id)
 ORDER BY cluster_id
 """
+
+# Hard-negative mining (operators/similarity.py hard_negatives): the
+# capped two-level assignment CTEs + same-bucket different-label
+# candidates, rn=1 per anchor (cos DESC, neg_id ASC).
+ORACLES["hard_negatives"] = f"""
+WITH {_VECS},
+{_CAPPED_SUBBED},
+lab AS (
+  SELECT vec_id, CAST(coalesce(label, -1) AS BIGINT) AS label FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_id, la.label AS label,
+         b.vec_id AS neg_id, lb.label AS neg_label,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+  FROM subbed a
+  JOIN subbed b ON a.centroid_id = b.centroid_id AND a.sub_id = b.sub_id
+               AND a.vec_id != b.vec_id
+  JOIN lab la ON la.vec_id = a.vec_id
+  JOIN lab lb ON lb.vec_id = b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE la.label != lb.label
+),
+ranked AS (
+  SELECT vec_id, label, neg_id, neg_label, cos_sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neg_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, label, neg_id, neg_label, cos_sim FROM ranked WHERE rn = 1
+"""

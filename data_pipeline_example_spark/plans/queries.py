@@ -1396,6 +1396,13 @@ def q_cluster_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per anchor the most-similar DIFFERENT-label
+    vector within its hard-capped sub-bucket (contrastive pair
+    construction; approximate recall, exact precision)."""
+    return similarity.hard_negatives(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_clustering_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster simplified cosine silhouette over the fixed-centroid
     assignment — sign-split integer-micro ratios, WindowGroupLimit
@@ -1624,6 +1631,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_distance_profile": q_dup_distance_profile,
     "clustering_silhouette": q_clustering_silhouette,
     "cluster_coherence": q_cluster_coherence,
+    "hard_negatives": q_hard_negatives,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -1852,14 +1860,15 @@ QUERIES: dict[str, QueryFn] = {
 # name is asserted present so a typo fails at import, not silently
 # shrinks the window.
 # round-11 window rotation — mechanical again: the nine NEW r11 ops
-# round-12 front: the seven NEW r12 ops (never driver-certified), the
+# round-12 front: the eight NEW r12 ops (never driver-certified), the
 # r12-CHANGED corpus_funnel (url_canonical is now its stage 2 — output
 # grew to 7 rows, so the r6 certification no longer covers it), then
-# the 42 least-recently-certified entries per the CORRECTNESS_r*.json
+# the 41 least-recently-certified entries per the CORRECTNESS_r*.json
 # hash_match history: the full r4 cohort remainder (16), the full r5
-# cohort (18), and the oldest 8 of the r6 cohort in registry order
-# (ccnet_buckets, oov_rate, c4_clean + cross_modal_prune yield their
-# slots to the four extra r12 ops and head next round's rotation).
+# cohort (18), and the oldest 7 of the r6 cohort in registry order
+# (bigram_lm_scores, ccnet_buckets, oov_rate, c4_clean +
+# cross_modal_prune yield their slots to the five extra r12 ops and
+# head next round's rotation).
 # Derivation (mechanical): for
 # each name take the max round with hash_match=true across
 # CORRECTNESS_r01..r11, sort ascending with ties by registry position.
@@ -1868,7 +1877,7 @@ QUERIES: dict[str, QueryFn] = {
 _R12_FRONT = [
     "token_fertility_drift", "dedup_clusters_scalable",
     "url_canonical_dedup", "boilerplate_prefixes", "dup_distance_profile",
-    "clustering_silhouette", "cluster_coherence",
+    "clustering_silhouette", "cluster_coherence", "hard_negatives",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -1883,10 +1892,10 @@ _R12_FRONT = [
     "corpus_dup_ngrams", "embedding_prototypes", "ivfpq_recall",
     "srp_recall_summary", "corpus_diff", "corpus_diff_summary",
     "pq_distortion", "sole_return_suppliers", "decoded_image_stats",
-    # oldest 8 of the r6 cohort, registry order
+    # oldest 7 of the r6 cohort, registry order
     "market_share", "local_supplier_volume", "line_dedup",
     "quality_funnel", "split_leakage_audit", "dsir_weights",
-    "source_caps", "bigram_lm_scores",
+    "source_caps",
 ]
 assert len(_R12_FRONT) == 50 and all(n in QUERIES for n in _R12_FRONT), (
     "window rotation list must name 50 registered queries"

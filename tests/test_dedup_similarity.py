@@ -857,3 +857,29 @@ def test_cluster_coherence_clique_vs_chain(spark):
     assert row["n_pairs"] == 3
     assert row["density_micro"] == 1_000_000
     assert 100_000 < row["mean_jaccard_micro"] <= 1_000_000
+
+
+def test_hard_negatives_planted_labels(spark):
+    """The mined negative is the most-similar DIFFERENT-label vector:
+    anchors ignore a nearer same-label twin; single-label buckets emit
+    nothing; null labels group under -1."""
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.01, 0.0], 0),   # same-label twin of 0 (nearest overall)
+        (2, [0.9, 0.3, 0.0], 1),    # the true hard negative for 0/1
+        (3, [0.0, 0.0, 1.0], None), # null label → -1: negative for all
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["vec_id"]: r for r in sim.hard_negatives(emb).collect()}
+    assert out[0]["neg_id"] == 2 and out[0]["neg_label"] == 1
+    assert out[1]["neg_id"] == 2       # twin 0 skipped: same label
+    assert out[2]["neg_id"] in (0, 1)  # nearest label-0 vector
+    assert out[3]["label"] == -1 and out[3]["neg_id"] in (0, 1, 2)
+
+    mono = spark.createDataFrame(
+        [(i, [1.0, float(i)], 7) for i in range(4)],
+        ["vec_id", "embedding", "label"],
+    )
+    assert sim.hard_negatives(mono).count() == 0  # no other label exists
