@@ -217,6 +217,13 @@ HEADLINE = [
     "cluster_coherence",
     # contrastive-training pair mining over the capped buckets
     "hard_negatives",
+    # late-r12 wave: fuzzy vocabulary matching (length-band levenshtein),
+    # per-source quantile-normalized quality thresholding, Markov
+    # transition matrix, engine-deterministic mergeable HLL
+    "vocab_nearest_typo",
+    "quality_quantile_normalize",
+    "event_markov_transitions",
+    "user_cardinality_hll",
 ]
 
 

@@ -3966,3 +3966,152 @@ def boilerplate_prefixes(documents: DataFrame, k: int = 3) -> DataFrame:
         .cast("long")
         .alias("share_micro"),
     ).orderBy("source")
+
+
+def vocab_nearest_typo(documents: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Fuzzy vocabulary matching — for every corpus term, its nearest
+    OTHER term within Levenshtein distance ``max_dist``: the typo /
+    OCR-noise consolidation audit real corpus-prep pipelines run before
+    committing a tokenizer vocabulary (a rare term one edit away from a
+    frequent one is overwhelmingly a misspelling; SymSpell / fastText
+    subword pipelines make exactly this assumption). Reference analogue:
+    the engine extends the reference's exact term statistics
+    (data_processing_pipeline.py's aggregation stage) with the fuzzy
+    neighborhood the reference never computes.
+
+    Candidate generation is a LENGTH-BAND equi-join: Levenshtein ≤ d
+    implies |len(a) − len(b)| ≤ d, so the right side fans each term into
+    the 2d+1 integer bands around its length and the join key is
+    (band = left length). Candidate volume is vocabulary-bound — Heaps'
+    law keeps |V| ~ √N, and per-band cohorts are length-partitioned —
+    so the quadratic term never touches corpus-sized data; at 100 TB the
+    vocab frame is millions of rows against a corpus of trillions of
+    tokens (same scaling argument as :func:`bpe_merges`). The distance
+    itself is the JVM built-in ``levenshtein`` (whole-stage codegen, no
+    Python). Winner per term: lowest distance, then highest neighbor
+    count (misspellings resolve TO the frequent spelling), then
+    lexicographically smallest neighbor — one min-struct aggregate, no
+    window over the pair frame.
+
+    Output: term, n_occurrences, neighbor, neighbor_count, distance —
+    only terms with a neighbor within ``max_dist`` emit (oracle-
+    mirrored), ordered by term.
+    """
+    toks = widen(documents).select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    left = vocab.select(
+        F.col("term").alias("a"),
+        F.col("cnt").alias("cnt_a"),
+        F.length("term").alias("band"),
+    )
+    right = vocab.select(
+        F.col("term").alias("b"),
+        F.col("cnt").alias("cnt_b"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.length("term") - max_dist, F.lit(1)),
+                F.length("term") + max_dist,
+            )
+        ).alias("band"),
+    )
+    pairs = (
+        left.join(right, "band")
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.levenshtein("a", "b") <= max_dist)
+        .select(
+            "a",
+            "cnt_a",
+            F.struct(
+                F.levenshtein("a", "b").alias("d"),
+                (-F.col("cnt_b")).alias("neg_cnt"),
+                F.col("b"),
+            ).alias("w"),
+        )
+    )
+    return (
+        pairs.groupBy("a")
+        .agg(F.max("cnt_a").alias("n_occurrences"), F.min("w").alias("w"))
+        .select(
+            F.col("a").alias("term"),
+            "n_occurrences",
+            F.col("w.b").alias("neighbor"),
+            (-F.col("w.neg_cnt")).cast("long").alias("neighbor_count"),
+            F.col("w.d").cast("int").alias("distance"),
+        )
+        .orderBy("term")
+    )
+
+
+def quality_quantile_normalize(
+    documents: DataFrame, keep_milli: int = 500
+) -> DataFrame:
+    """Per-source quantile normalization of a document quality score —
+    the source-fair thresholding step FineWeb-style pipelines apply so
+    one verbose source doesn't monopolize the kept corpus: a GLOBAL
+    cutoff on any raw quality signal keeps whole sources or drops them
+    wholesale, while a PER-SOURCE rank cutoff keeps the top x% of every
+    source (uniform-quantile mapping = quantile normalization to the
+    uniform reference distribution).
+
+    Score: the stopword-share quality proxy in integer micro-units
+    (en-stopword tokens × 1e6 div tokens — prose has stopwords,
+    boilerplate/code doesn't; same signal family as
+    :func:`gopher_quality`'s stop-word gate, zero-token docs score 0).
+    Rank: row_number within source ordered by (score, doc_id) — fully
+    deterministic under ties — mapped to rank_milli =
+    (rn−1)·1000 div (n−1) (single-doc sources pin to 1000, they are
+    their own best document). keep = rank_milli ≥ ``keep_milli``.
+
+    Plan: one scan computes the score, one hash exchange on source
+    feeds both the window and the per-source count — the window frame
+    is GROUPED (source-partitioned, no global sort) so at 100 TB each
+    task ranks only its sources' rows; the source domain is small and
+    skew-free here, and a skewed source would salt the same way
+    :func:`salted_event_totals` does. Output: doc_id, source,
+    score_micro, rank_milli, keep (int 0/1), ordered by doc_id.
+    """
+    scored = (
+        widen(documents)
+        .select(
+            "doc_id",
+            F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+            T.token_count(F.col("text")).cast("long").alias("n_tok"),
+            T.stopword_count(F.col("text"), T.STOPWORDS["en"])
+            .cast("long")
+            .alias("n_stop"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "CASE WHEN n_tok = 0 THEN 0 ELSE (n_stop * 1000000) div n_tok END"
+            ).cast("long").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("score_micro", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "score_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "score_micro",
+        F.expr(
+            "CASE WHEN n <= 1 THEN 1000 ELSE ((rn - 1) * 1000) div (n - 1) END"
+        ).cast("long").alias("rank_milli"),
+    ).select(
+        "doc_id",
+        "source",
+        "score_micro",
+        "rank_milli",
+        (F.col("rank_milli") >= keep_milli).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+

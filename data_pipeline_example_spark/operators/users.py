@@ -947,3 +947,155 @@ def funnel_dropoff_time(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
     return counts.join(pvals, ["stage_idx", "stage"]).orderBy("stage_idx")
+
+
+def event_markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the user-journey model behavioral pipelines fit for
+    next-action prediction, synthetic-session generation, and funnel
+    sanity checks (a transition the product can't produce showing up
+    with mass = instrumentation bug). Reference analogue: extends the
+    reference's per-window aggregation (streaming_sales_aggregator.py)
+    with the sequential structure it never models.
+
+    Sequence order is (ts, event_id) per user — event_id breaks
+    timestamp ties so the lag is fully deterministic; null-user events
+    carry no sequence and are excluded. Probabilities are integer
+    milli-units per ROW of the matrix (n × 1000 div row total), so the
+    output hash-matches the oracle exactly.
+
+    Plan shape at 100 TB: ONE hash exchange on user_id feeds the lag
+    window (grouped frame, no global sort — each task scans its users'
+    sequences once), and the pair counts then collapse to the tiny
+    event-type × event-type domain with map-side partial aggregation;
+    the transition frame that leaves the executors is at most
+    |types|² rows. Output: prev_event, next_event, n_transitions,
+    prob_milli, ordered by (prev_event, next_event).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("next_event"),
+            F.lag("event_type").over(w).alias("prev_event"),
+        )
+        .filter(F.col("prev_event").isNotNull())
+    )
+    counts = pairs.groupBy("prev_event", "next_event").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    totals = counts.groupBy("prev_event").agg(
+        F.sum("n_transitions").alias("row_total")
+    )
+    return (
+        counts.join(totals, "prev_event")
+        .select(
+            "prev_event",
+            "next_event",
+            "n_transitions",
+            F.expr("(n_transitions * 1000) div row_total")
+            .cast("long")
+            .alias("prob_milli"),
+        )
+        .orderBy("prev_event", "next_event")
+    )
+
+
+def user_cardinality_hll(events: DataFrame, p_bits: int = 6) -> DataFrame:
+    """Distinct-user HyperLogLog with ENGINE-DETERMINISTIC registers —
+    the mergeable cardinality sketch (Flajolet et al. 2007, public)
+    whose register table this op materializes explicitly so the
+    estimate hash-matches a pure-SQL oracle (Spark's builtin
+    approx_count_distinct seeds its own hash and can't be oracled;
+    same motivation as :func:`user_cardinality_kmv`).
+
+    Hash discipline: first 9 hex chars of md5 → 36 bits; the top
+    ``p_bits`` (6 → m = 64 buckets) select the register, the low 30
+    bits feed ρ = (leading zeros) + 1, computed WITHOUT floats as
+    31 − length(bin(suffix)) (bin() renders identically in Spark and
+    DuckDB; suffix 0 pins ρ = 31). Registers are built per event_type
+    and the GLOBAL sketch is the register-wise max across types — the
+    union-merge property done in-plan, which is the whole reason
+    production pipelines ship HLL registers instead of counts.
+
+    Estimate: α·m²/S with S = Σⱼ 2^(30−Mⱼ) (+ 2³⁰ per empty bucket) —
+    S is an EXACT int64 (m·2³⁰ max ≈ 6.9e10), and the milli estimate
+    is one integer division α_milli·m²·2³⁰ div S (≈ 3.1e15 numerator,
+    in-range); α_milli = 709 (α₆₄ = 0.7213/(1+1.079/64) ≈ 0.70934,
+    documented 3-digit truncation; no small/large-range correction —
+    this is the raw-estimate regime at every tested SF, and the exact
+    count is computed alongside so the error is always visible).
+
+    Output: scope ('__all__' + one row per event_type), n_exact,
+    hll_estimate_milli, n_buckets_hit, ordered by scope.
+    """
+    m = 1 << p_bits
+    alpha_milli = 709
+    hv = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            "user_id",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 9), 16, 10)
+            .cast("long")
+            .alias("hv"),
+        )
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("hv div 1073741824").alias("bucket"),
+            (F.col("hv") % F.lit(1 << 30)).alias("suffix"),
+        )
+    )
+    rho = F.when(F.col("suffix") == 0, F.lit(31)).otherwise(
+        F.lit(31) - F.length(F.bin(F.col("suffix")))
+    )
+    per_type = hv.groupBy("event_type", "bucket").agg(
+        F.max(rho).cast("long").alias("reg")
+    )
+    merged = per_type.groupBy("bucket").agg(F.max("reg").alias("reg")).select(
+        F.lit("__all__").alias("scope"), "bucket", "reg"
+    )
+    regs = per_type.select(
+        F.col("event_type").alias("scope"), "bucket", "reg"
+    ).unionByName(merged)
+    sketch = regs.groupBy("scope").agg(
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), cast(30 - reg as int))")
+        ).alias("s_hit"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_hit"),
+    )
+    exact_type = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("event_type").alias("scope"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    exact_all = (
+        events.filter(F.col("user_id").isNotNull())
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+        .select(F.lit("__all__").alias("scope"), "n_exact")
+    )
+    exact = exact_type.unionByName(exact_all)
+    numer = alpha_milli * m * m * (1 << 30)
+    est = sketch.select(
+        "scope",
+        "n_buckets_hit",
+        F.expr(
+            f"cast({numer} as bigint) div "
+            f"(s_hit + ({m} - n_buckets_hit) * 1073741824)"
+        )
+        .cast("long")
+        .alias("hll_estimate_milli"),
+    )
+    return (
+        exact.join(est, "scope")
+        .select("scope", "n_exact", "hll_estimate_milli", "n_buckets_hit")
+        .orderBy("scope")
+    )

@@ -5801,3 +5801,127 @@ ranked AS (
 )
 SELECT vec_id, label, neg_id, neg_label, cos_sim FROM ranked WHERE rn = 1
 """
+
+
+# Fuzzy vocabulary matching (operators/text.py vocab_nearest_typo):
+# same length-band candidate rule expressed as a predicate join, same
+# (distance, count DESC, term ASC) winner.
+ORACLES["vocab_nearest_typo"] = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term),
+pairs AS (
+  SELECT a.term AS a, a.cnt AS cnt_a, b.term AS b, b.cnt AS cnt_b,
+         levenshtein(a.term, b.term) AS d
+  FROM vocab a JOIN vocab b
+    ON abs(length(a.term) - length(b.term)) <= 2 AND a.term <> b.term
+  WHERE levenshtein(a.term, b.term) <= 2
+),
+ranked AS (
+  SELECT a, cnt_a, b, cnt_b, d,
+         row_number() OVER (PARTITION BY a ORDER BY d, cnt_b DESC, b) AS rn
+  FROM pairs
+)
+SELECT a AS term, cnt_a AS n_occurrences, b AS neighbor,
+       cnt_b AS neighbor_count, CAST(d AS INTEGER) AS distance
+FROM ranked WHERE rn = 1
+ORDER BY term
+"""
+
+
+# Per-source quantile normalization (operators/text.py
+# quality_quantile_normalize): stopword-share micro score,
+# row_number over (score, doc_id), milli rank, keep at >= 500.
+ORACLES["quality_quantile_normalize"] = r"""
+WITH base AS (
+  SELECT doc_id, coalesce(source, 'unknown') AS source,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+')) AS BIGINT) AS n_tok,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|a|and|of|to|is|in|it)\b')) AS BIGINT) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         CASE WHEN n_tok = 0 THEN 0 ELSE (n_stop * 1000000) // n_tok END AS score_micro
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, source, score_micro,
+         row_number() OVER (PARTITION BY source ORDER BY score_micro, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored
+)
+SELECT doc_id, source, CAST(score_micro AS BIGINT) AS score_micro,
+       CAST(CASE WHEN n <= 1 THEN 1000 ELSE ((rn - 1) * 1000) // (n - 1) END AS BIGINT) AS rank_milli,
+       CAST(CASE WHEN (CASE WHEN n <= 1 THEN 1000 ELSE ((rn - 1) * 1000) // (n - 1) END) >= 500
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+# Markov transitions (operators/users.py event_markov_transitions):
+# lag over (ts, event_id) per user, milli row-normalization.
+ORACLES["event_markov_transitions"] = """
+WITH seq AS (
+  SELECT event_type AS next_event,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+  FROM events WHERE user_id IS NOT NULL
+),
+counts AS (
+  SELECT prev_event, next_event, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_event IS NOT NULL
+  GROUP BY prev_event, next_event
+),
+tot AS (SELECT prev_event, sum(n_transitions) AS row_total FROM counts GROUP BY prev_event)
+SELECT c.prev_event, c.next_event, c.n_transitions,
+       CAST((c.n_transitions * 1000) // t.row_total AS BIGINT) AS prob_milli
+FROM counts c JOIN tot t USING (prev_event)
+ORDER BY c.prev_event, c.next_event
+"""
+
+
+# Deterministic HLL (operators/users.py user_cardinality_hll): 36-bit
+# md5 hash, 6-bit bucket / 30-bit suffix, rho via bin() length, exact
+# integer estimate 709 * 4096 * 2^30 // S.
+ORACLES["user_cardinality_hll"] = """
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+hv AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 9))::BIGINT AS hv
+  FROM u
+),
+bs AS (
+  SELECT event_type, hv // 1073741824 AS bucket, hv % 1073741824 AS suffix FROM hv
+),
+rho AS (
+  SELECT event_type, bucket,
+         CASE WHEN suffix = 0 THEN 31 ELSE 31 - length(bin(suffix)) END AS rho
+  FROM bs
+),
+per_type AS (
+  SELECT event_type AS scope, bucket, CAST(max(rho) AS BIGINT) AS reg
+  FROM rho GROUP BY event_type, bucket
+),
+merged AS (SELECT '__all__' AS scope, bucket, max(reg) AS reg FROM per_type GROUP BY bucket),
+regs AS (SELECT * FROM per_type UNION ALL SELECT * FROM merged),
+sketch AS (
+  SELECT scope, sum(1::BIGINT << CAST(30 - reg AS INTEGER)) AS s_hit,
+         CAST(count(*) AS BIGINT) AS n_buckets_hit
+  FROM regs GROUP BY scope
+),
+exact AS (
+  SELECT event_type AS scope, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+  UNION ALL
+  SELECT '__all__' AS scope, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT e.scope, e.n_exact,
+       CAST((2904064::BIGINT * 1073741824) // (s.s_hit + (64 - s.n_buckets_hit) * 1073741824::BIGINT) AS BIGINT)
+         AS hll_estimate_milli,
+       s.n_buckets_hit
+FROM exact e JOIN sketch s ON e.scope = s.scope
+ORDER BY e.scope
+"""

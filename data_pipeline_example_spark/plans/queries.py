@@ -1396,6 +1396,33 @@ def q_cluster_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_nearest_typo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary matching: per term, the nearest other term
+    within Levenshtein ≤ 2 via a length-band equi-join (typo/OCR
+    consolidation audit)."""
+    return text.vocab_nearest_typo(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the stopword-share quality
+    proxy — source-fair rank thresholding (FineWeb-style)."""
+    return text.quality_quantile_normalize(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def q_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences, integer-milli row-normalized."""
+    return users.event_markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+def q_user_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-deterministic HyperLogLog: explicit md5-discipline
+    registers per event_type + register-wise max merge to '__all__'."""
+    return users.user_cardinality_hll(load_table(spark, sf_dir, "events"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor the most-similar DIFFERENT-label
     vector within its hard-capped sub-bucket (contrastive pair
@@ -1632,6 +1659,10 @@ QUERIES: dict[str, QueryFn] = {
     "clustering_silhouette": q_clustering_silhouette,
     "cluster_coherence": q_cluster_coherence,
     "hard_negatives": q_hard_negatives,
+    "vocab_nearest_typo": q_vocab_nearest_typo,
+    "quality_quantile_normalize": q_quality_quantile_normalize,
+    "event_markov_transitions": q_event_markov_transitions,
+    "user_cardinality_hll": q_user_cardinality_hll,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -1878,6 +1909,8 @@ _R12_FRONT = [
     "token_fertility_drift", "dedup_clusters_scalable",
     "url_canonical_dedup", "boilerplate_prefixes", "dup_distance_profile",
     "clustering_silhouette", "cluster_coherence", "hard_negatives",
+    "vocab_nearest_typo", "quality_quantile_normalize",
+    "event_markov_transitions", "user_cardinality_hll",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -1892,10 +1925,10 @@ _R12_FRONT = [
     "corpus_dup_ngrams", "embedding_prototypes", "ivfpq_recall",
     "srp_recall_summary", "corpus_diff", "corpus_diff_summary",
     "pq_distortion", "sole_return_suppliers", "decoded_image_stats",
-    # oldest 7 of the r6 cohort, registry order
+    # oldest 3 of the r6 cohort, registry order (quality_funnel,
+    # split_leakage_audit, dsir_weights + source_caps yield their
+    # slots to the four late-r12 ops and head the r13 rotation)
     "market_share", "local_supplier_volume", "line_dedup",
-    "quality_funnel", "split_leakage_audit", "dsir_weights",
-    "source_caps",
 ]
 assert len(_R12_FRONT) == 50 and all(n in QUERIES for n in _R12_FRONT), (
     "window rotation list must name 50 registered queries"

@@ -548,3 +548,91 @@ def test_new_tpch_shapes_semantics(spark):
     # (2*2 > 2) → S1 hits via part 10; S3 only ships non-red
     assert ("S1", "NATION_7") in hits and ("S2", "NATION_7") in hits
     assert not [h for h in hits if h[0] == "S3"]
+
+
+def test_vocab_nearest_typo_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            # "tabel" is a rare misspelling of "table" (distance 1);
+            # "chair" has no neighbor within distance 2 → no row
+            (1, "table table table tabel chair", "en", "s1", 10),
+            (2, "table stable", "en", "s1", 10),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r["term"]: r for r in text.vocab_nearest_typo(docs).collect()}
+    assert "chair" not in out  # nothing within distance 2
+    # tabel's nearest is table (d=2, plain Levenshtein counts the
+    # transposition as two edits; stable is d=3, out of range)
+    assert out["tabel"]["neighbor"] == "table"
+    assert out["tabel"]["distance"] == 2
+    assert out["tabel"]["neighbor_count"] == 4
+    # table's candidates: stable d=1 beats tabel d=2
+    assert out["table"]["neighbor"] == "stable"
+    assert out["table"]["distance"] == 1
+    assert out["stable"]["neighbor"] == "table"  # d=1, count 4
+
+
+def test_quality_quantile_normalize_per_source_fairness(spark):
+    # source A: uniformly verbose stopword-rich docs; source B: terse.
+    # A GLOBAL threshold would keep all of A and none of B; the
+    # per-source rank keeps the top half of EACH.
+    rows = []
+    for i in range(4):
+        rows.append((i, "the of to is " * (i + 1) + "xyz", "en", "A", 10))
+    for i in range(4):
+        rows.append((10 + i, "xyz " * (8 - i) + "the" * min(i, 1), "en", "B", 10))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r["doc_id"]: r for r in text.quality_quantile_normalize(docs).collect()}
+    for s in ("A", "B"):
+        kept = [r for r in out.values() if r["source"] == s and r["keep"] == 1]
+        assert len(kept) == 2, s  # top half of every source survives
+    # rank_milli spans 0..1000 within each source
+    a_ranks = sorted(r["rank_milli"] for r in out.values() if r["source"] == "A")
+    assert a_ranks == [0, 333, 666, 1000]
+
+
+def test_event_markov_transitions_planted(spark):
+    from data_pipeline_example_spark.operators import users
+
+    events = spark.createDataFrame(
+        [
+            # user 1: view -> cart -> buy ; user 2: view -> view
+            (1, "2024-01-01 00:00:00", 1, "view", 1.0, None),
+            (2, "2024-01-01 00:01:00", 1, "cart", 1.0, None),
+            (3, "2024-01-01 00:02:00", 1, "buy", 1.0, None),
+            (4, "2024-01-01 00:00:00", 2, "view", 1.0, None),
+            (5, "2024-01-01 00:01:00", 2, "view", 1.0, None),
+            # null user never contributes
+            (6, "2024-01-01 00:03:00", None, "view", 1.0, None),
+        ],
+        "event_id int, ts string, user_id int, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["prev_event"], r["next_event"]): r
+           for r in users.event_markov_transitions(events).collect()}
+    assert out[("view", "cart")]["n_transitions"] == 1
+    assert out[("view", "view")]["n_transitions"] == 1
+    assert out[("cart", "buy")]["prob_milli"] == 1000
+    assert out[("view", "cart")]["prob_milli"] == 500  # of view's 2 exits
+
+
+def test_user_cardinality_hll_merge_and_accuracy(spark):
+    from data_pipeline_example_spark.operators import users
+
+    rows = [(i, "2024-01-01 00:00:00", i % 500, "t%d" % (i % 3), 1.0, None)
+            for i in range(2000)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id int, ts string, user_id int, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["scope"]: r for r in users.user_cardinality_hll(events).collect()}
+    # the merged '__all__' sketch must estimate the union, not the sum:
+    # users overlap heavily across types, so the union estimate has to
+    # sit near 500, far below the per-type total
+    est_all = out["__all__"]["hll_estimate_milli"] / 1000.0
+    assert out["__all__"]["n_exact"] == 500
+    assert abs(est_all - 500) / 500 < 0.35  # m=64 → ~13% RSE; 35% is 2.7σ
+    per_type_sum = sum(out[s]["hll_estimate_milli"] for s in out if s != "__all__")
+    assert per_type_sum / 1000.0 > est_all * 1.5  # merge != sum
