@@ -224,6 +224,8 @@ HEADLINE = [
     "quality_quantile_normalize",
     "event_markov_transitions",
     "user_cardinality_hll",
+    # hybrid RAG retrieval: BM25 + IVF-ANN fused by integer-micro RRF
+    "rrf_hybrid_search",
 ]
 
 

@@ -514,3 +514,78 @@ def dedup_agreement(
         .cast("long")
         .alias("agreement_micro"),
     )
+
+
+def rrf_hybrid_search(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: tuple[str, ...] = ("spark", "window", "hash"),
+    query_id: int = 0,
+    n_each: int = 20,
+    rrf_k: int = 60,
+    n_out: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal-Rank Fusion (Cormack et al.
+    2009, public) — the standard RAG-serving composition: a lexical
+    BM25 ranking and a semantic ANN ranking fused by
+    Σ 1/(k + rank), so documents that BOTH retrievers surface
+    dominate without any score normalization across incomparable
+    scales (BM25 micro-units vs cosine).
+
+    Composes two certified scale paths: :func:`operators.text.
+    bm25_search` (one column-pruned tokenize scan, O(matches)
+    shuffle) for the lexical list and :func:`operators.similarity.
+    ivf_knn` (probe-pruned, zero-exchange serving scan) for the
+    semantic list, ids aligned doc_id ↔ vec_id (the
+    :func:`cross_modal_prune` contract). Both lists are ≤ ``n_each``
+    rows, so the fusion joins and the final TakeOrdered run on
+    parameter-bounded frames — the 100 TB cost is exactly the two
+    member retrievals.
+
+    RRF contributions are exact integers: 1e6 div (rrf_k + rank) per
+    list, absent ranks contribute 0 and report rank 0 (the hash
+    contract avoids nullable ints). Output: doc_id, rank_lex,
+    rank_sem, rrf_micro — top ``n_out`` by (rrf_micro DESC, doc_id).
+    """
+    from pyspark.sql.window import Window
+
+    from data_pipeline_example_spark.operators import similarity
+
+    lex = text.bm25_search(documents, query=query_terms, n=n_each).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id")))
+        .alias("rank_lex"),
+    )
+    sem = similarity.ivf_knn(embeddings, query_id=query_id, k=n_each).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+        .alias("rank_sem"),
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_lex", F.lit(0)).cast("int").alias("rank_lex"),
+            F.coalesce("rank_sem", F.lit(0)).cast("int").alias("rank_sem"),
+        )
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_sem",
+            (
+                F.when(
+                    F.col("rank_lex") > 0,
+                    F.expr(f"1000000 div ({rrf_k} + rank_lex)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("rank_sem") > 0,
+                    F.expr(f"1000000 div ({rrf_k} + rank_sem)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(n_out)

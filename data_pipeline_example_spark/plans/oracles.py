@@ -5925,3 +5925,93 @@ SELECT e.scope, e.n_exact,
 FROM exact e JOIN sketch s ON e.scope = s.scope
 ORDER BY e.scope
 """
+
+
+# RRF hybrid retrieval (curation.py rrf_hybrid_search): the bm25_search
+# CTE chain (n=20) + the ivf_knn chain (k=20), each ranked, fused by
+# integer-micro 1e6 // (60 + rank), top 10.
+ORACLES["rrf_hybrid_search"] = f"""
+WITH toksb AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS sum_dl
+  FROM toksb
+),
+tf AS (
+  SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toksb)
+  WHERE term IN ('spark', 'window', 'hash')
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1),
+scoredx AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+         , 6) * 1e6 AS BIGINT) AS s_micro
+  FROM tf JOIN dfs USING (term) CROSS JOIN stats
+),
+lex_top AS (
+  SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+  FROM scoredx GROUP BY 1
+  ORDER BY bm25_micro DESC, doc_id ASC
+  LIMIT 20
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS rank_lex
+  FROM lex_top
+),
+{_VECS},
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id, round(list_cosine_similarity(c.cv, q.qv), 6) AS c_sim
+    FROM cents c, q
+    ORDER BY c_sim DESC, centroid_id ASC LIMIT 4
+  )
+),
+sem_top AS (
+  SELECT e.vec_id AS doc_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+  FROM e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN probed p ON p.centroid_id = a.centroid_id, q
+  ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 20
+),
+sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS rank_sem
+  FROM sem_top
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         CAST(coalesce(rank_lex, 0) AS INTEGER) AS rank_lex,
+         CAST(coalesce(rank_sem, 0) AS INTEGER) AS rank_sem,
+         CAST(
+           (CASE WHEN coalesce(rank_lex, 0) > 0
+                 THEN 1000000 // (60 + rank_lex) ELSE 0 END)
+           + (CASE WHEN coalesce(rank_sem, 0) > 0
+                   THEN 1000000 // (60 + rank_sem) ELSE 0 END)
+         AS BIGINT) AS rrf_micro
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rank_lex, rank_sem, rrf_micro
+FROM fused
+ORDER BY rrf_micro DESC, doc_id ASC
+LIMIT 10
+"""

@@ -1695,3 +1695,32 @@ def test_dup_distance_profile_planted_epochs(spark):
     assert all(
         r["share_micro"] == r["n_pairs"] * 1_000_000 // total for r in prof.values()
     )
+
+
+def test_rrf_hybrid_search_fusion(spark, sf_dir):
+    """Consensus docs outrank single-list docs; absent ranks report 0."""
+    from data_pipeline_example_spark import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = curation.rrf_hybrid_search(docs, emb).collect()
+    assert len(rows) == 10
+    assert all(r["rrf_micro"] > 0 for r in rows)
+    # descending fusion score, doc_id tiebreak
+    scores = [(-r["rrf_micro"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores)
+    for r in rows:
+        expected = 0
+        if r["rank_lex"] > 0:
+            expected += 1000000 // (60 + r["rank_lex"])
+        if r["rank_sem"] > 0:
+            expected += 1000000 // (60 + r["rank_sem"])
+        assert r["rrf_micro"] == expected
+    # a doc present in BOTH lists at mid rank must beat a doc present
+    # in one list at the same rank — fusion property
+    both = [r for r in rows if r["rank_lex"] > 0 and r["rank_sem"] > 0]
+    single = [r for r in rows if (r["rank_lex"] == 0) != (r["rank_sem"] == 0)]
+    if both and single:
+        assert max(r["rrf_micro"] for r in both) > min(
+            r["rrf_micro"] for r in single
+        )

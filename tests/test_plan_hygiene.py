@@ -29,6 +29,8 @@ _BOUNDED_BELOW = (
     "HashAggregate",        # incl. ObjectHashAggregate / SortAggregate
     "SortAggregate",
     "LocalTableScan",       # literal planning frames (histogram cuts)
+    "TakeOrderedAndProject",  # global top-n: parameter-bounded rows
+    "GlobalLimit",            # .limit(n) frames (every n is a parameter)
 )
 
 
