@@ -705,6 +705,93 @@ def funnel_stream(
     )
 
 
+def hll_cardinality_stream(df: DataFrame, p_bits: int = 6) -> DataFrame:
+    """Streaming distinct-user estimate per event_type with HARD-BOUNDED
+    state — the cardinality twin of :func:`streaming.curation.
+    bloom_admission_stream`'s membership bound: where streaming exact
+    distinct (``dropDuplicates`` on user ids) holds one key per distinct
+    user — unbounded at 100 TB/day — this holds exactly m = 2^``p_bits``
+    longs per event_type, input-independent, forever.
+
+    Twin contract: the register arithmetic is BIT-IDENTICAL to the
+    batch anchor :func:`operators.users.user_cardinality_hll` — same
+    md5 discipline (first 9 hex → 36 bits, top 6 bucket / low 30
+    suffix, ρ = 31 − length(bin(suffix))), same exact-integer estimate
+    709·m²·2³⁰ div S — so after the last micro-batch each key's emitted
+    row EQUALS the batch operator's row on the same accumulated data
+    (the restart test pins this across a kill/resume).
+
+    The (bucket, ρ) pair is computed RELATIONALLY before the stateful
+    op (JVM-side md5/conv/bin, whole-stage codegen); the Arrow-batched
+    update only max-merges ≤ m rows per key per batch into the register
+    array. Emits per key per micro-batch: event_type, n_buckets_hit,
+    hll_estimate_milli (integer milli, exact arithmetic).
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType, LongType
+
+    m = 1 << p_bits
+    alpha_milli = 709
+    numer = alpha_milli * m * m * (1 << 30)
+
+    staged = (
+        df.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 9), 16, 10
+            )
+            .cast("long")
+            .alias("hv"),
+        )
+        .select(
+            "event_type",
+            F.expr("hv div 1073741824").alias("bucket"),
+            F.when(F.col("hv") % F.lit(1 << 30) == 0, F.lit(31))
+            .otherwise(F.lit(31) - F.length(F.bin(F.col("hv") % F.lit(1 << 30))))
+            .cast("long")
+            .alias("rho"),
+        )
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("n_buckets_hit", LongType()),
+            StructField("hll_estimate_milli", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("regs", ArrayType(LongType()))])
+
+    def update(key: tuple, pdfs, state: GroupState):
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            for b, r in (
+                pdf.groupby("bucket")["rho"].max().items()
+            ):
+                b = int(b)
+                if r > regs[b]:
+                    regs[b] = int(r)
+        state.update((regs,))
+        hit = sum(1 for r in regs if r > 0)
+        s_total = sum(1 << (30 - r) for r in regs if r > 0) + (m - hit) * (
+            1 << 30
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_buckets_hit": [hit],
+                "hll_estimate_milli": [numer // s_total],
+            }
+        )
+
+    return staged.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def enrich_stream(df: DataFrame, dim: DataFrame, on: str = "product") -> DataFrame:
     """Stream-static broadcast join: every micro-batch joins against the
     (re-read) static dimension — no state store, no watermark required;

@@ -1031,3 +1031,91 @@ def test_ivm_compaction_survives_pre_commit_crash_debris(spark, tmp_path):
     stats = job.compact_ivm_partials(spark, out_dir)
     assert stats == {"epochs_compacted": 2, "base_epoch": 0}
     assert served() == want
+
+
+def test_hll_stream_matches_batch_twin_and_survives_restart(spark, tmp_path):
+    """Bounded-state streaming HLL (job.hll_cardinality_stream) pinned
+    to its batch anchor (users.user_cardinality_hll) across a
+    checkpoint stop/restart: batch 1 carries users 0..59 of type 'a'
+    and 0..9 of type 'b'; after a STOP the second batch adds 40..99
+    for 'a' (overlap — the register max-merge must not double-count)
+    and 10..19 for 'b'. The LAST emitted row per type must equal the
+    batch operator's per-type row over the union of both batches, and
+    state must be exactly m=64 registers regardless of user count."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from data_pipeline_example_spark.operators import users as users_ops
+    from data_pipeline_example_spark.streaming import job
+
+    in_dir, out_dir, ckpt = (
+        tmp_path / "in",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    in_dir.mkdir()
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    b1 = [{"event_type": "a", "user_id": str(i)} for i in range(60)]
+    b1 += [{"event_type": "b", "user_id": str(i)} for i in range(10)]
+    b2 = [{"event_type": "a", "user_id": str(i)} for i in range(40, 100)]
+    b2 += [{"event_type": "b", "user_id": str(i)} for i in range(10, 20)]
+
+    def run_once():
+        raw = (
+            spark.readStream.schema("event_type string, user_id string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = job.hll_cardinality_stream(raw)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: df.withColumn(
+                    "eid", F.lit(int(eid))
+                ).write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("b1.json", b1, now - 30)
+    run_once()
+    write("b2.json", b2, now)
+    run_once()  # restart from checkpoint: registers must be recovered
+
+    emitted = spark.read.parquet(out_dir).collect()
+    last_eid = max(r["eid"] for r in emitted)
+    final = {
+        r["event_type"]: (r["n_buckets_hit"], r["hll_estimate_milli"])
+        for r in emitted
+        if r["eid"] == last_eid
+    }
+
+    # batch anchor over the union (user_id as string — matches the
+    # stream's md5(str) discipline; events schema needs the full shape)
+    rows = [(i, "2024-01-01 00:00:00", u["user_id"], u["event_type"], 1.0, None)
+            for i, u in enumerate(b1 + b2)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id int, ts string, user_id string, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        r["scope"]: (r["n_buckets_hit"], r["hll_estimate_milli"])
+        for r in users_ops.user_cardinality_hll(events).collect()
+    }
+    assert final["a"] == batch["a"]
+    assert final["b"] == batch["b"]
+    # overlap must not inflate: type-a estimate reflects ~100 distinct,
+    # nowhere near the 120 raw rows
+    assert final["a"][1] < 140_000
