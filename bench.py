@@ -226,6 +226,8 @@ HEADLINE = [
     "user_cardinality_hll",
     # hybrid RAG retrieval: BM25 + IVF-ANN fused by integer-micro RRF
     "rrf_hybrid_search",
+    # triplet mining: same-/different-label hardest pair + margin
+    "contrastive_triplets",
 ]
 
 

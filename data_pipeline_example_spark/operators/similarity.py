@@ -2385,3 +2385,84 @@ def hard_negatives(
     return joined.groupBy("centroid_id", "sub_id").applyInPandas(
         bucket_neg, out_schema
     )
+
+
+def contrastive_triplets(
+    embeddings: DataFrame,
+    target_bucket: int = 64,
+    cap: int = 96,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Triplet mining for contrastive training — per anchor, the
+    hardest (anchor, positive, negative) triple within its hard-capped
+    sub-bucket: positive = most-similar SAME-label vector, negative =
+    most-similar DIFFERENT-label vector (:func:`hard_negatives`'
+    selection), plus the triplet MARGIN cos(a,p) − cos(a,n) — the
+    quantity a triplet/InfoNCE loss actually trains on, and the mining
+    report real pipelines use to pick margin hyperparameters (a mostly
+    negative-margin corpus means the labels or the embedder are broken).
+
+    Same approximate-recall/exact-precision contract and cost shape as
+    :func:`hard_negatives` (≈2·√k assignment cosines per row + one
+    ≤cap×cap matrix per bucket — ONE matrix serves both selections).
+    Anchors lacking a same-label or different-label bucket-mate emit no
+    row (a triplet needs both; oracle-mirrored). Cosines are 6-dp
+    boundary-verified; the margin is exact integer micro-units of the
+    rounded cosines, so the sign is engine-stable. Ties break to the
+    lowest pos_id/neg_id. Output: vec_id, label, pos_id, cos_pos,
+    neg_id, cos_neg, margin_micro.
+    """
+    import pandas as pd
+
+    bucketed = assign_centroids_capped(embeddings, target_bucket, cap, n_rows)
+    lab = embeddings.select(
+        "vec_id", F.coalesce(F.col("label"), F.lit(-1)).cast("long").alias("label")
+    )
+    joined = bucketed.join(lab, "vec_id")
+
+    out_schema = (
+        "vec_id long, label long, pos_id long, cos_pos double, "
+        "neg_id long, cos_neg double, margin_micro long"
+    )
+
+    def bucket_triplets(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")  # asc → argmax = lowest id on ties
+        labels = pdf["label"].to_numpy()
+        cols = [c.split(" ")[0] for c in out_schema.split(", ")]
+        if len(pdf) < 3:
+            return pd.DataFrame({c: [] for c in cols})
+        M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        S = _cos_matrix(M, M)
+        same = labels[:, None] == labels[None, :]
+        Sp = S.copy()
+        Sp[~same] = -np.inf
+        np.fill_diagonal(Sp, -np.inf)  # self is not a positive
+        Sn = S.copy()
+        Sn[same] = -np.inf  # self is same-label → excluded already
+        ids = pdf["vec_id"].to_numpy()
+        jp = np.argmax(Sp, axis=1)
+        jn = np.argmax(Sn, axis=1)
+        rows = np.arange(len(ids))
+        ok = np.isfinite(Sp[rows, jp]) & np.isfinite(Sn[rows, jn])
+        cp = Sp[rows[ok], jp[ok]]
+        cn = Sn[rows[ok], jn[ok]]
+        margin = np.rint(cp * 1e6).astype(np.int64) - np.rint(cn * 1e6).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": ids[ok],
+                "label": labels[ok],
+                "pos_id": ids[jp[ok]],
+                "cos_pos": cp,
+                "neg_id": ids[jn[ok]],
+                "cos_neg": cn,
+                "margin_micro": margin,
+            }
+        )
+
+    return joined.groupBy("centroid_id", "sub_id").applyInPandas(
+        bucket_triplets, out_schema
+    )

@@ -6015,3 +6015,45 @@ FROM fused
 ORDER BY rrf_micro DESC, doc_id ASC
 LIMIT 10
 """
+
+
+# Triplet mining (operators/similarity.py contrastive_triplets): the
+# hard_negatives CTEs with BOTH rn=1 selections (same-label positive,
+# different-label negative) joined; margin in exact integer micro.
+ORACLES["contrastive_triplets"] = f"""
+WITH {_VECS},
+{_CAPPED_SUBBED},
+lab AS (
+  SELECT vec_id, CAST(coalesce(label, -1) AS BIGINT) AS label FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_id, la.label AS label,
+         b.vec_id AS other_id, lb.label AS other_label,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+  FROM subbed a
+  JOIN subbed b ON a.centroid_id = b.centroid_id AND a.sub_id = b.sub_id
+               AND a.vec_id != b.vec_id
+  JOIN lab la ON la.vec_id = a.vec_id
+  JOIN lab lb ON lb.vec_id = b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+),
+pos AS (
+  SELECT vec_id, label, other_id AS pos_id, cos_sim AS cos_pos FROM (
+    SELECT vec_id, label, other_id, cos_sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, other_id ASC) AS rn
+    FROM scored WHERE label = other_label
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT vec_id, other_id AS neg_id, cos_sim AS cos_neg FROM (
+    SELECT vec_id, other_id, cos_sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, other_id ASC) AS rn
+    FROM scored WHERE label != other_label
+  ) WHERE rn = 1
+)
+SELECT p.vec_id, p.label, p.pos_id, p.cos_pos, n.neg_id, n.cos_neg,
+       CAST(round(p.cos_pos * 1e6) AS BIGINT) - CAST(round(n.cos_neg * 1e6) AS BIGINT)
+         AS margin_micro
+FROM pos p JOIN neg n USING (vec_id)
+"""

@@ -1434,6 +1434,15 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining: hardest same-label positive + different-label
+    negative per anchor within its capped sub-bucket; integer-micro
+    margin."""
+    return similarity.contrastive_triplets(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor the most-similar DIFFERENT-label
     vector within its hard-capped sub-bucket (contrastive pair
@@ -1675,6 +1684,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_markov_transitions": q_event_markov_transitions,
     "user_cardinality_hll": q_user_cardinality_hll,
     "rrf_hybrid_search": q_rrf_hybrid_search,
+    "contrastive_triplets": q_contrastive_triplets,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -1923,7 +1933,7 @@ _R12_FRONT = [
     "clustering_silhouette", "cluster_coherence", "hard_negatives",
     "vocab_nearest_typo", "quality_quantile_normalize",
     "event_markov_transitions", "user_cardinality_hll",
-    "rrf_hybrid_search",
+    "rrf_hybrid_search", "contrastive_triplets",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -1938,11 +1948,11 @@ _R12_FRONT = [
     "corpus_dup_ngrams", "embedding_prototypes", "ivfpq_recall",
     "srp_recall_summary", "corpus_diff", "corpus_diff_summary",
     "pq_distortion", "sole_return_suppliers", "decoded_image_stats",
-    # oldest 2 of the r6 cohort, registry order (line_dedup,
+    # oldest 1 of the r6 cohort (local_supplier_volume, line_dedup,
     # quality_funnel, split_leakage_audit, dsir_weights + source_caps
-    # yield their slots to the five late-r12 ops and head the r13
+    # yield their slots to the six late-r12 ops and head the r13
     # rotation)
-    "market_share", "local_supplier_volume",
+    "market_share",
 ]
 assert len(_R12_FRONT) == 50 and all(n in QUERIES for n in _R12_FRONT), (
     "window rotation list must name 50 registered queries"

@@ -883,3 +883,37 @@ def test_hard_negatives_planted_labels(spark):
         ["vec_id", "embedding", "label"],
     )
     assert sim.hard_negatives(mono).count() == 0  # no other label exists
+
+
+def test_contrastive_triplets_planted_labels(spark):
+    """Tiny planted frame: positives are same-label, negatives
+    different-label, margin = micro(cos_pos) - micro(cos_neg), and an
+    anchor missing either side emits nothing."""
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    # 4 vectors, one bucket (n=4 -> k=1): labels {0: A, 1: A, 2: B, 3: B}
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [0.9, 0.1, 0.0, 0.0], 1),
+        (2, [0.0, 1.0, 0.0, 0.0], 2),
+        (3, [0.1, 0.9, 0.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label long"
+    )
+    out = {r["vec_id"]: r for r in sim.contrastive_triplets(emb).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["pos_id"] == 1 and out[0]["neg_id"] in (2, 3)
+    assert out[2]["pos_id"] == 3
+    for r in out.values():
+        assert r["margin_micro"] == round(r["cos_pos"] * 1e6) - round(
+            r["cos_neg"] * 1e6
+        )
+        assert r["margin_micro"] > 0  # planted clusters are separable
+
+    # single-label frame -> a triplet needs both sides -> empty
+    mono = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0], 7) for i in range(4)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    assert sim.contrastive_triplets(mono).count() == 0
