@@ -228,6 +228,8 @@ HEADLINE = [
     "rrf_hybrid_search",
     # triplet mining: same-/different-label hardest pair + margin
     "contrastive_triplets",
+    # graph link prediction: capped-adjacency common neighbors + Jaccard
+    "copurchase_link_prediction",
 ]
 
 

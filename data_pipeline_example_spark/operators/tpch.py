@@ -2201,3 +2201,88 @@ def basket_graph_stats(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
             ).alias("clustering_micro"),
         )
     )
+
+
+def copurchase_link_prediction(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    max_degree: int = 32,
+    top_n: int = 30,
+) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph —
+    "products never bought together that SHOULD be": for every
+    non-adjacent product pair, the number of shared co-purchase
+    neighbors and the Jaccard of their (capped) neighbor sets — the
+    classic structural recommender signal (Liben-Nowell & Kleinberg
+    2003, public), and the graph family's complement to
+    :func:`product_pagerank` (node importance) and
+    :func:`basket_communities` (partitioning): edge PREDICTION.
+
+    Scale discipline (both levers the pruned-graph ops use, plus one):
+    ``min_support`` drops random-cooccurrence edges before any graph
+    work, and — new here — each node's adjacency list is HARD-CAPPED to
+    its ``max_degree`` strongest edges (by cooccurrence count, id-tie
+    deterministic), so the two-hop join is ≤ |V|·d² regardless of hub
+    skew — the capped-twin discipline applied to graph fan-out.
+    Common-neighbor counts are therefore counts WITHIN capped lists
+    (oracle-mirrored; the exact-precision/approximate-recall trade).
+
+    All integer arithmetic: jaccard_milli = 1000·common div
+    (deg_a + deg_b − common) with degrees = capped list sizes. Output:
+    top_n non-edges by (common DESC, jaccard_milli DESC, part_a,
+    part_b): part_a, part_b, common_neighbors, jaccard_milli.
+    """
+    from pyspark.sql.window import Window
+
+    _, pair_stream = _basket_frames(lineitem, materialize_baskets=False)
+    cnt = (
+        pair_stream.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= int(min_support))
+        .transform(materialize)
+    )
+    sym = cnt.select(
+        F.col("part_a").alias("x"), F.col("part_b").alias("y"), "n"
+    ).unionByName(
+        cnt.select(F.col("part_b").alias("x"), F.col("part_a").alias("y"), "n")
+    )
+    w = Window.partitionBy("x").orderBy(F.desc("n"), F.asc("y"))
+    adj = (
+        sym.select("x", "y", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= int(max_degree))
+        .select("x", "y")
+        .transform(materialize)
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    two_hop = (
+        adj.select(F.col("x").alias("a"), F.col("y").alias("z"))
+        .join(adj.select(F.col("x").alias("z"), F.col("y").alias("b")), "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    non_edges = two_hop.join(
+        cnt.select(F.col("part_a").alias("a"), F.col("part_b").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = (
+        non_edges.join(deg.select(F.col("x").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("x").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "common_neighbors",
+            F.expr(
+                "(common_neighbors * 1000) div (deg_a + deg_b - common_neighbors)"
+            )
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common_neighbors"),
+        F.desc("jaccard_milli"),
+        "part_a",
+        "part_b",
+    ).limit(top_n)

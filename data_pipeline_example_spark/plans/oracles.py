@@ -6057,3 +6057,53 @@ SELECT p.vec_id, p.label, p.pos_id, p.cos_pos, n.neg_id, n.cos_neg,
          AS margin_micro
 FROM pos p JOIN neg n USING (vec_id)
 """
+
+
+# Link prediction (operators/tpch.py copurchase_link_prediction):
+# min-support pruned co-purchase edges with counts, degree-capped
+# adjacency (top-32 by count DESC, id ASC), two-hop common neighbors
+# over non-edges, integer-milli Jaccard.
+ORACLES["copurchase_link_prediction"] = """
+WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cnt AS (
+  SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM bk a JOIN bk b2
+    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sym AS (
+  SELECT part_a AS x, part_b AS y, n FROM cnt
+  UNION ALL
+  SELECT part_b AS x, part_a AS y, n FROM cnt
+),
+adj AS (
+  SELECT x, y FROM (
+    SELECT x, y, row_number() OVER (PARTITION BY x ORDER BY n DESC, y ASC) AS rk
+    FROM sym
+  ) WHERE rk <= 32
+),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY x),
+two_hop AS (
+  SELECT a1.x AS a, a2.y AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM adj a1 JOIN adj a2 ON a1.y = a2.x
+  WHERE a1.x < a2.y
+  GROUP BY 1, 2
+),
+non_edges AS (
+  SELECT t.a, t.b, t.common_neighbors
+  FROM two_hop t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cnt c WHERE c.part_a = t.a AND c.part_b = t.b
+  )
+)
+SELECT ne.a AS part_a, ne.b AS part_b, ne.common_neighbors,
+       CAST((ne.common_neighbors * 1000)
+            // (da.deg + db.deg - ne.common_neighbors) AS BIGINT) AS jaccard_milli
+FROM non_edges ne
+JOIN deg da ON da.x = ne.a
+JOIN deg db ON db.x = ne.b
+ORDER BY ne.common_neighbors DESC, jaccard_milli DESC, part_a, part_b
+LIMIT 30
+"""

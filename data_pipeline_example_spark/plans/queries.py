@@ -1443,6 +1443,12 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the min-support co-purchase
+    graph with degree-capped adjacency; integer-milli Jaccard."""
+    return tpch.copurchase_link_prediction(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor the most-similar DIFFERENT-label
     vector within its hard-capped sub-bucket (contrastive pair
@@ -1685,6 +1691,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_cardinality_hll": q_user_cardinality_hll,
     "rrf_hybrid_search": q_rrf_hybrid_search,
     "contrastive_triplets": q_contrastive_triplets,
+    "copurchase_link_prediction": q_copurchase_link_prediction,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -1934,6 +1941,7 @@ _R12_FRONT = [
     "vocab_nearest_typo", "quality_quantile_normalize",
     "event_markov_transitions", "user_cardinality_hll",
     "rrf_hybrid_search", "contrastive_triplets",
+    "copurchase_link_prediction",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -1948,11 +1956,9 @@ _R12_FRONT = [
     "corpus_dup_ngrams", "embedding_prototypes", "ivfpq_recall",
     "srp_recall_summary", "corpus_diff", "corpus_diff_summary",
     "pq_distortion", "sole_return_suppliers", "decoded_image_stats",
-    # oldest 1 of the r6 cohort (local_supplier_volume, line_dedup,
-    # quality_funnel, split_leakage_audit, dsir_weights + source_caps
-    # yield their slots to the six late-r12 ops and head the r13
-    # rotation)
-    "market_share",
+    # (market_share, local_supplier_volume, line_dedup, quality_funnel,
+    # split_leakage_audit, dsir_weights + source_caps yield their slots
+    # to the seven late-r12 ops and head the r13 rotation)
 ]
 assert len(_R12_FRONT) == 50 and all(n in QUERIES for n in _R12_FRONT), (
     "window rotation list must name 50 registered queries"

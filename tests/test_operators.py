@@ -636,3 +636,21 @@ def test_user_cardinality_hll_merge_and_accuracy(spark):
     assert abs(est_all - 500) / 500 < 0.35  # m=64 → ~13% RSE; 35% is 2.7σ
     per_type_sum = sum(out[s]["hll_estimate_milli"] for s in out if s != "__all__")
     assert per_type_sum / 1000.0 > est_all * 1.5  # merge != sum
+
+
+def test_copurchase_link_prediction_planted(spark):
+    """Planted path graph: 1-2, 2-3 co-purchased (support 2 each) but
+    1-3 never — the only predictable link, via common neighbor 2."""
+    rows = []
+    oid = 0
+    for _ in range(2):  # support 2 for each edge
+        for pair in [(1, 2), (2, 3)]:
+            oid += 1
+            rows += [(oid, pair[0]), (oid, pair[1])]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = tpch.copurchase_link_prediction(li).collect()
+    assert [(r["part_a"], r["part_b"]) for r in out] == [(1, 3)]
+    r = out[0]
+    assert r["common_neighbors"] == 1
+    # deg(1)=1 {2}, deg(3)=1 {2} -> jaccard = 1/(1+1-1) = 1000 milli
+    assert r["jaccard_milli"] == 1000
