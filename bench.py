@@ -230,6 +230,8 @@ HEADLINE = [
     "contrastive_triplets",
     # graph link prediction: capped-adjacency common neighbors + Jaccard
     "copurchase_link_prediction",
+    # filtered vector search: label predicate + selectivity-widened probes
+    "filtered_ivf_knn",
 ]
 
 

@@ -6107,3 +6107,54 @@ JOIN deg db ON db.x = ne.b
 ORDER BY ne.common_neighbors DESC, jaccard_milli DESC, part_a, part_b
 LIMIT 30
 """
+
+
+# Filtered vector search (operators/similarity.py filtered_ivf_knn):
+# ivf_knn CTEs + label predicate + selectivity-widened probe count
+# n_probe_eff = min(16, ceil(1 * n_total / n_filtered)) via exact
+# integer ceiling division.
+ORACLES["filtered_ivf_knn"] = f"""
+WITH {_VECS},
+lab AS (
+  SELECT vec_id, CAST(coalesce(label, -1) AS BIGINT) AS label FROM embeddings
+),
+sel AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(*) FILTER (WHERE label = 3) AS BIGINT) AS n_filtered
+  FROM lab
+),
+eff AS (
+  SELECT CASE WHEN n_filtered = 0 THEN 0
+              ELSE least(16, (1 * n_total + n_filtered - 1) // n_filtered)
+         END AS n_probe_eff
+  FROM sel
+),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+probed AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+                      c.centroid_id ASC
+           ) AS rn
+    FROM cents c, q
+  ), eff WHERE rn <= n_probe_eff
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e JOIN lab l ON l.vec_id = e.vec_id AND l.label = 3, cents c
+  ) WHERE rn = 1
+)
+SELECT e.vec_id AS vec_id, l.label AS label,
+       round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+FROM e
+JOIN lab l ON l.vec_id = e.vec_id AND l.label = 3
+JOIN assigned a ON a.vec_id = e.vec_id
+JOIN probed p ON p.centroid_id = a.centroid_id, q
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+"""

@@ -1449,6 +1449,12 @@ def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.copurchase_link_prediction(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_filtered_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: IVF top-k under a label predicate with
+    selectivity-widened probing."""
+    return similarity.filtered_ivf_knn(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor the most-similar DIFFERENT-label
     vector within its hard-capped sub-bucket (contrastive pair
@@ -1692,6 +1698,7 @@ QUERIES: dict[str, QueryFn] = {
     "rrf_hybrid_search": q_rrf_hybrid_search,
     "contrastive_triplets": q_contrastive_triplets,
     "copurchase_link_prediction": q_copurchase_link_prediction,
+    "filtered_ivf_knn": q_filtered_ivf_knn,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -1941,7 +1948,7 @@ _R12_FRONT = [
     "vocab_nearest_typo", "quality_quantile_normalize",
     "event_markov_transitions", "user_cardinality_hll",
     "rrf_hybrid_search", "contrastive_triplets",
-    "copurchase_link_prediction",
+    "copurchase_link_prediction", "filtered_ivf_knn",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -1955,10 +1962,11 @@ _R12_FRONT = [
     "kmeans_embeddings", "cosine_dup_pairs_blocked", "semantic_prune",
     "corpus_dup_ngrams", "embedding_prototypes", "ivfpq_recall",
     "srp_recall_summary", "corpus_diff", "corpus_diff_summary",
-    "pq_distortion", "sole_return_suppliers", "decoded_image_stats",
+    "pq_distortion", "sole_return_suppliers",
     # (market_share, local_supplier_volume, line_dedup, quality_funnel,
-    # split_leakage_audit, dsir_weights + source_caps yield their slots
-    # to the seven late-r12 ops and head the r13 rotation)
+    # split_leakage_audit, dsir_weights, source_caps + decoded_image_stats
+    # yield their slots to the eight late-r12 ops and head the r13
+    # rotation)
 ]
 assert len(_R12_FRONT) == 50 and all(n in QUERIES for n in _R12_FRONT), (
     "window rotation list must name 50 registered queries"

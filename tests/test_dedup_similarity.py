@@ -917,3 +917,33 @@ def test_contrastive_triplets_planted_labels(spark):
         "vec_id long, embedding array<double>, label long",
     )
     assert sim.contrastive_triplets(mono).count() == 0
+
+
+def test_filtered_ivf_knn_predicate_and_probe_widening(spark, sf_dir):
+    """Every hit satisfies the predicate; the widened probe set gives
+    filtered recall >= what the UNWIDENED probe count would: the
+    filtered top-10 must contain the true filtered top-1 (brute-force
+    anchor), and an empty filter yields an empty frame."""
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.filtered_ivf_knn(emb, label=3).collect()
+    assert 0 < len(out) <= 10
+    assert all(r["label"] == 3 for r in out)
+    # brute-force filtered anchor: the global best label-3 cosine should
+    # appear in the widened-probe result (probe widening exists exactly
+    # to protect filtered recall; at this selectivity the probe set
+    # covers most centroids so the top-1 must survive)
+    bf = (
+        sim.knn(emb, query_id=0, k=500)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .filter(F.col("label") == 3)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert bf["vec_id"] in {r["vec_id"] for r in out}
+    # a label outside the domain -> empty result, stable schema
+    empty = sim.filtered_ivf_knn(emb, label=10**9)
+    assert empty.count() == 0
+    assert empty.columns == ["vec_id", "label", "cos_sim"]
