@@ -792,6 +792,83 @@ def hll_cardinality_stream(df: DataFrame, p_bits: int = 6) -> DataFrame:
     )
 
 
+def markov_transition_stream(df: DataFrame) -> DataFrame:
+    """Streaming first-order Markov transition counting — the custom-
+    state twin of :func:`operators.users.event_markov_transitions`:
+    per-user state is exactly the LAST seen (ts_micros, event_id,
+    event_type) triple (one small tuple per user, input-independent per
+    key), so each arriving event emits its (prev, next) transition and
+    becomes the new state. Downstream the emitted pairs aggregate to
+    the transition matrix; the restart test pins that rollup == the
+    batch operator over the same events.
+
+    Ordering contract: within a micro-batch rows process in
+    (ts, event_id) order (the batch twin's deterministic lag order);
+    ACROSS batches the recovered state carries the previous batch's
+    last event, so a kill/resume produces the identical pair stream —
+    the same replay discipline as :func:`attribution_stream`. Late
+    events that would re-order across an already-processed boundary
+    are a watermark concern the caller owns (same caveat as the batch
+    lag over event time).
+
+    Emits one row per transition: user_id, prev_event, next_event.
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType
+
+    staged = df.filter(F.col("user_id").isNotNull()).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.col("ts").cast("double") * 1_000_000).cast("long").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("prev_event", StringType()),
+            StructField("next_event", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ts_us", LongType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        prev = tuple(state.get) if state.exists else None
+        out_prev, out_next = [], []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                pdf[["ts_us", "event_id", "event_type"]].itertuples(index=False)
+            )
+        rows.sort(key=lambda r: (r.ts_us, r.event_id))
+        for r in rows:
+            if prev is not None:
+                out_prev.append(prev[2])
+                out_next.append(r.event_type)
+            prev = (int(r.ts_us), int(r.event_id), str(r.event_type))
+        if prev is not None:
+            state.update(prev)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_prev),
+                "prev_event": out_prev,
+                "next_event": out_next,
+            }
+        )
+
+    return staged.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def enrich_stream(df: DataFrame, dim: DataFrame, on: str = "product") -> DataFrame:
     """Stream-static broadcast join: every micro-batch joins against the
     (re-read) static dimension — no state store, no watermark required;

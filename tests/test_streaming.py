@@ -1119,3 +1119,94 @@ def test_hll_stream_matches_batch_twin_and_survives_restart(spark, tmp_path):
     # overlap must not inflate: type-a estimate reflects ~100 distinct,
     # nowhere near the 120 raw rows
     assert final["a"][1] < 140_000
+
+
+def test_markov_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    """Streaming Markov transition pairs (job.markov_transition_stream)
+    pinned to the batch anchor (users.event_markov_transitions): user 1
+    spans the restart boundary (view in batch 1, cart in batch 2 — the
+    cross-batch transition must come from RECOVERED state), user 2's
+    same-timestamp tie resolves by event_id, and the rolled-up pair
+    counts equal the batch operator over the union."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from data_pipeline_example_spark.operators import users as users_ops
+    from data_pipeline_example_spark.streaming import job
+
+    in_dir, out_dir, ckpt = (
+        tmp_path / "in",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    in_dir.mkdir()
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "view"},
+        # user 2: two events at the SAME ts — event_id breaks the tie
+        {"event_id": 3, "ts": "2024-01-01 00:00:10", "user_id": 2, "event_type": "cart"},
+        {"event_id": 2, "ts": "2024-01-01 00:00:10", "user_id": 2, "event_type": "view"},
+    ]
+    b2 = [
+        {"event_id": 4, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "cart"},
+        {"event_id": 5, "ts": "2024-01-01 00:02:00", "user_id": 1, "event_type": "buy"},
+    ]
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = job.markov_transition_stream(raw)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("b1.json", b1, now - 30)
+    run_once()
+    write("b2.json", b2, now)
+    run_once()  # restart: user 1's 'view' state must be recovered
+
+    pairs = sorted(
+        (r["prev_event"], r["next_event"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # tie at user 2 resolves view(id 2) -> cart(id 3);
+    # user 1: view -> cart (CROSS-RESTART) then cart -> buy
+    assert pairs == [("cart", "buy"), ("view", "cart"), ("view", "cart")]
+
+    # rollup equals the batch operator over the union
+    rows = [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], 1.0, None)
+        for r in b1 + b2
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        (r["prev_event"], r["next_event"]): r["n_transitions"]
+        for r in users_ops.event_markov_transitions(events).collect()
+    }
+    from collections import Counter
+
+    assert batch == dict(Counter(pairs))
