@@ -232,6 +232,9 @@ HEADLINE = [
     "copurchase_link_prediction",
     # filtered vector search: label predicate + selectivity-widened probes
     "filtered_ivf_knn",
+    # CUSUM ingestion-drift changepoint + k-anonymity release gate
+    "event_volume_changepoint",
+    "k_anonymity_audit",
 ]
 
 

@@ -2286,3 +2286,25 @@ def copurchase_link_prediction(
         "part_a",
         "part_b",
     ).limit(top_n)
+
+
+def k_anonymity_audit(customer: DataFrame, k: int = 10) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier — the governance gate a dataset release runs before
+    shipping rows that could be re-identified by joining public
+    attributes (Sweeney 2002, public): any quasi-identifier group with
+    fewer than ``k`` members exposes its rows.
+
+    One hash aggregate over the bounded quasi domain (|nations| ×
+    |segments| groups regardless of corpus size — the audit frame
+    never grows with the data), then the unsafe groups with their
+    sizes. Output: c_nationkey, c_mktsegment, group_size, ordered by
+    (group_size, c_nationkey, c_mktsegment) — release tooling treats
+    any emitted row as a suppress-or-generalize work item.
+    """
+    return (
+        customer.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") < int(k))
+        .orderBy("group_size", "c_nationkey", "c_mktsegment")
+    )

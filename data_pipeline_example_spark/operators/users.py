@@ -1110,3 +1110,62 @@ def user_cardinality_hll(events: DataFrame, p_bits: int = 6) -> DataFrame:
         .select("scope", "n_exact", "hll_estimate_milli", "n_buckets_hit")
         .orderBy("scope")
     )
+
+
+def event_volume_changepoint(events: DataFrame) -> DataFrame:
+    """CUSUM changepoint detection over the daily event volume — the
+    ingestion-drift monitor (Page 1954, public): the day where the
+    cumulative deviation from the global mean rate peaks is the
+    maximum-likelihood single changepoint of a level shift, which is
+    what a pipeline watches to catch a source turning off, a crawler
+    doubling, or an upstream schema break silently dropping rows.
+
+    Exactness: deviations are scaled by the day count D so everything
+    stays integer — dev_d = n_d·D − N (exact BIGINT), CUSUM is a
+    running sum over the day-ordered frame, the changepoint is the
+    max-|CUSUM| day (earliest on ties), and the before/after mean
+    rates are 1e6-scaled integral divisions. The window runs over the
+    DAY-GRANULAR aggregate (≤ a few thousand rows for years of data),
+    never the event stream. Output (one row): split_day, n_days,
+    cusum_abs_max, mean_before_micro, mean_after_micro.
+    """
+    from pyspark.sql.window import Window
+
+    daily = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            "total",
+            "n_days",
+            F.sum(F.col("n") * F.col("n_days") - F.col("total"))
+            .over(w)
+            .cast("long")
+            .alias("cusum"),
+            F.sum("n").over(w).cast("long").alias("cum_n"),
+            F.row_number().over(Window.orderBy("d")).alias("rn"),
+        )
+    )
+    best = cusum.orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("d").asc()
+    ).limit(1)
+    return best.select(
+        F.col("d").alias("split_day"),
+        "n_days",
+        F.abs(F.col("cusum")).alias("cusum_abs_max"),
+        F.expr("(cum_n * 1000000) div rn").cast("long").alias("mean_before_micro"),
+        F.expr(
+            "CASE WHEN n_days = rn THEN 0 ELSE "
+            "((total - cum_n) * 1000000) div (n_days - rn) END"
+        )
+        .cast("long")
+        .alias("mean_after_micro"),
+    )

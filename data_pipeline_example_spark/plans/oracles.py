@@ -6158,3 +6158,46 @@ JOIN assigned a ON a.vec_id = e.vec_id
 JOIN probed p ON p.centroid_id = a.centroid_id, q
 ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
 """
+
+
+# CUSUM changepoint (operators/users.py event_volume_changepoint):
+# day-granular counts, D-scaled integer deviations, running sums,
+# max-|CUSUM| day (earliest tie).
+ORACLES["event_volume_changepoint"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily
+),
+cusum AS (
+  SELECT d, n, total, n_days,
+         CAST(sum(n * n_days - total) OVER
+              (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cusum,
+         CAST(sum(n) OVER
+              (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_n,
+         row_number() OVER (ORDER BY d) AS rn
+  FROM daily CROSS JOIN tot
+)
+SELECT d AS split_day, n_days, CAST(abs(cusum) AS BIGINT) AS cusum_abs_max,
+       CAST((cum_n * 1000000) // rn AS BIGINT) AS mean_before_micro,
+       CAST(CASE WHEN n_days = rn THEN 0
+                 ELSE ((total - cum_n) * 1000000) // (n_days - rn) END
+        AS BIGINT) AS mean_after_micro
+FROM cusum ORDER BY abs(cusum) DESC, d ASC LIMIT 1
+"""
+
+
+# k-anonymity audit (operators/tpch.py k_anonymity_audit): quasi-id
+# group sizes under k over the bounded (nation, segment) domain.
+ORACLES["k_anonymity_audit"] = """
+SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_size
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) < 10
+ORDER BY group_size, c_nationkey, c_mktsegment
+"""

@@ -1455,6 +1455,17 @@ def q_filtered_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.filtered_ivf_knn(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_event_volume_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint over daily event volume — integer-exact
+    ingestion-drift monitor."""
+    return users.event_volume_changepoint(load_table(spark, sf_dir, "events"))
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: quasi-identifier groups under k members."""
+    return tpch.k_anonymity_audit(load_table(spark, sf_dir, "customer"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor the most-similar DIFFERENT-label
     vector within its hard-capped sub-bucket (contrastive pair
@@ -1699,6 +1710,8 @@ QUERIES: dict[str, QueryFn] = {
     "contrastive_triplets": q_contrastive_triplets,
     "copurchase_link_prediction": q_copurchase_link_prediction,
     "filtered_ivf_knn": q_filtered_ivf_knn,
+    "event_volume_changepoint": q_event_volume_changepoint,
+    "k_anonymity_audit": q_k_anonymity_audit,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -1949,6 +1962,7 @@ _R12_FRONT = [
     "event_markov_transitions", "user_cardinality_hll",
     "rrf_hybrid_search", "contrastive_triplets",
     "copurchase_link_prediction", "filtered_ivf_knn",
+    "event_volume_changepoint", "k_anonymity_audit",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -1962,11 +1976,10 @@ _R12_FRONT = [
     "kmeans_embeddings", "cosine_dup_pairs_blocked", "semantic_prune",
     "corpus_dup_ngrams", "embedding_prototypes", "ivfpq_recall",
     "srp_recall_summary", "corpus_diff", "corpus_diff_summary",
-    "pq_distortion", "sole_return_suppliers",
-    # (market_share, local_supplier_volume, line_dedup, quality_funnel,
-    # split_leakage_audit, dsir_weights, source_caps + decoded_image_stats
-    # yield their slots to the eight late-r12 ops and head the r13
-    # rotation)
+    # (pq_distortion, sole_return_suppliers, decoded_image_stats,
+    # market_share, local_supplier_volume, line_dedup, quality_funnel,
+    # split_leakage_audit, dsir_weights + source_caps yield their slots
+    # to the ten late-r12 ops and head the r13 rotation)
 ]
 assert len(_R12_FRONT) == 50 and all(n in QUERIES for n in _R12_FRONT), (
     "window rotation list must name 50 registered queries"

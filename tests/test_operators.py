@@ -654,3 +654,49 @@ def test_copurchase_link_prediction_planted(spark):
     assert r["common_neighbors"] == 1
     # deg(1)=1 {2}, deg(3)=1 {2} -> jaccard = 1/(1+1-1) = 1000 milli
     assert r["jaccard_milli"] == 1000
+
+
+def test_event_volume_changepoint_planted_shift(spark):
+    from data_pipeline_example_spark.operators import users
+
+    # 6 days: 10/day then a level shift to 30/day after day 3 —
+    # |CUSUM| peaks exactly at the boundary day
+    rows = []
+    eid = 0
+    for day in range(1, 7):
+        n = 10 if day <= 3 else 30
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-0{day} 12:00:00", 1, "a", 1.0, None))
+    events = spark.createDataFrame(
+        rows,
+        "event_id int, ts string, user_id int, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = users.event_volume_changepoint(events).collect()[0]
+    assert str(r["split_day"]) == "2024-01-03"
+    assert r["n_days"] == 6
+    # mean 20/day -> dev scaled by D=6: three days at (10*6-120)=-60
+    assert r["cusum_abs_max"] == 180
+    assert r["mean_before_micro"] == 10_000_000
+    assert r["mean_after_micro"] == 30_000_000
+
+
+def test_k_anonymity_audit_planted(spark):
+    customers = [(i, f"c{i}", i % 3, 0.0, "S%d" % (i % 2)) for i in range(20)]
+    customers += [(100, "odd", 9, 0.0, "RARE")]  # singleton group
+    df = spark.createDataFrame(
+        customers,
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    out = tpch.k_anonymity_audit(df, k=5).collect()
+    # nation = i%3, segment = i%2 over 0..19 -> sizes 4,3,3,4,3,3 + the
+    # planted singleton; ordered by (size, nation, segment)
+    assert [(r["c_nationkey"], r["c_mktsegment"], r["group_size"]) for r in out] == [
+        (9, "RARE", 1),
+        (0, "S1", 3),
+        (1, "S0", 3),
+        (2, "S0", 3),
+        (2, "S1", 3),
+        (0, "S0", 4),
+        (1, "S1", 4),
+    ]
