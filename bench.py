@@ -235,6 +235,8 @@ HEADLINE = [
     # CUSUM ingestion-drift changepoint + k-anonymity release gate
     "event_volume_changepoint",
     "k_anonymity_audit",
+    # greedy k-center coreset (data-selection primitive)
+    "coreset_selection",
 ]
 
 

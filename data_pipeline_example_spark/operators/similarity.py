@@ -2573,3 +2573,65 @@ def filtered_ivf_knn(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def coreset_selection(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985, public; the
+    2-approximation behind k-Center data pruning / active-learning
+    seed picks) — choose ``k`` maximally-spread vectors: seed = lowest
+    vec_id, then k−1 rounds of "farthest point from the chosen set".
+    A coreset is the data-SELECTION primitive (which ROWS represent
+    the corpus) next to :func:`kmeans_embeddings`' synthetic centroids
+    and :func:`embedding_prototypes`' per-label means.
+
+    Determinism: distances are pure integers after the repo's 6-dp
+    cosine rounding — d_micro = 1e6 − round(round(cos, 6)·1e6), the
+    min over chosen centers and the argmax over vectors are integer
+    comparisons with lowest-vec_id ties, so the DuckDB oracle replays
+    the loop as an unrolled CTE chain (the :func:`kmeans_embeddings`
+    discipline). Already-chosen vectors sit at d = 0 and can't repeat.
+
+    Eager contract (the :func:`ivf_knn` note): each round runs one
+    corpus scan computing ≤ r cosines per row against the ≤ k
+    broadcast-literal centers and collects ONE row — k scans total,
+    never more than k·k cosines per vector; at 100 TB the scan
+    dominates and the round count is the k the caller asked for.
+    Output: rank (selection order), vec_id, dist_micro (the max-min
+    distance at selection; 0 for the seed).
+    """
+    e = _as_double(embeddings)
+    seed_rows = e.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        return e.sparkSession.createDataFrame(
+            [], "rank int, vec_id long, dist_micro long"
+        )
+    seed = seed_rows[0]
+    picked = [(1, int(seed["vec_id"]), 0)]
+    center_vecs = [[float(x) for x in seed["v"]]]
+    for rank in range(2, int(k) + 1):
+        dists = [
+            F.lit(1000000)
+            - F.round(
+                F.round(
+                    V.cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])), 6
+                )
+                * 1e6,
+                0,
+            ).cast("long")
+            for cv in center_vecs
+        ]
+        dm = F.least(*dists) if len(dists) > 1 else dists[0]
+        rows = (
+            e.select("vec_id", "v", dm.alias("dm"))
+            .orderBy(F.desc("dm"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break
+        pick = rows[0]
+        picked.append((rank, int(pick["vec_id"]), int(pick["dm"])))
+        center_vecs.append([float(x) for x in pick["v"]])
+    return e.sparkSession.createDataFrame(
+        picked, "rank int, vec_id long, dist_micro long"
+    ).orderBy("rank")

@@ -6201,3 +6201,45 @@ GROUP BY c_nationkey, c_mktsegment
 HAVING count(*) < 10
 ORDER BY group_size, c_nationkey, c_mktsegment
 """
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Greedy k-center replayed as an unrolled CTE chain (the
+    _kmeans_oracle discipline): integer micro distances after the 6-dp
+    cosine round, min-over-chosen-set, argmax with lowest-vec_id ties."""
+    dmic = (
+        "1000000 - CAST(round(round(list_cosine_similarity(e.v, c.v), 6)"
+        " * 1e6, 0) AS BIGINT)"
+    )
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "p1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        "cset1 AS (SELECT vec_id, v FROM p1)",
+        "out1 AS (SELECT 1 AS rank, vec_id, CAST(0 AS BIGINT) AS dist_micro FROM p1)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(f"""d{r} AS (
+  SELECT e.vec_id, min({dmic}) AS dm
+  FROM e CROSS JOIN cset{r - 1} c GROUP BY e.vec_id
+)""")
+        parts.append(
+            f"p{r} AS (SELECT vec_id, dm FROM d{r} ORDER BY dm DESC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(f"""cset{r} AS (
+  SELECT vec_id, v FROM cset{r - 1}
+  UNION ALL
+  SELECT p.vec_id, e.v FROM p{r} p JOIN e ON e.vec_id = p.vec_id
+)""")
+        parts.append(
+            f"out{r} AS (SELECT {r} AS rank, vec_id, CAST(dm AS BIGINT) AS dist_micro FROM p{r})"
+        )
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(f"SELECT * FROM out{r}" for r in range(1, k + 1))
+    return f"""
+WITH {body}
+SELECT CAST(rank AS INTEGER) AS rank, vec_id, dist_micro FROM ({union})
+ORDER BY rank
+"""
+
+
+ORACLES["coreset_selection"] = _kcenter_oracle()

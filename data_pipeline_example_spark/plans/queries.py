@@ -1466,6 +1466,12 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.k_anonymity_audit(load_table(spark, sf_dir, "customer"))
 
 
+def q_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset: k maximally-spread vectors, integer
+    micro distances, unrolled-CTE oracle."""
+    return similarity.coreset_selection(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor the most-similar DIFFERENT-label
     vector within its hard-capped sub-bucket (contrastive pair
@@ -1712,6 +1718,7 @@ QUERIES: dict[str, QueryFn] = {
     "filtered_ivf_knn": q_filtered_ivf_knn,
     "event_volume_changepoint": q_event_volume_changepoint,
     "k_anonymity_audit": q_k_anonymity_audit,
+    "coreset_selection": q_coreset_selection,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -1963,6 +1970,7 @@ _R12_FRONT = [
     "rrf_hybrid_search", "contrastive_triplets",
     "copurchase_link_prediction", "filtered_ivf_knn",
     "event_volume_changepoint", "k_anonymity_audit",
+    "coreset_selection",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -1975,7 +1983,7 @@ _R12_FRONT = [
     "cluster_balance_audit", "branded_quantity_revenue", "ccnet_mixture",
     "kmeans_embeddings", "cosine_dup_pairs_blocked", "semantic_prune",
     "corpus_dup_ngrams", "embedding_prototypes", "ivfpq_recall",
-    "srp_recall_summary", "corpus_diff", "corpus_diff_summary",
+    "corpus_diff", "corpus_diff_summary",
     # (pq_distortion, sole_return_suppliers, decoded_image_stats,
     # market_share, local_supplier_volume, line_dedup, quality_funnel,
     # split_leakage_audit, dsir_weights + source_caps yield their slots

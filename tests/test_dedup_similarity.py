@@ -947,3 +947,32 @@ def test_filtered_ivf_knn_predicate_and_probe_widening(spark, sf_dir):
     empty = sim.filtered_ivf_knn(emb, label=10**9)
     assert empty.count() == 0
     assert empty.columns == ["vec_id", "label", "cos_sim"]
+
+
+def test_coreset_selection_planted_spread(spark):
+    """Greedy k-center on three orthogonal clusters: the first three
+    picks must cover all three directions before any near-duplicate is
+    chosen, and dist_micro is non-increasing after the seed."""
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.001, 0.0, 0.0], 0),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.999, 0.001, 0.0], 1),   # near-dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0], 2),
+        (5, [0.0, 0.0, 0.999, 0.001], 2),   # near-dup of 4
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label long"
+    )
+    out = sim.coreset_selection(emb, k=4).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+    assert out[0]["vec_id"] == 0 and out[0]["dist_micro"] == 0
+    # picks 2 and 3 are the two other orthogonal directions (ids 2, 4
+    # beat their .999 near-dups on the lowest-id tie)
+    assert {out[1]["vec_id"], out[2]["vec_id"]} == {2, 4}
+    assert out[1]["dist_micro"] == 1000000  # orthogonal: cos 0
+    # the 4th pick is a near-dup at tiny distance — spread first
+    assert out[3]["dist_micro"] < 10000
+    assert out[3]["vec_id"] in {1, 3, 5}
