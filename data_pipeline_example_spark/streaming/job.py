@@ -869,6 +869,94 @@ def markov_transition_stream(df: DataFrame) -> DataFrame:
     )
 
 
+def cusum_alert_stream(
+    df: DataFrame,
+    ref_micro: int = 1_000_000,
+    threshold_micro: int = 5_000_000,
+) -> DataFrame:
+    """Streaming drift alerts via Page's one-sided CUSUM — the online
+    twin of :func:`operators.users.event_volume_changepoint` (which
+    finds the single best changepoint in HINDSIGHT; this one fires
+    DURING ingestion): per event_type, accumulate
+    S = max(0, S + (x − ref)) over event values and alert when S
+    crosses the threshold, then reset — the classic quickest-detection
+    recipe for a rate/level shift, O(1) state per key.
+
+    Exactness: values enter as integer micro-units (micro = 1e6 ×
+    value, rounded half-up once at staging), ``ref_micro`` and
+    ``threshold_micro`` are integer parameters, so S is exact long
+    arithmetic and an alert fires at the IDENTICAL row on every
+    replay/restart (rows process in (ts, event_id) order within a
+    batch, the :func:`markov_transition_stream` discipline; recovered
+    state carries S across batches and restarts).
+
+    Emits one row per micro-batch per key: event_type, s_micro (the
+    post-batch accumulator), n_alerts (alerts fired THIS batch),
+    last_alert_event_id (0 when none yet).
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType
+
+    staged = df.select(
+        F.col("event_type").cast("string").alias("event_type"),
+        (F.col("ts").cast("double") * 1_000_000).cast("long").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(F.col("value").cast("double") * 1_000_000, 0)
+        .cast("long")
+        .alias("v_micro"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("s_micro", LongType()),
+            StructField("n_alerts", LongType()),
+            StructField("last_alert_event_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("s_micro", LongType()),
+            StructField("last_alert_event_id", LongType()),
+        ]
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        s, last_alert = (
+            (int(state.get[0]), int(state.get[1]))
+            if state.exists
+            else (0, 0)
+        )
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                pdf[["ts_us", "event_id", "v_micro"]].itertuples(index=False)
+            )
+        rows.sort(key=lambda r: (r.ts_us, r.event_id))
+        n_alerts = 0
+        for r in rows:
+            s = max(0, s + int(r.v_micro) - ref_micro)
+            if s >= threshold_micro:
+                n_alerts += 1
+                last_alert = int(r.event_id)
+                s = 0  # reset after the alarm (standard restart rule)
+        state.update((s, last_alert))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "s_micro": [s],
+                "n_alerts": [n_alerts],
+                "last_alert_event_id": [last_alert],
+            }
+        )
+
+    return staged.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def enrich_stream(df: DataFrame, dim: DataFrame, on: str = "product") -> DataFrame:
     """Stream-static broadcast join: every micro-batch joins against the
     (re-read) static dimension — no state store, no watermark required;

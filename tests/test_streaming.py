@@ -1210,3 +1210,81 @@ def test_markov_stream_matches_batch_and_survives_restart(spark, tmp_path):
     from collections import Counter
 
     assert batch == dict(Counter(pairs))
+
+
+def test_cusum_alert_stream_fires_once_and_survives_restart(spark, tmp_path):
+    """Page CUSUM drift alerts (job.cusum_alert_stream): values at the
+    reference level accumulate nothing; a planted level shift fires
+    exactly at the deterministic crossing row, INCLUDING when the
+    accumulation spans a checkpoint restart (recovered S), and the
+    post-alarm reset drains the accumulator."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from data_pipeline_example_spark.streaming import job
+
+    in_dir, out_dir, ckpt = (
+        tmp_path / "in",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    in_dir.mkdir()
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    # ref = 1.0, threshold = 5.0 excess. batch 1: three events at 2.0
+    # -> S = 3.0 (no alert). batch 2 (after restart): three more at
+    # 2.0 -> S crosses 5.0 at the SECOND one (event_id 5), resets,
+    # ends at 1.0.
+    b1 = [
+        {"event_id": i, "ts": f"2024-01-01 00:00:0{i}", "event_type": "a", "value": 2.0}
+        for i in (1, 2, 3)
+    ]
+    b2 = [
+        {"event_id": i, "ts": f"2024-01-01 00:00:0{i}", "event_type": "a", "value": 2.0}
+        for i in (4, 5, 6)
+    ]
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = job.cusum_alert_stream(raw)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: df.withColumn("eid", F.lit(int(eid)))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("b1.json", b1, now - 30)
+    run_once()
+    write("b2.json", b2, now)
+    run_once()  # restart: S = 3_000_000 must be recovered
+
+    rows = sorted(
+        spark.read.parquet(out_dir).collect(), key=lambda r: r["eid"]
+    )
+    assert rows[0]["n_alerts"] == 0 and rows[0]["s_micro"] == 3_000_000
+    final = rows[-1]
+    # crossing at event 5 (S = 3+1+1 = 5.0), reset, then event 6 -> 1.0
+    assert final["n_alerts"] == 1
+    assert final["last_alert_event_id"] == 5
+    assert final["s_micro"] == 1_000_000
