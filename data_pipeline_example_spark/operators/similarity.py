@@ -2635,3 +2635,93 @@ def coreset_selection(embeddings: DataFrame, k: int = 8) -> DataFrame:
     return e.sparkSession.createDataFrame(
         picked, "rank int, vec_id long, dist_micro long"
     ).orderBy("rank")
+
+
+def update_ann_index(
+    new_embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    ks: int = 16,
+    dims: int = 64,
+) -> list[int]:
+    """Incremental maintenance for a :func:`write_ann_index` layout —
+    the IVM-for-ANN a 100 TB corpus needs: a daily crawl delta is a
+    fraction of the corpus, and rebuilding the whole index to admit it
+    re-pays the full corpus scan + write. This assigns ONLY the new
+    vectors against the index's STORED centroids and quantizes them
+    against its STORED codebook (both read from the tiny
+    ``{path}/centroids`` file — never recomputed, so code/bucket
+    meanings are stable across updates), then rewrites ONLY the
+    affected centroid partitions.
+
+    Exactly-once discipline (the ``compact_ivm_partials`` rules): the
+    rewrite is ONE dynamic-partition-overwrite job whose content is
+    (existing rows of affected partitions ANTI-JOINED on vec_id) ∪ new
+    rows — re-running the same delta replaces those partitions with
+    identical content (idempotent), a crash before commit leaves only
+    ``_temporary`` debris, and untouched partitions are never listed,
+    read, or rewritten. Equivalence contract (pinned by test): after
+    updating with a delta, the index — and every
+    :func:`ivfpq_knn_indexed` answer — is bit-identical to a full
+    rebuild over the union, provided the first max(n_centroids, ks)
+    vec_ids were in the original corpus (centroid/codebook stability,
+    the same data-derived-centroid rule every op here uses).
+
+    Returns the affected centroid ids (bounded by ``n_centroids`` —
+    callers log them as the maintenance audit trail).
+    """
+    spark = new_embeddings.sparkSession
+    e = _as_double(new_embeddings)
+    cents = spark.read.parquet(f"{path}/centroids")
+    cents_idx = cents.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cents_idx)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(V.cosine(F.col("v"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cos_sim")).alias("nc"),
+                    F.col("centroid_id").alias("cid"),
+                )
+            ).alias("w")
+        )
+        .select("vec_id", F.col("w.cid").alias("centroid_id"))
+    )
+    codebook = cents.select("vec_id", F.col("cv").alias("embedding"))
+    codes = pq_codes(new_embeddings, m, ks, dims, codebook=codebook)
+    cols = ["vec_id", "v"] + [f"code_{g}" for g in range(m)] + ["centroid_id"]
+    new_rows = (
+        e.join(assigned, "vec_id").join(codes, "vec_id").select(*cols)
+    ).transform(materialize)
+    affected = sorted(
+        r["centroid_id"]
+        for r in new_rows.select("centroid_id").distinct().collect()
+    )
+    if not affected:
+        return []
+    old = (
+        spark.read.parquet(f"{path}/index")
+        .filter(F.col("centroid_id").isin(affected))
+        .join(new_rows.select("vec_id"), "vec_id", "left_anti")
+        .select(*cols)
+    )
+    merged = old.unionByName(new_rows.select(*cols))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/index")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return affected

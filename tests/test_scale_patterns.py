@@ -1169,3 +1169,67 @@ def test_basket_graph_stats_matches_bruteforce(spark, sf_dir):
         (3 * tri * 1000000) // wedges if wedges else 0,
     )
     assert got == expect
+
+
+def test_update_ann_index_incremental_equals_rebuild(spark, sf_dir, tmp_path):
+    """update_ann_index: incrementally admitting a delta yields an index
+    bit-identical to a full rebuild over the union — same (vec_id,
+    centroid_id, codes) set and identical served top-k — re-running the
+    SAME delta is a no-op (idempotent per-partition overwrite), and
+    partitions the delta doesn't touch keep their exact file set."""
+    import os
+
+    from data_pipeline_example_spark.operators.similarity import (
+        ivfpq_knn_indexed,
+        update_ann_index,
+        write_ann_index,
+    )
+    from data_pipeline_example_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 490)
+    delta = emb.filter(F.col("vec_id") >= 490)  # 10 rows: hits a strict subset of the 16 buckets
+
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_ann_index(old, inc_path)
+
+    def part_files(base):
+        out = {}
+        for d in os.listdir(f"{base}/index"):
+            if d.startswith("centroid_id="):
+                out[d] = sorted(
+                    f for f in os.listdir(f"{base}/index/{d}")
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = part_files(inc_path)
+    affected = update_ann_index(delta, inc_path)
+    assert affected  # the delta lands somewhere
+    after = part_files(inc_path)
+    untouched = [d for d in before if int(d.split("=")[1]) not in affected]
+    assert untouched, "test corpus should leave some partition untouched"
+    for d in untouched:
+        assert after[d] == before[d]  # byte-level file set preserved
+
+    write_ann_index(emb, full_path)
+
+    def index_rows(base):
+        df = spark.read.parquet(f"{base}/index")
+        code_cols = sorted(c for c in df.columns if c.startswith("code_"))
+        return sorted(
+            tuple(r)
+            for r in df.select("vec_id", "centroid_id", *code_cols).collect()
+        )
+
+    assert index_rows(inc_path) == index_rows(full_path)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assert [tuple(r) for r in ivfpq_knn_indexed(spark, inc_path, qv).collect()] == [
+        tuple(r) for r in ivfpq_knn_indexed(spark, full_path, qv).collect()
+    ]
+
+    # idempotency: re-running the same delta leaves the index identical
+    again = update_ann_index(delta, inc_path)
+    assert again == affected
+    assert index_rows(inc_path) == index_rows(full_path)
