@@ -1131,8 +1131,12 @@ def event_volume_changepoint(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    daily = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # the day-granular frame feeds both the totals and the CUSUM
+    # window — materialize it so the corpus is scanned once
+    daily = (
+        events.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .transform(materialize)
     )
     tot = daily.agg(
         F.sum("n").cast("long").alias("total"),
