@@ -557,3 +557,99 @@ def test_url_canonicalization_idempotent_and_clean(spark, sources, base_id):
         assert not r["c1"].startswith(("http://", "https://", "www."))
         assert "#" not in r["c1"] and "?" not in r["c1"]
         assert not r["c1"].endswith("/")
+
+
+@settings(**_SETTINGS)
+@given(
+    user_ids=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    dup_factor=st.integers(min_value=2, max_value=4),
+)
+def test_hll_is_duplicate_insensitive(spark, user_ids, dup_factor):
+    """The defining sketch property: registers are max-merged, so
+    replicating every event dup_factor times (or unioning the input
+    with itself) changes NOTHING in the output."""
+    def frame(ids):
+        rows = [(i, "2024-01-01 00:00:00", u, "t%d" % (u % 2), 1.0, None)
+                for i, u in enumerate(ids)]
+        return spark.createDataFrame(
+            rows,
+            "event_id int, ts string, user_id int, event_type string, value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    base = [tuple(r) for r in users.user_cardinality_hll(frame(user_ids)).collect()]
+    dup = [tuple(r) for r in users.user_cardinality_hll(
+        frame(user_ids * dup_factor)).collect()]
+    assert base == dup
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # user
+            st.integers(min_value=0, max_value=86000),  # second offset
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_markov_mass_conservation(spark, events):
+    """Transition counts total exactly n_events − n_active_users (each
+    user's first event has no predecessor), and each row of the matrix
+    floor-sums to ≤ 1000 milli with deficit < |next states in row|."""
+    rows = [
+        (i, f"2024-01-01 00:00:00", u, t, 1.0, None)
+        for i, (u, s, t) in enumerate(events)
+    ]
+    # distinct ts per row via the second offset to exercise ordering
+    df = spark.createDataFrame(
+        rows,
+        "event_id int, ts string, user_id int, event_type string, value double, props string",
+    ).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+            secs=F.col("event_id") % 7
+        ),
+    )
+    out = users.event_markov_transitions(df).collect()
+    n_users = len({u for u, _, _ in events})
+    assert sum(r["n_transitions"] for r in out) == len(events) - n_users
+    by_prev: dict = {}
+    for r in out:
+        by_prev.setdefault(r["prev_event"], []).append(r)
+    for prev, rs in by_prev.items():
+        milli = sum(r["prob_milli"] for r in rs)
+        assert milli <= 1000
+        assert milli > 1000 - len(rs)  # floor rounding loses < 1 per row
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=4),
+)
+def test_quantile_normalize_keeps_top_half_per_source(spark, sizes):
+    """Per source of n docs, keep = rank_milli >= 500 admits exactly
+    n − ceil((n−1)/2 + ...) docs — mechanically: the count of rn with
+    ((rn−1)*1000) div (n−1) >= 500; single-doc sources always keep."""
+    rows = []
+    did = 0
+    for s_idx, n in enumerate(sizes):
+        for j in range(n):
+            rows.append((did, "the of to " * (j + 1), "en", f"s{s_idx}", 1))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = text.quality_quantile_normalize(docs).collect()
+    kept = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + r["keep"]
+    for s_idx, n in enumerate(sizes):
+        if n == 1:
+            expect = 1
+        else:
+            expect = sum(
+                1 for rn in range(1, n + 1) if ((rn - 1) * 1000) // (n - 1) >= 500
+            )
+        assert kept[f"s{s_idx}"] == expect
