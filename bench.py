@@ -237,6 +237,8 @@ HEADLINE = [
     "k_anonymity_audit",
     # greedy k-center coreset (data-selection primitive)
     "coreset_selection",
+    # per-dimension variance spectrum (collapsed-encoder audit)
+    "embedding_dimension_health",
 ]
 
 

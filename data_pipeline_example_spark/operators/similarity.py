@@ -2725,3 +2725,54 @@ def update_ann_index(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return affected
+
+
+def embedding_dimension_health(embeddings: DataFrame) -> DataFrame:
+    """Per-DIMENSION embedding health — the collapsed-encoder audit
+    that :func:`embedding_profile`'s per-label norms can't see: a
+    dimension whose variance pins to ~0 is dead weight in every
+    similarity computation (undertrained projection, an always-zero
+    feature, or rank collapse), and production embedding pipelines
+    track the per-dimension variance spectrum per model release.
+
+    Plan: ONE posexplode projection (dims narrow rows per vector, no
+    join), then a |dims|-group map-side-combinable aggregate — vectors
+    never shuffle whole. Exactness: components are rounded once to
+    integer micro (means) and milli (second moments); the variance is
+    the schoolbook two-step integral division
+    (Σs² div n) − (Σs div n)², each term ≤ 1e6 at ANY corpus size, so
+    nothing overflows and both engines floor identically. ``is_dead``
+    flags variance 0 in milli² — i.e. the component spread is under
+    the milli quantization floor. Output: pos, n_vectors, mean_micro,
+    var_milli2, is_dead — one row per dimension, ordered by pos.
+    """
+    ex = _as_double(embeddings).select(
+        F.posexplode("v").alias("pos", "val")
+    ).select(
+        "pos",
+        F.round(F.col("val") * 1e6, 0).cast("long").alias("s_micro"),
+        F.round(F.col("val") * 1e3, 0).cast("long").alias("s_milli"),
+    )
+    agg = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("s_micro").alias("sum_micro"),
+        F.sum("s_milli").alias("sum_milli"),
+        F.sum(F.col("s_milli") * F.col("s_milli")).alias("sum_sq_milli"),
+    )
+    return agg.select(
+        "pos",
+        "n_vectors",
+        F.expr("sum_micro div n_vectors").cast("long").alias("mean_micro"),
+        F.expr(
+            "(sum_sq_milli div n_vectors) - "
+            "(sum_milli div n_vectors) * (sum_milli div n_vectors)"
+        )
+        .cast("long")
+        .alias("var_milli2"),
+    ).select(
+        "pos",
+        "n_vectors",
+        "mean_micro",
+        "var_milli2",
+        (F.col("var_milli2") <= 0).cast("int").alias("is_dead"),
+    ).orderBy("pos")

@@ -6243,3 +6243,33 @@ ORDER BY rank
 
 
 ORACLES["coreset_selection"] = _kcenter_oracle()
+
+
+# Per-dimension embedding health (operators/similarity.py
+# embedding_dimension_health): component micro/milli roundings, the
+# schoolbook two-step variance, dead flag at milli-quantization floor.
+ORACLES["embedding_dimension_health"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT CAST(t.i AS INTEGER) AS pos,
+         CAST(round(v[t.i + 1] * 1e6, 0) AS BIGINT) AS s_micro,
+         CAST(round(v[t.i + 1] * 1e3, 0) AS BIGINT) AS s_milli
+  FROM e CROSS JOIN range(64) t(i)
+),
+agg AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(s_micro) AS BIGINT) AS sum_micro,
+         CAST(sum(s_milli) AS BIGINT) AS sum_milli,
+         CAST(sum(s_milli * s_milli) AS BIGINT) AS sum_sq_milli
+  FROM ex GROUP BY pos
+)
+SELECT pos, n_vectors,
+       CAST(sum_micro // n_vectors AS BIGINT) AS mean_micro,
+       CAST((sum_sq_milli // n_vectors)
+            - (sum_milli // n_vectors) * (sum_milli // n_vectors) AS BIGINT)
+         AS var_milli2,
+       CAST(CASE WHEN (sum_sq_milli // n_vectors)
+                      - (sum_milli // n_vectors) * (sum_milli // n_vectors) <= 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_dead
+FROM agg ORDER BY pos
+"""

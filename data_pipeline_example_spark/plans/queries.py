@@ -1472,6 +1472,14 @@ def q_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.coreset_selection(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_dimension_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance spectrum + dead-dimension flags (collapsed
+    encoder audit)."""
+    return similarity.embedding_dimension_health(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor the most-similar DIFFERENT-label
     vector within its hard-capped sub-bucket (contrastive pair
@@ -1719,6 +1727,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_volume_changepoint": q_event_volume_changepoint,
     "k_anonymity_audit": q_k_anonymity_audit,
     "coreset_selection": q_coreset_selection,
+    "embedding_dimension_health": q_embedding_dimension_health,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -1970,7 +1979,7 @@ _R12_FRONT = [
     "rrf_hybrid_search", "contrastive_triplets",
     "copurchase_link_prediction", "filtered_ivf_knn",
     "event_volume_changepoint", "k_anonymity_audit",
-    "coreset_selection",
+    "coreset_selection", "embedding_dimension_health",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -1982,7 +1991,7 @@ _R12_FRONT = [
     "packing_efficiency", "decontaminated_corpus", "skew_report",
     "cluster_balance_audit", "branded_quantity_revenue", "ccnet_mixture",
     "kmeans_embeddings", "cosine_dup_pairs_blocked", "semantic_prune",
-    "corpus_dup_ngrams", "embedding_prototypes", "ivfpq_recall",
+    "corpus_dup_ngrams", "embedding_prototypes",
     "corpus_diff", "corpus_diff_summary",
     # (pq_distortion, sole_return_suppliers, decoded_image_stats,
     # market_share, local_supplier_volume, line_dedup, quality_funnel,

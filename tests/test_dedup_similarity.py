@@ -976,3 +976,26 @@ def test_coreset_selection_planted_spread(spark):
     # the 4th pick is a near-dup at tiny distance — spread first
     assert out[3]["dist_micro"] < 10000
     assert out[3]["vec_id"] in {1, 3, 5}
+
+
+def test_embedding_dimension_health_planted_dead_dim(spark):
+    """A constant dimension flags dead; a varying one doesn't; micro
+    means are the exact integral divisions."""
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    vecs = [
+        (0, [0.5, 0.123, 0.0, 1.0], 0),
+        (1, [0.5, -0.456, 0.0, -1.0], 0),
+        (2, [0.5, 0.789, 0.0, 1.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label long"
+    )
+    out = {r["pos"]: r for r in sim.embedding_dimension_health(emb).collect()}
+    assert len(out) == 4
+    assert out[0]["is_dead"] == 1      # constant 0.5: zero variance
+    assert out[0]["mean_micro"] == 500_000
+    assert out[2]["is_dead"] == 1      # constant 0.0
+    assert out[1]["is_dead"] == 0 and out[3]["is_dead"] == 0
+    assert out[1]["mean_micro"] == (123000 - 456000 + 789000) // 3
+    assert out[3]["var_milli2"] > 0
