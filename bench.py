@@ -239,6 +239,8 @@ HEADLINE = [
     "coreset_selection",
     # per-dimension variance spectrum (collapsed-encoder audit)
     "embedding_dimension_health",
+    # content-defined chunking (edit-stable boundaries)
+    "cdc_chunks",
 ]
 
 

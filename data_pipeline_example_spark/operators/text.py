@@ -4115,3 +4115,72 @@ def quality_quantile_normalize(
         (F.col("rank_milli") >= keep_milli).cast("int").alias("keep"),
     ).orderBy("doc_id")
 
+
+
+def cdc_chunks(documents: DataFrame, divisor: int = 8) -> DataFrame:
+    """Content-defined chunking — boundaries from the CONTENT, not from
+    fixed offsets: a chunk ends after any token whose md5 hash ≡ 0
+    (mod ``divisor``), the Rabin/FastCDC idea (public) re-expressed on
+    token streams. Why pipelines use it over :func:`chunk_documents`'
+    fixed windows: inserting one sentence into a document shifts EVERY
+    fixed-offset window after it (all their hashes change, dedup and
+    RAG caches miss), while content-defined boundaries re-synchronize
+    at the next boundary token — only the edited chunk's hash changes
+    (pinned by test).
+
+    Expected chunk length is ``divisor`` tokens (boundary probability
+    1/divisor per token); no min/max clamps — the synthetic-corpus
+    boundary density makes them dead branches here, and the oracle
+    mirrors exactly what runs. Plan: ONE tokenize scan, boundaries →
+    chunk spans → per-chunk hashes all computed IN-ARRAY with
+    higher-order built-ins (filter/transform/slice), zero shuffle,
+    bounded output per input token (the chunk_documents discipline).
+    Hash family: the repo's md5 discipline — boundary test on
+    ``conv(substr(md5(token),1,8),16,10) % divisor``, chunk_hash =
+    md5 of the space-joined slice. Output: doc_id, chunk_idx,
+    n_tokens, chunk_hash.
+    """
+    toks = T.tokens(F.lower(F.col("text")))
+    base = widen(documents).select("doc_id", toks.alias("t"))
+    is_boundary = (
+        "conv(substring(md5(x), 1, 8), 16, 10) % {d} = 0".format(d=divisor)
+    )
+    # boundary positions (1-based), then chunk start positions
+    spans = base.select(
+        "doc_id",
+        "t",
+        F.expr(
+            f"filter(transform(t, (x, i) -> CASE WHEN {is_boundary} "
+            "THEN i + 1 ELSE 0 END), p -> p > 0)"
+        ).alias("bpos"),
+    ).select(
+        "doc_id",
+        "t",
+        F.expr(
+            "CASE WHEN size(t) = 0 THEN array() "
+            "WHEN size(bpos) > 0 AND element_at(bpos, -1) = size(t) "
+            "THEN concat(array(1), transform(bpos, p -> p + 1)) "
+            "ELSE concat(array(1), transform(bpos, p -> p + 1), "
+            "array(size(t) + 1)) END"
+        ).alias("starts"),
+    )
+    # starts has one trailing sentinel (size+1); chunk c spans
+    # [starts[c], starts[c+1] - 1]
+    chunks = spans.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(slice(starts, 1, greatest(size(starts) - 1, 0)), "
+                "(s, c) -> struct(s AS s, element_at(starts, c + 2) - s AS n))"
+            )
+        ).alias("chunk_idx", "sp"),
+        F.col("t"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("sp.n").cast("long").alias("n_tokens"),
+        F.md5(F.array_join(F.slice("t", F.col("sp.s"), F.col("sp.n")), " ")).alias(
+            "chunk_hash"
+        ),
+    ).orderBy("doc_id", "chunk_idx")

@@ -6273,3 +6273,39 @@ SELECT pos, n_vectors,
                  THEN 1 ELSE 0 END AS INTEGER) AS is_dead
 FROM agg ORDER BY pos
 """
+
+
+# Content-defined chunking (operators/text.py cdc_chunks): a token's
+# chunk is the count of boundary tokens strictly BEFORE it; hashes of
+# the space-joined chunk content.
+ORACLES["cdc_chunks"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+flat AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) + 1),
+                               i -> struct_pack(pos := i, w := t[i]))) AS u
+  FROM toks WHERE len(t) > 0
+),
+flags AS (
+  SELECT doc_id, u.pos AS pos, u.w AS w,
+         CASE WHEN ('0x' || substr(md5(u.w), 1, 8))::BIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM flat
+),
+cid AS (
+  SELECT doc_id, pos, w,
+         CAST(coalesce(sum(b) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS INTEGER) AS chunk_idx
+  FROM flags
+)
+SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+FROM cid
+GROUP BY doc_id, chunk_idx
+ORDER BY doc_id, chunk_idx
+"""

@@ -1480,6 +1480,12 @@ def q_embedding_dimension_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: rolling-hash boundaries, edit-stable
+    chunk hashes (FastCDC on token streams)."""
+    return text.cdc_chunks(load_table(spark, sf_dir, "documents"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor the most-similar DIFFERENT-label
     vector within its hard-capped sub-bucket (contrastive pair
@@ -1728,6 +1734,7 @@ QUERIES: dict[str, QueryFn] = {
     "k_anonymity_audit": q_k_anonymity_audit,
     "coreset_selection": q_coreset_selection,
     "embedding_dimension_health": q_embedding_dimension_health,
+    "cdc_chunks": q_cdc_chunks,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -1979,7 +1986,7 @@ _R12_FRONT = [
     "rrf_hybrid_search", "contrastive_triplets",
     "copurchase_link_prediction", "filtered_ivf_knn",
     "event_volume_changepoint", "k_anonymity_audit",
-    "coreset_selection", "embedding_dimension_health",
+    "coreset_selection", "embedding_dimension_health", "cdc_chunks",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -1991,7 +1998,7 @@ _R12_FRONT = [
     "packing_efficiency", "decontaminated_corpus", "skew_report",
     "cluster_balance_audit", "branded_quantity_revenue", "ccnet_mixture",
     "kmeans_embeddings", "cosine_dup_pairs_blocked", "semantic_prune",
-    "corpus_dup_ngrams", "embedding_prototypes",
+    "corpus_dup_ngrams",
     "corpus_diff", "corpus_diff_summary",
     # (pq_distortion, sole_return_suppliers, decoded_image_stats,
     # market_share, local_supplier_volume, line_dedup, quality_funnel,

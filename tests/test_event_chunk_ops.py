@@ -215,3 +215,30 @@ def test_unigram_scores_rare_tokens_score_higher(spark):
     assert got[0]["avg_neg_log2p"] == round(math.log2(12 / 8), 4)
     assert got[1]["avg_neg_log2p"] == round(math.log2(12), 4)
     assert got[1]["avg_neg_log2p"] > got[0]["avg_neg_log2p"]
+
+
+def test_cdc_chunks_edit_stability(spark):
+    """The CDC property fixed windows lack: inserting a token early in
+    the document changes ONLY the chunk containing the edit — every
+    chunk hash after the next boundary survives verbatim (boundaries
+    re-synchronize), while chunk_documents-style fixed windows would
+    shift all downstream slices."""
+    from data_pipeline_example_spark.operators import text as text_ops
+
+    base = "the data big table query slow fast scan merge sort key value"
+    # insert one token inside the FIRST chunk ("the data"): boundaries
+    # at data/query/scan/value re-synchronize immediately after
+    edited = "the hash data big table query slow fast scan merge sort key value"
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s", 1), (2, edited, "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = text_ops.cdc_chunks(docs).collect()
+    h1 = [r["chunk_hash"] for r in out if r["doc_id"] == 1]
+    h2 = [r["chunk_hash"] for r in out if r["doc_id"] == 2]
+    assert len(h1) == len(h2)           # same boundary structure
+    assert h1[0] != h2[0]               # the edited chunk changes
+    assert h1[1:] == h2[1:]             # every later chunk survives
+    # token conservation: chunk sizes partition the token stream
+    n1 = sum(r["n_tokens"] for r in out if r["doc_id"] == 1)
+    assert n1 == len(base.split())
