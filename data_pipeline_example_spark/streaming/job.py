@@ -957,6 +957,110 @@ def cusum_alert_stream(
     )
 
 
+def spacesaving_topk_stream(df: DataFrame, k: int = 8) -> DataFrame:
+    """Streaming heavy hitters via SpaceSaving (Metwally et al. 2005,
+    public) — per event_type, the top users by event count from
+    EXACTLY ``k`` counters of state, however many distinct users flow
+    through: the frequency member of the bounded-state sketch family
+    (:func:`streaming.curation.bloom_admission_stream` = membership,
+    :func:`hll_cardinality_stream` = cardinality,
+    :func:`cusum_alert_stream` = drift).
+
+    SpaceSaving's guarantee: every item with true count >
+    min-counter survives in the summary, and for each kept item
+    true ≤ est ≤ true + err (err = the counter's inherited overcount,
+    tracked per slot and EMITTED so downstream can see the bound —
+    err = 0 means the count is exact). Determinism: rows replay in
+    (ts, event_id) order within a batch and the min-victim tie breaks
+    to the lexicographically smallest key, so the summary — including
+    which near-tail items survive — is identical on every
+    replay/restart (pinned by a pure-Python replay in the test, the
+    bloom discipline).
+
+    Emits per key per micro-batch, one row per occupied slot:
+    event_type, item, est_count, err, rank (1 = heaviest; ties by
+    item ASC).
+    """
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+    staged = df.filter(F.col("user_id").isNotNull()).select(
+        F.col("event_type").cast("string").alias("event_type"),
+        (F.col("ts").cast("double") * 1_000_000).cast("long").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("item", StringType()),
+            StructField("est_count", LongType()),
+            StructField("err", LongType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("items", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("errs", ArrayType(LongType())),
+        ]
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            items, counts, errs = (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+            )
+            summary = {
+                it: [c, e] for it, c, e in zip(items, counts, errs)
+            }
+        else:
+            summary = {}
+        rows = []
+        for pdf in pdfs:
+            rows.extend(pdf[["ts_us", "event_id", "item"]].itertuples(index=False))
+        rows.sort(key=lambda r: (r.ts_us, r.event_id))
+        for r in rows:
+            it = str(r.item)
+            if it in summary:
+                summary[it][0] += 1
+            elif len(summary) < k:
+                summary[it] = [1, 0]
+            else:
+                # evict the min counter; smallest item breaks ties so
+                # the victim is replay-deterministic
+                victim = min(summary, key=lambda x: (summary[x][0], x))
+                c = summary.pop(victim)[0]
+                summary[it] = [c + 1, c]
+        ordered = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(
+            (
+                [it for it, _ in ordered],
+                [v[0] for _, v in ordered],
+                [v[1] for _, v in ordered],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(ordered),
+                "item": [it for it, _ in ordered],
+                "est_count": [v[0] for _, v in ordered],
+                "err": [v[1] for _, v in ordered],
+                "rank": list(range(1, len(ordered) + 1)),
+            }
+        )
+
+    return staged.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def enrich_stream(df: DataFrame, dim: DataFrame, on: str = "product") -> DataFrame:
     """Stream-static broadcast join: every micro-batch joins against the
     (re-read) static dimension — no state store, no watermark required;

@@ -1288,3 +1288,109 @@ def test_cusum_alert_stream_fires_once_and_survives_restart(spark, tmp_path):
     assert final["n_alerts"] == 1
     assert final["last_alert_event_id"] == 5
     assert final["s_micro"] == 1_000_000
+
+
+def _spacesaving_replay(items, k):
+    """Pure-Python replay of spacesaving_topk_stream's update rule."""
+    summary = {}
+    for it in items:
+        if it in summary:
+            summary[it][0] += 1
+        elif len(summary) < k:
+            summary[it] = [1, 0]
+        else:
+            victim = min(summary, key=lambda x: (summary[x][0], x))
+            c = summary.pop(victim)[0]
+            summary[it] = [c + 1, c]
+    return sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))
+
+
+def test_spacesaving_stream_guarantee_and_restart(spark, tmp_path):
+    """SpaceSaving top-k (job.spacesaving_topk_stream) with k=4 over a
+    skewed stream split across a checkpoint restart: the final summary
+    equals the pure-Python replay of the same arrival order (summary
+    state recovered across the kill), every kept item satisfies
+    true <= est <= true + err, and the guaranteed-heavy item (true
+    count > min counter) survives eviction pressure."""
+    import json as _json
+    import os as _os
+    import time as _time
+    from collections import Counter
+
+    from data_pipeline_example_spark.streaming import job
+
+    in_dir, out_dir, ckpt = (
+        tmp_path / "in",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    in_dir.mkdir()
+    now = _time.time()
+
+    def write(name, rows, mtime):
+        p = str(in_dir / name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (mtime, mtime))
+
+    # skewed arrivals: "hot" dominates; a tail of 6 distinct cold items
+    # churns the k=4 summary
+    seq1 = ["hot", "warm", "c1", "hot", "c2", "hot", "warm", "c3"]
+    seq2 = ["hot", "c4", "hot", "warm", "c5", "hot", "c6", "hot"]
+    b1 = [
+        {"event_id": i, "ts": f"2024-01-01 00:00:{i:02d}", "event_type": "a",
+         "user_id": u}
+        for i, u in enumerate(seq1)
+    ]
+    b2 = [
+        {"event_id": 100 + i, "ts": f"2024-01-01 00:01:{i:02d}", "event_type": "a",
+         "user_id": u}
+        for i, u in enumerate(seq2)
+    ]
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, user_id string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        out = job.spacesaving_topk_stream(raw, k=4)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: df.withColumn("eid", F.lit(int(eid)))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("b1.json", b1, now - 30)
+    run_once()
+    write("b2.json", b2, now)
+    run_once()  # restart: the summary counters must be recovered
+
+    rows = spark.read.parquet(out_dir).collect()
+    last = max(r["eid"] for r in rows)
+    final = sorted(
+        ((r["item"], r["est_count"], r["err"]) for r in rows if r["eid"] == last),
+        key=lambda t: (-t[1], t[0]),
+    )
+    want = [
+        (it, v[0], v[1]) for it, v in _spacesaving_replay(seq1 + seq2, 4)
+    ]
+    assert final == want
+    # the SpaceSaving guarantee on every kept item
+    true = Counter(seq1 + seq2)
+    for it, est, err in final:
+        assert true[it] <= est <= true[it] + err
+    # the guaranteed-heavy items survive with exact counts
+    as_dict = {it: (est, err) for it, est, err in final}
+    assert as_dict["hot"] == (true["hot"], 0)
+    assert as_dict["warm"] == (true["warm"], 0)
