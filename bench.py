@@ -241,6 +241,8 @@ HEADLINE = [
     "embedding_dimension_health",
     # content-defined chunking (edit-stable boundaries)
     "cdc_chunks",
+    # derandomized Poisson bootstrap CI (one-scan replicates)
+    "bootstrap_revenue_ci",
 ]
 
 

@@ -1173,3 +1173,81 @@ def event_volume_changepoint(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("mean_after_micro"),
     )
+
+
+# Poisson(1) CDF thresholds in micro-units of a uniform draw — the
+# inverse-CDF table the deterministic bootstrap weights come from
+# (P[w=0]=e^-1, etc.; weights > 5 have probability < 6e-4 and clamp).
+_POISSON1_MICRO = (367879, 735758, 919698, 981011, 996340)
+
+
+def bootstrap_revenue_ci(events: DataFrame, n_boot: int = 16) -> DataFrame:
+    """Deterministic Poisson bootstrap of total event revenue — the
+    resampling scheme that actually works on distributed data (Chamandy
+    et al. 2012, public: multinomial resampling needs the row count up
+    front and a global shuffle; Poisson(1) weights are per-row
+    independent, so each replicate is ONE weighted sum in the same
+    scan). Here the weights are DERANDOMIZED: replicate b's weight for
+    a row is the Poisson(1) inverse-CDF of the md5-derived uniform
+    u = hash48(event_id ':' b) mod 1e6 — reproducible across runs,
+    partitionings, and engines, so the whole CI hash-matches a SQL
+    oracle (the repo's hash_split_summary discipline, applied to
+    resampling).
+
+    Plan: ONE scan computing all ``n_boot`` weighted sums as parallel
+    aggregates (map-side combined; no explode — the B× row blow-up
+    never materializes), then order statistics over the B-row totals
+    frame. All integer cents. Output (one row): n_events, point_cents,
+    boot_mean_cents (div-floor), boot_lo_cents / boot_hi_cents (the
+    2nd and (B−1)th order statistics — the central 7/8 band at B=16).
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    th = _POISSON1_MICRO
+
+    def weight(b: int):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("event_id").cast("string"), F.lit(str(b)))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+        w = F.lit(5)
+        for k in range(len(th) - 1, -1, -1):
+            w = F.when(u < th[k], F.lit(k)).otherwise(w)
+        return w
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents).cast("long").alias("point_cents")]
+    aggs += [
+        F.sum(weight(b) * cents).cast("long").alias(f"t_{b}")
+        for b in range(n_boot)
+    ]
+    wide = events.agg(*aggs)
+    stack = ", ".join(f"{b}, t_{b}" for b in range(n_boot))
+    totals = wide.select(
+        "n_events",
+        "point_cents",
+        F.expr(f"stack({n_boot}, {stack}) AS (b, total)"),
+    ).select(
+        "n_events",
+        "point_cents",
+        F.col("total"),
+        F.row_number().over(Window.orderBy("total", "b")).alias("rk"),
+    )
+    return totals.groupBy("n_events", "point_cents").agg(
+        F.expr(f"sum(total) div {n_boot}").cast("long").alias("boot_mean_cents"),
+        F.max(F.when(F.col("rk") == 2, F.col("total")))
+        .cast("long")
+        .alias("boot_lo_cents"),
+        F.max(F.when(F.col("rk") == n_boot - 1, F.col("total")))
+        .cast("long")
+        .alias("boot_hi_cents"),
+    )

@@ -6309,3 +6309,42 @@ FROM cid
 GROUP BY doc_id, chunk_idx
 ORDER BY doc_id, chunk_idx
 """
+
+
+# Deterministic Poisson bootstrap (operators/users.py
+# bootstrap_revenue_ci): md5-derived uniform -> Poisson(1) inverse
+# CDF weights, 16 replicate totals, order statistics 2 and 15.
+ORACLES["bootstrap_revenue_ci"] = """
+WITH base AS (
+  SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events
+),
+pt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS point_cents
+  FROM base
+),
+draws AS (
+  SELECT t.b AS b, cents,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(t.b AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS u
+  FROM base CROSS JOIN range(16) t(b)
+),
+rep AS (
+  SELECT b,
+         CAST(sum((CASE WHEN u < 367879 THEN 0
+                        WHEN u < 735758 THEN 1
+                        WHEN u < 919698 THEN 2
+                        WHEN u < 981011 THEN 3
+                        WHEN u < 996340 THEN 4
+                        ELSE 5 END) * cents) AS BIGINT) AS total
+  FROM draws GROUP BY b
+),
+ranked AS (
+  SELECT total, row_number() OVER (ORDER BY total, b) AS rk FROM rep
+)
+SELECT pt.n_events, pt.point_cents,
+       CAST((SELECT sum(total) FROM rep) // 16 AS BIGINT) AS boot_mean_cents,
+       CAST((SELECT max(total) FROM ranked WHERE rk = 2) AS BIGINT) AS boot_lo_cents,
+       CAST((SELECT max(total) FROM ranked WHERE rk = 15) AS BIGINT) AS boot_hi_cents
+FROM pt
+"""

@@ -1486,6 +1486,12 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.cdc_chunks(load_table(spark, sf_dir, "documents"))
 
 
+def q_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI of total event revenue — all
+    replicates in one scan, md5-derived weights."""
+    return users.bootstrap_revenue_ci(load_table(spark, sf_dir, "events"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor the most-similar DIFFERENT-label
     vector within its hard-capped sub-bucket (contrastive pair
@@ -1735,6 +1741,7 @@ QUERIES: dict[str, QueryFn] = {
     "coreset_selection": q_coreset_selection,
     "embedding_dimension_health": q_embedding_dimension_health,
     "cdc_chunks": q_cdc_chunks,
+    "bootstrap_revenue_ci": q_bootstrap_revenue_ci,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -1987,6 +1994,7 @@ _R12_FRONT = [
     "copurchase_link_prediction", "filtered_ivf_knn",
     "event_volume_changepoint", "k_anonymity_audit",
     "coreset_selection", "embedding_dimension_health", "cdc_chunks",
+    "bootstrap_revenue_ci",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -1998,7 +2006,6 @@ _R12_FRONT = [
     "packing_efficiency", "decontaminated_corpus", "skew_report",
     "cluster_balance_audit", "branded_quantity_revenue", "ccnet_mixture",
     "kmeans_embeddings", "cosine_dup_pairs_blocked", "semantic_prune",
-    "corpus_dup_ngrams",
     "corpus_diff", "corpus_diff_summary",
     # (pq_distortion, sole_return_suppliers, decoded_image_stats,
     # market_share, local_supplier_volume, line_dedup, quality_funnel,

@@ -700,3 +700,18 @@ def test_k_anonymity_audit_planted(spark):
         (0, "S0", 4),
         (1, "S1", 4),
     ]
+
+
+def test_bootstrap_revenue_ci_brackets_point(spark, sf_dir):
+    """The derandomized Poisson bootstrap: the CI band brackets the
+    point estimate, the replicate mean sits near it (Poisson(1) has
+    mean 1), and the whole row is run-to-run identical."""
+    from data_pipeline_example_spark.operators import users
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r1 = users.bootstrap_revenue_ci(events).collect()[0]
+    r2 = users.bootstrap_revenue_ci(events).collect()[0]
+    assert tuple(r1) == tuple(r2)  # fully deterministic
+    assert r1["boot_lo_cents"] < r1["point_cents"] < r1["boot_hi_cents"]
+    # replicate mean within ~5% of the point (w has mean 1, n is large)
+    assert abs(r1["boot_mean_cents"] - r1["point_cents"]) < 0.05 * r1["point_cents"]
