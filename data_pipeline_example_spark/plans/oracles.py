@@ -6312,8 +6312,9 @@ ORDER BY doc_id, chunk_idx
 
 
 # Deterministic Poisson bootstrap (operators/users.py
-# bootstrap_revenue_ci): md5-derived uniform -> Poisson(1) inverse
-# CDF weights, 16 replicate totals, order statistics 2 and 15.
+# bootstrap_revenue_ci): two md5 digests per row sliced into sixteen
+# 16-bit uniforms -> Poisson(1) inverse-CDF weights, 16 replicate
+# totals, order statistics 2 and 15.
 ORACLES["bootstrap_revenue_ci"] = """
 WITH base AS (
   SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events
@@ -6325,17 +6326,18 @@ pt AS (
 ),
 draws AS (
   SELECT t.b AS b, cents,
-         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(t.b AS VARCHAR)), 1, 12))::BIGINT
-           % 1000000 AS u
+         ('0x' || substr(
+            md5(CAST(event_id AS VARCHAR) || ':a') || md5(CAST(event_id AS VARCHAR) || ':b'),
+            4 * t.b + 1, 4))::BIGINT AS u
   FROM base CROSS JOIN range(16) t(b)
 ),
 rep AS (
   SELECT b,
-         CAST(sum((CASE WHEN u < 367879 THEN 0
-                        WHEN u < 735758 THEN 1
-                        WHEN u < 919698 THEN 2
-                        WHEN u < 981011 THEN 3
-                        WHEN u < 996340 THEN 4
+         CAST(sum((CASE WHEN u < 24109 THEN 0
+                        WHEN u < 48218 THEN 1
+                        WHEN u < 60273 THEN 2
+                        WHEN u < 64291 THEN 3
+                        WHEN u < 65296 THEN 4
                         ELSE 5 END) * cents) AS BIGINT) AS total
   FROM draws GROUP BY b
 ),
