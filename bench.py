@@ -243,6 +243,8 @@ HEADLINE = [
     "cdc_chunks",
     # derandomized Poisson bootstrap CI (one-scan replicates)
     "bootstrap_revenue_ci",
+    # k-core backbone (fixed simultaneous peeling rounds)
+    "basket_kcore",
 ]
 
 

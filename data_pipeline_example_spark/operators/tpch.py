@@ -2308,3 +2308,65 @@ def k_anonymity_audit(customer: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("group_size") < int(k))
         .orderBy("group_size", "c_nationkey", "c_mktsegment")
     )
+
+
+def basket_kcore(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    k: int = 3,
+    peel_rounds: int = 8,
+) -> DataFrame:
+    """k-core decomposition of the co-purchase graph — the densest
+    stable backbone: iteratively peel every product with fewer than
+    ``k`` surviving neighbors until (bounded) fixpoint. The k-core is
+    what survives when fringe items drop out, so it's the recommender
+    family's cohesion complement to :func:`basket_communities`
+    (partitioning), :func:`product_pagerank` (centrality), and
+    :func:`copurchase_link_prediction` (edge prediction).
+
+    Determinism/oracle contract: EXACTLY ``peel_rounds`` peeling
+    rounds, the :func:`kmeans_embeddings` fixed-iteration discipline —
+    every round drops all sub-k nodes simultaneously, so the result is
+    order-free and the DuckDB oracle unrolls the same rounds verbatim
+    (peeling is monotone: each round's survivor set only shrinks, and
+    once stable all later rounds are no-ops, so rounds ≥ convergence
+    depth give the true k-core; the test pins convergence on planted
+    graphs). Per round: ONE |E'|-sized semi-join + a degree aggregate
+    over the materialized edge frame — the dedup_clusters round shape;
+    the min_support prune bounds |E| before any peeling.
+
+    Output: node (l_partkey), degree (within the final survivor set),
+    ordered by node.
+    """
+    _, pair_stream = _basket_frames(lineitem, materialize_baskets=False)
+    cnt = (
+        pair_stream.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= int(min_support))
+        .select("part_a", "part_b")
+    )
+    sym = cnt.select(
+        F.col("part_a").alias("x"), F.col("part_b").alias("y")
+    ).unionByName(
+        cnt.select(F.col("part_b").alias("x"), F.col("part_a").alias("y"))
+    ).transform(materialize)
+
+    edges = sym
+    for _ in range(int(peel_rounds)):
+        keep = (
+            edges.groupBy("x")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .filter(F.col("deg") >= int(k))
+            .select("x")
+        )
+        edges = (
+            edges.join(keep, "x")
+            .join(keep.select(F.col("x").alias("y")), "y")
+            .select("x", "y")
+            .transform(materialize)
+        )
+    return (
+        edges.groupBy(F.col("x").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .orderBy("node")
+    )

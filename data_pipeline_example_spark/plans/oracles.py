@@ -6350,3 +6350,90 @@ SELECT pt.n_events, pt.point_cents,
        CAST((SELECT max(total) FROM ranked WHERE rk = 15) AS BIGINT) AS boot_hi_cents
 FROM pt
 """
+
+
+# k-core peeling (operators/tpch.py basket_kcore): the same fixed
+# simultaneous-peel rounds unrolled (kmeans discipline).
+ORACLES["basket_kcore"] = """
+WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cnt AS MATERIALIZED (
+  SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b
+  FROM bk a JOIN bk b2
+    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+e0 AS MATERIALIZED (
+  SELECT part_a AS x, part_b AS y FROM cnt
+  UNION ALL
+  SELECT part_b AS x, part_a AS y FROM cnt
+),
+k1 AS MATERIALIZED (
+  SELECT x FROM e0 GROUP BY x HAVING count(*) >= 3
+),
+e1 AS MATERIALIZED (
+  SELECT e.x, e.y FROM e0 e
+  JOIN k1 a ON a.x = e.x
+  JOIN k1 b ON b.x = e.y
+),
+k2 AS MATERIALIZED (
+  SELECT x FROM e1 GROUP BY x HAVING count(*) >= 3
+),
+e2 AS MATERIALIZED (
+  SELECT e.x, e.y FROM e1 e
+  JOIN k2 a ON a.x = e.x
+  JOIN k2 b ON b.x = e.y
+),
+k3 AS MATERIALIZED (
+  SELECT x FROM e2 GROUP BY x HAVING count(*) >= 3
+),
+e3 AS MATERIALIZED (
+  SELECT e.x, e.y FROM e2 e
+  JOIN k3 a ON a.x = e.x
+  JOIN k3 b ON b.x = e.y
+),
+k4 AS MATERIALIZED (
+  SELECT x FROM e3 GROUP BY x HAVING count(*) >= 3
+),
+e4 AS MATERIALIZED (
+  SELECT e.x, e.y FROM e3 e
+  JOIN k4 a ON a.x = e.x
+  JOIN k4 b ON b.x = e.y
+),
+k5 AS MATERIALIZED (
+  SELECT x FROM e4 GROUP BY x HAVING count(*) >= 3
+),
+e5 AS MATERIALIZED (
+  SELECT e.x, e.y FROM e4 e
+  JOIN k5 a ON a.x = e.x
+  JOIN k5 b ON b.x = e.y
+),
+k6 AS MATERIALIZED (
+  SELECT x FROM e5 GROUP BY x HAVING count(*) >= 3
+),
+e6 AS MATERIALIZED (
+  SELECT e.x, e.y FROM e5 e
+  JOIN k6 a ON a.x = e.x
+  JOIN k6 b ON b.x = e.y
+),
+k7 AS MATERIALIZED (
+  SELECT x FROM e6 GROUP BY x HAVING count(*) >= 3
+),
+e7 AS MATERIALIZED (
+  SELECT e.x, e.y FROM e6 e
+  JOIN k7 a ON a.x = e.x
+  JOIN k7 b ON b.x = e.y
+),
+k8 AS MATERIALIZED (
+  SELECT x FROM e7 GROUP BY x HAVING count(*) >= 3
+),
+e8 AS MATERIALIZED (
+  SELECT e.x, e.y FROM e7 e
+  JOIN k8 a ON a.x = e.x
+  JOIN k8 b ON b.x = e.y
+)
+SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e8
+GROUP BY x
+ORDER BY node
+"""

@@ -715,3 +715,26 @@ def test_bootstrap_revenue_ci_brackets_point(spark, sf_dir):
     assert r1["boot_lo_cents"] < r1["point_cents"] < r1["boot_hi_cents"]
     # replicate mean within ~5% of the point (w has mean 1, n is large)
     assert abs(r1["boot_mean_cents"] - r1["point_cents"]) < 0.05 * r1["point_cents"]
+
+
+def test_basket_kcore_planted_convergence(spark):
+    """A 4-clique (3-core) plus a pendant chain: peeling must drop the
+    chain entirely — including the cascade (removing the leaf drops its
+    parent next round) — and keep the clique at degree 3."""
+    rows = []
+    oid = 0
+    # 4-clique over parts 1..4: every pair co-purchased twice
+    import itertools
+    for _ in range(2):
+        for a, b in itertools.combinations([1, 2, 3, 4], 2):
+            oid += 1
+            rows += [(oid, a), (oid, b)]
+        # chain 4-5-6 hanging off the clique (each edge support 2)
+        for a, b in [(4, 5), (5, 6)]:
+            oid += 1
+            rows += [(oid, a), (oid, b)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {r["node"]: r["degree"] for r in tpch.basket_kcore(li).collect()}
+    # node 6 (deg 1) peels in round 1; node 5 (deg 2 -> 1) cascades;
+    # node 4 keeps its clique degree 3 after losing the chain edge
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
