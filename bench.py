@@ -245,6 +245,8 @@ HEADLINE = [
     "bootstrap_revenue_ci",
     # k-core backbone (fixed simultaneous peeling rounds)
     "basket_kcore",
+    # rolling-origin naive-baseline backtest (integral MAPE/bias)
+    "forecast_backtest",
 ]
 
 

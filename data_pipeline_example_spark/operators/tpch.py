@@ -2370,3 +2370,59 @@ def basket_kcore(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .orderBy("node")
     )
+
+
+def forecast_backtest(lineitem: DataFrame) -> DataFrame:
+    """Rolling-origin backtest of the two naive forecasting baselines —
+    the evaluation every production forecast ships with (a model that
+    can't beat last-month / same-month-last-year isn't a model):
+    predict each month's revenue by (a) the previous month (naive-1)
+    and (b) the same month one year earlier (naive-12, the seasonal
+    baseline :func:`revenue_seasonality` justifies), score both on
+    every month where the lag exists.
+
+    Exactness: monthly totals are integer cents; the per-month
+    absolute-percentage and bias errors are two-step integral
+    divisions (|a−p|·1e6 div a, then the mean over evaluated months
+    div n) so the scores hash-match the oracle. The lag windows run
+    over the MONTH-granular aggregate (≤ a few hundred rows for
+    decades of data — bounded domain, aggregate beneath). Output:
+    method, n_eval, mape_micro, bias_micro, ordered by method.
+    """
+    from pyspark.sql.window import Window
+
+    monthly = lineitem.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("m")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("m")
+    # materialize AFTER the lag window: one corpus scan feeds both
+    # method branches, and the window's bounded input (the month-
+    # granular aggregate) stays visible in its own plan
+    lagged = monthly.select(
+        "m",
+        "cents",
+        F.lag("cents", 1).over(w).alias("p1"),
+        F.lag("cents", 12).over(w).alias("p12"),
+    ).transform(materialize)
+
+    def score(pred_col: str, method: str):
+        evald = lagged.filter(
+            F.col(pred_col).isNotNull() & (F.col("cents") > 0)
+        ).select(
+            F.expr(f"(abs(cents - {pred_col}) * 1000000) div cents").alias("ape"),
+            F.expr(f"(({pred_col} - cents) * 1000000) div cents").alias("pe"),
+        )
+        return evald.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.expr("sum(ape) div count(1)").cast("long").alias("mape_micro"),
+            F.expr("sum(pe) div count(1)").cast("long").alias("bias_micro"),
+        ).select("method", "n_eval", "mape_micro", "bias_micro")
+
+    return score("p1", "naive_1").unionByName(score("p12", "naive_12")).orderBy(
+        "method"
+    )

@@ -6437,3 +6437,34 @@ FROM e8
 GROUP BY x
 ORDER BY node
 """
+
+
+# Forecast backtest (operators/tpch.py forecast_backtest): monthly
+# cents totals, lag-1 / lag-12 predictions, two-step integral MAPE
+# and bias over the evaluated months.
+ORACLES["forecast_backtest"] = """
+WITH monthly AS (
+  SELECT date_trunc('month', l_shipdate) AS m,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+lagged AS (
+  SELECT m, cents,
+         lag(cents, 1) OVER (ORDER BY m) AS p1,
+         lag(cents, 12) OVER (ORDER BY m) AS p12
+  FROM monthly
+),
+s1 AS (
+  SELECT 'naive_1' AS method, CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum((abs(cents - p1) * 1000000) // cents) // count(*) AS BIGINT) AS mape_micro,
+         CAST(sum(((p1 - cents) * 1000000) // cents) // count(*) AS BIGINT) AS bias_micro
+  FROM lagged WHERE p1 IS NOT NULL AND cents > 0
+),
+s12 AS (
+  SELECT 'naive_12' AS method, CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum((abs(cents - p12) * 1000000) // cents) // count(*) AS BIGINT) AS mape_micro,
+         CAST(sum(((p12 - cents) * 1000000) // cents) // count(*) AS BIGINT) AS bias_micro
+  FROM lagged WHERE p12 IS NOT NULL AND cents > 0
+)
+SELECT * FROM s1 UNION ALL SELECT * FROM s12 ORDER BY method
+"""

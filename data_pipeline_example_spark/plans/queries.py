@@ -1498,6 +1498,12 @@ def q_basket_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.basket_kcore(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of last-month / same-month-last-year
+    revenue baselines: integral MAPE + bias."""
+    return tpch.forecast_backtest(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor the most-similar DIFFERENT-label
     vector within its hard-capped sub-bucket (contrastive pair
@@ -1749,6 +1755,7 @@ QUERIES: dict[str, QueryFn] = {
     "cdc_chunks": q_cdc_chunks,
     "bootstrap_revenue_ci": q_bootstrap_revenue_ci,
     "basket_kcore": q_basket_kcore,
+    "forecast_backtest": q_forecast_backtest,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -2001,7 +2008,7 @@ _R12_FRONT = [
     "copurchase_link_prediction", "filtered_ivf_knn",
     "event_volume_changepoint", "k_anonymity_audit",
     "coreset_selection", "embedding_dimension_health", "cdc_chunks",
-    "bootstrap_revenue_ci", "basket_kcore",
+    "bootstrap_revenue_ci", "basket_kcore", "forecast_backtest",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -2012,7 +2019,7 @@ _R12_FRONT = [
     # r5 cohort
     "packing_efficiency", "decontaminated_corpus", "skew_report",
     "cluster_balance_audit", "branded_quantity_revenue", "ccnet_mixture",
-    "kmeans_embeddings", "cosine_dup_pairs_blocked",
+    "kmeans_embeddings",
     "corpus_diff", "corpus_diff_summary",
     # (pq_distortion, sole_return_suppliers, decoded_image_stats,
     # market_share, local_supplier_volume, line_dedup, quality_funnel,

@@ -738,3 +738,33 @@ def test_basket_kcore_planted_convergence(spark):
     # node 6 (deg 1) peels in round 1; node 5 (deg 2 -> 1) cascades;
     # node 4 keeps its clique degree 3 after losing the chain edge
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_forecast_backtest_planted_series(spark):
+    """Planted 14-month series: constant 100/month except month 13 at
+    200. naive_1 evaluates 13 months; its only misses are the jump
+    into and out of month 13. naive_12 evaluates 2 months: month 13
+    (predicted 100, actual 200 -> ape 500000) and month 14 (predicted
+    100, actual 100 -> 0)."""
+    rows = []
+    lid = 0
+    for mo in range(14):
+        y, m = 1995 + mo // 12, mo % 12 + 1
+        amount = 200.0 if mo == 12 else 100.0
+        lid += 1
+        rows.append((lid, f"{y}-{m:02d}-15", amount))
+    li = spark.createDataFrame(
+        rows, ["l_orderkey", "l_shipdate", "l_extendedprice"]
+    ).withColumn("l_shipdate", F.to_date("l_shipdate"))
+    out = {r["method"]: r for r in tpch.forecast_backtest(li).collect()}
+    assert out["naive_12"]["n_eval"] == 2
+    # month 13: |200-100|*1e6 // 200 = 500000; month 14 is exact (its
+    # lag-12 twin is the ordinary month 2) -> mean 250000
+    assert out["naive_12"]["mape_micro"] == (500000 + 0) // 2
+    assert out["naive_1"]["n_eval"] == 13
+    # naive_1 misses only the jump INTO the spike (500000) and OUT of
+    # it (|100-200|*1e6 // 100 = 1000000); 11 exact months
+    assert out["naive_1"]["mape_micro"] == (500000 + 1000000) // 13
+    # the spike inflates last-month error but leaves the seasonal
+    # baseline's bias direction visible: naive_12 under-predicts it
+    assert out["naive_12"]["bias_micro"] < 0
