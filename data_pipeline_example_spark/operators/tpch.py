@@ -2352,6 +2352,7 @@ def basket_kcore(
     ).transform(materialize)
 
     edges = sym
+    prev_edges = edges.count()
     for _ in range(int(peel_rounds)):
         keep = (
             edges.groupBy("x")
@@ -2365,6 +2366,16 @@ def basket_kcore(
             .select("x", "y")
             .transform(materialize)
         )
+        # early exit at fixpoint: a round that removes nothing makes
+        # every later round a no-op, so breaking is value-identical to
+        # running all peel_rounds (the oracle still unrolls them all —
+        # its extra rounds are no-ops too). The count is free-ish: the
+        # frame was just materialized. Cut sf10 wall-clock on graphs
+        # that converge in 2-3 rounds (most do).
+        n = edges.count()
+        if n == prev_edges:
+            break
+        prev_edges = n
     return (
         edges.groupBy(F.col("x").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
