@@ -2627,7 +2627,12 @@ def coreset_selection(embeddings: DataFrame, k: int = 8) -> DataFrame:
             .limit(1)
             .collect()
         )
-        if not rows:
+        if not rows or int(rows[0]["dm"]) <= 0:
+            # max-min distance 0: every remaining vector coincides with
+            # a chosen center (k > effective corpus diversity) — more
+            # picks add no coverage and would re-emit chosen ids. The
+            # max-min distance is monotone non-increasing, so stopping
+            # here equals the oracle's dm > 0 row filter.
             break
         pick = rows[0]
         picked.append((rank, int(pick["vec_id"]), int(pick["dm"])))

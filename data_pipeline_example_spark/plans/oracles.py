@@ -6231,7 +6231,8 @@ def _kcenter_oracle(k: int = 8) -> str:
   SELECT p.vec_id, e.v FROM p{r} p JOIN e ON e.vec_id = p.vec_id
 )""")
         parts.append(
-            f"out{r} AS (SELECT {r} AS rank, vec_id, CAST(dm AS BIGINT) AS dist_micro FROM p{r})"
+            f"out{r} AS (SELECT {r} AS rank, vec_id, CAST(dm AS BIGINT) AS dist_micro"
+            f" FROM p{r} WHERE dm > 0)"
         )
     body = ",\n".join(parts)
     union = "\nUNION ALL\n".join(f"SELECT * FROM out{r}" for r in range(1, k + 1))

@@ -653,3 +653,71 @@ def test_quantile_normalize_keeps_top_half_per_source(spark, sizes):
                 1 for rn in range(1, n + 1) if ((rn - 1) * 1000) // (n - 1) >= 500
             )
         assert kept[f"s{s_idx}"] == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.sampled_from(["data", "query", "scan", "value", "table", "big",
+                         "row", "merge", "the", "batch"]),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_cdc_chunks_partition_token_stream(spark, words):
+    """CDC chunking partitions the token stream exactly: chunk sizes
+    sum to the token count, chunk indexes are dense from 0, and every
+    non-final chunk ends at a boundary token (by construction each
+    chunk has exactly one boundary token unless it is the unterminated
+    tail)."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = sorted(
+        text.cdc_chunks(docs).collect(), key=lambda r: r["chunk_idx"]
+    )
+    assert sum(r["n_tokens"] for r in out) == len(words)
+    assert [r["chunk_idx"] for r in out] == list(range(len(out)))
+    # replay the boundary rule in Python: chunk count is
+    # (#boundary tokens) + (1 if a tail remains else 0)
+    import hashlib
+
+    bounds = sum(
+        1 for w in words
+        if int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 8 == 0
+    )
+    tail = (
+        1
+        if words
+        and int(hashlib.md5(words[-1].encode()).hexdigest()[:8], 16) % 8 != 0
+        else 0
+    )
+    assert len(out) == bounds + tail
+
+
+@settings(**_SETTINGS)
+@given(
+    n_vecs=st.integers(min_value=1, max_value=12),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_coreset_selection_is_distinct_prefix_stable(spark, n_vecs, k):
+    """k-center picks are distinct, start at the lowest vec_id, and are
+    PREFIX-STABLE: the first min(k, j) picks of a k-selection equal the
+    j-selection (greedy selections nest)."""
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    vecs = [
+        (i, [float((i * 7 + d * 3) % 11) for d in range(4)], 0)
+        for i in range(n_vecs)
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label long"
+    )
+    full = [r["vec_id"] for r in sim.coreset_selection(emb, k=k).collect()]
+    assert full[0] == 0
+    assert len(set(full)) == len(full)  # never re-picks (dist-0 stop)
+    assert len(full) <= min(k, n_vecs)
+    j = max(1, k // 2)
+    part = [r["vec_id"] for r in sim.coreset_selection(emb, k=j).collect()]
+    assert full[: len(part)] == part
