@@ -247,6 +247,10 @@ HEADLINE = [
     "basket_kcore",
     # rolling-origin naive-baseline backtest (integral MAPE/bias)
     "forecast_backtest",
+    # LOO target encoding (leakage-guarded categorical feature)
+    "loo_target_encoding",
+    # top user journeys (event-type trigrams)
+    "event_trigrams",
 ]
 
 

@@ -1255,3 +1255,84 @@ def bootstrap_revenue_ci(events: DataFrame, n_boot: int = 16) -> DataFrame:
         .cast("long")
         .alias("boot_hi_cents"),
     )
+
+
+def loo_target_encoding(events: DataFrame) -> DataFrame:
+    """Leave-one-out target encoding of event_type against value — the
+    feature-engineering staple for high-cardinality categoricals
+    (Micci-Barreca 2001, public): each row gets the mean target of its
+    OWN category computed WITHOUT itself, the standard leakage guard
+    (including the row would let the feature memorize its own label).
+    Singleton categories fall back to the global leave-one-out mean
+    (the usual prior), and a 1-row corpus encodes 0.
+
+    Exactness: integer cents and one two-step integral division
+    ((sum − own)·1000 div (n − 1) → milli-cents), so every row
+    hash-matches the oracle. Plan: ONE scan; the per-type sums are a
+    |types|-row aggregate broadcast back (map-side combined exchange
+    carries |types| rows, the corpus never reshuffles). Output:
+    event_id, event_type, cents, loo_mean_millicents, ordered by
+    event_id.
+    """
+    base = events.select(
+        "event_id",
+        F.coalesce(F.col("event_type"), F.lit("unknown")).alias("event_type"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    per_type = base.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("t_sum"),
+        F.count(F.lit(1)).cast("long").alias("t_n"),
+    )
+    glob = base.agg(
+        F.sum("cents").cast("long").alias("g_sum"),
+        F.count(F.lit(1)).cast("long").alias("g_n"),
+    )
+    return (
+        base.join(F.broadcast(per_type), "event_type")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            F.expr(
+                "CASE WHEN t_n > 1 THEN ((t_sum - cents) * 1000) div (t_n - 1) "
+                "WHEN g_n > 1 THEN ((g_sum - cents) * 1000) div (g_n - 1) "
+                "ELSE 0 END"
+            )
+            .cast("long")
+            .alias("loo_mean_millicents"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def event_trigrams(events: DataFrame, top_n: int = 20) -> DataFrame:
+    """Top user journeys as event-type trigrams — the path-analysis
+    rollup one order above :func:`event_markov_transitions`' pairwise
+    matrix: which exact 3-step sequences dominate (the input a sankey
+    / funnel-design review reads). Same deterministic sequence order
+    ((ts, event_id) per user), double lag, null-user rows excluded.
+
+    Plan: one user_id exchange feeds both lags in a single grouped
+    window pass; the trigram counts collapse to the ≤ |types|³ domain
+    with map-side combine, and the top-n is a TakeOrdered. Output:
+    e1, e2, e3, n_paths — top_n by (n_paths DESC, e1, e2, e3).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.lag("event_type", 2).over(w).alias("e1"),
+            F.lag("event_type", 1).over(w).alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .filter(F.col("e1").isNotNull())
+    )
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(top_n)
+    )

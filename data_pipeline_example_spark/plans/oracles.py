@@ -6469,3 +6469,47 @@ s12 AS (
 )
 SELECT * FROM s1 UNION ALL SELECT * FROM s12 ORDER BY method
 """
+
+
+# LOO target encoding (operators/users.py loo_target_encoding):
+# per-type sums joined back, (sum - own)*1000 // (n - 1) with the
+# global fallback chain.
+ORACLES["loo_target_encoding"] = """
+WITH base AS (
+  SELECT event_id, coalesce(event_type, 'unknown') AS event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+per_type AS (
+  SELECT event_type, CAST(sum(cents) AS BIGINT) AS t_sum,
+         CAST(count(*) AS BIGINT) AS t_n
+  FROM base GROUP BY event_type
+),
+g_all AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS g_sum, CAST(count(*) AS BIGINT) AS g_n
+  FROM base
+)
+SELECT b.event_id, b.event_type, b.cents,
+       CAST(CASE WHEN t.t_n > 1 THEN ((t.t_sum - b.cents) * 1000) // (t.t_n - 1)
+                 WHEN g.g_n > 1 THEN ((g.g_sum - b.cents) * 1000) // (g.g_n - 1)
+                 ELSE 0 END AS BIGINT) AS loo_mean_millicents
+FROM base b JOIN per_type t USING (event_type) CROSS JOIN g_all g
+ORDER BY b.event_id
+"""
+
+
+# Event trigrams (operators/users.py event_trigrams): double lag over
+# (ts, event_id) per user, top 20 paths.
+ORACLES["event_trigrams"] = """
+WITH seq AS (
+  SELECT lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         event_type AS e3
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+FROM seq WHERE e1 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n_paths DESC, e1, e2, e3
+LIMIT 20
+"""

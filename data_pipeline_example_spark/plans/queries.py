@@ -1504,6 +1504,18 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.forecast_backtest(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type vs value —
+    leakage-guarded categorical feature, exact milli-cents."""
+    return users.loo_target_encoding(load_table(spark, sf_dir, "events"))
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys as event-type trigrams (double lag, bounded
+    path domain)."""
+    return users.event_trigrams(load_table(spark, sf_dir, "events"))
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor the most-similar DIFFERENT-label
     vector within its hard-capped sub-bucket (contrastive pair
@@ -1756,6 +1768,8 @@ QUERIES: dict[str, QueryFn] = {
     "bootstrap_revenue_ci": q_bootstrap_revenue_ci,
     "basket_kcore": q_basket_kcore,
     "forecast_backtest": q_forecast_backtest,
+    "loo_target_encoding": q_loo_target_encoding,
+    "event_trigrams": q_event_trigrams,
     "knn_density_outliers": q_knn_density_outliers,
     # moved up from the embedding tail: the whole capped family's
     # centroid assignment went hierarchical (two-level) this round, so
@@ -2009,6 +2023,7 @@ _R12_FRONT = [
     "event_volume_changepoint", "k_anonymity_audit",
     "coreset_selection", "embedding_dimension_health", "cdc_chunks",
     "bootstrap_revenue_ci", "basket_kcore", "forecast_backtest",
+    "loo_target_encoding", "event_trigrams",
     "corpus_funnel",
     # r4-certified, untouched since
     "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
@@ -2017,8 +2032,8 @@ _R12_FRONT = [
     "frame_samples", "tfidf_top_terms", "repetition_stats",
     "c4_line_stats", "value_stats",
     # r5 cohort
-    "packing_efficiency", "decontaminated_corpus", "skew_report",
-    "cluster_balance_audit", "branded_quantity_revenue", "ccnet_mixture",
+    "packing_efficiency", "skew_report",
+    "cluster_balance_audit", "branded_quantity_revenue",
     "kmeans_embeddings",
     "corpus_diff", "corpus_diff_summary",
     # (pq_distortion, sole_return_suppliers, decoded_image_stats,

@@ -768,3 +768,49 @@ def test_forecast_backtest_planted_series(spark):
     # the spike inflates last-month error but leaves the seasonal
     # baseline's bias direction visible: naive_12 under-predicts it
     assert out["naive_12"]["bias_micro"] < 0
+
+
+def test_loo_target_encoding_leakage_guard(spark):
+    """The defining property: a row's encoding excludes its own value —
+    planted: type 'a' rows at 100/200/300 get LOO means (250, 200,
+    150); the singleton type 'b' falls back to the global LOO mean."""
+    from data_pipeline_example_spark.operators import users
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "a", 1.0, None),
+            (2, "2024-01-01 00:00:01", 1, "a", 2.0, None),
+            (3, "2024-01-01 00:00:02", 1, "a", 3.0, None),
+            (4, "2024-01-01 00:00:03", 1, "b", 9.0, None),
+        ],
+        "event_id int, ts string, user_id int, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r["loo_mean_millicents"]
+           for r in users.loo_target_encoding(events).collect()}
+    assert out[1] == (200 + 300) * 1000 // 2   # excludes its own 100
+    assert out[2] == (100 + 300) * 1000 // 2
+    assert out[3] == (100 + 200) * 1000 // 2
+    # singleton 'b': global LOO = (100+200+300)*1000 // 3
+    assert out[4] == (100 + 200 + 300) * 1000 // 3
+
+
+def test_event_trigrams_planted_paths(spark):
+    from data_pipeline_example_spark.operators import users
+
+    rows, eid = [], 0
+    for u in range(3):  # three users repeat view->cart->buy
+        for i, t in enumerate(["view", "cart", "buy"]):
+            eid += 1
+            rows.append((eid, f"2024-01-01 00:0{u}:{i:02d}", u, t, 1.0, None))
+    # one user does a different path
+    for i, t in enumerate(["view", "view", "exit"]):
+        eid += 1
+        rows.append((eid, f"2024-01-01 00:09:{i:02d}", 9, t, 1.0, None))
+    events = spark.createDataFrame(
+        rows,
+        "event_id int, ts string, user_id int, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = [(r["e1"], r["e2"], r["e3"], r["n_paths"])
+           for r in users.event_trigrams(events).collect()]
+    assert out[0] == ("view", "cart", "buy", 3)
+    assert ("view", "view", "exit", 1) in out
