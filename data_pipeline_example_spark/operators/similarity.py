@@ -2711,12 +2711,19 @@ def update_ann_index(
     )
     if not affected:
         return []
+    # materialize the surviving old rows BEFORE the overwrite: the
+    # write targets the same path the read plans against, and lazy
+    # self-read-overwrite is committer/version-sensitive (Spark's
+    # "cannot overwrite a path that is also being read from" check, or
+    # a non-atomic committer exposing partially-deleted partitions
+    # mid-job) — cutting lineage here makes the merge content a fact
+    # on the cluster, not a plan over the files being replaced
     old = (
         spark.read.parquet(f"{path}/index")
         .filter(F.col("centroid_id").isin(affected))
         .join(new_rows.select("vec_id"), "vec_id", "left_anti")
         .select(*cols)
-    )
+    ).transform(materialize)
     merged = old.unionByName(new_rows.select(*cols))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -3545,8 +3545,11 @@ def readability_scores(documents: DataFrame) -> DataFrame:
     intermediate product stays in long range up to ~9·10^12 words per
     source (the raw triple product would wrap above that, and Spark's
     non-ANSI wraparound vs DuckDB's overflow error would break the
-    hash match; the split is value-identical for nonnegative longs) —
-    so both engines hash-match with no float accumulation anywhere.
+    hash match; the split is value-identical for nonnegative longs).
+    The ratio columns use the same two-step for their ·1e6 scaling —
+    ``count·1e6`` alone wraps past ~9.2e12 — so both engines
+    hash-match with no float accumulation anywhere (boundary-magnitude
+    unit test pins this on a fed counts frame).
     (FRE itself may be negative; only the subtraction is, never a
     division operand.)
 
@@ -3565,15 +3568,25 @@ def readability_scores(documents: DataFrame) -> DataFrame:
         .alias("s"),
         F.regexp_count(F.lower(txt), F.lit(r"[aeiou]+")).cast("long").alias("y"),
     )
-    return (
-        per_doc.groupBy("source")
-        .agg(
+    return _readability_from_counts(
+        per_doc.groupBy("source").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("w").cast("long").alias("n_words"),
             F.sum("s").cast("long").alias("n_sentences"),
             F.sum("y").cast("long").alias("n_syllables"),
         )
-        .select(
+    )
+
+
+def _readability_from_counts(agg: DataFrame) -> DataFrame:
+    """Derive the readability ratios/FRE from a per-source counts frame
+    (n_docs, n_words, n_sentences, n_syllables) — split out so the
+    schoolbook two-step divisions can be unit-tested at the boundary
+    magnitudes (~9e12 words/source) where the naive triple product
+    would wrap int64 (see :func:`readability_scores`'s exactness
+    contract)."""
+    return (
+        agg.select(
             "source",
             "n_docs",
             "n_words",
@@ -3581,11 +3594,13 @@ def readability_scores(documents: DataFrame) -> DataFrame:
             "n_syllables",
             F.expr(
                 "CASE WHEN n_sentences = 0 THEN 0 ELSE "
-                "(n_words * 1000000) div n_sentences END"
+                "(n_words div n_sentences) * 1000000 "
+                "+ (n_words % n_sentences) * 1000000 div n_sentences END"
             ).alias("words_per_sentence_micro"),
             F.expr(
                 "CASE WHEN n_words = 0 THEN 0 ELSE "
-                "(n_syllables * 1000000) div n_words END"
+                "(n_syllables div n_words) * 1000000 "
+                "+ (n_syllables % n_words) * 1000000 div n_words END"
             ).alias("syllables_per_word_micro"),
             F.expr(
                 "CASE WHEN n_words = 0 OR n_sentences = 0 THEN 0 ELSE "

@@ -1010,6 +1010,31 @@ def event_markov_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+def _hll_params(p_bits: int) -> tuple:
+    """(m, suffix_width, alpha_milli) for a 36-bit-hash HLL at p_bits.
+
+    Shared by :func:`user_cardinality_hll` and its streaming twin
+    ``streaming.job.hll_cardinality_stream`` so the register split and
+    bias constant can never diverge. alpha is the standard per-m bias
+    correction (Flajolet et al. 2007): 0.673 / 0.697 / 0.709 for
+    m = 16/32/64, 0.7213/(1 + 1.079/m) above, truncated to 3 digits.
+    p_bits is bounded to [4, 16]: below 4 the per-m constants don't
+    apply; above 16 the α·m²·2^(W+1) numerator leaves int64 range.
+    """
+    if not 4 <= p_bits <= 16:
+        raise ValueError(f"p_bits must be in [4, 16], got {p_bits}")
+    m = 1 << p_bits
+    if m == 16:
+        alpha_milli = 673
+    elif m == 32:
+        alpha_milli = 697
+    elif m == 64:
+        alpha_milli = 709
+    else:
+        alpha_milli = int(0.7213 / (1 + 1.079 / m) * 1000)
+    return m, 36 - p_bits, alpha_milli
+
+
 def user_cardinality_hll(events: DataFrame, p_bits: int = 6) -> DataFrame:
     """Distinct-user HyperLogLog with ENGINE-DETERMINISTIC registers —
     the mergeable cardinality sketch (Flajolet et al. 2007, public)
@@ -1019,30 +1044,42 @@ def user_cardinality_hll(events: DataFrame, p_bits: int = 6) -> DataFrame:
     same motivation as :func:`user_cardinality_kmv`).
 
     Hash discipline: first 9 hex chars of md5 → 36 bits; the top
-    ``p_bits`` (6 → m = 64 buckets) select the register, the low 30
-    bits feed ρ = (leading zeros) + 1, computed WITHOUT floats as
-    31 − length(bin(suffix)) (bin() renders identically in Spark and
-    DuckDB; suffix 0 pins ρ = 31). Registers are built per event_type
-    and the GLOBAL sketch is the register-wise max across types — the
-    union-merge property done in-plan, which is the whole reason
-    production pipelines ship HLL registers instead of counts.
+    ``p_bits`` select the register (m = 2^p_bits buckets), the low
+    W = 36 − p_bits bits feed ρ = (leading zeros) + 1, computed
+    WITHOUT floats as (W+1) − length(bin(suffix)) (bin() renders
+    identically in Spark and DuckDB; suffix 0 pins ρ = W+1).
+    Registers are built per event_type and the GLOBAL sketch is the
+    register-wise max across types — the union-merge property done
+    in-plan, which is the whole reason production pipelines ship HLL
+    registers instead of counts. NULL event_type coalesces to the
+    repo-wide 'unknown' sentinel BEFORE the rollup, so the NULL group
+    can never collide with the rollup's grand-total row (which would
+    duplicate the '__all__' scope and fan out the join).
 
-    Estimate: α·m²/S with S = Σⱼ 2^(30−Mⱼ) (+ 2³⁰ per empty bucket) —
-    S is an EXACT int64 (m·2³⁰ max ≈ 6.9e10), and the milli estimate
-    is one integer division α_milli·m²·2³⁰ div S (≈ 3.1e15 numerator,
-    in-range); α_milli = 709 (α₆₄ = 0.7213/(1+1.079/64) ≈ 0.70934,
-    documented 3-digit truncation; no small/large-range correction —
-    this is the raw-estimate regime at every tested SF, and the exact
-    count is computed alongside so the error is always visible).
+    Estimate: α·m²/S with S = Σⱼ 2^(W+1−Mⱼ) (+ 2^(W+1) per empty
+    bucket) — scaling by 2^(W+1) rather than 2^W keeps every shift
+    non-negative even at the ρ = W+1 ceiling (a 2^−W event, but a
+    negative shiftleft would silently wrap), and floor((2a)/(2b)) =
+    floor(a/b) so the default-p estimate is bit-identical to the 2^W
+    form. S is an EXACT int64 and the milli estimate is one integer
+    division α_milli·m²·2^(W+1) div S (≤ ~6.5e18 numerator at
+    p_bits = 16, in-range); α_milli is the standard per-m constant
+    (673 / 697 / 709 for m = 16/32/64, 0.7213/(1+1.079/m) truncated
+    to 3 digits above — Flajolet et al. 2007 Fig. 3; no
+    small/large-range correction — this is the raw-estimate regime at
+    every tested SF, and the exact count is computed alongside so the
+    error is always visible).
 
     Output: scope ('__all__' + one row per event_type), n_exact,
     hll_estimate_milli, n_buckets_hit, ordered by scope.
     """
-    m = 1 << p_bits
-    alpha_milli = 709
+    m, w, alpha_milli = _hll_params(p_bits)
     hv = (
         events.filter(F.col("user_id").isNotNull())
-        .select("event_type", "user_id")
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("unknown")).alias("event_type"),
+            F.col("user_id"),
+        )
         .distinct()
         .select(
             "event_type",
@@ -1054,12 +1091,12 @@ def user_cardinality_hll(events: DataFrame, p_bits: int = 6) -> DataFrame:
         .select(
             "event_type",
             "user_id",
-            F.expr("hv div 1073741824").alias("bucket"),
-            (F.col("hv") % F.lit(1 << 30)).alias("suffix"),
+            F.expr(f"hv div {1 << w}").alias("bucket"),
+            (F.col("hv") % F.lit(1 << w)).alias("suffix"),
         )
     )
-    rho = F.when(F.col("suffix") == 0, F.lit(31)).otherwise(
-        F.lit(31) - F.length(F.bin(F.col("suffix")))
+    rho = F.when(F.col("suffix") == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(F.col("suffix")))
     )
     # register table: ONE events scan; the (types × m)-row result is
     # materialized so the global merge reads the tiny frame, not the
@@ -1078,15 +1115,20 @@ def user_cardinality_hll(events: DataFrame, p_bits: int = 6) -> DataFrame:
     ).unionByName(merged)
     sketch = regs.groupBy("scope").agg(
         F.sum(
-            F.expr("shiftleft(cast(1 as bigint), cast(30 - reg as int))")
+            F.expr(f"shiftleft(cast(1 as bigint), cast({w + 1} - reg as int))")
         ).alias("s_hit"),
         F.count(F.lit(1)).cast("long").alias("n_buckets_hit"),
     )
     # exact counts: per-type + grand total in ONE pass via rollup
-    # (scope NULL row = the '__all__' union, count_distinct is
+    # (event_type is sentinel-coalesced upstream, so the grouping NULL
+    # row is UNAMBIGUOUSLY the '__all__' union; count_distinct is
     # rollup-safe — each grouping set recounts its own partition)
     exact = (
         events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("unknown")).alias("event_type"),
+            F.col("user_id"),
+        )
         .rollup("event_type")
         .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
         .select(
@@ -1094,13 +1136,13 @@ def user_cardinality_hll(events: DataFrame, p_bits: int = 6) -> DataFrame:
             "n_exact",
         )
     )
-    numer = alpha_milli * m * m * (1 << 30)
+    numer = alpha_milli * m * m * (1 << (w + 1))
     est = sketch.select(
         "scope",
         "n_buckets_hit",
         F.expr(
             f"cast({numer} as bigint) div "
-            f"(s_hit + ({m} - n_buckets_hit) * 1073741824)"
+            f"(s_hit + ({m} - n_buckets_hit) * cast({1 << (w + 1)} as bigint))"
         )
         .cast("long")
         .alias("hll_estimate_milli"),

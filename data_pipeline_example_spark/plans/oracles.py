@@ -5415,10 +5415,14 @@ agg AS (
 )
 SELECT source, n_docs, n_words, n_sentences, n_syllables,
        CAST(CASE WHEN n_sentences = 0 THEN 0
-            ELSE (n_words * 1000000) // n_sentences END AS BIGINT)
+            ELSE (n_words // n_sentences) * 1000000
+                 + (n_words % n_sentences) * 1000000 // n_sentences
+            END AS BIGINT)
          AS words_per_sentence_micro,
        CAST(CASE WHEN n_words = 0 THEN 0
-            ELSE (n_syllables * 1000000) // n_words END AS BIGINT)
+            ELSE (n_syllables // n_words) * 1000000
+                 + (n_syllables % n_words) * 1000000 // n_words
+            END AS BIGINT)
          AS syllables_per_word_micro,
        CAST(CASE WHEN n_words = 0 OR n_sentences = 0 THEN 0 ELSE
             206835000
@@ -5883,10 +5887,17 @@ ORDER BY c.prev_event, c.next_event
 
 
 # Deterministic HLL (operators/users.py user_cardinality_hll): 36-bit
-# md5 hash, 6-bit bucket / 30-bit suffix, rho via bin() length, exact
-# integer estimate 709 * 4096 * 2^30 // S.
+# md5 hash, 6-bit bucket / 30-bit suffix (default p_bits=6), rho via
+# bin() length, exact integer estimate 709 * 4096 * 2^31 // S with S
+# scaled by 2^(W+1)=2^31 (non-negative shifts even at rho=31; same
+# floor as the 2^30 form). NULL event_type coalesces to 'unknown'
+# before the per-type registers AND the exact counts, mirroring the
+# engine's sentinel so the NULL group never collides with '__all__'.
 ORACLES["user_cardinality_hll"] = """
-WITH u AS (SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+WITH u AS (
+  SELECT DISTINCT coalesce(event_type, 'unknown') AS event_type, user_id
+  FROM events WHERE user_id IS NOT NULL
+),
 hv AS (
   SELECT event_type,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 9))::BIGINT AS hv
@@ -5907,19 +5918,20 @@ per_type AS (
 merged AS (SELECT '__all__' AS scope, bucket, max(reg) AS reg FROM per_type GROUP BY bucket),
 regs AS (SELECT * FROM per_type UNION ALL SELECT * FROM merged),
 sketch AS (
-  SELECT scope, sum(1::BIGINT << CAST(30 - reg AS INTEGER)) AS s_hit,
+  SELECT scope, sum(1::BIGINT << CAST(31 - reg AS INTEGER)) AS s_hit,
          CAST(count(*) AS BIGINT) AS n_buckets_hit
   FROM regs GROUP BY scope
 ),
 exact AS (
-  SELECT event_type AS scope, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
-  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+  SELECT coalesce(event_type, 'unknown') AS scope,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
   UNION ALL
   SELECT '__all__' AS scope, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
   FROM events WHERE user_id IS NOT NULL
 )
 SELECT e.scope, e.n_exact,
-       CAST((2904064::BIGINT * 1073741824) // (s.s_hit + (64 - s.n_buckets_hit) * 1073741824::BIGINT) AS BIGINT)
+       CAST((2904064::BIGINT * 2147483648) // (s.s_hit + (64 - s.n_buckets_hit) * 2147483648::BIGINT) AS BIGINT)
          AS hll_estimate_milli,
        s.n_buckets_hit
 FROM exact e JOIN sketch s ON e.scope = s.scope
@@ -6252,10 +6264,14 @@ ORACLES["coreset_selection"] = _kcenter_oracle()
 ORACLES["embedding_dimension_health"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 ex AS (
-  SELECT CAST(t.i AS INTEGER) AS pos,
-         CAST(round(v[t.i + 1] * 1e6, 0) AS BIGINT) AS s_micro,
-         CAST(round(v[t.i + 1] * 1e3, 0) AS BIGINT) AS s_milli
-  FROM e CROSS JOIN range(64) t(i)
+  -- aligned unnests over the ACTUAL vector length (generate_subscripts
+  -- zips with unnest in DuckDB), mirroring the engine's posexplode —
+  -- a hard-coded range(64) would index past non-64-d embeddings and
+  -- inject NULL components the engine never sees
+  SELECT CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS pos,
+         CAST(round(unnest(v) * 1e6, 0) AS BIGINT) AS s_micro,
+         CAST(round(unnest(v) * 1e3, 0) AS BIGINT) AS s_milli
+  FROM e
 ),
 agg AS (
   SELECT pos, CAST(count(*) AS BIGINT) AS n_vectors,

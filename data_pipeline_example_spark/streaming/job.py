@@ -714,12 +714,15 @@ def hll_cardinality_stream(df: DataFrame, p_bits: int = 6) -> DataFrame:
     longs per event_type, input-independent, forever.
 
     Twin contract: the register arithmetic is BIT-IDENTICAL to the
-    batch anchor :func:`operators.users.user_cardinality_hll` — same
-    md5 discipline (first 9 hex → 36 bits, top 6 bucket / low 30
-    suffix, ρ = 31 − length(bin(suffix))), same exact-integer estimate
-    709·m²·2³⁰ div S — so after the last micro-batch each key's emitted
-    row EQUALS the batch operator's row on the same accumulated data
-    (the restart test pins this across a kill/resume).
+    batch anchor :func:`operators.users.user_cardinality_hll` — the
+    shared ``_hll_params`` helper supplies (m, W, α) from ``p_bits``
+    (first 9 md5 hex → 36 bits, top p_bits bucket / low W = 36−p_bits
+    suffix, ρ = (W+1) − length(bin(suffix))), same exact-integer
+    estimate α_milli·m²·2^(W+1) div S — so after the last micro-batch
+    each key's emitted row EQUALS the batch operator's row on the same
+    accumulated data (the restart test pins this across a
+    kill/resume). NULL event_type coalesces to the same 'unknown'
+    sentinel the batch twin uses.
 
     The (bucket, ρ) pair is computed RELATIONALLY before the stateful
     op (JVM-side md5/conv/bin, whole-stage codegen); the Arrow-batched
@@ -732,14 +735,15 @@ def hll_cardinality_stream(df: DataFrame, p_bits: int = 6) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import ArrayType, LongType
 
-    m = 1 << p_bits
-    alpha_milli = 709
-    numer = alpha_milli * m * m * (1 << 30)
+    from ..operators.users import _hll_params
+
+    m, w, alpha_milli = _hll_params(p_bits)
+    numer = alpha_milli * m * m * (1 << (w + 1))
 
     staged = (
         df.filter(F.col("user_id").isNotNull())
         .select(
-            "event_type",
+            F.coalesce(F.col("event_type"), F.lit("unknown")).alias("event_type"),
             F.conv(
                 F.substring(F.md5(F.col("user_id").cast("string")), 1, 9), 16, 10
             )
@@ -748,9 +752,11 @@ def hll_cardinality_stream(df: DataFrame, p_bits: int = 6) -> DataFrame:
         )
         .select(
             "event_type",
-            F.expr("hv div 1073741824").alias("bucket"),
-            F.when(F.col("hv") % F.lit(1 << 30) == 0, F.lit(31))
-            .otherwise(F.lit(31) - F.length(F.bin(F.col("hv") % F.lit(1 << 30))))
+            F.expr(f"hv div {1 << w}").alias("bucket"),
+            F.when(F.col("hv") % F.lit(1 << w) == 0, F.lit(w + 1))
+            .otherwise(
+                F.lit(w + 1) - F.length(F.bin(F.col("hv") % F.lit(1 << w)))
+            )
             .cast("long")
             .alias("rho"),
         )
@@ -776,8 +782,8 @@ def hll_cardinality_stream(df: DataFrame, p_bits: int = 6) -> DataFrame:
                     regs[b] = int(r)
         state.update((regs,))
         hit = sum(1 for r in regs if r > 0)
-        s_total = sum(1 << (30 - r) for r in regs if r > 0) + (m - hit) * (
-            1 << 30
+        s_total = sum(1 << (w + 1 - r) for r in regs if r > 0) + (m - hit) * (
+            1 << (w + 1)
         )
         yield pd.DataFrame(
             {

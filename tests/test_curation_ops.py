@@ -1460,6 +1460,40 @@ def test_readability_scores_exact_counts_and_fre(spark):
     assert (s2["n_words"], s2["n_sentences"]) == (3, 1)
 
 
+def test_readability_fre_boundary_magnitude_no_overflow(spark):
+    """The schoolbook two-step divisions must stay exact at the
+    ~9e12-words-per-source boundary where the naive triple product
+    (1015·n_words·1000 ≈ 9.1e18) wraps int64 — Spark's non-ANSI
+    wraparound vs DuckDB's overflow error would break the oracle on
+    exactly the corpus sizes the 100 TB contract claims. Feeds the
+    counts frame directly (no 9-trillion-word corpus needed) and
+    replays the arithmetic in unbounded Python ints."""
+    from data_pipeline_example_spark.operators.text import _readability_from_counts
+
+    cases = [
+        # (source, n_docs, n_words, n_sentences, n_syllables)
+        ("boundary", 10**9, 9_000_000_000_000, 450_000_000_000, 13_500_000_000_000),
+        # worst case for the first term: a near-degenerate sentence
+        # count drives (1015*w) div s * 1000 to ~9e18 territory
+        ("degenerate", 1, 9_000_000_000_000, 7, 9_000_000_000_001),
+        ("tiny", 2, 5, 3, 5),
+    ]
+    agg = spark.createDataFrame(
+        cases, "source string, n_docs long, n_words long, n_sentences long, n_syllables long"
+    )
+    rows = {r["source"]: r for r in _readability_from_counts(agg).collect()}
+    for source, _, w, s, y in cases:
+        want_fre = 206_835_000 - (1015 * w * 1000) // s - (84_600 * y * 1000) // w
+        got = rows[source]
+        assert got["fre_micro"] == want_fre, source
+        assert got["words_per_sentence_micro"] == (w * 1_000_000) // s
+        assert got["syllables_per_word_micro"] == (y * 1_000_000) // w
+        # the naive FRE triple product would have wrapped for the big
+        # sources (and y·1e6 wraps for the boundary source's ratio)
+        if w > 10**12:
+            assert 84_600 * y * 1000 > 2**63 - 1
+
+
 def test_unigram_entropy_uniform_and_degenerate(spark):
     """A 4-term uniform source has H = ln 4 (norm = ln4/ln4 = 1 up to
     milli rounding); a single-term source has H = 0 and norm 0."""

@@ -638,6 +638,73 @@ def test_user_cardinality_hll_merge_and_accuracy(spark):
     assert per_type_sum / 1000.0 > est_all * 1.5  # merge != sum
 
 
+def test_user_cardinality_hll_p_bits_honored(spark):
+    """p_bits must drive the bucket split, suffix width, alpha and
+    estimate (the r12 advice found the split hard-coded to 6 bits, so
+    any other p_bits silently mis-binned) — replay the register
+    arithmetic in exact Python at p = 4, 6, 8 and require equality."""
+    import hashlib
+
+    from data_pipeline_example_spark.operators import users
+
+    uids = list(range(300))
+    rows = [(i, "2024-01-01 00:00:00", u, "t", 1.0, None)
+            for i, u in enumerate(uids)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id int, ts string, user_id int, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    def expected(p_bits):
+        m, w, alpha = users._hll_params(p_bits)
+        regs = {}
+        for u in set(uids):
+            hv = int(hashlib.md5(str(u).encode()).hexdigest()[:9], 16)
+            b, suf = hv >> w, hv % (1 << w)
+            rho = (w + 1) if suf == 0 else (w + 1) - len(format(suf, "b"))
+            regs[b] = max(regs.get(b, 0), rho)
+        s = sum(1 << (w + 1 - r) for r in regs.values())
+        s += (m - len(regs)) * (1 << (w + 1))
+        return len(regs), alpha * m * m * (1 << (w + 1)) // s
+
+    for p in (4, 6, 8):
+        out = {r["scope"]: r
+               for r in users.user_cardinality_hll(events, p_bits=p).collect()}
+        hit, est = expected(p)
+        assert out["t"]["n_buckets_hit"] == hit, p
+        assert out["t"]["hll_estimate_milli"] == est, p
+        # single type -> the merged sketch is identical
+        assert out["__all__"]["hll_estimate_milli"] == est, p
+    with pytest.raises(ValueError):
+        users.user_cardinality_hll(events, p_bits=3)
+    with pytest.raises(ValueError):
+        users.user_cardinality_hll(events, p_bits=17)
+
+
+def test_user_cardinality_hll_null_event_type_sentinel(spark):
+    """NULL event_type coalesces to the 'unknown' scope BEFORE the
+    rollup — the r12 advice found the NULL group colliding with the
+    rollup's grand-total row, duplicating '__all__' and fanning out
+    the estimate join."""
+    from data_pipeline_example_spark.operators import users
+
+    rows = [(1, "2024-01-01 00:00:00", 1, None, 1.0, None),
+            (2, "2024-01-01 00:00:00", 2, "a", 1.0, None),
+            (3, "2024-01-01 00:00:00", 3, "a", 1.0, None)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id int, ts string, user_id int, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = users.user_cardinality_hll(events).collect()
+    scopes = [r["scope"] for r in out]
+    assert len(scopes) == len(set(scopes)), "duplicate scope rows (join fan-out)"
+    d = {r["scope"]: r for r in out}
+    assert set(d) == {"__all__", "a", "unknown"}
+    assert d["__all__"]["n_exact"] == 3
+    assert d["a"]["n_exact"] == 2
+    assert d["unknown"]["n_exact"] == 1
+
+
 def test_copurchase_link_prediction_planted(spark):
     """Planted path graph: 1-2, 2-3 co-purchased (support 2 each) but
     1-3 never — the only predictable link, via common neighbor 2."""

@@ -1121,6 +1121,59 @@ def test_hll_stream_matches_batch_twin_and_survives_restart(spark, tmp_path):
     assert final["a"][1] < 140_000
 
 
+def test_hll_stream_p_bits_matches_batch_twin(spark, tmp_path):
+    """Non-default p_bits must flow through the streaming twin's bucket
+    split and estimate (the r12 advice found the split hard-coded to 6
+    bits: with p_bits < 6 the relational bucket exceeded m-1 and the
+    stateful update raised IndexError, killing the query). One
+    availableNow pass at p_bits = 4 must equal the batch anchor."""
+    import json as _json
+
+    from data_pipeline_example_spark.operators import users as users_ops
+    from data_pipeline_example_spark.streaming import job
+
+    in_dir, out_dir, ckpt = (
+        tmp_path / "in",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    in_dir.mkdir()
+    recs = [{"event_type": "a", "user_id": str(i)} for i in range(80)]
+    with open(in_dir / "b.json", "w") as f:
+        for r in recs:
+            f.write(_json.dumps(r) + "\n")
+
+    raw = (
+        spark.readStream.schema("event_type string, user_id string")
+        .json(str(in_dir))
+    )
+    out = job.hll_cardinality_stream(raw, p_bits=4)
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, eid: df.write.mode("append").parquet(out_dir)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["event_type"]: (r["n_buckets_hit"], r["hll_estimate_milli"])
+           for r in spark.read.parquet(out_dir).collect()}
+    rows = [(i, "2024-01-01 00:00:00", r["user_id"], r["event_type"], 1.0, None)
+            for i, r in enumerate(recs)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id int, ts string, user_id string, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {r["scope"]: (r["n_buckets_hit"], r["hll_estimate_milli"])
+             for r in users_ops.user_cardinality_hll(events, p_bits=4).collect()}
+    assert got["a"] == batch["a"]
+    # m = 16 registers: every bucket hit at 80 distinct users
+    assert got["a"][0] <= 16
+
+
 def test_markov_stream_matches_batch_and_survives_restart(spark, tmp_path):
     """Streaming Markov transition pairs (job.markov_transition_stream)
     pinned to the batch anchor (users.event_markov_transitions): user 1
