@@ -63,6 +63,9 @@ HEADLINE = [
     "ivf_knn",              # was knn_bruteforce
     "nearest_neighbor_capped",  # was nearest_neighbor
     "media_features",
+    # round 13: real RIFF/WAV container decode end-to-end (synthesized
+    # containers -> stdlib chunk-walking PCM16 parser -> 1 ms windows)
+    "decoded_audio_stats",
     # round 3 additions: semantic dedup decision + Gopher repetition
     # filter; r4 swaps the prune to its bounded-bucket twin
     "semantic_prune_capped",  # was semantic_prune

@@ -50,8 +50,9 @@ FEATURE_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("n_bytes", LongType()),
         StructField("content_md5", StringType()),
-        StructField("fake_width", IntegerType()),
-        StructField("fake_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("decodable", IntegerType()),
     ]
 )
 
@@ -242,11 +243,17 @@ def decode_image(content: bytes) -> object:
 
 
 def extract_features(media: DataFrame, batch_limit: int | None = None) -> DataFrame:
-    """Deterministic per-payload features via Arrow-batched mapInPandas.
-
-    The fake 'decode' derives width/height from the byte length — stands
-    in for a real decoder while keeping outputs reproducible (and
-    SQL-checkable: md5(bytes) == md5(text) for utf-8 payloads).
+    """Per-payload typed metadata + a REAL decode attempt via
+    Arrow-batched ``mapInPandas``. Byte metadata (n_bytes, content_md5)
+    is computed for every payload; width/height come from a successful
+    strict image decode (:func:`decode_image` — PIL when installed,
+    stdlib netpbm/BMP otherwise) and are NULL with ``decodable`` = 0
+    when the payload isn't a parseable image — the reject path a
+    production pipeline needs, since a corpus's binary column is opaque
+    until proven decodable. (Replaces the r1 byte-length
+    ``fake_width``/``fake_height`` columns: the decode path is
+    certified end-to-end by :func:`decoded_image_stats`, the reject
+    path by the registered ``media_features`` oracle.)
     """
 
     def _extract(batches: Iterator) -> Iterator:
@@ -255,6 +262,21 @@ def extract_features(media: DataFrame, batch_limit: int | None = None) -> DataFr
         for pdf in batches:
             if batch_limit is not None:
                 pdf = pdf.head(batch_limit)
+            widths: list = []
+            heights: list = []
+            flags: list = []
+            for b in pdf["content"]:
+                try:
+                    img = decode_image(bytes(b))
+                    widths.append(img.width)
+                    heights.append(img.height)
+                    flags.append(1)
+                except (ValueError, NotImplementedError, OSError):
+                    # unparseable / non-image / format outside the
+                    # installed decoders — typed reject, not a crash
+                    widths.append(None)
+                    heights.append(None)
+                    flags.append(0)
             content = pdf["content"]
             yield pd.DataFrame(
                 {
@@ -263,8 +285,9 @@ def extract_features(media: DataFrame, batch_limit: int | None = None) -> DataFr
                     "content_md5": content.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
-                    "fake_width": (content.map(len) % 640 + 1).astype("int32"),
-                    "fake_height": (content.map(len) * 7 % 480 + 1).astype("int32"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "decodable": pd.array(flags, dtype="int32"),
                 }
             )
 
@@ -273,7 +296,9 @@ def extract_features(media: DataFrame, batch_limit: int | None = None) -> DataFr
 
 def media_features(documents: DataFrame) -> DataFrame:
     """End-to-end multimodal pipeline: text → binary column → Arrow
-    batches → per-payload features."""
+    batches → per-payload metadata + decode attempt (text payloads are
+    not images, so the registered query certifies the reject path:
+    width/height NULL, decodable 0, byte metadata exact)."""
     return extract_features(attach_binary(documents))
 
 
@@ -352,6 +377,202 @@ def decoded_image_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
+def decode_wav(content: bytes) -> tuple:
+    """Parse a RIFF/WAVE container with stdlib ``struct`` only — the
+    BMP-codec discipline applied to audio (closes the r12 residue
+    where the audio path interpreted raw payload bytes as PCM16
+    without a container parse): validate the RIFF header and declared
+    size, WALK the word-aligned chunk list skipping unknown chunks (a
+    fixed-44-byte-offset reader breaks on LIST/INFO metadata), read
+    the PCM fmt chunk and the data chunk, and unpack the samples as
+    signed little-endian int16. Returns (sample_rate, n_channels,
+    samples).
+
+    Only integer PCM16 mono is implemented — compressed / float /
+    multichannel formats raise loudly (the ``decode_image``
+    NotImplementedError contract), never silently misread.
+    """
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    declared = struct.unpack("<I", content[4:8])[0]
+    if declared + 8 != len(content):
+        raise ValueError(
+            f"RIFF size {declared} != payload size {len(content)} - 8"
+        )
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        csize = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+        body = content[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"PCM16 only (audio_format={audio_format}, bits={bits})"
+        )
+    if n_channels != 1:
+        raise NotImplementedError(f"mono only (channels={n_channels})")
+    if len(data) % 2:
+        raise ValueError("odd data-chunk length for PCM16")
+    samples = struct.unpack("<%dh" % (len(data) // 2), data)
+    return sample_rate, n_channels, samples
+
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def attach_wav(documents: DataFrame) -> DataFrame:
+    """Synthesize a VALID RIFF/WAVE (PCM16 mono) payload per document
+    entirely in column expressions — the audio twin of
+    :func:`attach_ppm`: the header and sample block are built as hex
+    strings and assembled with one ``unhex``, so arbitrary byte values
+    never pass through UTF-8 (``char()`` would multi-byte-encode codes
+    ≥ 128). Deterministic closed form the oracle replays exactly:
+
+    - sample_rate = (8000, 16000, 22050, 44100)[len(text) % 4]
+    - n = len(text) % 37 + 3 samples
+    - sample i = (len(text)·31 + i²·7) mod 65536, little-endian u16
+      on disk, decoded back as signed int16
+
+    Docs with len % 5 == 0 additionally carry a LIST/INFO metadata
+    chunk BETWEEN fmt and data, so a reader that assumes the canonical
+    44-byte layout instead of walking chunks fails on exactly those
+    payloads. The stdlib ``wave`` module accepts these containers
+    (round-trip pinned by test).
+    """
+    L = "length(coalesce(text, ''))"
+    sr = f"element_at(array(8000,16000,22050,44100), cast({L} % 4 + 1 as int))"
+    n = f"({L} % 37 + 3)"
+
+    def le16(x: str) -> str:
+        return (
+            f"concat(lpad(hex(({x}) % 256), 2, '0'),"
+            f" lpad(hex((({x}) div 256) % 256), 2, '0'))"
+        )
+
+    def le32(x: str) -> str:
+        return (
+            f"concat(lpad(hex(({x}) % 256), 2, '0'),"
+            f" lpad(hex((({x}) div 256) % 256), 2, '0'),"
+            f" lpad(hex((({x}) div 65536) % 256), 2, '0'),"
+            f" lpad(hex((({x}) div 16777216) % 256), 2, '0'))"
+        )
+
+    has_list = f"({L} % 5 = 0)"
+    # riff size: 'WAVE' (4) + fmt chunk (8+16) + optional LIST (8+4)
+    # + data chunk header (8) + 2n sample bytes
+    riff_size = f"(36 + 2 * {n} + case when {has_list} then 12 else 0 end)"
+    samp = f"(({L}) * 31 + i * i * 7) % 65536"
+    data_hex = f"array_join(transform(sequence(0, {n} - 1), i -> {le16(samp)}), '')"
+    content = (
+        "unhex(concat("
+        "'52494646', "  # 'RIFF'
+        f"{le32(riff_size)}, "
+        "'57415645', "  # 'WAVE'
+        "'666D7420', '10000000', "  # 'fmt ', size 16
+        "'0100', '0100', "  # PCM, mono
+        f"{le32(sr)}, {le32(f'({sr}) * 2')}, "  # rate, byte rate
+        "'0200', '1000', "  # block align 2, 16 bits
+        f"case when {has_list} then '4C49535404000000494E464F' else '' end, "
+        "'64617461', "  # 'data'
+        f"{le32(f'2 * {n}')}, "
+        f"{data_hex}))"
+    )
+    return documents.select(
+        F.col("doc_id"),
+        F.lit("audio/wav").alias("media_type"),
+        F.expr(content).alias("content"),
+    )
+
+
+WAV_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("start_ms", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak_abs", LongType()),
+    ]
+)
+
+
+def decoded_audio_windows(media: DataFrame, window_ms: int = 1000) -> DataFrame:
+    """REAL audio-decoder path — the audio twin of
+    :func:`decoded_image_features`: Arrow-batched ``mapInPandas``, one
+    :func:`decode_wav` per payload, then fixed-duration windows over
+    the DECODED samples at the PARSED sample rate (not a caller-side
+    guess): samples-per-window = rate·window_ms div 1000, last partial
+    window kept. Emits exact-integer per-window stats (count, Σ|s|,
+    max|s|) so the whole container parse + sample decode + fan-out is
+    SQL-checkable against the :func:`attach_wav` closed form — a
+    parser that misreads the rate, drops the LIST chunk handling, or
+    mis-signs a sample hash-mismatches immediately.
+    """
+
+    def _win(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "sample_rate", "window_idx", "start_ms",
+            "n_samples", "sum_abs", "peak_abs",
+        )
+        for pdf in batches:
+            rows: dict = {k: [] for k in cols}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                rate, _ch, samples = decode_wav(bytes(content))
+                spw = max(rate * window_ms // 1000, 1)
+                for w_idx in range((len(samples) + spw - 1) // spw):
+                    chunk = samples[w_idx * spw : (w_idx + 1) * spw]
+                    rows["doc_id"].append(doc_id)
+                    rows["sample_rate"].append(rate)
+                    rows["window_idx"].append(w_idx)
+                    rows["start_ms"].append(w_idx * window_ms)
+                    rows["n_samples"].append(len(chunk))
+                    rows["sum_abs"].append(sum(abs(s) for s in chunk))
+                    rows["peak_abs"].append(max(abs(s) for s in chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="int64"),
+                    "window_idx": pd.array(rows["window_idx"], dtype="int32"),
+                    "start_ms": pd.array(rows["start_ms"], dtype="int64"),
+                    "n_samples": pd.array(rows["n_samples"], dtype="int64"),
+                    "sum_abs": pd.array(rows["sum_abs"], dtype="int64"),
+                    "peak_abs": pd.array(rows["peak_abs"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_win, schema=WAV_WINDOW_SCHEMA)
+
+
+def decoded_audio_stats(documents: DataFrame) -> DataFrame:
+    """End-to-end REAL audio-decode pipeline, runnable (and
+    oracle-checked) in every environment — the audio counterpart of
+    :func:`decoded_image_stats`: synthesize valid WAV containers from
+    the corpus (:func:`attach_wav`), run the live RIFF/chunk-walking
+    parser over Arrow batches, window the decoded samples at 1 ms
+    (3–5 windows per tiny payload — exercises the partial-window
+    tail). The SQL oracle replays the synthesis closed form, so any
+    parser deviation hash-mismatches."""
+    return decoded_audio_windows(attach_wav(documents), window_ms=1)
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -372,16 +593,24 @@ def audio_windows(
     fixed-duration analysis window, the shape a real PCM decoder /
     feature extractor (fbank, VAD, diarization) plugs into.
 
-    The deterministic fake treats the payload as PCM16 mono at
-    ``sample_rate``: n_samples = len(bytes) // 2, windows of
-    ``window_ms`` each; the last partial window is kept (real feature
-    pipelines pad it). window_md5 = md5(bytes ':' idx) stands in for
-    the window's content digest — a pure function of the bytes, so the
-    whole fan-out is SQL-checkable like the frame sampler.
+    Container-aware: payloads with a RIFF magic are parsed through the
+    REAL :func:`decode_wav` (chunk walk, PCM16 fmt, data chunk) and
+    windowed over the DECODED samples at the PARSED rate — the
+    ``sample_rate`` argument applies only to headerless payloads,
+    which keep the documented raw-PCM16-mono interpretation
+    (n_samples = len(bytes) // 2), the convention for bare PCM
+    streams. Windows are ``window_ms`` each; the last partial window
+    is kept (real feature pipelines pad it). window_md5 =
+    md5(pcm_bytes ':' idx) over the PCM bytes actually analyzed (data
+    chunk for WAV, whole payload for raw) — a pure function of the
+    bytes, so the whole fan-out is SQL-checkable like the frame
+    sampler.
     """
-    spw = sample_rate * window_ms // 1000  # samples per window
+    spw = sample_rate * window_ms // 1000  # samples per window (raw path)
 
     def _windows(batches: Iterator) -> Iterator:
+        import struct
+
         import pandas as pd
 
         for pdf in batches:
@@ -392,14 +621,22 @@ def audio_windows(
             md5s: list[str] = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 raw = bytes(content)
-                n_samples = len(raw) // 2
-                n_windows = max((n_samples + spw - 1) // spw, 0)
+                if raw[:4] == b"RIFF":
+                    rate, _ch, samples = decode_wav(raw)
+                    pcm = struct.pack("<%dh" % len(samples), *samples)
+                    n_samples = len(samples)
+                    spw_i = max(rate * window_ms // 1000, 1)
+                else:
+                    pcm = raw
+                    n_samples = len(raw) // 2
+                    spw_i = spw
+                n_windows = max((n_samples + spw_i - 1) // spw_i, 0)
                 for i in range(n_windows):
                     doc_ids.append(doc_id)
                     idxs.append(i)
                     starts.append(i * window_ms)
-                    counts.append(min(spw, n_samples - i * spw))
-                    md5s.append(hashlib.md5(raw + b":" + str(i).encode()).hexdigest())
+                    counts.append(min(spw_i, n_samples - i * spw_i))
+                    md5s.append(hashlib.md5(pcm + b":" + str(i).encode()).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(doc_ids, dtype="int64"),

@@ -1755,12 +1755,20 @@ JOIN probed p ON p.centroid_id = a.centroid_id, q
 ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
 """,
     # --- multimodal plumbing ----------------------------------------------
+    # text payloads are never parseable images, so this certifies the
+    # REJECT path of the real decode attempt: width/height NULL,
+    # decodable 0, byte metadata exact. Pin: no testdata text begins
+    # with the P5/P6/BM magic bytes (verified across all SFs — a text
+    # that did would additionally have to survive the strict
+    # dimensions + exact-pixel-length parse to flip decodable). The
+    # decode SUCCESS path is certified by decoded_image_stats.
     "media_features": """
 SELECT doc_id,
        CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
        md5(coalesce(text, '')) AS content_md5,
-       CAST(strlen(coalesce(text, '')) % 640 + 1 AS INTEGER) AS fake_width,
-       CAST(strlen(coalesce(text, '')) * 7 % 480 + 1 AS INTEGER) AS fake_height
+       CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height,
+       CAST(0 AS INTEGER) AS decodable
 FROM documents
 """,
     "frame_samples": """
@@ -1796,6 +1804,41 @@ SELECT doc_id, width, height, 'RGB' AS mode,
        round((65.0 * n + 136 * (n // 17) + (n % 17) * ((n % 17) - 1) / 2) / n, 4)
          AS mean_pixel
 FROM px
+""",
+    # the Spark side REALLY parses the synthesized RIFF/WAV containers
+    # (chunk walk incl. the LIST variants, PCM16 fmt, signed-int16
+    # unpack) and windows the decoded samples at the PARSED rate; the
+    # oracle replays the attach_wav closed form — rate from len%4,
+    # n = len%37+3 samples, sample i = (len*31 + i*i*7) mod 65536
+    # sign-folded — in exact integer arithmetic. window_ms = 1, so
+    # samples/window = rate // 1000 and start_ms = window_idx.
+    "decoded_audio_stats": """
+WITH base AS (SELECT doc_id, strlen(coalesce(text, '')) AS L FROM documents),
+par AS (
+  SELECT doc_id,
+         [8000, 16000, 22050, 44100][CAST(L % 4 AS INTEGER) + 1] AS sr,
+         L % 37 + 3 AS n, L
+  FROM base
+),
+sv AS (
+  SELECT doc_id, sr,
+         CAST(i AS BIGINT) AS i,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM (
+    SELECT doc_id, sr, unnest(range(n)) AS i,
+           (L * 31 + unnest(range(n)) * unnest(range(n)) * 7) % 65536 AS u
+    FROM par
+  )
+)
+SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+       window_idx,
+       CAST(window_idx AS BIGINT) AS start_ms,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(v)) AS BIGINT) AS peak_abs
+FROM (SELECT doc_id, sr, CAST(i // (sr // 1000) AS INTEGER) AS window_idx, v FROM sv)
+GROUP BY doc_id, sr, window_idx
+ORDER BY doc_id, window_idx
 """,
     # chunking: range() over a column works inside list_transform (the
     # FROM-clause lateral form does not in DuckDB 1.0); zipped unnests in

@@ -739,12 +739,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-window fan-out plumbing (PCM16 fake decode; 10 ms windows
-    at 16 kHz so the synthetic payloads yield several windows each)."""
+    """Audio-window fan-out plumbing (headerless raw-PCM16 path; 10 ms
+    windows at 16 kHz so the synthetic payloads yield several windows
+    each). The container-decode path is certified separately by
+    decoded_audio_stats."""
     return multimodal.audio_windows(
         multimodal.attach_binary(load_table(spark, sf_dir, "documents")),
         window_ms=10,
     )
+
+
+def q_decoded_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio container decode end-to-end: synthesized RIFF/WAV
+    payloads (hex-built in column expressions, LIST-chunk variants
+    included) through the stdlib chunk-walking PCM16 parser, windowed
+    at 1 ms over the decoded samples at the PARSED rate; exact-integer
+    per-window stats replayed by the oracle in closed form."""
+    return multimodal.decoded_audio_stats(load_table(spark, sf_dir, "documents"))
 
 
 def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1878,6 +1889,7 @@ QUERIES: dict[str, QueryFn] = {
     "pq_distortion": q_pq_distortion,
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
+    "decoded_audio_stats": q_decoded_audio_stats,
     "kpis_long": q_kpis_long,
     "nearest_neighbor": q_nearest_neighbor,
     "quantize_embeddings": q_quantize_embeddings,

@@ -172,3 +172,153 @@ def test_phash_dup_pairs_relates_distinct_classes(spark, sf_dir):
     for r in pairs:
         assert r["doc_a"] in reps and r["doc_b"] in reps
         assert r["n_a"] == reps[r["doc_a"]] and r["n_b"] == reps[r["doc_b"]]
+
+
+def _wav_closed_form(text: str):
+    """The attach_wav synthesis contract, replayed in plain Python."""
+    L = len(text)
+    sr = (8000, 16000, 22050, 44100)[L % 4]
+    n = L % 37 + 3
+    u = [(L * 31 + i * i * 7) % 65536 for i in range(n)]
+    return sr, n, [x - 65536 if x >= 32768 else x for x in u]
+
+
+def test_decode_wav_reads_stdlib_wave_output():
+    """Cross-validation against Python's own WAV writer: whatever the
+    stdlib wave module emits, decode_wav must parse identically —
+    rate, channel count, and every signed sample."""
+    import io
+    import struct
+    import wave
+
+    from data_pipeline_example_spark.operators.multimodal import decode_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(struct.pack("<%dh" % len(samples), *samples))
+    rate, ch, got = decode_wav(buf.getvalue())
+    assert (rate, ch) == (22050, 1)
+    assert list(got) == samples
+
+
+def test_decode_wav_rejects_malformed_loudly():
+    import struct
+
+    import pytest
+
+    from data_pipeline_example_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not riff at all")
+    # well-formed container but float32 format -> loud NotImplemented
+    body = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + body
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav)
+
+
+def test_attach_wav_containers_are_valid_and_chunk_walked(spark):
+    """The synthesized containers must be REAL WAV files: the stdlib
+    wave module (an independent parser) reads them back — including
+    the LIST-chunk variants (len % 5 == 0) that break fixed-offset
+    readers — and decode_wav recovers exactly the closed-form samples."""
+    import io
+    import struct
+    import wave
+
+    from data_pipeline_example_spark.operators.multimodal import (
+        attach_wav,
+        decode_wav,
+    )
+
+    texts = ["abcde", "abcdef", "abcdefg", "0123456789", "x" * 20]
+    assert any(len(t) % 5 == 0 for t in texts)
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    payloads = {r["doc_id"]: bytes(r["content"]) for r in attach_wav(docs).collect()}
+    for i, t in enumerate(texts):
+        sr, n, samples = _wav_closed_form(t)
+        raw = payloads[i]
+        # independent parser: Python's own wave module
+        with wave.open(io.BytesIO(raw)) as w:
+            assert w.getframerate() == sr
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getnframes() == n
+            got = struct.unpack("<%dh" % n, w.readframes(n))
+        assert list(got) == samples, t
+        # our parser agrees
+        rate, ch, ours = decode_wav(raw)
+        assert (rate, ch) == (sr, 1)
+        assert list(ours) == samples
+
+
+def test_decoded_audio_stats_windows_match_closed_form(spark):
+    """End-to-end attach_wav -> decode_wav -> 1 ms windows: per-window
+    counts/sums/peaks equal the closed form, incl. the partial tail."""
+    from data_pipeline_example_spark.operators.multimodal import decoded_audio_stats
+
+    texts = ["hello world", "x" * 25, "y" * 40]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = decoded_audio_stats(docs).collect()
+    got = {(r["doc_id"], r["window_idx"]): r for r in rows}
+    total = 0
+    for i, t in enumerate(texts):
+        sr, n, samples = _wav_closed_form(t)
+        spw = sr // 1000
+        n_win = (n + spw - 1) // spw
+        total += n_win
+        for w_idx in range(n_win):
+            chunk = samples[w_idx * spw : (w_idx + 1) * spw]
+            r = got[(i, w_idx)]
+            assert r["sample_rate"] == sr
+            assert r["start_ms"] == w_idx
+            assert r["n_samples"] == len(chunk)
+            assert r["sum_abs"] == sum(abs(s) for s in chunk)
+            assert r["peak_abs"] == max(abs(s) for s in chunk)
+    assert len(rows) == total
+
+
+def test_audio_windows_container_aware(spark):
+    """audio_windows must use the PARSED rate for RIFF payloads (the
+    sample_rate argument is only the headerless-PCM fallback) and
+    digest the decoded data-chunk bytes, not the container bytes."""
+    import hashlib
+    import struct
+
+    from data_pipeline_example_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        attach_wav,
+        audio_windows,
+    )
+
+    text = "x" * 25  # sr = 16000, n = 28 samples
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    media = attach_wav(docs)
+    sr, n, samples = _wav_closed_form(text)
+    assert sr == 16000
+    # window_ms=1 at the PARSED 16 kHz rate -> 16 samples/window -> 2
+    # windows; a raw-bytes reader at the caller's bogus rate would
+    # window len(bytes)//2 "samples" instead
+    rows = {r["window_idx"]: r
+            for r in audio_windows(media, window_ms=1, sample_rate=999_000).collect()}
+    assert len(rows) == 2
+    assert rows[0]["n_samples"] == 16 and rows[1]["n_samples"] == n - 16
+    pcm = struct.pack("<%dh" % n, *samples)
+    assert rows[0]["window_md5"] == hashlib.md5(pcm + b":0").hexdigest()

@@ -120,8 +120,27 @@ def test_multimodal_features_roundtrip(spark):
     got = {r["doc_id"]: r for r in multimodal.media_features(docs).collect()}
     assert got[0]["n_bytes"] == 3
     assert got[0]["content_md5"] == hashlib.md5(b"abc").hexdigest()
-    assert got[0]["fake_width"] == 3 % 640 + 1
+    # text payloads are not images: typed reject, not a fake decode
+    assert got[0]["width"] is None and got[0]["height"] is None
+    assert got[0]["decodable"] == 0
     assert got[1]["n_bytes"] == 0
+
+
+def test_extract_features_decodes_real_image_payloads(spark):
+    """The decode-attempt path: a valid P6 payload among opaque text
+    payloads gets REAL width/height (stdlib or PIL decoder), the rest
+    get the typed reject."""
+    img = multimodal.encode_netpbm(
+        multimodal.StdlibImage(2, 3, "RGB", b"A" * 18, "PPM")
+    )
+    media = spark.createDataFrame(
+        [(0, "image/x-portable-pixmap", bytearray(img)),
+         (1, "text/plain", bytearray(b"not an image"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {r["doc_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert (got[0]["width"], got[0]["height"], got[0]["decodable"]) == (2, 3, 1)
+    assert (got[1]["width"], got[1]["decodable"]) == (None, 0)
 
 
 def test_decode_image_is_marked_stub():
