@@ -75,6 +75,11 @@ HEADLINE = [
     "project_embeddings",
     "pq_codes",
     "ivfpq_knn",
+    # round 13: batched serving (one scan / one code table for the
+    # whole query batch) + the serving-time retrieval evaluation
+    "ivf_knn_batch",
+    "ivfpq_knn_batch",
+    "retrieval_quality",
     # round 5: sketch + weighted-sampling legs (TakeOrdered-shaped)
     "user_cardinality_kmv",
     "priority_sample",

@@ -589,3 +589,163 @@ def rrf_hybrid_search(
         )
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(n_out)
+
+def retrieval_quality(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Serving-time retrieval evaluation — recall@k and MRR of the
+    approximate retrieval stack against the exact brute-force truth at
+    matched k: the :func:`operators.dedup.lsh_recall_summary`
+    discipline (audit the approximation against its own exact anchor,
+    in-plan) applied to the FULL serving stack. Three systems, each a
+    certified scale path, retrieve top-k for the ``n_queries`` lowest
+    vec_ids:
+
+    - ``ivf``  — :func:`operators.similarity.ivf_knn` (probe-pruned,
+      zero-exchange serving scan);
+    - ``ivfpq`` — :func:`operators.similarity.ivfpq_knn` (PQ ADC +
+      exact re-rank; pinned row-identical to the materialized
+      ``ivfpq_knn_indexed``/``ivfpq_knn_index_batch`` serving paths by
+      their equivalence tests, so this grades the index serving stack
+      without needing a written index inside a registered query);
+    - ``rrf``  — :func:`rrf_hybrid_search` (BM25 + ANN fusion; graded
+      against the PURE-cosine truth deliberately — its recall shows
+      how much semantic truth survives lexical fusion).
+
+    Truth is :func:`operators.similarity.knn_batch`'s exact one-scan
+    batch (self included at rank 1, the knn contract; recall is over
+    the truth set as served). MRR uses the best NON-self truth
+    neighbor (exact rank 2): mrr_micro = 1e6 div (its rank in the
+    system list), 0 when missed.
+
+    Cost shape: the BATCHED serving paths — ONE exact batch scan for
+    truth, one :func:`operators.similarity.ivf_knn_batch` scan (its
+    top-20 feeds both the ivf system and the RRF semantic leg), one
+    :func:`operators.similarity.ivfpq_knn_batch` chain (assignment +
+    codes computed once), and one BM25 pass — instead of 3·n_queries
+    independent retrievals (the naive composition re-derived the IVF
+    assignment and PQ codes 8×; measured 33 s → batched ~8 s at
+    sf0.1). Every post-retrieval frame is ≤ n_each rows per (system,
+    query), so the metric aggregation is O(systems·queries·k) and
+    driver-free. Exactness: counts and integral divisions only; each
+    batch path is pinned row-identical to its per-query twin by test.
+    Output: system, query_id, n_returned, hits, recall_milli,
+    mrr_micro — ordered by (system, query_id).
+    """
+    from pyspark.sql.window import Window
+
+    from data_pipeline_example_spark.operators import similarity
+
+    n_each, rrf_k = 20, 60
+    truth = (
+        similarity.knn_batch(embeddings, n_queries=n_queries, k=k)
+        .select("query_id", "vec_id", F.col("rank").alias("t_rank"))
+        .transform(materialize)  # n_queries*k rows, reused 3x below
+    )
+    t1 = truth.filter(F.col("t_rank") == 2).select(
+        "query_id", F.col("vec_id").alias("t1_id")
+    )
+    ivf20 = similarity.ivf_knn_batch(
+        embeddings, n_queries=n_queries, k=n_each
+    ).transform(materialize)  # n_queries*n_each rows; ivf system + RRF leg
+    ivf_sys = ivf20.filter(F.col("rank") <= k).select(
+        F.lit("ivf").alias("system"),
+        "query_id",
+        "vec_id",
+        F.col("rank").alias("sys_rank"),
+    )
+    pq_sys = similarity.ivfpq_knn_batch(
+        embeddings, n_queries=n_queries, k=k
+    ).select(
+        F.lit("ivfpq").alias("system"),
+        "query_id",
+        "vec_id",
+        F.col("rank").alias("sys_rank"),
+    )
+    # RRF: the rrf_hybrid_search fusion arithmetic verbatim, fused per
+    # query from the SHARED lexical list and the batch semantic list
+    lex = text.bm25_search(
+        documents, query=("spark", "window", "hash"), n=n_each
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id")))
+        .alias("rank_lex"),
+    )
+    qids = (
+        embeddings.select(F.col("vec_id").cast("long").alias("query_id"))
+        .filter(F.col("query_id") < n_queries)
+    )
+    lexq = qids.crossJoin(F.broadcast(lex))
+    semq = ivf20.select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("rank_sem"),
+    )
+    fused = (
+        lexq.join(semq, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("rank_lex", F.lit(0)).cast("int").alias("rank_lex"),
+            F.coalesce("rank_sem", F.lit(0)).cast("int").alias("rank_sem"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.when(
+                    F.col("rank_lex") > 0,
+                    F.expr(f"1000000 div ({rrf_k} + rank_lex)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("rank_sem") > 0,
+                    F.expr(f"1000000 div ({rrf_k} + rank_sem)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    rrf_sys = (
+        fused.withColumn("sys_rank", F.row_number().over(rw))
+        .filter(F.col("sys_rank") <= k)
+        .select(
+            F.lit("rrf").alias("system"),
+            "query_id",
+            F.col("doc_id").alias("vec_id"),
+            "sys_rank",
+        )
+    )
+    sys_ranked = ivf_sys.unionByName(pq_sys).unionByName(rrf_sys)
+    agg = (
+        sys_ranked.join(truth, ["query_id", "vec_id"], "left")
+        .join(F.broadcast(t1), "query_id", "left")
+        .groupBy("system", "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_returned"),
+            F.sum(F.when(F.col("t_rank").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("hits"),
+            F.min(
+                F.when(F.col("vec_id") == F.col("t1_id"), F.col("sys_rank"))
+            ).alias("t1_rank"),
+        )
+    )
+    return agg.select(
+        "system",
+        "query_id",
+        "n_returned",
+        "hits",
+        F.expr(f"hits * 1000 div {k}").cast("long").alias("recall_milli"),
+        F.coalesce(F.expr("1000000 div t1_rank"), F.lit(0))
+        .cast("long")
+        .alias("mrr_micro"),
+    ).orderBy("system", "query_id")
+

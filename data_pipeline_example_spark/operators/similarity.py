@@ -1880,6 +1880,243 @@ def knn_batch(embeddings: DataFrame, n_queries: int = 4, k: int = 5) -> DataFram
         .filter(F.col("rank") <= k)
     )
 
+def ivf_knn_batch(
+    embeddings: DataFrame,
+    n_queries: int = 4,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Batched IVF serving WITHOUT a materialized index — ``ivf_knn``
+    for a query batch in ONE corpus scan (``knn_batch``'s serving
+    shape applied to the probe-pruned path): the ``n_queries`` lowest
+    vec_ids play the query batch, per-query probe sets are selected on
+    a local (n_centroids × n_queries)-row frame with engine-exact
+    rounding, and the corpus scan assigns each vector inline (the
+    ``ivf_knn`` min(struct) argmin over ONE parsed centroid-matrix SQL
+    literal), fans out only to the queries whose probe set contains
+    its bucket, and pre-trims to k rows per query per task via the
+    rank window's WindowGroupLimit before the single tiny exchange.
+
+    Row-for-row identical to per-query ``ivf_knn`` calls (pinned by
+    test) at 1/n_queries of the scans. Bounded driver work: the
+    (max(n_centroids, n_queries))-row head fetch + the probe ranking.
+    Output: query_id, vec_id, cos_sim (6 dp), rank (≤ k per query).
+    """
+    e = _as_double(embeddings)
+    spark = embeddings.sparkSession
+    out_schema = "query_id long, vec_id long, cos_sim double, rank int"
+    head = e.filter(F.col("vec_id") < max(n_centroids, n_queries)).collect()
+    by_id = {r["vec_id"]: [float(x) for x in r["v"]] for r in head}
+    cent_rows = [(int(i), by_id[i]) for i in sorted(by_id) if i < n_centroids]
+    query_rows = [(int(i), by_id[i]) for i in sorted(by_id) if i < n_queries]
+    if not cent_rows or not query_rows:
+        return spark.createDataFrame([], out_schema)
+    cents_local = spark.createDataFrame(
+        cent_rows, "centroid_id long, cv array<double>"
+    )
+    qs_local = spark.createDataFrame(
+        query_rows, "query_id long, qv array<double>"
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    probe_rows = (
+        cents_local.crossJoin(qs_local)
+        .select(
+            "query_id",
+            "centroid_id",
+            F.round(V.cosine(F.col("cv"), F.col("qv")), 6).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "centroid_id")
+        .collect()
+    )
+    probed: dict[int, list[int]] = {}
+    for r in probe_rows:
+        probed.setdefault(int(r["query_id"]), []).append(int(r["centroid_id"]))
+    # ONE parsed SQL literal per matrix (the ivf_knn discipline):
+    # centroid matrix for inline assignment, query matrix for scoring,
+    # per-query probe-set list for the fan-out filter
+    cmat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv) + ")"
+            for _, cv in cent_rows
+        )
+        + ")"
+    )
+    cids = F.expr(
+        "array(" + ",".join(f"{cid}L" for cid, _ in cent_rows) + ")"
+    )
+    qmat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in qv) + ")"
+            for _, qv in query_rows
+        )
+        + ")"
+    )
+    qids_l = F.expr(
+        "array(" + ",".join(f"{qid}L" for qid, _ in query_rows) + ")"
+    )
+    probes_l = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{c}L" for c in probed[qid]) + ")"
+            for qid, _ in query_rows
+        )
+        + ")"
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(cent_rows) - 1))
+    best = F.array_min(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                (
+                    -F.round(
+                        V.cosine(F.col("v"), F.element_at(cmat, i + 1)), 6
+                    )
+                ).alias("nc"),
+                F.element_at(cids, i + 1).alias("cid"),
+            ),
+        )
+    )
+    scored = (
+        e.withColumn("cid", best["cid"])
+        .select(
+            "vec_id",
+            "v",
+            "cid",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(len(query_rows) - 1))
+            ).alias("qi"),
+        )
+        .filter(
+            F.array_contains(
+                F.element_at(probes_l, F.col("qi") + 1), F.col("cid")
+            )
+        )
+        .select(
+            F.element_at(qids_l, F.col("qi") + 1).alias("query_id"),
+            "vec_id",
+            F.round(
+                V.cosine(F.col("v"), F.element_at(qmat, F.col("qi") + 1)), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_knn_batch(
+    embeddings: DataFrame,
+    n_queries: int = 4,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    dims: int = 64,
+    rerank: int = 64,
+) -> DataFrame:
+    """Batched IVF-PQ serving without a materialized index — the
+    ``ivfpq_knn`` chain for a query batch with every corpus-sized
+    stage computed ONCE: one coarse assignment, one code table, then
+    per-query broadcast-sized frames (probe sets, m·ks·n_queries LUT,
+    rerank-row shortlists) and WindowGroupLimit-trimmed per-query
+    rank windows, exactly the ``ivfpq_knn_index_batch`` serving
+    discipline applied in-plan. Row-for-row identical to per-query
+    ``ivfpq_knn`` calls (pinned by test). Output: query_id, vec_id,
+    approx_sim, cos_sim, rank (≤ k per query, ranked by exact cosine).
+    """
+    assert dims % m == 0, "m must divide dims"
+    sub_len = dims // m
+    e = _as_double(embeddings)
+    assigned = assign_centroids(embeddings, n_centroids)
+    qs = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    probedq = (
+        cents.crossJoin(F.broadcast(qs))
+        .select(
+            "query_id",
+            "centroid_id",
+            F.round(V.cosine(F.col("cv"), F.col("qv")), 6).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    bucketq = assigned.join(F.broadcast(probedq), "centroid_id").select(
+        "query_id", "vec_id"
+    )
+    codes = pq_codes(embeddings, m, ks, dims)
+    cparts = (
+        e.filter(F.col("vec_id") < ks)
+        .select(F.col("vec_id").alias("cid"), "v")
+        .select(
+            "cid",
+            F.posexplode(
+                F.array(*[F.slice("v", g * sub_len + 1, sub_len) for g in range(m)])
+            ).alias("g", "cv"),
+        )
+    )
+    lutq = cparts.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "g",
+        "cid",
+        F.round(
+            V.cosine(F.col("cv"), F.expr(f"slice(qv, g * {sub_len} + 1, {sub_len})")),
+            6,
+        ).alias("l"),
+    )
+    melted = codes.join(bucketq, "vec_id").select(
+        "query_id",
+        "vec_id",
+        F.posexplode(F.array(*[f"code_{g}" for g in range(m)])).alias("g", "cid"),
+    )
+    approx = (
+        melted.join(F.broadcast(lutq), ["query_id", "g", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("l"), 6).alias("approx_sim"))
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("vec_id")
+    )
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", "vec_id", "approx_sim")
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        e.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "approx_sim",
+            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivfpq_knn_index_batch(
     spark,
     path: str,

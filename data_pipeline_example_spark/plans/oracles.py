@@ -2272,6 +2272,339 @@ LIMIT {k}
 ORACLES["ivfpq_knn"] = _ivfpq_oracle()
 
 
+def _retrieval_quality_oracle(
+    n_queries: int = 4,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    ks: int = 16,
+    dims: int = 64,
+    rerank: int = 64,
+    n_each: int = 20,
+    rrf_k: int = 60,
+) -> str:
+    """Retrieval-stack evaluation oracle (curation.retrieval_quality):
+    exact batch truth + the three system chains (per-query ivf probe,
+    the full IVF-PQ LUT/re-rank chain partitioned by query, and the
+    BM25+ivf RRF fusion), overlap-joined into recall@k / MRR. The
+    member chains replay the single-query ivf_knn / _ivfpq_oracle /
+    rrf_hybrid_search oracles generalized with PARTITION BY qid."""
+    sub_len = dims // m
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {n_queries}),
+truth AS (
+  SELECT qid, vec_id, rnk FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, e.vec_id ASC
+           ) AS rnk
+    FROM e CROSS JOIN qs q
+  ) WHERE rnk <= {k}
+),
+t1 AS (SELECT qid, vec_id AS t1_id FROM truth WHERE rnk = 2),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {n_centroids}),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+probedq AS (
+  SELECT qid, centroid_id FROM (
+    SELECT q.qid, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM cents c CROSS JOIN qs q
+  ) WHERE rn <= {n_probe}
+),
+ivf20 AS (
+  SELECT qid, vec_id, rnk FROM (
+    SELECT p.qid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY p.qid
+             ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, e.vec_id ASC
+           ) AS rnk
+    FROM e
+    JOIN assigned a ON a.vec_id = e.vec_id
+    JOIN probedq p ON p.centroid_id = a.centroid_id
+    JOIN qs q ON q.qid = p.qid
+  ) WHERE rnk <= {n_each}
+),
+parts AS (
+  SELECT vec_id, g, list_slice(v, g * {sub_len} + 1, (g + 1) * {sub_len}) AS sv
+  FROM e CROSS JOIN range({m}) t(g)
+),
+cparts AS (
+  SELECT vec_id AS cid, g, list_slice(v, g * {sub_len} + 1, (g + 1) * {sub_len}) AS cv
+  FROM e CROSS JOIN range({m}) t(g)
+  WHERE vec_id < {ks}
+),
+pqscore AS (
+  SELECT p.vec_id, p.g, c.cid,
+         row_number() OVER (
+           PARTITION BY p.vec_id, p.g
+           ORDER BY round(list_cosine_similarity(p.sv, c.cv), 6) DESC, c.cid ASC
+         ) AS rn
+  FROM parts p JOIN cparts c ON p.g = c.g
+),
+codes AS (SELECT vec_id, g, cid FROM pqscore WHERE rn = 1),
+lutq AS (
+  SELECT q.qid, c.g, c.cid,
+         round(list_cosine_similarity(
+           c.cv, list_slice(q.qv, c.g * {sub_len} + 1, (c.g + 1) * {sub_len})), 6) AS l
+  FROM cparts c CROSS JOIN qs q
+),
+bucketq AS (
+  SELECT p.qid, a.vec_id
+  FROM assigned a JOIN probedq p ON p.centroid_id = a.centroid_id
+),
+approxq AS (
+  SELECT b.qid, codes.vec_id, round(sum(l.l), 6) AS approx_sim
+  FROM codes
+  JOIN bucketq b ON b.vec_id = codes.vec_id
+  JOIN lutq l ON l.qid = b.qid AND l.g = codes.g AND l.cid = codes.cid
+  GROUP BY b.qid, codes.vec_id
+),
+shortq AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY approx_sim DESC, vec_id ASC
+           ) AS rn
+    FROM approxq
+  ) WHERE rn <= {rerank}
+),
+pq10 AS (
+  SELECT qid, vec_id, rnk FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, s.vec_id ASC
+           ) AS rnk
+    FROM shortq s JOIN e ON e.vec_id = s.vec_id JOIN qs q ON q.qid = s.qid
+  ) WHERE rnk <= {k}
+),
+toksb AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS sum_dl
+  FROM toksb
+),
+tf AS (
+  SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toksb)
+  WHERE term IN ('spark', 'window', 'hash')
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1),
+scoredx AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+         , 6) * 1e6 AS BIGINT) AS s_micro
+  FROM tf JOIN dfs USING (term) CROSS JOIN stats
+),
+lex_top AS (
+  SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS bm25_micro
+  FROM scoredx GROUP BY 1
+  ORDER BY bm25_micro DESC, doc_id ASC
+  LIMIT {n_each}
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS rank_lex
+  FROM lex_top
+),
+lexq AS (SELECT q.qid, l.doc_id, l.rank_lex FROM lex l CROSS JOIN qs q),
+semq AS (SELECT qid, vec_id AS doc_id, rnk AS rank_sem FROM ivf20),
+fusedq AS (
+  SELECT coalesce(lx.qid, sm.qid) AS qid,
+         coalesce(lx.doc_id, sm.doc_id) AS doc_id,
+         CAST(
+           (CASE WHEN lx.rank_lex IS NOT NULL
+                 THEN 1000000 // ({rrf_k} + lx.rank_lex) ELSE 0 END)
+           + (CASE WHEN sm.rank_sem IS NOT NULL
+                   THEN 1000000 // ({rrf_k} + sm.rank_sem) ELSE 0 END)
+         AS BIGINT) AS rrf_micro
+  FROM lexq lx FULL OUTER JOIN semq sm
+    ON lx.qid = sm.qid AND lx.doc_id = sm.doc_id
+),
+rrf10 AS (
+  SELECT qid, doc_id AS vec_id, rnk FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY rrf_micro DESC, doc_id ASC
+           ) AS rnk
+    FROM fusedq
+  ) WHERE rnk <= {k}
+),
+sys AS (
+  SELECT 'ivf' AS system, qid, vec_id, rnk FROM ivf20 WHERE rnk <= {k}
+  UNION ALL SELECT 'ivfpq' AS system, qid, vec_id, rnk FROM pq10
+  UNION ALL SELECT 'rrf' AS system, qid, vec_id, rnk FROM rrf10
+)
+SELECT s.system, CAST(s.qid AS BIGINT) AS query_id,
+       CAST(count(*) AS BIGINT) AS n_returned,
+       CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       CAST((sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000) // {k}
+            AS BIGINT) AS recall_milli,
+       CAST(coalesce(
+         1000000 // min(CASE WHEN s.vec_id = t1.t1_id THEN s.rnk END), 0
+       ) AS BIGINT) AS mrr_micro
+FROM sys s
+LEFT JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id
+LEFT JOIN t1 ON t1.qid = s.qid
+GROUP BY s.system, s.qid
+ORDER BY s.system, s.qid
+"""
+
+
+ORACLES["retrieval_quality"] = _retrieval_quality_oracle()
+
+
+# Batched IVF serving (operators/similarity.py ivf_knn_batch): the
+# ivf_knn chain generalized with PARTITION BY qid — one assignment,
+# per-query probes, per-query rank over the probed buckets.
+ORACLES["ivf_knn_batch"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+probedq AS (
+  SELECT qid, centroid_id FROM (
+    SELECT q.qid, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM cents c CROSS JOIN qs q
+  ) WHERE rn <= 4
+)
+SELECT qid AS query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT p.qid, e.vec_id,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY p.qid
+           ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, e.vec_id ASC
+         ) AS rnk
+  FROM e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN probedq p ON p.centroid_id = a.centroid_id
+  JOIN qs q ON q.qid = p.qid
+) WHERE rnk <= 10
+ORDER BY query_id, rank
+"""
+
+
+# Batched IVF-PQ serving (operators/similarity.py ivfpq_knn_batch):
+# the _ivfpq_oracle chain generalized per query — shared assignment +
+# codes, per-query LUT/shortlist/re-rank.
+ORACLES["ivfpq_knn_batch"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+probedq AS (
+  SELECT qid, centroid_id FROM (
+    SELECT q.qid, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC, c.centroid_id ASC
+           ) AS rn
+    FROM cents c CROSS JOIN qs q
+  ) WHERE rn <= 4
+),
+parts AS (
+  SELECT vec_id, g, list_slice(v, g * 16 + 1, (g + 1) * 16) AS sv
+  FROM e CROSS JOIN range(4) t(g)
+),
+cparts AS (
+  SELECT vec_id AS cid, g, list_slice(v, g * 16 + 1, (g + 1) * 16) AS cv
+  FROM e CROSS JOIN range(4) t(g)
+  WHERE vec_id < 16
+),
+pqscore AS (
+  SELECT p.vec_id, p.g, c.cid,
+         row_number() OVER (
+           PARTITION BY p.vec_id, p.g
+           ORDER BY round(list_cosine_similarity(p.sv, c.cv), 6) DESC, c.cid ASC
+         ) AS rn
+  FROM parts p JOIN cparts c ON p.g = c.g
+),
+codes AS (SELECT vec_id, g, cid FROM pqscore WHERE rn = 1),
+lutq AS (
+  SELECT q.qid, c.g, c.cid,
+         round(list_cosine_similarity(
+           c.cv, list_slice(q.qv, c.g * 16 + 1, (c.g + 1) * 16)), 6) AS l
+  FROM cparts c CROSS JOIN qs q
+),
+bucketq AS (
+  SELECT p.qid, a.vec_id
+  FROM assigned a JOIN probedq p ON p.centroid_id = a.centroid_id
+),
+approxq AS (
+  SELECT b.qid, codes.vec_id, round(sum(l.l), 6) AS approx_sim
+  FROM codes
+  JOIN bucketq b ON b.vec_id = codes.vec_id
+  JOIN lutq l ON l.qid = b.qid AND l.g = codes.g AND l.cid = codes.cid
+  GROUP BY b.qid, codes.vec_id
+),
+shortq AS (
+  SELECT qid, vec_id, approx_sim FROM (
+    SELECT qid, vec_id, approx_sim,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY approx_sim DESC, vec_id ASC
+           ) AS rn
+    FROM approxq
+  ) WHERE rn <= 64
+)
+SELECT qid AS query_id, vec_id, approx_sim, cos_sim,
+       CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT s.qid, s.vec_id, s.approx_sim,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY s.qid
+           ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC, s.vec_id ASC
+         ) AS rnk
+  FROM shortq s JOIN e ON e.vec_id = s.vec_id JOIN qs q ON q.qid = s.qid
+) WHERE rnk <= 10
+ORDER BY query_id, rank
+"""
+
+
 ORACLES["user_cardinality_kmv"] = """
 WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
 hv AS (

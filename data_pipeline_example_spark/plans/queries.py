@@ -1445,6 +1445,31 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF ANN serving: one assignment scan serves the 4
+    lowest-vec_id queries, per-query WindowGroupLimit top-10."""
+    return similarity.ivf_knn_batch(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ivfpq_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF-PQ serving: shared assignment + code table, per-query
+    LUT/shortlist/re-rank for the 4 lowest-vec_id queries."""
+    return similarity.ivfpq_knn_batch(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-time retrieval evaluation: recall@10 and MRR of
+    ivf_knn / ivfpq_knn (row-identical to the materialized index
+    serving paths) / rrf_hybrid_search against the exact knn_batch
+    truth over the 4 lowest-vec_id queries."""
+    from data_pipeline_example_spark import curation
+
+    return curation.retrieval_quality(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
 def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triplet mining: hardest same-label positive + different-label
     negative per anchor within its capped sub-bucket; integer-micro
@@ -1768,6 +1793,9 @@ QUERIES: dict[str, QueryFn] = {
     "event_markov_transitions": q_event_markov_transitions,
     "user_cardinality_hll": q_user_cardinality_hll,
     "rrf_hybrid_search": q_rrf_hybrid_search,
+    "retrieval_quality": q_retrieval_quality,
+    "ivf_knn_batch": q_ivf_knn_batch,
+    "ivfpq_knn_batch": q_ivfpq_knn_batch,
     "contrastive_triplets": q_contrastive_triplets,
     "copurchase_link_prediction": q_copurchase_link_prediction,
     "filtered_ivf_knn": q_filtered_ivf_knn,

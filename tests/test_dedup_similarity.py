@@ -765,6 +765,83 @@ def test_knn_batch_matches_per_query_knn_and_pretrims(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_ivf_knn_batch_matches_per_query_and_pretrims(spark, sf_dir):
+    """Each query's batch slice equals the single-query ivf_knn top-k
+    (same probes, same assignment, same rounding), and the per-query
+    rank compiles to WindowGroupLimit so the single scan's exchange
+    carries only k rows per query per task."""
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = sim.ivf_knn_batch(emb, n_queries=3, k=5)
+    rows = {}
+    for r in batch.collect():
+        rows.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cos_sim"])
+        )
+    for q in range(3):
+        got = [(v, c) for _, v, c in sorted(rows[q])]
+        want = [(r["vec_id"], r["cos_sim"])
+                for r in sim.ivf_knn(emb, query_id=q, k=5).collect()]
+        assert got == want, q
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_ivfpq_knn_batch_matches_per_query(spark, sf_dir):
+    """Each query's batch slice equals the single-query ivfpq_knn rows
+    (assignment + codes computed once; probe sets, LUT, shortlist and
+    re-rank all per-query identical)."""
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = sim.ivfpq_knn_batch(emb, n_queries=3, k=5)
+    rows = {}
+    for r in batch.collect():
+        rows.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["approx_sim"], r["cos_sim"])
+        )
+    for q in range(3):
+        got = [t[1:] for t in sorted(rows[q])]
+        want = [(r["vec_id"], r["approx_sim"], r["cos_sim"])
+                for r in sim.ivfpq_knn(emb, query_id=q, k=5).collect()]
+        assert got == want, q
+
+
+def test_retrieval_quality_metrics_are_consistent(spark, sf_dir):
+    """The eval op's metrics must be internally consistent with its own
+    members: ivf recall is recomputed here from ivf_knn_batch vs
+    knn_batch truth overlap; every system reports n_returned == k, and
+    MRR is 1e6 div (rank of the exact #2 neighbor) or 0."""
+    from data_pipeline_example_spark import curation
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {(r["system"], r["query_id"]): r
+           for r in curation.retrieval_quality(docs, emb).collect()}
+    assert len(out) == 12  # 3 systems x 4 queries
+    truth = {}
+    for r in sim.knn_batch(emb, n_queries=4, k=10).collect():
+        truth.setdefault(r["query_id"], {})[r["vec_id"]] = r["rank"]
+    ivf = {}
+    for r in sim.ivf_knn_batch(emb, n_queries=4, k=10).collect():
+        ivf.setdefault(r["query_id"], {})[r["vec_id"]] = r["rank"]
+    for q in range(4):
+        r = out[("ivf", q)]
+        hits = len(set(ivf[q]) & set(truth[q]))
+        assert r["n_returned"] == 10
+        assert r["hits"] == hits
+        assert r["recall_milli"] == hits * 1000 // 10
+        t1 = next(v for v, rk in truth[q].items() if rk == 2)
+        want_mrr = 1_000_000 // ivf[q][t1] if t1 in ivf[q] else 0
+        assert r["mrr_micro"] == want_mrr
+    # self (rank 1 in truth) is served by both vector systems, so
+    # every vector-system query has at least one hit
+    assert all(out[(s, q)]["hits"] >= 1
+               for s in ("ivf", "ivfpq") for q in range(4))
+
+
 def test_minhash_incremental_one_sided_best_match(spark):
     """Ingestion dedup is strictly NEW-vs-OLD: two near-identical docs
     inside the new batch must BOTH admit (no new-new pair), a new doc
