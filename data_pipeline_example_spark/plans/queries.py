@@ -2052,41 +2052,52 @@ QUERIES: dict[str, QueryFn] = {
 # CORRECTNESS_r01..r11, sort ascending with ties by registry position.
 # readability_scores' r12 overflow fix is value-identical (schoolbook
 # split), so its r11 row stands.
-_R12_FRONT = [
-    "token_fertility_drift", "dedup_clusters_scalable",
-    "url_canonical_dedup", "boilerplate_prefixes", "dup_distance_profile",
-    "clustering_silhouette", "cluster_coherence", "hard_negatives",
-    "vocab_nearest_typo", "quality_quantile_normalize",
-    "event_markov_transitions", "user_cardinality_hll",
-    "rrf_hybrid_search", "contrastive_triplets",
-    "copurchase_link_prediction", "filtered_ivf_knn",
-    "event_volume_changepoint", "k_anonymity_audit",
-    "coreset_selection", "embedding_dimension_health", "cdc_chunks",
-    "bootstrap_revenue_ci", "basket_kcore", "forecast_backtest",
-    "loo_target_encoding", "event_trigrams",
-    "corpus_funnel",
-    # r4-certified, untouched since
-    "props_variant_stats", "doc_stats", "corpus_stats", "lang_predict",
-    "doc_fingerprints", "token_counts", "curated_corpus",
-    "pack_documents", "redact_pii", "mixture_rates", "media_features",
-    "frame_samples", "tfidf_top_terms", "repetition_stats",
-    "c4_line_stats", "value_stats",
-    # r5 cohort
-    "packing_efficiency", "skew_report",
-    "cluster_balance_audit", "branded_quantity_revenue",
-    "kmeans_embeddings",
-    "corpus_diff", "corpus_diff_summary",
-    # (pq_distortion, sole_return_suppliers, decoded_image_stats,
-    # market_share, local_supplier_volume, line_dedup, quality_funnel,
-    # split_leakage_audit, dsir_weights + source_caps yield their slots
-    # to the ten late-r12 ops and head the r13 rotation)
+# round-13 front — mechanical again: the four NEW r13 ops (never
+# driver-certified), the five r13-CHANGED ops whose engine/oracle text
+# moved this round (media_features' schema swapped fake_* for the real
+# decode-attempt columns; user_cardinality_hll gained the p_bits-driven
+# split + 'unknown' sentinel + 2^(W+1) scaling with a matching oracle;
+# readability_scores' ratio columns moved to the two-step division;
+# embedding_dimension_health's oracle now derives dims from the vector;
+# audio_windows grew the RIFF container branch), then the 41
+# least-recently-certified entries by the CORRECTNESS_r01..r12
+# hash_match history (max certified round ascending, ties by registry
+# position): the r5 cohort remainder (11, decontaminated_corpus …
+# decoded_image_stats) through the r6 cohort and the first six r7
+# entries. Every name asserted present so a typo fails at import.
+_R13_FRONT = [
+    # new r13
+    "decoded_audio_stats", "retrieval_quality",
+    "ivf_knn_batch", "ivfpq_knn_batch",
+    # changed r13
+    "media_features", "user_cardinality_hll", "readability_scores",
+    "embedding_dimension_health", "audio_windows",
+    # r5-certified, oldest out of certification
+    "decontaminated_corpus", "ccnet_mixture", "cosine_dup_pairs_blocked",
+    "semantic_prune", "corpus_dup_ngrams", "embedding_prototypes",
+    "ivfpq_recall", "srp_recall_summary", "pq_distortion",
+    "sole_return_suppliers", "decoded_image_stats",
+    # r6 cohort
+    "market_share", "local_supplier_volume", "line_dedup",
+    "quality_funnel", "split_leakage_audit", "dsir_weights",
+    "source_caps", "bigram_lm_scores", "ccnet_buckets", "oov_rate",
+    "c4_clean", "cross_modal_prune", "image_phash_stats",
+    "phash_dup_pairs", "audio_dup_windows", "srp_dup_pairs",
+    "embedding_centroids", "nearest_neighbor_blocked",
+    "project_embeddings", "pq_codes", "ivfpq_knn",
+    "user_cardinality_kmv", "user_cardinality_kmv_by_type",
+    "priority_sample",
+    # r7 cohort head
+    "containment_dup_pairs", "token_budget_caps", "min_cost_supplier",
+    "important_part_stock", "supplier_count_by_part",
+    "excess_shipped_suppliers",
 ]
-assert len(_R12_FRONT) == 50 and all(n in QUERIES for n in _R12_FRONT), (
+assert len(_R13_FRONT) == 50 and all(n in QUERIES for n in _R13_FRONT), (
     "window rotation list must name 50 registered queries"
 )
 QUERIES = {
-    **{n: QUERIES[n] for n in _R12_FRONT},
-    **{n: f for n, f in QUERIES.items() if n not in frozenset(_R12_FRONT)},
+    **{n: QUERIES[n] for n in _R13_FRONT},
+    **{n: f for n, f in QUERIES.items() if n not in frozenset(_R13_FRONT)},
 }
 
 
