@@ -9,6 +9,12 @@ dicts come verbatim from ``serving.daily_payload`` /
 ``serving.stream_payload``, so the HTTP layer adds routing and JSON
 encoding only.
 
+The presentational front-ends ride the same server: ``/`` (alias
+``/daily``) and ``/stream`` serve the two self-contained HTML pages in
+``dashboard_static/`` — behavior parity with the reference's Chart.js
+UIs, rendered as dependency-free inline SVG instead (no CDN in the
+serving environment, stdlib-only by contract).
+
 Serving model (the 100 TB story): payloads are computed ONCE per refresh
 by Spark (bounded collect — top-k / capped windows / one-row summaries)
 and cached; request handling serves the cached dict and never touches
@@ -20,12 +26,24 @@ the same anti-pattern at scale, hence the cache-and-refresh contract).
 from __future__ import annotations
 
 import json
+import os
 import threading
 from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
 PayloadFn = Callable[[], dict[str, Any]]
+
+_STATIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "dashboard_static")
+# UI routes — behavior parity with the reference front-ends
+# (dashboard/static/index.html, streaming_dashboard/static/index.html),
+# re-implemented as dependency-free inline-SVG pages; see the files'
+# header comments for the parity notes and deliberate deviations
+_PAGES = {
+    "/": "daily.html",
+    "/daily": "daily.html",
+    "/stream": "stream.html",
+}
 
 
 class DashboardServer:
@@ -100,10 +118,22 @@ class DashboardServer:
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self) -> None:  # noqa: N802 - stdlib API name
-                status, payload = outer._payload_for(self.path.split("?", 1)[0])
-                body = json.dumps(payload).encode("utf-8")
+                path = self.path.split("?", 1)[0]
+                page = _PAGES.get(path)
+                if page is not None:
+                    try:
+                        with open(os.path.join(_STATIC_DIR, page), "rb") as f:
+                            body = f.read()
+                        status, ctype = 200, "text/html; charset=utf-8"
+                    except OSError:
+                        body = b'{"status": "error", "error": "static page missing"}'
+                        status, ctype = 500, "application/json"
+                else:
+                    status, payload = outer._payload_for(path)
+                    body = json.dumps(payload).encode("utf-8")
+                    ctype = "application/json"
                 self.send_response(status)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

@@ -190,3 +190,41 @@ def test_stop_without_start_does_not_hang():
     t.start()
     t.join(timeout=5)
     assert not t.is_alive(), "stop() deadlocked without a started server"
+
+
+def _get_raw(port: int, path: str):
+    import urllib.request
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=10) as resp:
+        return resp.status, resp.headers.get("Content-Type", ""), resp.read().decode("utf-8")
+
+
+def test_ui_pages_served(server):
+    """The presentational front-ends ride the same server: / (alias
+    /daily) serves the batch page, /stream the streaming page, both
+    self-contained text/html (inline SVG + vanilla JS — the reference's
+    Chart.js UIs re-expressed dependency-free) wired to the SAME JSON
+    endpoints the golden-shape tests pin."""
+    for path, needle in [
+        ("/", "/api/daily"),
+        ("/daily", "Daily revenue"),
+        ("/stream", "/api/stream"),
+    ]:
+        status, ctype, body = _get_raw(server.port, path)
+        assert status == 200, path
+        assert ctype.startswith("text/html"), path
+        assert needle in body, path
+        # self-contained: inline script only, no external fetches
+        assert "<script>" in body and 'src="http' not in body, path
+
+
+def test_ui_pages_reference_only_served_endpoints(server):
+    """Every fetch() in the pages targets an endpoint this server
+    actually serves — the UI can never point at a dead route."""
+    import re
+
+    served = {"/api/daily", "/api/stream", "/health"}
+    for path in ("/", "/stream"):
+        _, _, body = _get_raw(server.port, path)
+        for url in re.findall(r"fetch\(\"([^\"]+)\"\)", body):
+            assert url in served, (path, url)
