@@ -1921,8 +1921,11 @@ def ivf_knn_batch(
     pw = Window.partitionBy("query_id").orderBy(
         F.desc("c_sim"), F.asc("centroid_id")
     )
+    # broadcast per the repo-wide crossJoin rule — without the hint the
+    # two local relations plan a 32×32-task CartesianProduct that costs
+    # ~14 s of pure scheduling for 64 rows (measured, r13)
     probe_rows = (
-        cents_local.crossJoin(qs_local)
+        cents_local.crossJoin(F.broadcast(qs_local))
         .select(
             "query_id",
             "centroid_id",
@@ -1950,25 +1953,6 @@ def ivf_knn_batch(
     cids = F.expr(
         "array(" + ",".join(f"{cid}L" for cid, _ in cent_rows) + ")"
     )
-    qmat = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in qv) + ")"
-            for _, qv in query_rows
-        )
-        + ")"
-    )
-    qids_l = F.expr(
-        "array(" + ",".join(f"{qid}L" for qid, _ in query_rows) + ")"
-    )
-    probes_l = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{c}L" for c in probed[qid]) + ")"
-            for qid, _ in query_rows
-        )
-        + ")"
-    )
     idx = F.sequence(F.lit(0), F.lit(len(cent_rows) - 1))
     best = F.array_min(
         F.transform(
@@ -1983,27 +1967,33 @@ def ivf_knn_batch(
             ),
         )
     )
+    # fan out each row ONLY to the queries whose probe set contains its
+    # bucket, via a broadcast hash join on the bucket id: the tiny
+    # (Σ|probe sets|)-row frame carries (query_id, cid, qv), so the
+    # query vector arrives as a COLUMN and the per-row expression stays
+    # the same argmin the solo path compiles. (Two rejected shapes from
+    # the first r13 decade sweep: exploding the full query range
+    # inflated every vector-carrying row n_queries× before pruning —
+    # 16.4 s at sf1, slower than n_queries solo scans — and indexing
+    # per-query literal matrices per row pushed the generated code past
+    # the codegen limits into interpreted fallback, 18 s.)
+    probe_sdf = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(qid), int(cid), qv)
+                for qid, qv in query_rows
+                for cid in probed[qid]
+            ],
+            "query_id long, cid long, qv array<double>",
+        )
+    )
     scored = (
         e.withColumn("cid", best["cid"])
+        .join(probe_sdf, "cid")
         .select(
+            "query_id",
             "vec_id",
-            "v",
-            "cid",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(len(query_rows) - 1))
-            ).alias("qi"),
-        )
-        .filter(
-            F.array_contains(
-                F.element_at(probes_l, F.col("qi") + 1), F.col("cid")
-            )
-        )
-        .select(
-            F.element_at(qids_l, F.col("qi") + 1).alias("query_id"),
-            "vec_id",
-            F.round(
-                V.cosine(F.col("v"), F.element_at(qmat, F.col("qi") + 1)), 6
-            ).alias("cos_sim"),
+            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
