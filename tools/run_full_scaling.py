@@ -107,19 +107,24 @@ def main() -> None:
     out_path = (
         sys.argv[1]
         if len(sys.argv) > 1
-        else os.path.join(ART, "scaling_r11_full_registry_sf1_sf10.json")
+        else os.path.join(ART, "scaling_r13_full_registry_sf1_sf10.json")
     )
     from data_pipeline_example_spark.plans.queries import QUERIES
 
+    # per-chunk artifacts are named after the merged output's stem so a
+    # NEW sweep never resumes from a prior round's chunks (chunk i's
+    # member list follows the rotated registry order — r11's part0 held
+    # different queries than r13's)
+    stem = os.path.splitext(os.path.basename(out_path))[0]
     normal = [n for n in QUERIES if n not in frozenset(HEAVY)]
     merged: dict[str, dict] = {}
     chunks = [normal[i : i + CHUNK] for i in range(0, len(normal), CHUNK)]
     for i, names in enumerate(chunks):
-        part = os.path.join(ART, f"scaling_r11_part{i}.json")
+        part = os.path.join(ART, f"{stem}_part{i}.json")
         print(f"--- chunk {i + 1}/{len(chunks)} ({len(names)} queries)", file=sys.stderr)
         merged.update(run_chunk(names, part, TIMEOUT_CHUNK))
     for name in HEAVY:
-        part = os.path.join(ART, f"scaling_r11_heavy_{name}.json")
+        part = os.path.join(ART, f"{stem}_heavy_{name}.json")
         print(f"--- heavy: {name}", file=sys.stderr)
         merged.update(run_chunk([name], part, TIMEOUT_HEAVY))
 
