@@ -64,8 +64,10 @@ HEADLINE = [
     "nearest_neighbor_capped",  # was nearest_neighbor
     "media_features",
     # round 13: real RIFF/WAV container decode end-to-end (synthesized
-    # containers -> stdlib chunk-walking PCM16 parser -> 1 ms windows)
+    # containers -> stdlib chunk-walking PCM16 parser -> 1 ms windows),
+    # plus exact segment dedup over the decoded streams
     "decoded_audio_stats",
+    "wav_dup_windows",
     # round 3 additions: semantic dedup decision + Gopher repetition
     # filter; r4 swaps the prune to its bounded-bucket twin
     "semantic_prune_capped",  # was semantic_prune

@@ -561,6 +561,76 @@ def decoded_audio_windows(media: DataFrame, window_ms: int = 1000) -> DataFrame:
     return media.mapInPandas(_win, schema=WAV_WINDOW_SCHEMA)
 
 
+def wav_dup_windows(documents: DataFrame, window_ms: int = 1) -> DataFrame:
+    """Exact-duplicate audio segments over REAL decoded containers —
+    the container-decode counterpart of :func:`audio_dup_windows`
+    (whose registered query exercises the headerless raw-PCM path):
+    synthesize valid WAVs (:func:`attach_wav`), parse each through
+    :func:`decode_wav`, window the DECODED samples at the PARSED rate,
+    and group on a per-WINDOW content digest — docs whose text lengths
+    coincide produce byte-identical sample streams by the synthesis
+    closed form, so real duplicate segments exist and the whole
+    decode→window→dedup chain is SQL-checkable.
+
+    Digest: md5 over the window's PCM bytes rendered as an UPPERCASE
+    HEX STRING (+ ':' + window_idx) — hex-string hashing because the
+    oracle's md5 is VARCHAR-only; same-content ⇔ same-hex makes it an
+    exact segment-identity key. One Arrow-batched decode pass fans out
+    to ≤ ceil(n/spw) digest rows per payload (never the samples
+    themselves), then one map-side-combinable aggregate; the shuffle
+    carries (digest, partials). Output (digests in >1 doc):
+    window_digest, n_copies, n_docs, first_doc — ordered by digest.
+    """
+    media = attach_wav(documents)
+
+    def _dig(batches: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            doc_ids: list = []
+            digests: list = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                rate, _ch, samples = decode_wav(bytes(content))
+                spw = max(rate * window_ms // 1000, 1)
+                for w in range((len(samples) + spw - 1) // spw):
+                    chunk = samples[w * spw : (w + 1) * spw]
+                    pcm = struct.pack("<%dh" % len(chunk), *chunk)
+                    doc_ids.append(doc_id)
+                    digests.append(
+                        hashlib.md5(
+                            (pcm.hex().upper() + ":" + str(w)).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(doc_ids, dtype="int64"),
+                    "window_digest": pd.array(digests, dtype=object),
+                }
+            )
+
+    dig = media.mapInPandas(
+        _dig,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("window_digest", StringType()),
+            ]
+        ),
+    )
+    return (
+        dig.groupBy("window_digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("window_digest")
+    )
+
+
 def decoded_audio_stats(documents: DataFrame) -> DataFrame:
     """End-to-end REAL audio-decode pipeline, runnable (and
     oracle-checked) in every environment — the audio counterpart of

@@ -1840,6 +1840,37 @@ FROM (SELECT doc_id, sr, CAST(i // (sr // 1000) AS INTEGER) AS window_idx, v FRO
 GROUP BY doc_id, sr, window_idx
 ORDER BY doc_id, window_idx
 """,
+    # real-decode audio dedup (multimodal.wav_dup_windows): replay the
+    # attach_wav sample closed form per window, render the PCM bytes as
+    # the same uppercase-hex string the engine digests (DuckDB md5 is
+    # VARCHAR-only — hex-string identity == byte identity), group on
+    # the digest. Equal-L texts ⇒ identical streams ⇒ real dups.
+    "wav_dup_windows": """
+WITH base AS (SELECT doc_id, strlen(coalesce(text, '')) AS L FROM documents),
+par AS (
+  SELECT doc_id, L,
+         [8000, 16000, 22050, 44100][CAST(L % 4 AS INTEGER) + 1] // 1000 AS spw,
+         L % 37 + 3 AS n
+  FROM base
+),
+win AS (
+  SELECT doc_id, L, spw, n, unnest(range((n + spw - 1) // spw)) AS w
+  FROM par
+),
+dig AS (
+  SELECT doc_id,
+         md5(array_to_string(list_transform(range(w * spw, least(n, (w + 1) * spw)),
+             i -> lpad(to_hex(((L * 31 + i * i * 7) % 65536) % 256), 2, '0')
+                  || lpad(to_hex(((L * 31 + i * i * 7) % 65536) // 256), 2, '0')), '')
+             || ':' || CAST(w AS VARCHAR)) AS window_digest
+  FROM win
+)
+SELECT window_digest, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM dig GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+ORDER BY window_digest
+""",
     # chunking: range() over a column works inside list_transform (the
     # FROM-clause lateral form does not in DuckDB 1.0); zipped unnests in
     # the SELECT list expand positionally in lockstep

@@ -749,6 +749,14 @@ def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wav_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup audio segments over REAL decoded WAV containers:
+    per-window content digests of the decoded samples, grouped
+    corpus-wide; equal-length texts synthesize byte-identical streams,
+    so real duplicate segments exist by construction."""
+    return multimodal.wav_dup_windows(load_table(spark, sf_dir, "documents"))
+
+
 def q_decoded_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio container decode end-to-end: synthesized RIFF/WAV
     payloads (hex-built in column expressions, LIST-chunk variants
@@ -1918,6 +1926,7 @@ QUERIES: dict[str, QueryFn] = {
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "decoded_audio_stats": q_decoded_audio_stats,
+    "wav_dup_windows": q_wav_dup_windows,
     "kpis_long": q_kpis_long,
     "nearest_neighbor": q_nearest_neighbor,
     "quantize_embeddings": q_quantize_embeddings,
@@ -2067,7 +2076,7 @@ QUERIES: dict[str, QueryFn] = {
 # entries. Every name asserted present so a typo fails at import.
 _R13_FRONT = [
     # new r13
-    "decoded_audio_stats", "retrieval_quality",
+    "decoded_audio_stats", "wav_dup_windows", "retrieval_quality",
     "ivf_knn_batch", "ivfpq_knn_batch",
     # changed r13
     "media_features", "user_cardinality_hll", "readability_scores",
@@ -2090,7 +2099,8 @@ _R13_FRONT = [
     # r7 cohort head
     "containment_dup_pairs", "token_budget_caps", "min_cost_supplier",
     "important_part_stock", "supplier_count_by_part",
-    "excess_shipped_suppliers",
+    # (excess_shipped_suppliers yields its slot to the late r13
+    # wav_dup_windows and heads the r14 rotation)
 ]
 assert len(_R13_FRONT) == 50 and all(n in QUERIES for n in _R13_FRONT), (
     "window rotation list must name 50 registered queries"

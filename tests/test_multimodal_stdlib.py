@@ -322,3 +322,32 @@ def test_audio_windows_container_aware(spark):
     assert rows[0]["n_samples"] == 16 and rows[1]["n_samples"] == n - 16
     pcm = struct.pack("<%dh" % n, *samples)
     assert rows[0]["window_md5"] == hashlib.md5(pcm + b":0").hexdigest()
+
+
+def test_wav_dup_windows_planted_equal_lengths(spark):
+    """Equal-length texts synthesize byte-identical WAV sample streams
+    (the closed form depends only on len(text)), so their windows are
+    exact duplicates; distinct lengths share no digest."""
+    import hashlib
+    import struct
+
+    from data_pipeline_example_spark.operators.multimodal import wav_dup_windows
+
+    texts = ["aaaaa", "bbbbb", "ccccc", "different length here", "zz"]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = wav_dup_windows(docs).collect()
+    # the three length-5 docs duplicate every window; nothing else does
+    sr, n, samples = _wav_closed_form("aaaaa")
+    spw = sr // 1000
+    n_win = (n + spw - 1) // spw
+    assert len(rows) == n_win
+    for r in rows:
+        assert (r["n_copies"], r["n_docs"], r["first_doc"]) == (3, 3, 0)
+    # digest contract: md5 over the uppercase PCM hex + ':' + idx
+    chunk = samples[:spw]
+    pcm = struct.pack("<%dh" % len(chunk), *chunk)
+    want = hashlib.md5((pcm.hex().upper() + ":0").encode()).hexdigest()
+    assert want in {r["window_digest"] for r in rows}
