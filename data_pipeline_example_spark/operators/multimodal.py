@@ -213,6 +213,39 @@ def encode_bmp(img: StdlibImage) -> bytes:
     return bytes(header + info + rows)
 
 
+# Fixed magic whitelist gating the decode attempt (ADVICE r13): only
+# payloads whose first bytes match a known image-container signature are
+# ever handed to a decoder. Without this gate, the reject path would be
+# environment-DEPENDENT — PIL accepts text-shaped formats the corpus
+# pin never verified (ASCII netpbm P1/P2/P3, XBM '#define', SVG), so a
+# text beginning 'P3 2 2 ...' would flip ``decodable`` to 1 only on
+# PIL-equipped clusters and break the hash-pinned media_features
+# oracle. The whitelist is binary/unambiguous magics only; anything
+# else rejects identically on every cluster image.
+_IMAGE_MAGICS: tuple[bytes, ...] = (
+    b"P5",  # binary netpbm gray (stdlib path)
+    b"P6",  # binary netpbm RGB (stdlib path)
+    b"BM",  # 24-bit BMP (stdlib path)
+    b"\x89PNG\r\n\x1a\n",
+    b"\xff\xd8\xff",  # JPEG
+    b"GIF87a",
+    b"GIF89a",
+    b"II*\x00",  # TIFF little-endian
+    b"MM\x00*",  # TIFF big-endian
+    b"RIFF",  # WEBP (RIFF....WEBP, sub-checked below)
+)
+
+
+def _is_whitelisted_image(content: bytes) -> bool:
+    for magic in _IMAGE_MAGICS:
+        if content[: len(magic)] == magic:
+            # RIFF is shared with WAV — only the WEBP form counts
+            if magic == b"RIFF":
+                return content[8:12] == b"WEBP"
+            return True
+    return False
+
+
 def decode_image(content: bytes) -> object:
     """Decode image bytes → image object (loaded into memory). The
     single seam where the real decoder lives. PIL handles every format
@@ -223,7 +256,17 @@ def decode_image(content: bytes) -> object:
     loudly, instead of silently skipping payloads. The PIL path is
     additionally covered by a ``pytest.importorskip("PIL")`` test that
     runs wherever the cluster image carries PIL.
+
+    Payloads outside the fixed ``_IMAGE_MAGICS`` whitelist are rejected
+    BEFORE any decoder sees them, so ``decodable`` in
+    :func:`extract_features` is a pure function of the bytes — the same
+    on a bare-stdlib executor and a PIL-equipped one.
     """
+    if not _is_whitelisted_image(content):
+        raise ValueError(
+            "payload magic not in the image-decode whitelist "
+            "(environment-invariant reject)"
+        )
     try:
         from PIL import Image
     except ImportError as exc:
@@ -512,18 +555,183 @@ WAV_WINDOW_SCHEMA = StructType(
 )
 
 
-def decoded_audio_windows(media: DataFrame, window_ms: int = 1000) -> DataFrame:
+def _parse_extended80(b10: bytes) -> int:
+    """Parse the 10-byte IEEE-754 extended (SANE) big-endian float an
+    AIFF COMM chunk stores the sample rate in, STRICTLY: only positive
+    integral rates are supported (every real audio rate is), anything
+    fractional / negative / denormal raises instead of rounding."""
+    import struct
+
+    exp_field = struct.unpack(">H", b10[:2])[0]
+    mant = struct.unpack(">Q", b10[2:])[0]
+    if exp_field & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    if exp_field == 0x7FFF:
+        raise ValueError("non-finite AIFF sample rate")
+    if mant == 0:
+        raise ValueError("zero AIFF sample rate")
+    if not mant >> 63:
+        raise NotImplementedError("denormal AIFF sample rate")
+    shift = (exp_field - 16383) - 63
+    if shift >= 0:
+        return mant << shift
+    if mant & ((1 << -shift) - 1):
+        raise NotImplementedError("non-integral AIFF sample rate")
+    return mant >> -shift
+
+
+def decode_aiff(content: bytes) -> tuple:
+    """Parse a FORM/AIFF container with stdlib ``struct`` only — the
+    BIG-ENDIAN twin of :func:`decode_wav` (AIFF is the classic
+    Mac/broadcast interchange container; everything in it, including
+    the PCM samples, is big-endian, and the sample rate is an 80-bit
+    extended float): validate the FORM header and declared size, WALK
+    the even-aligned chunk list skipping unknown chunks (ANNO/NAME
+    metadata breaks fixed-offset readers), read the COMM parameters and
+    the SSND data chunk, and unpack the samples as signed BIG-endian
+    int16. Returns (sample_rate, n_channels, samples).
+
+    Only integer PCM16 mono with zero SSND offset/blockSize is
+    implemented — everything else raises loudly (the
+    :func:`decode_wav` contract), never silently misreads.
+    """
+    import struct
+
+    if len(content) < 12 or content[:4] != b"FORM" or content[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF payload")
+    declared = struct.unpack(">I", content[4:8])[0]
+    if declared + 8 != len(content):
+        raise ValueError(f"FORM size {declared} != payload size {len(content)} - 8")
+    comm = None
+    ssnd = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        csize = struct.unpack(">I", content[pos + 4 : pos + 8])[0]
+        body = content[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"COMM":
+            if csize < 18:
+                raise ValueError("COMM chunk too short")
+            comm = body
+        elif cid == b"SSND":
+            if csize < 8:
+                raise ValueError("SSND chunk too short")
+            ssnd = body
+        pos += 8 + csize + (csize & 1)  # chunks are even-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("missing COMM/SSND chunk")
+    n_channels, n_frames, bits = struct.unpack(">HIH", comm[:8])
+    rate = _parse_extended80(comm[8:18])
+    if bits != 16:
+        raise NotImplementedError(f"PCM16 only (bits={bits})")
+    if n_channels != 1:
+        raise NotImplementedError(f"mono only (channels={n_channels})")
+    offset, block = struct.unpack(">II", ssnd[:8])
+    if offset or block:
+        raise NotImplementedError("SSND offset/blockSize not supported")
+    data = ssnd[8:]
+    if len(data) % 2:
+        raise ValueError("odd SSND data length for PCM16")
+    samples = struct.unpack(">%dh" % (len(data) // 2), data)
+    if len(samples) != n_frames:
+        raise ValueError(
+            f"COMM numSampleFrames {n_frames} != SSND sample count {len(samples)}"
+        )
+    return rate, n_channels, samples
+
+
+# 80-bit extended big-endian encodings of the four synthesis rates —
+# precomputed constants (rate = mantissa · 2^(exp−16383−63)); pinned
+# against _parse_extended80 by test.
+_EXT80_HEX = {
+    8000: "400BFA00000000000000",
+    16000: "400CFA00000000000000",
+    22050: "400DAC44000000000000",
+    44100: "400EAC44000000000000",
+}
+
+
+def attach_aiff(documents: DataFrame) -> DataFrame:
+    """Synthesize a VALID FORM/AIFF (PCM16 mono, big-endian) payload
+    per document entirely in column expressions — the second audio
+    container family next to :func:`attach_wav`, so the decodable
+    fraction of a mixed corpus is exercised with more than one
+    container per modality. Hex assembly + one ``unhex`` (bytes never
+    pass through UTF-8). Deterministic closed form the oracle replays:
+
+    - sample_rate = (8000, 16000, 22050, 44100)[len(text) % 4]
+      (stored as the precomputed 80-bit extended constant)
+    - n = len(text) % 29 + 4 samples
+    - sample i = (len(text)·17 + i²·5) mod 65536, BIG-endian u16 on
+      disk, decoded back as signed int16
+
+    Docs with len % 5 == 0 additionally carry an ANNO metadata chunk
+    BETWEEN COMM and SSND, so a fixed-offset reader fails on exactly
+    those payloads (the :func:`attach_wav` LIST discipline).
+    """
+    L = "length(coalesce(text, ''))"
+    n = f"({L} % 29 + 4)"
+    rate_hex = (
+        "element_at(array("
+        + ", ".join(f"'{_EXT80_HEX[r]}'" for r in _WAV_RATES)
+        + f"), cast({L} % 4 + 1 as int))"
+    )
+
+    def be16(x: str) -> str:
+        return f"lpad(hex(({x}) % 65536), 4, '0')"
+
+    def be32(x: str) -> str:
+        return f"lpad(hex({x}), 8, '0')"
+
+    has_anno = f"({L} % 5 = 0)"
+    # FORM size: 'AIFF' (4) + COMM chunk (8+18) + optional ANNO (8+4)
+    # + SSND header (8+8) + 2n sample bytes
+    form_size = f"(46 + 2 * {n} + case when {has_anno} then 12 else 0 end)"
+    samp = f"(({L}) * 17 + i * i * 5) % 65536"
+    data_hex = f"array_join(transform(sequence(0, {n} - 1), i -> {be16(samp)}), '')"
+    content = (
+        "unhex(concat("
+        "'464F524D', "  # 'FORM'
+        f"{be32(form_size)}, "
+        "'41494646', "  # 'AIFF'
+        "'434F4D4D', '00000012', "  # 'COMM', size 18
+        "'0001', "  # mono
+        f"{be32(n)}, "  # numSampleFrames
+        "'0010', "  # 16 bits
+        f"{rate_hex}, "
+        "case when "
+        f"{has_anno} then '414E4E4F0000000464656D6F' else '' end, "  # ANNO 'demo'
+        "'53534E44', "  # 'SSND'
+        f"{be32(f'8 + 2 * {n}')}, "
+        "'00000000', '00000000', "  # offset, blockSize
+        f"{data_hex}))"
+    )
+    return documents.select(
+        F.col("doc_id"),
+        F.lit("audio/aiff").alias("media_type"),
+        F.expr(content).alias("content"),
+    )
+
+
+def decoded_audio_windows(
+    media: DataFrame, window_ms: int = 1000, decoder=None
+) -> DataFrame:
     """REAL audio-decoder path — the audio twin of
     :func:`decoded_image_features`: Arrow-batched ``mapInPandas``, one
-    :func:`decode_wav` per payload, then fixed-duration windows over
-    the DECODED samples at the PARSED sample rate (not a caller-side
-    guess): samples-per-window = rate·window_ms div 1000, last partial
-    window kept. Emits exact-integer per-window stats (count, Σ|s|,
-    max|s|) so the whole container parse + sample decode + fan-out is
-    SQL-checkable against the :func:`attach_wav` closed form — a
-    parser that misreads the rate, drops the LIST chunk handling, or
-    mis-signs a sample hash-mismatches immediately.
+    container decode per payload (``decoder`` — :func:`decode_wav` by
+    default, :func:`decode_aiff` for the big-endian family), then
+    fixed-duration windows over the DECODED samples at the PARSED
+    sample rate (not a caller-side guess): samples-per-window =
+    rate·window_ms div 1000, last partial window kept. Emits
+    exact-integer per-window stats (count, Σ|s|, max|s|) so the whole
+    container parse + sample decode + fan-out is SQL-checkable against
+    the synthesis closed form — a parser that misreads the rate, drops
+    the metadata-chunk handling, or mis-signs a sample hash-mismatches
+    immediately.
     """
+    decoder = decoder or decode_wav
 
     def _win(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -535,7 +743,7 @@ def decoded_audio_windows(media: DataFrame, window_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             rows: dict = {k: [] for k in cols}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                rate, _ch, samples = decode_wav(bytes(content))
+                rate, _ch, samples = decoder(bytes(content))
                 spw = max(rate * window_ms // 1000, 1)
                 for w_idx in range((len(samples) + spw - 1) // spw):
                     chunk = samples[w_idx * spw : (w_idx + 1) * spw]
@@ -643,6 +851,22 @@ def decoded_audio_stats(documents: DataFrame) -> DataFrame:
     return decoded_audio_windows(attach_wav(documents), window_ms=1)
 
 
+def decoded_aiff_stats(documents: DataFrame) -> DataFrame:
+    """End-to-end REAL decode for the SECOND audio container family —
+    synthesize valid big-endian FORM/AIFF containers
+    (:func:`attach_aiff`, incl. the ANNO metadata-chunk variants), run
+    the live chunk-walking parser (:func:`decode_aiff` — 80-bit
+    extended sample rate, signed big-endian int16 samples) over Arrow
+    batches, window the decoded samples at 1 ms. Same SQL-oracle
+    discipline as :func:`decoded_audio_stats`: the oracle replays the
+    synthesis closed form, so a parser that misreads the extended
+    float, the even-chunk alignment, or the sample byte order
+    hash-mismatches."""
+    return decoded_audio_windows(
+        attach_aiff(documents), window_ms=1, decoder=decode_aiff
+    )
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -664,7 +888,8 @@ def audio_windows(
     feature extractor (fbank, VAD, diarization) plugs into.
 
     Container-aware: payloads with a RIFF magic are parsed through the
-    REAL :func:`decode_wav` (chunk walk, PCM16 fmt, data chunk) and
+    REAL :func:`decode_wav` (chunk walk, PCM16 fmt, data chunk), FORM
+    magics through :func:`decode_aiff` (the big-endian family), and
     windowed over the DECODED samples at the PARSED rate — the
     ``sample_rate`` argument applies only to headerless payloads,
     which keep the documented raw-PCM16-mono interpretation
@@ -675,6 +900,17 @@ def audio_windows(
     chunk for WAV, whole payload for raw) — a pure function of the
     bytes, so the whole fan-out is SQL-checkable like the frame
     sampler.
+
+    A RIFF/FORM-prefixed payload that FAILS the strict container parse
+    (stereo/float/truncated container, or a text payload that happens
+    to start with 'RIFF'/'FORM' via ``attach_binary``) falls back to the
+    documented raw-PCM16 interpretation instead of killing the job —
+    a per-row degrade, never an engine crash. The registered
+    ``audio_windows`` oracle replays the raw closed form for every
+    document, which this fallback keeps exact for any non-decodable
+    payload; the only payloads that diverge from it are genuinely
+    valid PCM16-mono WAV containers, which the ``decoded_audio_stats``
+    / ``wav_dup_windows`` oracles certify through the decode path.
     """
     spw = sample_rate * window_ms // 1000  # samples per window (raw path)
 
@@ -691,8 +927,18 @@ def audio_windows(
             md5s: list[str] = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 raw = bytes(content)
-                if raw[:4] == b"RIFF":
-                    rate, _ch, samples = decode_wav(raw)
+                decoded = None
+                if raw[:4] in (b"RIFF", b"FORM"):
+                    try:
+                        decoded = (
+                            decode_wav(raw)
+                            if raw[:4] == b"RIFF"
+                            else decode_aiff(raw)
+                        )
+                    except (ValueError, NotImplementedError):
+                        decoded = None  # per-row degrade to raw path
+                if decoded is not None:
+                    rate, _ch, samples = decoded
                     pcm = struct.pack("<%dh" % len(samples), *samples)
                     n_samples = len(samples)
                     spw_i = max(rate * window_ms // 1000, 1)

@@ -1757,11 +1757,16 @@ ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
     # --- multimodal plumbing ----------------------------------------------
     # text payloads are never parseable images, so this certifies the
     # REJECT path of the real decode attempt: width/height NULL,
-    # decodable 0, byte metadata exact. Pin: no testdata text begins
-    # with the P5/P6/BM magic bytes (verified across all SFs — a text
-    # that did would additionally have to survive the strict
-    # dimensions + exact-pixel-length parse to flip decodable). The
-    # decode SUCCESS path is certified by decoded_image_stats.
+    # decodable 0, byte metadata exact. The reject is
+    # environment-INVARIANT by construction (ADVICE r13): decode_image
+    # gates on the fixed _IMAGE_MAGICS binary whitelist before any
+    # decoder (incl. PIL's sniffing, which would otherwise accept
+    # text-shaped ASCII formats like netpbm P1/P2/P3 or XBM) sees the
+    # payload. Residual pin: no testdata text begins with the P5/P6/BM
+    # magic bytes (verified across all SFs — a text that did would
+    # additionally have to survive the strict dimensions +
+    # exact-pixel-length parse to flip decodable). The decode SUCCESS
+    # path is certified by decoded_image_stats.
     "media_features": """
 SELECT doc_id,
        CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
@@ -1827,6 +1832,40 @@ sv AS (
   FROM (
     SELECT doc_id, sr, unnest(range(n)) AS i,
            (L * 31 + unnest(range(n)) * unnest(range(n)) * 7) % 65536 AS u
+    FROM par
+  )
+)
+SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+       window_idx,
+       CAST(window_idx AS BIGINT) AS start_ms,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(v)) AS BIGINT) AS peak_abs
+FROM (SELECT doc_id, sr, CAST(i // (sr // 1000) AS INTEGER) AS window_idx, v FROM sv)
+GROUP BY doc_id, sr, window_idx
+ORDER BY doc_id, window_idx
+""",
+    # second audio container family (multimodal.decoded_aiff_stats):
+    # the Spark side REALLY parses synthesized big-endian FORM/AIFF
+    # containers (even-aligned chunk walk incl. ANNO variants, 80-bit
+    # extended sample rate, signed BE int16 unpack); the oracle
+    # recomputes the attach_aiff closed form, so a parser that misreads
+    # the extended float or the byte order hash-mismatches
+    "decoded_aiff_stats": """
+WITH base AS (SELECT doc_id, strlen(coalesce(text, '')) AS L FROM documents),
+par AS (
+  SELECT doc_id,
+         [8000, 16000, 22050, 44100][CAST(L % 4 AS INTEGER) + 1] AS sr,
+         L % 29 + 4 AS n, L
+  FROM base
+),
+sv AS (
+  SELECT doc_id, sr,
+         CAST(i AS BIGINT) AS i,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM (
+    SELECT doc_id, sr, unnest(range(n)) AS i,
+           (L * 17 + unnest(range(n)) * unnest(range(n)) * 5) % 65536 AS u
     FROM par
   )
 )

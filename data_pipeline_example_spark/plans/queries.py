@@ -766,6 +766,16 @@ def q_decoded_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decoded_audio_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_decoded_aiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode for the SECOND audio container family: synthesized
+    big-endian FORM/AIFF payloads (80-bit extended sample rate, ANNO
+    metadata-chunk variants) through the stdlib chunk-walking parser,
+    windowed at 1 ms over the decoded samples at the PARSED rate;
+    exact-integer per-window stats replayed by the oracle in closed
+    form."""
+    return multimodal.decoded_aiff_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_samples(load_table(spark, sf_dir, "documents"))
 
@@ -1926,6 +1936,7 @@ QUERIES: dict[str, QueryFn] = {
     "sole_return_suppliers": q_sole_return_suppliers,
     "decoded_image_stats": q_decoded_image_stats,
     "decoded_audio_stats": q_decoded_audio_stats,
+    "decoded_aiff_stats": q_decoded_aiff_stats,
     "wav_dup_windows": q_wav_dup_windows,
     "kpis_long": q_kpis_long,
     "nearest_neighbor": q_nearest_neighbor,

@@ -450,6 +450,83 @@ def dedup_lines_stream(
     )
 
 
+def dedup_audio_stream(
+    media: DataFrame, window_ms: int = 1, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming AUDIO dedup admission — completes modality symmetry
+    with the text (``gate_and_dedup`` / ``dedup_lines_stream``),
+    embedding (``dedup_embedding_stream``) and image
+    (``dedup_image_stream``) admission stages: arriving audio payloads
+    are container-decoded IN the micro-batch and admitted at analysis-
+    window granularity, keyed on exactly the per-window content digest
+    the batch :func:`operators.multimodal.wav_dup_windows` sweep groups
+    on — md5 over the window's PCM bytes as an uppercase hex string +
+    ':' + window_idx — so the streamed admission decisions and the
+    periodic batch dup sweep agree row-for-row (the restart test pins
+    the streamed rejects to the batch anchor's dup groups).
+
+    Decode is the REAL :func:`decode_wav` RIFF chunk walk via the same
+    Arrow-batched ``mapInPandas`` seam as ``dedup_image_stream``;
+    undecodable payloads (wrong magic, truncated container, non-PCM16)
+    are DROPPED inside the batch, never keyed — a shared failure key
+    would swallow every later broken payload as a "duplicate", the
+    NULL-key trap the embedding stage documents.
+
+    State is one digest per distinct admitted window inside the
+    watermark horizon, evicted after it (``dropDuplicatesWithinWatermark``)
+    — bounded by distinct audio content per horizon, not by stream
+    length, the 100 TB ingest contract shared by every admission stage
+    in this module. First-occurrence-wins is arrival order, the
+    streaming analogue of the batch sweep's ``first_doc``.
+
+    Output: the admitted window stream (doc_id, window_idx,
+    window_digest, ingest_ts).
+    """
+    from data_pipeline_example_spark.operators.multimodal import decode_wav
+
+    def _digest(batches):
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, tss, idxs, digs = [], [], [], []
+            for doc_id, ts, b in zip(pdf["doc_id"], pdf["ingest_ts"], pdf["content"]):
+                try:
+                    rate, _ch, samples = decode_wav(bytes(b))
+                except Exception:
+                    continue  # reject: undecodable payload
+                spw = max(rate * window_ms // 1000, 1)
+                for w in range((len(samples) + spw - 1) // spw):
+                    chunk = samples[w * spw : (w + 1) * spw]
+                    pcm = struct.pack("<%dh" % len(chunk), *chunk)
+                    ids.append(doc_id)
+                    tss.append(ts)
+                    idxs.append(w)
+                    digs.append(
+                        hashlib.md5(
+                            (pcm.hex().upper() + ":" + str(w)).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_idx": pd.array(idxs, dtype="int32"),
+                    "window_digest": digs,
+                    "ingest_ts": tss,
+                }
+            )
+
+    digested = media.filter(F.col("content").isNotNull()).mapInPandas(
+        _digest,
+        "doc_id long, window_idx int, window_digest string, ingest_ts timestamp",
+    )
+    return digested.withWatermark(
+        "ingest_ts", watermark
+    ).dropDuplicatesWithinWatermark(["window_digest"])
+
+
 def bloom_admission_stream(
     docs: DataFrame,
     m_bits: int = 65536,

@@ -773,6 +773,19 @@ def hll_cardinality_stream(df: DataFrame, p_bits: int = 6) -> DataFrame:
 
     def update(key: tuple, pdfs, state: GroupState):
         regs = list(state.get[0]) if state.exists else [0] * m
+        if len(regs) != m:
+            # The state format is a function of p_bits (m = 2^p_bits
+            # registers). Resuming a checkpoint written with a
+            # different p_bits would either IndexError (p grew) or
+            # silently mis-bin and emit wrong estimates (p shrank) —
+            # fail loudly with the operational fix instead.
+            raise ValueError(
+                f"hll_cardinality_stream: restored state has {len(regs)} "
+                f"registers but p_bits={p_bits} expects m={m}; the sketch "
+                "precision cannot change across a checkpoint — restart "
+                "the query with a FRESH checkpoint location when "
+                "changing p_bits"
+            )
         for pdf in pdfs:
             for b, r in (
                 pdf.groupby("bucket")["rho"].max().items()

@@ -100,6 +100,29 @@ def test_decode_image_rejects_garbage_loudly():
         mm.decode_image(b"P6\n2 2\n255\n\x00")  # truncated pixel data
 
 
+def test_decode_image_whitelist_is_environment_invariant():
+    """Text-shaped formats PIL would sniff (ASCII netpbm P1/P2/P3, XBM)
+    must reject at the magic whitelist BEFORE any decoder — otherwise
+    ``decodable`` flips on PIL-equipped clusters only and breaks the
+    hash-pinned media_features oracle (ADVICE r13)."""
+    for payload in (
+        b"P1\n2 2\n0 1\n1 0\n",            # ASCII PBM — valid for PIL
+        b"P2\n2 2\n255\n0 1 2 3\n",        # ASCII PGM
+        b"P3\n1 1\n255\n10 20 30\n",       # ASCII PPM
+        b"#define im_width 2\n#define im_height 2\n"
+        b"static char im_bits[] = {0x01};",  # XBM
+        b"<svg xmlns='http://www.w3.org/2000/svg'/>",
+        b"RIFF\x04\x00\x00\x00WAVE",        # RIFF but not WEBP
+    ):
+        with pytest.raises(ValueError, match="whitelist"):
+            mm.decode_image(payload)
+    # whitelisted magics still reach the decoder (and fail later,
+    # differently, when malformed)
+    with pytest.raises(Exception) as exc:
+        mm.decode_image(b"\x89PNG\r\n\x1a\n truncated")
+    assert "whitelist" not in str(exc.value)
+
+
 def test_decoded_image_features_end_to_end_stdlib(spark):
     """The real-decoder mapInPandas pipeline executes in this sandbox:
     Arrow batches of netpbm/BMP payloads → per-row decode → dims."""
@@ -225,6 +248,116 @@ def test_decode_wav_rejects_malformed_loudly():
         decode_wav(wav)
 
 
+def test_decode_aiff_reads_stdlib_aifc_output():
+    """Cross-validation against Python's own AIFF writer: whatever the
+    stdlib aifc module emits (incl. its 80-bit extended sample rate),
+    decode_aiff must parse identically — rate, channels, every signed
+    big-endian sample."""
+    import io
+    import struct
+    import warnings
+
+    from data_pipeline_example_spark.operators.multimodal import decode_aiff
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+
+    class _KeepOpen(io.BytesIO):  # aifc closes the stream on exit
+        def close(self):
+            pass
+
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    buf = _KeepOpen()
+    with aifc.open(buf, "wb") as w:
+        w.aiff()  # plain AIFF (the writer defaults to AIFF-C)
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(struct.pack(">%dh" % len(samples), *samples))
+    rate, ch, got = decode_aiff(buf.getvalue())
+    assert (rate, ch) == (22050, 1)
+    assert list(got) == samples
+
+
+def test_decode_aiff_rejects_malformed_loudly():
+    import struct
+
+    import pytest
+
+    from data_pipeline_example_spark.operators.multimodal import (
+        _parse_extended80,
+        decode_aiff,
+    )
+
+    with pytest.raises(ValueError):
+        decode_aiff(b"not form at all")
+    with pytest.raises(ValueError):  # lying FORM size
+        decode_aiff(b"FORM" + struct.pack(">I", 99) + b"AIFF")
+
+    def aiff(bits=16, channels=1, n_frames=0, data=b"", rate_hex="400DAC44000000000000"):
+        comm = struct.pack(">HIH", channels, n_frames, bits) + bytes.fromhex(rate_hex)
+        ssnd = struct.pack(">II", 0, 0) + data
+        body = (b"AIFF"
+                + b"COMM" + struct.pack(">I", len(comm)) + comm
+                + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+        return b"FORM" + struct.pack(">I", len(body)) + body
+
+    with pytest.raises(NotImplementedError):  # 32-bit samples
+        decode_aiff(aiff(bits=32))
+    with pytest.raises(NotImplementedError):  # stereo
+        decode_aiff(aiff(channels=2))
+    with pytest.raises(ValueError):  # frame-count mismatch
+        decode_aiff(aiff(n_frames=3, data=b"\x00\x02"))
+    with pytest.raises(NotImplementedError):  # fractional rate 22050.5
+        decode_aiff(aiff(n_frames=1, data=b"\x00\x02",
+                         rate_hex="400DAC45000000000000"))
+    # the pinned synthesis constants decode to exactly their rates
+    for rate, hx in ((8000, "400BFA00000000000000"),
+                     (16000, "400CFA00000000000000"),
+                     (22050, "400DAC44000000000000"),
+                     (44100, "400EAC44000000000000")):
+        assert _parse_extended80(bytes.fromhex(hx)) == rate
+
+
+def test_attach_aiff_containers_are_valid_for_stdlib_reader(spark):
+    """The synthesized containers must be REAL AIFF files: the stdlib
+    aifc module (an independent parser) reads them back — including
+    the ANNO-chunk variants (len % 5 == 0) that break fixed-offset
+    readers — and decode_aiff recovers exactly the closed-form
+    samples."""
+    import io
+    import struct
+    import warnings
+
+    from data_pipeline_example_spark.operators.multimodal import (
+        attach_aiff,
+        decode_aiff,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 25), (1, "y" * 13)],  # 25 → ANNO variant; 13 → plain
+        ["doc_id", "text"],
+    )
+    for r in attach_aiff(docs).collect():
+        payload = bytes(r["content"])
+        L = 25 if r["doc_id"] == 0 else 13
+        sr = (8000, 16000, 22050, 44100)[L % 4]
+        n = L % 29 + 4
+        want = [(x - 65536 if x >= 32768 else x)
+                for x in ((L * 17 + i * i * 5) % 65536 for i in range(n))]
+        with aifc.open(io.BytesIO(payload)) as a:
+            assert a.getnchannels() == 1 and a.getsampwidth() == 2
+            assert a.getframerate() == sr and a.getnframes() == n
+            ind = list(struct.unpack(">%dh" % n, a.readframes(n)))
+        rate, _ch, got = decode_aiff(payload)
+        assert rate == sr and list(got) == want == ind
+
+
 def test_attach_wav_containers_are_valid_and_chunk_walked(spark):
     """The synthesized containers must be REAL WAV files: the stdlib
     wave module (an independent parser) reads them back — including
@@ -322,6 +455,49 @@ def test_audio_windows_container_aware(spark):
     assert rows[0]["n_samples"] == 16 and rows[1]["n_samples"] == n - 16
     pcm = struct.pack("<%dh" % n, *samples)
     assert rows[0]["window_md5"] == hashlib.md5(pcm + b":0").hexdigest()
+
+
+def test_audio_windows_riff_prefix_degrades_to_raw(spark):
+    """A payload that STARTS with 'RIFF' but fails the strict container
+    parse (here: a text payload routed through the binary seam, and a
+    truncated real WAV) must degrade per-row to the documented
+    raw-PCM16 interpretation — not kill the job (ADVICE r13). The raw
+    interpretation is exactly what the registered oracle replays, so
+    the fallback keeps the hash match for any non-decodable payload."""
+    import hashlib
+
+    from data_pipeline_example_spark.operators.multimodal import (
+        attach_wav,
+        audio_windows,
+    )
+    from pyspark.sql import functions as F
+
+    fake = b"RIFF this is just text that happens to start with the magic"
+    # also a structurally-truncated container: valid magic, lying size
+    truncated = b"RIFF" + b"\x00\x00\x00\x10" + b"WAVEfmt "
+    docs = spark.createDataFrame(
+        [(0, bytearray(fake)), (1, bytearray(truncated))],
+        ["doc_id", "content"],
+    ).select("doc_id", F.col("content").cast("binary").alias("content"))
+    rows = audio_windows(docs, window_ms=10, sample_rate=16_000).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # raw path: n_samples = len(bytes)//2, 160 samples/window,
+    # md5 over the RAW payload bytes
+    for doc_id, payload in ((0, fake), (1, truncated)):
+        got = sorted(by_doc[doc_id], key=lambda r: r["window_idx"])
+        n = len(payload) // 2
+        assert sum(r["n_samples"] for r in got) == n
+        assert got[0]["window_md5"] == hashlib.md5(payload + b":0").hexdigest()
+
+    # and a genuinely valid WAV still takes the decode path
+    text_docs = spark.createDataFrame(
+        [(2, "y" * 25, "en", "s", 25)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    decoded = audio_windows(attach_wav(text_docs), window_ms=1).collect()
+    assert {r["n_samples"] for r in decoded} == {16, 12}  # parsed 16 kHz rate
 
 
 def test_wav_dup_windows_planted_equal_lengths(spark):

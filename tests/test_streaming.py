@@ -1174,6 +1174,56 @@ def test_hll_stream_p_bits_matches_batch_twin(spark, tmp_path):
     assert got["a"][0] <= 16
 
 
+def test_hll_stream_rejects_p_bits_change_on_restore(spark, tmp_path):
+    """Resuming an HLL checkpoint with a different p_bits must fail
+    with a descriptive error, not IndexError (p grew) or a silent
+    mis-bin (p shrank) — the state register array's length is the
+    sketch precision (ADVICE r13). Two passes over the same
+    checkpoint: p_bits=4 then p_bits=6 → StreamingQueryException whose
+    root message names p_bits and the fresh-checkpoint fix."""
+    import json as _json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from data_pipeline_example_spark.streaming import job
+
+    in_dir, out_dir, ckpt = (
+        tmp_path / "in",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    in_dir.mkdir()
+    with open(in_dir / "b1.json", "w") as f:
+        for i in range(20):
+            f.write(_json.dumps({"event_type": "a", "user_id": str(i)}) + "\n")
+
+    def run(p_bits: int) -> None:
+        raw = (
+            spark.readStream.schema("event_type string, user_id string")
+            .json(str(in_dir))
+        )
+        q = (
+            job.hll_cardinality_stream(raw, p_bits=p_bits)
+            .writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(4)  # seeds 16-register state in the checkpoint
+    with open(in_dir / "b2.json", "w") as f:
+        for i in range(20, 40):
+            f.write(_json.dumps({"event_type": "a", "user_id": str(i)}) + "\n")
+    with pytest.raises(StreamingQueryException) as exc:
+        run(6)  # m=64 now; restored regs have len 16 → loud reject
+    msg = str(exc.value)
+    assert "p_bits" in msg and "fresh checkpoint" in msg.lower()
+
+
 def test_markov_stream_matches_batch_and_survives_restart(spark, tmp_path):
     """Streaming Markov transition pairs (job.markov_transition_stream)
     pinned to the batch anchor (users.event_markov_transitions): user 1

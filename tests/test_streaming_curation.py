@@ -341,6 +341,112 @@ def test_dedup_image_stream_admits_by_perceptual_hash(spark, tmp_path):
     assert len(hashes[1]) == 64 and hashes[1] != hashes[3]
 
 
+def test_dedup_audio_stream_admits_by_window_digest_across_restart(spark, tmp_path):
+    """Audio-modality streaming dedup admission, pinned to the batch
+    wav_dup_windows anchor: doc 2's text length equals doc 1's, so the
+    attach_wav closed form synthesizes a byte-identical sample stream
+    and EVERY doc-2 window digest is a duplicate of an admitted doc-1
+    digest — across a checkpoint kill/resume (doc 1 streams in run 1,
+    doc 2 in run 2, state survives). A different-length doc is
+    admitted; an undecodable payload is dropped, not keyed."""
+    import base64
+    import json
+    import os
+    import time
+
+    from data_pipeline_example_spark.operators import multimodal as mm
+    from data_pipeline_example_spark.streaming import curation as scur
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 25), (2, "b" * 25), (3, "c" * 30)],
+        ["doc_id", "text"],
+    )
+    payloads = {
+        r["doc_id"]: bytes(r["content"]) for r in mm.attach_wav(docs).collect()
+    }
+    assert payloads[1] == payloads[2]  # closed form depends only on len(text)
+
+    def _write(path, rows, mtime):
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    def b64(b):
+        return base64.b64encode(b).decode()
+
+    in_dir, out_dir, ckpt = tmp_path / "ain", tmp_path / "aout", tmp_path / "ackpt"
+    in_dir.mkdir()
+    now = time.time()
+
+    def run_once():
+        raw = scur.read_media_stream(spark, str(in_dir), max_files_per_trigger=1)
+        q = (
+            scur.dedup_audio_stream(scur.decode_media_stream(raw))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(
+        str(in_dir / "b1.json"),
+        [
+            {"doc_id": "1", "content_b64": b64(payloads[1]),
+             "ingest_ts": "2025-01-01 10:00:00"},
+            {"doc_id": "9", "content_b64": b64(b"RIFF junk, not a container"),
+             "ingest_ts": "2025-01-01 10:01:00"},
+        ],
+        now,
+    )
+    run_once()  # run 1: doc 1 admitted, junk dropped; then "kill"
+
+    _write(
+        str(in_dir / "b2.json"),
+        [
+            {"doc_id": "2", "content_b64": b64(payloads[2]),
+             "ingest_ts": "2025-01-01 10:20:00"},
+            {"doc_id": "3", "content_b64": b64(payloads[3]),
+             "ingest_ts": "2025-01-01 10:21:00"},
+        ],
+        now + 2,
+    )
+    run_once()  # resume: recovered state must still reject doc 2
+
+    out = spark.read.parquet(str(out_dir)).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["window_digest"])
+    assert set(by_doc) == {1, 3}  # 2 fully rejected, 9 dropped
+
+    # pin to the batch anchor: wav_dup_windows flags exactly the
+    # digests doc 2 duplicated, with doc 1 as the first occurrence —
+    # and those are exactly the admitted doc-1 digests
+    anchor = mm.wav_dup_windows(docs).collect()
+    assert {r["window_digest"] for r in anchor} == by_doc[1]
+    assert all(r["first_doc"] == 1 and r["n_docs"] == 2 for r in anchor)
+    # admitted window counts equal the closed-form fan-out
+    for doc_id in (1, 3):
+        _sr, n, _s = _wav_form(docs, doc_id)
+        assert len(by_doc[doc_id]) == n  # window_ms=1 at 16/22 kHz → spw>n? no
+    assert by_doc[1].isdisjoint(by_doc[3])
+
+
+def _wav_form(docs, doc_id):
+    """Closed-form (sample_rate, n_windows, n_samples) for attach_wav
+    payloads at window_ms=1 (spw = rate//1000)."""
+    text = {r["doc_id"]: r["text"] for r in docs.collect()}[doc_id]
+    rates = (8000, 16000, 22050, 44100)
+    sr = rates[len(text) % 4]
+    n_samples = len(text) % 37 + 3
+    spw = max(sr // 1000, 1)
+    n_windows = (n_samples + spw - 1) // spw
+    return sr, n_windows, n_samples
+
+
 def test_dedup_lines_stream_suppresses_boilerplate_across_batches(spark, tmp_path):
     """Streaming line dedup: a boilerplate line re-arriving in a LATER
     micro-batch is rejected; distinct lines are admitted; short lines
