@@ -842,6 +842,46 @@ def test_retrieval_quality_metrics_are_consistent(spark, sf_dir):
                for s in ("ivf", "ivfpq") for q in range(4))
 
 
+def test_retrieval_quality_holds_over_materialized_index(spark, sf_dir, tmp_path):
+    """The registered retrieval_quality grades ivfpq_knn IN-PLAN and
+    leans on equivalence tests to claim the written-index serving path
+    (VERDICT r13 #5). Close that hop end-to-end: write the index via
+    write_ann_index, serve the same query batch via
+    ivfpq_knn_index_batch, recompute recall@k/MRR against the same
+    exact knn_batch truth — the metric rows must be IDENTICAL to the
+    op's 'ivfpq' system rows."""
+    from data_pipeline_example_spark import curation
+    from data_pipeline_example_spark.operators import similarity as sim
+
+    n_queries, k = 4, 10
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want = {r["query_id"]: (r["n_returned"], r["hits"],
+                            r["recall_milli"], r["mrr_micro"])
+            for r in curation.retrieval_quality(docs, emb).collect()
+            if r["system"] == "ivfpq"}
+
+    path = str(tmp_path / "ann_rq")
+    sim.write_ann_index(emb, path)
+    qvs = [(r["vec_id"], [float(x) for x in r["embedding"]])
+           for r in emb.filter(F.col("vec_id") < n_queries).collect()]
+    served: dict = {}
+    for r in sim.ivfpq_knn_index_batch(spark, path, qvs, k=k).collect():
+        served.setdefault(r["query_id"], {})[r["vec_id"]] = r["rank"]
+
+    truth: dict = {}
+    for r in sim.knn_batch(emb, n_queries=n_queries, k=k).collect():
+        truth.setdefault(r["query_id"], {})[r["vec_id"]] = r["rank"]
+
+    got = {}
+    for q in range(n_queries):
+        hits = len(set(served[q]) & set(truth[q]))
+        t1 = next(v for v, rk in truth[q].items() if rk == 2)
+        mrr = 1_000_000 // served[q][t1] if t1 in served[q] else 0
+        got[q] = (len(served[q]), hits, hits * 1000 // k, mrr)
+    assert got == want
+
+
 def test_minhash_incremental_one_sided_best_match(spark):
     """Ingestion dedup is strictly NEW-vs-OLD: two near-identical docs
     inside the new batch must BOTH admit (no new-new pair), a new doc
