@@ -250,6 +250,7 @@ def run_doc_ingest(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     admission: str = "exact",
+    index_gate: str = "exact",
 ):
     """The wired lambda pipeline: landing zone → quality gate →
     watermarked in-horizon dedup → **foreachBatch** {persistent
@@ -264,6 +265,13 @@ def run_doc_ingest(
     gains a duplicate either way; the bloom mode only changes which
     novel docs might be lost upstream and how much state the stream
     carries.
+
+    ``index_gate`` picks the persisted-index admission:
+    ``"exact"`` (default, :func:`curation.update_dedup_index` — every
+    batch row anti-joins the ever-growing index) or
+    ``"bloom_prefilter"`` (:func:`curation.update_dedup_index_bloom` —
+    a broadcastable Bloom sidecar routes definitely-new rows past the
+    index join; admission stays EXACT, only the join input is bounded).
 
     The stream's ``dropDuplicatesWithinWatermark`` state catches
     duplicates inside the horizon; ``curation.update_dedup_index``
@@ -289,7 +297,12 @@ def run_doc_ingest(
         admitted_stream = gate_and_dedup(docs, min_quality, min_tokens, watermark)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        admitted = batch_curation.update_dedup_index(spark, batch, index_path)
+        gate = (
+            batch_curation.update_dedup_index_bloom
+            if index_gate == "bloom_prefilter"
+            else batch_curation.update_dedup_index
+        )
+        admitted = gate(spark, batch, index_path)
         # per-micro-batch admission set is small — broadcast it back
         # against the batch rather than shuffling the batch
         kept = batch.join(

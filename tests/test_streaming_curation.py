@@ -271,6 +271,60 @@ def test_run_doc_ingest_bloom_admission_end_to_end(spark, tmp_path):
     assert d1 == [(0, 16), (1, 16), (2, 3)]
 
 
+def test_run_doc_ingest_bloom_prefilter_index_gate_cross_run(spark, tmp_path):
+    """run_doc_ingest(index_gate='bloom_prefilter'): the persisted-index
+    gate stays EXACT with the Bloom sidecar routing — a doc re-arriving
+    in a SECOND run (fresh checkpoint, stream state gone) is still
+    rejected by the index, novel docs admit, and the sidecar exists
+    beside the index."""
+    in1, in2 = tmp_path / "pin1", tmp_path / "pin2"
+    corpus, idx = str(tmp_path / "pcorpus"), str(tmp_path / "pidx")
+    in1.mkdir()
+    in2.mkdir()
+    now = time.time()
+
+    _write_docs(
+        str(in1 / "b1.json"),
+        [
+            {"doc_id": "1", "text": GOOD, "ingest_ts": "2025-01-01 10:00:00"},
+            {"doc_id": "2", "text": OTHER, "ingest_ts": "2025-01-01 10:01:00"},
+        ],
+        now - 10,
+    )
+    q = sc.run_doc_ingest(
+        spark, str(in1), corpus, idx, str(tmp_path / "pck1"),
+        chunk_size=16, stride=16, index_gate="bloom_prefilter",
+    )
+    q.awaitTermination(120)
+
+    # run 2: FRESH checkpoint (stream dedup state lost) — only the
+    # persisted index + sidecar can reject the re-arrival of doc 1
+    _write_docs(
+        str(in2 / "b1.json"),
+        [
+            {"doc_id": "9", "text": GOOD, "ingest_ts": "2025-01-02 10:00:00"},
+            {
+                "doc_id": "10",
+                "text": OTHER + " fresh unique continuation tokens here",
+                "ingest_ts": "2025-01-02 10:01:00",
+            },
+        ],
+        now,
+    )
+    q = sc.run_doc_ingest(
+        spark, str(in2), corpus, idx, str(tmp_path / "pck2"),
+        chunk_size=16, stride=16, index_gate="bloom_prefilter",
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(corpus)
+    surviving = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert surviving == {1, 2, 10}  # 9 rejected by the sidecar-gated index
+    assert spark.read.parquet(idx).count() == 3
+    from data_pipeline_example_spark import curation as bc
+    assert spark.read.parquet(bc._bloom_sidecar_path(idx)).count() > 0
+
+
 def test_dedup_image_stream_admits_by_perceptual_hash(spark, tmp_path):
     """Image-modality streaming dedup: a LATER payload with DIFFERENT
     bytes but the same decoded pixels (header whitespace variant) is
