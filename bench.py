@@ -97,6 +97,9 @@ HEADLINE = [
     # weights, per-source caps, quality funnel attribution
     "line_dedup",
     "dsir_weights",
+    # round 14: inter-gate Cohen's kappa (which quality filters are
+    # redundant at corpus-scan cost)
+    "gate_agreement",
     "source_caps",
     "quality_funnel",
     "c4_clean",

@@ -1161,6 +1161,114 @@ def _prod(cols):
     return out
 
 
+GATE_AGREEMENT_GATES = ("gopher", "c4_page", "heuristic", "english")
+
+
+def gate_agreement(documents: DataFrame) -> DataFrame:
+    """Pairwise Cohen's kappa between the corpus quality gates, per
+    source — the inter-rater view :func:`quality_funnel` (per-rule
+    attrition) and :func:`dedup_agreement` (dedup-method overlap) don't
+    cover: two gates that agree near-chance (κ≈0) are measuring
+    different things and both earn their compute; κ≈1 means one is
+    redundant, and a NEGATIVE κ flags gates fighting each other on a
+    source — the signal that decides which filters to keep when each
+    one costs a full corpus scan at 100 TB.
+
+    Gates (one 0/1 verdict per document each, all replayable in SQL):
+    ``gopher`` (the full Gopher rule conjunction), ``c4_page`` (the C4
+    page gate), ``heuristic`` (``functions.text.quality_score`` ≥ 0.05,
+    the streaming-admission threshold), ``english`` (metadata
+    lang = 'en').
+
+    Exactness: kappa is computed in closed integer form from the
+    contingency sums — with a = Σg_a, b = Σg_b, m = Σg_a·g_b, n docs:
+
+        kappa_milli = 1000·(n·(m + (n−a−b+m)) − (a·b + (n−a)·(n−b)))
+                      div (n² − (a·b + (n−a)·(n−b)))
+
+    (`div` truncation matches DuckDB ``//`` on negatives too). NULL
+    when the chance-agreement denominator is 0 (a gate is constant on
+    the source). int64-exact while 1000·n² < 2^63 — n ≤ ~3·10⁹ docs
+    per source group; shard the group key beyond that.
+
+    Plan: ONE document scan — all four gates are column expressions
+    over the same projection (the ``_gopher_scored`` extras hook, the
+    ``corpus_funnel`` one-scan discipline: the C4 page gate, heuristic
+    score, and lang flag ride along with the Gopher metrics), then ONE
+    map-side-combinable aggregate per source (count + 4 gate sums + 6
+    pair sums); the 6 pair rows unpivot from the single aggregate row
+    with ``stack``. Zero joins, zero data-sized shuffles. Output:
+    source, gate_a, gate_b, n_docs, n_both, n_neither, agree_milli,
+    kappa_milli — ordered by (source, gate_a, gate_b).
+    """
+    from data_pipeline_example_spark.functions import text as TF
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    line_words = lambda l: F.when(  # noqa: E731 — local expression builder
+        F.trim(l) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(l), r"\s+")))
+    kept = F.filter(
+        F.split(txt, "\n"),
+        lambda l: (line_words(l) >= 5) & l.rlike(r'[.!?"]\s*$'),
+    )
+    page_pass = (
+        (F.locate("lorem ipsum", F.lower(txt)) == 0)
+        & (F.locate("{", txt) == 0)
+        & (F.size(kept) >= 3)
+    )
+    extras = (
+        ("source", F.coalesce(F.col("source"), F.lit("unknown"))),
+        ("g2", page_pass.cast("int")),
+        ("g3", (TF.quality_score(F.col("text")) >= 0.05).cast("int")),
+        ("g4", (F.coalesce(F.col("lang"), F.lit("")) == "en").cast("int")),
+    )
+    flags = _gopher_scored(documents, extras=extras).withColumn(
+        "g1", gopher_passes().cast("int")
+    )
+    pairs = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [F.sum(f"g{i}").cast("long").alias(f"a{i}") for i in range(1, 5)]
+    aggs += [
+        F.sum(F.col(f"g{i}") * F.col(f"g{j}")).cast("long").alias(f"b{i}{j}")
+        for i, j in pairs
+    ]
+    agg = flags.groupBy("source").agg(*aggs)
+    stacked = ", ".join(
+        f"'{GATE_AGREEMENT_GATES[i - 1]}', '{GATE_AGREEMENT_GATES[j - 1]}',"
+        f" a{i}, a{j}, b{i}{j}"
+        for i, j in pairs
+    )
+    un = agg.selectExpr(
+        "source",
+        "n",
+        f"stack({len(pairs)}, {stacked}) AS (gate_a, gate_b, na, nb, n_both)",
+    )
+    return (
+        un.selectExpr(
+            "source",
+            "gate_a",
+            "gate_b",
+            "n AS n_docs",
+            "n_both",
+            "n - na - nb + n_both AS n_neither",
+            "na * nb + (n - na) * (n - nb) AS pe_num",
+        )
+        .selectExpr(
+            "source",
+            "gate_a",
+            "gate_b",
+            "n_docs",
+            "n_both",
+            "n_neither",
+            "1000 * (n_both + n_neither) div n_docs AS agree_milli",
+            "CASE WHEN n_docs * n_docs = pe_num THEN NULL ELSE"
+            " (1000 * (n_docs * (n_both + n_neither) - pe_num))"
+            " div (n_docs * n_docs - pe_num) END AS kappa_milli",
+        )
+        .orderBy("source", "gate_a", "gate_b")
+    )
+
+
 def dsir_weights(documents: DataFrame, n_buckets: int = 1024) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, public): score
     every document by how much its hashed-bigram profile looks like the

@@ -3151,6 +3151,64 @@ s AS (SELECT {", ".join(sums)} FROM f)
 
 ORACLES["quality_funnel"] = _funnel_oracle()
 
+
+def _gate_agreement_oracle() -> str:
+    """Pairwise Cohen's kappa between the four quality gates
+    (operators/text.py:gate_agreement): contingency sums per source,
+    kappa in closed integer-milli form — DuckDB `//` truncates toward
+    zero like Spark `div`, including on negative numerators."""
+    gates = ("gopher", "c4_page", "heuristic", "english")
+    pairs = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    pair_sums = ",\n         ".join(
+        f"CAST(sum(g{i} * g{j}) AS BIGINT) AS b{i}{j}" for i, j in pairs
+    )
+    rows = "\n  UNION ALL\n  ".join(
+        f"SELECT source, n, '{gates[i - 1]}' AS gate_a, '{gates[j - 1]}' AS gate_b,"
+        f" a{i} AS na, a{j} AS nb, b{i}{j} AS n_both FROM s"
+        for i, j in pairs
+    )
+    return f"""
+WITH {_DOC_EXPRS},
+{_QUALITY_SQL},
+gq AS ({ORACLES["gopher_quality"]}),
+c4 AS ({ORACLES["c4_line_stats"]}),
+f AS (
+  SELECT d.doc_id,
+         coalesce(d.source, 'unknown') AS source,
+         gq.passes AS g1,
+         c4.page_pass AS g2,
+         CASE WHEN q.quality >= 0.05 THEN 1 ELSE 0 END AS g3,
+         CASE WHEN coalesce(d.lang, '') = 'en' THEN 1 ELSE 0 END AS g4
+  FROM documents d
+  JOIN gq ON gq.doc_id = d.doc_id
+  JOIN c4 ON c4.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(g1) AS BIGINT) AS a1, CAST(sum(g2) AS BIGINT) AS a2,
+         CAST(sum(g3) AS BIGINT) AS a3, CAST(sum(g4) AS BIGINT) AS a4,
+         {pair_sums}
+  FROM f GROUP BY source
+),
+p AS (
+  {rows}
+),
+e AS (
+  SELECT source, gate_a, gate_b, n AS n_docs, n_both,
+         n - na - nb + n_both AS n_neither,
+         na * nb + (n - na) * (n - nb) AS pe_num
+  FROM p
+)
+SELECT source, gate_a, gate_b, n_docs, n_both, n_neither,
+       CAST(1000 * (n_both + n_neither) // n_docs AS BIGINT) AS agree_milli,
+       CAST(CASE WHEN n_docs * n_docs = pe_num THEN NULL ELSE
+            (1000 * (n_docs * (n_both + n_neither) - pe_num))
+            // (n_docs * n_docs - pe_num) END AS BIGINT) AS kappa_milli
+FROM e
+ORDER BY source, gate_a, gate_b
+"""
+
 ORACLES["split_leakage_audit"] = f"""
 WITH clusters AS ({ORACLES["dedup_clusters"]}),
 assigned AS (
@@ -3200,6 +3258,8 @@ q AS (
   FROM docx
 )
 """
+
+ORACLES["gate_agreement"] = _gate_agreement_oracle()
 
 ORACLES["dsir_weights"] = f"""
 WITH {_DOC_EXPRS},

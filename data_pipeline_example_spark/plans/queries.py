@@ -1676,6 +1676,13 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_funnel(load_table(spark, sf_dir, "documents"))
 
 
+def q_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa between the four quality gates per
+    source (Gopher, C4 page, heuristic score, metadata lang) — closed
+    integer-milli form, one aggregate per source."""
+    return text.gate_agreement(load_table(spark, sf_dir, "documents"))
+
+
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-group-aware train/val/test split assignment with the
     near-dup leakage audit of the naive per-doc policy."""
@@ -1866,6 +1873,7 @@ QUERIES: dict[str, QueryFn] = {
     "local_supplier_volume": q_local_supplier_volume,
     "line_dedup": q_line_dedup,
     "quality_funnel": q_quality_funnel,
+    "gate_agreement": q_gate_agreement,
     "split_leakage_audit": q_split_leakage_audit,
     "dsir_weights": q_dsir_weights,
     "source_caps": q_source_caps,

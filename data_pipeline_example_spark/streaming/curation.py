@@ -478,12 +478,16 @@ def dedup_audio_stream(
     periodic batch dup sweep agree row-for-row (the restart test pins
     the streamed rejects to the batch anchor's dup groups).
 
-    Decode is the REAL :func:`decode_wav` RIFF chunk walk via the same
-    Arrow-batched ``mapInPandas`` seam as ``dedup_image_stream``;
-    undecodable payloads (wrong magic, truncated container, non-PCM16)
-    are DROPPED inside the batch, never keyed — a shared failure key
-    would swallow every later broken payload as a "duplicate", the
-    NULL-key trap the embedding stage documents.
+    Decode is the REAL container parse via the same Arrow-batched
+    ``mapInPandas`` seam as ``dedup_image_stream`` — RIFF magics
+    through :func:`decode_wav`, FORM magics through
+    :func:`decode_aiff` (both audio container families admit into the
+    SAME digest space: a WAV and an AIFF carrying identical PCM
+    windows collide, which is the correct dedup outcome); undecodable
+    payloads (wrong magic, truncated container, non-PCM16) are DROPPED
+    inside the batch, never keyed — a shared failure key would swallow
+    every later broken payload as a "duplicate", the NULL-key trap the
+    embedding stage documents.
 
     State is one digest per distinct admitted window inside the
     watermark horizon, evicted after it (``dropDuplicatesWithinWatermark``)
@@ -495,7 +499,10 @@ def dedup_audio_stream(
     Output: the admitted window stream (doc_id, window_idx,
     window_digest, ingest_ts).
     """
-    from data_pipeline_example_spark.operators.multimodal import decode_wav
+    from data_pipeline_example_spark.operators.multimodal import (
+        decode_aiff,
+        decode_wav,
+    )
 
     def _digest(batches):
         import hashlib
@@ -506,8 +513,10 @@ def dedup_audio_stream(
         for pdf in batches:
             ids, tss, idxs, digs = [], [], [], []
             for doc_id, ts, b in zip(pdf["doc_id"], pdf["ingest_ts"], pdf["content"]):
+                raw = bytes(b)
                 try:
-                    rate, _ch, samples = decode_wav(bytes(b))
+                    decoder = decode_aiff if raw[:4] == b"FORM" else decode_wav
+                    rate, _ch, samples = decoder(raw)
                 except Exception:
                     continue  # reject: undecodable payload
                 spw = max(rate * window_ms // 1000, 1)

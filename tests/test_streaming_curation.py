@@ -458,6 +458,26 @@ def test_dedup_audio_stream_admits_by_window_digest_across_restart(spark, tmp_pa
     )
     run_once()  # run 1: doc 1 admitted, junk dropped; then "kill"
 
+    # doc 4: an AIFF container carrying doc 1's exact PCM — the two
+    # audio container families share the digest space, so a cross-
+    # container duplicate must also be rejected
+    import struct
+
+    from data_pipeline_example_spark.operators.multimodal import decode_wav
+
+    rate, _ch, samples = decode_wav(payloads[1])
+    assert rate == 16000
+    comm = struct.pack(">HIH", 1, len(samples), 16) + bytes.fromhex(
+        "400CFA00000000000000"  # 16 kHz as 80-bit extended
+    )
+    ssnd = struct.pack(">II", 0, 0) + struct.pack(
+        ">%dh" % len(samples), *samples
+    )
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    aiff_twin = b"FORM" + struct.pack(">I", len(body)) + body
+
     _write(
         str(in_dir / "b2.json"),
         [
@@ -465,16 +485,18 @@ def test_dedup_audio_stream_admits_by_window_digest_across_restart(spark, tmp_pa
              "ingest_ts": "2025-01-01 10:20:00"},
             {"doc_id": "3", "content_b64": b64(payloads[3]),
              "ingest_ts": "2025-01-01 10:21:00"},
+            {"doc_id": "4", "content_b64": b64(aiff_twin),
+             "ingest_ts": "2025-01-01 10:22:00"},
         ],
         now + 2,
     )
-    run_once()  # resume: recovered state must still reject doc 2
+    run_once()  # resume: recovered state must still reject docs 2 and 4
 
     out = spark.read.parquet(str(out_dir)).collect()
     by_doc: dict = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], set()).add(r["window_digest"])
-    assert set(by_doc) == {1, 3}  # 2 fully rejected, 9 dropped
+    assert set(by_doc) == {1, 3}  # 2 and 4 fully rejected, 9 dropped
 
     # pin to the batch anchor: wav_dup_windows flags exactly the
     # digests doc 2 duplicated, with doc 1 as the first occurrence —
