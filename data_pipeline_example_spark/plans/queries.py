@@ -2093,40 +2093,49 @@ QUERIES: dict[str, QueryFn] = {
 # position): the r5 cohort remainder (11, decontaminated_corpus …
 # decoded_image_stats) through the r6 cohort and the first six r7
 # entries. Every name asserted present so a typo fails at import.
-_R13_FRONT = [
-    # new r13
-    "decoded_audio_stats", "wav_dup_windows", "retrieval_quality",
-    "ivf_knn_batch", "ivfpq_knn_batch",
-    # changed r13
-    "media_features", "user_cardinality_hll", "readability_scores",
-    "embedding_dimension_health", "audio_windows",
-    # r5-certified, oldest out of certification
-    "decontaminated_corpus", "ccnet_mixture", "cosine_dup_pairs_blocked",
-    "semantic_prune", "corpus_dup_ngrams", "embedding_prototypes",
-    "ivfpq_recall", "srp_recall_summary", "pq_distortion",
-    "sole_return_suppliers", "decoded_image_stats",
-    # r6 cohort
-    "market_share", "local_supplier_volume", "line_dedup",
-    "quality_funnel", "split_leakage_audit", "dsir_weights",
-    "source_caps", "bigram_lm_scores", "ccnet_buckets", "oov_rate",
-    "c4_clean", "cross_modal_prune", "image_phash_stats",
-    "phash_dup_pairs", "audio_dup_windows", "srp_dup_pairs",
-    "embedding_centroids", "nearest_neighbor_blocked",
-    "project_embeddings", "pq_codes", "ivfpq_knn",
-    "user_cardinality_kmv", "user_cardinality_kmv_by_type",
-    "priority_sample",
-    # r7 cohort head
-    "containment_dup_pairs", "token_budget_caps", "min_cost_supplier",
-    "important_part_stock", "supplier_count_by_part",
-    # (excess_shipped_suppliers yields its slot to the late r13
-    # wav_dup_windows and heads the r14 rotation)
+# round-14 front — mechanical again (same derivation: max hash_match
+# round per name across CORRECTNESS_r01..r13, ascending, ties by
+# registry position): the two NEW r14 ops (decoded_aiff_stats,
+# gate_agreement — never driver-certified), the two r14-CHANGED ops
+# (audio_windows gained the RIFF/FORM degrade-to-raw fallback;
+# media_features' decode attempt is now gated on the _IMAGE_MAGICS
+# whitelist), then the 46 least-recently-certified entries: the full
+# r7-certified remainder (12: excess_shipped_suppliers …
+# volume_shipping) and the oldest 34 of the r9 cohort in registry
+# order (cluster_representatives_lsh onward head the r15 rotation).
+# The r13 window (its list replaced here) re-certified the r5/r6
+# cohorts; every name asserted present so a typo fails at import.
+_R14_FRONT = [
+    # new r14
+    "decoded_aiff_stats", "gate_agreement",
+    # changed r14
+    "audio_windows", "media_features",
+    # r7-certified, oldest out of certification
+    "excess_shipped_suppliers", "user_reach_rollup",
+    "customer_spend_distribution", "customer_value_tiles",
+    "dedup_threshold_curve", "join_size_estimate", "ivf_knn",
+    "returned_item_ranking", "gopher_quality", "top_revenue_orders",
+    "customer_nation_revenue", "volume_shipping",
+    # r9 cohort head
+    "revenue_streaks", "event_debounce", "attribution_last_touch",
+    "funnel_dropoff_time", "label_separation_matrix",
+    "benchmark_decontamination", "tfidf_keywords",
+    "stratified_split_audit", "lang_confusion", "product_pagerank",
+    "bpe_merges", "bpe_encode_stats", "basket_graph_stats", "bm25_batch",
+    "packed_block_audit", "minhash_incremental", "customer_rfm",
+    "order_gap_percentiles", "source_overlap_matrix",
+    "countmin_term_error", "event_rate_mad", "orders_yoy_growth",
+    "customer_migration", "basket_communities", "sequence_pack",
+    "pack_block_stats", "corr_length_diversity", "revenue_pareto",
+    "ivfpq_knn_index_batch", "gopher_repetition", "pii_scan",
+    "source_temperature_weights", "bm25_search", "cluster_representatives",
 ]
-assert len(_R13_FRONT) == 50 and all(n in QUERIES for n in _R13_FRONT), (
+assert len(_R14_FRONT) == 50 and all(n in QUERIES for n in _R14_FRONT), (
     "window rotation list must name 50 registered queries"
 )
 QUERIES = {
-    **{n: QUERIES[n] for n in _R13_FRONT},
-    **{n: f for n, f in QUERIES.items() if n not in frozenset(_R13_FRONT)},
+    **{n: QUERIES[n] for n in _R14_FRONT},
+    **{n: f for n, f in QUERIES.items() if n not in frozenset(_R14_FRONT)},
 }
 
 
