@@ -113,3 +113,40 @@ def generate(
     df = synthetic_transactions(spark, days, tx_per_day, seed, start_date)
     write_daily_csvs(df, path)
     return df
+
+
+def _parse_args(argv):
+    """CLI twin of the reference's synthetic-data generator service
+    (`services/batch/generate_synthetic_data.py` via
+    `docker-compose.batch.yml`'s data-generator): same knobs, same
+    daily-CSV layout, but generated distributed through the engine."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="Generate synthetic daily CSVs")
+    p.add_argument("--output", required=True, help="output directory for daily CSVs")
+    p.add_argument("--days", type=int, default=30)
+    p.add_argument("--transactions-per-day", type=int, default=48, dest="tx_per_day")
+    p.add_argument("--seed", type=int, default=2024)
+    p.add_argument("--start-date", default="2024-01-01")
+    p.add_argument("--master", default=None, help="spark master override")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    from data_pipeline_example_spark.session import get_spark
+
+    args = _parse_args(argv)
+    spark = get_spark(app_name="datagen", master=args.master)
+    generate(
+        spark,
+        args.output,
+        days=args.days,
+        tx_per_day=args.tx_per_day,
+        seed=args.seed,
+        start_date=args.start_date,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -168,3 +168,38 @@ def serve_dashboards(
     server = DashboardServer(daily_fn, stream_fn, host=host, port=port)
     server.start()
     return server
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI twin of the reference's two Flask dashboard services
+    (`dashboard/app.py` + `streaming_dashboard/app.py`, wired by the
+    compose files): one process serving /api/daily, /api/stream,
+    /health and the static front-ends, refreshed from the engine's
+    queries over ``--sf-dir``."""
+    import argparse
+    import time
+
+    from data_pipeline_example_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="Serve the dashboard endpoints")
+    p.add_argument("--sf-dir", required=True, help="parquet tables directory")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8050)
+    p.add_argument("--refresh-seconds", type=int, default=60)
+    p.add_argument("--master", default=None, help="spark master override")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="dashboards", master=args.master)
+    server = serve_dashboards(spark, args.sf_dir, host=args.host, port=args.port)
+    print(f"dashboards listening on {args.host}:{server.port}", flush=True)
+    try:
+        while True:
+            time.sleep(args.refresh_seconds)
+            server.refresh()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -119,3 +119,45 @@ def write_kafka(
         .options(**kafka_writer_options(bootstrap, topic))
         .save()
     )
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI twin of the reference's event-generator service
+    (`services/event-generator/kafka_event_producer.py`, wired by
+    `docker-compose.streaming.yml`): synthesize transactions, inject
+    event time, and replay them — to a Kafka topic when ``--bootstrap``
+    is given, else as ordered JSON-lines batch files for the hermetic
+    file-source path."""
+    import argparse
+
+    from data_pipeline_example_spark.datagen import synthetic_transactions
+    from data_pipeline_example_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="Replay synthetic events")
+    p.add_argument("--bootstrap", default=None, help="Kafka bootstrap servers")
+    p.add_argument("--topic", default="sales")
+    p.add_argument("--output", default=None, help="JSON-lines batch dir (file mode)")
+    p.add_argument("--batches", type=int, default=10)
+    p.add_argument("--days", type=int, default=30)
+    p.add_argument("--transactions-per-day", type=int, default=48, dest="tx_per_day")
+    p.add_argument("--seed", type=int, default=2024)
+    p.add_argument("--master", default=None, help="spark master override")
+    args = p.parse_args(argv)
+    if not args.bootstrap and not args.output:
+        p.error("one of --bootstrap (kafka mode) or --output (file mode) is required")
+
+    spark = get_spark(app_name="event-replay", master=args.master)
+    events = to_events(
+        synthetic_transactions(spark, args.days, args.tx_per_day, args.seed)
+    )
+    if args.bootstrap:
+        write_kafka(events, args.bootstrap, args.topic)
+    else:
+        write_event_batches(
+            events, args.output, num_batches=args.batches, order_col="event_time"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
