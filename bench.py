@@ -98,8 +98,10 @@ HEADLINE = [
     "line_dedup",
     "dsir_weights",
     # round 14: inter-gate Cohen's kappa (which quality filters are
-    # redundant at corpus-scan cost)
+    # redundant at corpus-scan cost) + the unicode trust-and-safety
+    # census (replacement/control/zero-width/bidi chars per source)
     "gate_agreement",
+    "unicode_hygiene",
     "source_caps",
     "quality_funnel",
     "c4_clean",

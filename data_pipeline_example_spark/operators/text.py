@@ -2117,6 +2117,64 @@ def pii_scan(documents: DataFrame) -> DataFrame:
     )
 
 
+# One pattern table drives the operator AND the oracle (the
+# PII_PATTERNS discipline). \x{...} hex classes parse identically in
+# Java regex (Spark) and RE2 (DuckDB); tab/newline/CR are deliberately
+# NOT control-class members (normal text structure).
+UNICODE_HYGIENE_PATTERNS = (
+    ("replacement", r"[\x{FFFD}]"),
+    ("control", r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]"),
+    ("zero_width", r"[\x{200B}-\x{200D}\x{FEFF}]"),
+    ("bidi", r"[\x{202A}-\x{202E}\x{2066}-\x{2069}]"),
+)
+
+
+def unicode_hygiene(documents: DataFrame) -> DataFrame:
+    """Unicode trust-and-safety census per source — the pre-training
+    audit for the character classes that corrupt tokenizers or hide
+    adversarial content: U+FFFD replacement characters (mojibake from
+    a broken decode upstream), C0/DEL control characters (binary
+    contamination), zero-width characters (ZWSP/ZWNJ/ZWJ/BOM —
+    fingerprinting and token-splitting vectors), and explicit bidi
+    controls (LRE..PDF, LRI..PDI — the Trojan-Source class of display
+    spoofing). Dolma/FineWeb-style pipelines drop or normalize these
+    before tokenization; this op measures how much of each source
+    needs it.
+
+    Pure scan-local ``regexp_count`` expressions folded into ONE
+    map-side-combinable aggregate per source — zero data-sized
+    shuffle at any corpus size. For each class: documents containing
+    it, total occurrences, and the affected-docs rate in milli.
+    Output: source, n_docs, then per class {class}_docs,
+    {class}_chars, {class}_docs_milli — ordered by source.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    counts = [
+        F.regexp_count(txt, F.lit(pat)).cast("long").alias(f"c_{name}")
+        for name, pat in UNICODE_HYGIENE_PATTERNS
+    ]
+    scored = documents.select(
+        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"), *counts
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for name, _ in UNICODE_HYGIENE_PATTERNS:
+        aggs.append(
+            F.sum((F.col(f"c_{name}") > 0).cast("long"))
+            .cast("long")
+            .alias(f"{name}_docs")
+        )
+        aggs.append(F.sum(f"c_{name}").cast("long").alias(f"{name}_chars"))
+    agg = scored.groupBy("source").agg(*aggs)
+    rates = [
+        F.expr(f"1000 * {name}_docs div n_docs").alias(f"{name}_docs_milli")
+        for name, _ in UNICODE_HYGIENE_PATTERNS
+    ]
+    cols: list = ["source", "n_docs"]
+    for name, _ in UNICODE_HYGIENE_PATTERNS:
+        cols += [f"{name}_docs", f"{name}_chars"]
+    return agg.select(*cols, *rates).orderBy("source")
+
+
 def source_temperature_weights(documents: DataFrame) -> DataFrame:
     """Temperature-scaled source sampling weights — the multilingual-LM
     alpha-sampling recipe (sample source s with probability

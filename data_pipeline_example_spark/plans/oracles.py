@@ -3261,6 +3261,46 @@ q AS (
 
 ORACLES["gate_agreement"] = _gate_agreement_oracle()
 
+
+def _unicode_hygiene_oracle() -> str:
+    """Per-class per-source census replay: same UNICODE_HYGIENE_PATTERNS
+    table (\\x{...} classes parse identically in RE2), occurrence count
+    = len(regexp_extract_all), milli rates with integer //."""
+    per_doc = ",\n         ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS c_{name}"
+        for name, pat in _text_ops.UNICODE_HYGIENE_PATTERNS
+    )
+    sums = []
+    outs = ["source", "n_docs"]
+    rates = []
+    for name, _ in _text_ops.UNICODE_HYGIENE_PATTERNS:
+        sums.append(
+            f"CAST(sum(CASE WHEN c_{name} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {name}_docs"
+        )
+        sums.append(f"CAST(sum(c_{name}) AS BIGINT) AS {name}_chars")
+        outs += [f"{name}_docs", f"{name}_chars"]
+        rates.append(
+            f"CAST(1000 * {name}_docs // n_docs AS BIGINT) AS {name}_docs_milli"
+        )
+    return f"""
+WITH scored AS (
+  SELECT coalesce(source, 'unknown') AS source,
+         {per_doc}
+  FROM (SELECT source, coalesce(text, '') AS t FROM documents)
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         {", ".join(sums)}
+  FROM scored GROUP BY source
+)
+SELECT {", ".join(outs)}, {", ".join(rates)}
+FROM agg ORDER BY source
+"""
+
+
+ORACLES["unicode_hygiene"] = _unicode_hygiene_oracle()
+
 ORACLES["dsir_weights"] = f"""
 WITH {_DOC_EXPRS},
 {_QUALITY_SQL},

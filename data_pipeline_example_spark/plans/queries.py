@@ -1683,6 +1683,13 @@ def q_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gate_agreement(load_table(spark, sf_dir, "documents"))
 
 
+def q_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode trust-and-safety census per source: replacement chars,
+    C0/DEL controls, zero-width chars, bidi controls — docs affected,
+    total occurrences, milli rates; one scan, one aggregate."""
+    return text.unicode_hygiene(load_table(spark, sf_dir, "documents"))
+
+
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-group-aware train/val/test split assignment with the
     near-dup leakage audit of the naive per-doc policy."""
@@ -1874,6 +1881,7 @@ QUERIES: dict[str, QueryFn] = {
     "line_dedup": q_line_dedup,
     "quality_funnel": q_quality_funnel,
     "gate_agreement": q_gate_agreement,
+    "unicode_hygiene": q_unicode_hygiene,
     "split_leakage_audit": q_split_leakage_audit,
     "dsir_weights": q_dsir_weights,
     "source_caps": q_source_caps,
@@ -2095,19 +2103,19 @@ QUERIES: dict[str, QueryFn] = {
 # entries. Every name asserted present so a typo fails at import.
 # round-14 front — mechanical again (same derivation: max hash_match
 # round per name across CORRECTNESS_r01..r13, ascending, ties by
-# registry position): the two NEW r14 ops (decoded_aiff_stats,
-# gate_agreement — never driver-certified), the two r14-CHANGED ops
+# registry position): the three NEW r14 ops (decoded_aiff_stats,
+# gate_agreement, unicode_hygiene — never driver-certified), the two r14-CHANGED ops
 # (audio_windows gained the RIFF/FORM degrade-to-raw fallback;
 # media_features' decode attempt is now gated on the _IMAGE_MAGICS
-# whitelist), then the 46 least-recently-certified entries: the full
+# whitelist), then the 45 least-recently-certified entries: the full
 # r7-certified remainder (12: excess_shipped_suppliers …
-# volume_shipping) and the oldest 34 of the r9 cohort in registry
-# order (cluster_representatives_lsh onward head the r15 rotation).
+# volume_shipping) and the oldest 33 of the r9 cohort in registry
+# order (cluster_representatives onward head the r15 rotation).
 # The r13 window (its list replaced here) re-certified the r5/r6
 # cohorts; every name asserted present so a typo fails at import.
 _R14_FRONT = [
     # new r14
-    "decoded_aiff_stats", "gate_agreement",
+    "decoded_aiff_stats", "gate_agreement", "unicode_hygiene",
     # changed r14
     "audio_windows", "media_features",
     # r7-certified, oldest out of certification
@@ -2128,7 +2136,9 @@ _R14_FRONT = [
     "customer_migration", "basket_communities", "sequence_pack",
     "pack_block_stats", "corr_length_diversity", "revenue_pareto",
     "ivfpq_knn_index_batch", "gopher_repetition", "pii_scan",
-    "source_temperature_weights", "bm25_search", "cluster_representatives",
+    "source_temperature_weights", "bm25_search",
+    # (cluster_representatives yields its slot to the late r14
+    # unicode_hygiene and heads the r15 rotation)
 ]
 assert len(_R14_FRONT) == 50 and all(n in QUERIES for n in _R14_FRONT), (
     "window rotation list must name 50 registered queries"

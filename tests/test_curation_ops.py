@@ -1840,3 +1840,31 @@ def test_gate_agreement_planted_extremes(spark):
     r = out[("heuristic", "english")]
     assert (r["n_both"], r["n_neither"]) == (2, 2)
     assert r["kappa_milli"] == 1000 and r["agree_milli"] == 1000
+
+
+def test_unicode_hygiene_detects_planted_classes(spark):
+    """Each hygiene class fires on a planted document and ONLY that
+    class; tab/newline are structure, not contamination; counts are
+    occurrences, docs are distinct documents."""
+    from data_pipeline_example_spark.operators import text
+
+    rows = [
+        (1, "clean text with tabs\tand\nnewlines only", "en", "a", 1),
+        (2, "mojibake here � and again ��", "en", "a", 1),
+        (3, "binary\x01noise\x1f", "en", "a", 1),
+        (4, "zero​width‍ and bom ﻿", "en", "b", 1),
+        (5, "bidi ‮attack‬ and isolate ⁦x⁩", "en", "b", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    out = {r["source"]: r for r in text.unicode_hygiene(docs).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], b["n_docs"]) == (3, 2)
+    assert a["replacement_docs"] == 1 and a["replacement_chars"] == 3
+    assert a["control_docs"] == 1 and a["control_chars"] == 2
+    assert a["zero_width_docs"] == 0 and a["bidi_docs"] == 0
+    assert b["zero_width_docs"] == 1 and b["zero_width_chars"] == 3
+    assert b["bidi_docs"] == 1 and b["bidi_chars"] == 4
+    assert a["replacement_docs_milli"] == 333  # 1 of 3 docs
+    assert b["bidi_docs_milli"] == 500
