@@ -245,7 +245,12 @@ def rebuild_bloom_sidecar(
     index: the distinct set-bit positions of every indexed fingerprint,
     overwritten in one pass. Run once to adopt the sidecar over an
     existing index, or periodically to compact the append-only updates
-    :func:`update_dedup_index_bloom` writes."""
+    :func:`update_dedup_index_bloom` writes.
+
+    Every row carries (m_bits, k_hashes) alongside the position — the
+    sketch parameters ARE the state format (the HLL p_bits lesson), so
+    a later reader can refuse a parameter mismatch instead of silently
+    mis-hashing; constant columns cost nothing in parquet."""
     index = spark.read.parquet(index_path)
     (
         index.select(
@@ -254,6 +259,11 @@ def rebuild_bloom_sidecar(
             ).alias("pos")
         )
         .distinct()
+        .select(
+            "pos",
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(k_hashes).cast("long").alias("k_hashes"),
+        )
         .coalesce(1)  # ≤ m_bits longs — one small file
         .write.mode("overwrite")
         .parquet(_bloom_sidecar_path(index_path))
@@ -284,10 +294,18 @@ def update_dedup_index_bloom(
     the expensive join.
 
     The sidecar is maintained append-only here (the new fingerprints'
-    positions) and compacted by :func:`rebuild_bloom_sidecar`; if it is
-    missing the function falls back to the plain exact gate and
-    bootstraps it. Index append semantics, idempotence, and the
-    min-doc_id keeper rule are exactly :func:`update_dedup_index`'s.
+    positions, written BEFORE the index append — a crash between the
+    two writes then leaves only harmless extra bits, which still route
+    through the exact anti-join, instead of index rows the sidecar
+    doesn't know about, which would break the no-false-negative
+    invariant on replay) and compacted by :func:`rebuild_bloom_sidecar`;
+    if it is missing the function falls back to the plain exact gate
+    and bootstraps it. A sidecar written with DIFFERENT (m_bits,
+    k_hashes) raises with the rebuild instruction — silently mis-binned
+    positions would admit duplicates (the hll_cardinality_stream
+    restore-validation contract). Index append semantics, idempotence,
+    and the min-doc_id keeper rule are exactly
+    :func:`update_dedup_index`'s.
     """
     from pyspark.errors import AnalysisException
 
@@ -307,6 +325,21 @@ def update_dedup_index_bloom(
             sidecar = spark.read.parquet(_bloom_sidecar_path(index_path))
         except AnalysisException:
             sidecar = None
+    if sidecar is not None:
+        params = sidecar.select("m_bits", "k_hashes").first()
+        if params is None:
+            sidecar = None  # empty sidecar — rebootstrap below
+        elif (params["m_bits"], params["k_hashes"]) != (m_bits, k_hashes):
+            raise ValueError(
+                f"update_dedup_index_bloom: sidecar at "
+                f"{_bloom_sidecar_path(index_path)} was built with "
+                f"m_bits={params['m_bits']}, k_hashes={params['k_hashes']} "
+                f"but the call uses m_bits={m_bits}, k_hashes={k_hashes}; "
+                "the sketch parameters cannot change in place — run "
+                "rebuild_bloom_sidecar with the new parameters first"
+            )
+        else:
+            sidecar = sidecar.select("pos")
 
     if index is not None and sidecar is not None:
         pos = fp.withColumn(
@@ -344,18 +377,31 @@ def update_dedup_index_bloom(
         .agg(F.min("doc_id").alias("keep_doc_id"))
         .transform(materialize)
     )
+    # sidecar bits FIRST, index second: a crash in between leaves extra
+    # bits (harmless false positives that still hit the exact anti-join)
+    # rather than indexed fingerprints the sidecar can't see (silent
+    # duplicate admission on replay)
+    if sidecar is not None:
+        (
+            admitted.select(
+                F.explode(
+                    _bloom_positions(F.col("fingerprint"), m_bits, k_hashes)
+                ).alias("pos")
+            )
+            .distinct()
+            .select(
+                "pos",
+                F.lit(m_bits).cast("long").alias("m_bits"),
+                F.lit(k_hashes).cast("long").alias("k_hashes"),
+            )
+            .write.mode("append")
+            .parquet(_bloom_sidecar_path(index_path))
+        )
     admitted.write.mode("append").parquet(index_path)
-    new_bits = admitted.select(
-        F.explode(
-            _bloom_positions(F.col("fingerprint"), m_bits, k_hashes)
-        ).alias("pos")
-    ).distinct()
     if sidecar is None:
         # bootstrap: digest the WHOLE index as it now stands so the
         # no-false-negative invariant holds from the first use
         rebuild_bloom_sidecar(spark, index_path, m_bits, k_hashes)
-    else:
-        new_bits.write.mode("append").parquet(_bloom_sidecar_path(index_path))
     return admitted
 
 

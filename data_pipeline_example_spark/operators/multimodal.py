@@ -258,9 +258,17 @@ def decode_image(content: bytes) -> object:
     runs wherever the cluster image carries PIL.
 
     Payloads outside the fixed ``_IMAGE_MAGICS`` whitelist are rejected
-    BEFORE any decoder sees them, so ``decodable`` in
-    :func:`extract_features` is a pure function of the bytes — the same
-    on a bare-stdlib executor and a PIL-equipped one.
+    BEFORE any decoder sees them, so the REJECT path of
+    :func:`extract_features` is environment-invariant: a payload
+    without a whitelisted image magic (any text corpus, in particular)
+    reports ``decodable`` = 0 on every cluster image — PIL's sniffing
+    never gets the chance to accept a text-shaped format. For payloads
+    WITH a whitelisted non-stdlib magic (a real PNG/JPEG corpus),
+    ``decodable`` still reflects the installed decoders — 1 with PIL,
+    0 (NotImplementedError → typed reject) without — which is the
+    honest semantics of "decodable by this cluster image"; the
+    hash-pinned ``media_features`` oracle only relies on the text-
+    corpus reject invariance.
     """
     if not _is_whitelisted_image(content):
         raise ValueError(

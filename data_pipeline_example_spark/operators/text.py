@@ -450,25 +450,46 @@ def _gopher_scored(documents: DataFrame, extras: tuple = ()) -> DataFrame:
     )
 
 
+def c4_kept_lines(txt):
+    """Array of lines surviving the PUBLISHED C4 line rules (≥ 5
+    whitespace words AND terminal punctuation ``. ! ? "``) as one
+    column expression — the single source of truth for
+    :func:`c4_line_stats` and :func:`gate_agreement` (``c4_clean``
+    keeps its own parameterized copy because its thresholds are
+    caller-tunable; its defaults equal these rules)."""
+    line_words = lambda l: F.when(  # noqa: E731 — local expression builder
+        F.trim(l) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(l), r"\s+")))
+    return F.filter(
+        F.split(txt, "\n"),
+        lambda l: (line_words(l) >= 5) & l.rlike(r'[.!?"]\s*$'),
+    )
+
+
+def c4_page_pass(txt):
+    """The published C4 page gate as one boolean Column: no ``lorem
+    ipsum`` marker, no ``{`` (code-like content), ≥ 3 lines surviving
+    :func:`c4_kept_lines`."""
+    return (
+        (F.locate("lorem ipsum", F.lower(txt)) == 0)
+        & (F.locate("{", txt) == 0)
+        & (F.size(c4_kept_lines(txt)) >= 3)
+    )
+
+
 def c4_line_stats(documents: DataFrame) -> DataFrame:
     """C4-style line/page cleaning audit (Raffel et al. 2020, §2.2) —
-    per document: how many lines survive the line rules (≥ 5
-    whitespace words AND terminal punctuation ``. ! ? "``), plus the
-    page-level blockers (a ``lorem ipsum`` marker, a ``{`` — code-like
-    content) and the 3-kept-lines page minimum. One scan, zero shuffle;
-    flags are ints for the oracle hash contract.
+    per document: how many lines survive the line rules
+    (:func:`c4_kept_lines`), plus the page-level blockers (a ``lorem
+    ipsum`` marker, a ``{`` — code-like content) and the 3-kept-lines
+    page minimum. One scan, zero shuffle; flags are ints for the
+    oracle hash contract.
 
     Output: doc_id, n_lines, n_kept_lines, kept_line_frac, has_lorem,
     has_brace, page_pass.
     """
     txt = F.coalesce(F.col("text"), F.lit(""))
-    line_words = lambda l: F.when(  # noqa: E731 — local expression builder
-        F.trim(l) == "", F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(l), r"\s+")))
-    kept = F.filter(
-        F.split(txt, "\n"),
-        lambda l: (line_words(l) >= 5) & l.rlike(r'[.!?"]\s*$'),
-    )
+    kept = c4_kept_lines(txt)
     base = documents.select(
         "doc_id",
         F.size(F.split(txt, "\n")).cast("long").alias("n_lines"),
@@ -1204,21 +1225,9 @@ def gate_agreement(documents: DataFrame) -> DataFrame:
     from data_pipeline_example_spark.functions import text as TF
 
     txt = F.coalesce(F.col("text"), F.lit(""))
-    line_words = lambda l: F.when(  # noqa: E731 — local expression builder
-        F.trim(l) == "", F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(l), r"\s+")))
-    kept = F.filter(
-        F.split(txt, "\n"),
-        lambda l: (line_words(l) >= 5) & l.rlike(r'[.!?"]\s*$'),
-    )
-    page_pass = (
-        (F.locate("lorem ipsum", F.lower(txt)) == 0)
-        & (F.locate("{", txt) == 0)
-        & (F.size(kept) >= 3)
-    )
     extras = (
         ("source", F.coalesce(F.col("source"), F.lit("unknown"))),
-        ("g2", page_pass.cast("int")),
+        ("g2", c4_page_pass(txt).cast("int")),
         ("g3", (TF.quality_score(F.col("text")) >= 0.05).cast("int")),
         ("g4", (F.coalesce(F.col("lang"), F.lit("")) == "en").cast("int")),
     )

@@ -1818,7 +1818,7 @@ FROM px
     # sign-folded — in exact integer arithmetic. window_ms = 1, so
     # samples/window = rate // 1000 and start_ms = window_idx.
     "decoded_audio_stats": """
-WITH base AS (SELECT doc_id, strlen(coalesce(text, '')) AS L FROM documents),
+WITH base AS (SELECT doc_id, length(coalesce(text, '')) AS L FROM documents),
 par AS (
   SELECT doc_id,
          [8000, 16000, 22050, 44100][CAST(L % 4 AS INTEGER) + 1] AS sr,
@@ -1852,7 +1852,7 @@ ORDER BY doc_id, window_idx
     # recomputes the attach_aiff closed form, so a parser that misreads
     # the extended float or the byte order hash-mismatches
     "decoded_aiff_stats": """
-WITH base AS (SELECT doc_id, strlen(coalesce(text, '')) AS L FROM documents),
+WITH base AS (SELECT doc_id, length(coalesce(text, '')) AS L FROM documents),
 par AS (
   SELECT doc_id,
          [8000, 16000, 22050, 44100][CAST(L % 4 AS INTEGER) + 1] AS sr,
@@ -1885,7 +1885,7 @@ ORDER BY doc_id, window_idx
     # VARCHAR-only — hex-string identity == byte identity), group on
     # the digest. Equal-L texts ⇒ identical streams ⇒ real dups.
     "wav_dup_windows": """
-WITH base AS (SELECT doc_id, strlen(coalesce(text, '')) AS L FROM documents),
+WITH base AS (SELECT doc_id, length(coalesce(text, '')) AS L FROM documents),
 par AS (
   SELECT doc_id, L,
          [8000, 16000, 22050, 44100][CAST(L % 4 AS INTEGER) + 1] // 1000 AS spw,

@@ -288,6 +288,15 @@ def run_doc_ingest(
     """
     from data_pipeline_example_spark import curation as batch_curation
 
+    if admission not in ("exact", "bloom"):
+        raise ValueError(f"admission must be 'exact' or 'bloom', got {admission!r}")
+    if index_gate not in ("exact", "bloom_prefilter"):
+        # a typo here must not silently fall back to the unbounded
+        # exact join the caller believed they replaced
+        raise ValueError(
+            f"index_gate must be 'exact' or 'bloom_prefilter', got {index_gate!r}"
+        )
+
     docs = decode_doc_stream(
         read_doc_stream(spark, input_path, max_files_per_trigger)
     )

@@ -169,3 +169,46 @@ def test_bloom_prefilter_routes_definite_new_past_index_join(spark, tmp_path):
         for i in range(k)
     ]
     assert any(miss)  # at least one unset bit → took the definite-new path
+
+
+def test_bloom_sidecar_rejects_parameter_change(spark, tmp_path):
+    """A sidecar written with different (m_bits, k_hashes) must raise
+    with the rebuild instruction — silently mis-binned positions would
+    admit duplicates (the HLL p_bits restore-validation contract)."""
+    import pytest
+
+    idx = str(tmp_path / "fpi_params")
+    docs = spark.createDataFrame(
+        [(1, "en", "s", "some document text")],
+        "doc_id long, lang string, source string, text string",
+    )
+    curation.update_dedup_index_bloom(spark, docs, idx, m_bits=1 << 16, k_hashes=3)
+    with pytest.raises(ValueError, match="rebuild_bloom_sidecar"):
+        curation.update_dedup_index_bloom(
+            spark, docs, idx, m_bits=1 << 15, k_hashes=3
+        )
+    # rebuild with the new parameters unblocks the gate, still exact
+    curation.rebuild_bloom_sidecar(spark, idx, m_bits=1 << 15, k_hashes=3)
+    again = curation.update_dedup_index_bloom(
+        spark, docs, idx, m_bits=1 << 15, k_hashes=3
+    )
+    assert again.count() == 0  # idempotent: already indexed
+
+
+def test_run_doc_ingest_rejects_unknown_gate_values(spark, tmp_path):
+    import pytest
+
+    from data_pipeline_example_spark.streaming import curation as sc2
+
+    with pytest.raises(ValueError, match="index_gate"):
+        sc2.run_doc_ingest(
+            spark, str(tmp_path / "i"), str(tmp_path / "c"),
+            str(tmp_path / "x"), str(tmp_path / "k"),
+            index_gate="bloom-prefilter",
+        )
+    with pytest.raises(ValueError, match="admission"):
+        sc2.run_doc_ingest(
+            spark, str(tmp_path / "i"), str(tmp_path / "c"),
+            str(tmp_path / "x"), str(tmp_path / "k"),
+            admission="blomo",
+        )

@@ -527,3 +527,49 @@ def test_wav_dup_windows_planted_equal_lengths(spark):
     pcm = struct.pack("<%dh" % len(chunk), *chunk)
     want = hashlib.md5((pcm.hex().upper() + ":0").encode()).hexdigest()
     assert want in {r["window_digest"] for r in rows}
+
+
+def test_audio_oracles_agree_on_non_ascii_text(spark, tmp_path):
+    """Cross-engine regression for the strlen-vs-length class: the
+    audio synthesis closed forms key on CHARACTER length, and a
+    non-ASCII corpus (chars != bytes) must hash-match between the
+    Spark operator and its DuckDB oracle — the driver corpus is pure
+    ASCII, which masked exactly this defect in the audio oracles."""
+    import duckdb
+
+    from data_pipeline_example_spark.operators import multimodal as mmod
+    from data_pipeline_example_spark.operators import text as text_ops
+    from data_pipeline_example_spark.plans.oracles import ORACLES
+
+    rows = [
+        (1, "mojibake � bidi ‮ zw​ßüñ", "de", "s", 1),   # chars != bytes
+        (2, "plain ascii text here ok", "en", "s", 1),
+        (3, "ß" * 25, "de", "t", 1),                      # 25 chars, 50 bytes
+        (4, None, None, None, 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+
+    cases = {
+        "decoded_audio_stats": lambda: mmod.decoded_audio_stats(docs),
+        "decoded_aiff_stats": lambda: mmod.decoded_aiff_stats(docs),
+        "wav_dup_windows": lambda: mmod.wav_dup_windows(docs),
+        "unicode_hygiene": lambda: text_ops.unicode_hygiene(docs),
+    }
+    for name, fn in cases.items():
+        got = fn().collect()
+        spark_rows = sorted(
+            tuple(r[c] for c in sorted(r.asDict())) for r in got
+        )
+        cur = con.execute(ORACLES[name])
+        cols = [d[0] for d in cur.description]
+        duck_rows = sorted(
+            tuple(dict(zip(cols, r))[c] for c in sorted(cols))
+            for r in cur.fetchall()
+        )
+        assert spark_rows == duck_rows, name

@@ -146,8 +146,18 @@ def test_extract_features_decodes_real_image_payloads(spark):
 def test_decode_image_is_marked_stub():
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    # a truncated magic (not the full 8-byte PNG signature) never
+    # reaches a decoder: whitelist reject, environment-invariant
+    with _pytest.raises(ValueError, match="whitelist"):
         multimodal.decode_image(b"\x89PNG")
+    # the full signature passes the whitelist; without PIL the
+    # non-stdlib format is a loud NotImplementedError stub (with PIL
+    # the decoder itself rejects the truncated body)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
 
 
 def test_rolling_fingerprint_order_sensitive(spark):
