@@ -721,3 +721,66 @@ def test_coreset_selection_is_distinct_prefix_stable(spark, n_vecs, k):
     j = max(1, k // 2)
     part = [r["vec_id"] for r in sim.coreset_selection(emb, k=j).collect()]
     assert full[: len(part)] == part
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_gate_agreement_invariants_on_arbitrary_text(spark, texts):
+    """For ANY corpus (unicode noise, empties, one doc): 6 pair rows
+    per source, contingency counts bounded by n_docs, agree_milli
+    consistent with its counts, kappa in [-1000, 1000] or NULL."""
+    docs = spark.createDataFrame(
+        [(i, t, "en" if i % 2 else "de", "s", len(t))
+         for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = text.gate_agreement(docs).collect()
+    assert len(rows) == 6  # one source group, 6 gate pairs
+    for r in rows:
+        assert r["n_docs"] == len(texts)
+        assert 0 <= r["n_both"] and 0 <= r["n_neither"]
+        assert r["n_both"] + r["n_neither"] <= r["n_docs"]
+        assert r["agree_milli"] == 1000 * (r["n_both"] + r["n_neither"]) // r["n_docs"]
+        if r["kappa_milli"] is not None:
+            assert -1000 <= r["kappa_milli"] <= 1000
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_unicode_hygiene_invariants_on_arbitrary_text(spark, texts):
+    """Counts are consistent for ANY unicode input: affected docs ≤
+    n_docs, occurrences ≥ affected docs, milli rate exact."""
+    docs = spark.createDataFrame(
+        [(i, t, "en", f"s{i % 2}", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = text.unicode_hygiene(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == len(texts)
+    for r in rows:
+        for cls in ("replacement", "control", "zero_width", "bidi"):
+            assert 0 <= r[f"{cls}_docs"] <= r["n_docs"]
+            assert r[f"{cls}_chars"] >= r[f"{cls}_docs"]
+            assert (
+                r[f"{cls}_docs_milli"]
+                == 1000 * r[f"{cls}_docs"] // r["n_docs"]
+            )
