@@ -48,11 +48,21 @@ def punct_count(col: Column) -> Column:
 
 
 def stopword_count(col: Column, words: tuple[str, ...]) -> Column:
-    """Count occurrences of any word in ``words`` (word-bounded, on
-    lowercased text). Same regex dialect restriction applies to DuckDB's
-    RE2, so the pattern is shared verbatim."""
-    pat = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(F.coalesce(col, F.lit(""))), F.lit(pat), 1))
+    """Count TOKENS equal to any word in ``words``: ASCII-alnum
+    tokenization of the lowercased text, then set membership.
+
+    Deliberately NOT the ``\\b(w1|w2)\\b`` regex form — Java's ``\\b``
+    is Unicode-aware while RE2's is ASCII-only, so on accent-adjacent
+    text they disagree ('kéy' word-bounds a Spanish 'y' for DuckDB but
+    not for Spark; found by the r14 non-ASCII oracle sweep). Token
+    membership uses the same ASCII token regex in both engines, so
+    the count is engine-identical on ANY input, and on pure-ASCII
+    text it equals the old word-bounded count."""
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(col, F.lit(""))), F.lit(f"({TOKEN_PATTERN})"), 1
+    )
+    wl = list(words)
+    return F.size(F.filter(toks, lambda t: t.isin(wl)))
 
 
 def quality_score(col: Column) -> Column:

@@ -433,9 +433,19 @@ def _gopher_scored(documents: DataFrame, extras: tuple = ()) -> DataFrame:
     alpha_frac = F.round(
         F.size(F.filter("words", lambda w: w.rlike("[A-Za-z]"))) / n_words_d, 4
     )
-    n_stops = sum(
-        F.when(F.lower(F.col("t")).rlike(rf"\b{s}\b"), 1).otherwise(0)
-        for s in GOPHER_STOPS
+    # presence via ASCII-token membership, not \b word-bounding: Java's
+    # \b is Unicode-aware, RE2's is ASCII-only, so the regex form
+    # diverges cross-engine on accent-adjacent text (the r14 non-ASCII
+    # sweep finding); intersect of distinct tokens is engine-identical
+    n_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col("t")), F.lit(f"({T.TOKEN_PATTERN})"), 1
+                )
+            ),
+            F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+        )
     ).cast("long")
     return base.select(
         "doc_id",
@@ -2088,6 +2098,13 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
 #: PII detector patterns — deliberately RE2-compatible (no lookaround,
 #: no backrefs) so the Spark (Java regex) and DuckDB (RE2) engines
 #: match identically; shared by operator and oracle.
+#: Known narrow caveat (r14 non-ASCII audit): the ipv4 pattern's \b is
+#: Unicode-aware in Java but ASCII-only in RE2, so an IP ABUTTING a
+#: non-ASCII letter ('é1.2.3.4') counts in DuckDB but not Spark. Kept
+#: deliberately: the boundary-free alternatives either regress ASCII
+#: adjacency semantics (consuming-boundary groups miss the second of
+#: two space-adjacent IPs) or can't drive regexp_replace redaction.
+#: On ASCII-delimited PII — every real corpus hit — the engines agree.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}"),

@@ -129,12 +129,25 @@ subbed AS (
 )
 """
 
+# stopword counts are TOKEN-membership counts (ASCII-alnum tokenize,
+# then IN-list filter), mirroring functions/text.py stopword_count —
+# NOT \b word-bounded regexes: Java's \b is Unicode-aware, RE2's is
+# ASCII-only, and the two disagree on accent-adjacent text (r14
+# non-ASCII sweep finding). On pure-ASCII text the two forms agree.
 _STOP = {
-    "en": r"\b(the|a|and|of|to|is|in|it)\b",
-    "de": r"\b(der|die|das|und|ist|ein|nicht)\b",
-    "fr": r"\b(le|la|les|et|est|une|pas)\b",
-    "es": r"\b(el|la|los|y|es|una|que)\b",
+    "en": "('the','a','and','of','to','is','in','it')",
+    "de": "('der','die','das','und','ist','ein','nicht')",
+    "fr": "('le','la','les','et','est','une','pas')",
+    "es": "('el','la','los','y','es','una','que')",
 }
+
+
+def _stop_count(lang: str) -> str:
+    return (
+        "len(list_filter(regexp_extract_all(lower(coalesce(text, '')),"
+        f" '[a-z0-9]+'), w -> w IN {_STOP[lang]}))"
+    )
+
 
 _DOC_EXPRS = """
 docx AS (
@@ -143,13 +156,18 @@ docx AS (
          length(coalesce(text, '')) AS n_chars_raw,
          len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+')) AS n_tokens_raw,
          len(regexp_extract_all(coalesce(text, ''), '[.,!?;:]')) AS n_punct_raw,
-         len(regexp_extract_all(lower(coalesce(text, '')), '{en}')) AS c_en,
-         len(regexp_extract_all(lower(coalesce(text, '')), '{de}')) AS c_de,
-         len(regexp_extract_all(lower(coalesce(text, '')), '{fr}')) AS c_fr,
-         len(regexp_extract_all(lower(coalesce(text, '')), '{es}')) AS c_es
+         {en} AS c_en,
+         {de} AS c_de,
+         {fr} AS c_fr,
+         {es} AS c_es
   FROM documents
 )
-""".format(en=_STOP["en"], de=_STOP["de"], fr=_STOP["fr"], es=_STOP["es"])
+""".format(
+    en=_stop_count("en"),
+    de=_stop_count("de"),
+    fr=_stop_count("fr"),
+    es=_stop_count("es"),
+)
 
 
 # SimHash twin (operators/dedup.py): 64 per-bit ±1 vote sums from the
@@ -1004,14 +1022,12 @@ m AS (
                / greatest(len(lines), 1), 4) AS ellipsis_line_frac,
          round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
                / greatest(len(words), 1), 4) AS alpha_word_frac,
-         CAST((CASE WHEN regexp_matches(lower(t), '\\bthe\\b') THEN 1 ELSE 0 END)
-            + (CASE WHEN regexp_matches(lower(t), '\\bbe\\b') THEN 1 ELSE 0 END)
-            + (CASE WHEN regexp_matches(lower(t), '\\bto\\b') THEN 1 ELSE 0 END)
-            + (CASE WHEN regexp_matches(lower(t), '\\bof\\b') THEN 1 ELSE 0 END)
-            + (CASE WHEN regexp_matches(lower(t), '\\band\\b') THEN 1 ELSE 0 END)
-            + (CASE WHEN regexp_matches(lower(t), '\\bthat\\b') THEN 1 ELSE 0 END)
-            + (CASE WHEN regexp_matches(lower(t), '\\bhave\\b') THEN 1 ELSE 0 END)
-            + (CASE WHEN regexp_matches(lower(t), '\\bwith\\b') THEN 1 ELSE 0 END)
+         -- ASCII-token membership, not \b word-bounding (Java \b is
+         -- Unicode-aware, RE2's ASCII-only — the forms diverge on
+         -- accent-adjacent text; token intersect is engine-identical)
+         CAST(len(list_intersect(
+              list_distinct(regexp_extract_all(lower(t), '[a-z0-9]+')),
+              ['the','be','to','of','and','that','have','with']))
             AS BIGINT) AS n_required_stops
   FROM base
 )
@@ -6388,7 +6404,8 @@ ORACLES["quality_quantile_normalize"] = r"""
 WITH base AS (
   SELECT doc_id, coalesce(source, 'unknown') AS source,
          CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+')) AS BIGINT) AS n_tok,
-         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|a|and|of|to|is|in|it)\b')) AS BIGINT) AS n_stop
+         CAST(len(list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'),
+              w -> w IN ('the','a','and','of','to','is','in','it'))) AS BIGINT) AS n_stop
   FROM documents
 ),
 scored AS (
