@@ -102,6 +102,9 @@ HEADLINE = [
     # census (replacement/control/zero-width/bidi chars per source)
     "gate_agreement",
     "unicode_hygiene",
+    # round 15: the census's transform companion — strip zero-width/
+    # bidi/C0 in place, drop mojibake lines/docs; one scan, no shuffle
+    "unicode_clean",
     "source_caps",
     "quality_funnel",
     "c4_clean",

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2199,6 +2199,67 @@ def unicode_hygiene(documents: DataFrame) -> DataFrame:
     for name, _ in UNICODE_HYGIENE_PATTERNS:
         cols += [f"{name}_docs", f"{name}_chars"]
     return agg.select(*cols, *rates).orderBy("source")
+
+
+# the two hygiene classes unicode_clean REMOVES outright (zero-width +
+# bidi controls, then C0/DEL controls sans \t \n \r) — same codepoint
+# ranges the unicode_hygiene census counts, and the same \x{...} class
+# syntax in Java regex and RE2 so one pattern string serves both engines
+UNICODE_STRIP_FORMAT = r"[\x{200B}-\x{200D}\x{FEFF}\x{202A}-\x{202E}\x{2066}-\x{2069}]"
+UNICODE_STRIP_CONTROL = r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]"
+
+
+def unicode_clean_cols(txt: Column) -> tuple[Column, Column, Column]:
+    """Shared expression builder for :func:`unicode_clean` and the
+    streaming admission stage (`streaming.curation.unicode_clean_stream`)
+    — returns (stripped, lines, kept_lines) so both paths apply the
+    IDENTICAL transform: format/bidi controls and C0/DEL controls
+    removed in-place, then lines carrying U+FFFD mojibake dropped."""
+    stripped = F.regexp_replace(
+        F.regexp_replace(txt, UNICODE_STRIP_FORMAT, ""), UNICODE_STRIP_CONTROL, ""
+    )
+    lines = F.split(stripped, "\n")
+    kept = F.filter(lines, lambda l: ~l.contains("�"))
+    return stripped, lines, kept
+
+
+def unicode_clean(
+    documents: DataFrame, max_dropped_milli: int = 500
+) -> DataFrame:
+    """The TRANSFORM companion to the :func:`unicode_hygiene` census
+    (r14 VERDICT item 2) — applies the Dolma/FineWeb-style character
+    hygiene the census measures: zero-width characters (ZWSP/ZWNJ/ZWJ/
+    BOM) and explicit bidi controls are removed in place (they carry no
+    content — only fingerprinting/Trojan-Source spoofing power), C0/DEL
+    control characters are removed (binary contamination; \\t and line
+    breaks survive), and any LINE containing a U+FFFD replacement
+    character is dropped whole (mojibake means the original bytes are
+    already lost — the text around the FFFD is untrustworthy). A doc is
+    dropped entirely when more than ``max_dropped_milli``/1000 of its
+    lines were mojibake, or when nothing non-blank survives.
+
+    Pure ``regexp_replace`` + array-filter column expressions over one
+    scan — zero shuffle, whole-stage codegen; like :func:`c4_clean` the
+    corpus transform costs exactly one pass at any scale, so it holds
+    at 100 TB by construction. The doc-drop rule uses integer milli
+    arithmetic (1000*dropped div n_lines) for cross-engine exactness.
+
+    Output: doc_id, n_lines_dropped, n_chars_removed, text_clean
+    (surviving docs only).
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    stripped, lines, kept = unicode_clean_cols(txt)
+    base = documents.select(
+        "doc_id",
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        (F.length(txt) - F.length(stripped)).cast("long").alias("n_chars_removed"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )
+    return base.filter(
+        (F.expr("1000 * n_lines_dropped div n_lines") <= max_dropped_milli)
+        & (F.trim(F.col("text_clean")) != "")
+    ).select("doc_id", "n_lines_dropped", "n_chars_removed", "text_clean")
 
 
 def source_temperature_weights(documents: DataFrame) -> DataFrame:

@@ -3317,6 +3317,42 @@ FROM agg ORDER BY source
 
 ORACLES["unicode_hygiene"] = _unicode_hygiene_oracle()
 
+
+def _unicode_clean_oracle() -> str:
+    """Replay of operators/text.unicode_clean: same strip patterns
+    (\\x{...} classes parse identically in RE2), FFFD line membership
+    via contains(chr(65533)), milli doc-drop rule with integer //.
+    DuckDB length() is CHARS (strlen is bytes) — matching Spark."""
+    fmt = _text_ops.UNICODE_STRIP_FORMAT
+    ctl = _text_ops.UNICODE_STRIP_CONTROL
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         regexp_replace(regexp_replace(coalesce(text, ''), '{fmt}', '', 'g'),
+                        '{ctl}', '', 'g') AS stripped
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         length(t) - length(stripped) AS n_removed,
+         string_split(stripped, chr(10)) AS lines,
+         list_filter(string_split(stripped, chr(10)),
+                     x -> NOT contains(x, chr(65533))) AS kept
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped,
+       CAST(n_removed AS BIGINT) AS n_chars_removed,
+       array_to_string(kept, chr(10)) AS text_clean
+FROM l
+WHERE 1000 * (len(lines) - len(kept)) // len(lines) <= 500
+  AND trim(array_to_string(kept, chr(10))) <> ''
+"""
+
+
+ORACLES["unicode_clean"] = _unicode_clean_oracle()
+
 ORACLES["dsir_weights"] = f"""
 WITH {_DOC_EXPRS},
 {_QUALITY_SQL},

@@ -1690,6 +1690,13 @@ def q_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unicode_hygiene(load_table(spark, sf_dir, "documents"))
 
 
+def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform companion to the unicode_hygiene census: strip
+    zero-width/bidi/C0 controls in place, drop U+FFFD mojibake lines,
+    drop docs that are mostly mojibake — one scan, zero shuffle."""
+    return text.unicode_clean(load_table(spark, sf_dir, "documents"))
+
+
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-group-aware train/val/test split assignment with the
     near-dup leakage audit of the naive per-doc policy."""
@@ -1882,6 +1889,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_funnel": q_quality_funnel,
     "gate_agreement": q_gate_agreement,
     "unicode_hygiene": q_unicode_hygiene,
+    "unicode_clean": q_unicode_clean,
     "split_leakage_audit": q_split_leakage_audit,
     "dsir_weights": q_dsir_weights,
     "source_caps": q_source_caps,

@@ -472,6 +472,44 @@ def dedup_lines_stream(
     )
 
 
+def unicode_clean_stream(
+    docs: DataFrame, max_dropped_milli: int = 500
+) -> DataFrame:
+    """Streaming Unicode-hygiene admission — the ingest twin of the
+    batch ``text.unicode_clean`` transform, built from the SAME
+    ``text.unicode_clean_cols`` expressions so a document admitted by
+    the stream is character-identical to the batch-cleaned one:
+    zero-width/bidi/C0 controls stripped in place, U+FFFD mojibake
+    lines dropped, and a document rejected outright when more than
+    ``max_dropped_milli``/1000 of its lines were mojibake or nothing
+    non-blank survives.
+
+    Completely STATELESS — pure column expressions per micro-batch, no
+    watermark, no state store — so it composes in front of any stateful
+    admission stage (``gate_and_dedup`` et al.) at zero added state.
+    Running it FIRST also makes downstream dedup keys hygienic: two
+    crawls of the same page differing only in injected zero-width
+    fingerprints collapse to one fingerprint after cleaning.
+
+    Output: doc_id, text (cleaned), n_lines_dropped, n_chars_removed,
+    ingest_ts — admitted documents only.
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    stripped, lines, kept = text.unicode_clean_cols(txt)
+    base = docs.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("text"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        (F.length(txt) - F.length(stripped)).cast("long").alias("n_chars_removed"),
+        F.size(lines).cast("long").alias("n_lines"),
+        "ingest_ts",
+    )
+    return base.filter(
+        (F.expr("1000 * n_lines_dropped div n_lines") <= max_dropped_milli)
+        & (F.trim(F.col("text")) != "")
+    ).drop("n_lines")
+
+
 def dedup_audio_stream(
     media: DataFrame, window_ms: int = 1, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -574,6 +574,66 @@ def test_dedup_lines_stream_suppresses_boilerplate_across_batches(spark, tmp_pat
     assert out.filter("line_hash is null").count() == 0
 
 
+def test_unicode_clean_stream_strips_and_rejects_across_batches(spark, tmp_path):
+    """Streaming Unicode-hygiene admission over two micro-batches:
+    zero-width fingerprints and C0 controls are stripped in place,
+    U+FFFD mojibake lines are dropped, mostly-mojibake docs are
+    rejected outright — and the admitted text equals the batch
+    ``text.unicode_clean`` output for the same documents (shared
+    expression contract)."""
+    from data_pipeline_example_spark.operators import text as text_ops
+
+    fingered = "tracked​ page body with a zero width fingerprint"
+    noisy = "binary\x01contaminated\x1f but otherwise fine line here"
+    in_dir, out_dir, ckpt = tmp_path / "uin", tmp_path / "uout", tmp_path / "uckpt"
+    in_dir.mkdir()
+    now = time.time()
+    _write_docs(
+        str(in_dir / "b1.json"),
+        [{"doc_id": "1", "text": f"good first line\nmojibake � line\n{fingered}",
+          "ingest_ts": "2025-01-01 10:00:00"}],
+        now,
+    )
+    _write_docs(
+        str(in_dir / "b2.json"),
+        [{"doc_id": "2", "text": noisy, "ingest_ts": "2025-01-01 10:05:00"},
+         {"doc_id": "3", "text": "�\n�\n�\nlone survivor",
+          "ingest_ts": "2025-01-01 10:05:01"}],
+        now + 1,
+    )
+
+    stream = sc.decode_doc_stream(
+        sc.read_doc_stream(spark, str(in_dir), max_files_per_trigger=1)
+    )
+    q = (
+        sc.unicode_clean_stream(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = {r["doc_id"]: r for r in spark.read.parquet(str(out_dir)).collect()}
+    assert sorted(out) == [1, 2]  # doc 3 is 3/4 mojibake → rejected
+    assert out[1]["text"] == "good first line\n" + fingered.replace("​", "")
+    assert (out[1]["n_lines_dropped"], out[1]["n_chars_removed"]) == (1, 1)
+    assert out[2]["text"] == noisy.replace("\x01", "").replace("\x1f", "")
+    assert out[2]["n_chars_removed"] == 2
+
+    # streamed == batch: the shared-expression contract
+    batch = spark.createDataFrame(
+        [(1, f"good first line\nmojibake � line\n{fingered}"),
+         (2, noisy), (3, "�\n�\n�\nlone survivor")],
+        "doc_id long, text string",
+    )
+    expect = {r["doc_id"]: r["text_clean"]
+              for r in text_ops.unicode_clean(batch).collect()}
+    assert {k: v["text"] for k, v in out.items()} == expect
+
+
 def test_budget_admission_stream_enforces_quota_across_batches(spark, tmp_path):
     """Per-source token budget (budget=10): batch 1 admits 4+5 tokens
     for s1; batch 2's 3-token doc must be REJECTED from the recovered

@@ -5,11 +5,25 @@ on DuckDB over the same sf dir, then compares row count, column names,
 and an order-insensitive value hash (values stringified with float
 normalization). Usage:
 
-    python tools/validate_oracle.py [--vanilla] [sf_dir] [query ...]
+    python tools/validate_oracle.py [--vanilla] [--corpus NAME] [sf_dir] [query ...]
 
 --vanilla runs the Spark side on a driver-identical plain session
 (ANSI on, no engine confs) instead of session.get_spark — the
 strictest local replica of the external gate.
+
+--corpus NAME makes the adversarial-input audits a standing gate
+instead of a hand-run one-off (r14 VERDICT item 6): the named
+generator is (re)run from the given sf_dir into a derived
+``.localdata/`` directory, and the sweep executes there. Names:
+
+    nonascii            tools/gen_nonascii.py  (chars != bytes docs)
+    degenerate          tools/gen_degenerate.py --variant mixed
+    degenerate-empty    tools/gen_degenerate.py --variant empty
+    degenerate-single   tools/gen_degenerate.py --variant single
+
+so the per-round certification is one command per corpus, e.g.::
+
+    python tools/validate_oracle.py --vanilla --corpus nonascii /root/testdata/sf0.001
 """
 
 from __future__ import annotations
@@ -54,10 +68,42 @@ def main() -> int:
     from data_pipeline_example_spark.session import get_spark
     from data_pipeline_example_spark.sources import TABLE_NAMES
 
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv[1:]
+    argv = sys.argv[1:]
+    vanilla = "--vanilla" in argv
+    corpus = None
+    if "--corpus" in argv:
+        corpus = argv[argv.index("--corpus") + 1]
+        del argv[argv.index("--corpus") : argv.index("--corpus") + 2]
+    args = [a for a in argv if a != "--vanilla"]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
+
+    if corpus is not None:
+        # regenerate the adversarial corpus from sf_dir, then sweep THERE —
+        # the standing-gate form of the r14 hand-run non-ASCII audit
+        import os
+        import subprocess
+
+        tools_dir = os.path.dirname(os.path.abspath(__file__))
+        local = os.path.join(os.path.dirname(tools_dir), ".localdata")
+        specs = {
+            "nonascii": (["gen_nonascii.py"], "sfna"),
+            "degenerate": (["gen_degenerate.py", "--variant", "mixed"], "sfdeg"),
+            "degenerate-empty": (["gen_degenerate.py", "--variant", "empty"], "sfdeg_empty"),
+            "degenerate-single": (["gen_degenerate.py", "--variant", "single"], "sfdeg_single"),
+        }
+        if corpus not in specs:
+            print(f"unknown --corpus {corpus!r}; known: {sorted(specs)}")
+            return 2
+        gen_cmd, out_name = specs[corpus]
+        dst = os.path.join(local, out_name)
+        cmd = [sys.executable, os.path.join(tools_dir, gen_cmd[0])]
+        if gen_cmd[0] == "gen_nonascii.py":
+            cmd += [sf_dir, dst]
+        else:
+            cmd += gen_cmd[1:] + ["--src", sf_dir, "--dst", dst]
+        subprocess.run(cmd, check=True)
+        sf_dir = dst
 
     if vanilla:
         # replicate the external driver's session exactly: plain builder,
