@@ -373,7 +373,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "runs": 2,
+        # honest protocol label (r14 ADVICE): the base is 2 runs but the
+        # disagreement / reference-guarded triggers take a third, so a
+        # flat "2" under-described the sampling; per-query truth is in
+        # runs_used
+        "runs": "2-3 (adaptive + reference-guarded)",
         "max_runs": 3,
         "agg": "min",
         "runs_used": runs_used,

@@ -57,7 +57,9 @@ def stopword_count(col: Column, words: tuple[str, ...]) -> Column:
     not for Spark; found by the r14 non-ASCII oracle sweep). Token
     membership uses the same ASCII token regex in both engines, so
     the count is engine-identical on ANY input, and on pure-ASCII
-    text it equals the old word-bounded count."""
+    text without underscore-adjacent words it equals the old
+    word-bounded count (Java ``\\b`` treats '_' as a word character,
+    so '_the_' was invisible to the old regex but IS a token here)."""
     toks = F.regexp_extract_all(
         F.lower(F.coalesce(col, F.lit(""))), F.lit(f"({TOKEN_PATTERN})"), 1
     )

@@ -917,8 +917,9 @@ def audio_windows(
     ``audio_windows`` oracle replays the raw closed form for every
     document, which this fallback keeps exact for any non-decodable
     payload; the only payloads that diverge from it are genuinely
-    valid PCM16-mono WAV containers, which the ``decoded_audio_stats``
-    / ``wav_dup_windows`` oracles certify through the decode path.
+    valid PCM16-mono WAV or AIFF containers, which the
+    ``decoded_audio_stats`` / ``decoded_aiff_stats`` /
+    ``wav_dup_windows`` oracles certify through the decode paths.
     """
     spw = sample_rate * window_ms // 1000  # samples per window (raw path)
 

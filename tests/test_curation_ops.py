@@ -567,6 +567,42 @@ def test_pii_scan_counts(spark):
     assert rows[2]["n_pii"] == 0 and rows[2]["has_pii"] == 0
 
 
+def test_pii_ipv4_nonascii_boundary_divergence_is_pinned(spark):
+    """The PII_PATTERNS ipv4 caveat, asserted instead of assumed (r14
+    ADVICE): on an IP ABUTTING a non-ASCII letter, Java's Unicode \\b
+    sees no boundary (é is a word char) while RE2's ASCII \\b does —
+    so Spark counts 1 IP in this text and DuckDB counts 2. The
+    registered pii_scan oracle is engine-identical only because no
+    audit corpus contains this shape; if either engine ever changes
+    \\b semantics, THIS test moves before a sweep silently does."""
+    import duckdb
+
+    from data_pipeline_example_spark.operators.text import PII_PATTERNS
+
+    ipv4 = dict(PII_PATTERNS)["ipv4"]
+    text = "reached café192.168.1.1 then 10.0.0.1 cleanly"
+    spark_n = (
+        spark.range(1)
+        .select(F.regexp_count(F.lit(text), F.lit(ipv4)).alias("n"))
+        .collect()[0]["n"]
+    )
+    duck_n = duckdb.connect().execute(
+        "SELECT len(regexp_extract_all(?, ?))", [text, ipv4]
+    ).fetchone()[0]
+    assert (spark_n, duck_n) == (1, 2)
+    # and on ASCII-delimited text — every real corpus hit — they agree
+    ascii_text = "hosts 192.168.1.1 and 10.0.0.1 online"
+    spark_a = (
+        spark.range(1)
+        .select(F.regexp_count(F.lit(ascii_text), F.lit(ipv4)).alias("n"))
+        .collect()[0]["n"]
+    )
+    duck_a = duckdb.connect().execute(
+        "SELECT len(regexp_extract_all(?, ?))", [ascii_text, ipv4]
+    ).fetchone()[0]
+    assert spark_a == duck_a == 2
+
+
 def test_source_temperature_weights_sqrt_exact(spark):
     from data_pipeline_example_spark.operators import text as tx
 
