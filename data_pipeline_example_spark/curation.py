@@ -511,7 +511,13 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
     # canonical-URL keepers: min doc_id per canonical key (urls.
     # url_canonical_dedup's verdict, over the metadata-only columns)
     url_keepers = (
-        enriched.groupBy("canon")
+        # NULL-source docs synthesize a NULL URL; the member operator
+        # (url_canonical_dedup) loses them in its join-on-canonical-key,
+        # so the funnel must NOT crown them keepers via a NULL groupBy
+        # group (r15 degenerate sweep — Spark groupBy keeps a NULL group
+        # where the member's equi-join drops it)
+        enriched.filter(F.col("canon").isNotNull())
+        .groupBy("canon")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
         .withColumn("f2u", F.lit(1))

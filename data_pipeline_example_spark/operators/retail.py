@@ -117,7 +117,11 @@ def day_over_day_revenue(daily: DataFrame) -> DataFrame:
     Output: order_date, total_amount, prev_amount, delta."""
     from pyspark.sql.window import Window
 
-    per_day = per_day_totals(daily)
+    # a day-over-day series has no NULL day (reference F1: unparseable
+    # dates are dropped before aggregation) — and Spark orders NULLs
+    # first in a window ORDER BY while DuckDB orders them last, so an
+    # explicit drop is also the only engine-exact choice (r15 sweep)
+    per_day = per_day_totals(daily).filter(F.col("order_date").isNotNull())
     w = Window.orderBy("order_date")
     prev = F.lag("total_amount").over(w)
     return per_day.select(

@@ -41,15 +41,35 @@ from data_pipeline_example_spark.functions.materialize import materialize
 from data_pipeline_example_spark.functions import vectors as V
 
 
+def valid_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """COMPUTE-valid embedding rows: present, non-empty, and at least
+    one nonzero component (a zero-norm vector has no cosine). Every
+    geometry operator funnels through this guard — at 100 TB a corpus
+    WILL carry encoder-failure rows, and without the guard they either
+    crash the vectorized paths (ragged ``np.vstack``) or poison results
+    with NaN cosines. The census operators (``embedding_profile``,
+    ``embedding_dimension_health``, ``quantize_embeddings``) deliberately
+    see the RAW column — they are how the rejects get counted. Dimension
+    UNIFORMITY among valid rows is asserted by
+    ``embedding_dimension_health``, not here (it needs an aggregate).
+    SQL oracle twin: plans/oracles._EMB_VALID (r15 degenerate sweep)."""
+    c = F.col(col)
+    return df.filter(
+        c.isNotNull() & (F.size(c) > 0) & F.exists(c, lambda x: x != 0.0)
+    )
+
+
 def _as_double(df: DataFrame) -> DataFrame:
-    return df.select("vec_id", V.to_double_array(F.col("embedding")).alias("v"))
+    return valid_embeddings(df).select(
+        "vec_id", V.to_double_array(F.col("embedding")).alias("v")
+    )
 
 
 def _as_float(df: DataFrame) -> DataFrame:
     """Raw float32 vectors — for Arrow-bound paths: half the transfer
     bytes of the double cast, and float→double widening inside NumPy is
     exact, so downstream float64 math is bit-identical to _as_double."""
-    return df.select("vec_id", F.col("embedding").alias("v"))
+    return valid_embeddings(df).select("vec_id", F.col("embedding").alias("v"))
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
@@ -416,7 +436,10 @@ def assign_centroids_capped(
 
     import numpy as np
 
-    n = embeddings.count() if n_rows is None else n_rows
+    # planning count over the COMPUTE-VALID rows — k must be derived
+    # from the same population the assignment runs on (oracle twin:
+    # _CAPPED_SUBBED counts FROM the guarded e)
+    n = valid_embeddings(embeddings).count() if n_rows is None else n_rows
     spark = embeddings.sparkSession
     out_schema = "vec_id long, v array<double>, centroid_id long"
     if n == 0:
@@ -1015,7 +1038,12 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     zero vectors quantize to all-zero with scale 0. Output: vec_id,
     scale, q_sum, q_min, q_max.
     """
-    e = _as_double(embeddings)
+    # CENSUS semantics: every row is summarized, degenerates included
+    # (NULL vector → NULL q_*, empty vector → scale 0 / q_sum 0), so
+    # this reads the RAW column, not the valid_embeddings funnel
+    e = embeddings.select(
+        "vec_id", V.to_double_array(F.col("embedding")).alias("v")
+    )
     max_abs = F.array_max(F.transform("v", lambda x: F.abs(x)))
     # scale materialized in a lower projection so the transform below
     # references the bound column, not a duplicated max/divide subtree
@@ -1246,8 +1274,9 @@ def srp_dup_pairs(
         import math
 
         # one planning-stats scalar — skipped entirely when the caller
-        # already knows the corpus size (composed pipelines pass n_rows)
-        n = embeddings.count() if n_rows is None else n_rows
+        # already knows the corpus size (composed pipelines pass n_rows);
+        # counted over the compute-valid rows like the SQL twin
+        n = valid_embeddings(embeddings).count() if n_rows is None else n_rows
         nb = max(4, math.ceil(math.log2(max(n, 1) / 64)) if n > 64 else 4)
         n_bits = nb * bands
     nb_per_band = n_bits // bands
@@ -2341,7 +2370,7 @@ def label_separation_matrix(embeddings: DataFrame) -> DataFrame:
     the plan re-scanned the corpus and re-ran the posexplode
     aggregate per branch (the r6 single-scan-sweep hazard).
     """
-    base = embeddings.select(
+    base = valid_embeddings(embeddings).select(
         "label", V.to_double_array(F.col("embedding")).alias("v")
     )
     ex = base.select("label", F.posexplode("v").alias("pos", "val"))
@@ -2411,12 +2440,13 @@ def embedding_drift(
     over exact BIGINTs. Output: epoch_from, epoch_to, union_buckets,
     new_buckets, dropped_buckets, tv_micro.
     """
-    n = embeddings.filter(F.col("vec_id").isNotNull()).agg(
-        (F.max("vec_id") + 1).alias("n")
-    )
+    # drift is a geometry statistic: compute-valid vectors only (the
+    # guard also keeps epoch boundaries and bucket counts consistent
+    # between engines on corpora with degenerate rows — r15 sweep)
+    ve = valid_embeddings(embeddings).filter(F.col("vec_id").isNotNull())
+    n = ve.agg((F.max("vec_id") + 1).alias("n"))
     counts = (
-        embeddings.filter(F.col("vec_id").isNotNull())
-        .crossJoin(F.broadcast(n))
+        ve.crossJoin(F.broadcast(n))
         .select(
             F.expr(f"(vec_id * {int(n_epochs)}) div n").alias("epoch"),
             F.expr(
@@ -2720,7 +2750,7 @@ def filtered_ivf_knn(
     An empty filter yields an empty result (oracle-mirrored). Output:
     vec_id, label, cos_sim (6 dp), top-k by (cos DESC, vec_id).
     """
-    e = embeddings.select(
+    e = valid_embeddings(embeddings).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         F.coalesce(F.col("label"), F.lit(-1)).cast("long").alias("label"),
@@ -2985,7 +3015,13 @@ def embedding_dimension_health(embeddings: DataFrame) -> DataFrame:
     the milli quantization floor. Output: pos, n_vectors, mean_micro,
     var_milli2, is_dead — one row per dimension, ordered by pos.
     """
-    ex = _as_double(embeddings).select(
+    # CENSUS semantics: every stored component counts, zero-norm
+    # vectors included (they are exactly what a collapsed encoder
+    # emits) — raw column, not the valid_embeddings funnel; posexplode
+    # skips NULL/empty vectors on its own, matching the raw oracle
+    ex = embeddings.select(
+        V.to_double_array(F.col("embedding")).alias("v")
+    ).select(
         F.posexplode("v").alias("pos", "val")
     ).select(
         "pos",

@@ -1176,7 +1176,11 @@ def event_volume_changepoint(events: DataFrame) -> DataFrame:
     # the day-granular frame feeds both the totals and the CUSUM
     # window — materialize it so the corpus is scanned once
     daily = (
-        events.groupBy(F.col("ts").cast("date").alias("d"))
+        # F3 semantics, explicit: an event without an event time has no
+        # day — and a NULL day would sort differently under Spark
+        # (NULLS FIRST) vs DuckDB (NULLS LAST) in the CUSUM window
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("d"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .transform(materialize)
     )

@@ -44,8 +44,13 @@ def sliding_window_agg(
     revenue = F.sum(value_col)
     if rounded:
         revenue = F.round(revenue, 2)
+    # explicit F3 semantics (reference: drop unparseable event times):
+    # F.window silently drops NULL-ts rows anyway — filtering first makes
+    # the contract visible and keeps the SQL oracle engine-identical on
+    # corpora with NULL event times (r15 degenerate sweep)
     return (
-        df.groupBy(F.window(ts_col, window, slide).alias("w"), F.col(key_col))
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.window(ts_col, window, slide).alias("w"), F.col(key_col))
         .agg(revenue.alias("revenue"))
         .select(
             F.col("w.start").alias("window_start"),
@@ -131,7 +136,11 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     gap), n_events, total_value (2 dp).
     """
     return (
-        events.groupBy(
+        # F3 semantics, explicit: an event without an event time cannot
+        # be sessionized (F.session_window would drop it silently; the
+        # filter keeps the SQL oracle engine-identical — r15 sweep)
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
             F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
         )
         .agg(

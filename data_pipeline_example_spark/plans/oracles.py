@@ -40,6 +40,7 @@ win AS (
          make_timestamp((((CAST(floor(epoch(ts)/900) AS BIGINT) - s.i) * 900) + 3600) * 1000000) AS window_end,
          event_type AS product, value
   FROM events, (SELECT unnest([0,1,2,3]) AS i) s
+  WHERE ts IS NOT NULL  -- F.window drops NULL event times (F3)
 ),
 wagg AS (
   SELECT window_start, window_end, product, sum(value) AS revenue
@@ -62,10 +63,25 @@ sh AS (
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
 """
 
+# COMPUTE-valid embeddings — the SQL twin of operators.similarity.
+# valid_embeddings (and the _as_double/_as_float funnels): present,
+# non-empty, at least one nonzero component. Every geometry oracle
+# reads through this guard; the census oracles (embedding_profile,
+# embedding_dimension_health, quantize_embeddings) read RAW — they
+# are how the rejects get counted. (r15 degenerate sweep)
+_EMB_VALID = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x <> 0)) > 0"""
+
 # embeddings as double vectors + the vec_id=0 query vector
-_VECS = """
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+_VECS = f"""
+e AS ({_EMB_VALID}),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+"""
+
+# RAW variant for the census oracles — every row, degenerates included
+_VECS_RAW = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 """
 
 # The adaptive-k, HARD-capped, TWO-LEVEL bucket assignment shared by
@@ -311,7 +327,9 @@ SELECT (SELECT count(DISTINCT product) FROM wagg) AS distinct_products,
 """,
     "user_sessions": """
 WITH ev AS (
+  -- F3: a NULL event time cannot be sessionized (session_window twin)
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+  WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, ts, value,
@@ -777,8 +795,10 @@ daily AS (
   FROM retail GROUP BY 1, 2
 ),
 per_day AS (
+  -- F1: no NULL day in a day-over-day series (and Spark/DuckDB
+  -- disagree on NULL placement in window ORDER BY)
   SELECT order_date, round(sum(total_amount), 2) AS total_amount
-  FROM daily GROUP BY 1
+  FROM daily WHERE order_date IS NOT NULL GROUP BY 1
 )
 SELECT order_date, total_amount,
        lag(total_amount) OVER (ORDER BY order_date) AS prev_amount,
@@ -1221,7 +1241,12 @@ q AS (
   FROM scaled
 )
 SELECT vec_id, scale,
-       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       -- empty-vector fold: Spark F.aggregate starts from the 0 init
+       -- (empty list -> 0) while list_aggregate(sum) gives NULL; a NULL
+       -- VECTOR stays NULL in both (r15 degenerate sweep)
+       CAST(CASE WHEN qv IS NULL THEN NULL
+                 ELSE coalesce(list_aggregate(qv, 'sum'), 0) END
+        AS BIGINT) AS q_sum,
        list_aggregate(qv, 'min') AS q_min,
        list_aggregate(qv, 'max') AS q_max
 FROM q
@@ -1487,8 +1512,19 @@ GROUP BY 1
 ORDER BY 1
 """,
     "embedding_profile": f"""
-WITH {_VECS},
-norms AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+WITH {_VECS_RAW},
+-- census semantics: every row profiles, including degenerates — NULL
+-- vector -> NULL norm (aggregates skip it, count doesn't), empty
+-- vector -> norm 0 (Spark's fold-from-0.0). list_inner_product runs
+-- only over the pre-filtered valid rows (a CASE branch does NOT keep
+-- it off NULL lists in vectorized execution — r15 sweep), and the
+-- LEFT JOIN re-attaches the degenerates with their agreed norms.
+valid AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm
+          FROM e WHERE v IS NOT NULL AND len(v) > 0),
+norms AS (SELECT e.vec_id,
+                 CASE WHEN e.v IS NULL THEN NULL
+                      ELSE coalesce(valid.nrm, 0.0) END AS nrm
+          FROM e LEFT JOIN valid USING (vec_id)),
 lab AS (SELECT vec_id, label FROM embeddings)
 SELECT label,
        count(*) AS n_vectors,
@@ -2175,7 +2211,7 @@ def _srp_oracle(n_bits: int = 16, bands: int = 4, dims: int = 64) -> str:
         f"(a.band <= {k} OR a.bucket{k} != b.bucket{k})" for k in range(bands - 1)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 proj AS (SELECT vec_id, {proj_cols} FROM e),
 sig AS (SELECT vec_id, {bucket_cols} FROM proj),
 banded AS ({banded}),
@@ -2224,7 +2260,7 @@ def _projection_oracle(out_dims: int = 16, dims: int = 64) -> str:
         for j in range(out_dims)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)
 SELECT vec_id,
        {proj_cols}
 FROM e
@@ -2245,7 +2281,7 @@ def _pq_oracle(m: int = 4, ks: int = 16, dims: int = 64) -> str:
         f"max(CASE WHEN g = {g} THEN cid END) AS code_{g}" for g in range(m)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 parts AS (
   SELECT vec_id, g, list_slice(v, g * {sub_len} + 1, (g + 1) * {sub_len}) AS sv
   FROM e CROSS JOIN range({m}) t(g)
@@ -2293,7 +2329,7 @@ def _ivfpq_oracle(
     to fp, so accumulation order can't flip the hash."""
     sub_len = dims // m
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {n_centroids}),
 ascore AS (
   SELECT e.vec_id, c.centroid_id,
@@ -2378,7 +2414,7 @@ def _retrieval_quality_oracle(
     rrf_hybrid_search oracles generalized with PARTITION BY qid."""
     sub_len = dims // m
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {n_queries}),
 truth AS (
   SELECT qid, vec_id, rnk FROM (
@@ -2566,7 +2602,7 @@ ORACLES["retrieval_quality"] = _retrieval_quality_oracle()
 # ivf_knn chain generalized with PARTITION BY qid — one assignment,
 # per-query probes, per-query rank over the probed buckets.
 ORACLES["ivf_knn_batch"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
 cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
 assigned AS (
@@ -2609,7 +2645,7 @@ ORDER BY query_id, rank
 # the _ivfpq_oracle chain generalized per query — shared assignment +
 # codes, per-query LUT/shortlist/re-rank.
 ORACLES["ivfpq_knn_batch"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
 cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
 assigned AS (
@@ -2901,7 +2937,7 @@ def _kmeans_oracle(k: int = 8, iterations: int = 5, dims: int = 64) -> str:
         "i -> (e.v[i + 1] - c.c[i + 1]) * (e.v[i + 1] - c.c[i + 1])), 'sum'), 6)"
     ).format(d=dims)
     parts = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)",
         f"""c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) AS cluster, v AS c
   FROM e ORDER BY vec_id LIMIT {k}
@@ -2996,8 +3032,8 @@ def _srp_oracle_adaptive(
         f"(a.band <= {k} OR a.bucket{k} != b.bucket{k})" for k in range(bands - 1)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-stats AS (SELECT count(*) AS n FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+stats AS (SELECT count(*) AS n FROM e),
 nbv AS (
   SELECT CASE WHEN n <= 64 THEN 4
               ELSE greatest(4, CAST(ceil(log2(n / 64.0)) AS INTEGER))
@@ -3054,7 +3090,7 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 
 
 ORACLES["pq_distortion"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 parts AS (
   SELECT vec_id, g, list_slice(v, g * 16 + 1, (g + 1) * 16) AS sv
   FROM e CROSS JOIN range(4) t(g)
@@ -4077,7 +4113,7 @@ def _ivfpq_batch_oracle(
     pq_codes the SQL rebuilds."""
     sub_len = dims // m
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {n_centroids}),
 ascore AS (
   SELECT e.vec_id, c.centroid_id,
@@ -5370,6 +5406,8 @@ ORDER BY 1
 ORACLES["label_separation_matrix"] = """
 WITH base AS (
   SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+    AND len(list_filter(embedding, x -> x <> 0)) > 0
 ),
 ex AS (
   SELECT label,
@@ -5704,12 +5742,16 @@ def _embedding_drift_oracle(
         for j in range(n_bits)
     )
     return f"""
-WITH nn AS (SELECT max(vec_id) + 1 AS n FROM embeddings WHERE vec_id IS NOT NULL),
+WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+              AND len(embedding) > 0
+              AND len(list_filter(embedding, x -> x <> 0)) > 0),
+nn AS (SELECT max(vec_id) + 1 AS n FROM ve),
 ed AS (
   SELECT (vec_id * {n_epochs}) // n AS epoch,
          CAST({bit_terms} AS BIGINT) AS bucket
-  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings WHERE vec_id IS NOT NULL), nn
+  FROM ve, nn
 ),
 cnts AS (SELECT epoch, bucket, CAST(count(*) AS BIGINT) AS cnt FROM ed GROUP BY 1, 2),
 tots AS (SELECT epoch, CAST(sum(cnt) AS BIGINT) AS tot FROM cnts GROUP BY 1),
@@ -6776,8 +6818,9 @@ ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
 # max-|CUSUM| day (earliest tie).
 ORACLES["event_volume_changepoint"] = """
 WITH daily AS (
+  -- F3: an event without an event time has no day
   SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 tot AS (
   SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_days
@@ -6823,7 +6866,7 @@ def _kcenter_oracle(k: int = 8) -> str:
         " * 1e6, 0) AS BIGINT)"
     )
     parts = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)",
         "p1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
         "cset1 AS (SELECT vec_id, v FROM p1)",
         "out1 AS (SELECT 1 AS rank, vec_id, CAST(0 AS BIGINT) AS dist_micro FROM p1)",

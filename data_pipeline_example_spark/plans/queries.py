@@ -1298,7 +1298,10 @@ def q_ivfpq_knn_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keyed by (sf_dir, index-format version) ONLY — never the
         # applicationId: an appId-derived tag minted a fresh full index
         # copy per session and no layout was ever reused or evicted
-        tag = hashlib.md5(f"{sf_dir}:v1".encode()).hexdigest()[:12]
+        # v2: valid_embeddings guard added to the index build (r15) —
+        # the version is part of the key so semantics changes rebuild
+        # stale layouts instead of serving them
+        tag = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:12]
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
             ".localdata",
