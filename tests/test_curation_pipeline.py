@@ -171,6 +171,97 @@ def test_bloom_prefilter_routes_definite_new_past_index_join(spark, tmp_path):
     assert any(miss)  # at least one unset bit → took the definite-new path
 
 
+def test_bloom_sidecar_crash_window_preserves_admission_contract(spark, tmp_path):
+    """The write-ORDERING claim (sidecar bits BEFORE index append),
+    argued with both crash interleavings instead of assumed (r14
+    VERDICT item 5):
+
+    A. The reachable crash state — batch-2's sidecar bits landed, its
+       index append did NOT. On replay the batch is bloom-positive
+       (extra bits = harmless false positives), routes through the
+       EXACT anti-join, and admission is identical to a clean run:
+       novel docs admitted exactly once, known duplicates rejected.
+       Duplicate admission never happens.
+    B. The inverse state (index row without its sidecar bits) — only
+       reachable if the writes were ordered the other way — breaks the
+       no-false-negative invariant: the replayed duplicate reads
+       definitely-new and is admitted AGAIN. Pinning the hazard proves
+       the ordering is load-bearing, not stylistic.
+    """
+    from data_pipeline_example_spark.functions import text as T
+
+    m_bits, k = 1 << 16, 3
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, "en", "s", t) for i, t in rows],
+            "doc_id long, lang string, source string, text string",
+        )
+
+    # --- A: sidecar written, index append missing -----------------------
+    idx = str(tmp_path / "fpi_crash")
+    curation.update_dedup_index_bloom(
+        spark, df([(1, "seed doc one"), (2, "seed doc two")]), idx,
+        m_bits=m_bits, k_hashes=k,
+    )
+    batch2 = [(10, "seed doc one"), (11, "novel crash survivor")]
+    # replicate EXACTLY the first of the two writes, then "crash"
+    (
+        df(batch2)
+        .select(T.fingerprint(F.col("text")).alias("fingerprint"))
+        .select(
+            F.explode(
+                curation._bloom_positions(F.col("fingerprint"), m_bits, k)
+            ).alias("pos")
+        )
+        .distinct()
+        .select(
+            "pos",
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.lit(k).cast("long").alias("k_hashes"),
+        )
+        .write.mode("append")
+        .parquet(curation._bloom_sidecar_path(idx))
+    )
+    assert spark.read.parquet(idx).count() == 2  # index untouched by the crash
+
+    # replay the whole batch: admission decisions must equal a clean run
+    out = curation.update_dedup_index_bloom(
+        spark, df(batch2), idx, m_bits=m_bits, k_hashes=k
+    )
+    assert {r["keep_doc_id"] for r in out.collect()} == {11}
+    assert spark.read.parquet(idx).count() == 3
+    # and replaying AGAIN admits nothing (idempotence survived the crash)
+    assert curation.update_dedup_index_bloom(
+        spark, df(batch2), idx, m_bits=m_bits, k_hashes=k
+    ).count() == 0
+
+    # --- B: the inverse interleaving the ordering makes unreachable -----
+    idx_b = str(tmp_path / "fpi_inverse")
+    curation.update_dedup_index_bloom(
+        spark, df([(1, "seed doc one")]), idx_b, m_bits=m_bits, k_hashes=k
+    )
+    # index append WITHOUT its sidecar bits (the forbidden order)
+    (
+        df([(20, "phantom indexed doc")])
+        .select(
+            T.fingerprint(F.col("text")).alias("fingerprint"),
+            F.col("doc_id").alias("keep_doc_id"),
+        )
+        .write.mode("append")
+        .parquet(idx_b)
+    )
+    dup = curation.update_dedup_index_bloom(
+        spark, df([(21, "phantom indexed doc")]), idx_b,
+        m_bits=m_bits, k_hashes=k,
+    )
+    # the duplicate sails through as definitely-new: EXACTLY the silent
+    # duplicate admission the sidecar-first ordering rules out
+    assert {r["keep_doc_id"] for r in dup.collect()} == {21}
+    fps = [r["fingerprint"] for r in spark.read.parquet(idx_b).collect()]
+    assert len(fps) == 3 and len(set(fps)) == 2  # index now holds a dup row
+
+
 def test_bloom_sidecar_rejects_parameter_change(spark, tmp_path):
     """A sidecar written with different (m_bits, k_hashes) must raise
     with the rebuild instruction — silently mis-binned positions would
