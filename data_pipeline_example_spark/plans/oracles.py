@@ -484,6 +484,9 @@ SELECT n_name, s_suppkey, s_name, revenue FROM ranked WHERE rk = 1
 WITH {_RETAIL}
 SELECT order_date, product, round(sum(amount), 2) AS total_amount
 FROM retail GROUP BY ROLLUP (order_date, product)
+-- Spark's rollup emits NO grand-total row on empty input (standard SQL
+-- and DuckDB emit one); the operator contract is empty -> empty
+HAVING count(*) > 0
 """,
     "high_value_churn": """
 WITH f AS (
@@ -689,6 +692,8 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS line_count
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+-- Spark's cube emits NO grand-total row on empty input (empty -> empty)
+HAVING count(*) > 0
 ORDER BY grp, l_returnflag, l_linestatus
 """,
     "asof_last_view": """
@@ -4742,6 +4747,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY gap) AS BIGINT)
          AS p99
 FROM g
+HAVING count(*) > 0  -- op's documented empty-input contract: 0 rows
 """
 
 ORACLES["source_overlap_matrix"] = f"""

@@ -947,7 +947,11 @@ def q_packed_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             sinks.write_packed_blocks(docs, path, capacity=512)
         _PACKED_CACHE[sf_dir] = path
-    blocks = spark.read.parquet(f"{path}/blocks")
+    # explicit schema — inference fails on the zero-file dataset an
+    # empty corpus writes (r15 degenerate-empty sweep)
+    blocks = spark.read.schema(sinks.PACKED_BLOCKS_SCHEMA).parquet(
+        f"{path}/blocks"
+    )
     return blocks.select(
         F.col("source").cast("string").alias("source"),
         "block_id",

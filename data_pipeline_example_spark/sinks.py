@@ -339,6 +339,15 @@ def write_zordered_parquet(
     )
 
 
+# the on-disk layout contract of write_packed_blocks — declared so
+# readers never depend on schema inference (which fails on the
+# zero-file dataset an empty corpus writes)
+PACKED_BLOCKS_SCHEMA = (
+    "block_id long, n_docs long, tokens array<string>, n_tokens long, "
+    "source string"
+)
+
+
 def write_packed_blocks(
     documents: DataFrame, path: str, capacity: int = 2048
 ) -> None:
@@ -418,7 +427,12 @@ def write_packed_blocks(
     blocks.repartition("source").write.mode("overwrite").partitionBy(
         "source"
     ).parquet(f"{path}/blocks")
-    written = documents.sparkSession.read.parquet(f"{path}/blocks")
+    # explicit schema: an EMPTY corpus writes a zero-file dataset, and
+    # schema inference on it throws UNABLE_TO_INFER_SCHEMA (r15
+    # degenerate-empty sweep) — the layout contract is fixed anyway
+    written = documents.sparkSession.read.schema(PACKED_BLOCKS_SCHEMA).parquet(
+        f"{path}/blocks"
+    )
     (
         written.groupBy("source")
         .agg(
