@@ -1232,59 +1232,96 @@ def gate_agreement(documents: DataFrame) -> DataFrame:
     source, gate_a, gate_b, n_docs, n_both, n_neither, agree_milli,
     kappa_milli — ordered by (source, gate_a, gate_b).
     """
+    agg = gate_flags(documents).groupBy("source").agg(*agreement_aggs())
+    return agreement_unpivot(agg, ["source"]).orderBy(
+        "source", "gate_a", "gate_b"
+    )
+
+
+def gate_flags(documents: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """The shared one-scan gate projection behind :func:`gate_agreement`
+    and its streaming twin (`streaming.curation.gate_agreement_stream`):
+    per-document 0/1 verdicts g1 (Gopher conjunction), g2 (C4 page),
+    g3 (heuristic ≥ 0.05), g4 (metadata lang = 'en'), plus source (or
+    'unknown'); ``carry`` names extra passthrough columns (e.g. the
+    stream's event-time). Missing lang/source columns default so the
+    DOC_SCHEMA ingest stream works unchanged — a constant gate there
+    yields kappa NULL (documented chance-denominator rule)."""
     from data_pipeline_example_spark.functions import text as TF
 
     txt = F.coalesce(F.col("text"), F.lit(""))
+    src = (
+        F.coalesce(F.col("source"), F.lit("unknown"))
+        if "source" in documents.columns
+        else F.lit("unknown")
+    )
+    lang = (
+        F.coalesce(F.col("lang"), F.lit(""))
+        if "lang" in documents.columns
+        else F.lit("")
+    )
     extras = (
-        ("source", F.coalesce(F.col("source"), F.lit("unknown"))),
+        ("source", src),
         ("g2", c4_page_pass(txt).cast("int")),
         ("g3", (TF.quality_score(F.col("text")) >= 0.05).cast("int")),
-        ("g4", (F.coalesce(F.col("lang"), F.lit("")) == "en").cast("int")),
-    )
-    flags = _gopher_scored(documents, extras=extras).withColumn(
+        ("g4", (lang == "en").cast("int")),
+    ) + tuple((c, F.col(c)) for c in carry)
+    return _gopher_scored(documents, extras=extras).withColumn(
         "g1", gopher_passes().cast("int")
     )
-    pairs = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+
+
+_AGREEMENT_PAIRS = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+
+
+def agreement_aggs() -> list:
+    """The fused 11-term aggregate (count + 4 gate sums + 6 pair sums)
+    both agreement rollups share — map-side combinable, so the batch
+    groupBy(source) and the streaming windowed aggregate cost one
+    narrow exchange each."""
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     aggs += [F.sum(f"g{i}").cast("long").alias(f"a{i}") for i in range(1, 5)]
     aggs += [
         F.sum(F.col(f"g{i}") * F.col(f"g{j}")).cast("long").alias(f"b{i}{j}")
-        for i, j in pairs
+        for i, j in _AGREEMENT_PAIRS
     ]
-    agg = flags.groupBy("source").agg(*aggs)
+    return aggs
+
+
+def agreement_unpivot(agg: DataFrame, keys: list[str]) -> DataFrame:
+    """Unpivot one agreement-aggregate row into the 6 gate-pair rows
+    with the closed integer-milli kappa (shared by batch and stream;
+    no ordering — streams can't sort)."""
+    pairs = _AGREEMENT_PAIRS
     stacked = ", ".join(
         f"'{GATE_AGREEMENT_GATES[i - 1]}', '{GATE_AGREEMENT_GATES[j - 1]}',"
         f" a{i}, a{j}, b{i}{j}"
         for i, j in pairs
     )
     un = agg.selectExpr(
-        "source",
+        *keys,
         "n",
         f"stack({len(pairs)}, {stacked}) AS (gate_a, gate_b, na, nb, n_both)",
     )
-    return (
-        un.selectExpr(
-            "source",
-            "gate_a",
-            "gate_b",
-            "n AS n_docs",
-            "n_both",
-            "n - na - nb + n_both AS n_neither",
-            "na * nb + (n - na) * (n - nb) AS pe_num",
-        )
-        .selectExpr(
-            "source",
-            "gate_a",
-            "gate_b",
-            "n_docs",
-            "n_both",
-            "n_neither",
-            "1000 * (n_both + n_neither) div n_docs AS agree_milli",
-            "CASE WHEN n_docs * n_docs = pe_num THEN NULL ELSE"
-            " (1000 * (n_docs * (n_both + n_neither) - pe_num))"
-            " div (n_docs * n_docs - pe_num) END AS kappa_milli",
-        )
-        .orderBy("source", "gate_a", "gate_b")
+    return un.selectExpr(
+        *keys,
+        "gate_a",
+        "gate_b",
+        "n AS n_docs",
+        "n_both",
+        "n - na - nb + n_both AS n_neither",
+        "na * nb + (n - na) * (n - nb) AS pe_num",
+    ).selectExpr(
+        *keys,
+        "gate_a",
+        "gate_b",
+        "n_docs",
+        "n_both",
+        "n_neither",
+        "1000 * (n_both + n_neither) div n_docs AS agree_milli",
+        "CASE WHEN n_docs * n_docs = pe_num THEN NULL ELSE"
+        " (1000 * (n_docs * (n_both + n_neither) - pe_num))"
+        " div (n_docs * n_docs - pe_num) END AS kappa_milli",
     )
 
 

@@ -472,6 +472,51 @@ def dedup_lines_stream(
     )
 
 
+def gate_agreement_stream(
+    docs: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-micro-batch inter-gate agreement monitor — the streaming
+    twin of the batch ``text.gate_agreement`` census (r14 VERDICT
+    item 8): ingest watches the pairwise Cohen's kappa between its
+    quality gates per event-time window, so a gate going REDUNDANT
+    (κ→1000: stop paying for it) or ADVERSARIAL (κ<0 on a source: a
+    crawl shift or an attack making gates fight) is visible mid-stream
+    instead of at the next corpus-wide batch audit.
+
+    Built from the SAME ``text.gate_flags`` projection and
+    ``text.agreement_aggs`` fused 11-term aggregate as the batch op —
+    one stateless expression pass per document, ONE windowed
+    aggregate keyed (window × source) whose state is 11 longs per
+    group (bounded by sources × open windows, never corpus-sized),
+    finalized append-only at watermark close. The kappa unpivot runs
+    AFTER the aggregate, on the closed 1-row-per-group output. A
+    stream without lang/source columns (the DOC_SCHEMA landing
+    contract) defaults them; constant gates yield kappa NULL by the
+    documented chance-denominator rule.
+
+    Output: window_start, window_end, source, gate_a, gate_b, n_docs,
+    n_both, n_neither, agree_milli, kappa_milli (closed windows only).
+    """
+    flags = text.gate_flags(docs, carry=("ingest_ts",))
+    agg = (
+        flags.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"), F.col("source"))
+        .agg(*text.agreement_aggs())
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "source",
+            *[c for c in ("n", "a1", "a2", "a3", "a4")],
+            *[f"b{i}{j}" for i in range(1, 5) for j in range(i + 1, 5)],
+        )
+    )
+    return text.agreement_unpivot(
+        agg, ["window_start", "window_end", "source"]
+    )
+
+
 def unicode_clean_stream(
     docs: DataFrame, max_dropped_milli: int = 500
 ) -> DataFrame:

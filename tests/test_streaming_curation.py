@@ -574,6 +574,83 @@ def test_dedup_lines_stream_suppresses_boilerplate_across_batches(spark, tmp_pat
     assert out.filter("line_hash is null").count() == 0
 
 
+def test_gate_agreement_stream_matches_batch_census_across_restart(spark, tmp_path):
+    """Streaming inter-gate kappa monitor: per-window rows equal the
+    batch ``text.gate_agreement`` on the same documents (shared
+    gate_flags/agreement_aggs expressions), windows finalize append-only
+    at watermark close, and a checkpoint RESTART with a late third file
+    completes the remaining window without re-emitting closed ones."""
+    from data_pipeline_example_spark.operators import text as text_ops
+
+    docs_w1 = [
+        {"doc_id": "1", "text": "the quick brown fox jumps over the lazy dog and keeps running. " * 30,
+         "ingest_ts": "2025-01-01 10:00:00"},
+        {"doc_id": "2", "text": "tiny", "ingest_ts": "2025-01-01 10:10:00"},
+    ]
+    docs_w2 = [
+        {"doc_id": "3", "text": "a completely different well formed document with many words flowing nicely along. " * 25,
+         "ingest_ts": "2025-01-01 11:30:00"},
+        {"doc_id": "4", "text": "{ broken markup page", "ingest_ts": "2025-01-01 11:40:00"},
+    ]
+    # the closer: far enough past both windows + watermark to seal them
+    closer = [{"doc_id": "9", "text": "closer doc", "ingest_ts": "2025-01-01 14:30:00"}]
+
+    in_dir, out_dir, ckpt = tmp_path / "gin", tmp_path / "gout", tmp_path / "gckpt"
+    in_dir.mkdir()
+    now = time.time()
+    _write_docs(str(in_dir / "b1.json"), docs_w1, now)
+    _write_docs(str(in_dir / "b2.json"), docs_w2, now + 1)
+
+    def run():
+        stream = sc.decode_doc_stream(
+            sc.read_doc_stream(spark, str(in_dir), max_files_per_trigger=1)
+        )
+        q = (
+            sc.gate_agreement_stream(stream, window="1 hour", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = spark.read.parquet(str(out_dir))
+    # only window 1 is past the watermark after file b2
+    assert {r["window_start"].hour for r in first.collect()} == {10}
+
+    # restart with the closer file: window 2 finalizes, window 1 is NOT re-emitted
+    _write_docs(str(in_dir / "b3.json"), closer, now + 2)
+    run()
+    out = spark.read.parquet(str(out_dir)).collect()
+    assert sorted({r["window_start"].hour for r in out}) == [10, 11]
+    assert len([r for r in out if r["window_start"].hour == 10]) == 6  # once
+
+    # streamed rows == the batch census over each window's documents
+    for hour, docs in ((10, docs_w1), (11, docs_w2)):
+        batch = spark.createDataFrame(
+            [(int(d["doc_id"]), d["text"]) for d in docs],
+            "doc_id long, text string",
+        )
+        want = {
+            (r["gate_a"], r["gate_b"]): (
+                r["n_docs"], r["n_both"], r["n_neither"],
+                r["agree_milli"], r["kappa_milli"],
+            )
+            for r in text_ops.gate_agreement(batch).collect()
+        }
+        got = {
+            (r["gate_a"], r["gate_b"]): (
+                r["n_docs"], r["n_both"], r["n_neither"],
+                r["agree_milli"], r["kappa_milli"],
+            )
+            for r in out if r["window_start"].hour == hour
+        }
+        assert got == want
+
+
 def test_unicode_clean_stream_strips_and_rejects_across_batches(spark, tmp_path):
     """Streaming Unicode-hygiene admission over two micro-batches:
     zero-width fingerprints and C0 controls are stripped in place,
