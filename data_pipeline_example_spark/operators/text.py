@@ -37,6 +37,34 @@ from data_pipeline_example_spark.functions import text as T
 from data_pipeline_example_spark.functions.parallel import widen
 
 
+def _quality_from_counts() -> Column:
+    """The 4-dp doc-quality formula over BOUND count columns (n_chars,
+    n_tokens, n_punct, n_stop) — shared by :func:`doc_stats` and the
+    inline re-derivation in :func:`dsir_weights`, so both evaluate the
+    bit-identical expression and each regex count is computed once per
+    document in a lower projection."""
+    n_tok = F.col("n_tokens").cast("double")
+    n_char = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    punct_ratio = F.col("n_punct").cast("double") / n_char
+    stop_ratio = F.col("n_stop").cast("double") / F.greatest(n_tok, F.lit(1.0))
+    length_factor = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        length_factor * (1.0 - punct_ratio) * (0.5 + 0.5 * stop_ratio), 4
+    )
+
+
+def _count_cols(documents: DataFrame, *extra: Column) -> DataFrame:
+    """The bound-count lower projection behind :func:`_quality_from_counts`."""
+    return documents.select(
+        "doc_id",
+        *extra,
+        T.char_count(F.col("text")).cast("long").alias("n_chars"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.punct_count(F.col("text")).cast("long").alias("n_punct"),
+        T.stopword_count(F.col("text"), T.STOPWORDS["en"]).cast("long").alias("n_stop"),
+    )
+
+
 def doc_stats(documents: DataFrame) -> DataFrame:
     """Per-document statistics: chars, tokens, punctuation ratio,
     quality score, md5 fingerprint.
@@ -46,27 +74,16 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     formula alone references the counts five times, and bound columns
     keep each regex to one evaluation per document (same structure, and
     reason, as ``dedup.shingled``)."""
-    base = documents.select(
-        "doc_id",
-        "text",
-        T.char_count(F.col("text")).cast("long").alias("n_chars"),
-        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        T.punct_count(F.col("text")).cast("long").alias("n_punct"),
-        T.stopword_count(F.col("text"), T.STOPWORDS["en"]).cast("long").alias("n_stop"),
+    base = _count_cols(documents, F.col("text"))
+    punct_ratio = F.col("n_punct").cast("double") / F.greatest(
+        F.col("n_chars").cast("double"), F.lit(1.0)
     )
-    n_tok = F.col("n_tokens").cast("double")
-    n_char = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
-    punct_ratio = F.col("n_punct").cast("double") / n_char
-    stop_ratio = F.col("n_stop").cast("double") / F.greatest(n_tok, F.lit(1.0))
-    length_factor = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     return base.select(
         "doc_id",
         "n_chars",
         "n_tokens",
         F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(length_factor * (1.0 - punct_ratio) * (0.5 + 0.5 * stop_ratio), 4).alias(
-            "quality"
-        ),
+        _quality_from_counts().alias("quality"),
         T.fingerprint(F.col("text")).alias("fingerprint"),
     )
 
@@ -1346,39 +1363,47 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 1024) -> DataFrame:
     Output: doc_id, n_feats, log_weight_micro (micro-nats; divide by
     1e6 for the nat-scale log weight) — docs with ≥ 1 bigram.
     """
-    # the quality frame feeds the mean aggregate AND the flag join;
-    # materialize it (narrow doc_id+quality) so the text column is
-    # scanned once for quality, not once per branch
-    scored = doc_stats(documents).select("doc_id", "quality").transform(materialize)
-    mean_q = scored.agg(F.round(F.avg("quality"), 6).alias("mq"))
-    flags = scored.crossJoin(F.broadcast(mean_q)).select(
-        "doc_id", (F.col("quality") >= F.col("mq")).cast("int").alias("is_t")
-    )
+    # scan 1: the corpus mean quality — a 1-row broadcast scalar
+    mean_q = doc_stats(documents).agg(F.round(F.avg("quality"), 6).alias("mq"))
     t = T.tokens(F.lower(F.col("text")))
     bigrams = F.expr(
         "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
         "(x, i) -> concat(x, ' ', element_at(t, i + 2)))"
     )
+    # scans 2/3: the per-bigram frame with is_t derived INLINE from the
+    # same bound-count projection doc_stats uses (bit-identical quality
+    # expression + the broadcast mean) — no per-doc flag frame, no
+    # (doc, bucket) count materialization. The r14 form checkpointed
+    # the doc×bucket counts to share one tokenize scan between the
+    # bucket model and the scoring; that frame is #docs × #distinct-
+    # buckets-per-doc rows and OOM'd a 48 GB driver at the r15 sf100
+    # sweep — re-reading the corpus per consumer is strictly cheaper
+    # at scale (each pass is one pushdown-pruned scan with a bounded
+    # or output-sized shuffle).
     feats = (
-        widen(documents)
-        .select("doc_id", t.alias("t"))
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        _count_cols(widen(documents), t.alias("t"))
+        .crossJoin(F.broadcast(mean_q))
         .select(
             "doc_id",
+            (_quality_from_counts() >= F.col("mq")).cast("int").alias("is_t"),
+            F.explode(bigrams).alias("bigram"),
+        )
+        .select(
+            "doc_id",
+            "is_t",
             (
                 F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast("long")
                 % n_buckets
             ).alias("bucket"),
         )
     )
-    cnt = feats.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    # the flagged count frame feeds the bucket model AND the final
-    # per-doc scoring — materialize once (narrow count rows, no text)
-    # so the tokenize scan runs once, not once per consumer
-    withflag = cnt.join(flags, "doc_id").transform(materialize)
-    btab = withflag.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_t") == 1, F.col("c")).otherwise(0)).alias("ct"),
-        F.sum("c").alias("cr"),
+    # the bucket model aggregates DIRECTLY to the n_buckets domain —
+    # map-side combined, the exchange carries ≤ n_buckets rows per
+    # task; occurrence sums equal the old per-doc-count sums exactly
+    # (integer, order-independent), so the oracle is unchanged
+    btab = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t") == 1, 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
     )
     tot = btab.agg(
         F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
@@ -1402,17 +1427,16 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 1024) -> DataFrame:
         .alias("lw_micro"),
     )
     return (
-        withflag.join(F.broadcast(lr), "bucket")
+        feats.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum("c").cast("long").alias("n_feats"),
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
             # exact integer micro-nats end to end: no float rounding
             # anywhere, so no engine can disagree at a half-way boundary
             # (Spark rounds doubles via their decimal string, DuckDB via
-            # the binary value — -0.27795 split them)
-            F.sum(F.col("c") * F.col("lw_micro")).cast("long").alias(
-                "log_weight_micro"
-            ),
+            # the binary value — -0.27795 split them); summing per
+            # OCCURRENCE equals the old per-(doc, bucket)-count sum
+            F.sum("lw_micro").cast("long").alias("log_weight_micro"),
         )
     )
 

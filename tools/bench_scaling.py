@@ -156,11 +156,14 @@ def main() -> None:
     small = argv[0] if argv else "/root/testdata/sf0.1"
     big = argv[1] if len(argv) > 1 else "/root/repo/.localdata/sf1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # sf10 fits in 8g; third-decade (sf100) chunks need more — override
+    # per run, the JVM heap is fixed at session start
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     spark = get_spark(
         app_name="bench_scaling",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "8g"},
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": mem},
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
