@@ -31,7 +31,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_pipeline_example_spark.functions.materialize import materialize
+from data_pipeline_example_spark.functions.materialize import (
+    materialize,
+    materialize_disk,
+)
 
 from data_pipeline_example_spark.functions import text as T
 from data_pipeline_example_spark.functions.parallel import widen
@@ -1958,10 +1961,13 @@ def substring_dedup(documents: DataFrame, k: int = 50) -> DataFrame:
     # tokenize ONCE and materialize: grams (twice — keeper census and
     # anti-join probe), the token explode, and the reassembly all read
     # this frame; without the checkpoint each branch re-scans and
-    # re-tokenizes the corpus (the plan showed 8 parquet scans)
+    # re-tokenizes the corpus (the plan showed 8 parquet scans).
+    # DISK_ONLY seam: the frame is corpus-sized (every token), and
+    # MEMORY_AND_DISK blocks starved the shuffles at the r15 sf100
+    # sweep (x13.5 on x10 data)
     base = widen(documents).select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
-    ).transform(materialize)
+    ).transform(materialize_disk)
     grams = base.selectExpr(
         "doc_id",
         f"CASE WHEN size(t) < {k} THEN array() "
@@ -2067,13 +2073,16 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
         lambda x: x != F.lit(""),
     )
     base = (
+        # DISK_ONLY seam: lines + tokens ≈ twice the text volume —
+        # corpus-sized, the r15 sf100 hazard class (x15.8 on x10 data
+        # under the MEMORY_AND_DISK localCheckpoint)
         widen(documents)
         .select(
             "doc_id",
             lines_col.alias("l"),
             T.tokens(F.lower(F.col("text"))).alias("t"),
         )
-        .transform(materialize)
+        .transform(materialize_disk)
     )
     zero = F.lit(0).cast("long")
     per_doc = base.select(
