@@ -65,6 +65,22 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def materialize_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """:func:`materialize` + the frame's row count.
+
+    Iterative operators (connected components, k-core peeling,
+    PageRank) need both a lineage cut and a row count per round — for
+    convergence tests or sizing. The count here scans the
+    just-materialized blocks (no shuffle, no recompute), which
+    measured ~0.16 s against ~0.4 s for an ``observe`` metric riding
+    the checkpoint job (the CollectMetrics node slows the checkpoint
+    itself more than the extra scan costs) and far under re-deriving
+    the frame. Returns ``(checkpointed_frame, n_rows)``.
+    """
+    out = materialize(df)
+    return out, out.count()
+
+
 def materialize_disk(df: DataFrame) -> DataFrame:
     """:func:`materialize` for CORPUS-SIZED frames (token/line arrays,
     i.e. roughly the text volume itself). Reliable mode is unchanged —

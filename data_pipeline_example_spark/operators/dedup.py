@@ -28,7 +28,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_pipeline_example_spark.functions.materialize import materialize
+from data_pipeline_example_spark.functions.materialize import (
+    materialize,
+    materialize_counted,
+)
 
 from data_pipeline_example_spark.functions import text as T
 from data_pipeline_example_spark.functions.parallel import widen
@@ -553,24 +556,22 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
-            .select(
+        # a row's label changes iff a neighbor offered a strictly
+        # smaller one — computed as a flag column in the SAME
+        # projection, so the convergence check is a cheap filter+count
+        # over the just-checkpointed blocks instead of the old
+        # join-new-against-old shuffle job per round (r15)
+        new_labels = materialize(
+            labels.join(nbr, labels["doc_id"] == nbr["a"], "left").select(
                 labels["doc_id"],
                 F.least(
                     labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
                 ).alias("label"),
+                (F.col("nbr_label") < labels["label"]).alias("chg"),
             )
-            .transform(materialize)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("p"), "doc_id")
-            .filter(F.col("n.label") != F.col("p.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("doc_id", "label")
+        if new_labels.filter("chg").isEmpty():
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
@@ -616,11 +617,10 @@ def dedup_clusters_scalable(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     while min-label emits it labeled with itself; near-dup pair
     generators emit doc_a < doc_b, so the case never arises upstream.
     """
-    edges = (
+    edges, n_edges = materialize_counted(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .transform(materialize)
     )
     nodes = (
         edges.select(F.col("a").alias("doc_id"))
@@ -658,13 +658,18 @@ def dedup_clusters_scalable(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         )
 
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).transform(materialize)
+        # the round count rides the checkpoint job (observe metric),
+        # and the previous round's count is carried forward — the old
+        # form re-counted BOTH frames each round, three driver-blocking
+        # jobs per round where one suffices (r15)
+        new_edges, n_new = materialize_counted(_small_star(_large_star(edges)))
         # both frames are distinct sets: equal counts + empty new\old
         # means fixpoint (old ⊆ new is then forced by cardinality)
-        same_size = new_edges.count() == edges.count()
+        same_size = n_new == n_edges
         if same_size and new_edges.join(edges, ["a", "b"], "left_anti").isEmpty():
             break
         edges = new_edges
+        n_edges = n_new
     else:
         raise RuntimeError(
             f"star contraction did not converge in {max_iter} rounds"
