@@ -3047,8 +3047,13 @@ def benchmark_decontamination(
                 )
             ).alias("H"),
         )
-        .filter(F.size("H") > 0)
+        # the size filter sits ABOVE the checkpoint: below it, Catalyst
+        # pushes the predicate under the widen exchange and re-evaluates
+        # the whole gram expression a second time at scan parallelism
+        # (r15; the handful of zero-gram rows stored in the checkpoint
+        # cost nothing)
         .transform(materialize)
+        .filter(F.size("H") > 0)
     )
     bench = (
         base.filter("is_bench")
@@ -3277,13 +3282,20 @@ def ngram_novelty(
     sf-independent, and always in ``[0, n_epochs)``.
 
     Plan: ONE tokenize scan builds the per-doc distinct gram array
-    scan-side; the (epoch, gram) frame is deduped in a single exchange
-    and BOTH aggregates derive from it (first-epoch per gram = a
-    gram-keyed min; per-epoch distinct counts = an epoch-keyed count) —
-    the branch-reuse discipline, no corpus re-scan. The per-epoch
-    frames are ≤ ``n_epochs`` rows, broadcast-joined. Rates are
-    integer micro-units over exact BIGINTs. Output: epoch, n_docs,
-    distinct_grams, new_grams, novelty_micro (new/distinct share).
+    scan-side; each doc also contributes a ``D:<doc_id>`` SENTINEL row
+    (md5 grams are 32 lowercase hex chars, so the namespace cannot
+    collide), letting the per-epoch doc counts ride the SAME
+    (epoch, gram) distinct exchange as the gram census — every branch
+    (first-epoch per gram = a gram-keyed min; per-epoch distinct
+    counts = an epoch-keyed count; doc counts = an epoch-keyed count
+    of sentinels) derives from that one reused exchange, so the corpus
+    is tokenized exactly once and the query needs NO construct-time
+    checkpoint at all (r15: the old two-materialize form measured
+    5.5 s of driver-blocking construct jobs at sf0.1 before the first
+    byte of output). The per-epoch frames are ≤ ``n_epochs`` rows,
+    broadcast-joined. Rates are integer micro-units over exact
+    BIGINTs. Output: epoch, n_docs, distinct_grams, new_grams,
+    novelty_micro (new/distinct share).
     """
     n = documents.filter(F.col("doc_id").isNotNull()).agg(
         (F.max("doc_id") + 1).alias("n")
@@ -3293,10 +3305,12 @@ def ngram_novelty(
         .filter(F.col("doc_id").isNotNull())
         .crossJoin(F.broadcast(n))
         .select(
+            F.col("doc_id"),
             F.expr(f"(doc_id * {int(n_epochs)}) div n").alias("epoch"),
             T.tokens(F.lower(F.col("text"))).alias("t"),
         )
         .select(
+            "doc_id",
             "epoch",
             F.array_distinct(
                 F.expr(
@@ -3306,26 +3320,45 @@ def ngram_novelty(
                 )
             ).alias("H"),
         )
-        .filter(F.size("H") > 0)
-        # base feeds TWO branches (the gram pairs and the per-epoch doc
-        # counts) — without this the second branch re-tokenizes the
-        # corpus (the r8 branch-reuse lesson)
-        .transform(materialize)
     )
+    # the sentinel rows make this distinct frame the query's ONLY
+    # materialization point: one checkpoint job replaces the old
+    # base+pairs double checkpoint (tokenize runs once inside it), and
+    # the three branch aggregates below are cheap scans of the
+    # checkpointed blocks. A filter-based split WITHOUT the checkpoint
+    # does not work: Catalyst pushes each branch's sentinel predicate
+    # below the shared distinct, so the exchange subtrees diverge and
+    # ReuseExchange never fires (3 full tokenize scans, measured).
+    # Docs with zero grams are excluded by the explode itself (the
+    # sentinel is only appended to non-empty gram arrays) — an explicit
+    # size(H) > 0 filter would push below the widen exchange and
+    # re-evaluate the whole gram expression a second time at scan
+    # parallelism (measured +3 s at sf0.1, r15).
     pairs = (
-        base.select("epoch", F.explode("H").alias("h"))
+        base.select(
+            "epoch",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(H) = 0 THEN H "
+                    "ELSE concat(H, array(concat('D:', cast(doc_id as string)))) END"
+                )
+            ).alias("h"),
+        )
         .distinct()
         .transform(materialize)
     )
-    firsts = pairs.groupBy("h").agg(F.min("epoch").alias("first_epoch"))
+    grams = pairs.filter(~F.col("h").startswith("D:"))
+    firsts = grams.groupBy("h").agg(F.min("epoch").alias("first_epoch"))
     per_new = firsts.groupBy(F.col("first_epoch").alias("epoch")).agg(
         F.count(F.lit(1)).cast("long").alias("new_grams")
     )
-    per_distinct = pairs.groupBy("epoch").agg(
+    per_distinct = grams.groupBy("epoch").agg(
         F.count(F.lit(1)).cast("long").alias("distinct_grams")
     )
-    per_docs = base.groupBy("epoch").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    per_docs = (
+        pairs.filter(F.col("h").startswith("D:"))
+        .groupBy("epoch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     return (
         per_docs.join(per_distinct, "epoch")

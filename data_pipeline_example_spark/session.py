@@ -36,6 +36,18 @@ _BASE_CONF: dict[str, str] = {
     # testdata events.ts is parquet TIMESTAMP(NANOS), which Spark cannot
     # read natively — surface it as a long and convert (sources/tables.py)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate turns every explode(expr) into a pushed
+    # size(expr)>0 filter. This engine's exploded arrays are almost all
+    # COMPUTED (shingles, md5 grams, LSH band keys, PQ codes) — the
+    # inferred filter re-evaluates the full expression a second time
+    # below the widen/repartition exchange, i.e. 2× the dominant CPU at
+    # any scale and at raw-scan parallelism locally (measured 3.2 s →
+    # 0.3 s on the sf0.1 gram explode, r15). Stored-array explodes lose
+    # nothing: explode already drops empty arrays. Correctness-neutral
+    # (pure optimizer rule exclusion).
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
