@@ -1952,22 +1952,24 @@ def ivf_knn_batch(
     )
     # broadcast per the repo-wide crossJoin rule — without the hint the
     # two local relations plan a 32×32-task CartesianProduct that costs
-    # ~14 s of pure scheduling for 64 rows (measured, r13)
-    probe_rows = (
+    # ~14 s of pure scheduling for 64 rows (measured, r13). The probe
+    # ranking stays LAZY (r15): it used to be collected at construct
+    # and re-created as a local relation, costing a driver-blocking
+    # job per call; as a (n_queries·n_probe)-row subtree of the
+    # broadcast build it computes inside the query's own action with
+    # identical rows (same expressions, same window, same tie-break).
+    probe_frame = (
         cents_local.crossJoin(F.broadcast(qs_local))
         .select(
             "query_id",
             "centroid_id",
+            "qv",
             F.round(V.cosine(F.col("cv"), F.col("qv")), 6).alias("c_sim"),
         )
         .withColumn("rn", F.row_number().over(pw))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "centroid_id")
-        .collect()
+        .select("query_id", F.col("centroid_id").alias("cid"), "qv")
     )
-    probed: dict[int, list[int]] = {}
-    for r in probe_rows:
-        probed.setdefault(int(r["query_id"]), []).append(int(r["centroid_id"]))
     # ONE parsed SQL literal per matrix (the ivf_knn discipline):
     # centroid matrix for inline assignment, query matrix for scoring,
     # per-query probe-set list for the fan-out filter
@@ -2006,16 +2008,7 @@ def ivf_knn_batch(
     # 16.4 s at sf1, slower than n_queries solo scans — and indexing
     # per-query literal matrices per row pushed the generated code past
     # the codegen limits into interpreted fallback, 18 s.)
-    probe_sdf = F.broadcast(
-        spark.createDataFrame(
-            [
-                (int(qid), int(cid), qv)
-                for qid, qv in query_rows
-                for cid in probed[qid]
-            ],
-            "query_id long, cid long, qv array<double>",
-        )
-    )
+    probe_sdf = F.broadcast(probe_frame)
     scored = (
         e.withColumn("cid", best["cid"])
         .join(probe_sdf, "cid")
@@ -2887,18 +2880,28 @@ def coreset_selection(embeddings: DataFrame, k: int = 8) -> DataFrame:
     picked = [(1, int(seed["vec_id"]), 0)]
     center_vecs = [[float(x) for x in seed["v"]]]
     for rank in range(2, int(k) + 1):
-        dists = [
-            F.lit(1000000)
-            - F.round(
-                F.round(
-                    V.cosine(F.col("v"), F.array(*[F.lit(x) for x in cv])), 6
-                )
-                * 1e6,
-                0,
-            ).cast("long")
-            for cv in center_vecs
-        ]
-        dm = F.least(*dists) if len(dists) > 1 else dists[0]
+        # min over centers of (1e6 − cos_micro) == 1e6 − max over
+        # centers of cos_micro (exact integer identity). The centers
+        # ride in ONE ArrayType literal and the per-center similarity
+        # is ONE transform lambda — round r used to build r separate
+        # cosine expression trees (F.least over per-center F.array
+        # literals), so every round re-paid codegen linear in r; the
+        # matrix fold keeps the compiled expression size constant
+        # per round (r15; same rounding, same values).
+        cmat = F.lit(center_vecs)
+        idx = F.sequence(F.lit(0), F.lit(len(center_vecs) - 1))
+        dm = F.lit(1000000) - F.array_max(
+            F.transform(
+                idx,
+                lambda i: F.round(
+                    F.round(
+                        V.cosine(F.col("v"), F.element_at(cmat, i + 1)), 6
+                    )
+                    * 1e6,
+                    0,
+                ).cast("long"),
+            )
+        )
         rows = (
             e.select("vec_id", "v", dm.alias("dm"))
             .orderBy(F.desc("dm"), F.asc("vec_id"))

@@ -1672,11 +1672,25 @@ def customer_rfm(orders: DataFrame, tiles: int = 4) -> DataFrame:
         )
         .transform(materialize)
     )
+    # ONE grouped cuts pass for all three dimensions (r15): the three
+    # dims are independent columns of the SAME checkpointed rfm frame,
+    # so stacking them into (dim, value) rows and running value_cuts
+    # with group_cols=("_dim",) computes all three per-value prefix
+    # sums in one ranged materialization + one driver collect — 2
+    # construct-time jobs instead of 6. Per-dim arithmetic (cum_before
+    # within the dim group, row_number within (value), the ntile
+    # formula) is unchanged.
+    melted = rfm.selectExpr(
+        "o_custkey", "stack(3, 'r', r_v, 'f', f_v, 'm', m_cents) as (_dim, _v)"
+    )
+    all_cuts, totals = value_cuts(melted, "_v", group_cols=("_dim",))
     cur = rfm
-    n_rows = None
-    for dim, tile_col in (("r_v", "r_tile"), ("f_v", "f_tile"), ("m_cents", "m_tile")):
-        cuts, totals = value_cuts(cur.select("o_custkey", dim), dim)
-        n_rows = totals.get((), (0, 0))[0]
+    for dim, key, tile_col in (
+        ("r_v", "r", "r_tile"),
+        ("f_v", "f", "f_tile"),
+        ("m_cents", "m", "m_tile"),
+    ):
+        n_rows = totals.get((key,), (0, 0))[0]
         if n_rows == 0:
             return spark.createDataFrame(
                 [],
@@ -1684,8 +1698,13 @@ def customer_rfm(orders: DataFrame, tiles: int = 4) -> DataFrame:
                 "avg_recency_days long, total_orders long, "
                 "total_spend_cents long",
             )
+        dcuts = (
+            all_cuts.filter(F.col("_dim") == key)
+            .drop("_dim")
+            .withColumnRenamed("_v", dim)
+        )
         wt = Window.partitionBy(dim).orderBy("o_custkey")
-        ranked = join_cuts(cur, cuts, dim).withColumn(
+        ranked = join_cuts(cur, dcuts, dim).withColumn(
             "rank", F.col("cum_before") + F.row_number().over(wt)
         )
         cur = ranked.withColumn(
@@ -1919,16 +1938,28 @@ def customer_migration(orders: DataFrame, tiles: int = 4) -> DataFrame:
         )
     )
 
-    def _half_tiles(cond, out_col: str) -> DataFrame:
-        spend = (
-            base.filter(cond)
-            .groupBy("o_custkey")
-            .agg(F.sum("cents").cast("long").alias("m_cents"))
+    # ONE grouped cuts pass for both halves (r15): per-half spend rows
+    # carry a half label and value_cuts runs once with
+    # group_cols=("_half",) — one ranged materialization + one driver
+    # collect instead of two of each. Per-half quartile arithmetic
+    # (cum_before within the half, row_number within (value), ntile
+    # over that half's own n_rows) is unchanged.
+    spend_both = (
+        base.withColumn(
+            "_half",
+            F.when(F.col("d") < F.col("mid"), F.lit(1)).otherwise(F.lit(2)),
         )
-        cuts, totals = value_cuts(spend, "m_cents")
-        n_rows = totals.get((), (0, 0))[0]
+        .groupBy("_half", "o_custkey")
+        .agg(F.sum("cents").cast("long").alias("m_cents"))
+    )
+    all_cuts, totals = value_cuts(spend_both, "m_cents", group_cols=("_half",))
+
+    def _half_tiles(half: int, out_col: str) -> DataFrame:
+        n_rows = totals.get((half,), (0, 0))[0]
         if n_rows == 0:
             return spark.createDataFrame([], f"o_custkey long, {out_col} int")
+        spend = spend_both.filter(F.col("_half") == half).drop("_half")
+        cuts = all_cuts.filter(F.col("_half") == half).drop("_half")
         wt = Window.partitionBy("m_cents").orderBy("o_custkey")
         ranked = join_cuts(spend, cuts, "m_cents").withColumn(
             "rank", F.col("cum_before") + F.row_number().over(wt)
@@ -1938,8 +1969,8 @@ def customer_migration(orders: DataFrame, tiles: int = 4) -> DataFrame:
             ntile_expr("rank", n_rows, tiles).cast("int").alias(out_col),
         )
 
-    h1 = _half_tiles(F.col("d") < F.col("mid"), "tile_h1")
-    h2 = _half_tiles(F.col("d") >= F.col("mid"), "tile_h2")
+    h1 = _half_tiles(1, "tile_h1")
+    h2 = _half_tiles(2, "tile_h2")
     return (
         h1.join(h2, "o_custkey", "full_outer")
         .select(
