@@ -122,6 +122,43 @@ def jaccard_pairs(
     )
 
 
+def _with_minhash_sigs(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Shingle frame (doc_id, shingles, …) + signature columns
+    h0..h{n-1} appended SCAN-SIDE: one projection binds the per-shingle
+    concatenation of the num_hashes/4 md5 strings (computed once — the
+    bound-column discipline from :func:`shingled`; a non-cheap
+    expression referenced 16× is never re-inlined by CollapseProject),
+    then each h_i is an ``array_min`` over a substring transform of
+    that bound array. No explode, no hash aggregate, no exchange: the
+    signature is computed where the shingle array already lives (r15;
+    the previous explode → groupBy(min) shape shuffled |docs| ×
+    num_hashes 8-char strings and put a blocking aggregate into every
+    consumer's plan). ``array_min`` over the transformed non-empty
+    array equals the grouped ``min`` over exploded rows exactly (same
+    binary string ordering; ``shingled`` filters empty arrays)."""
+    md5s = sh.withColumn(
+        "_m",
+        F.transform(
+            "shingles",
+            lambda s: F.concat(
+                *[
+                    F.md5(F.concat(F.lit(f"{g}:"), s))
+                    for g in range(num_hashes // 4)
+                ]
+            ),
+        ),
+    )
+    def _h(i: int):
+        off = (i // 4) * 32 + (i % 4) * 8 + 1
+        return F.array_min(
+            F.transform("_m", lambda x: x.substr(F.lit(off), F.lit(8)))
+        ).alias(f"h{i}")
+
+    return md5s.select(
+        *[c for c in sh.columns], *[_h(i) for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     documents: DataFrame,
     k: int = 3,
@@ -137,31 +174,20 @@ def minhash_signatures(
     32-bit minimum stays collision-resistant for any realistic shingle
     count per document; portable across engines (md5 + substring only).
 
-    Plan shape (matters at scale): one explode of distinct shingles →
-    one projection computing num_hashes/4 md5s → one hash aggregate
-    taking ``num_hashes`` mins. Map-side partial aggregation reduces
-    the shuffle to |docs| × num_hashes 8-char strings; the shingle
-    arrays themselves never shuffle.
+    Plan shape (matters at scale): computed scan-side by
+    :func:`_with_minhash_sigs` — one projection, zero exchanges; the
+    shingle arrays never shuffle and neither do the signatures.
     """
     assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
     sh = shingled(documents, k) if shingle_df is None else shingle_df
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    md5s = ex.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{g}:"), F.col("sh"))).alias(f"m{g}")
-            for g in range(num_hashes // 4)
-        ],
-    )
-    return md5s.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(F.col(f"m{i // 4}"), (i % 4) * 8 + 1, 8)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+    return _with_minhash_sigs(sh, num_hashes).select(
+        "doc_id", *[f"h{i}" for i in range(num_hashes)]
     )
 
 
-def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _banded(
+    sigs: DataFrame, num_hashes: int, bands: int, keep_sigs: bool = False
+) -> DataFrame:
     """Signature frame → one row per (doc, band): all columns of ``sigs``
     plus ``bk`` (the array of every band's key: the band's hash slice
     concatenated) and the exploded (band, key). The raw concatenation IS
@@ -176,8 +202,17 @@ def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             for b in range(bands)
         ]
     )
+    # slim rows (r15): the band join needs only (doc_id, bk, band, key)
+    # — carrying the num_hashes signature columns through the self-join
+    # exchange multiplied every shuffled row's width for columns no
+    # consumer reads. ``minhash_jaccard_estimates`` (which scores the
+    # estimate from the signatures INSIDE the join) passes
+    # ``keep_sigs=True``.
+    cols = ["doc_id", "bk"]
+    if keep_sigs:
+        cols += [f"h{i}" for i in range(num_hashes)]
     return sigs.withColumn("bk", bk).select(
-        "*", F.posexplode("bk").alias("band", "key")
+        *cols, F.posexplode("bk").alias("band", "key")
     )
 
 
@@ -212,18 +247,16 @@ def minhash_lsh_pairs(
     to LSH candidates — recall is probabilistic, precision exact.
     """
     rows_per_band = num_hashes // bands
-    # one materialization feeds signature construction AND both sides of
-    # the verification join — shingling would otherwise run three times.
-    # Callers composing several shingle consumers (curation.py) pass an
-    # already-materialized frame instead.
-    sh_mat = (
-        shingled(documents, k).transform(materialize) if shingle_df is None else shingle_df
-    )
-    # signatures are also referenced on BOTH sides of the band self-join
-    # below — checkpoint them too (|docs| × num_hashes 8-char strings,
-    # tiny) or the explode+md5+min aggregate runs twice (~25% of the
-    # operator's wall-clock, measured at sf0.1)
-    sigs = minhash_signatures(documents, k, num_hashes, shingle_df=sh_mat).transform(materialize)
+    # ONE materialization (r15, was two): the scan-side signatures ride
+    # the same frame as the shingle arrays, so a single checkpoint
+    # (doc_id, shingles, h0..h{n-1}) feeds the band self-join (both
+    # sides) AND both sides of the verification join. Callers composing
+    # several shingle consumers (curation.py) pass an already-
+    # materialized shingle frame; the fused checkpoint reads it once.
+    sh_raw = shingled(documents, k) if shingle_df is None else shingle_df
+    base = _with_minhash_sigs(sh_raw, num_hashes).transform(materialize)
+    sh_mat = base.select("doc_id", "shingles")
+    sigs = base.select("doc_id", *[f"h{i}" for i in range(num_hashes)])
     # slim band rows: (doc_id, all band keys, exploded band) — the
     # shingle arrays stay out of the LSH join entirely. Carrying the
     # band-key array on both sides lets the join emit each colliding
@@ -469,7 +502,7 @@ def minhash_jaccard_estimates(
     once with no dropDuplicates shuffle.
     """
     sigs = minhash_signatures(documents, k, num_hashes).transform(materialize)
-    banded = _banded(sigs, num_hashes, bands)
+    banded = _banded(sigs, num_hashes, bands, keep_sigs=True)
     a, b = banded.alias("a"), banded.alias("b")
     matches = sum(
         (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int") for i in range(num_hashes)
