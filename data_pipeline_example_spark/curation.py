@@ -835,17 +835,35 @@ def retrieval_quality(
     from data_pipeline_example_spark.operators import similarity
 
     n_each, rrf_k = 20, 60
-    truth = (
+    # ONE checkpoint job for the exact truth AND the batched IVF list
+    # (r15): both are (n_queries × ≤n_each)-row retrievals over the
+    # same corpus, previously materialized in two sequential blocking
+    # jobs; tagged and unioned they compute in one job whose two scans
+    # run as sibling stages. Only (query_id, vec_id, rank) survives —
+    # no downstream reader of the IVF leg uses cos_sim.
+    fused_lists = (
         similarity.knn_batch(embeddings, n_queries=n_queries, k=k)
-        .select("query_id", "vec_id", F.col("rank").alias("t_rank"))
-        .transform(materialize)  # n_queries*k rows, reused 3x below
+        .select(
+            F.lit(0).alias("_src"), "query_id", "vec_id", F.col("rank")
+        )
+        .unionByName(
+            similarity.ivf_knn_batch(
+                embeddings, n_queries=n_queries, k=n_each
+            ).select(
+                F.lit(1).alias("_src"), "query_id", "vec_id", F.col("rank")
+            )
+        )
+        .transform(materialize)
     )
+    truth = fused_lists.filter(F.col("_src") == 0).select(
+        "query_id", "vec_id", F.col("rank").alias("t_rank")
+    )  # n_queries*k rows, reused 3x below
     t1 = truth.filter(F.col("t_rank") == 2).select(
         "query_id", F.col("vec_id").alias("t1_id")
     )
-    ivf20 = similarity.ivf_knn_batch(
-        embeddings, n_queries=n_queries, k=n_each
-    ).transform(materialize)  # n_queries*n_each rows; ivf system + RRF leg
+    ivf20 = fused_lists.filter(F.col("_src") == 1).select(
+        "query_id", "vec_id", "rank"
+    )  # n_queries*n_each rows; ivf system + RRF leg
     ivf_sys = ivf20.filter(F.col("rank") <= k).select(
         F.lit("ivf").alias("system"),
         "query_id",

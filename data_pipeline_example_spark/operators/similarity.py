@@ -907,7 +907,12 @@ def ivf_knn(
         return e.select("vec_id", F.lit(0.0).alias("cos_sim")).limit(0)
     # probe selection runs as a local-frame Spark job so round/cosine
     # semantics are engine-exact (identical to the oracle's fold); the
-    # frame is n_centroids rows, never the corpus
+    # frame is n_centroids rows, never the corpus. (r15 NOTE: a lazy
+    # broadcast-semi-join probe was tried and REVERTED — the scan-local
+    # isin literal filter is free at exec, and the per-action broadcast
+    # build cost more than this tiny local job saves; measured 2.5-2.8s
+    # vs 3.5-4.2s over ivf_knn+filtered_ivf_knn across two interleaved
+    # A/B rounds at sf0.1.)
     spark = embeddings.sparkSession
     cents_local = spark.createDataFrame(
         cent_rows, "centroid_id long, cv array<double>"
@@ -2769,21 +2774,31 @@ def filtered_ivf_knn(
         F.col("embedding").cast("array<double>").alias("v"),
         F.coalesce(F.col("label"), F.lit(-1)).cast("long").alias("label"),
     )
-    counts = e.agg(
+    # ONE corpus scan for the selectivity counts AND the centroid/query
+    # head fetch (r15): both needed a full pass over ``e`` (a 1-row
+    # aggregate and a 16-row filter-collect) and ran as two sequential
+    # construct-time jobs — at 100 TB that is twice the construct I/O.
+    # Fused: the head rows ride the same aggregate as a bounded
+    # collect_list (when() without otherwise yields NULL for non-head
+    # rows, which collect_list drops), so construct scans the corpus
+    # exactly once.
+    agg_row = e.agg(
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.count(F.when(F.col("label") == label, 1)).cast("long").alias("n_filtered"),
+        F.collect_list(
+            F.when(
+                (F.col("vec_id") < n_centroids) | (F.col("vec_id") == query_id),
+                F.struct("vec_id", "v"),
+            )
+        ).alias("head"),
     ).collect()[0]
-    n_total, n_filtered = counts["n_total"], counts["n_filtered"]
+    n_total, n_filtered = agg_row["n_total"], agg_row["n_filtered"]
     if n_filtered == 0:
         return e.select("vec_id", "label", F.lit(0.0).alias("cos_sim")).limit(0)
     n_probe_eff = min(
         int(n_centroids), (int(n_probe) * n_total + n_filtered - 1) // n_filtered
     )
-
-    head = e.filter(
-        (F.col("vec_id") < n_centroids) | (F.col("vec_id") == query_id)
-    ).collect()
-    by_id = {r["vec_id"]: [float(x) for x in r["v"]] for r in head}
+    by_id = {r["vec_id"]: [float(x) for x in r["v"]] for r in agg_row["head"]}
     if query_id not in by_id:
         return e.select("vec_id", "label", F.lit(0.0).alias("cos_sim")).limit(0)
     qv = by_id[query_id]
