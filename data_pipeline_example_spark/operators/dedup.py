@@ -577,11 +577,15 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).transform(materialize)
+    # initial labels stay LAZY (r15): the distinct over the sym
+    # checkpoint folds into round 1's blocking materialize (the two
+    # round-1 references share the distinct's exchange), saving one
+    # construct-time driver job; every later round joins against the
+    # previous round's checkpointed labels as before.
     labels = (
         sym.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .transform(materialize)
     )
     for _ in range(max_iter):
         nbr = (
@@ -655,11 +659,15 @@ def dedup_clusters_scalable(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # nodes stays LAZY (r15): it is read exactly once, by the final
+    # read-off join, and derives from the round-0 edge checkpoint —
+    # materializing it here paid a construct-time blocking job to save
+    # nothing (the distinct runs once either way, just inside the
+    # caller's action instead).
     nodes = (
         edges.select(F.col("a").alias("doc_id"))
         .union(edges.select(F.col("b").alias("doc_id")))
         .distinct()
-        .transform(materialize)
     )
 
     def _large_star(e: DataFrame) -> DataFrame:
