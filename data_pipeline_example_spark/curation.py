@@ -835,22 +835,47 @@ def retrieval_quality(
     from data_pipeline_example_spark.operators import similarity
 
     n_each, rrf_k = 20, 60
-    # ONE checkpoint job for the exact truth AND the batched IVF list
-    # (r15): both are (n_queries × ≤n_each)-row retrievals over the
-    # same corpus, previously materialized in two sequential blocking
-    # jobs; tagged and unioned they compute in one job whose two scans
-    # run as sibling stages. Only (query_id, vec_id, rank) survives —
-    # no downstream reader of the IVF leg uses cos_sim.
+    # ONE checkpoint job for the exact truth, the batched IVF list, AND
+    # bm25's narrow per-doc match frame (r15): the first two are
+    # (n_queries × ≤n_each)-row retrievals over the same corpus, the
+    # third is the lexical leg's one-tokenize-scan frame — previously
+    # three sequential blocking jobs; tagged and unioned they compute
+    # in one job whose three scans run as sibling stages. The list legs
+    # keep only (query_id, vec_id, rank) — no downstream reader of the
+    # IVF leg uses cos_sim; the bm25 rows carry (doc_id→vec_id, dl, m)
+    # with NULL list columns and vice versa.
+    bm25_query = ("spark", "window", "hash")
+    _null_long = F.lit(None).cast("long")
     fused_lists = (
         similarity.knn_batch(embeddings, n_queries=n_queries, k=k)
         .select(
-            F.lit(0).alias("_src"), "query_id", "vec_id", F.col("rank")
+            F.lit(0).alias("_src"),
+            "query_id",
+            "vec_id",
+            F.col("rank"),
+            _null_long.alias("dl"),
+            F.lit(None).cast("array<string>").alias("m"),
         )
         .unionByName(
             similarity.ivf_knn_batch(
                 embeddings, n_queries=n_queries, k=n_each
             ).select(
-                F.lit(1).alias("_src"), "query_id", "vec_id", F.col("rank")
+                F.lit(1).alias("_src"),
+                "query_id",
+                "vec_id",
+                F.col("rank"),
+                _null_long.alias("dl"),
+                F.lit(None).cast("array<string>").alias("m"),
+            )
+        )
+        .unionByName(
+            text._bm25_match_frame(documents, bm25_query).select(
+                F.lit(2).alias("_src"),
+                _null_long.alias("query_id"),
+                F.col("doc_id").alias("vec_id"),
+                F.lit(None).cast("int").alias("rank"),
+                "dl",
+                "m",
             )
         )
         .transform(materialize)
@@ -880,8 +905,11 @@ def retrieval_quality(
     )
     # RRF: the rrf_hybrid_search fusion arithmetic verbatim, fused per
     # query from the SHARED lexical list and the batch semantic list
+    per_doc = fused_lists.filter(F.col("_src") == 2).select(
+        F.col("vec_id").alias("doc_id"), "dl", "m"
+    )
     lex = text.bm25_search(
-        documents, query=("spark", "window", "hash"), n=n_each
+        documents, query=bm25_query, n=n_each, per_doc_df=per_doc
     ).select(
         "doc_id",
         F.row_number()

@@ -2372,12 +2372,31 @@ def source_temperature_weights(documents: DataFrame) -> DataFrame:
     )
 
 
+def _bm25_match_frame(
+    documents: DataFrame, query: tuple[str, ...]
+) -> DataFrame:
+    """The narrow per-doc frame :func:`bm25_search` checkpoints:
+    (doc_id, dl, matched-terms array) from ONE tokenize scan. Split out
+    (r15) so composing callers (``curation.retrieval_quality``) can ride
+    it on their own fused checkpoint job via ``per_doc_df`` instead of
+    paying a separate sequential blocking job."""
+    toks = widen(documents).select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("dl"),
+        F.filter("t", lambda x: x.isin(*query)).alias("m"),
+    )
+
+
 def bm25_search(
     documents: DataFrame,
     query: tuple[str, ...] = ("spark", "window", "hash"),
     k1: float = 1.2,
     b: float = 0.75,
     n: int = 20,
+    per_doc_df: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval over the corpus (Robertson-Spärck Jones,
     the Okapi formula) — the standard lexical-search scorer, here as a
@@ -2404,14 +2423,11 @@ def bm25_search(
     Output: doc_id, n_terms, bm25_micro (micro-units; divide by 1e6
     for the score), top n by score.
     """
-    toks = widen(documents).select(
-        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    per_doc = (
+        _bm25_match_frame(documents, query).transform(materialize)
+        if per_doc_df is None
+        else per_doc_df
     )
-    per_doc = toks.select(
-        "doc_id",
-        F.size("t").cast("long").alias("dl"),
-        F.filter("t", lambda x: x.isin(*query)).alias("m"),
-    ).transform(materialize)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
