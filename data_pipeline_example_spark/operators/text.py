@@ -2866,12 +2866,13 @@ def bpe_merges(
     the TakeOrdered ``top_words`` vocabulary slice (count desc, word
     asc — deterministic cap, the ``simhash_pairs_capped`` discipline),
     which is how production tokenizer trainers bound merge cost too.
-    Each merge round on the capped vocab is: adjacent-pair explode →
-    weighted count (exact long sum) → 1-row argmax collect (planning-
-    sized, the ivf_knn precedent) → in-array greedy left-to-right merge
-    fold (``aggregate``, whole-symbol string equality — no substring
-    ambiguity). Work per round is O(top_words · max_word_len), corpus-
-    independent.
+    The capped slice is collected ONCE (planning-sized, the ivf_knn
+    precedent) and the merge rounds run driver-side in plain Python —
+    adjacent-pair weighted counts, argmax with (count desc, sym_a,
+    sym_b) ties, greedy left-to-right merge fold (whole-symbol string
+    equality — no substring ambiguity). Work per round is
+    O(top_words · max_word_len), corpus-independent, and no Spark job
+    is paid per round (r15; see :func:`_learn_bpe`).
 
     Exactness: pair weights are exact BIGINT sums of word counts; the
     per-round argmax breaks ties (count desc, sym_a, sym_b) — the
@@ -2902,50 +2903,65 @@ def _merge_fold_expr(col: str, a: str, b: str) -> str:
 
 
 def _learn_bpe(
-    documents: DataFrame, n_merges: int, top_words: int
+    documents: DataFrame,
+    n_merges: int,
+    top_words: int,
+    word_counts_df: DataFrame | None = None,
 ) -> list[tuple]:
     """Shared BPE trainer: returns [(round, sym_a, sym_b, merged,
     pair_count)] learned on the capped vocabulary (see
-    :func:`bpe_merges` for the scale/exactness contract)."""
-    words = (
-        documents.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+    :func:`bpe_merges` for the scale/exactness contract).
+
+    ONE bounded driver job (r15, was 1 + 2·n_merges): the corpus-sized
+    pass is the word census; the TakeOrdered ``top_words`` slice it
+    feeds is PARAMETER-sized (the ivf_knn planning-collect precedent),
+    so the merge rounds run in plain Python on those ≤ top_words rows
+    instead of paying a collect + re-checkpoint Spark job per round
+    over a 1500-row frame. Exactness is unchanged: tokens are ASCII
+    ``[A-Za-z0-9]+`` so Python's per-code-point split and string
+    ordering coincide with Spark's ``split(word, '')`` and UTF8 binary
+    ordering, pair weights are exact int sums, and the greedy
+    left-to-right fold below is :func:`_merge_fold_expr` verbatim.
+    Callers that already materialize a word-count frame pass it via
+    ``word_counts_df`` (columns word, cnt) to skip the second corpus
+    scan."""
+    wc = (
+        word_counts_df
+        if word_counts_df is not None
+        else documents.select(
+            F.explode(T.tokens(F.col("text"))).alias("word")
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("word"))
-        .limit(int(top_words))
     )
-    syms = words.select(
-        "word",
-        "cnt",
-        F.expr("filter(split(word, ''), c -> c <> '')").alias("syms"),
-    ).transform(materialize)
+    rows = (
+        wc.orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(int(top_words))
+        .collect()
+    )
+    vocab = [([c for c in r["word"]], int(r["cnt"])) for r in rows]
     merges: list[tuple] = []
     for rnd in range(1, int(n_merges) + 1):
-        top = (
-            syms.filter(F.expr("size(syms) >= 2"))
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1), i -> "
-                        "struct(element_at(syms, i) AS a, "
-                        "element_at(syms, i + 1) AS b))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").cast("long").alias("c"))
-            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
             break
-        a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
         merges.append((rnd, a, b, a + b, c))
-        syms = syms.withColumn(
-            "syms", F.expr(_merge_fold_expr("syms", a, b))
-        ).transform(materialize)
+        ab = a + b
+        for j, (syms, cnt) in enumerate(vocab):
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = ab
+                else:
+                    out.append(x)
+            vocab[j] = (out, cnt)
     return merges
 
 
@@ -2972,7 +2988,6 @@ def bpe_encode_stats(
     (post-merge), compression_micro = tokens_bpe*1e6 div chars_alnum;
     ordered by source.
     """
-    merges = _learn_bpe(documents, n_merges=n_merges, top_words=top_words)
     sw = (
         documents.select(
             "source", F.explode(T.tokens(F.col("text"))).alias("word")
@@ -2980,6 +2995,17 @@ def bpe_encode_stats(
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .transform(materialize)
+    )
+    # the trainer's word census is the per-source census summed out —
+    # derive it from the checkpoint just materialized so the corpus is
+    # tokenized ONCE for learn + apply (r15, was two scans)
+    merges = _learn_bpe(
+        documents,
+        n_merges=n_merges,
+        top_words=top_words,
+        word_counts_df=sw.groupBy("word").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        ),
     )
     vocab = sw.select("word").distinct().withColumn(
         "syms", F.expr("filter(split(word, ''), c -> c <> '')")
