@@ -1088,8 +1088,8 @@ def kmeans_embeddings(
     broadcast centroid table, squared-L2 via ``F.aggregate(zip_with)``,
     argmin with one ``min_by``; (b) update — per-cluster component
     means via posexplode (shuffles carry (cluster, pos, sum) scalars,
-    never vectors). ``localCheckpoint`` truncates each iteration's
-    lineage. Not SQL-expressible in one query → rows-only check; the
+    never vectors). The k-row centroid checkpoint truncates each
+    iteration's lineage. Not SQL-expressible in one query → rows-only check; the
     unit test asserts inertia is monotonically non-increasing.
     Output: cluster, n_vecs, inertia (2 dp).
     """
@@ -1116,8 +1116,16 @@ def kmeans_embeddings(
         ),
         6,
     )
+    # per-iteration job shape (r15): the ASSIGNMENT frame stays lazy —
+    # the k-row centroid checkpoint already truncates lineage, so each
+    # round's assignment computes INSIDE the next centroid update's
+    # blocking job (one job per round, not two, and no corpus-sized
+    # assigned blocks written per round). The LAST round's centroid
+    # update is skipped outright: nothing reads it (the old form paid a
+    # full posexplode aggregate job whose result was dropped). Blocking
+    # jobs: 2 + (iterations − 1), was 2 + 2·iterations.
     assigned = None
-    for _ in range(iterations):
+    for it in range(iterations):
         scored = vecs.crossJoin(F.broadcast(centroids)).select(
             "vec_id", "v", "cluster", sqdist.alias("d2")
         )
@@ -1128,8 +1136,9 @@ def kmeans_embeddings(
                 F.min("d2").alias("d2"),
             )
             .join(vecs, "vec_id")
-            .transform(materialize)
         )
+        if it == iterations - 1:
+            break
         comp = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
