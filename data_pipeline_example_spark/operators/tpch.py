@@ -1761,8 +1761,13 @@ def order_gap_percentiles(
             .alias("gap")
         )
     )
-    cuts, totals = value_cuts(gaps, "gap")
-    n = totals.get((), (0, 0))[0]
+    # weight_col carries the exact gap sum into the totals collect
+    # (r15): n_gaps and the HALF_UP mean are then pure driver ints and
+    # the old ``stats`` aggregate — which re-ran the orders scan + lag
+    # window a second time at exec — is gone; the gaps subtree computes
+    # once, inside the cuts ranged materialization.
+    cuts, totals = value_cuts(gaps, "gap", weight_col="gap")
+    n, gap_sum = totals.get((), (0, 0))
     if n == 0:
         return spark.createDataFrame(
             [],
@@ -1787,14 +1792,13 @@ def order_gap_percentiles(
             for p in ps
         ]
     )
-    stats = gaps.agg(
-        F.count(F.lit(1)).cast("long").alias("n_gaps"),
-        F.expr("cast((2 * sum(gap) + count(1)) div (2 * count(1)) as long)").alias(
-            "avg_gap_days"
-        ),
-    )
-    return stats.crossJoin(F.broadcast(pvals)).select(
-        "n_gaps", "avg_gap_days", *[f"p{round(p * 100)}" for p in ps]
+    # gaps are nonnegative longs, so Spark's truncating ``div`` equals
+    # Python's floor ``//`` here and the mean is exact driver math
+    avg_gap = (2 * int(gap_sum) + n) // (2 * n)
+    return pvals.select(
+        F.lit(int(n)).cast("long").alias("n_gaps"),
+        F.lit(avg_gap).cast("long").alias("avg_gap_days"),
+        *[f"p{round(p * 100)}" for p in ps],
     )
 
 

@@ -906,10 +906,12 @@ def funnel_dropoff_time(
         f"{i}, '{stages[i]}', unix_timestamp(t{i}) - unix_timestamp(t{i-1})"
         for i in range(1, len(stages))
     )
-    # materialize: value_cuts AND the per-stage counts both consume
-    # this frame — without the checkpoint each branch re-scans events
-    # and replays the four chained stage windows (≤3 narrow rows per
-    # user, so the materialized frame is per-user-sized)
+    # the checkpoint stays (r15 note): value_cuts' repartitionByRange
+    # SAMPLES its child to draw range boundaries, so feeding it the
+    # raw four-window subtree would compute that subtree twice (sample
+    # pass + shuffle pass); over the checkpointed blocks both passes
+    # are cheap re-scans. What DID go: the per-stage counts re-scan —
+    # n_users equals the group totals the cuts collect already returns.
     from data_pipeline_example_spark.functions.materialize import materialize
 
     gaps = per_user.selectExpr(
@@ -943,8 +945,11 @@ def funnel_dropoff_time(
             for p in ps
         ]
     )
-    counts = gaps.groupBy("stage_idx", "stage").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")
+    counts = F.broadcast(
+        spark.createDataFrame(
+            [(int(i), str(st), int(n)) for (i, st), (n, _) in totals.items()],
+            "stage_idx int, stage string, n_users long",
+        )
     )
     return counts.join(pvals, ["stage_idx", "stage"]).orderBy("stage_idx")
 
