@@ -1948,6 +1948,12 @@ def customer_migration(orders: DataFrame, tiles: int = 4) -> DataFrame:
     # collect instead of two of each. Per-half quartile arithmetic
     # (cum_before within the half, row_number within (value), ntile
     # over that half's own n_rows) is unchanged.
+    # materialized ONCE (r15): three consumers read this frame — the
+    # cuts histogram and BOTH half filters — and each previously
+    # replayed the full orders scan + midpoint join + groupBy at exec;
+    # per-(half, customer) rows are narrow, so the checkpoint is
+    # |active customers|-sized, and the bounds aggregate folds into
+    # the same blocking job.
     spend_both = (
         base.withColumn(
             "_half",
@@ -1955,6 +1961,7 @@ def customer_migration(orders: DataFrame, tiles: int = 4) -> DataFrame:
         )
         .groupBy("_half", "o_custkey")
         .agg(F.sum("cents").cast("long").alias("m_cents"))
+        .transform(materialize)
     )
     all_cuts, totals = value_cuts(spend_both, "m_cents", group_cols=("_half",))
 
