@@ -555,7 +555,11 @@ def contamination_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    sym_df: DataFrame | None = None,
+) -> DataFrame:
     """Connected components over a near-dup pair graph — the step that
     turns pairwise similarity (jaccard/minhash/simhash/cosine pairs)
     into dedup decisions.
@@ -573,10 +577,17 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Output: doc_id, cluster_id (= min doc_id reachable) for every doc
     that appears in at least one pair.
     """
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).transform(materialize)
+    # callers that already hold a MATERIALIZED symmetric (a, b) edge
+    # frame pass it via ``sym_df`` (the shingle_df pattern) and skip
+    # this checkpoint — basket_communities fuses its edge build and the
+    # symmetrization into one blocking job that way (r15)
+    if sym_df is not None:
+        sym = sym_df
+    else:
+        edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).transform(materialize)
     # initial labels stay LAZY (r15): the distinct over the sym
     # checkpoint folds into round 1's blocking materialize (the two
     # round-1 references share the distinct's exchange), saving one

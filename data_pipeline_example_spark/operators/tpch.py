@@ -2016,16 +2016,27 @@ def basket_communities(
     from data_pipeline_example_spark.operators.dedup import dedup_clusters
 
     _, pair_stream = _basket_frames(lineitem, materialize_baskets=False)
-    edges = (
+    # ONE blocking job for the pruned edge build AND its symmetrization
+    # (r15, was two sequential checkpoints: edges, then dedup_clusters'
+    # sym over its blocks): the symmetric frame materializes directly
+    # off the pair aggregate and rides into the CC via ``sym_df``; the
+    # directed edges for the per-community edge count are the a < b
+    # half of the same blocks (pair generation emits part_a < part_b).
+    canon = (
         pair_stream.groupBy(
-            F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")
+            F.col("part_a").alias("a"), F.col("part_b").alias("b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= int(min_support))
-        .select("doc_a", "doc_b")
-        .transform(materialize)
+        .select("a", "b")
     )
-    cc = dedup_clusters(edges)
+    sym = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).transform(materialize)
+    edges = sym.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
+    )
+    cc = dedup_clusters(edges, sym_df=sym)
     sizes = cc.groupBy(F.col("cluster_id").alias("community_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
     )
