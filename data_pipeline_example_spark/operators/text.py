@@ -1854,37 +1854,67 @@ def winnowing_fingerprints(
     discipline). Output: doc_id, pos (1-based gram position, int),
     fp (long).
     """
+    sels = _winnowing_sel_arrays(documents, k, w, with_pos=True)
+    return sels.select("doc_id", F.explode("sels").alias("s")).select(
+        "doc_id",
+        (-F.col("s.negpos")).cast("int").alias("pos"),
+        F.col("s.fp").alias("fp"),
+    )
+
+
+def _winnowing_sel_arrays(
+    documents: DataFrame, k: int, w: int, with_pos: bool
+) -> DataFrame:
+    """Per-document winnowing selections as ONE scan-local array
+    expression — (doc_id, sels) where sels is the array_distinct'd
+    window minima. Replaces the posexplode → window(min struct) →
+    distinct pipeline (one exchange for the doc-partitioned window plus
+    one or two distinct exchanges) with zero exchanges: the sliding
+    rightmost-min runs in-array (w is a small constant, so the O(n·w)
+    per-doc comparisons match the window form's work), and per-doc
+    ``array_distinct`` IS the global distinct because doc_id is in
+    every output key.
+
+    Guard rails: every computed array (gram hashes H, the positioned
+    struct array S) is bound ONCE through the single-element-array
+    lambda trick (``transform(array(expr), X -> body)``) — a lambda
+    variable can never be re-inlined by CollapseProject, whereas a
+    plain column reference inside the per-window lambda would
+    re-evaluate the full gram/md5 transform once per window (the
+    O(n²·k) trap the winnowing docstring records).
+
+    ``with_pos=False`` returns just the distinct fp longs per doc (the
+    overlap-pairs index shape): the window minimum needs no positional
+    struct at all, only ``array_min`` over the hash slice.
+    """
     toks_df = widen(documents).select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
     )
-    grams = toks_df.selectExpr(
-        "doc_id",
+    h_expr = (
         f"CASE WHEN size(t) < {k} THEN array() "
         f"ELSE transform(sequence(1, size(t) - {k} + 1), "
         f"i -> cast(conv(substring(md5(array_join(slice(t, i, {k}), ' ')), 1, 12), 16, 10) as long)) "
-        "END AS H",
+        "END"
     )
-    rows = grams.select(
-        "doc_id", F.posexplode("H").alias("p0", "h")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
-    wspec = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    )
-    wn = Window.partitionBy("doc_id")
-    sel = F.min(
-        F.struct(F.col("h").alias("fp"), (-F.col("pos")).alias("negpos"))
-    ).over(wspec)
-    return (
-        rows.withColumn("sel", sel)
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-        .filter(F.col("pos") <= F.greatest(F.col("n") - w + 1, F.lit(1)))
-        .select(
-            "doc_id",
-            (-F.col("sel.negpos")).cast("int").alias("pos"),
-            F.col("sel.fp").alias("fp"),
+    if with_pos:
+        s_expr = (
+            f"element_at(transform(array({h_expr}), "
+            "H -> transform(H, (x, j) -> struct(x AS fp, -(j + 1) AS negpos))), 1)"
         )
-        .distinct()
-    )
+        sel_expr = (
+            f"element_at(transform(array({s_expr}), "
+            f"S -> CASE WHEN size(S) = 0 THEN array() ELSE array_distinct("
+            f"transform(sequence(1, greatest(size(S) - {w} + 1, 1)), "
+            f"i -> array_min(slice(S, i, {w})))) END), 1)"
+        )
+    else:
+        sel_expr = (
+            f"element_at(transform(array({h_expr}), "
+            f"H -> CASE WHEN size(H) = 0 THEN array() ELSE array_distinct("
+            f"transform(sequence(1, greatest(size(H) - {w} + 1, 1)), "
+            f"i -> array_min(slice(H, i, {w})))) END), 1)"
+        )
+    return toks_df.selectExpr("doc_id", f"{sel_expr} AS sels")
 
 
 def winnowing_overlap_pairs(
@@ -1906,13 +1936,27 @@ def winnowing_overlap_pairs(
 
     Plan: one fingerprint materialization (checkpointed — both the df
     census and the index probe read it), a df-capped semi join, one
-    self-join keyed on fp, one pair rollup. Output: doc_a, doc_b,
-    n_shared (doc_a < doc_b).
+    self-join keyed on fp, one pair rollup. The checkpointed index is
+    built from the fp-only selection arrays
+    (:func:`_winnowing_sel_arrays` — per-doc ``array_distinct`` of the
+    window minima IS the (doc_id, fp) distinct), so the checkpoint job
+    is scan + project + explode with ZERO exchanges — the window
+    exchange and both distinct exchanges of the struct-selection form
+    are gone. Output: doc_a, doc_b, n_shared (doc_a < doc_b).
     """
     fps = (
-        winnowing_fingerprints(documents, k, w)
-        .select("doc_id", "fp")
-        .distinct()
+        _winnowing_sel_arrays(documents, k, w, with_pos=False)
+        .select("doc_id", F.explode("sels").alias("fp"))
+        # hash-partition the index by fp INSIDE the checkpoint job: one
+        # exchange replaces the old form's three (window + double
+        # distinct), and the blocks come out at full parallelism — a
+        # zero-exchange checkpoint inherits the SCAN's partitioning (one
+        # split at bench scale) and starved the downstream self-join
+        # (measured: exec 1.1-1.3 s vs 0.5-0.6 s). The checkpoint seam
+        # erases the partitioning INFO (ExistingRDD), so the census /
+        # join exchanges still plan — but they shuffle pre-clustered
+        # rows at full width instead of re-sharding one fat split
+        .repartition("fp")
         .transform(materialize)
     )
     rare = (
