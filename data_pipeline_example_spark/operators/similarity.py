@@ -32,7 +32,7 @@ ranking on the rounded value keeps result sets cross-engine deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -859,6 +859,85 @@ def nearest_neighbor_blocked(
     )
 
 
+def _dmat_sql(vecs) -> Column:
+    """One parsed SQL literal for a list of double vectors (array of
+    array<double>) — ``CAST('<repr>' AS DOUBLE)`` round-trips the exact
+    double, and a single ``expr()`` parse replaces O(rows × dims) py4j
+    literal Columns (the ivf_knn plan-build discipline)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in v) + ")"
+            for v in vecs
+        )
+        + ")"
+    )
+
+
+def _ids_sql(ids) -> Column:
+    """Long-array SQL literal (companion of :func:`_dmat_sql`)."""
+    return F.expr("array(" + ",".join(f"{int(i)}L" for i in ids) + ")")
+
+
+def _norms_sql(norms) -> Column:
+    """Double-array SQL literal of ENGINE-computed norms (collected
+    from a bounded local job running ``V.norm`` itself, so the doubles
+    are bit-identical to an in-plan ``norm()``; ``CAST('<repr>' AS
+    DOUBLE)`` round-trips them exactly)."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in norms) + ")"
+    )
+
+
+def _let(binds: dict, body) -> Column:
+    """Lambda-let: evaluate each bind ONCE per row and hand them to
+    ``body`` as lambda-variable struct fields. Loop-invariant
+    subexpressions (norms, slices) referenced inside higher-order-
+    function lambdas are otherwise re-evaluated PER ELEMENT: HOF bodies
+    run interpreted (CodegenFallback) with no common-subexpression
+    elimination, and CollapseProject inlines single-use projection
+    aliases straight into the lambda body — a projection column is NOT
+    a safe hoist. A lambda VARIABLE is: the optimizer cannot substitute
+    through it, so ``transform`` over a one-element struct array is the
+    expression-level `let`. Measured ×1.4–2 on the literal-centroid
+    assignment at sf0.1, bit-identical results."""
+    s = F.array(F.struct(*[c.alias(k) for k, c in binds.items()]))
+    return F.element_at(F.transform(s, body), 1)
+
+
+def _inline_best(vcol: Column, cent_rows, cent_norms, nv: Column) -> Column:
+    """Scan-local nearest-centroid struct over literal centroids — the
+    ``assign_centroids`` argmax verbatim (min over (-cos, cid) structs,
+    6-dp rounding) as a per-row expression: ZERO exchanges instead of a
+    corpus-sized aggregate. ``cent_rows`` must be (cid, vec) pairs
+    sorted by cid ascending; ``cent_norms`` their engine-computed norms
+    (same order); ``nv`` a let-bound column holding ``V.norm(vcol)``.
+    The score is ``dot/(nv·nc)`` — value-identical to
+    ``cosine = dot/(norm(a)·norm(b))`` (same fold, same grouping, norms
+    the same doubles) but the row norm is computed once per ROW instead
+    of once per centroid, and the centroid norms are constants.
+    Returns the winning struct; read ``.getField("cid")``."""
+    cmat = _dmat_sql([cv for _, cv in cent_rows])
+    cids = _ids_sql([cid for cid, _ in cent_rows])
+    nlits = _norms_sql(cent_norms)
+    idx = F.sequence(F.lit(0), F.lit(len(cent_rows) - 1))
+    return F.array_min(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                (
+                    -F.round(
+                        V.dot(vcol, F.element_at(cmat, i + 1))
+                        / (nv * F.element_at(nlits, i + 1)),
+                        6,
+                    )
+                ).alias("nc"),
+                F.element_at(cids, i + 1).alias("cid"),
+            ),
+        )
+    )
+
+
 def ivf_knn(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -917,16 +996,20 @@ def ivf_knn(
     cents_local = spark.createDataFrame(
         cent_rows, "centroid_id long, cv array<double>"
     )
-    probed = [
-        r["centroid_id"]
-        for r in cents_local.select(
+    probe_rows = (
+        cents_local.select(
             "centroid_id",
             F.round(V.cosine(F.col("cv"), qlit), 6).alias("c_sim"),
+            V.norm(F.col("cv")).alias("na"),
+            V.norm(qlit).alias("nq"),
         )
         .orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-        .limit(n_probe)
         .collect()
-    ]
+    )
+    probed = [r["centroid_id"] for r in probe_rows[: int(n_probe)]]
+    nmap = {r["centroid_id"]: r["na"] for r in probe_rows}
+    cent_norms = [nmap[cid] for cid, _ in cent_rows]
+    nq_lit = F.expr(f"CAST('{probe_rows[0]['nq']!r}' AS DOUBLE)")
     # inline assignment: argmax over the centroid literals via
     # min(struct(-cos, cid)) — the assign_centroids tie-break verbatim,
     # but as a scan-local expression, so the corpus is read ONCE with
@@ -937,37 +1020,22 @@ def ivf_knn(
     # each: CAST('<repr>' AS DOUBLE) round-trips the exact double, and
     # a single expr() parse replaces n_centroids × dims py4j literal
     # Columns (driver plan-build was quadratic-ish at the 65536 clamp).
-    cmat = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv) + ")"
-            for _, cv in cent_rows
-        )
-        + ")"
-    )
-    cids = F.expr(
-        "array(" + ",".join(f"{cid}L" for cid, _ in cent_rows) + ")"
-    )
-    idx = F.sequence(F.lit(0), F.lit(len(cent_rows) - 1))
-    best = F.array_min(
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                (
-                    -F.round(
-                        V.cosine(F.col("v"), F.element_at(cmat, i + 1)), 6
-                    )
-                ).alias("nc"),
-                F.element_at(cids, i + 1).alias("cid"),
-            ),
-        )
-    )
+    # The row norm is let-bound (computed once per row, not once per
+    # centroid — see _let) and centroid/query norms ride as engine-
+    # computed literals from the probe job: the score dot/(nv·nc) is
+    # value-identical to cosine() while cutting per-row work ~3×.
+    cid_col = _let(
+        {"nv": V.norm(F.col("v"))},
+        lambda s: _inline_best(F.col("v"), cent_rows, cent_norms, s["nv"]),
+    ).getField("cid")
     return (
-        e.withColumn("cid", best["cid"])
+        e.withColumn("cid", cid_col)
         .filter(F.col("cid").isin(probed))
         .select(
             "vec_id",
-            F.round(V.cosine(F.col("v"), qlit), 6).alias("cos_sim"),
+            F.round(
+                V.dot(F.col("v"), qlit) / (V.norm(F.col("v")) * nq_lit), 6
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
@@ -1573,71 +1641,180 @@ def ivfpq_knn(
 
     Output: vec_id, approx_sim, cos_sim — top-k by exact cosine over the
     PQ shortlist.
+
+    r15 plan shape — ONE corpus scan, zero corpus-sized exchanges: the
+    coarse assignment and the m PQ codes are scan-local argmin
+    expressions over literal centroid/codebook matrices (the
+    :func:`ivf_knn` inline-assignment discipline extended to PQ), the
+    probe filter and the ADC lookup-table sum are per-row expressions,
+    and the rerank shortlist rides a TakeOrdered-style local-sort+limit
+    (only per-partition top-``rerank`` rows, WITH their vectors, reach
+    the single merge partition — rerank × tasks rows, corpus-
+    independent). The r14 form paid two corpus-wide SortAggregate
+    exchanges (assignment + codes), a corpus-sized SortMergeJoin to
+    re-join them, a corpus-sized ADC groupBy exchange, and a third
+    corpus scan for the rerank join. Construct runs two bounded driver
+    jobs: the max(n_centroids, ks)-row head fetch and an
+    (n_centroids + m·ks)-row LOCAL frame computing probe ranking + LUT
+    with engine-exact round/cosine semantics (the ivf_knn probe
+    precedent). All arithmetic is expression-identical to the r14 form
+    (same cosine fold, same 6-dp rounds, same (-cos, cid) tie-breaks,
+    same l_0+..+l_{m-1} ADC order), so results are row-identical —
+    pinned by the ivfpq equivalence tests and the oracle.
     """
     assert dims % m == 0, "m must divide dims"
     sub_len = dims // m
     e = _as_double(embeddings)
-    assigned = assign_centroids(embeddings, n_centroids)
-    q = e.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
-    cents = e.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
-    probed = (
-        cents.crossJoin(F.broadcast(q))
-        .select(
-            "centroid_id",
-            F.round(V.cosine(F.col("cv"), F.col("qv")), 6).alias("c_sim"),
-        )
-        .orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-        .limit(n_probe)
-        .select("centroid_id")
-    )
-    bucket_ids = assigned.join(F.broadcast(probed), "centroid_id").select("vec_id")
-    # Deliberately code the WHOLE corpus and filter afterwards: coding
-    # never moves a vector (broadcast codebook join + a narrow-row
-    # partial aggregation), whereas restricting to probed vectors first
-    # means hash-joining the full-width embedding column against the
-    # probed-id set — shuffling vector bytes to save map-side CPU, a
-    # measured net loss (sf1: 1.95 s → 3.62 s when tried). At index
-    # scale the codes are materialized once anyway (write_ann_index).
-    codes = pq_codes(embeddings, m, ks, dims)
-
-    # per-subspace codebook x query lookup table: m * ks rows, broadcast
-    cparts = (
-        e.filter(F.col("vec_id") < ks)
-        .select(F.col("vec_id").alias("cid"), "v")
-        .select(
-            "cid",
-            F.posexplode(
-                F.array(*[F.slice("v", g * sub_len + 1, sub_len) for g in range(m)])
-            ).alias("g", "cv"),
-        )
-    )
-    lut = cparts.crossJoin(F.broadcast(q)).select(
-        "g",
-        "cid",
-        F.round(
-            V.cosine(F.col("cv"), F.expr(f"slice(qv, g * {sub_len} + 1, {sub_len})")),
-            6,
-        ).alias("l"),
-    )
-    melted = codes.join(bucket_ids, "vec_id").select(
+    empty = e.select(
         "vec_id",
-        F.posexplode(F.array(*[f"code_{g}" for g in range(m)])).alias("g", "cid"),
-    )
-    approx = (
-        melted.join(F.broadcast(lut), ["g", "cid"])
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("l"), 6).alias("approx_sim"))
-    )
-    shortlist = approx.orderBy(F.desc("approx_sim"), F.asc("vec_id")).limit(rerank)
-    return (
-        e.join(F.broadcast(shortlist), "vec_id")
-        .crossJoin(F.broadcast(q))
+        F.lit(0.0).alias("approx_sim"),
+        F.lit(0.0).alias("cos_sim"),
+    ).limit(0)
+    need = max(int(n_centroids), int(ks))
+    head = e.filter(
+        (F.col("vec_id") < need) | (F.col("vec_id") == query_id)
+    ).collect()
+    by_id = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in head}
+    if query_id not in by_id:
+        return empty
+    qv = by_id[query_id]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    cent_rows = [
+        (cid, by_id[cid]) for cid in sorted(by_id) if cid < n_centroids
+    ]
+    cb_rows = [(cid, by_id[cid]) for cid in sorted(by_id) if cid < ks]
+    if not cent_rows or not cb_rows:
+        return empty
+    # probe ranking + ADC lookup table in ONE bounded local-frame job —
+    # round/cosine computed by the engine itself (exact oracle parity;
+    # the ivf_knn probe-collect precedent). kind 0 rows: full centroid
+    # vs query (probe scores); kind 1 rows: codebook sub-vector vs the
+    # query's matching slice (LUT entries).
+    spark = embeddings.sparkSession
+    local_rows = [
+        (0, -1, int(cid), cv, qv) for cid, cv in cent_rows
+    ] + [
+        (
+            1,
+            g,
+            int(cid),
+            cv[g * sub_len : (g + 1) * sub_len],
+            qv[g * sub_len : (g + 1) * sub_len],
+        )
+        for cid, cv in cb_rows
+        for g in range(m)
+    ]
+    scored_local = (
+        spark.createDataFrame(
+            local_rows,
+            "kind int, g int, cid long, av array<double>, bv array<double>",
+        )
         .select(
+            "kind",
+            "g",
+            "cid",
+            F.round(V.cosine(F.col("av"), F.col("bv")), 6).alias("c"),
+            V.norm(F.col("av")).alias("na"),
+        )
+        .collect()
+    )
+    probe_scores = sorted(
+        ((r["c"], r["cid"]) for r in scored_local if r["kind"] == 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probed = [cid for _, cid in probe_scores[: int(n_probe)]]
+    lut = {(r["g"], r["cid"]): r["c"] for r in scored_local if r["kind"] == 1}
+    # the LUT sum must skip NULL entries exactly like the r14 SUM()
+    # aggregate did; engine-valid embeddings can still have a zero
+    # SUB-slice, whose cosine is NULL (documented: synthetic corpora
+    # don't produce them — the guard keeps the contract anyway)
+    assert all(v is not None and v == v for v in lut.values()), (
+        "NULL/NaN ADC lookup entry (zero-norm codebook/query sub-vector) "
+        "— unsupported by the inline-LUT serving path"
+    )
+    cnorm = {r["cid"]: r["na"] for r in scored_local if r["kind"] == 0}
+    subnorm = {
+        (r["g"], r["cid"]): r["na"] for r in scored_local if r["kind"] == 1
+    }
+    cent_norms = [cnorm[cid] for cid, _ in cent_rows]
+    # per-group code POSITION (argmin over the cid-ascending codebook —
+    # position order == cid order, so min over (-cos, pos) selects the
+    # identical entry as pq_codes' min over (-cos, cid)). Row norm and
+    # per-group slice/slice-norm are let-bound (once per row, not once
+    # per codebook entry — see _let); codebook norms ride as engine-
+    # computed literals, so dot/(nsl·ncb) is value-identical to the
+    # cosine() form.
+    cb_ids = [cid for cid, _ in cb_rows]
+    pos_lit = F.expr(
+        "array(" + ",".join(str(p) for p in range(len(cb_rows))) + ")"
+    )
+    cidx = F.sequence(F.lit(0), F.lit(len(cb_rows) - 1))
+
+    def adc_expr(s2):
+        def code_pos_for(g):
+            cbmat = _dmat_sql(
+                [cv[g * sub_len : (g + 1) * sub_len] for _, cv in cb_rows]
+            )
+            cbn = _norms_sql([subnorm[(g, cid)] for cid in cb_ids])
+            return F.array_min(
+                F.transform(
+                    cidx,
+                    lambda i: F.struct(
+                        (
+                            -F.round(
+                                V.dot(s2[f"sl_{g}"], F.element_at(cbmat, i + 1))
+                                / (s2[f"nsl_{g}"] * F.element_at(cbn, i + 1)),
+                                6,
+                            )
+                        ).alias("nc"),
+                        F.element_at(pos_lit, i + 1).alias("p"),
+                    ),
+                )
+            ).getField("p")
+
+        terms = []
+        for g in range(m):
+            code_pos = code_pos_for(g)
+            lut_g = F.expr(
+                "array("
+                + ",".join(
+                    f"CAST('{lut[(g, cid)]!r}' AS DOUBLE)" for cid in cb_ids
+                )
+                + ")"
+            )
+            terms.append(F.element_at(lut_g, code_pos + 1))
+        adc = terms[0]
+        for t in terms[1:]:
+            adc = adc + t
+        return F.round(adc, 6)
+
+    approx_col = _let(
+        {
+            f"sl_{g}": F.slice(F.col("v"), g * sub_len + 1, sub_len)
+            for g in range(m)
+        },
+        lambda s1: _let(
+            {f"nsl_{g}": V.norm(s1[f"sl_{g}"]) for g in range(m)}
+            | {f"sl_{g}": s1[f"sl_{g}"] for g in range(m)},
+            adc_expr,
+        ),
+    )
+    cid_col = _let(
+        {"nv": V.norm(F.col("v"))},
+        lambda s: _inline_best(F.col("v"), cent_rows, cent_norms, s["nv"]),
+    ).getField("cid")
+    shortlist = (
+        e.withColumn("cid", cid_col)
+        .filter(F.col("cid").isin(probed))
+        .select("vec_id", "v", approx_col.alias("approx_sim"))
+        .orderBy(F.desc("approx_sim"), F.asc("vec_id"))
+        .limit(rerank)
+    )
+    return (
+        shortlist.select(
             "vec_id",
             "approx_sim",
-            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            F.round(V.cosine(F.col("v"), qlit), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
@@ -2060,83 +2237,262 @@ def ivfpq_knn_batch(
     discipline applied in-plan. Row-for-row identical to per-query
     ``ivfpq_knn`` calls (pinned by test). Output: query_id, vec_id,
     approx_sim, cos_sim, rank (≤ k per query, ranked by exact cosine).
+
+    r15 plan shape — ONE corpus scan for the whole batch (the
+    :func:`ivfpq_knn` inline rewrite, vectorized over queries):
+    assignment + per-group code positions are scan-local argmin
+    expressions over literal matrices; each row explodes only the
+    (≤ n_queries) queries that probed its bucket; per-(query, row) ADC
+    is a literal-LUT lookup sum; the only exchanges left are the two
+    WindowGroupLimit-trimmed per-query windows (shortlist + final
+    rank), which carry O(rerank × queries × tasks) rows regardless of
+    corpus size. The r14 form paid two corpus-wide SortAggregate
+    exchanges, a corpus-sized SortMergeJoin, a corpus-sized ADC
+    groupBy exchange, and a third corpus scan for the rerank join.
+    Construct runs two bounded driver jobs (head fetch + the
+    (n_queries·n_centroids + n_queries·m·ks)-row local probe/LUT
+    frame, engine-exact rounding). Arithmetic is expression-identical
+    to r14 (same folds, rounds, tie-breaks, ADC order) — pinned by
+    the batch-vs-solo equivalence test and the oracle.
     """
     assert dims % m == 0, "m must divide dims"
     sub_len = dims // m
     e = _as_double(embeddings)
-    assigned = assign_centroids(embeddings, n_centroids)
-    qs = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    cents = e.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
-    pw = Window.partitionBy("query_id").orderBy(
-        F.desc("c_sim"), F.asc("centroid_id")
-    )
-    probedq = (
-        cents.crossJoin(F.broadcast(qs))
-        .select(
-            "query_id",
-            "centroid_id",
-            F.round(V.cosine(F.col("cv"), F.col("qv")), 6).alias("c_sim"),
-        )
-        .withColumn("rn", F.row_number().over(pw))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "centroid_id")
-    )
-    bucketq = assigned.join(F.broadcast(probedq), "centroid_id").select(
-        "query_id", "vec_id"
-    )
-    codes = pq_codes(embeddings, m, ks, dims)
-    cparts = (
-        e.filter(F.col("vec_id") < ks)
-        .select(F.col("vec_id").alias("cid"), "v")
-        .select(
-            "cid",
-            F.posexplode(
-                F.array(*[F.slice("v", g * sub_len + 1, sub_len) for g in range(m)])
-            ).alias("g", "cv"),
-        )
-    )
-    lutq = cparts.crossJoin(F.broadcast(qs)).select(
-        "query_id",
-        "g",
-        "cid",
-        F.round(
-            V.cosine(F.col("cv"), F.expr(f"slice(qv, g * {sub_len} + 1, {sub_len})")),
-            6,
-        ).alias("l"),
-    )
-    melted = codes.join(bucketq, "vec_id").select(
-        "query_id",
+    empty = e.select(
+        F.col("vec_id").alias("query_id"),
         "vec_id",
-        F.posexplode(F.array(*[f"code_{g}" for g in range(m)])).alias("g", "cid"),
+        F.lit(0.0).alias("approx_sim"),
+        F.lit(0.0).alias("cos_sim"),
+        F.lit(1).alias("rank"),
+    ).limit(0)
+    need = max(int(n_centroids), int(ks), int(n_queries))
+    head = e.filter(F.col("vec_id") < need).collect()
+    by_id = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in head}
+    q_ids = [qid for qid in sorted(by_id) if qid < n_queries]
+    cent_rows = [
+        (cid, by_id[cid]) for cid in sorted(by_id) if cid < n_centroids
+    ]
+    cb_rows = [(cid, by_id[cid]) for cid in sorted(by_id) if cid < ks]
+    if not q_ids or not cent_rows or not cb_rows:
+        return empty
+    # probe rankings + per-query ADC LUTs in ONE bounded local job
+    spark = embeddings.sparkSession
+    local_rows = [
+        (0, int(qid), -1, int(cid), cv, by_id[qid])
+        for qid in q_ids
+        for cid, cv in cent_rows
+    ] + [
+        (
+            1,
+            int(qid),
+            g,
+            int(cid),
+            cv[g * sub_len : (g + 1) * sub_len],
+            by_id[qid][g * sub_len : (g + 1) * sub_len],
+        )
+        for qid in q_ids
+        for cid, cv in cb_rows
+        for g in range(m)
+    ]
+    scored_local = (
+        spark.createDataFrame(
+            local_rows,
+            "kind int, qid long, g int, cid long, "
+            "av array<double>, bv array<double>",
+        )
+        .select(
+            "kind",
+            "qid",
+            "g",
+            "cid",
+            F.round(V.cosine(F.col("av"), F.col("bv")), 6).alias("c"),
+            V.norm(F.col("av")).alias("na"),
+        )
+        .collect()
     )
-    approx = (
-        melted.join(F.broadcast(lutq), ["query_id", "g", "cid"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("l"), 6).alias("approx_sim"))
+    probed_by_q = {}
+    for qid in q_ids:
+        scores = sorted(
+            (
+                (r["c"], r["cid"])
+                for r in scored_local
+                if r["kind"] == 0 and r["qid"] == qid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probed_by_q[qid] = [cid for _, cid in scores[: int(n_probe)]]
+    lut = {
+        (r["qid"], r["g"], r["cid"]): r["c"]
+        for r in scored_local
+        if r["kind"] == 1
+    }
+    assert all(v is not None and v == v for v in lut.values()), (
+        "NULL/NaN ADC lookup entry (zero-norm codebook/query sub-vector) "
+        "— unsupported by the inline-LUT serving path"
+    )
+    cnorm = {r["cid"]: r["na"] for r in scored_local if r["kind"] == 0}
+    subnorm = {
+        (r["g"], r["cid"]): r["na"] for r in scored_local if r["kind"] == 1
+    }
+    cent_norms = [cnorm[cid] for cid, _ in cent_rows]
+    cb_ids = [cid for cid, _ in cb_rows]
+    pos_lit = F.expr(
+        "array(" + ",".join(str(p) for p in range(len(cb_rows))) + ")"
+    )
+    cidx = F.sequence(F.lit(0), F.lit(len(cb_rows) - 1))
+
+    # assignment + the m code positions in ONE let-bound struct: the
+    # row norm, slices and slice norms are computed once per row (not
+    # once per centroid/codebook entry — see _let); codebook norms are
+    # engine-computed literals, dot/(n·n) value-identical to cosine()
+    def pq_struct(s2):
+        fields = [
+            _inline_best(s2["v"], cent_rows, cent_norms, s2["nv"])
+            .getField("cid")
+            .alias("cid")
+        ]
+        def cp_for(g):
+            cbmat = _dmat_sql(
+                [cv[g * sub_len : (g + 1) * sub_len] for _, cv in cb_rows]
+            )
+            cbn = _norms_sql([subnorm[(g, cid)] for cid in cb_ids])
+            return (
+                F.array_min(
+                    F.transform(
+                        cidx,
+                        lambda i: F.struct(
+                            (
+                                -F.round(
+                                    V.dot(
+                                        s2[f"sl_{g}"],
+                                        F.element_at(cbmat, i + 1),
+                                    )
+                                    / (
+                                        s2[f"nsl_{g}"]
+                                        * F.element_at(cbn, i + 1)
+                                    ),
+                                    6,
+                                )
+                            ).alias("nc"),
+                            F.element_at(pos_lit, i + 1).alias("p"),
+                        ),
+                    )
+                )
+                .getField("p")
+                .alias(f"cp_{g}")
+            )
+
+        for g in range(m):
+            fields.append(cp_for(g))
+        return F.struct(*fields)
+
+    pq_col = _let(
+        {
+            "v": F.col("v"),
+            "nv": V.norm(F.col("v")),
+        }
+        | {
+            f"sl_{g}": F.slice(F.col("v"), g * sub_len + 1, sub_len)
+            for g in range(m)
+        },
+        lambda s1: _let(
+            {
+                "v": s1["v"],
+                "nv": s1["nv"],
+            }
+            | {f"sl_{g}": s1[f"sl_{g}"] for g in range(m)}
+            | {f"nsl_{g}": V.norm(s1[f"sl_{g}"]) for g in range(m)},
+            pq_struct,
+        ),
+    )
+    # which query positions probe this row's bucket (inner-join
+    # semantics: rows probed by nobody drop out of the explode)
+    probed_lists = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{c}L" for c in probed_by_q[qid]) + ")"
+            if probed_by_q[qid]
+            else "array(CAST(-1 AS BIGINT))"
+            for qid in q_ids
+        )
+        + ")"
+    )
+    qid_lit = _ids_sql(q_ids)
+    qmat = _dmat_sql([by_id[qid] for qid in q_ids])
+    # per-query flattened LUT (g-major, codebook position ascending)
+    lut_all = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                f"CAST('{lut[(qid, g, cid)]!r}' AS DOUBLE)"
+                for g in range(m)
+                for cid in cb_ids
+            )
+            + ")"
+            for qid in q_ids
+        )
+        + ")"
+    )
+    ncb = len(cb_rows)
+    qpos_arr = F.filter(
+        F.sequence(F.lit(0), F.lit(len(q_ids) - 1)),
+        lambda qp: F.array_contains(
+            F.element_at(probed_lists, qp + 1), F.col("cid")
+        ),
+    )
+    cand = (
+        e.withColumn("_pq", pq_col)
+        .select(
+            "vec_id",
+            "v",
+            F.col("_pq").getField("cid").alias("cid"),
+            *[
+                F.col("_pq").getField(f"cp_{g}").alias(f"cp_{g}")
+                for g in range(m)
+            ],
+        )
+        .select(
+            "vec_id",
+            "v",
+            *[f"cp_{g}" for g in range(m)],
+            F.explode(qpos_arr).alias("qp"),
+        )
+    )
+    qlut = F.element_at(lut_all, F.col("qp") + 1)
+    terms = [
+        F.element_at(qlut, F.col(f"cp_{g}") + F.lit(g * ncb + 1))
+        for g in range(m)
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    scored = cand.select(
+        F.element_at(qid_lit, F.col("qp") + 1).alias("query_id"),
+        "vec_id",
+        "v",
+        "qp",
+        F.round(adc, 6).alias("approx_sim"),
     )
     sw = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim"), F.asc("vec_id")
     )
     shortlist = (
-        approx.withColumn("rn", F.row_number().over(sw))
+        scored.withColumn("rn", F.row_number().over(sw))
         .filter(F.col("rn") <= rerank)
-        .select("query_id", "vec_id", "approx_sim")
+        .select("query_id", "vec_id", "v", "qp", "approx_sim")
     )
     rw = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
     return (
-        e.join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(qs), "query_id")
-        .select(
+        shortlist.select(
             "query_id",
             "vec_id",
             "approx_sim",
-            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            F.round(
+                V.cosine(F.col("v"), F.element_at(qmat, F.col("qp") + 1)), 6
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(rw))
         .filter(F.col("rank") <= k)
@@ -2821,49 +3177,34 @@ def filtered_ivf_knn(
     cents_local = spark.createDataFrame(
         cent_rows, "centroid_id long, cv array<double>"
     )
-    probed = [
-        r["centroid_id"]
-        for r in cents_local.select(
+    probe_rows = (
+        cents_local.select(
             "centroid_id",
             F.round(V.cosine(F.col("cv"), qlit), 6).alias("c_sim"),
+            V.norm(F.col("cv")).alias("na"),
+            V.norm(qlit).alias("nq"),
         )
         .orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-        .limit(n_probe_eff)
         .collect()
-    ]
-    cmat = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv) + ")"
-            for _, cv in cent_rows
-        )
-        + ")"
     )
-    cids = F.expr(
-        "array(" + ",".join(f"{cid}L" for cid, _ in cent_rows) + ")"
-    )
-    idx = F.sequence(F.lit(0), F.lit(len(cent_rows) - 1))
-    best = F.array_min(
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                (
-                    -F.round(
-                        V.cosine(F.col("v"), F.element_at(cmat, i + 1)), 6
-                    )
-                ).alias("nc"),
-                F.element_at(cids, i + 1).alias("cid"),
-            ),
-        )
-    )
+    probed = [r["centroid_id"] for r in probe_rows[: int(n_probe_eff)]]
+    nmap = {r["centroid_id"]: r["na"] for r in probe_rows}
+    cent_norms = [nmap[cid] for cid, _ in cent_rows]
+    nq_lit = F.expr(f"CAST('{probe_rows[0]['nq']!r}' AS DOUBLE)")
+    cid_col = _let(
+        {"nv": V.norm(F.col("v"))},
+        lambda s: _inline_best(F.col("v"), cent_rows, cent_norms, s["nv"]),
+    ).getField("cid")
     return (
         e.filter(F.col("label") == label)  # scan-side predicate first
-        .withColumn("cid", best["cid"])
+        .withColumn("cid", cid_col)
         .filter(F.col("cid").isin(probed))
         .select(
             "vec_id",
             "label",
-            F.round(V.cosine(F.col("v"), qlit), 6).alias("cos_sim"),
+            F.round(
+                V.dot(F.col("v"), qlit) / (V.norm(F.col("v")) * nq_lit), 6
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
