@@ -88,12 +88,24 @@ def knn(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
     Output: vec_id, cos_sim (6 dp).
     """
     e = _as_double(embeddings)
-    q = e.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    # norms factored out of the per-row cosine (r15): the row norm is a
+    # projection column below the join (computed once per row) and the
+    # query norm a column of the 1-row broadcast build (computed once),
+    # so the scored expression dot/(nv·nq) does 64 mult-adds per row
+    # instead of 192 — value-identical to cosine() (same fold, same
+    # a/(b·c) grouping, same doubles)
+    q = e.filter(F.col("vec_id") == query_id).select(
+        F.col("v").alias("qv"), V.norm(F.col("v")).alias("nq")
+    )
     return (
-        e.crossJoin(F.broadcast(q))
+        e.select("vec_id", "v", V.norm(F.col("v")).alias("nv"))
+        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            F.round(
+                V.dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
@@ -857,6 +869,23 @@ def nearest_neighbor_blocked(
     return bucketed.groupBy("centroid_id").applyInPandas(
         bucket_nn, "vec_id long, nn_id long, cos_sim double"
     )
+
+
+def _pynorm(vec) -> float:
+    """Driver-side L2 norm, BIT-IDENTICAL to ``V.norm``'s expression:
+    the same left-to-right ``acc + x·x`` fold over the same doubles
+    (IEEE-754 add/mul are correctly rounded and deterministic in both
+    runtimes; CPython floats ARE doubles) followed by a correctly-
+    rounded sqrt. No decimal rounding is involved anywhere — the
+    engine-vs-Python divergence class lives in ``round()``'s
+    decimal-string HALF_UP, which norms never touch. Pinned equal to
+    the engine on real + adversarial corpora by test."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + x * x
+    return math.sqrt(acc)
 
 
 def _dmat_sql(vecs) -> Column:
@@ -2083,18 +2112,29 @@ def knn_batch(embeddings: DataFrame, n_queries: int = 4, k: int = 5) -> DataFram
     ``knn`` contract. Output: query_id, vec_id, cos_sim (6 dp), rank.
     """
     e = _as_double(embeddings)
+    # norms factored out of the per-(row, query) cosine (r15): the row
+    # norm is computed once per ROW below the join (not once per
+    # query) and each query norm once at broadcast build (not once per
+    # joined row) — dot/(nv·nq) is value-identical to cosine() and cuts
+    # the scored expression from 192 to 64 mult-adds per pair
     qs = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        V.norm(F.col("v")).alias("nq"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
     return (
-        e.crossJoin(F.broadcast(qs))
+        e.select("vec_id", "v", V.norm(F.col("v")).alias("nv"))
+        .crossJoin(F.broadcast(qs))
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            F.round(
+                V.dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -2159,36 +2199,21 @@ def ivf_knn_batch(
         )
         .withColumn("rn", F.row_number().over(pw))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", F.col("centroid_id").alias("cid"), "qv")
-    )
-    # ONE parsed SQL literal per matrix (the ivf_knn discipline):
-    # centroid matrix for inline assignment, query matrix for scoring,
-    # per-query probe-set list for the fan-out filter
-    cmat = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv) + ")"
-            for _, cv in cent_rows
-        )
-        + ")"
-    )
-    cids = F.expr(
-        "array(" + ",".join(f"{cid}L" for cid, _ in cent_rows) + ")"
-    )
-    idx = F.sequence(F.lit(0), F.lit(len(cent_rows) - 1))
-    best = F.array_min(
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                (
-                    -F.round(
-                        V.cosine(F.col("v"), F.element_at(cmat, i + 1)), 6
-                    )
-                ).alias("nc"),
-                F.element_at(cids, i + 1).alias("cid"),
-            ),
+        .select(
+            "query_id",
+            F.col("centroid_id").alias("cid"),
+            "qv",
+            V.norm(F.col("qv")).alias("nq"),
         )
     )
+    # inline assignment over the literal centroid matrix, norms
+    # factored (r15): the row norm is a projection column (computed
+    # once per row, reused by the scored cosine) and centroid norms
+    # are driver-computed literals (_pynorm — bit-identical to
+    # V.norm, no rounding involved), so the argmin does one dot per
+    # centroid instead of dot + two norms
+    cent_norms = [_pynorm(cv) for _, cv in cent_rows]
+    best = _inline_best(F.col("v"), cent_rows, cent_norms, F.col("nv"))
     # fan out each row ONLY to the queries whose probe set contains its
     # bucket, via a broadcast hash join on the bucket id: the tiny
     # (Σ|probe sets|)-row frame carries (query_id, cid, qv), so the
@@ -2201,12 +2226,16 @@ def ivf_knn_batch(
     # the codegen limits into interpreted fallback, 18 s.)
     probe_sdf = F.broadcast(probe_frame)
     scored = (
-        e.withColumn("cid", best["cid"])
+        e.select("vec_id", "v", V.norm(F.col("v")).alias("nv"))
+        .withColumn("cid", best["cid"])
         .join(probe_sdf, "cid")
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            F.round(
+                V.dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

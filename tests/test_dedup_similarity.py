@@ -1116,3 +1116,43 @@ def test_embedding_dimension_health_planted_dead_dim(spark):
     assert out[1]["is_dead"] == 0 and out[3]["is_dead"] == 0
     assert out[1]["mean_micro"] == (123000 - 456000 + 789000) // 3
     assert out[3]["var_milli2"] > 0
+
+
+def test_pynorm_bit_identical_to_engine_norm(spark, sf_dir):
+    """_pynorm (the driver-side L2 norm the inline ANN paths embed as
+    literals) must be BIT-identical to the in-plan V.norm expression —
+    same left-to-right fold, correctly-rounded IEEE ops, no decimal
+    rounding anywhere. Checked on the real corpus and on adversarial
+    magnitudes (denormal-adjacent, huge, tiny, negative)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    import data_pipeline_example_spark.functions.vectors as V
+    from data_pipeline_example_spark.operators.similarity import (
+        _as_double,
+        _pynorm,
+    )
+    from data_pipeline_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        _as_double(emb)
+        .select("v", V.norm(F.col("v")).alias("n"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert _pynorm(r["v"]) == r["n"]
+
+    random.seed(7)
+    vals = [
+        [random.uniform(-1e308, 1e308) * 1e-155 for _ in range(16)]
+        for _ in range(50)
+    ]
+    vals += [[5e-324 * random.randint(1, 9) for _ in range(16)]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "vec_id long, v array<double>"
+    )
+    for r in df.select("v", V.norm(F.col("v")).alias("n")).collect():
+        assert _pynorm(r["v"]) == r["n"]
