@@ -676,35 +676,45 @@ def event_cooccurrence(events: DataFrame) -> DataFrame:
     of event types, how many users did BOTH, with Jaccard overlap and
     lift vs independence.
 
-    Scale shape: the (user, type) frame is de-duplicated FIRST, so the
-    per-user self-join fan-out is bounded by the type-domain size
-    (never events²); per-type and total counts are bounded-domain
-    broadcasts. All counts are exact longs; jaccard and lift are each
+    Scale shape (r15 — the ``_basket_frames`` rewrite): ONE
+    ``groupBy(user).collect_set`` exchange builds each user's sorted
+    distinct-type array (collect_set dedups map-side — the old
+    ``distinct()`` + user-keyed self-join paid a second corpus-sized
+    exchange AND a corpus-sized SortMergeJoin, and its un-materialized
+    (user, type) frame re-ran the corpus scan four times through
+    branch lineage); pairs are generated in-array with the sorted
+    transform × slice comprehension (type_a < type_b by construction,
+    fan-out C(|types per user|, 2) — type-domain bounded). The basket
+    frame materializes once; per-type and total counts read its
+    blocks. All counts are exact longs; jaccard and lift are each
     one 4-dp division over pre-multiplied long operands. Output:
     type_a, type_b, n_both, jaccard, lift, ordered by the pair.
     """
-    u = (
+    baskets = (
         events.filter(F.col("user_id").isNotNull())
-        .select("user_id", "event_type")
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .transform(materialize)
     )
-    a, b = u.alias("a"), u.alias("b")
+    pair_struct = F.expr(
+        "flatten(transform(types, (x, i) -> "
+        "transform(slice(types, i + 2, size(types)), "
+        "y -> struct(x AS type_a, y AS type_b))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
+        baskets.select(F.explode(pair_struct).alias("p"))
         .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
+            F.col("p.type_a").alias("type_a"),
+            F.col("p.type_b").alias("type_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     )
-    per = u.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")
+    per = (
+        baskets.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
-    tot = u.agg(F.countDistinct("user_id").cast("long").alias("n_total"))
+    tot = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     pa = per.select(
         F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
     )
@@ -752,9 +762,15 @@ def event_rate_mad(events: DataFrame, k: int = 3) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    daily = events.groupBy(
-        F.col("event_type"), F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # materialize the calendar-bounded (type, day) aggregate ONCE
+    # (r15): the median, deviation, MAD and final screen all branch
+    # from it, and un-materialized lineage re-ran the corpus scan +
+    # count exchange four times; the checkpoint is #types × #days rows
+    daily = (
+        events.groupBy(F.col("event_type"), F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .transform(materialize)
+    )
 
     def _group_median(df: DataFrame, val: str, out: str) -> DataFrame:
         wr = Window.partitionBy("event_type").orderBy(F.asc(val), F.asc("day"))
