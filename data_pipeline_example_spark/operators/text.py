@@ -1366,8 +1366,21 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 1024) -> DataFrame:
     Output: doc_id, n_feats, log_weight_micro (micro-nats; divide by
     1e6 for the nat-scale log weight) — docs with ≥ 1 bigram.
     """
-    # scan 1: the corpus mean quality — a 1-row broadcast scalar
-    mean_q = doc_stats(documents).agg(F.round(F.avg("quality"), 6).alias("mq"))
+    # scan 1: the corpus mean quality — collected to ONE driver scalar
+    # and embedded as an exact literal (r15: the 1-row frame was lazily
+    # crossJoined into every feats branch, so its corpus scan re-ran
+    # once per consumer — 3×; the value is already 6-dp rounded, so the
+    # repr round-trip is exact)
+    mq_row = (
+        doc_stats(documents)
+        .agg(F.round(F.avg("quality"), 6).alias("mq"))
+        .collect()[0]["mq"]
+    )
+    mq_lit = (
+        F.expr(f"CAST('{mq_row!r}' AS DOUBLE)")
+        if mq_row is not None
+        else F.lit(None).cast("double")
+    )
     t = T.tokens(F.lower(F.col("text")))
     bigrams = F.expr(
         "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
@@ -1385,10 +1398,9 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 1024) -> DataFrame:
     # or output-sized shuffle).
     feats = (
         _count_cols(widen(documents), t.alias("t"))
-        .crossJoin(F.broadcast(mean_q))
         .select(
             "doc_id",
-            (_quality_from_counts() >= F.col("mq")).cast("int").alias("is_t"),
+            (_quality_from_counts() >= mq_lit).cast("int").alias("is_t"),
             F.explode(bigrams).alias("bigram"),
         )
         .select(
@@ -1403,10 +1415,18 @@ def dsir_weights(documents: DataFrame, n_buckets: int = 1024) -> DataFrame:
     # the bucket model aggregates DIRECTLY to the n_buckets domain —
     # map-side combined, the exchange carries ≤ n_buckets rows per
     # task; occurrence sums equal the old per-doc-count sums exactly
-    # (integer, order-independent), so the oracle is unchanged
-    btab = feats.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_t") == 1, 1).otherwise(0)).alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
+    # (integer, order-independent), so the oracle is unchanged.
+    # materialized (r15): the table is n_buckets rows — NOT the
+    # corpus-sized doc×bucket frame the r14 note rejected — and its
+    # lazy form re-tokenized the corpus once per consumer (totals +
+    # log-ratio = 2 extra full scans)
+    btab = (
+        feats.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_t") == 1, 1).otherwise(0)).alias("ct"),
+            F.count(F.lit(1)).alias("cr"),
+        )
+        .transform(materialize)
     )
     tot = btab.agg(
         F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
