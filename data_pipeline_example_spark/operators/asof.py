@@ -207,9 +207,12 @@ def attribution_last_touch(
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.sum("c").alias("cents"),
     )
-    total = per.agg(F.sum("cents").alias("total_cents"))
+    # total as an unpartitioned window over the bounded channel
+    # aggregate (r15): the lazy crossJoin total re-ran the corpus-sized
+    # attribution window + scan a second time
+    wtot = Window.partitionBy()
     return (
-        per.crossJoin(F.broadcast(total))
+        per.withColumn("total_cents", F.sum("cents").over(wtot))
         .select(
             "channel",
             "n_purchases",

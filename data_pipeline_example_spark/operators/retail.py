@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_example_spark.functions.materialize import materialize
+
 
 def daily_revenue(df: DataFrame) -> DataFrame:
     """A1 + O1 — daily revenue per product (`pipeline_batch.py:205-207`).
@@ -179,7 +181,12 @@ def daily_revenue_ma7(df: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     cents = F.round(F.round(F.col("amount"), 2) * 100, 0).cast("long")
-    day = df.groupBy("order_date").agg(F.sum(cents).alias("c"))
+    # calendar-bounded daily aggregate materialized once (r15): the
+    # spine's min/max and the join both branch from it, and lazy
+    # lineage re-ran the corpus scan + aggregate twice
+    day = df.groupBy("order_date").agg(F.sum(cents).alias("c")).transform(
+        materialize
+    )
     spine = (
         day.agg(
             F.min("order_date").alias("lo"), F.max("order_date").alias("hi")

@@ -966,9 +966,14 @@ def source_blocklist_summary(documents: DataFrame) -> DataFrame:
     already 4 dp-rounded) — the 6 dp re-round before the comparison
     keeps the boundary decision identical across engines.
     """
-    scored = doc_stats(documents).select("doc_id", "quality").join(
-        documents.select("doc_id", "lang", "source"), "doc_id"
-    )
+    # quality + lang + source in ONE scan-local projection (r15): the
+    # old doc_stats-join-back re-read the corpus a second time and
+    # joined it to itself on doc_id just to pick up two passthrough
+    # columns; _quality_from_counts() is the bit-identical shared
+    # quality expression
+    scored = _count_cols(
+        documents, F.col("lang"), F.col("source")
+    ).select("doc_id", _quality_from_counts().alias("quality"), "lang", "source")
     per_source = scored.groupBy("source").agg(
         F.round(F.avg("quality"), 6).alias("src_quality")
     )
@@ -1476,8 +1481,10 @@ def source_caps(documents: DataFrame, cap: int = 50) -> DataFrame:
     heap per source instead of sorting whole domains; a mega-domain
     never materializes sorted. Output: doc_id, source, quality, q_rank.
     """
-    scored = doc_stats(documents).select("doc_id", "quality").join(
-        documents.select("doc_id", "source"), "doc_id"
+    # quality + source in ONE scan-local projection (r15: the join-back
+    # re-read the corpus and self-joined on doc_id for one column)
+    scored = _count_cols(documents, F.col("source")).select(
+        "doc_id", _quality_from_counts().alias("quality"), "source"
     )
     w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
     return (
@@ -2423,9 +2430,11 @@ def source_temperature_weights(documents: DataFrame) -> DataFrame:
         "weight_micro",
         F.round(F.round(F.sqrt(F.col("n_docs")), 6) * 1e6, 0).cast("long"),
     )
-    tot = wc.agg(F.sum("weight_micro").alias("wt"))
+    # total as an unpartitioned window over the bounded source
+    # aggregate (r15): the lazy crossJoin total re-scanned the corpus
+    wtot = Window.partitionBy()
     return (
-        wc.crossJoin(F.broadcast(tot))
+        wc.withColumn("wt", F.sum("weight_micro").over(wtot))
         .select(
             "source",
             "n_docs",
@@ -2643,11 +2652,14 @@ def lang_source_mix(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(T.token_count(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    tot = cell.agg(
-        F.sum("n_docs").alias("td"), F.sum("n_tokens").alias("tt")
-    )
+    # corpus totals as an unpartitioned window over the BOUNDED cell
+    # aggregate (r15): the lazy `tot` crossJoin re-ran the corpus scan
+    # + aggregate a second time; the window runs in the same pass over
+    # |lang×source| rows (bounded marker: the HashAggregate beneath)
+    wtot = Window.partitionBy()
     return (
-        cell.crossJoin(F.broadcast(tot))
+        cell.withColumn("td", F.sum("n_docs").over(wtot))
+        .withColumn("tt", F.sum("n_tokens").over(wtot))
         .select(
             "lang",
             "source",
@@ -4372,9 +4384,11 @@ def domain_epoch_plan(documents: DataFrame, budget_tokens: int = 10_000_000) -> 
             F.round(F.sqrt(F.col("tokens")), 0).cast("long").alias("weight"),
         )
     )
-    tot = masses.agg(F.sum("weight").cast("long").alias("wt"))
+    # total as an unpartitioned window over the bounded source
+    # aggregate (r15): the lazy crossJoin total re-scanned the corpus
+    wtot = Window.partitionBy()
     return (
-        masses.crossJoin(F.broadcast(tot))
+        masses.withColumn("wt", F.sum("weight").over(wtot).cast("long"))
         .select(
             "source",
             "tokens",

@@ -1853,9 +1853,14 @@ def revenue_pareto(orders: DataFrame, tiles: int = 10) -> DataFrame:
         )
     )
     wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    tot = dec.agg(F.sum("decile_spend_cents").cast("long").alias("t_cents"))
+    # total as an unpartitioned window over the tiles-row decile
+    # aggregate (r15): the lazy crossJoin total re-ran the ranked-cuts
+    # subtree a second time
+    wtot2 = Window.partitionBy()
     return (
-        dec.crossJoin(F.broadcast(tot))
+        dec.withColumn(
+            "t_cents", F.sum("decile_spend_cents").over(wtot2).cast("long")
+        )
         .withColumn(
             "cum_cents", F.sum("decile_spend_cents").over(wcum).cast("long")
         )

@@ -288,7 +288,15 @@ def user_reach_rollup(events: DataFrame, k: int = 64) -> DataFrame:
         .distinct()
     )
     wd = Window.partitionBy("d", "event_type").orderBy("hv")
-    daily = hv.withColumn("rk", F.row_number().over(wd)).filter(F.col("rk") <= k)
+    # the per-(day, type) k-minima frame is (k x days x types) rows —
+    # bounded; materialized once (r15) so the merge re-rank and the
+    # daily_sketches count stop re-running the corpus-sized distinct +
+    # WindowGroupLimit twice
+    daily = (
+        hv.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= k)
+        .transform(materialize)
+    )
     wt = Window.partitionBy("event_type").orderBy("hv")
     sketch = (
         daily.select("event_type", "hv")
@@ -434,10 +442,14 @@ def user_cardinality_kmv(events: DataFrame, k: int = 64) -> DataFrame:
 
     Output (one row): k, n_exact, kmv_estimate, rel_err (4 dp).
     """
+    # the distinct-user frame materializes once (r15): the sketch path
+    # and the exact count both branch from it, and lazy lineage re-ran
+    # the corpus scan + distinct exchange twice
     u = (
         events.filter(F.col("user_id").isNotNull())
         .select("user_id")
         .distinct()
+        .transform(materialize)
     )
     hv = u.select(
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
@@ -1350,9 +1362,13 @@ def loo_target_encoding(events: DataFrame) -> DataFrame:
         F.sum("cents").cast("long").alias("t_sum"),
         F.count(F.lit(1)).cast("long").alias("t_n"),
     )
-    glob = base.agg(
-        F.sum("cents").cast("long").alias("g_sum"),
-        F.count(F.lit(1)).cast("long").alias("g_n"),
+    # global totals fold over the bounded per-type aggregate instead of
+    # re-scanning the corpus (r15): per_type partitions ALL base rows
+    # (NULL types coalesce to 'unknown'), so summing its exact long
+    # sums/counts is value-identical — one corpus scan saved
+    glob = per_type.agg(
+        F.sum("t_sum").cast("long").alias("g_sum"),
+        F.sum("t_n").cast("long").alias("g_n"),
     )
     return (
         base.join(F.broadcast(per_type), "event_type")
