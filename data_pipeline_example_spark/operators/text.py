@@ -1180,9 +1180,19 @@ def quality_funnel(documents: DataFrame) -> DataFrame:
 
     Output: stage, rule, n_fail, n_sole_fail, n_survive (8 rows).
     """
-    gq = gopher_quality(documents)
-    c4 = c4_line_stats(documents).select("doc_id", "page_pass")
-    flags = gq.join(c4, "doc_id").select(
+    # ONE document scan (r15): page_pass is a scan-local expression
+    # (the c4_line_stats page rule verbatim — lorem/brace blockers +
+    # the 3-kept-lines minimum), so it rides _gopher_scored's extras
+    # hook instead of a second corpus scan joined back on doc_id
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    page_pass = (
+        (F.locate("lorem ipsum", F.lower(txt)) == 0)
+        & (F.locate("{", txt) == 0)
+        & (F.size(c4_kept_lines(txt)).cast("long") >= 3)
+    ).cast("int")
+    flags = _gopher_scored(
+        documents, extras=(("page_pass", page_pass),)
+    ).select(
         *[
             build().cast("long").alias(f"f{i}")
             for i, (_, build) in enumerate(FUNNEL_RULES, start=1)

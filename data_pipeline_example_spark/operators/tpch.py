@@ -1318,11 +1318,18 @@ def important_part_stock(
     cents = F.round(
         F.round(F.col("l_quantity") * F.col("l_extendedprice"), 2) * 100, 0
     ).cast("long")
+    # per-part aggregate materialized once (r15): the grand total and
+    # the threshold filter both branch from it, and lazy lineage re-ran
+    # the pruned lineitem scan + aggregate twice. NOT an unpartitioned
+    # window: |parts| is corpus-scale, and a single-task window over it
+    # would be the straggler the docstring's integer-threshold design
+    # avoids — the checkpoint keeps both consumers distributed.
     per_part = (
         lineitem.select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(cents).alias("value_cents"))
+        .transform(materialize)
     )
     total = per_part.agg(F.sum("value_cents").alias("total_cents"))
     return (
