@@ -1872,14 +1872,119 @@ def write_ann_index(
     partitions of the index (partition pruning — asserted by test).
     At 100 TB this is the difference between an ANN query costing a
     corpus scan and costing n_probe/n_centroids of one.
+
+    r15 build shape — ONE corpus scan + ONE exchange (the centroid_id
+    repartition feeding the partitioned write): assignment and the m
+    PQ codes are scan-local argmin expressions over literal centroid/
+    codebook matrices (the ivfpq_knn inline rewrite; norms let-bound
+    per row, centroid/codebook norms driver-computed via the
+    bit-exact _pynorm). The r14 build paid three corpus scans, two
+    corpus-wide SortAggregate exchanges and two corpus-sized
+    SortMergeJoins to re-join assignment and codes on vec_id. Values
+    are expression-identical (same folds, rounds, (-cos, cid)
+    tie-breaks), so the written layout is row-identical — pinned by
+    the index-vs-ivfpq_knn equivalence tests.
     """
+    assert dims % m == 0, "m must divide dims"
+    sub_len = dims // m
     e = _as_double(embeddings)
-    assigned = assign_centroids(embeddings, n_centroids)
-    codes = pq_codes(embeddings, m, ks, dims)
+    need = max(int(n_centroids), int(ks))
+    head = e.filter(F.col("vec_id") < need).collect()
+    by_id = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in head}
+    cent_rows = [
+        (cid, by_id[cid]) for cid in sorted(by_id) if cid < n_centroids
+    ]
+    cb_rows = [(cid, by_id[cid]) for cid in sorted(by_id) if cid < ks]
+    code_names = [f"code_{g}" for g in range(m)]
+    if cent_rows and cb_rows:
+        cent_norms = [_pynorm(cv) for _, cv in cent_rows]
+        cb_lits = _ids_sql([cid for cid, _ in cb_rows])
+        cidx = F.sequence(F.lit(0), F.lit(len(cb_rows) - 1))
+
+        def pq_struct(s2):
+            fields = [
+                _inline_best(s2["v"], cent_rows, cent_norms, s2["nv"])
+                .getField("cid")
+                .alias("centroid_id")
+            ]
+
+            def code_for(g):
+                cbmat = _dmat_sql(
+                    [cv[g * sub_len : (g + 1) * sub_len] for _, cv in cb_rows]
+                )
+                cbn = _norms_sql(
+                    [_pynorm(cv[g * sub_len : (g + 1) * sub_len]) for _, cv in cb_rows]
+                )
+                return (
+                    F.array_min(
+                        F.transform(
+                            cidx,
+                            lambda i: F.struct(
+                                (
+                                    -F.round(
+                                        V.dot(
+                                            s2[f"sl_{g}"],
+                                            F.element_at(cbmat, i + 1),
+                                        )
+                                        / (
+                                            s2[f"nsl_{g}"]
+                                            * F.element_at(cbn, i + 1)
+                                        ),
+                                        6,
+                                    )
+                                ).alias("nc"),
+                                F.element_at(cb_lits, i + 1).alias("cid"),
+                            ),
+                        )
+                    )
+                    .getField("cid")
+                    .alias(f"code_{g}")
+                )
+
+            for g in range(m):
+                fields.append(code_for(g))
+            return F.struct(*fields)
+
+        pq_col = _let(
+            {
+                "v": F.col("v"),
+                "nv": V.norm(F.col("v")),
+            }
+            | {
+                f"sl_{g}": F.slice(F.col("v"), g * sub_len + 1, sub_len)
+                for g in range(m)
+            },
+            lambda s1: _let(
+                {
+                    "v": s1["v"],
+                    "nv": s1["nv"],
+                }
+                | {f"sl_{g}": s1[f"sl_{g}"] for g in range(m)}
+                | {f"nsl_{g}": V.norm(s1[f"sl_{g}"]) for g in range(m)},
+                pq_struct,
+            ),
+        )
+        indexed = e.withColumn("_pq", pq_col).select(
+            "vec_id",
+            "v",
+            F.col("_pq").getField("centroid_id").alias("centroid_id"),
+            *[
+                F.col("_pq").getField(name).alias(name)
+                for name in code_names
+            ],
+        )
+    else:
+        # no head rows below max(n_centroids, ks): nothing can be
+        # assigned or coded — the r14 inner joins produced an EMPTY
+        # index with the same schema
+        indexed = e.select(
+            "vec_id",
+            "v",
+            F.lit(None).cast("long").alias("centroid_id"),
+            *[F.lit(None).cast("long").alias(name) for name in code_names],
+        ).limit(0)
     (
-        e.join(assigned, "vec_id")
-        .join(codes, "vec_id")
-        .repartition("centroid_id")
+        indexed.repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/index")
@@ -2566,12 +2671,6 @@ def ivfpq_knn_index_batch(
     """
     assert dims % m == 0
     sub_len = dims // m
-    qdf = F.broadcast(
-        spark.createDataFrame(
-            [(int(qid), [float(x) for x in qv]) for qid, qv in query_vecs],
-            "query_id long, qv array<double>",
-        )
-    )
     cents = spark.read.parquet(f"{path}/centroids")
     # the PQ LUT is built from the stored centroids file filtered by
     # vec_id < ks — if the writer stored fewer rows than the CORPUS has
@@ -2583,13 +2682,18 @@ def ivfpq_knn_index_batch(
     # guard compares against the index itself instead of asserting a
     # fixed count; an EMPTY index serves an empty result. The centroids
     # file is planning-sized (coalesce(1)), so counting it is cheap.
-    stored = cents.count()
+    # the centroids file is planning-sized (coalesce(1)) — collect it
+    # ONCE and derive the row count, the probe scoring input and the
+    # ADC lookup table from the collected rows (r15: the count, the
+    # probe window job and the in-plan LUT frame each re-read it)
+    cent_rows_all = cents.collect()
+    stored = len(cent_rows_all)
     need = max(ks, n_centroids)
     out_schema = (
         "query_id long, vec_id long, approx_sim double, cos_sim double, "
         "rank int"
     )
-    if stored == 0:
+    if stored == 0 or not query_vecs:
         return spark.createDataFrame([], out_schema)
     if stored < need:
         low = (
@@ -2603,84 +2707,135 @@ def ivfpq_knn_index_batch(
             "layout was written with smaller parameters; rebuild with "
             "write_ann_index"
         )
-    pw = Window.partitionBy("query_id").orderBy(
-        F.desc("c_sim"), F.asc("centroid_id")
-    )
-    probe_rows = (
-        cents.filter(F.col("vec_id") < n_centroids)
-        .select(F.col("vec_id").alias("centroid_id"), "cv")
-        .crossJoin(qdf)
-        .select(
-            "query_id",
-            "centroid_id",
-            F.round(V.cosine(F.col("cv"), F.col("qv")), 6).alias("c_sim"),
+    by_id = {int(r["vec_id"]): [float(x) for x in r["cv"]] for r in cent_rows_all}
+    qlist = [(int(qid), [float(x) for x in qv]) for qid, qv in query_vecs]
+    cent_ids = [cid for cid in sorted(by_id) if cid < n_centroids]
+    cb_ids = [cid for cid in sorted(by_id) if cid < ks]
+    if not cent_ids or not cb_ids:
+        return spark.createDataFrame([], out_schema)
+    # probe scores + ADC LUT entries in ONE bounded local job with
+    # engine round/cosine semantics (the ivfpq_knn_batch shape); the
+    # r14 serve melted the pruned index 4x, broadcast-joined an
+    # in-plan LUT frame, paid a pruned-corpus-scale groupBy exchange
+    # for the ADC sum, and re-read the pruned index for the rerank
+    # join — all replaced by per-row literal-map lookups and a
+    # v-carrying WindowGroupLimit shortlist over ONE pruned read.
+    local_rows = [
+        (0, qp, -1, int(cid), by_id[cid], qv)
+        for qp, (_, qv) in enumerate(qlist)
+        for cid in cent_ids
+    ] + [
+        (
+            1,
+            qp,
+            g,
+            int(cid),
+            by_id[cid][g * sub_len : (g + 1) * sub_len],
+            qv[g * sub_len : (g + 1) * sub_len],
         )
-        .withColumn("rn", F.row_number().over(pw))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "centroid_id")
+        for qp, (_, qv) in enumerate(qlist)
+        for cid in cb_ids
+        for g in range(m)
+    ]
+    scored_local = (
+        spark.createDataFrame(
+            local_rows,
+            "kind int, qp int, g int, cid long, "
+            "av array<double>, bv array<double>",
+        )
+        .select(
+            "kind",
+            "qp",
+            "g",
+            "cid",
+            F.round(V.cosine(F.col("av"), F.col("bv")), 6).alias("c"),
+        )
         .collect()
+    )
+    probed_by_qp = {}
+    for qp in range(len(qlist)):
+        scores = sorted(
+            (
+                (r["c"], r["cid"])
+                for r in scored_local
+                if r["kind"] == 0 and r["qp"] == qp
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probed_by_qp[qp] = [cid for _, cid in scores[: int(n_probe)]]
+    lut = {
+        (r["qp"], r["g"], r["cid"]): r["c"]
+        for r in scored_local
+        if r["kind"] == 1
+    }
+    assert all(v is not None and v == v for v in lut.values()), (
+        "NULL/NaN ADC lookup entry (zero-norm codebook/query sub-vector) "
+        "— unsupported by the inline-LUT serving path"
     )
     probes_df = F.broadcast(
         spark.createDataFrame(
-            [(r["query_id"], int(r["centroid_id"])) for r in probe_rows],
-            "query_id long, centroid_id int",
+            [
+                (qp, qlist[qp][0], int(cid))
+                for qp in range(len(qlist))
+                for cid in probed_by_qp[qp]
+            ],
+            "qp int, query_id long, centroid_id int",
         )
     )
-    union_ids = sorted({int(r["centroid_id"]) for r in probe_rows})
-
+    union_ids = sorted(
+        {int(c) for qp in probed_by_qp for c in probed_by_qp[qp]}
+    )
+    if not union_ids:
+        return spark.createDataFrame([], out_schema)
     idx = spark.read.parquet(f"{path}/index").filter(
         F.col("centroid_id").isin(union_ids)
     )
-    cparts = (
-        cents.filter(F.col("vec_id") < ks)
-        .select(F.col("vec_id").alias("cid"), "cv")
-        .select(
-            "cid",
-            F.posexplode(
-                F.array(*[F.slice("cv", g * sub_len + 1, sub_len) for g in range(m)])
-            ).alias("g", "scv"),
+    # per-group, per-query cid→LUT-value literal maps (stored codes ARE
+    # codebook vec_ids, so the lookup key is the code column itself)
+    terms = []
+    for g in range(m):
+        maps_g = F.expr(
+            "array("
+            + ",".join(
+                "map("
+                + ",".join(
+                    f"{cid}L, CAST('{lut[(qp, g, cid)]!r}' AS DOUBLE)"
+                    for cid in cb_ids
+                )
+                + ")"
+                for qp in range(len(qlist))
+            )
+            + ")"
         )
-    )
-    lut = cparts.crossJoin(qdf).select(
-        "query_id",
-        "g",
-        "cid",
-        F.round(
-            V.cosine(
-                F.col("scv"), F.expr(f"slice(qv, g * {sub_len} + 1, {sub_len})")
-            ),
-            6,
-        ).alias("l"),
-    )
-    melted = idx.select(
-        "vec_id",
-        "centroid_id",
-        F.posexplode(F.array(*[f"code_{g}" for g in range(m)])).alias("g", "cid"),
-    )
-    approx = (
-        melted.join(probes_df, "centroid_id")
-        .join(F.broadcast(lut), ["query_id", "g", "cid"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("l"), 6).alias("approx_sim"))
+        terms.append(
+            F.element_at(
+                F.element_at(maps_g, F.col("qp") + 1), F.col(f"code_{g}")
+            )
+        )
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    qmat = _dmat_sql([qv for _, qv in qlist])
+    cand = idx.join(probes_df, "centroid_id").select(
+        "query_id", "vec_id", "v", "qp", F.round(adc, 6).alias("approx_sim")
     )
     sw = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim"), F.asc("vec_id")
     )
     shortlist = (
-        approx.withColumn("srn", F.row_number().over(sw))
+        cand.withColumn("srn", F.row_number().over(sw))
         .filter(F.col("srn") <= rerank)
-        .select("query_id", "vec_id", "approx_sim")
+        .select("query_id", "vec_id", "v", "qp", "approx_sim")
     )
     kw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        idx.select("vec_id", "v")
-        .join(F.broadcast(shortlist), "vec_id")
-        .join(qdf, "query_id")
-        .select(
+        shortlist.select(
             "query_id",
             "vec_id",
             "approx_sim",
-            F.round(V.cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            F.round(
+                V.cosine(F.col("v"), F.element_at(qmat, F.col("qp") + 1)), 6
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(kw).cast("int"))
         .filter(F.col("rank") <= k)
