@@ -846,6 +846,15 @@ def retrieval_quality(
     # with NULL list columns and vice versa.
     bm25_query = ("spark", "window", "hash")
     _null_long = F.lit(None).cast("long")
+    # ONE head fetch shared by the ivf and ivfpq batch legs (r15):
+    # each leg previously ran its own identical low-id collect job;
+    # the pass-through keeps their internal slicing rules intact
+    _head = (
+        similarity._as_double(embeddings)
+        .filter(F.col("vec_id") < max(16, int(n_queries)))
+        .collect()
+    )
+    head_by_id = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in _head}
     fused_lists = (
         similarity.knn_batch(embeddings, n_queries=n_queries, k=k)
         .select(
@@ -858,7 +867,7 @@ def retrieval_quality(
         )
         .unionByName(
             similarity.ivf_knn_batch(
-                embeddings, n_queries=n_queries, k=n_each
+                embeddings, n_queries=n_queries, k=n_each, head_by_id=head_by_id
             ).select(
                 F.lit(1).alias("_src"),
                 "query_id",
@@ -896,7 +905,7 @@ def retrieval_quality(
         F.col("rank").alias("sys_rank"),
     )
     pq_sys = similarity.ivfpq_knn_batch(
-        embeddings, n_queries=n_queries, k=k
+        embeddings, n_queries=n_queries, k=k, head_by_id=head_by_id
     ).select(
         F.lit("ivfpq").alias("system"),
         "query_id",

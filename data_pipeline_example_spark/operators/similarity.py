@@ -2251,6 +2251,7 @@ def ivf_knn_batch(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    head_by_id: dict | None = None,
 ) -> DataFrame:
     """Batched IVF serving WITHOUT a materialized index — ``ivf_knn``
     for a query batch in ONE corpus scan (``knn_batch``'s serving
@@ -2271,8 +2272,19 @@ def ivf_knn_batch(
     e = _as_double(embeddings)
     spark = embeddings.sparkSession
     out_schema = "query_id long, vec_id long, cos_sim double, rank int"
-    head = e.filter(F.col("vec_id") < max(n_centroids, n_queries)).collect()
-    by_id = {r["vec_id"]: [float(x) for x in r["v"]] for r in head}
+    # head_by_id: a caller that already fetched the low-id head rows
+    # (retrieval_quality shares ONE head collect across the ivf and
+    # ivfpq batch legs — the per_doc_df/shingle_df pass-through
+    # pattern) supplies {vec_id: vector} covering every vec_id <
+    # max(n_centroids, n_queries); None keeps the self-contained fetch
+    if head_by_id is None:
+        head = e.filter(
+            F.col("vec_id") < max(n_centroids, n_queries)
+        ).collect()
+        by_id = {r["vec_id"]: [float(x) for x in r["v"]] for r in head}
+    else:
+        need = max(n_centroids, n_queries)
+        by_id = {cid: v for cid, v in head_by_id.items() if cid < need}
     cent_rows = [(int(i), by_id[i]) for i in sorted(by_id) if i < n_centroids]
     query_rows = [(int(i), by_id[i]) for i in sorted(by_id) if i < n_queries]
     if not cent_rows or not query_rows:
@@ -2361,6 +2373,7 @@ def ivfpq_knn_batch(
     ks: int = 16,
     dims: int = 64,
     rerank: int = 64,
+    head_by_id: dict | None = None,
 ) -> DataFrame:
     """Batched IVF-PQ serving without a materialized index — the
     ``ivfpq_knn`` chain for a query batch with every corpus-sized
@@ -2400,8 +2413,12 @@ def ivfpq_knn_batch(
         F.lit(1).alias("rank"),
     ).limit(0)
     need = max(int(n_centroids), int(ks), int(n_queries))
-    head = e.filter(F.col("vec_id") < need).collect()
-    by_id = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in head}
+    # head_by_id: shared head fetch pass-through (see ivf_knn_batch)
+    if head_by_id is None:
+        head = e.filter(F.col("vec_id") < need).collect()
+        by_id = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in head}
+    else:
+        by_id = {cid: v for cid, v in head_by_id.items() if cid < need}
     q_ids = [qid for qid in sorted(by_id) if qid < n_queries]
     cent_rows = [
         (cid, by_id[cid]) for cid in sorted(by_id) if cid < n_centroids
