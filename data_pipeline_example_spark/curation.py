@@ -846,15 +846,27 @@ def retrieval_quality(
     # with NULL list columns and vice versa.
     bm25_query = ("spark", "window", "hash")
     _null_long = F.lit(None).cast("long")
-    # ONE head fetch shared by the ivf and ivfpq batch legs (r15):
-    # each leg previously ran its own identical low-id collect job;
-    # the pass-through keeps their internal slicing rules intact
-    _head = (
-        similarity._as_double(embeddings)
-        .filter(F.col("vec_id") < max(16, int(n_queries)))
-        .collect()
+    # ONE fused head fetch shared by the ivf and ivfpq batch legs
+    # (r15 shared the raw head collect; r16 the fused fetch also
+    # computes the ivfpq leg's probe/LUT cosines in the same bounded
+    # job, so the leg's LocalRelation scoring job is gone too). The
+    # bound is DERIVED from the legs' parameters (both legs run at
+    # their defaults n_centroids=16, ks=16, m=4 — named here, not
+    # hardcoded into a magic 16) and each leg VALIDATES the bundle
+    # covers its own needs instead of trusting this caller (r15
+    # ADVICE: the silent-shrink hazard).
+    _nc, _ks, _m, _dims = 16, 16, 4, 64
+    head_fetch = similarity._head_scored_fetch(
+        similarity._as_double(embeddings),
+        F.col("vec_id") < max(_nc, _ks, int(n_queries)),
+        F.col("vec_id") < int(n_queries),
+        _nc,
+        ks=_ks,
+        m=_m,
+        sub_len=_dims // _m,
+        q_max=int(n_queries),
+        head_max=max(_nc, _ks, int(n_queries)),
     )
-    head_by_id = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in _head}
     fused_lists = (
         similarity.knn_batch(embeddings, n_queries=n_queries, k=k)
         .select(
@@ -867,7 +879,7 @@ def retrieval_quality(
         )
         .unionByName(
             similarity.ivf_knn_batch(
-                embeddings, n_queries=n_queries, k=n_each, head_by_id=head_by_id
+                embeddings, n_queries=n_queries, k=n_each, head_fetch=head_fetch
             ).select(
                 F.lit(1).alias("_src"),
                 "query_id",
@@ -905,7 +917,7 @@ def retrieval_quality(
         F.col("rank").alias("sys_rank"),
     )
     pq_sys = similarity.ivfpq_knn_batch(
-        embeddings, n_queries=n_queries, k=k, head_by_id=head_by_id
+        embeddings, n_queries=n_queries, k=k, head_fetch=head_fetch
     ).select(
         F.lit("ivfpq").alias("system"),
         "query_id",

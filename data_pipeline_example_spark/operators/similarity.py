@@ -967,6 +967,157 @@ def _inline_best(vcol: Column, cent_rows, cent_norms, nv: Column) -> Column:
     )
 
 
+def _probe_sorted(rows, qid=None):
+    """Driver-side probe ranking over collected kind-0 rows: (c DESC
+    NULLS LAST, cid ASC) — the engine's ``desc`` ordering exactly, so a
+    zero-norm centroid/query cosine (NULL ``c``) is simply never probed
+    (the r14 degrade) instead of raising TypeError on ``-None`` (r16,
+    per ADVICE)."""
+    return sorted(
+        (
+            (r["c"], r["cid"])
+            for r in rows
+            if r["kind"] == 0 and (qid is None or r["qid"] == qid)
+        ),
+        key=lambda t: (t[0] is None, -(t[0] or 0.0), t[1]),
+    )
+
+
+def _head_scored_fetch(
+    e: DataFrame,
+    head_pred: Column,
+    q_pred: Column,
+    n_centroids: int,
+    ks: int | None = None,
+    m: int = 0,
+    sub_len: int = 0,
+    q_max: int | None = None,
+    head_max: int = 0,
+) -> dict:
+    """ONE bounded construct job replacing the separate head collect and
+    the probe/LUT LocalRelation job (r16): the raw head rows (kind 2)
+    and the engine-rounded probe/LUT cosines (kind 0 = centroid ×
+    query, kind 1 = codebook-slice × query-slice) are sibling union
+    legs of a single plan over the pushdown-filtered embeddings scan,
+    collected once. Engine round/cosine semantics are identical to the
+    r15 LocalRelation job — same ``F.round(V.cosine(...), 6)`` fold
+    over the same doubles, which now come straight from the scan
+    instead of a collect→createDataFrame round-trip (Python floats ARE
+    the parquet doubles, so the values cannot differ). Row count is
+    n_centroids·|q| + m·ks·|q| + |head| — bounded by the parameters,
+    never the corpus.
+
+    Returns a bundle dict carrying the collected ``rows``, the raw
+    ``by_id`` head map, and the parameters the fetch was built with —
+    consumers VALIDATE those instead of trusting the caller (the
+    silent-shrink hazard the r15 ADVICE flagged)."""
+    _nl = F.lit(None).cast("long")
+    _nd = F.lit(None).cast("double")
+    _nv = F.lit(None).cast("array<double>")
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    qs = e.filter(q_pred).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    k0 = cents.join(F.broadcast(qs)).select(
+        F.lit(0).alias("kind"),
+        F.col("qid"),
+        F.lit(-1).alias("g"),
+        F.col("cid"),
+        F.round(V.cosine(F.col("cv"), F.col("qv")), 6).alias("c"),
+        V.norm(F.col("cv")).alias("na"),
+        V.norm(F.col("qv")).alias("nq"),
+        _nl.alias("vid"),
+        _nv.alias("v"),
+    )
+    legs = [k0]
+    if ks is not None:
+        cb = e.filter(F.col("vec_id") < ks).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+        gc = F.col("g")
+
+        def _sl(col):
+            return F.slice(col, gc * sub_len + 1, F.lit(sub_len))
+
+        k1 = (
+            cb.join(F.broadcast(qs))
+            .select(
+                "cid",
+                "cv",
+                "qid",
+                "qv",
+                F.explode(F.lit(list(range(m)))).alias("g"),
+            )
+            .select(
+                F.lit(1).alias("kind"),
+                F.col("qid"),
+                gc,
+                F.col("cid"),
+                F.round(V.cosine(_sl(F.col("cv")), _sl(F.col("qv"))), 6).alias(
+                    "c"
+                ),
+                V.norm(_sl(F.col("cv"))).alias("na"),
+                _nd.alias("nq"),
+                _nl.alias("vid"),
+                _nv.alias("v"),
+            )
+        )
+        legs.append(k1)
+    k2 = e.filter(head_pred).select(
+        F.lit(2).alias("kind"),
+        _nl.alias("qid"),
+        F.lit(-1).alias("g"),
+        _nl.alias("cid"),
+        _nd.alias("c"),
+        _nd.alias("na"),
+        _nd.alias("nq"),
+        F.col("vec_id").alias("vid"),
+        F.col("v").alias("v"),
+    )
+    legs.append(k2)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    rows = out.collect()
+    by_id = {
+        int(r["vid"]): [float(x) for x in r["v"]]
+        for r in rows
+        if r["kind"] == 2
+    }
+    return {
+        "rows": rows,
+        "by_id": by_id,
+        "n_centroids": int(n_centroids),
+        "ks": None if ks is None else int(ks),
+        "m": int(m),
+        "q_max": q_max,
+        "head_max": int(head_max),
+    }
+
+
+def _check_fetch(fetch: dict, *, n_centroids, ks, m, q_max, need) -> None:
+    """Reject a shared fetch bundle whose build parameters don't cover
+    this callee's — the r15 pass-through trusted the caller and a
+    default drift would have silently shrunk cent/cb/query rows (r15
+    ADVICE). Raises instead of asserting so the guard survives -O."""
+    bad = fetch["n_centroids"] != int(n_centroids)
+    bad = bad or (ks is not None and fetch["ks"] != int(ks))
+    bad = bad or (m and fetch["m"] != int(m))
+    bad = bad or (
+        q_max is not None
+        and (fetch["q_max"] is None or fetch["q_max"] < int(q_max))
+    )
+    bad = bad or fetch["head_max"] < int(need)
+    if bad:
+        raise ValueError(
+            f"shared head fetch built with {({k: fetch[k] for k in ('n_centroids', 'ks', 'm', 'q_max', 'head_max')})} "
+            f"does not cover callee params n_centroids={n_centroids}, "
+            f"ks={ks}, m={m}, q_max={q_max}, need={need}"
+        )
+
+
 def ivf_knn(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -996,10 +1147,24 @@ def ivf_knn(
     objects.
     """
     e = _as_double(embeddings)
-    head = e.filter(
-        (F.col("vec_id") < n_centroids) | (F.col("vec_id") == query_id)
-    ).collect()
-    by_id = {r["vec_id"]: [float(x) for x in r["v"]] for r in head}
+    # head rows AND the probe scoring in ONE bounded job (r16): the
+    # probe selection previously ran as a second LocalRelation job so
+    # round/cosine semantics were engine-exact; the fused fetch keeps
+    # the engine semantics (same expressions, in-plan over the pushed-
+    # down scan legs) while collecting head vectors, probe cosines and
+    # norms together. (r15 NOTE stands: a lazy broadcast-semi-join
+    # probe was tried and REVERTED — the scan-local isin literal
+    # filter is free at exec, and the per-action broadcast build cost
+    # more than the tiny probe job saved; r16 removes that job without
+    # changing the exec shape.)
+    fetch = _head_scored_fetch(
+        e,
+        (F.col("vec_id") < n_centroids) | (F.col("vec_id") == query_id),
+        F.col("vec_id") == query_id,
+        n_centroids,
+        head_max=n_centroids,
+    )
+    by_id = fetch["by_id"]
     if query_id not in by_id:
         return e.select(
             "vec_id", F.lit(0.0).alias("cos_sim")
@@ -1013,32 +1178,12 @@ def ivf_knn(
         # no vec_id below n_centroids: nothing to probe — empty result,
         # same contract as the missing-query path
         return e.select("vec_id", F.lit(0.0).alias("cos_sim")).limit(0)
-    # probe selection runs as a local-frame Spark job so round/cosine
-    # semantics are engine-exact (identical to the oracle's fold); the
-    # frame is n_centroids rows, never the corpus. (r15 NOTE: a lazy
-    # broadcast-semi-join probe was tried and REVERTED — the scan-local
-    # isin literal filter is free at exec, and the per-action broadcast
-    # build cost more than this tiny local job saves; measured 2.5-2.8s
-    # vs 3.5-4.2s over ivf_knn+filtered_ivf_knn across two interleaved
-    # A/B rounds at sf0.1.)
-    spark = embeddings.sparkSession
-    cents_local = spark.createDataFrame(
-        cent_rows, "centroid_id long, cv array<double>"
-    )
-    probe_rows = (
-        cents_local.select(
-            "centroid_id",
-            F.round(V.cosine(F.col("cv"), qlit), 6).alias("c_sim"),
-            V.norm(F.col("cv")).alias("na"),
-            V.norm(qlit).alias("nq"),
-        )
-        .orderBy(F.desc("c_sim"), F.asc("centroid_id"))
-        .collect()
-    )
-    probed = [r["centroid_id"] for r in probe_rows[: int(n_probe)]]
-    nmap = {r["centroid_id"]: r["na"] for r in probe_rows}
+    probe_scores = _probe_sorted(fetch["rows"])
+    probed = [cid for _, cid in probe_scores[: int(n_probe)]]
+    nmap = {r["cid"]: r["na"] for r in fetch["rows"] if r["kind"] == 0}
     cent_norms = [nmap[cid] for cid, _ in cent_rows]
-    nq_lit = F.expr(f"CAST('{probe_rows[0]['nq']!r}' AS DOUBLE)")
+    nq = next(r["nq"] for r in fetch["rows"] if r["kind"] == 0)
+    nq_lit = F.expr(f"CAST('{nq!r}' AS DOUBLE)")
     # inline assignment: argmax over the centroid literals via
     # min(struct(-cos, cid)) — the assign_centroids tie-break verbatim,
     # but as a scan-local expression, so the corpus is read ONCE with
@@ -1700,10 +1845,23 @@ def ivfpq_knn(
         F.lit(0.0).alias("cos_sim"),
     ).limit(0)
     need = max(int(n_centroids), int(ks))
-    head = e.filter(
-        (F.col("vec_id") < need) | (F.col("vec_id") == query_id)
-    ).collect()
-    by_id = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in head}
+    # head rows + probe ranking + ADC lookup table in ONE bounded job
+    # (r16; was a head collect followed by a LocalRelation job) —
+    # round/cosine computed by the engine itself (exact oracle parity;
+    # the ivf_knn probe-collect precedent). kind 0 rows: full centroid
+    # vs query (probe scores); kind 1 rows: codebook sub-vector vs the
+    # query's matching slice (LUT entries); kind 2: raw head vectors.
+    fetch = _head_scored_fetch(
+        e,
+        (F.col("vec_id") < need) | (F.col("vec_id") == query_id),
+        F.col("vec_id") == query_id,
+        n_centroids,
+        ks=ks,
+        m=m,
+        sub_len=sub_len,
+        head_max=need,
+    )
+    by_id = fetch["by_id"]
     if query_id not in by_id:
         return empty
     qv = by_id[query_id]
@@ -1714,53 +1872,25 @@ def ivfpq_knn(
     cb_rows = [(cid, by_id[cid]) for cid in sorted(by_id) if cid < ks]
     if not cent_rows or not cb_rows:
         return empty
-    # probe ranking + ADC lookup table in ONE bounded local-frame job —
-    # round/cosine computed by the engine itself (exact oracle parity;
-    # the ivf_knn probe-collect precedent). kind 0 rows: full centroid
-    # vs query (probe scores); kind 1 rows: codebook sub-vector vs the
-    # query's matching slice (LUT entries).
-    spark = embeddings.sparkSession
-    local_rows = [
-        (0, -1, int(cid), cv, qv) for cid, cv in cent_rows
-    ] + [
-        (
-            1,
-            g,
-            int(cid),
-            cv[g * sub_len : (g + 1) * sub_len],
-            qv[g * sub_len : (g + 1) * sub_len],
-        )
-        for cid, cv in cb_rows
-        for g in range(m)
-    ]
-    scored_local = (
-        spark.createDataFrame(
-            local_rows,
-            "kind int, g int, cid long, av array<double>, bv array<double>",
-        )
-        .select(
-            "kind",
-            "g",
-            "cid",
-            F.round(V.cosine(F.col("av"), F.col("bv")), 6).alias("c"),
-            V.norm(F.col("av")).alias("na"),
-        )
-        .collect()
-    )
-    probe_scores = sorted(
-        ((r["c"], r["cid"]) for r in scored_local if r["kind"] == 0),
-        key=lambda t: (-t[0], t[1]),
-    )
+    scored_local = fetch["rows"]
+    probe_scores = _probe_sorted(scored_local)
     probed = [cid for _, cid in probe_scores[: int(n_probe)]]
     lut = {(r["g"], r["cid"]): r["c"] for r in scored_local if r["kind"] == 1}
     # the LUT sum must skip NULL entries exactly like the r14 SUM()
     # aggregate did; engine-valid embeddings can still have a zero
     # SUB-slice, whose cosine is NULL (documented: synthetic corpora
-    # don't produce them — the guard keeps the contract anyway)
-    assert all(v is not None and v == v for v in lut.values()), (
-        "NULL/NaN ADC lookup entry (zero-norm codebook/query sub-vector) "
-        "— unsupported by the inline-LUT serving path"
-    )
+    # don't produce them — the guard keeps the contract anyway; a
+    # ValueError, not an assert, so it survives -O). Corpus ROWS with a
+    # zero-norm sub-slice remain a documented-unsupported input class:
+    # the scan-side argmin folds their NULL sub-scores NULL-first and
+    # picks codebook position 0 (adding a real LUT term) where the r14
+    # SUM-over-joined-codes skipped the term — divergence documented,
+    # inputs never produced by the engine's embedding writers.
+    if not all(v is not None and v == v for v in lut.values()):
+        raise ValueError(
+            "NULL/NaN ADC lookup entry (zero-norm codebook/query "
+            "sub-vector) — unsupported by the inline-LUT serving path"
+        )
     cnorm = {r["cid"]: r["na"] for r in scored_local if r["kind"] == 0}
     subnorm = {
         (r["g"], r["cid"]): r["na"] for r in scored_local if r["kind"] == 1
@@ -2251,7 +2381,7 @@ def ivf_knn_batch(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
-    head_by_id: dict | None = None,
+    head_fetch: dict | None = None,
 ) -> DataFrame:
     """Batched IVF serving WITHOUT a materialized index — ``ivf_knn``
     for a query batch in ONE corpus scan (``knn_batch``'s serving
@@ -2272,19 +2402,27 @@ def ivf_knn_batch(
     e = _as_double(embeddings)
     spark = embeddings.sparkSession
     out_schema = "query_id long, vec_id long, cos_sim double, rank int"
-    # head_by_id: a caller that already fetched the low-id head rows
-    # (retrieval_quality shares ONE head collect across the ivf and
-    # ivfpq batch legs — the per_doc_df/shingle_df pass-through
-    # pattern) supplies {vec_id: vector} covering every vec_id <
-    # max(n_centroids, n_queries); None keeps the self-contained fetch
-    if head_by_id is None:
-        head = e.filter(
-            F.col("vec_id") < max(n_centroids, n_queries)
-        ).collect()
+    # head_fetch: a caller that already ran the fused head fetch
+    # (retrieval_quality shares ONE _head_scored_fetch across the ivf
+    # and ivfpq batch legs — the per_doc_df/shingle_df pass-through
+    # pattern) supplies the bundle; the build bound is VALIDATED (not
+    # trusted) so a parameter drift raises instead of silently
+    # shrinking the centroid/query rows (r15 ADVICE). None keeps the
+    # self-contained fetch. Only the raw head rows are consumed here —
+    # this op's probe ranking stays a lazy in-plan subtree (r15).
+    need = max(n_centroids, n_queries)
+    if head_fetch is None:
+        head = e.filter(F.col("vec_id") < need).collect()
         by_id = {r["vec_id"]: [float(x) for x in r["v"]] for r in head}
     else:
-        need = max(n_centroids, n_queries)
-        by_id = {cid: v for cid, v in head_by_id.items() if cid < need}
+        if head_fetch["head_max"] < need:
+            raise ValueError(
+                f"shared head fetch covers vec_id < {head_fetch['head_max']}"
+                f" but ivf_knn_batch needs vec_id < {need}"
+            )
+        by_id = {
+            cid: v for cid, v in head_fetch["by_id"].items() if cid < need
+        }
     cent_rows = [(int(i), by_id[i]) for i in sorted(by_id) if i < n_centroids]
     query_rows = [(int(i), by_id[i]) for i in sorted(by_id) if i < n_queries]
     if not cent_rows or not query_rows:
@@ -2373,7 +2511,7 @@ def ivfpq_knn_batch(
     ks: int = 16,
     dims: int = 64,
     rerank: int = 64,
-    head_by_id: dict | None = None,
+    head_fetch: dict | None = None,
 ) -> DataFrame:
     """Batched IVF-PQ serving without a materialized index — the
     ``ivfpq_knn`` chain for a query batch with every corpus-sized
@@ -2413,12 +2551,35 @@ def ivfpq_knn_batch(
         F.lit(1).alias("rank"),
     ).limit(0)
     need = max(int(n_centroids), int(ks), int(n_queries))
-    # head_by_id: shared head fetch pass-through (see ivf_knn_batch)
-    if head_by_id is None:
-        head = e.filter(F.col("vec_id") < need).collect()
-        by_id = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in head}
+    # head_fetch: shared fused-fetch pass-through (retrieval_quality
+    # runs ONE _head_scored_fetch for the ivf and ivfpq batch legs);
+    # None = self-contained. Either way, head rows + probe rankings +
+    # per-query ADC LUTs come from ONE bounded job (r16; was a head
+    # collect followed by a LocalRelation job).
+    if head_fetch is None:
+        head_fetch = _head_scored_fetch(
+            e,
+            F.col("vec_id") < need,
+            F.col("vec_id") < n_queries,
+            n_centroids,
+            ks=ks,
+            m=m,
+            sub_len=sub_len,
+            q_max=n_queries,
+            head_max=need,
+        )
     else:
-        by_id = {cid: v for cid, v in head_by_id.items() if cid < need}
+        _check_fetch(
+            head_fetch,
+            n_centroids=n_centroids,
+            ks=ks,
+            m=m,
+            q_max=n_queries,
+            need=need,
+        )
+    by_id = {
+        cid: v for cid, v in head_fetch["by_id"].items() if cid < need
+    }
     q_ids = [qid for qid in sorted(by_id) if qid < n_queries]
     cent_rows = [
         (cid, by_id[cid]) for cid in sorted(by_id) if cid < n_centroids
@@ -2426,61 +2587,25 @@ def ivfpq_knn_batch(
     cb_rows = [(cid, by_id[cid]) for cid in sorted(by_id) if cid < ks]
     if not q_ids or not cent_rows or not cb_rows:
         return empty
-    # probe rankings + per-query ADC LUTs in ONE bounded local job
-    spark = embeddings.sparkSession
-    local_rows = [
-        (0, int(qid), -1, int(cid), cv, by_id[qid])
-        for qid in q_ids
-        for cid, cv in cent_rows
-    ] + [
-        (
-            1,
-            int(qid),
-            g,
-            int(cid),
-            cv[g * sub_len : (g + 1) * sub_len],
-            by_id[qid][g * sub_len : (g + 1) * sub_len],
-        )
-        for qid in q_ids
-        for cid, cv in cb_rows
-        for g in range(m)
+    scored_local = [
+        r
+        for r in head_fetch["rows"]
+        if r["kind"] != 2 and r["qid"] is not None and r["qid"] < n_queries
     ]
-    scored_local = (
-        spark.createDataFrame(
-            local_rows,
-            "kind int, qid long, g int, cid long, "
-            "av array<double>, bv array<double>",
-        )
-        .select(
-            "kind",
-            "qid",
-            "g",
-            "cid",
-            F.round(V.cosine(F.col("av"), F.col("bv")), 6).alias("c"),
-            V.norm(F.col("av")).alias("na"),
-        )
-        .collect()
-    )
     probed_by_q = {}
     for qid in q_ids:
-        scores = sorted(
-            (
-                (r["c"], r["cid"])
-                for r in scored_local
-                if r["kind"] == 0 and r["qid"] == qid
-            ),
-            key=lambda t: (-t[0], t[1]),
-        )
+        scores = _probe_sorted(scored_local, qid=qid)
         probed_by_q[qid] = [cid for _, cid in scores[: int(n_probe)]]
     lut = {
         (r["qid"], r["g"], r["cid"]): r["c"]
         for r in scored_local
         if r["kind"] == 1
     }
-    assert all(v is not None and v == v for v in lut.values()), (
-        "NULL/NaN ADC lookup entry (zero-norm codebook/query sub-vector) "
-        "— unsupported by the inline-LUT serving path"
-    )
+    if not all(v is not None and v == v for v in lut.values()):
+        raise ValueError(
+            "NULL/NaN ADC lookup entry (zero-norm codebook/query "
+            "sub-vector) — unsupported by the inline-LUT serving path"
+        )
     cnorm = {r["cid"]: r["na"] for r in scored_local if r["kind"] == 0}
     subnorm = {
         (r["g"], r["cid"]): r["na"] for r in scored_local if r["kind"] == 1
@@ -2688,7 +2813,13 @@ def ivfpq_knn_index_batch(
     """
     assert dims % m == 0
     sub_len = dims // m
-    cents = spark.read.parquet(f"{path}/centroids")
+    out_schema = (
+        "query_id long, vec_id long, approx_sim double, cos_sim double, "
+        "rank int"
+    )
+    if not query_vecs:
+        return spark.createDataFrame([], out_schema)
+    qlist = [(int(qid), [float(x) for x in qv]) for qid, qv in query_vecs]
     # the PQ LUT is built from the stored centroids file filtered by
     # vec_id < ks — if the writer stored fewer rows than the CORPUS has
     # low-id vectors, the codebook would silently truncate and
@@ -2698,19 +2829,70 @@ def ivfpq_knn_index_batch(
     # ivfpq_knn's `vec_id < n` filters degrade the same way), so the
     # guard compares against the index itself instead of asserting a
     # fixed count; an EMPTY index serves an empty result. The centroids
-    # file is planning-sized (coalesce(1)), so counting it is cheap.
-    # the centroids file is planning-sized (coalesce(1)) — collect it
-    # ONCE and derive the row count, the probe scoring input and the
-    # ADC lookup table from the collected rows (r15: the count, the
-    # probe window job and the in-plan LUT frame each re-read it)
-    cent_rows_all = cents.collect()
-    stored = len(cent_rows_all)
-    need = max(ks, n_centroids)
-    out_schema = (
-        "query_id long, vec_id long, approx_sim double, cos_sim double, "
-        "rank int"
+    # file is planning-sized (coalesce(1)): raw rows, per-query probe
+    # scores and ADC LUT entries are sibling union legs of ONE job over
+    # it (r16; r15 collected the file, then ran a LocalRelation scoring
+    # job — two driver jobs where one suffices). Query vectors enter
+    # the plan as exact repr-round-trip literals; engine round/cosine
+    # semantics unchanged.
+    base = spark.read.parquet(f"{path}/centroids").select(
+        F.col("vec_id").alias("cid"), F.col("cv")
     )
-    if stored == 0 or not query_vecs:
+    qn = len(qlist)
+    qmat = _dmat_sql([qv for _, qv in qlist])
+    qp_all = F.explode(F.lit(list(range(qn)))).alias("qp")
+    _nd = F.lit(None).cast("double")
+    _nl = F.lit(None).cast("long")
+    _nv = F.lit(None).cast("array<double>")
+    qv_col = F.element_at(qmat, F.col("qp") + 1)
+    k0 = (
+        base.filter(F.col("cid") < n_centroids)
+        .select("cid", "cv", qp_all)
+        .select(
+            F.lit(0).alias("kind"),
+            F.col("qp"),
+            F.lit(-1).alias("g"),
+            F.col("cid"),
+            F.round(V.cosine(F.col("cv"), qv_col), 6).alias("c"),
+            _nl.alias("vid"),
+            _nv.alias("v"),
+        )
+    )
+    gc = F.col("g")
+
+    def _sl(col):
+        return F.slice(col, gc * sub_len + 1, F.lit(sub_len))
+
+    k1 = (
+        base.filter(F.col("cid") < ks)
+        .select("cid", "cv", qp_all)
+        .select(
+            "cid", "cv", "qp", F.explode(F.lit(list(range(m)))).alias("g")
+        )
+        .select(
+            F.lit(1).alias("kind"),
+            F.col("qp"),
+            gc,
+            F.col("cid"),
+            F.round(V.cosine(_sl(F.col("cv")), _sl(qv_col)), 6).alias("c"),
+            _nl.alias("vid"),
+            _nv.alias("v"),
+        )
+    )
+    k2 = base.select(
+        F.lit(2).alias("kind"),
+        F.lit(-1).alias("qp"),
+        F.lit(-1).alias("g"),
+        _nl.alias("cid"),
+        _nd.alias("c"),
+        F.col("cid").alias("vid"),
+        F.col("cv").alias("v"),
+    )
+    scored_local = k0.unionByName(k1).unionByName(k2).collect()
+    raw = [r for r in scored_local if r["kind"] == 2]
+    stored = len(raw)
+    need = max(ks, n_centroids)
+    if stored == 0:
         return spark.createDataFrame([], out_schema)
     if stored < need:
         low = (
@@ -2724,51 +2906,11 @@ def ivfpq_knn_index_batch(
             "layout was written with smaller parameters; rebuild with "
             "write_ann_index"
         )
-    by_id = {int(r["vec_id"]): [float(x) for x in r["cv"]] for r in cent_rows_all}
-    qlist = [(int(qid), [float(x) for x in qv]) for qid, qv in query_vecs]
+    by_id = {int(r["vid"]): [float(x) for x in r["v"]] for r in raw}
     cent_ids = [cid for cid in sorted(by_id) if cid < n_centroids]
     cb_ids = [cid for cid in sorted(by_id) if cid < ks]
     if not cent_ids or not cb_ids:
         return spark.createDataFrame([], out_schema)
-    # probe scores + ADC LUT entries in ONE bounded local job with
-    # engine round/cosine semantics (the ivfpq_knn_batch shape); the
-    # r14 serve melted the pruned index 4x, broadcast-joined an
-    # in-plan LUT frame, paid a pruned-corpus-scale groupBy exchange
-    # for the ADC sum, and re-read the pruned index for the rerank
-    # join — all replaced by per-row literal-map lookups and a
-    # v-carrying WindowGroupLimit shortlist over ONE pruned read.
-    local_rows = [
-        (0, qp, -1, int(cid), by_id[cid], qv)
-        for qp, (_, qv) in enumerate(qlist)
-        for cid in cent_ids
-    ] + [
-        (
-            1,
-            qp,
-            g,
-            int(cid),
-            by_id[cid][g * sub_len : (g + 1) * sub_len],
-            qv[g * sub_len : (g + 1) * sub_len],
-        )
-        for qp, (_, qv) in enumerate(qlist)
-        for cid in cb_ids
-        for g in range(m)
-    ]
-    scored_local = (
-        spark.createDataFrame(
-            local_rows,
-            "kind int, qp int, g int, cid long, "
-            "av array<double>, bv array<double>",
-        )
-        .select(
-            "kind",
-            "qp",
-            "g",
-            "cid",
-            F.round(V.cosine(F.col("av"), F.col("bv")), 6).alias("c"),
-        )
-        .collect()
-    )
     probed_by_qp = {}
     for qp in range(len(qlist)):
         scores = sorted(
@@ -2777,7 +2919,7 @@ def ivfpq_knn_index_batch(
                 for r in scored_local
                 if r["kind"] == 0 and r["qp"] == qp
             ),
-            key=lambda t: (-t[0], t[1]),
+            key=lambda t: (t[0] is None, -(t[0] or 0.0), t[1]),
         )
         probed_by_qp[qp] = [cid for _, cid in scores[: int(n_probe)]]
     lut = {
@@ -2785,10 +2927,11 @@ def ivfpq_knn_index_batch(
         for r in scored_local
         if r["kind"] == 1
     }
-    assert all(v is not None and v == v for v in lut.values()), (
-        "NULL/NaN ADC lookup entry (zero-norm codebook/query sub-vector) "
-        "— unsupported by the inline-LUT serving path"
-    )
+    if not all(v is not None and v == v for v in lut.values()):
+        raise ValueError(
+            "NULL/NaN ADC lookup entry (zero-norm codebook/query "
+            "sub-vector) — unsupported by the inline-LUT serving path"
+        )
     probes_df = F.broadcast(
         spark.createDataFrame(
             [

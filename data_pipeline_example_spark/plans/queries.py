@@ -916,6 +916,36 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACKED_CACHE: dict[str, str] = {}
 
 
+def _input_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap driver-side fingerprint of a table's parquet input:
+    (relative path, size, mtime_ns) of every data file, hashed. Used
+    to key the on-disk ANN-index / packed-blocks caches so a
+    REGENERATED corpus (the degenerate/non-ASCII sweeps rewrite
+    ``.localdata/sfdeg`` in place) rebuilds its layout instead of
+    serving a stale one — r16: the sf_dir-only key served an index
+    built from an earlier generation of the same directory. stat()
+    only — never reads data; the same listing every scan pays."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(root, f))
+                parts.append(
+                    f"{os.path.relpath(os.path.join(root, f), src)}"
+                    f":{st.st_size}:{st.st_mtime_ns}"
+                )
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def q_packed_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit of the MATERIALIZED packing layout: writes
     ``sinks.write_packed_blocks`` (capacity 512) to a repo-local
@@ -934,7 +964,10 @@ def q_packed_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     path = _PACKED_CACHE.get(sf_dir)
     if path is None:
-        tag = hashlib.md5(f"{sf_dir}:pack512:v1".encode()).hexdigest()[:12]
+        # key = sf_dir + INPUT FINGERPRINT + format version (r16): a
+        # regenerated corpus under the same path rebuilds its layout
+        fp = _input_fingerprint(sf_dir, "documents")
+        tag = hashlib.md5(f"{sf_dir}:{fp}:pack512:v1".encode()).hexdigest()[:12]
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
             ".localdata",
@@ -1299,13 +1332,15 @@ def q_ivfpq_knn_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     path = _ANN_INDEX_CACHE.get(sf_dir)
     if path is None:
-        # keyed by (sf_dir, index-format version) ONLY — never the
-        # applicationId: an appId-derived tag minted a fresh full index
-        # copy per session and no layout was ever reused or evicted
-        # v2: valid_embeddings guard added to the index build (r15) —
-        # the version is part of the key so semantics changes rebuild
-        # stale layouts instead of serving them
-        tag = hashlib.md5(f"{sf_dir}:v2".encode()).hexdigest()[:12]
+        # keyed by (sf_dir, input fingerprint, index-format version) —
+        # never the applicationId: an appId-derived tag minted a fresh
+        # full index copy per session and no layout was ever reused or
+        # evicted. v2: valid_embeddings guard added to the index build
+        # (r15). The input fingerprint (r16) rebuilds the layout when
+        # the corpus under sf_dir is REGENERATED in place (the
+        # degenerate sweep) instead of serving a stale index.
+        fp = _input_fingerprint(sf_dir, "embeddings")
+        tag = hashlib.md5(f"{sf_dir}:{fp}:v2".encode()).hexdigest()[:12]
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
             ".localdata",
